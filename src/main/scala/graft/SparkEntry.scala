@@ -1,13 +1,851 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{Agg, CrysFrame, sel}
+import graft.ml.{Dedup, Similarity}
+import graft.operators.AsOfJoin
+import graft.sources.Readers
+import graft.text.TextFunctions
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the scale-extension operators), each with a DuckDB
+  * oracle where SQL-expressible.
+  *
+  * Determinism rules used throughout (the driver hash-compares):
+  *   - every query ends in a total ORDER BY over a unique key,
+  *   - money sums go through exact decimal accumulation
+  *     (`sum(cast(x as decimal(18,6)))` then a final decimal cast) so
+  *     Spark/DuckDB float association order can't flip a rounding,
+  *   - averages are rounded to 6 digits (assoc. error ~1e-12),
+  *   - integer sums are CAST(.. AS BIGINT) in DuckDB (it widens to
+  *     HUGEINT natively; Spark stays long).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Table loader. The events table stores TIMESTAMP(NANOS) which the
+    * Spark 4 parquet reader rejects; read nanos as long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and floor-convert to a
+    * microsecond timestamp — the same µs truncation DuckDB applies. */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => }
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None    => df
+    }
+  }
+  private def cf(s: SparkSession, dir: String, name: String): CrysFrame =
+    CrysFrame(t(s, dir, name))
+
+  /** Exact money aggregation: per-term decimal cast, exact decimal sum,
+    * final scale-2 decimal. */
+  private def moneySum(c: Column): Column =
+    F.sum(c.cast("decimal(18,6)")).cast("decimal(28,6)")
+
+  /** Cross-engine-deterministic mean: exact decimal sum, ONE double
+    * division — no float association order to disagree on. */
+  private def exactAvg(c: Column, digits: Int = 6): Column =
+    round(F.sum(c.cast("decimal(18,6)")).cast("double") / F.count(c), digits)
+
+  /** Flagship query (SURVEY §7.3) on sf=0.001; driver smoke-checks rows>0:
+    * group → summarize (null-skipping mean) → filter → sort. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    cf(spark, "/root/testdata/sf0.001", "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .summarize(
+        "n" -> (_ => Agg.n),
+        "mean_qty" -> (_ => round(Agg.mean(col("l_quantity"), removeNa = true), 6)),
+        "revenue" -> (_ => moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+      .filter(c => c("n") > 10)
+      .sortBy("l_returnflag", "l_linestatus")
+      .out
+
+  // =====================================================================
+  // queries — name -> (spark, sfDir) => DataFrame
+  // =====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------- §2.2 projection / column ops ----------------
+    "q_select" -> ((s, d) =>
+      cf(s, d, "lineitem")
+        .select(sel.listOf("l_orderkey", "l_linenumber").or(sel.startsWith("l_return")))
+        .sortBy("l_orderkey", "l_linenumber").out),
+
+    "q_reject" -> ((s, d) =>
+      cf(s, d, "nation").reject("n_regionkey").sortBy("n_nationkey").out),
+
+    "q_rename" -> ((s, d) =>
+      cf(s, d, "nation")
+        .rename("n_nationkey" -> "id", "n_name" -> "name")
+        .select("id", "name").sortBy("id").out),
+
+    "q_move" -> ((s, d) =>
+      cf(s, d, "nation").moveLeft("n_name").moveRight("n_regionkey")
+        .sortBy("n_nationkey").out),
+
+    "q_mutate" -> ((s, d) =>
+      cf(s, d, "lineitem")
+        .addColumn("revenue")(_ =>
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+        .addColumn("bulk")(c => c.where(col("l_quantity") >= 25, lit("bulk"), lit("small")))
+        .select("l_orderkey", "l_linenumber", "revenue", "bulk")
+        .sortBy("l_orderkey", "l_linenumber").out),
+
+    "q_transmute" -> ((s, d) =>
+      cf(s, d, "part").transmute(
+        "p_partkey" -> (_ => col("p_partkey")),
+        "price_band" -> (c => c.where(col("p_retailprice") >= 1500.0, c.const("high"), c.const("low"))))
+        .sortBy("p_partkey").out),
+
+    "q_add_row_number" -> ((s, d) =>
+      cf(s, d, "supplier").sortBy("s_suppkey").addRowNumber("rn")
+        .addColumn("rn")(_ => col("rn").cast("long"))
+        .select("rn", "s_suppkey", "s_name").sortBy("s_suppkey").out),
+
+    // ---------------- §2.3 filters / row subsetting ----------------
+    "q_filter" -> ((s, d) =>
+      cf(s, d, "lineitem")
+        .filter(_ => col("l_quantity") > 45 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .sortBy("l_orderkey", "l_linenumber").out),
+
+    "q_filter_expr" -> ((s, d) =>
+      cf(s, d, "customer")
+        .filter(c => c.matching(col("c_name"), "11") && c.isNotNa(col("c_acctbal"))
+          && col("c_acctbal") > c.const(1000.0))
+        .select("c_custkey", "c_name", "c_acctbal").sortBy("c_custkey").out),
+
+    "q_slice" -> ((s, d) =>
+      cf(s, d, "lineitem").sortBy("l_orderkey", "l_linenumber").slice(1 to 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity").out),
+
+    "q_take_last" -> ((s, d) =>
+      cf(s, d, "orders").sortBy("o_orderkey").takeLast(50)
+        .select("o_orderkey", "o_totalprice").sortBy("o_orderkey").out),
+
+    "q_distinct" -> ((s, d) =>
+      cf(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+        .sortBy("l_returnflag", "l_linestatus").out),
+
+    // sampling has no cross-engine oracle: rows-only check
+    "q_sample" -> ((s, d) =>
+      cf(s, d, "customer").sampleN(100, seed = 42).select("c_custkey").sortBy("c_custkey").out),
+
+    // ---------------- §2.4 sorting ----------------
+    "q_sort" -> ((s, d) =>
+      cf(s, d, "nation").sortDescBy("n_name").out),
+
+    "q_sort_expr" -> ((s, d) =>
+      cf(s, d, "part")
+        .sortByExpr(_ => col("p_retailprice") * (lit(100) - col("p_size")),
+          _ => col("p_partkey"))
+        .select("p_partkey", "p_size", "p_retailprice").out),
+
+    // ---------------- §2.5 grouping & aggregation ----------------
+    "q1_agg" -> ((s, d) =>
+      cf(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .summarize(
+          "sum_qty" -> (_ => F.sum(col("l_quantity"))),
+          "sum_base_price" -> (_ => moneySum(col("l_extendedprice"))),
+          "sum_disc_price" -> (_ =>
+            moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))),
+          "avg_qty" -> (_ => exactAvg(col("l_quantity"))),
+          "avg_price" -> (_ => exactAvg(col("l_extendedprice"))),
+          "n" -> (_ => Agg.n))
+        .sortBy("l_returnflag", "l_linestatus").out),
+
+    "q_count" -> ((s, d) =>
+      cf(s, d, "lineitem").count("l_returnflag").sortBy("l_returnflag").out),
+
+    "q_count_expr" -> ((s, d) =>
+      cf(s, d, "orders")
+        .groupByExpr(_ => year(col("o_orderdate")).cast("int"))
+        .count().sortBy("group_by_1").out),
+
+    "q_summarize_at" -> ((s, d) =>
+      cf(s, d, "lineitem").groupBy("l_returnflag")
+        .summarizeAt(sel.listOf("l_quantity", "l_discount"),
+          "mean" -> (c => exactAvg(c)),
+          "sd" -> (c => round(stddev_samp(c), 6)))
+        .sortBy("l_returnflag").out),
+
+    "q_agg_funcs" -> ((s, d) =>
+      cf(s, d, "lineitem").groupBy("l_linestatus")
+        .summarize(
+          "min_q" -> (_ => Agg.min(col("l_quantity"), removeNa = true)),
+          "max_q" -> (_ => Agg.max(col("l_quantity"), removeNa = true)),
+          "mean_q" -> (_ => exactAvg(col("l_quantity"))),
+          "median_q" -> (_ => round(Agg.medianExact(col("l_quantity"), removeNa = true), 6)),
+          "sd_q" -> (_ => round(Agg.sd(col("l_quantity"), removeNa = true), 6)),
+          "var_q" -> (_ => round(Agg.sv(col("l_quantity"), removeNa = true), 6)),
+          "na_q" -> (_ => Agg.na(col("l_quantity"))))
+        .sortBy("l_linestatus").out),
+
+    "q_grouped_keys" -> ((s, d) =>
+      cf(s, d, "orders").groupBy("o_orderstatus", "o_orderpriority").groupedKeys
+        .sortBy("o_orderstatus", "o_orderpriority").out),
+
+    // ---------------- §2.6 window / vector functions ----------------
+    "q_lead_lag" -> ((s, d) =>
+      cf(s, d, "events").filter(_ => col("user_id") < 50)
+        .groupBy("user_id").sortBy("ts", "event_id")
+        .addColumns(
+          "prev_value" -> (c => c.lag(col("value"))),
+          "next_value" -> (c => c.lead(col("value"))),
+          "prev2" -> (c => c.lag(col("value"), 2, -1.0)))
+        .select("event_id", "user_id", "value", "prev_value", "next_value", "prev2")
+        .ungroup.sortBy("event_id").out),
+
+    "q_cumsum" -> ((s, d) =>
+      cf(s, d, "events").filter(_ => col("user_id") < 50)
+        .groupBy("user_id").sortBy("ts", "event_id")
+        .addColumn("running")(c => round(c.cumsum(col("value")), 4))
+        .select("event_id", "user_id", "running")
+        .ungroup.sortBy("event_id").out),
+
+    "q_pct_change" -> ((s, d) =>
+      cf(s, d, "events").filter(_ => col("user_id") < 50)
+        .groupBy("user_id").sortBy("ts", "event_id")
+        .addColumn("chg")(c => round(c.pctChange(col("value")), 6))
+        .select("event_id", "user_id", "chg")
+        .ungroup.sortBy("event_id").out),
+
+    "q_rank" -> ((s, d) =>
+      cf(s, d, "customer")
+        .groupBy("c_mktsegment")
+        .addColumn("bal_rank")(c => c.rank(col("c_acctbal").desc).cast("int"))
+        .select("c_custkey", "c_mktsegment", "bal_rank")
+        .ungroup.sortBy("c_custkey").out),
+
+    "q_row_number_grouped" -> ((s, d) =>
+      cf(s, d, "events").filter(_ => col("user_id") < 50)
+        .groupBy("user_id").sortBy("ts", "event_id")
+        .addColumn("rn")(c => c.rowNumber.cast("long"))
+        .select("event_id", "user_id", "rn")
+        .ungroup.sortBy("event_id").out),
+
+    // ---------------- §2.7 joins ----------------
+    "q_join_inner" -> ((s, d) => {
+      val li = cf(s, d, "lineitem")
+      val o = cf(s, d, "orders")
+      val c = cf(s, d, "customer")
+      val n = cf(s, d, "nation")
+      li.innerJoin(o, byPairs = Seq("l_orderkey" -> "o_orderkey"))
+        .innerJoin(c, byPairs = Seq("o_custkey" -> "c_custkey"))
+        .innerJoin(n, byPairs = Seq("c_nationkey" -> "n_nationkey"))
+        .groupBy("n_name")
+        .summarize(
+          "revenue" -> (_ => moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))),
+          "n" -> (_ => Agg.n))
+        .sortBy("n_name").out
+    }),
+
+    "q_join_left" -> ((s, d) =>
+      cf(s, d, "customer")
+        .leftJoin(cf(s, d, "orders"), byPairs = Seq("c_custkey" -> "o_custkey"))
+        .groupBy("c_custkey")
+        .summarize("n_orders" -> (_ => F.count(col("o_orderkey"))))
+        .sortBy("c_custkey").out),
+
+    "q_join_right" -> ((s, d) =>
+      cf(s, d, "orders").select("o_orderkey", "o_custkey")
+        .rightJoin(cf(s, d, "customer").select("c_custkey", "c_name"),
+          byPairs = Seq("o_custkey" -> "c_custkey"))
+        .groupBy("o_custkey")
+        .summarize("n_orders" -> (_ => F.count(col("o_orderkey"))))
+        .sortBy("o_custkey").out),
+
+    "q_join_outer" -> ((s, d) => {
+      val a = cf(s, d, "orders").groupBy("o_custkey")
+        .summarize("n_orders" -> (_ => Agg.n))
+        .rename("o_custkey" -> "custkey")
+      val b = cf(s, d, "customer").filter(_ => col("c_acctbal") < 0)
+        .transmute("custkey" -> (_ => col("c_custkey")), "c_acctbal" -> (_ => col("c_acctbal")))
+      a.outerJoin(b, by = Seq("custkey")).sortBy("custkey").out
+    }),
+
+    "q_join_semi" -> ((s, d) =>
+      cf(s, d, "customer")
+        .semiJoin(cf(s, d, "orders").rename("o_custkey" -> "c_custkey"), by = Seq("c_custkey"))
+        .select("c_custkey", "c_name").sortBy("c_custkey").out),
+
+    "q_join_anti" -> ((s, d) =>
+      cf(s, d, "customer")
+        .antiJoin(cf(s, d, "orders").rename("o_custkey" -> "c_custkey"), by = Seq("c_custkey"))
+        .select("c_custkey", "c_name").sortBy("c_custkey").out),
+
+    "q_join_unequal" -> ((s, d) =>
+      cf(s, d, "supplier")
+        .innerJoin(cf(s, d, "nation"), byPairs = Seq("s_nationkey" -> "n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name").sortBy("s_suppkey").out),
+
+    "q_join_cross" -> ((s, d) =>
+      cf(s, d, "region").select("r_name")
+        .crossJoin(cf(s, d, "nation").select("n_name"))
+        .sortBy("r_name", "n_name").out),
+
+    "q_join_suffixes" -> ((s, d) => {
+      // common non-key column c_acctbal suffixed .x/.y (reference: joins.cr:149-166)
+      val a = cf(s, d, "customer").select("c_custkey", "c_acctbal")
+      val b = cf(s, d, "customer").select("c_custkey", "c_acctbal")
+      a.innerJoin(b, by = Seq("c_custkey"))
+        .filter(_ => col("c_custkey") < 100)
+        .sortBy("c_custkey").out
+    }),
+
+    // ---------------- §2.8 set ops / binding ----------------
+    "q_bind_rows" -> ((s, d) => {
+      val a = cf(s, d, "customer").transmute(
+        "id" -> (_ => col("c_custkey")), "name" -> (_ => col("c_name")),
+        "acctbal" -> (_ => col("c_acctbal")), "side" -> (c => c.const("cust")))
+      val b = cf(s, d, "supplier").transmute(
+        "id" -> (_ => col("s_suppkey")), "name" -> (_ => col("s_name")),
+        "side" -> (c => c.const("supp")))
+      a.bindRows(b).sortBy("side", "id").out
+    }),
+
+    "q_bind_cols" -> ((s, d) => {
+      val a = cf(s, d, "customer").select("c_custkey", "c_name").sortBy("c_custkey")
+      val b = cf(s, d, "customer").select("c_acctbal", "c_custkey").sortBy("c_acctbal", "c_custkey")
+      a.bindCols(b).sortBy("c_custkey").out
+    }),
+
+    "q_intersect" -> ((s, d) =>
+      CrysFrame(cf(s, d, "orders").select("o_custkey").out
+        .intersect(cf(s, d, "customer").transmute("o_custkey" -> (_ => col("c_custkey"))).out))
+        .sortBy("o_custkey").out),
+
+    "q_except" -> ((s, d) =>
+      CrysFrame(cf(s, d, "customer").transmute("c_custkey" -> (_ => col("c_custkey"))).out
+        .except(cf(s, d, "orders").transmute("c_custkey" -> (_ => col("o_custkey"))).out))
+        .sortBy("c_custkey").out),
+
+    // ---------------- §2.9 reshape ----------------
+    "q_spread" -> ((s, d) =>
+      cf(s, d, "orders")
+        .count("o_orderstatus", "o_orderpriority")
+        .spread("o_orderpriority", "n")
+        .sortBy("o_orderstatus").out),
+
+    "q_gather" -> ((s, d) =>
+      cf(s, d, "part").select("p_partkey", "p_size", "p_retailprice")
+        .gather("key", "value", sel.listOf("p_size", "p_retailprice"))
+        .sortBy("p_partkey", "key").out),
+
+    "q_separate" -> ((s, d) =>
+      cf(s, d, "customer").select("c_custkey", "c_name")
+        .separate("c_name", Seq("cust_prefix", "cust_num"), sep = "#")
+        .sortBy("c_custkey").out),
+
+    "q_unite" -> ((s, d) =>
+      cf(s, d, "nation")
+        .unite("nation_region", sel.listOf("n_name", "n_regionkey"), sep = "_")
+        .sortBy("n_nationkey").out),
+
+    "q_nest_unnest" -> ((s, d) =>
+      cf(s, d, "nation")
+        .nest(sel.listOf("n_nationkey", "n_name"), packedName = "data")
+        .unnest("data")
+        .sortBy("n_nationkey").out),
+
+    "q_unnest_array" -> ((s, d) =>
+      CrysFrame(t(s, d, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val"))))
+        .sortBy("vec_id", "pos").out),
+
+    "q_expand" -> ((s, d) =>
+      cf(s, d, "lineitem").expand("l_returnflag", "l_linestatus").out),
+
+    "q_complete" -> ((s, d) =>
+      cf(s, d, "lineitem")
+        .count("l_returnflag", "l_linestatus")
+        .complete("l_returnflag", "l_linestatus")
+        .sortBy("l_returnflag", "l_linestatus").out),
+
+    // ---------------- §2.1 sources / sinks ----------------
+    "q_csv_roundtrip" -> ((s, d) => {
+      val path = s"/tmp/graft_csv_${d.replaceAll("[^a-zA-Z0-9]", "_")}/nation"
+      cf(s, d, "nation").writeCsv(path)
+      Readers.readCsv(s, path).sortBy("n_nationkey").out
+    }),
+
+    "q_json_roundtrip" -> ((s, d) => {
+      val path = s"/tmp/graft_json_${d.replaceAll("[^a-zA-Z0-9]", "_")}/nation"
+      cf(s, d, "nation").out.write.mode("overwrite").json(path)
+      Readers.readJson(s, path, multiLine = false)
+        .select("n_nationkey", "n_name", "n_regionkey").sortBy("n_nationkey").out
+    }),
+
+    // ---------------- extensions: as-of / windows over time ----------------
+    "q_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      CrysFrame(AsOfJoin.join(
+        ev.filter(col("user_id") < 100)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        purchases.filter(col("user_id") < 100),
+        partitionBy = Seq("user_id"), tsCol = "ts",
+        payload = Seq("value" -> "last_purchase_value")))
+        .select("event_id", "user_id", "value", "last_purchase_value")
+        .sortBy("event_id").out
+    }),
+
+    "q_time_window" -> ((s, d) =>
+      CrysFrame(t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(F.count(lit(1)).as("n"),
+          F.sum(col("value").cast("decimal(18,9)")).cast("decimal(28,9)").as("sum_value")))
+        .sortBy("hour", "event_type").out),
+
+    // ---------------- extensions: dedup ----------------
+    "q_dedup_exact" -> ((s, d) =>
+      CrysFrame(Dedup.exactByContentHash(t(s, d, "documents"), "doc_id", "text")
+        .select("doc_id", "lang", "n_chars")).sortBy("doc_id").out),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      CrysFrame(Dedup.minhashDedup(t(s, d, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.7, shingleSize = 4)
+        .select("doc_id")).sortBy("doc_id").out),
+
+    "q_simhash_pairs" -> ((s, d) =>
+      CrysFrame(Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxDist = 16)
+        .withColumn("hamming", col("hamming").cast("int")))
+        .sortBy("id_a", "id_b").out),
+
+    "q_jaccard_pairs" -> ((s, d) =>
+      CrysFrame(Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.3, n = 3, numHashes = 64, bands = 16)
+        .withColumn("jaccard", round(col("jaccard"), 6)))
+        .sortBy("id_a", "id_b").out),
+
+    // ---------------- extensions: similarity search ----------------
+    "q_cosine_pairs" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val a = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+        .select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      CrysFrame(a.crossJoin(broadcast(b))
+        .select(col("id_a"), col("id_b"),
+          round(Similarity.cosine(col("va"), col("vb")), 6).as("cos_sim")))
+        .sortBy("id_a", "id_b").out
+    }),
+
+    "q_ann_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+      CrysFrame(Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("nn_id"),
+          round(col("cos_sim"), 6).as("cos_sim")))
+        .sortBy("query_id", "rank").out
+    }),
+
+    // IVF recall vs brute force — no SQL oracle (approximate by design)
+    "q_ann_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+      CrysFrame(Similarity.ivfTopK(e, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("nn_id"),
+          round(col("cos_sim"), 6).as("cos_sim")))
+        .sortBy("query_id", "rank").out
+    }),
+
+    // ---------------- extensions: text analysis ----------------
+    "q_token_count" -> ((s, d) =>
+      CrysFrame(t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tokens_ws")))
+        .sortBy("doc_id").out),
+
+    "q_token_stats" -> ((s, d) =>
+      CrysFrame(t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(F.sum(TextFunctions.tokenCountWs(col("text")).cast("long")).as("total_tokens"),
+          F.count(lit(1)).as("n_docs")))
+        .sortBy("lang").out),
+
+    "q_lang_id" -> ((s, d) =>
+      CrysFrame(t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang")))
+        .sortBy("doc_id").out),
+
+    "q_quality" -> ((s, d) =>
+      CrysFrame(t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          round(TextFunctions.stopwordRatio(col("text"), "en"), 6).as("stopword_ratio")))
+        .sortBy("doc_id").out),
+
+    "q_fingerprint" -> ((s, d) =>
+      CrysFrame(t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp")))
+        .sortBy("doc_id").out),
+
+    // ---------------- extensions: multimodal plumbing (decode stubbed) --
+    "q_multimodal" -> ((s, d) => {
+      val media = Multimodal.syntheticMedia(s, 200)
+      CrysFrame(Multimodal.extractFeatures(media, dim = 8)
+        .select(col("media_id"), col("kind"), col("n_bytes")))
+        .sortBy("media_id").out
+    })
+  )
+
+  // =====================================================================
+  // oracle SQL (DuckDB dialect) — same column names, same ordering
+  // =====================================================================
+
+  def oracleSql: Map[String, String] = Map(
+    "q_select" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_reject" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+
+    "q_rename" ->
+      "SELECT n_nationkey AS id, n_name AS name FROM nation ORDER BY id",
+
+    "q_move" ->
+      """SELECT n_name, n_nationkey, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q_mutate" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS revenue,
+        |  CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'small' END AS bulk
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_transmute" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_retailprice >= 1500.0 THEN 'high' ELSE 'low' END AS price_band
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_add_row_number" ->
+      """SELECT CAST(row_number() OVER (ORDER BY s_suppkey) AS BIGINT) AS rn,
+        |  s_suppkey, s_name FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+        |WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter_expr" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE regexp_matches(c_name, '11') AND c_acctbal IS NOT NULL
+        |  AND c_acctbal > 1000.0
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_slice" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q_take_last" ->
+      """SELECT o_orderkey, o_totalprice FROM
+        |  (SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey DESC LIMIT 50)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_sort" ->
+      "SELECT * FROM nation ORDER BY n_name DESC",
+
+    "q_sort_expr" ->
+      """SELECT p_partkey, p_size, p_retailprice FROM part
+        |ORDER BY p_retailprice * (100 - p_size) NULLS LAST, p_partkey NULLS LAST""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity), 6) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice), 6) AS avg_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_count" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_count_expr" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS group_by_1, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY group_by_1""".stripMargin,
+
+    "q_summarize_at" ->
+      """SELECT l_returnflag,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity), 6) AS "l_quantity.mean",
+        |  round(stddev_samp(l_quantity), 6) AS "l_quantity.sd",
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount), 6) AS "l_discount.mean",
+        |  round(stddev_samp(l_discount), 6) AS "l_discount.sd"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_funcs" ->
+      """SELECT l_linestatus,
+        |  min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity), 6) AS mean_q,
+        |  round(median(l_quantity), 6) AS median_q,
+        |  round(stddev_samp(l_quantity), 6) AS sd_q,
+        |  round(var_samp(l_quantity), 6) AS var_q,
+        |  count(CASE WHEN l_quantity IS NULL THEN 1 END) AS na_q
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_grouped_keys" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_lead_lag" ->
+      """SELECT event_id, user_id, value,
+        |  lag(value) OVER w AS prev_value,
+        |  lead(value) OVER w AS next_value,
+        |  lag(value, 2, -1.0) OVER w AS prev2
+        |FROM events WHERE user_id < 50
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_cumsum" ->
+      """SELECT event_id, user_id,
+        |  round(CASE WHEN max(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |  THEN NULL ELSE sum(value)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END, 4) AS running
+        |FROM events WHERE user_id < 50 ORDER BY event_id""".stripMargin,
+
+    "q_pct_change" ->
+      """SELECT event_id, user_id,
+        |  round(value / lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1, 6) AS chg
+        |FROM events WHERE user_id < 50 ORDER BY event_id""".stripMargin,
+
+    "q_rank" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS INTEGER) AS bal_rank
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_row_number_grouped" ->
+      """SELECT event_id, user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+        |FROM events WHERE user_id < 50 ORDER BY event_id""".stripMargin,
+
+    "q_join_inner" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_join_right" ->
+      """SELECT c_custkey AS o_custkey, count(o_orderkey) AS n_orders
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_join_outer" ->
+      """SELECT COALESCE(a.custkey, b.custkey) AS custkey, a.n_orders, b.c_acctbal
+        |FROM (SELECT o_custkey AS custkey, count(*) AS n_orders FROM orders GROUP BY 1) a
+        |FULL OUTER JOIN (SELECT c_custkey AS custkey, c_acctbal FROM customer WHERE c_acctbal < 0) b
+        |  ON a.custkey = b.custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_unequal" ->
+      """SELECT s_suppkey, s_name, n_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey ORDER BY s_suppkey""".stripMargin,
+
+    "q_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_suffixes" ->
+      """SELECT a.c_custkey, a.c_acctbal AS "c_acctbal.x", b.c_acctbal AS "c_acctbal.y"
+        |FROM customer a JOIN customer b ON a.c_custkey = b.c_custkey
+        |WHERE a.c_custkey < 100 ORDER BY a.c_custkey""".stripMargin,
+
+    "q_bind_rows" ->
+      """SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal, 'cust' AS side FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS id, s_name AS name, CAST(NULL AS DOUBLE) AS acctbal, 'supp' AS side FROM supplier
+        |ORDER BY side, id""".stripMargin,
+
+    "q_bind_cols" ->
+      """SELECT a.c_custkey, a.c_name, b.c_acctbal, b.c_custkey AS c_custkey_1
+        |FROM (SELECT c_custkey, c_name, row_number() OVER (ORDER BY c_custkey) AS rn FROM customer) a
+        |JOIN (SELECT c_acctbal, c_custkey, row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn FROM customer) b
+        |  USING (rn)
+        |ORDER BY a.c_custkey""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders
+        |INTERSECT SELECT c_custkey FROM customer
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT SELECT o_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_spread" ->
+      """SELECT o_orderstatus,
+        |  max(CASE WHEN o_orderpriority = '1-URGENT' THEN n END) AS "1-URGENT",
+        |  max(CASE WHEN o_orderpriority = '2-HIGH' THEN n END) AS "2-HIGH",
+        |  max(CASE WHEN o_orderpriority = '3-MEDIUM' THEN n END) AS "3-MEDIUM",
+        |  max(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN n END) AS "4-NOT SPECIFIED",
+        |  max(CASE WHEN o_orderpriority = '5-LOW' THEN n END) AS "5-LOW"
+        |FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY 1, 2)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_gather" ->
+      """SELECT p_partkey, 'p_size' AS key, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS key, p_retailprice AS value FROM part
+        |ORDER BY p_partkey, key""".stripMargin,
+
+    "q_separate" ->
+      """SELECT c_custkey,
+        |  string_split(c_name, '#')[1] AS cust_prefix,
+        |  string_split(c_name, '#')[2] AS cust_num
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_unite" ->
+      """SELECT n_nationkey,
+        |  concat(COALESCE(CAST(n_name AS VARCHAR), 'NA'), '_',
+        |         COALESCE(CAST(n_regionkey AS VARCHAR), 'NA')) AS nation_region
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_nest_unnest" ->
+      """SELECT n_regionkey, n_nationkey, n_name FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q_unnest_array" ->
+      """SELECT vec_id,
+        |  CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+        |  unnest(embedding) AS val
+        |FROM embeddings WHERE vec_id < 100
+        |ORDER BY vec_id, pos""".stripMargin,
+
+    "q_expand" ->
+      """SELECT a.l_returnflag, b.l_linestatus
+        |FROM (SELECT DISTINCT l_returnflag FROM lineitem) a
+        |CROSS JOIN (SELECT DISTINCT l_linestatus FROM lineitem) b
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_complete" ->
+      """SELECT a.l_returnflag, b.l_linestatus, c.n
+        |FROM (SELECT DISTINCT l_returnflag FROM lineitem) a
+        |CROSS JOIN (SELECT DISTINCT l_linestatus FROM lineitem) b
+        |LEFT JOIN (SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY 1, 2) c
+        |  ON a.l_returnflag = c.l_returnflag AND b.l_linestatus = c.l_linestatus
+        |ORDER BY a.l_returnflag, b.l_linestatus""".stripMargin,
+
+    "q_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "q_json_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT a.event_id, a.user_id, a.value, b.value AS last_purchase_value
+        |FROM (SELECT event_id, user_id, ts, value FROM events WHERE user_id < 100) a
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |                WHERE event_type = 'purchase' AND user_id < 100) b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts
+        |ORDER BY a.event_id""".stripMargin,
+
+    "q_time_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars, row_number() OVER (
+        |    PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens_ws
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_token_stats" ->
+      """SELECT lang,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH hits AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}'']+'),
+        |      t -> list_contains(['the','and','of','to','in','is','that','it','was','for','with','as','his','on','be','at','by','had','not','are'], t))) AS h_en,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}'']+'),
+        |      t -> list_contains(['der','die','das','und','ist','nicht','ein','eine','mit','von','zu','den','dem','auf','für','im','sich','des'], t))) AS h_de,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}'']+'),
+        |      t -> list_contains(['le','la','les','et','est','dans','que','pour','une','un','du','des','avec','sur','pas','au','ce','il'], t))) AS h_fr,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}'']+'),
+        |      t -> list_contains(['el','la','los','las','y','es','en','que','por','para','una','un','del','con','no','se','su','al'], t))) AS h_es
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN regexp_matches(text, '\p{Han}') THEN 'zh'
+        |       WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+        |       WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+        |       WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+        |       WHEN h_fr >= h_es THEN 'fr'
+        |       ELSE 'es' END AS pred_lang
+        |FROM hits ORDER BY doc_id""".stripMargin,
+
+    "q_cosine_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        |FROM embeddings a
+        |CROSS JOIN embeddings b
+        |WHERE a.vec_id < 20 AND b.vec_id >= 20 AND b.vec_id < 40
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ann_topk" ->
+      """SELECT query_id, rank, nn_id, cos_sim FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+        |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+        |               c.vec_id ASC) AS BIGINT) AS rank
+        |  FROM embeddings c
+        |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+        |  WHERE c.vec_id <> q.vec_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  )
 }

@@ -1,0 +1,499 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Thin immutable dplyr-style facade over a lazy Spark `DataFrame` —
+  * the engine's core value type (SURVEY §7.1).
+  *
+  * Carries:
+  *   - `df`       the underlying lazy plan (never materialized by verbs)
+  *   - `groupedBy` grouping keys as metadata — the reference keeps a
+  *     grouped frame as a first-class value supporting all verbs
+  *     per-group (reference: src/crysda/groupdf.cr:22-30); on Spark,
+  *     stateless verbs are group-invariant so the keys only influence
+  *     aggregation and window partitioning.
+  *   - `ordCols`  explicit ordering columns. The reference relies on
+  *     implicit physical row order (reference: src/crysda/dataframe.cr:768-795);
+  *     distributed Spark has none, so order-sensitive verbs
+  *     (lead/lag/cumsum/slice/take/bindCols/print) require an order,
+  *     captured at ingest via `monotonically_increasing_id` the first
+  *     time it is needed, or replaced by `sortBy` keys.
+  *
+  * Every verb returns a new CrysFrame; all transformations stay lazy so
+  * Catalyst sees the whole plan (pushdown, pruning, join selection for
+  * free — SURVEY §4).
+  */
+final class CrysFrame private (
+    val df: DataFrame,
+    val groupedBy: Seq[String],
+    private[core] val ordCols: Seq[Column],
+    private[core] val ordRev: Seq[Column]) {
+
+  import CrysFrame._
+
+  private def spark: SparkSession = df.sparkSession
+
+  // ---------------------------------------------------------------------
+  // introspection (reference: src/crysda/dataframe.cr:11-59)
+  // ---------------------------------------------------------------------
+
+  /** Visible column names (hidden ordinal excluded). */
+  def names: Seq[String] = df.columns.toSeq.filterNot(_ == ORD)
+  def numCol: Int = names.size
+  /** Action. */
+  def numRow: Long = df.count()
+  def schema: StructType =
+    StructType(df.schema.fields.filterNot(_.name == ORD))
+  /** Underlying frame without internal columns — what sinks should see. */
+  def out: DataFrame = if (df.columns.contains(ORD)) df.drop(ORD) else df
+
+  def isGrouped: Boolean = groupedBy.nonEmpty
+
+  private def requireCols(cs: Seq[String]): Unit = {
+    val missing = cs.filterNot(names.contains)
+    if (missing.nonEmpty)
+      throw new SelectException(s"Unknown column(s): ${missing.mkString(", ")}")
+  }
+
+  private def keep(newDf: DataFrame): CrysFrame = {
+    val live = ordCols.zip(ordRev).filter { case (c, _) =>
+      newDf.columns.contains(colName(c)) }
+    new CrysFrame(newDf, groupedBy, live.map(_._1), live.map(_._2))
+  }
+
+  private[core] def ctx: Ctx = new Ctx(groupedBy, ordCols)
+
+  /** Ensure an explicit ordering exists (capture ingest order lazily). */
+  private def ordered: CrysFrame =
+    if (ordCols.nonEmpty) this
+    else if (df.columns.contains(ORD))
+      new CrysFrame(df, groupedBy, Seq(col(ORD)), Seq(col(ORD).desc))
+    else new CrysFrame(df.withColumn(ORD, monotonically_increasing_id()),
+      groupedBy, Seq(col(ORD)), Seq(col(ORD).desc))
+
+  // ---------------------------------------------------------------------
+  // projection (reference: src/crysda/dataframe.cr:465-495, select.cr)
+  // ---------------------------------------------------------------------
+
+  /** Keep columns in argument order; errors on missing / duplicate
+    * selection (reference: src/crysda/dataframe.cr:465-481). */
+  def select(cols: String*): CrysFrame = {
+    requireCols(cols)
+    if (cols.distinct.size != cols.size)
+      throw new SelectException(s"Duplicate selection: ${cols.mkString(", ")}")
+    val keepOrd = if (df.columns.contains(ORD)) Seq(ORD) else Nil
+    keep(df.select((cols ++ keepOrd).map(col): _*))
+  }
+
+  def select(selector: ColumnSelector): CrysFrame =
+    select(selector.resolve(names, schema): _*)
+
+  /** Drop by names (reference: src/crysda/dataframe.cr:342-367). */
+  def reject(cols: String*): CrysFrame = { requireCols(cols); keep(df.drop(cols: _*)) }
+  def reject(selector: ColumnSelector): CrysFrame =
+    reject(selector.resolve(names, schema): _*)
+
+  /** Rename old→new preserving positions; renames to the same name are
+    * ignored (reference: src/crysda/dataframe.cr:370-398). */
+  def rename(pairs: (String, String)*): CrysFrame = {
+    val real = pairs.filter { case (o, n) => o != n }
+    requireCols(real.map(_._1))
+    val m = real.toMap
+    val renamed = df.withColumnsRenamed(m)
+    new CrysFrame(renamed,
+      groupedBy.map(g => m.getOrElse(g, g)),
+      ordCols.map(c => m.get(colName(c)).map(col).getOrElse(c)),
+      ordRev.map(c => m.get(colName(c)).map(n => col(n).desc).getOrElse(c)))
+  }
+
+  /** Replace all names (reference: src/crysda/dataframe.cr:488-495). */
+  def setNames(newNames: String*): CrysFrame = {
+    require(newNames.size == numCol, s"need ${numCol} names")
+    rename(names.zip(newNames): _*)
+  }
+
+  /** reference: src/crysda/dataframe.cr:323-332 */
+  def moveLeft(cols: String*): CrysFrame = {
+    requireCols(cols)
+    select((cols ++ names.filterNot(cols.contains)): _*)
+  }
+  def moveRight(cols: String*): CrysFrame = {
+    requireCols(cols)
+    select((names.filterNot(cols.contains) ++ cols): _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // mutate (reference: src/crysda/dataframe.cr:71-88, simpledf.cr:70-78)
+  // ---------------------------------------------------------------------
+
+  /** Add or replace a column. Scalars broadcast via `lit`; group-relative
+    * expressions (ctx.cumsum, ctx.lead, ...) window over the grouping
+    * keys automatically (reference: src/crysda/groupdf.cr:77-79). */
+  def addColumn(name: String)(expr: Ctx => Column): CrysFrame =
+    new CrysFrame(df.withColumn(name, expr(ctx)), groupedBy, ordCols, ordRev)
+
+  /** Capture the current physical row order as the frame's explicit
+    * ordering (the reference's implicit row order, materialized). */
+  def withRowOrder: CrysFrame = ordered
+
+  def addColumns(exprs: (String, Ctx => Column)*): CrysFrame =
+    exprs.foldLeft(this) { case (f, (n, e)) => f.addColumn(n)(e) }
+
+  /** addColumns then keep only those (reference: src/crysda/dataframe.cr:594-596). */
+  def transmute(exprs: (String, Ctx => Column)*): CrysFrame =
+    addColumns(exprs: _*).select(exprs.map(_._1): _*)
+
+  /** Prepend a 1-based row-number column (reference: src/crysda/dataframe.cr:100-102). */
+  def addRowNumber(name: String = "row_number"): CrysFrame = {
+    val c = ordered
+    val numbered = c.df.withColumn(name,
+      F.row_number().over(Window.orderBy(c.ordCols: _*)))
+    new CrysFrame(numbered, groupedBy, c.ordCols, c.ordRev).moveLeft(name)
+  }
+
+  // ---------------------------------------------------------------------
+  // filter / row subsetting (reference: src/crysda/dataframe.cr:238-274)
+  // ---------------------------------------------------------------------
+
+  /** Boolean-mask filter; in the reference a null comparison filters the
+    * row out — identical to Catalyst 3VL filter semantics
+    * (reference: src/crysda/simpledf.cr:80-105). */
+  def filter(pred: Ctx => Column): CrysFrame =
+    new CrysFrame(df.filter(pred(ctx)), groupedBy, ordCols, ordRev)
+
+  /** Row-wise lambda filter (reference: src/crysda/dataframe.cr:252-274).
+    * Not codegen'd — prefer `filter` with Column predicates. */
+  def filterByRow(p: Row => Boolean): CrysFrame = keep(df.filter(p))
+
+  /** Select rows by 1-based position, per group when grouped
+    * (reference: src/crysda/dataframe.cr:503-510). */
+  def slice(idx: Int*): CrysFrame = sliceWhere(_.isin(idx.map(Integer.valueOf): _*))
+  def slice(r: Range): CrysFrame = sliceWhere(c => c.between(r.head, r.last))
+
+  private def sliceWhere(cond: Column => Column): CrysFrame = {
+    val c = ordered
+    val w =
+      if (groupedBy.nonEmpty)
+        Window.partitionBy(groupedBy.map(col): _*).orderBy(c.ordCols: _*)
+      else Window.orderBy(c.ordCols: _*)
+    val tagged = c.df.withColumn(RN, F.row_number().over(w))
+    new CrysFrame(tagged.filter(cond(col(RN))).drop(RN), groupedBy,
+      c.ordCols, c.ordRev)
+  }
+
+  /** First n rows — per group when grouped (reference: src/crysda/dataframe.cr:317-320). */
+  def take(n: Int): CrysFrame =
+    if (groupedBy.isEmpty && ordCols.isEmpty) keep(df.limit(n))
+    else slice(1 to n)
+  def head(n: Int = 5): CrysFrame = take(n)
+
+  /** Last n rows (reference: src/crysda/dataframe.cr:581-591). */
+  def takeLast(n: Int): CrysFrame = {
+    val c = ordered
+    val w =
+      if (groupedBy.nonEmpty)
+        Window.partitionBy(groupedBy.map(col): _*).orderBy(c.ordRev: _*)
+      else Window.orderBy(c.ordRev: _*)
+    val tagged = c.df.withColumn(RN, F.row_number().over(w))
+    new CrysFrame(tagged.filter(col(RN) <= n).drop(RN), groupedBy,
+      c.ordCols, c.ordRev)
+  }
+
+  /** Exact-n random sample, per group when grouped
+    * (reference: src/crysda/dataframe.cr:414-440). Window-over-rand:
+    * statistically different RNG from the reference (only cardinalities
+    * are spec'd there). */
+  def sampleN(n: Int, seed: Long = 42L): CrysFrame = {
+    val w =
+      if (groupedBy.nonEmpty) Window.partitionBy(groupedBy.map(col): _*).orderBy(rand(seed))
+      else Window.orderBy(rand(seed))
+    keep(df.withColumn(RN, F.row_number().over(w)).filter(col(RN) <= n).drop(RN))
+  }
+
+  def sampleFrac(frac: Double, seed: Long = 42L): CrysFrame =
+    keep(df.sample(withReplacement = false, frac, seed))
+
+  /** reference: src/crysda/dataframe.cr:498-500 */
+  def shuffle(seed: Long = 42L): CrysFrame =
+    new CrysFrame(df.orderBy(rand(seed)), groupedBy, Nil, Nil)
+
+  /** Unique rows by key subset, keeping the first full row per key —
+    * matches Spark's `dropDuplicates` exactly
+    * (reference: src/crysda/dataframe.cr:216-223). */
+  def distinct(cols: String*): CrysFrame = {
+    if (cols.isEmpty) keep(out.dropDuplicates())
+    else { requireCols(cols); keep(df.dropDuplicates(cols)) }
+  }
+
+  // ---------------------------------------------------------------------
+  // sorting (reference: src/crysda/dataframe.cr:514-547, simpledf.cr:149-165)
+  // ---------------------------------------------------------------------
+
+  /** Stable multi-key ascending sort, NAs always last
+    * (reference: src/crysda/columns.cr:447-457). The sort keys become
+    * the frame's explicit ordering for subsequent window verbs. */
+  def sortBy(cols: String*): CrysFrame = {
+    requireCols(cols)
+    val ks = cols.map(c => col(c).asc_nulls_last)
+    val rev = cols.map(c => col(c).desc_nulls_first)
+    new CrysFrame(df.orderBy(ks: _*), groupedBy, ks, rev)
+  }
+
+  /** Descending, still NAs last (reference: spec/core_spec.cr:290-301). */
+  def sortDescBy(cols: String*): CrysFrame = {
+    requireCols(cols)
+    val ks = cols.map(c => col(c).desc_nulls_last)
+    val rev = cols.map(c => col(c).asc_nulls_first)
+    new CrysFrame(df.orderBy(ks: _*), groupedBy, ks, rev)
+  }
+
+  /** Sort by computed expressions (reference: src/crysda/dataframe.cr:530-547). */
+  def sortByExpr(exprs: (Ctx => Column)*): CrysFrame = {
+    val es = exprs.map(e => e(ctx))
+    val ks = es.map(_.asc_nulls_last)
+    new CrysFrame(df.orderBy(ks: _*), groupedBy, ks, es.map(_.desc_nulls_first))
+  }
+
+  // ---------------------------------------------------------------------
+  // grouping & aggregation (reference: src/crysda/groupdf.cr, simpledf.cr:107-125)
+  // ---------------------------------------------------------------------
+
+  /** Lazy grouping annotation — no physical partitioning happens here;
+    * the shuffle (if any) belongs to the downstream aggregation, which
+    * Catalyst executes partial-then-final (reference materializes
+    * per-group sub-frames instead: src/crysda/simpledf.cr:167-198). */
+  def groupBy(cols: String*): CrysFrame = {
+    requireCols(cols)
+    new CrysFrame(df, cols, ordCols, ordRev)
+  }
+
+  /** Group by computed expression(s), materialized as `group_by_1..k`
+    * (reference: src/crysda/dataframe.cr:298-315). */
+  def groupByExpr(exprs: (Ctx => Column)*): CrysFrame = {
+    val withCols = exprs.zipWithIndex.foldLeft(this) { case (f, (e, i)) =>
+      f.addColumn(s"group_by_${i + 1}")(e)
+    }
+    withCols.groupBy(exprs.indices.map(i => s"group_by_${i + 1}"): _*)
+  }
+
+  /** reference: src/crysda/groupdf.cr:89-92 */
+  def ungroup: CrysFrame = new CrysFrame(df, Nil, ordCols, ordRev)
+
+  /** Distinct key tuples (reference: src/crysda/groupdf.cr:94-97). */
+  def groupedKeys: CrysFrame = {
+    require(isGrouped, "not grouped")
+    CrysFrame(df.select(groupedBy.map(col): _*).distinct())
+  }
+
+  /** Each row its own group (reference: src/crysda/dataframe.cr:406-412):
+    * on Spark row-scoped expressions are the default, so rowwise just
+    * clears grouping. */
+  def rowwise: CrysFrame = ungroup
+
+  /** Aggregate to one row per group (reference: src/crysda/groupdf.cr:104-110,
+    * simpledf.cr:107-125). Catalyst runs partial aggregation before the
+    * shuffle and final after — one job, no per-group materialization. */
+  def summarize(rules: (String, Ctx => Column)*): CrysFrame = {
+    val c = new Ctx(groupedBy, Nil)
+    val aggs = rules.map { case (n, e) => e(c).as(n) }
+    val res =
+      if (groupedBy.isEmpty) out.agg(aggs.head, aggs.tail: _*)
+      else out.groupBy(groupedBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    CrysFrame(res)
+  }
+
+  /** Apply aggregate fns over a column selection; result names
+    * `col.suffix` (reference: src/crysda/dataframe.cr:561-579). */
+  def summarizeAt(selector: ColumnSelector, fns: (String, Column => Column)*): CrysFrame = {
+    val cols = selector.resolve(names, schema)
+    val rules = for (cn <- cols; (suffix, f) <- fns)
+      yield s"$cn.$suffix" -> ((_: Ctx) => f(col(cn)))
+    summarize(rules: _*)
+  }
+
+  /** Cross-tabulation count; respects existing grouping
+    * (reference: src/crysda/dataframe.cr:184-204). */
+  def count(cols: String*): CrysFrame = {
+    val keys = groupedBy ++ cols.filterNot(groupedBy.contains)
+    if (keys.isEmpty) CrysFrame(out.agg(F.count(lit(1)).as("n")))
+    else { requireCols(cols); CrysFrame(out.groupBy(keys.map(col): _*).agg(F.count(lit(1)).as("n"))) }
+  }
+
+  /** Per-group user logic over whole sub-frames — the scalable
+    * counterpart of the reference's `transform_groups`
+    * (reference: src/crysda/groupdf.cr:99-114). Runs distributed via
+    * `flatMapGroups`; each group must fit in one task's memory. */
+  def transformGroupsRows(f: (Row, Iterator[Row]) => Iterator[Row], outSchema: StructType): CrysFrame = {
+    require(isGrouped, "transformGroups requires grouping")
+    val keyCols = groupedBy
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val grouped = out.groupByKey(r =>
+      keyCols.map(k => String.valueOf(r.getAs[Any](k))).mkString("|"))(
+      org.apache.spark.sql.Encoders.STRING)
+    val res = grouped.flatMapGroups { (_, it: Iterator[Row]) =>
+      val rows = it.toSeq
+      f(rows.head, rows.iterator)
+    }(enc)
+    CrysFrame(res.toDF())
+  }
+
+  // ---------------------------------------------------------------------
+  // joins (reference: src/crysda/joins.cr)
+  // ---------------------------------------------------------------------
+
+  def leftJoin(right: CrysFrame, by: Seq[String] = null,
+               byPairs: Seq[(String, String)] = Nil,
+               suffices: (String, String) = (".x", ".y")): CrysFrame =
+    Joins.join(this, right, "left", Option(by), byPairs, suffices)
+
+  def rightJoin(right: CrysFrame, by: Seq[String] = null,
+                byPairs: Seq[(String, String)] = Nil,
+                suffices: (String, String) = (".x", ".y")): CrysFrame =
+    Joins.join(this, right, "right", Option(by), byPairs, suffices)
+
+  def innerJoin(right: CrysFrame, by: Seq[String] = null,
+                byPairs: Seq[(String, String)] = Nil,
+                suffices: (String, String) = (".x", ".y")): CrysFrame =
+    Joins.join(this, right, "inner", Option(by), byPairs, suffices)
+
+  def outerJoin(right: CrysFrame, by: Seq[String] = null,
+                byPairs: Seq[(String, String)] = Nil,
+                suffices: (String, String) = (".x", ".y")): CrysFrame =
+    Joins.join(this, right, "full_outer", Option(by), byPairs, suffices)
+
+  /** Filter left to keys present in right — `left_semi`, no suffixing,
+    * no duplicate rows (reference: src/crysda/joins.cr:39-55). */
+  def semiJoin(right: CrysFrame, by: Seq[String] = null): CrysFrame =
+    Joins.filterJoin(this, right, "left_semi", Option(by))
+
+  /** NOT EXISTS — absent from the reference, free on Spark (SURVEY §2.7). */
+  def antiJoin(right: CrysFrame, by: Seq[String] = null): CrysFrame =
+    Joins.filterJoin(this, right, "left_anti", Option(by))
+
+  def crossJoin(right: CrysFrame,
+                suffices: (String, String) = (".x", ".y")): CrysFrame =
+    Joins.join(this, right, "cross", Some(Nil), Nil, suffices)
+
+  // ---------------------------------------------------------------------
+  // binding (reference: src/crysda/dataframe.cr:104-182)
+  // ---------------------------------------------------------------------
+
+  /** Union by column name; union of all names, missing columns
+    * null-filled; grouping discarded
+    * (reference: src/crysda/dataframe.cr:104-160). */
+  def bindRows(others: CrysFrame*): CrysFrame =
+    CrysFrame(others.foldLeft(out) { (acc, o) =>
+      acc.unionByName(o.out, allowMissingColumns = true)
+    })
+
+  /** Positional column concat; duplicate names suffixed `_1, _2…`
+    * (reference: src/crysda/dataframe.cr:162-182, 754-766).
+    * Implemented as an RDD zipWithIndex join — no single-partition
+    * window, scales to any row count. */
+  def bindCols(other: CrysFrame): CrysFrame = {
+    val l = Binds.withIdx(out)
+    val r = Binds.withIdx(other.out)
+    val rRenamed = Binds.dedupNames(l.columns.filterNot(_ == IDX).toSeq, r)
+    CrysFrame(l.join(rRenamed, Seq(IDX), "inner").drop(IDX))
+  }
+
+  /** Append one literal row, length-checked (reference: src/crysda/dataframe.cr:92-97). */
+  def addRow(values: Any*): CrysFrame = {
+    require(values.size == numCol, s"row arity ${values.size} != $numCol columns")
+    val one = spark.createDataFrame(
+      java.util.List.of(Row(values: _*)), StructType(schema.map(f => f.copy(nullable = true))))
+    CrysFrame(out.unionByName(one))
+  }
+
+  // ---------------------------------------------------------------------
+  // reshape — delegate to Reshape (src/crysda/reshape.cr)
+  // ---------------------------------------------------------------------
+
+  def spread(key: String, value: String, fill: Any = null,
+             convert: Boolean = false, verify: Boolean = false): CrysFrame =
+    Reshape.spread(this, key, value, Option(fill), convert, verify)
+
+  def gather(key: String, value: String, selector: ColumnSelector = sel.all,
+             convert: Boolean = false): CrysFrame =
+    Reshape.gather(this, key, value, selector, convert)
+
+  def separate(column: String, into: Seq[String], sep: String = "[^\\w]",
+               remove: Boolean = true, convert: Boolean = false): CrysFrame =
+    Reshape.separate(this, column, into, sep, remove, convert)
+
+  def unite(name: String, selector: ColumnSelector, sep: String = "_",
+            remove: Boolean = true): CrysFrame =
+    Reshape.unite(this, name, selector, sep, remove)
+
+  def nest(selector: ColumnSelector = sel.all, packedName: String = "data"): CrysFrame =
+    Reshape.nest(this, selector, packedName)
+
+  def unnest(column: String): CrysFrame = Reshape.unnest(this, column)
+
+  def expand(cols: String*): CrysFrame = Reshape.expand(this, cols)
+
+  def complete(cols: String*): CrysFrame = Reshape.complete(this, cols)
+
+  // ---------------------------------------------------------------------
+  // actions / sinks
+  // ---------------------------------------------------------------------
+
+  def collectRows(): Seq[Row] = out.collect().toSeq
+
+  /** CSV writer, nulls as NA (reference: src/crysda/dataframe.cr:675-692). */
+  def writeCsv(path: String, separator: String = ",",
+               quoteChar: String = "\""): Unit =
+    out.write.mode("overwrite")
+      .option("sep", separator).option("quote", quoteChar)
+      .option("nullValue", "NA").option("header", true)
+      .csv(path)
+
+  /** Pretty console render (reference: src/crysda/dataframe.cr:604-664). */
+  def printFrame(title: String = "A DataFrame", maxRows: Int = 10): String =
+    Formatters.printFrame(this, title, maxRows)
+
+  def schemaString(maxValues: Int = 3): String = Formatters.schemaString(this, maxValues)
+}
+
+object CrysFrame {
+  /** Hidden ingest-order ordinal. */
+  private[core] val ORD = "__graft_ord"
+  private[core] val RN = "__graft_rn"
+  private[core] val IDX = "__graft_idx"
+
+  def apply(df: DataFrame): CrysFrame = new CrysFrame(df, Nil, Nil, Nil)
+
+  private[core] def colName(c: Column): String = {
+    // extract the referenced attribute name from a plain / sorted column
+    val s = c.toString
+    s.stripPrefix("'").takeWhile(ch => ch != ' ' && ch != '.')
+  }
+
+  /** In-memory literal frame (reference: src/crysda.cr:60-93). */
+  def of(spark: SparkSession, header: Seq[String], rows: Seq[Seq[Any]]): CrysFrame = {
+    require(rows.forall(_.size == header.size), "ragged rows")
+    val cols = header.indices.map(i => rows.map(_(i)))
+    val fields = header.zip(cols).map { case (n, vs) =>
+      StructField(n, Inference.inferType(vs), nullable = true)
+    }
+    val schema = StructType(fields)
+    // normalize Int→Long / Float→Double where inference widened
+    val norm = rows.map { r =>
+      Row(r.zipWithIndex.map { case (v, i) =>
+        (v, fields(i).dataType) match {
+          case (x: Int, LongType)     => x.toLong
+          case (x: Float, DoubleType) => x.toDouble
+          case (x, _)                 => x
+        }
+      }: _*)
+    }
+    CrysFrame(spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(norm).asJava, schema))
+  }
+
+  def empty(spark: SparkSession): CrysFrame = CrysFrame(spark.emptyDataFrame)
+}

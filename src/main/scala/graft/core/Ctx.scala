@@ -1,0 +1,120 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions._
+
+/** Expression context handed to `addColumn` / `filter` / `summarize`
+  * closures — the Spark counterpart of the reference's
+  * `ExpressionContext` (reference: src/crysda/context.cr:136-174).
+  *
+  * Group-relative helpers (`lead`/`lag`/`cumsum`/`rowNumber`/`rank`)
+  * resolve against the frame's grouping keys and ordering columns:
+  * the reference relies on implicit physical row order; on Spark that
+  * becomes an explicit `Window.partitionBy(groups).orderBy(ord)`.
+  * When the frame is ungrouped the window has no partitioning — fine
+  * on small frames, a deliberate single-partition bottleneck at scale
+  * (same semantics as a global running total anywhere).
+  */
+final class Ctx private[core] (
+    private[core] val groupedBy: Seq[String],
+    private[core] val ordCols: Seq[Column]) {
+
+  /** Column by name, `ctx("x")`. */
+  def apply(name: String): Column = col(name)
+
+  // ---- window plumbing -------------------------------------------------
+  private def base: WindowSpec =
+    if (groupedBy.nonEmpty) Window.partitionBy(groupedBy.map(col): _*)
+    else Window.partitionBy()
+
+  private[core] def wOrdered: WindowSpec = {
+    require(ordCols.nonEmpty,
+      "order-sensitive expression needs an ordered frame " +
+        "(sortBy first, or ingest through CrysFrame which captures row order)")
+    base.orderBy(ordCols: _*)
+  }
+  private def wRunning: WindowSpec =
+    wOrdered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  // ---- order-sensitive vector fns (reference: src/crysda/columns.cr) ---
+
+  /** reference: src/crysda/columns.cr:326-356 */
+  def lead(c: Column, n: Int = 1, default: Any = null): Column =
+    F.lead(c, n, default).over(wOrdered)
+
+  def lag(c: Column, n: Int = 1, default: Any = null): Column =
+    F.lag(c, n, default).over(wOrdered)
+
+  /** Running sum with the reference's NA-poisoning: one null poisons the
+    * rest of the vector (reference: src/crysda/columns.cr:298-318).
+    * Spark's window `sum` skips nulls, so we mask with a running
+    * has-null flag. */
+  def cumsum(c: Column): Column =
+    when(max(when(c.isNull, 1).otherwise(0)).over(wRunning) === 1, lit(null))
+      .otherwise(sum(c).over(wRunning))
+
+  /** `(x / lag(x)) - 1` (reference: src/crysda/columns.cr:320-324) */
+  def pctChange(c: Column): Column = c / F.lag(c, 1).over(wOrdered) - 1
+
+  /** 1-based (reference: src/crysda/dataframe.cr:401-403) */
+  def rowNumber: Column = F.row_number().over(wOrdered)
+
+  def rank(c: Column): Column = F.rank().over(base.orderBy(c))
+
+  // ---- vectorized helpers (reference: src/crysda/context.cr) -----------
+
+  /** np.where-style conditional (reference: src/crysda/context.cr:152-161) */
+  def where(cond: Column, ifTrue: Column, ifFalse: Column): Column =
+    when(cond, ifTrue).otherwise(ifFalse)
+
+  /** Broadcast scalar (reference: src/crysda/context.cr:171-173) */
+  def const(v: Any): Column = lit(v)
+
+  def isNa(c: Column): Column = c.isNull
+  def isNotNa(c: Column): Column = c.isNotNull
+
+  /** NA-aware text match (reference: src/crysda/columns.cr:359-361):
+    * null text matches nothing (false, not null). */
+  def matching(c: Column, re: String): Column =
+    coalesce(c.rlike(re), lit(false))
+
+  /** null→false, CrysDA's `nil_as_false` (reference: src/crysda/extension.cr:30-38) */
+  def nilAsFalse(c: Column): Column = coalesce(c, lit(false))
+}
+
+/** Strict-NA aggregate helpers, the Spark counterpart of the reference's
+  * `remove_na` flag: `removeNa=false` (the reference default) raises on
+  * any NA in the aggregated column (reference: src/crysda/columns.cr:196-296,
+  * utils.cr:127-148); `removeNa=true` skips NAs — which is Spark's
+  * native null-skipping behavior.
+  *
+  * The strict mode embeds the check in the aggregate itself
+  * (`raise_error` when any null observed) so it costs no extra pass.
+  */
+object Agg {
+  private def strict(c: Column, agg: Column): Column =
+    when(F.count(when(c.isNull, 1)) > 0,
+      raise_error(lit("MissingValueException: NA in aggregated column")))
+      .otherwise(agg)
+
+  private def wrap(c: Column, agg: Column, removeNa: Boolean): Column =
+    if (removeNa) agg else strict(c, agg)
+
+  def mean(c: Column, removeNa: Boolean = false): Column = wrap(c, avg(c), removeNa)
+  def sum(c: Column, removeNa: Boolean = false): Column = wrap(c, F.sum(c), removeNa)
+  def min(c: Column, removeNa: Boolean = false): Column = wrap(c, F.min(c), removeNa)
+  def max(c: Column, removeNa: Boolean = false): Column = wrap(c, F.max(c), removeNa)
+  /** exact median = percentile 0.5 (reference AggFuncs.median,
+    * src/crysda/columns.cr:34-56) */
+  def median(c: Column, removeNa: Boolean = false): Column =
+    wrap(c, percentile_approx(c, lit(0.5), lit(Int.MaxValue)), removeNa)
+  def medianExact(c: Column, removeNa: Boolean = false): Column =
+    wrap(c, F.percentile(c, lit(0.5)), removeNa)
+  /** sample sd, n-1 denominator (reference: src/crysda/extension.cr:96-106) */
+  def sd(c: Column, removeNa: Boolean = false): Column = wrap(c, stddev_samp(c), removeNa)
+  def sv(c: Column, removeNa: Boolean = false): Column = wrap(c, var_samp(c), removeNa)
+  def n: Column = F.count(lit(1))
+  def na(c: Column): Column = F.count(when(c.isNull, 1))
+}

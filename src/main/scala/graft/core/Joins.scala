@@ -1,0 +1,96 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join verbs (reference: src/crysda/joins.cr, 225 LoC).
+  *
+  * The reference implements a hash-sorted merge with per-group cartesian
+  * expansion (joins.cr:70-131) — obsolete on Spark: we declare the join
+  * and Catalyst/AQE pick broadcast-hash / shuffled-hash / sort-merge,
+  * including runtime skew handling. What we keep from the reference is
+  * the *API semantics*: natural-key default, unequal-key pairs,
+  * empty-`by` → cross product, and `.x`/`.y` suffixing of common
+  * non-key columns (joins.cr:133-166).
+  */
+private[core] object Joins {
+
+  /** `by = null` → natural join on the name intersection
+    * (reference: src/crysda/joins.cr:133-135). */
+  private def defaultBy(l: CrysFrame, r: CrysFrame): Seq[String] =
+    l.names.filter(r.names.toSet)
+
+  /** Suffix common non-key columns on both sides
+    * (reference: src/crysda/joins.cr:149-166). */
+  private def suffixed(l: DataFrame, r: DataFrame, by: Seq[String],
+                       suffices: (String, String)): (DataFrame, DataFrame) = {
+    val common = l.columns.toSet.intersect(r.columns.toSet) -- by
+    val ln = common.foldLeft(l)((d, c) => d.withColumnRenamed(c, c + suffices._1))
+    val rn = common.foldLeft(r)((d, c) => d.withColumnRenamed(c, c + suffices._2))
+    (ln, rn)
+  }
+
+  def join(l: CrysFrame, r: CrysFrame, how: String,
+           by: Option[Seq[String]], byPairs: Seq[(String, String)],
+           suffices: (String, String)): CrysFrame = {
+    // unequal-key pairs: rename right's key to left's name first
+    // (reference: src/crysda/joins.cr:144-147)
+    val rAligned =
+      if (byPairs.nonEmpty)
+        byPairs.foldLeft(r.out) { case (d, (ln, rn)) => d.withColumnRenamed(rn, ln) }
+      else r.out
+    val keys =
+      if (byPairs.nonEmpty) byPairs.map(_._1)
+      else by.getOrElse(defaultBy(l, r))
+    if (keys.isEmpty || how == "cross") {
+      // empty-`by` degenerates to a cross product
+      // (reference: spec/joins_spec.cr:96-125)
+      val (ld, rd) = suffixed(l.out, rAligned, Nil, suffices)
+      CrysFrame(ld.crossJoin(rd))
+    } else {
+      val (ld, rd) = suffixed(l.out, rAligned, keys, suffices)
+      CrysFrame(ld.join(rd, keys, how))
+    }
+  }
+
+  /** semi/anti: result carries only left columns — no suffixing needed
+    * (reference: src/crysda/joins.cr:39-55). */
+  def filterJoin(l: CrysFrame, r: CrysFrame, how: String,
+                 by: Option[Seq[String]]): CrysFrame = {
+    val keys = by.getOrElse(defaultBy(l, r))
+    require(keys.nonEmpty, "semi/anti join requires at least one key")
+    CrysFrame(l.out.join(r.out.select(keys.map(col): _*), keys, how))
+  }
+}
+
+/** bind_cols helpers (reference: src/crysda/dataframe.cr:162-182). */
+private[core] object Binds {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  /** Stable 0-based row index via RDD zipWithIndex — one extra job to
+    * count partition sizes, but no single-partition shuffle (scales,
+    * unlike a global row_number window). */
+  def withIdx(df: DataFrame): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(CrysFrame.IDX, LongType, false))
+    df.sparkSession.createDataFrame(
+      df.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ i) },
+      schema)
+  }
+
+  /** `name` → `name_1`, `name_2`… on collision
+    * (reference: DuplicateNameResolver, src/crysda/dataframe.cr:754-766). */
+  def dedupNames(taken: Seq[String], r: DataFrame): DataFrame = {
+    val used = scala.collection.mutable.Set[String](taken: _*)
+    val renames = r.columns.filterNot(_ == CrysFrame.IDX).flatMap { c =>
+      if (!used.contains(c)) { used += c; None }
+      else {
+        var i = 1
+        while (used.contains(s"${c}_$i")) i += 1
+        used += s"${c}_$i"
+        Some(c -> s"${c}_$i")
+      }
+    }
+    renames.foldLeft(r) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
+  }
+}

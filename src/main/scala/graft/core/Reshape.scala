@@ -1,0 +1,159 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reshape verbs (reference: src/crysda/reshape.cr, 255 LoC). */
+private[core] object Reshape {
+
+  /** Long→wide pivot (reference: src/crysda/reshape.cr:12-63).
+    * `verify=true` reproduces the reference's uniqueness-of-(rest, key)
+    * error contract (reshape.cr:24) at the cost of one extra job;
+    * off by default for scale. Distinct key values are collected
+    * driver-side (they become column names — inherently a driver
+    * concern; cardinality should be small by construction). */
+  def spread(f: CrysFrame, key: String, value: String, fill: Option[Any],
+             convert: Boolean, verify: Boolean): CrysFrame = {
+    val rest = f.names.filterNot(c => c == key || c == value)
+    val df = f.out
+    if (verify) {
+      val dup = df.groupBy((rest :+ key).map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count()
+      if (dup > 0) throw new IllegalArgumentException(
+        s"spread: ($key) is not unique per row group")
+    }
+    // collect pivot values driver-side so the pivot is single-pass and
+    // the resulting column order is deterministic (sorted, like the
+    // reference's sorted distinct keys)
+    val keyVals = df.select(col(key).cast(StringType)).distinct()
+      .collect().map(_.getString(0)).filter(_ != null).sorted.toSeq
+    var out = df.groupBy(rest.map(col): _*)
+      .pivot(key, keyVals).agg(F.first(col(value)))
+    fill.foreach { fv => out = out.na.fill(fv.toString, keyVals) }
+    val res = CrysFrame(out)
+    if (convert) keyVals.foldLeft(res)((acc, c) => convertType(acc, c)) else res
+  }
+
+  /** Wide→long melt (reference: src/crysda/reshape.cr:73-99). Uses
+    * Spark's native unpivot; mixed-type value columns are cast to the
+    * tightest common type, else string (reference coerces to AnyCol). */
+  def gather(f: CrysFrame, key: String, value: String,
+             selector: ColumnSelector, convert: Boolean): CrysFrame = {
+    val gatherCols = selector.resolve(f.names, f.schema)
+    require(gatherCols.nonEmpty, "gather: empty column selection")
+    val ids = f.names.filterNot(gatherCols.contains)
+    val types = gatherCols.map(c => f.schema(c).dataType).distinct
+    val df0 = f.out
+    val df =
+      if (types.size > 1) {
+        val target =
+          if (types.forall(t => t == DoubleType || t == IntegerType || t == LongType || t == FloatType))
+            DoubleType else StringType
+        gatherCols.foldLeft(df0)((d, c) => d.withColumn(c, col(c).cast(target)))
+      } else df0
+    val long = df.unpivot(ids.map(col).toArray, gatherCols.map(col).toArray, key, value)
+    val res = CrysFrame(long)
+    if (convert) convertType(res, key) else res
+  }
+
+  /** Split one string column into k by regex
+    * (reference: src/crysda/reshape.cr:131-153). `NA` literal → null. */
+  def separate(f: CrysFrame, column: String, into: Seq[String], sep: String,
+               remove: Boolean, convert: Boolean): CrysFrame = {
+    val parts = split(col(column), sep)
+    var df = f.out
+    into.zipWithIndex.foreach { case (n, i) =>
+      val v = parts.getItem(i)
+      df = df.withColumn(n, when(v === "NA" || v === "", lit(null)).otherwise(v))
+    }
+    if (remove && !into.contains(column)) df = df.drop(column)
+    val res = CrysFrame(df)
+    if (convert) into.foldLeft(res)((acc, c) => convertType(acc, c)) else res
+  }
+
+  /** Concatenate columns into one string column; nulls render as "NA"
+    * inside the result (reference: src/crysda/reshape.cr:109-122 +
+    * AnyVal#to_s utils.cr:115-117) — `concat_ws` would skip nulls, so
+    * coalesce each part to the literal first. */
+  def unite(f: CrysFrame, name: String, selector: ColumnSelector,
+            sep: String, remove: Boolean): CrysFrame = {
+    val cols = selector.resolve(f.names, f.schema)
+    require(cols.nonEmpty, "unite: empty column selection")
+    val parts = cols.map(c => coalesce(col(c).cast(StringType), lit("NA")))
+    var df = f.out.withColumn(name, concat_ws(sep, parts: _*))
+    if (remove) df = df.drop(cols.filterNot(_ == name): _*)
+    CrysFrame(df)
+  }
+
+  /** Pack selected columns into a per-group list-of-structs column
+    * (reference: src/crysda/reshape.cr:169-185). Result list is sorted
+    * for determinism (the reference preserves row order; we have none). */
+  def nest(f: CrysFrame, selector: ColumnSelector, packedName: String): CrysFrame = {
+    val nested = selector.resolve(f.names, f.schema)
+    val keys = if (f.isGrouped) f.groupedBy else f.names.filterNot(nested.contains)
+    val toPack = f.names.filterNot(keys.contains)
+    require(keys.nonEmpty, "nest: no key columns left")
+    CrysFrame(f.out.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(toPack.map(col): _*))).as(packedName)))
+  }
+
+  /** Explode a list-/frame-column back to rows; null → one null row
+    * (reference: src/crysda/reshape.cr:188-212). */
+  def unnest(f: CrysFrame, column: String): CrysFrame = {
+    val dt = f.schema(column).dataType
+    dt match {
+      case ArrayType(_: StructType, _) =>
+        val others = f.names.filterNot(_ == column)
+        CrysFrame(f.out
+          .withColumn(column, explode_outer(col(column)))
+          .select((others.map(col) :+ col(column + ".*")): _*))
+      case _: ArrayType =>
+        CrysFrame(f.out.withColumn(column, explode_outer(col(column))))
+      case other =>
+        throw new IllegalArgumentException(s"unnest: $column is $other, not a list")
+    }
+  }
+
+  /** Cartesian product of per-column distinct values, sorted
+    * (reference: src/crysda/reshape.cr:221-229). */
+  def expand(f: CrysFrame, cols: Seq[String]): CrysFrame = {
+    require(cols.nonEmpty, "expand: no columns")
+    val distincts = cols.map(c => f.out.select(c).distinct())
+    val crossed = distincts.reduce(_.crossJoin(_))
+    CrysFrame(crossed.orderBy(cols.map(c => col(c).asc_nulls_last): _*))
+  }
+
+  /** expand + left_join back (reference: src/crysda/reshape.cr:215-217). */
+  def complete(f: CrysFrame, cols: Seq[String]): CrysFrame =
+    expand(f, cols).leftJoin(CrysFrame(f.out), by = cols)
+
+  /** Re-infer a (string) column's type, the reference's `convert_type`
+    * (reference: src/crysda/reshape.cr:249-253): try Long → Double →
+    * Boolean over all values in ONE aggregate pass, cast to the first
+    * type with zero parse failures. */
+  def convertType(f: CrysFrame, column: String): CrysFrame = {
+    if (f.schema(column).dataType != StringType) return f
+    val c = col(column)
+    val probe = f.out.agg(
+      F.count(when(c.isNotNull && try_cast(c, "long").isNull, 1)).as("badLong"),
+      F.count(when(c.isNotNull && try_cast(c, "double").isNull, 1)).as("badDouble"),
+      F.count(when(c.isNotNull && !lower(c).isin("true", "false", "t", "f"), 1)).as("badBool"),
+      F.count(when(c.isNotNull, 1)).as("nonNull")
+    ).collect()(0)
+    val (badLong, badDouble, badBool, nonNull) =
+      (probe.getLong(0), probe.getLong(1), probe.getLong(2), probe.getLong(3))
+    val df =
+      if (nonNull == 0) f.out
+      else if (badLong == 0) f.out.withColumn(column, c.cast(LongType))
+      else if (badDouble == 0) f.out.withColumn(column, c.cast(DoubleType))
+      else if (badBool == 0) f.out.withColumn(column,
+        when(lower(c).isin("true", "t"), lit(true))
+          .when(lower(c).isin("false", "f"), lit(false)))
+      else f.out
+    CrysFrame(df)
+  }
+
+  private def try_cast(c: Column, t: String): Column = c.try_cast(t)
+}

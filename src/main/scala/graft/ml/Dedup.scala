@@ -1,0 +1,220 @@
+package graft.ml
+
+import graft.text.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines (extension beyond the
+  * reference surface). All variants follow the same scale discipline:
+  *   - signatures are computed row-local in ONE codegen'd projection
+  *     (no per-hash explode, no UDFs),
+  *   - the only shuffles are the band/bucket groupBys, keyed so that
+  *     bucket cardinality ≈ duplicate-cluster cardinality,
+  *   - no driver-side collects anywhere.
+  */
+object Dedup {
+
+  /** Exact dedup on a key set: keep the lowest-id row per key.
+    * One hash-aggregate shuffle; at 100 TB use the content-hash variant
+    * so the shuffle key is 8 bytes, not the document text. */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols: _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact text dedup via 64-bit normalized content hash — shuffles only
+    * (hash, id), then keeps min id per hash. */
+  def exactByContentHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exact(df.withColumn("__chash", TextFunctions.contentHash(col(textCol))),
+      idCol, Seq(col("__chash"))).drop("__chash")
+
+  // -------------------------------------------------------------------
+  // MinHash + LSH banding
+  // -------------------------------------------------------------------
+
+  /** 2^31 - 1, Mersenne prime. The 31-bit hash space keeps every
+    * intermediate product below 2^62, so the expressions are safe under
+    * ANSI overflow checking (Spark 4 default). */
+  private val P = 2147483647L
+
+  /** Deterministic hash-family params a_i in [1,P-1], b_i in [0,P-1],
+    * derived from the index (splitmix64 finalizer). */
+  private def hashParams(i: Int): (Long, Long) = {
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (((mix(i.toLong * 2 + 1) >>> 33) % (P - 1)) + 1, (mix(i.toLong * 2 + 2) >>> 33) % P)
+  }
+
+  /** 31-bit hashes of a shingle set over a MATERIALIZED normalized-text
+    * column (see TextFunctions.shinglesFromNormalized for why the input
+    * must be an attribute, not a computed expression). Materialize this
+    * as its own column before fanning out to the hash family
+    * (CollapseProject keeps an expensive multiply-referenced alias in
+    * its own Project, so it is computed once per row). */
+  def shingleHashesFromNorm(norm: Column, shingleSize: Int = 5): Column =
+    transform(TextFunctions.shinglesFromNormalized(norm, shingleSize),
+      s => pmod(shiftrightunsigned(xxhash64(s), 33), lit(P)))
+
+  /** MinHash signature as an array<long> of length `numHashes` from a
+    * (materialized) shingle-hash array: sig_i = min over hashes h of
+    * (a_i * h + b_i) mod p. No explode — the whole signature is
+    * row-local, cheap arithmetic over an in-memory array. */
+  def signatureFromHashes(hashes: Column, numHashes: Int): Column = {
+    val sigs = (0 until numHashes).map { i =>
+      val (a, b) = hashParams(i)
+      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(P))))
+    }
+    F.array(sigs: _*)
+  }
+
+  /** Staged signature projection: text → __norm → __shash → signature,
+    * one Project per stage so nothing re-evaluates per element/hash. */
+  private def sigFrame(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int, shingleSize: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+        TextFunctions.normalizeText(col(textCol)).as("__norm"))
+      .select(col("__id"), shingleHashesFromNorm(col("__norm"), shingleSize).as("__shash"))
+      .select(col("__id"), signatureFromHashes(col("__shash"), numHashes).as("__sig"))
+
+  /** LSH band keys: signature split into `bands` bands of
+    * numHashes/bands rows each, each band hashed to one long. */
+  def bandKeys(sig: Column, numHashes: Int, bands: Int): Column = {
+    val r = numHashes / bands
+    F.array((0 until bands).map { b =>
+      xxhash64(lit(b), slice(sig, b * r + 1, r).cast("string"))
+    }: _*)
+  }
+
+  /** Near-dup removal via MinHash LSH: a row is dropped when it shares
+    * any band bucket with a lower-id row AND the estimated Jaccard
+    * (signature agreement) of the pair is ≥ `threshold`.
+    *
+    * Plan shape: project signatures (map-only) → explode bands
+    * (×bands) → shuffle on band key → min-id per bucket → verify pair →
+    * distinct dup ids → left_anti join back. Greedy min-id retention --
+    * not full connected components (which needs iterative joins); at
+    * 100 TB that is the standard first-pass dedup.
+    */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 128, bands: Int = 32,
+                   threshold: Double = 0.8, shingleSize: Int = 5): DataFrame = {
+    val sigs = sigFrame(df, idCol, textCol, numHashes, shingleSize)
+    val banded = sigs.select(col("__id"), col("__sig"),
+      posexplode(bandKeys(col("__sig"), numHashes, bands)).as(Seq("__band", "__bkey")))
+    val w = Window.partitionBy(col("__band"), col("__bkey")).orderBy(col("__id"))
+    val paired = banded
+      .withColumn("__minId", first(col("__id")).over(w))
+      .withColumn("__minSig", first(col("__sig")).over(w))
+      .filter(col("__id") =!= col("__minId"))
+    val est = aggregate(zip_with(col("__sig"), col("__minSig"),
+      (a, b) => when(a === b, 1).otherwise(0)), lit(0),
+      (acc, v) => acc + v).cast("double") / numHashes
+    val dups = paired.filter(est >= threshold).select(col("__id")).distinct()
+    df.join(dups.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /** Candidate near-duplicate pairs (id < matchId) from MinHash LSH with
+    * estimated Jaccard — the audit-friendly variant of `minhashDedup`. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 128, bands: Int = 32,
+                   threshold: Double = 0.8, shingleSize: Int = 5): DataFrame = {
+    val sigs = sigFrame(df, idCol, textCol, numHashes, shingleSize)
+    val banded = sigs.select(col("__id"), col("__sig"),
+      explode(bandKeys(col("__sig"), numHashes, bands)).as("__bkey"))
+    val l = banded.select(col("__id").as("id_a"), col("__sig").as("sig_a"), col("__bkey"))
+    val r = banded.select(col("__id").as("id_b"), col("__sig").as("sig_b"), col("__bkey"))
+    val est = aggregate(zip_with(col("sig_a"), col("sig_b"),
+      (a, b) => when(a === b, 1).otherwise(0)), lit(0),
+      (acc, v) => acc + v).cast("double") / numHashes
+    l.join(r, Seq("__bkey")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), est.as("est_jaccard")).distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  // -------------------------------------------------------------------
+  // SimHash
+  // -------------------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace tokens: bit b of the result is the
+    * sign of Σ_tokens (±1 depending on bit b of xxhash64(token)).
+    * Row-local, expression-only, ONE pass over the tokens: the
+    * accumulator is the 64-vector of bit votes (array<long>). */
+  def simhash(textCol: Column): Column = {
+    val powers = typedLit((0 until 64).map(b => 1L << b))
+    val hashes = transform(TextFunctions.tokens(textCol), t => xxhash64(t))
+    val votes = aggregate(hashes, array_repeat(lit(0L), 64), (acc, h) =>
+      zip_with(acc, powers, (a, p) =>
+        a + when(h.bitwiseAND(p) =!= 0, 1L).otherwise(-1L)))
+    aggregate(zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(0L)),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxDist (≤ 3 for the
+    * classic 4-block pigeonhole): block on each of 4×16-bit chunks so
+    * any pair within distance 3 collides in ≥ 1 block; verify exact
+    * hamming after the bucket join. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sh"))
+    val blocks = F.array((0 until 4).map { b =>
+      struct(lit(b).as("blk"),
+        shiftrightunsigned(col("__sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+    }: _*)
+    val banded = sh.select(col("__id"), col("__sh"), explode(blocks).as("__b"))
+      .select(col("__id"), col("__sh"), col("__b.blk"), col("__b.key"))
+    val l = banded.select(col("__id").as("id_a"), col("__sh").as("sh_a"),
+      col("blk"), col("key"))
+    val r = banded.select(col("__id").as("id_b"), col("__sh").as("sh_b"),
+      col("blk"), col("key"))
+    l.join(r, Seq("blk", "key")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // -------------------------------------------------------------------
+  // n-gram Jaccard
+  // -------------------------------------------------------------------
+
+  /** Exact character-n-gram Jaccard similarity between two text columns
+    * (row-local; for pair generation use an LSH pass first). */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
+    val sa = TextFunctions.shingles(a, n)
+    val sb = TextFunctions.shingles(b, n)
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val uni = size(array_union(sa, sb)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** Verified near-dup pairs: MinHash-LSH candidates re-scored with the
+    * exact n-gram Jaccard — the standard candidate→verify shape. The
+    * shingle sets are computed ONCE per document (staged projection) and
+    * joined to the candidate pairs; the verify step is then pure
+    * in-memory array intersect/union. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.7, n: Int = 3,
+                   numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val cand = minhashPairs(df, idCol, textCol, numHashes, bands,
+      threshold = math.min(threshold, 0.5), shingleSize = n)
+    val sh = df
+      .select(col(idCol).as("__id"), TextFunctions.normalizeText(col(textCol)).as("__norm"))
+      .select(col("__id"), TextFunctions.shinglesFromNormalized(col("__norm"), n).as("__sh"))
+    val inter = size(array_intersect(col("__sha"), col("__shb"))).cast("double")
+    val uni = size(array_union(col("__sha"), col("__shb"))).cast("double")
+    cand
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(uni === 0, lit(0.0)).otherwise(inter / uni).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

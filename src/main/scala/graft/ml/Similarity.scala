@@ -1,0 +1,126 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  * (Extension beyond the reference surface — SURVEY §7.2 step 8.)
+  *
+  * Kernels are expression-only (`zip_with` + `aggregate`), computed in
+  * double precision. Two search paths:
+  *   - brute force: broadcast the (small) query set against the corpus —
+  *     the exact baseline, one map-side pass over the corpus, top-k via
+  *     per-query window;
+  *   - IVF: deterministic centroid sample → assign corpus rows to the
+  *     nearest centroid (map-only vs broadcast centroids) → probe only
+  *     `nProbe` inverted lists per query. Search cost drops by
+  *     ~nLists/nProbe; same plan shape a 1000-executor cluster wants.
+  */
+object Similarity {
+
+  /** Σ a_i b_i in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force cosine top-k.
+    * `queries(qid, qvec)` is broadcast (must be driver-manageable —
+    * typically thousands of rows); corpus is streamed map-side, the only
+    * shuffle is the per-query top-k window on the (queries×k)-sized
+    * candidate set after a cheap map-side filter. */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, qidCol: String, qvecCol: String,
+                     k: Int = 10): DataFrame = {
+    val joined = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__q"))))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"), cosine(col("__v"), col("__q")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nn_id").asc)
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic IVF centroids: the `nLists` corpus vectors with the
+    * lowest ids (deterministic stand-in for k-means; swap in real
+    * centroids without changing the plan shape). */
+  def centroids(corpus: DataFrame, idCol: String, vecCol: String,
+                nLists: Int = 16): DataFrame =
+    corpus.orderBy(col(idCol)).limit(nLists)
+      .select(monotonically_increasing_id().as("list_id"), col(vecCol).as("cvec"))
+
+  /** Assign each row to its nearest centroid list (map-only: centroids
+    * broadcast, argmax computed with a max_by over the centroid array). */
+  def assignLists(corpus: DataFrame, idCol: String, vecCol: String,
+                  cents: DataFrame): DataFrame = {
+    val centArr = cents.agg(collect_list(struct(col("list_id"), col("cvec"))).as("cs"))
+    corpus.crossJoin(broadcast(centArr))
+      .withColumn("list_id",
+        array_max(transform(col("cs"), c =>
+          struct(cosine(col(vecCol), c.getField("cvec")).as("sim"),
+            c.getField("list_id").as("list_id")))).getField("list_id"))
+      .drop("cs")
+  }
+
+  /** IVF top-k: probe the `nProbe` nearest lists per query only.
+    * Recall < 1 by construction; the exactness knob is nProbe/nLists. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qidCol: String, qvecCol: String,
+              k: Int = 10, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = centroids(corpus, idCol, vecCol, nLists).cache()
+    val assigned = assignLists(corpus, idCol, vecCol, cents)
+    // nProbe nearest lists per query
+    val qLists = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__q"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__sim", cosine(col("__q"), col("cvec")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__sim").desc)))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_id"), col("__q"), col("list_id"))
+    val cand = assigned.select(col(idCol).as("nn_id"), col(vecCol).as("__v"), col("list_id"))
+      .join(broadcast(qLists), Seq("list_id"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"), cosine(col("__v"), col("__q")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nn_id").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Random-hyperplane LSH bucket key for cosine similarity: `nBits`
+    * sign bits of projections onto deterministic pseudo-random
+    * hyperplanes (hash-derived, no stored planes). Near-neighbors
+    * collide with prob 1 - angle/π per bit. */
+  def cosineLshKey(vec: Column, dim: Int, nBits: Int = 16, seed: Long = 42L): Column = {
+    val bits = (0 until nBits).map { b =>
+      // pseudo-random ±1 plane component per (bit, dim index), derived
+      // from a deterministic hash — row-local, no plane table needed
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)),
+          (x, i) => x.cast("double") *
+            when(xxhash64(lit(seed), lit(b), i).bitwiseAND(lit(1L)) =!= 0, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  /** LSH-bucketed approximate neighbor pairs within the corpus:
+    * bucket-join on the LSH key, verify with exact cosine ≥ threshold. */
+  def lshNeighborPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, nBits: Int = 12,
+                       threshold: Double = 0.8): DataFrame = {
+    val keyed = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      cosineLshKey(col(vecCol), dim, nBits).as("__key"))
+    val l = keyed.select(col("__id").as("id_a"), col("__v").as("va"), col("__key"))
+    val r = keyed.select(col("__id").as("id_b"), col("__v").as("vb"), col("__key"))
+    l.join(r, Seq("__key")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for training-data pipelines, built entirely
+  * from codegen'd `org.apache.spark.sql.functions` expressions — no
+  * UDFs, so they stay inside whole-stage codegen and push down cleanly
+  * at 100 TB. (Extension beyond the reference surface — SURVEY §7.2
+  * step 8.)
+  */
+object TextFunctions {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-space symbols — a cheap, deterministic proxy for subword
+    * tokenizer counts. */
+  def tokenCountBpe(text: Column): Column =
+    size(filter(
+      split(text, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
+      t => length(trim(t)) > 0))
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}']+"), t => length(t) > 0)
+
+  private val stopwords = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was",
+      "for", "with", "as", "his", "on", "be", "at", "by", "had", "not", "are"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "mit", "von", "zu", "den", "dem", "auf", "für", "im", "sich", "des"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "que", "pour",
+      "une", "un", "du", "des", "avec", "sur", "pas", "au", "ce", "il"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "en", "que", "por",
+      "para", "una", "un", "del", "con", "no", "se", "su", "al"))
+
+  private def stopwordHits(text: Column, lang: String): Column =
+    size(filter(tokens(text), t => t.isin(stopwords(lang).map(x => x: Any): _*)))
+
+  /** Heuristic language ID over {en,de,fr,es,zh}: Han script → zh, else
+    * the language with the most stopword hits wins (ties broken by the
+    * fixed priority en > de > fr > es), `und` when nothing matches.
+    * Pure expression → codegen'd, no shuffle. */
+  def langId(text: Column): Column = {
+    val prio = Map("en" -> 4, "de" -> 3, "fr" -> 2, "es" -> 1)
+    val scores = Seq("en", "de", "fr", "es").map(l =>
+      struct(stopwordHits(text, l).as("hits"), lit(prio(l)).as("prio"), lit(l).as("lang")))
+    val best = array_max(F.array(scores: _*))
+    when(F.regexp_like(text, lit("\\p{IsHan}")), lit("zh"))
+      .when(best.getField("hits") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Per-language stopword ratio (hits / tokens). */
+  def stopwordRatio(text: Column, lang: String = "en"): Column =
+    stopwordHits(text, lang).cast("double") /
+      greatest(size(tokens(text)).cast("double"), lit(1.0))
+
+  /** Heuristic quality score in [0,1] from length, punctuation
+    * terminators, alpha ratio, mean word length, and repetition —
+    * the usual cheap pre-filters before expensive model scoring. */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val toks = tokens(text)
+    val nTokens = size(toks).cast("double")
+    val alphaChars = length(regexp_replace(text, "[^\\p{L}]", "")).cast("double")
+    val alphaRatio = alphaChars / greatest(nChars, lit(1.0))
+    val meanWordLen = alphaChars / greatest(nTokens, lit(1.0))
+    val uniqRatio = size(array_distinct(toks)).cast("double") / greatest(nTokens, lit(1.0))
+    val terminator = when(F.regexp_like(text, lit("[.!?][\"')\\]]?\\s*$")), 1.0).otherwise(0.0)
+    val lengthOk = when(nTokens >= 5 && nTokens <= 100000, 1.0).otherwise(0.0)
+    val wordLenOk = when(meanWordLen >= 2 && meanWordLen <= 12, 1.0).otherwise(0.0)
+    round((alphaRatio + uniqRatio + terminator + lengthOk + wordLenOk) / 5.0, 4)
+  }
+
+  /** Rolling polynomial fingerprint of the normalized text (lowercase,
+    * collapsed whitespace): h = Σ h*31 + byte, in Long arithmetic —
+    * a deterministic document fingerprint for exact-dup detection that
+    * is cheap to compare/join on. Expression-only (fold over split). */
+  def fingerprint(text: Column): Column = {
+    // modulus < 2^53 keeps acc*31+v below 2^63 — safe under ANSI
+    // overflow checking (Spark 4 default)
+    val m = 9007199254740881L
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    // fold over characters via aggregate on the codepoint array
+    aggregate(
+      transform(split(norm, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, v) => pmod(acc * 31L + v, lit(m)))
+  }
+
+  /** xxhash-based 64-bit content hash (normalized) — the scale-path
+    * fingerprint: one codegen'd hash, no array materialization. */
+  def contentHash(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Lowercase, whitespace-collapsed text — materialize this as its own
+    * column before shingling (see `shinglesFromNormalized`). */
+  def normalizeText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Character n-gram (shingle) set over an ALREADY-NORMALIZED column.
+    *
+    * Implementation note: higher-order functions are interpreted, and
+    * expressions inside a lambda re-evaluate per element. `norm` must
+    * therefore be a plain attribute (a materialized column) — then the
+    * per-element cost is one row-slot read + substr. Passing a computed
+    * expression (e.g. a regexp_replace) makes shingling quadratic. */
+  def shinglesFromNormalized(norm: Column, n: Int = 5): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(length(norm) - n, lit(0))),
+      i => norm.substr(i + 1, lit(n))))
+
+  /** One-shot convenience for small inputs/tests; pipelines should
+    * materialize `normalizeText` first and use `shinglesFromNormalized`. */
+  def shingles(text: Column, n: Int = 5): Column =
+    shinglesFromNormalized(normalizeText(text), n)
+}

@@ -1,0 +1,192 @@
+package graft
+
+import graft.core.{Agg, CrysFrame, SelectException, sel}
+import org.apache.spark.sql.functions._
+
+/** Core verb semantics, mirroring the reference's behavioral specs
+  * (reference: spec/core_spec.cr). */
+class CoreVerbsSpec extends GraftSpec {
+
+  private def persons: CrysFrame = CrysFrame.of(spark,
+    Seq("first_name", "last_name", "age"),
+    Seq(Seq("max", "smith", 53), Seq("tom", "doe", 30), Seq("eva", "miller", 23)))
+
+  // --- selection DSL (reference: spec/core_spec.cr select tests) ---
+
+  test("select keeps argument order") {
+    assert(persons.select("age", "first_name").names == Seq("age", "first_name"))
+  }
+
+  test("select errors on unknown and duplicate columns") {
+    intercept[SelectException](persons.select("nope"))
+    intercept[SelectException](persons.select("age", "age"))
+  }
+
+  test("selector DSL: startsWith / endsWith / range / listOf") {
+    assert(persons.select(sel.endsWith("name")).names == Seq("first_name", "last_name"))
+    assert(persons.select(sel.range("first_name", "last_name")).names ==
+      Seq("first_name", "last_name"))
+    assert(persons.select(sel.listOf("age")).names == Seq("age"))
+  }
+
+  test("negative selection and mixing rejection") {
+    assert(persons.select(sel.except("age")).names == Seq("first_name", "last_name"))
+    intercept[SelectException](
+      persons.select(sel.listOf("age").or(sel.except("first_name"))).names)
+  }
+
+  test("reject by type selector") {
+    assert(persons.reject(sel.ints).names == Seq("first_name", "last_name"))
+  }
+
+  // --- rename / move (reference: dataframe.cr:370-398,323-332) ---
+
+  test("rename preserves positions, ignores dummy renames") {
+    val r = persons.rename("first_name" -> "fn", "age" -> "age")
+    assert(r.names == Seq("fn", "last_name", "age"))
+  }
+
+  test("moveLeft / moveRight") {
+    assert(persons.moveLeft("age").names == Seq("age", "first_name", "last_name"))
+    assert(persons.moveRight("first_name").names ==
+      Seq("last_name", "age", "first_name"))
+  }
+
+  // --- mutate (reference: spec/core_spec.cr add_column) ---
+
+  test("addColumn scalar broadcast and replace-in-place") {
+    val f = persons.addColumn("age")(_ => lit(99)).addColumn("k")(c => c.const("x"))
+    assert(f.names == Seq("first_name", "last_name", "age", "k"))
+    assert(f.out.select("age").collect().forall(_.getInt(0) == 99))
+  }
+
+  test("where vectorized conditional") {
+    val f = persons.addColumn("senior")(c =>
+      c.where(c("age") > 30, c.const("yes"), c.const("no")))
+    assert(f.out.orderBy("age").select("senior").collect().map(_.getString(0)).toSeq ==
+      Seq("no", "no", "yes"))
+  }
+
+  // --- filter (reference: spec/core_spec.cr filter; null → dropped) ---
+
+  test("filter with null comparisons drops null rows") {
+    val f = CrysFrame.of(spark, Seq("user_id", "name"),
+      Seq(Seq(6, "maja"), Seq(3, "anna"), Seq(null, "max"), Seq(5, null)))
+    assert(f.filter(_ => col("user_id") > 4).numRow == 2)
+  }
+
+  test("matching is NA-aware (null text matches nothing)") {
+    val f = CrysFrame.of(spark, Seq("txt"), Seq(Seq("abc"), Seq(null), Seq("xbc")))
+    assert(f.filter(c => c.matching(c("txt"), "^a")).numRow == 1)
+  }
+
+  // --- sorting (reference: spec/core_spec.cr:264-301 — NAs always last) ---
+
+  test("sortBy ascending with NAs last") {
+    val f = CrysFrame.of(spark, Seq("user_id", "name"),
+      Seq(Seq(6, "maja"), Seq(3, "anna"), Seq(null, "max"), Seq(5, null)))
+    val ids = f.sortBy("user_id").out.select("user_id").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getInt(0)).toSeq
+    assert(ids == Seq(3, 5, 6, null))
+  }
+
+  test("sortDescBy still has NAs last") {
+    val f = CrysFrame.of(spark, Seq("user_id"),
+      Seq(Seq(6), Seq(3), Seq(null.asInstanceOf[Any]), Seq(5)))
+    val ids = f.sortDescBy("user_id").out.collect()
+      .map(r => if (r.isNullAt(0)) null else r.getInt(0)).toSeq
+    assert(ids == Seq(6, 5, 3, null))
+  }
+
+  // --- slicing / sampling ---
+
+  test("slice / take / takeLast per sort order") {
+    val f = persons.sortBy("age")
+    assert(f.slice(1, 3).out.select("age").collect().map(_.getInt(0)).toSeq.sorted ==
+      Seq(23, 53))
+    assert(f.take(2).out.select("age").collect().map(_.getInt(0)).toSeq.sorted ==
+      Seq(23, 30))
+    assert(f.takeLast(1).out.select("age").collect().map(_.getInt(0)).toSeq ==
+      Seq(53))
+  }
+
+  test("sampleN bounds and exactness") {
+    assert(persons.sampleN(2).numRow == 2)
+  }
+
+  test("distinct keeps first full row per key") {
+    val f = CrysFrame.of(spark, Seq("k", "v"),
+      Seq(Seq("a", 1), Seq("a", 2), Seq("b", 3)))
+    assert(f.distinct("k").numRow == 2)
+    assert(f.distinct("k").names == Seq("k", "v"))
+  }
+
+  // --- grouping & summarize (reference: spec/core_spec.cr summarize) ---
+
+  test("grouped summarize with key tuple") {
+    val f = persons.addColumn("g")(c => c.where(c("age") > 25, lit("o"), lit("y")))
+      .groupBy("g")
+      .summarize("mean_age" -> (_ => avg(col("age"))), "n" -> (_ => Agg.n))
+    val rows = f.sortBy("g").out.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("o", "y"))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(2L, 1L))
+  }
+
+  test("NA is a valid group (reference: spec/core_spec.cr:497-502)") {
+    val f = CrysFrame.of(spark, Seq("k", "v"),
+      Seq(Seq("a", 1), Seq(null, 2), Seq(null, 3)))
+    assert(f.groupBy("k").summarize("n" -> (_ => Agg.n)).numRow == 2)
+  }
+
+  test("strict remove_na=false raises on NA (reference: utils.cr:138-148)") {
+    val f = CrysFrame.of(spark, Seq("v"), Seq(Seq(1.0), Seq(null.asInstanceOf[Any])))
+    val bad = f.summarize("m" -> (_ => Agg.mean(col("v"))))
+    val e = intercept[Exception](bad.out.collect())
+    assert(e.getMessage.contains("MissingValueException")
+      || e.getCause != null && e.getCause.getMessage.contains("MissingValueException"))
+    // removeNa=true skips
+    val ok = f.summarize("m" -> (_ => Agg.mean(col("v"), removeNa = true)))
+    assert(ok.out.collect()(0).getDouble(0) == 1.0)
+  }
+
+  test("count cross-tabulation and bare count") {
+    val f = persons.count()
+    assert(f.out.collect()(0).getLong(0) == 3L)
+    val byName = persons.count("last_name")
+    assert(byName.numRow == 3)
+    assert(byName.names == Seq("last_name", "n"))
+  }
+
+  test("groupByExpr adds group_by_k columns") {
+    val f = persons.groupByExpr(c => c("age") > 25).count()
+    assert(f.names == Seq("group_by_1", "n"))
+    assert(f.numRow == 2)
+  }
+
+  test("summarizeAt applies functions over selection with col.suffix names") {
+    val f = persons.summarizeAt(sel.listOf("age"),
+      "mean" -> (c => avg(c)), "n" -> (_ => Agg.n))
+    assert(f.names == Seq("age.mean", "age.n"))
+  }
+
+  test("groupedKeys returns distinct key tuples") {
+    val f = persons.addColumn("g")(c => c.where(c("age") > 25, lit("o"), lit("y")))
+      .groupBy("g").groupedKeys
+    assert(f.numRow == 2)
+  }
+
+  // --- addRow / rowNumber ---
+
+  test("addRow appends literal row with arity check") {
+    val f = persons.addRow("zoe", "doe", 99)
+    assert(f.numRow == 4)
+    intercept[IllegalArgumentException](persons.addRow("just-one"))
+  }
+
+  test("addRowNumber is 1-based and leading") {
+    val f = persons.sortBy("age").addRowNumber("rn")
+    assert(f.names.head == "rn")
+    assert(f.out.orderBy("rn").select("age").collect().map(_.getInt(0)).toSeq ==
+      Seq(23, 30, 53))
+  }
+}

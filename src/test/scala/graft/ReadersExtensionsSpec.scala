@@ -1,0 +1,219 @@
+package graft
+
+import graft.core.CrysFrame
+import graft.ml.{Dedup, Similarity}
+import graft.multimodal.Multimodal
+import graft.sources.Readers
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Ingest (reference: spec/reader_spec.cr) + scale-extension operators. */
+class ReadersExtensionsSpec extends GraftSpec {
+
+  private def writeTmp(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, name)
+    Files.writeString(f.toPath, content)
+    f.getAbsolutePath
+  }
+
+  /** reference: spec/reader_spec.cr:37-48 — the inference ladder. */
+  test("CSV inference ladder: String,String,Double,Int,Bool,Long") {
+    val p = writeTmp("types.csv",
+      """a,b,c,d,e,f
+        |foo,one,1.5,2,TRUE,9999999999
+        |bar,two,2.5,3,FALSE,8888888888
+        |""".stripMargin)
+    val f = Readers.readCsv(spark, p)
+    val dts = f.names.map(n => f.schema(n).dataType)
+    assert(dts == Seq(StringType, StringType, DoubleType, IntegerType,
+      BooleanType, LongType))
+  }
+
+  /** reference: spec/reader_spec.cr:50-57 */
+  test("custom NA sentinel maps to null and inference skips it") {
+    val p = writeTmp("na.csv", "a\nCUSTOM_NA\n4\n5\n")
+    val f = Readers.readCsv(spark, p, naValue = "CUSTOM_NA")
+    assert(f.schema("a").dataType == IntegerType)
+    assert(f.out.filter(col("a").isNull).count() == 1)
+  }
+
+  /** reference: spec/reader_spec.cr:7-27 */
+  test("headerless read with comment preamble auto-names Col1..N") {
+    val p = writeTmp("pre.txt",
+      "# preamble\n# more\n1\tx\t1.5\n2\ty\t2.5\n")
+    val f = Readers.readCsv(spark, p, separator = "\t", header = false)
+    assert(f.names == Seq("Col1", "Col2", "Col3"))
+    assert(f.schema("Col1").dataType == IntegerType)
+    assert(f.numRow == 2)
+  }
+
+  test("CSV write → read round-trip with NA nulls") {
+    val f = CrysFrame.of(spark, Seq("k", "v"),
+      Seq(Seq("x", 1.5), Seq("y", null)))
+    val dir = Files.createTempDirectory("graft_rt").toString + "/out"
+    f.writeCsv(dir)
+    val back = Readers.readCsv(spark, dir)
+    assert(back.numRow == 2)
+    assert(back.schema("v").dataType == DoubleType)
+    assert(back.out.filter(col("v").isNull).count() == 1)
+  }
+
+  /** reference: spec/reader_spec.cr:99-116 — ragged keys, nested objects. */
+  test("JSON read flattens nested objects and null-fills ragged keys") {
+    val p = writeTmp("objs.json",
+      """{"a": 1, "nested": {"x": 10, "y": "u"}}
+        |{"a": 2, "extra": true}
+        |""".stripMargin)
+    val f = Readers.readJson(spark, p, multiLine = false)
+    assert(f.names.toSet == Set("a", "extra", "x", "y"))
+    assert(f.numRow == 2)
+  }
+
+  test("fromJsonString array parse") {
+    val f = Readers.fromJsonString(spark, """{"a":1,"b":"x"}""")
+    assert(f.names.toSet == Set("a", "b"))
+  }
+
+  // --- text analysis ---
+
+  test("token counts: whitespace and BPE-ish") {
+    import spark.implicits._
+    val df = Seq("hello world, friend!", "", "  a  b  ").toDF("t")
+    val got = df.select(
+      TextFunctions.tokenCountWs(col("t")).as("ws"),
+      TextFunctions.tokenCountBpe(col("t")).as("bpe")).collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(3, 0, 2))
+    assert(got(0).getInt(1) == 5) // hello world , friend !
+  }
+
+  test("langId picks the stopword-dominant language, Han → zh") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat and the dog sat on the mat for it was warm",
+      "der Hund und die Katze sind nicht auf der Straße",
+      "le chat est dans la maison pour le moment avec il",
+      "el perro y el gato es en la casa por una razón",
+      "你好世界 这是中文",
+      "zzz qqq xxx").toDF("t")
+    val got = df.select(TextFunctions.langId(col("t"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "de", "fr", "es", "zh", "und"))
+  }
+
+  test("quality score is in [0,1] and penalizes junk") {
+    import spark.implicits._
+    val df = Seq(
+      "This is a well formed English sentence with reasonable words in it.",
+      "x x x x x x x x x x").toDF("t")
+    val got = df.select(TextFunctions.qualityScore(col("t"))).collect().map(_.getDouble(0))
+    assert(got.forall(s => s >= 0 && s <= 1))
+    assert(got(0) > got(1))
+  }
+
+  test("fingerprint is whitespace/case-insensitive stable") {
+    import spark.implicits._
+    val df = Seq(("A  B c", "a b C"), ("abc", "abd")).toDF("x", "y")
+    val got = df.select(
+      (TextFunctions.fingerprint(col("x")) === TextFunctions.fingerprint(col("y"))).as("eq"))
+      .collect().map(_.getBoolean(0))
+    assert(got.toSeq == Seq(true, false))
+  }
+
+  // --- dedup ---
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
+      (4L, "completely different content about spark catalyst optimizer internals here")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup by content hash keeps min id") {
+    val kept = Dedup.exactByContentHash(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L))
+  }
+
+  test("minhash LSH dedup removes near-duplicates") {
+    val kept = Dedup.minhashDedup(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.6, shingleSize = 4)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept.contains(1L) && kept.contains(4L))
+    assert(!kept.contains(2L)) // exact dup of 1
+  }
+
+  test("simhash: identical texts have distance 0, pairs found") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number]("hamming").longValue))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+  }
+
+  test("ngram jaccard: identical=1, near-dup high, different low") {
+    import spark.implicits._
+    val df = Seq(("abcdefgh", "abcdefgh"), ("abcdefgh", "zzzzzzzz")).toDF("x", "y")
+    val sims = df.select(Dedup.ngramJaccard(col("x"), col("y"), 3)).collect()
+      .map(_.getDouble(0))
+    assert(sims(0) == 1.0 && sims(1) == 0.0)
+  }
+
+  // --- similarity search ---
+
+  test("cosine kernel is correct") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)), (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)))
+      .toDF("a", "b")
+    val sims = df.select(round(Similarity.cosine(col("a"), col("b")), 6)).collect()
+      .map(_.getDouble(0))
+    assert(sims(0) == 0.0 && sims(1) == 1.0)
+  }
+
+  test("brute-force top-k returns k neighbors ranked by similarity") {
+    import spark.implicits._
+    val corpus = (0 until 20).map(i =>
+      (i.toLong, Seq(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat)))
+      .toDF("id", "vec")
+    val queries = corpus.filter(col("id") === 0)
+    val res = Similarity.bruteForceTopK(corpus, "id", "vec", queries, "id", "vec", k = 3)
+    val rows = res.orderBy("rank").collect()
+    assert(rows.length == 3)
+    // on the 0.3-rad circle the nearest to angle 0 are 1 (0.3), 19
+    // (5.7 ≡ −0.58) and 2 (0.6), in that cosine order
+    assert(rows.map(_.getAs[Long]("nn_id")).toSeq == Seq(1L, 19L, 2L))
+  }
+
+  test("IVF top-k finds mostly the same neighbors as brute force") {
+    import spark.implicits._
+    val corpus = (0 until 100).map(i =>
+      (i.toLong, Seq(math.cos(i * 0.1).toFloat, math.sin(i * 0.1).toFloat, (i % 7).toFloat / 7)))
+      .toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 3)
+    val bf = Similarity.bruteForceTopK(corpus, "id", "vec", queries, "id", "vec", k = 5)
+      .select("query_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(corpus, "id", "vec", queries, "id", "vec",
+      k = 5, nLists = 8, nProbe = 4)
+      .select("query_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.intersect(bf).size >= 8) // decent recall on 15 pairs
+  }
+
+  // --- multimodal plumbing ---
+
+  test("multimodal feature extraction preserves schema and determinism") {
+    val media = Multimodal.syntheticMedia(spark, 10)
+    val feats = Multimodal.extractFeatures(media, dim = 4)
+    assert(feats.schema.fieldNames.toSeq ==
+      Seq("media_id", "kind", "n_bytes", "feature"))
+    val rows = feats.orderBy("media_id").collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getAs[Seq[Float]]("feature").length == 4))
+    // deterministic: run twice, same features
+    val again = Multimodal.extractFeatures(media, dim = 4).orderBy("media_id").collect()
+    assert(rows.zip(again).forall { case (a, b) =>
+      a.getAs[Seq[Float]]("feature") == b.getAs[Seq[Float]]("feature") })
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.core.{CrysFrame, sel}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reshape + binding semantics (reference: spec/reshape_spec.cr,
+  * spec/core_spec.cr:575-657). */
+class ReshapeBindSpec extends GraftSpec {
+
+  private def long: CrysFrame = CrysFrame.of(spark,
+    Seq("person", "year", "weight"),
+    Seq(Seq("max", 2014, 33.1), Seq("max", 2015, 32.3),
+      Seq("anna", 2014, null), Seq("anna", 2015, 39.2)))
+
+  test("spread then gather round-trips (reference: reshape_spec.cr:26-114)") {
+    val wide = long.spread("year", "weight")
+    assert(wide.names.toSet == Set("person", "2014", "2015"))
+    assert(wide.numRow == 2)
+    val back = wide.gather("year", "weight", sel.listOf("2014", "2015"), convert = true)
+    assert(back.numRow == 4)
+    assert(back.schema("year").dataType == LongType)
+  }
+
+  test("spread verify rejects non-unique keys (reference: reshape.cr:24)") {
+    val dup = long.bindRows(long)
+    intercept[IllegalArgumentException](dup.spread("year", "weight", verify = true))
+  }
+
+  test("gather coerces mixed numeric columns to double") {
+    val f = CrysFrame.of(spark, Seq("id", "i", "d"),
+      Seq(Seq(1, 10, 1.5), Seq(2, 20, 2.5)))
+      .gather("key", "value", sel.listOf("i", "d"))
+    assert(f.schema("value").dataType == DoubleType)
+    assert(f.numRow == 4)
+  }
+
+  test("separate splits with NA literal → null + convert (reference: reshape_spec.cr:141-163)") {
+    val f = CrysFrame.of(spark, Seq("combo"), Seq(Seq("1_a"), Seq("2_NA"), Seq("3_b")))
+      .separate("combo", Seq("num", "tag"), sep = "_", convert = true)
+    assert(f.names == Seq("num", "tag"))
+    assert(f.schema("num").dataType == LongType)
+    val tags = f.sortBy("num").out.select("tag").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(tags == Seq("a", null, "b"))
+  }
+
+  test("unite concatenates with NA literal for nulls (reference: reshape.cr:109-122)") {
+    val f = CrysFrame.of(spark, Seq("a", "b"), Seq(Seq("x", "y"), Seq("z", null)))
+      .unite("ab", sel.listOf("a", "b"), sep = "_")
+    assert(f.names == Seq("ab"))
+    assert(f.out.orderBy("ab").collect().map(_.getString(0)).toSeq ==
+      Seq("x_y", "z_NA"))
+  }
+
+  test("nest/unnest round-trips (reference: reshape_spec.cr:166-221)") {
+    val f = long.nest(sel.listOf("year", "weight"), packedName = "data")
+    assert(f.names == Seq("person", "data"))
+    assert(f.numRow == 2)
+    val back = f.unnest("data")
+    assert(back.numRow == 4)
+    assert(back.names.toSet == Set("person", "year", "weight"))
+  }
+
+  test("unnest of scalar list column (reference: reshape_spec.cr:213-221)") {
+    import spark.implicits._
+    val f = CrysFrame(Seq((1, Seq("a", "b")), (2, Seq("c"))).toDF("id", "tags"))
+      .unnest("tags")
+    assert(f.numRow == 3)
+  }
+
+  test("expand produces sorted cartesian of distincts (reference: reshape_spec.cr:223-244)") {
+    val f = long.expand("person", "year")
+    assert(f.numRow == 4)
+    assert(f.names == Seq("person", "year"))
+  }
+
+  test("complete left-joins the original back (reference: reshape.cr:215-217)") {
+    val sparse = CrysFrame.of(spark, Seq("k1", "k2", "v"),
+      Seq(Seq("a", 1, 10), Seq("b", 2, 20)))
+    val f = sparse.complete("k1", "k2")
+    assert(f.numRow == 4)
+    assert(f.out.filter(col("v").isNull).count() == 2)
+  }
+
+  // --- binding (reference: spec/core_spec.cr:575-657) ---
+
+  test("bindRows unions by name with null fill") {
+    val a = CrysFrame.of(spark, Seq("x", "y"), Seq(Seq(1, "p")))
+    val b = CrysFrame.of(spark, Seq("y", "z"), Seq(Seq("q", 2.5)))
+    val f = a.bindRows(b)
+    assert(f.names.toSet == Set("x", "y", "z"))
+    assert(f.numRow == 2)
+  }
+
+  test("bindCols zips positionally, dedups names with _1 suffix") {
+    val a = CrysFrame.of(spark, Seq("v"), Seq(Seq(1), Seq(2)))
+    val b = CrysFrame.of(spark, Seq("v"), Seq(Seq(10), Seq(20)))
+    val f = a.bindCols(b)
+    assert(f.names == Seq("v", "v_1"))
+    assert(f.numRow == 2)
+  }
+}

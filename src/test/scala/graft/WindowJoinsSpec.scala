@@ -1,0 +1,127 @@
+package graft
+
+import graft.core.CrysFrame
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+
+/** Window-verb semantics (reference: spec/column_spec.cr) and join
+  * semantics (reference: spec/joins_spec.cr). */
+class WindowJoinsSpec extends GraftSpec {
+
+  /** reference: spec/column_spec.cr:61-79 — grouped cumsum, NA poisons
+    * the remainder of each group's vector. */
+  test("grouped cumsum with NA poison") {
+    val sales = CrysFrame.of(spark, Seq("product", "sales", "ord"),
+      Seq(Seq("a", 10.0, 1), Seq("a", 20.0, 2), Seq("a", null, 3), Seq("a", 5.0, 4),
+        Seq("b", 1.0, 1), Seq("b", 2.0, 2)))
+    val f = sales.groupBy("product").sortBy("ord")
+      .addColumn("cum")(c => c.cumsum(c("sales")))
+      .ungroup.sortBy("product", "ord")
+    val got = f.out.select("cum").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
+    assert(got == Seq(10.0, 30.0, null, null, 1.0, 3.0))
+  }
+
+  /** reference: spec/column_spec.cr:81-104 */
+  test("pct_change") {
+    val f = CrysFrame.of(spark, Seq("x", "ord"),
+      Seq(Seq(10.0, 1), Seq(20.0, 2), Seq(5.0, 3)))
+      .sortBy("ord").addColumn("chg")(c => c.pctChange(c("x")))
+    val got = f.out.orderBy("ord").select("chg").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
+    assert(got == Seq(null, 1.0, -0.75))
+  }
+
+  /** reference: spec/column_spec.cr:127-191 — grouped lead/lag with defaults */
+  test("grouped lead/lag with fill defaults") {
+    val q = CrysFrame.of(spark, Seq("quarter", "sales", "store"),
+      Seq(Seq(1, 10, "a"), Seq(2, 20, "a"), Seq(3, 30, "a"),
+        Seq(1, 100, "b"), Seq(2, 200, "b")))
+    val f = q.groupBy("store").sortBy("quarter")
+      .addColumns(
+        "prev" -> (c => c.lag(c("sales"), 1, -1)),
+        "next" -> (c => c.lead(c("sales"))))
+      .ungroup.sortBy("store", "quarter")
+    val rows = f.out.collect()
+    assert(rows.map(_.getInt(3)).toSeq == Seq(-1, 10, 20, -1, 100))
+    assert(rows.map(r => if (r.isNullAt(4)) null else r.getInt(4)).toSeq ==
+      Seq(20, 30, null, 200, null))
+  }
+
+  // --- joins (reference: spec/joins_spec.cr) ---
+
+  private def persons = CrysFrame.of(spark, Seq("first_name", "last_name", "age"),
+    Seq(Seq("max", "smith", 53), Seq("tom", "doe", 30), Seq("eva", "miller", 23)))
+  private def weights = CrysFrame.of(spark, Seq("first", "last", "weight"),
+    Seq(Seq("max", "smith", 56.3), Seq("tom", "doe", null), Seq("anna", "doe", 75.3)))
+
+  test("unequal-key join pairs (reference: spec/joins_spec.cr:104-111)") {
+    val j = persons.innerJoin(weights,
+      byPairs = Seq("first_name" -> "first", "last_name" -> "last"))
+    assert(j.numRow == 2)
+    assert(j.names.contains("weight"))
+  }
+
+  test("left join NA-fills right side") {
+    val j = persons.leftJoin(weights,
+      byPairs = Seq("first_name" -> "first", "last_name" -> "last"))
+    assert(j.numRow == 3)
+    val eva = j.out.filter(col("first_name") === "eva").collect()(0)
+    assert(eva.isNullAt(eva.fieldIndex("weight")))
+  }
+
+  test("outer join keeps both sides") {
+    val j = persons.outerJoin(weights,
+      byPairs = Seq("first_name" -> "first", "last_name" -> "last"))
+    assert(j.numRow == 4)
+  }
+
+  test("semi join filters without duplicating or suffixing") {
+    val dup = weights.bindRows(weights) // duplicate right keys
+    val j = persons.semiJoin(
+      dup.rename("first" -> "first_name", "last" -> "last_name"),
+      by = Seq("first_name", "last_name"))
+    assert(j.numRow == 2)
+    assert(j.names == persons.names)
+  }
+
+  test("anti join is the complement of semi") {
+    val j = persons.antiJoin(
+      weights.rename("first" -> "first_name", "last" -> "last_name"),
+      by = Seq("first_name", "last_name"))
+    assert(j.out.collect().map(_.getString(0)).toSeq == Seq("eva"))
+  }
+
+  test("suffixing of common non-key columns (reference: joins_spec.cr:79-102)") {
+    val a = CrysFrame.of(spark, Seq("k", "v"), Seq(Seq("x", 1)))
+    val b = CrysFrame.of(spark, Seq("k", "v"), Seq(Seq("x", 2)))
+    val j = a.innerJoin(b, by = Seq("k"))
+    assert(j.names.toSet == Set("k", "v.x", "v.y"))
+  }
+
+  test("empty-by join degenerates to cross product (reference: joins_spec.cr:96-125)") {
+    val a = CrysFrame.of(spark, Seq("x"), Seq(Seq(1), Seq(2), Seq(3)))
+    val b = CrysFrame.of(spark, Seq("y"), Seq(Seq("p"), Seq("q")))
+    assert(a.innerJoin(b, by = Seq()).numRow == 6)
+  }
+
+  test("natural join defaults to name intersection (reference: joins_spec.cr:59-61)") {
+    val a = CrysFrame.of(spark, Seq("k", "a"), Seq(Seq("x", 1), Seq("y", 2)))
+    val b = CrysFrame.of(spark, Seq("k", "b"), Seq(Seq("x", 10)))
+    assert(a.innerJoin(b).numRow == 1)
+  }
+
+  // --- as-of join ---
+
+  test("as-of join picks latest right row at-or-before left ts") {
+    import spark.implicits._
+    val left = Seq((1L, "u1", 10L), (2L, "u1", 25L), (3L, "u2", 5L))
+      .toDF("id", "u", "t")
+    val right = Seq(("u1", 10L, "a"), ("u1", 20L, "b"), ("u2", 50L, "c"))
+      .toDF("u", "t", "v")
+    val j = AsOfJoin.join(left, right, Seq("u"), "t", Seq("v" -> "last_v"))
+      .orderBy("id").collect()
+    assert(j.map(r => Option(r.getAs[String]("last_v")).orNull).toSeq ==
+      Seq("a", "b", null))
+  }
+}
