@@ -34,6 +34,26 @@ object Demo {
     try f.select("n_name", "n_name")
     catch { case ex: SelectException => println(s"SelectException: ${ex.getMessage}") }
 
+    println("=== CSV skip-preamble read ===")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_demo").toString + "/pre.txt"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(tmp),
+      "junk line 1\njunk line 2\na,b\n1,x\n2,y\n")
+    val skipped = graft.sources.Readers.readCsv(spark, tmp, skip = 2)
+    print(skipped.sortBy("a").printFrame("skipped", 5))
+
+    println("=== streaming: tumbling counts over the events table (one batch) ===")
+    val evDir = java.nio.file.Files.createTempDirectory("graft_demo_ev").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+      .limit(500).write.mode("overwrite").parquet(evDir)
+    val stream = graft.streaming.StreamVerbs.tumblingCounts(
+      graft.streaming.StreamVerbs.readEventStream(spark, evDir), "6 hours", "1 hour")
+    val q = stream.writeStream.format("memory").queryName("demo_tumbling")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    spark.table("demo_tumbling").orderBy("window").show(5, truncate = false)
+
     spark.stop()
   }
 }

@@ -323,6 +323,24 @@ final class CrysFrame private (
     else { requireCols(cols); CrysFrame(out.groupBy(keys.map(col): _*).agg(F.count(lit(1)).as("n"))) }
   }
 
+  /** Per-group sub-frames as first-class (lazy) values — the
+    * reference's `groups` accessor (reference: src/crysda/groupdf.cr:99-103).
+    * The distinct key tuples are collected driver-side; each sub-frame
+    * is a lazy filtered view (no data is materialized here). Driver
+    * memory scales with the NUMBER OF GROUPS — for per-group
+    * computation at scale prefer `transformGroupsRows` or plain
+    * grouped verbs, which never leave the cluster. */
+  def groups: Seq[(Seq[Any], CrysFrame)] = {
+    require(isGrouped, "groups requires grouping")
+    groupedKeys.collectRows().map { key =>
+      val tuple = groupedBy.map(k => key.getAs[Any](k))
+      val cond = groupedBy.zip(tuple).map { case (k, v) =>
+        if (v == null) col(k).isNull else col(k) === lit(v)
+      }.reduce(_ && _)
+      tuple -> new CrysFrame(df.filter(cond), Nil, ordCols, ordRev)
+    }
+  }
+
   /** Per-group user logic over whole sub-frames — the scalable
     * counterpart of the reference's `transform_groups`
     * (reference: src/crysda/groupdf.cr:99-114). Runs distributed via

@@ -16,17 +16,24 @@ private[core] object Formatters {
     case other => other.toString
   }
 
+  /** Layout per the reference: `"{title}: {n} x {m}"` header, optional
+    * `Groups:` line, right-aligned padded cells, `<NA>` for nulls, and
+    * an `and N more rows` footer (reference: src/crysda/dataframe.cr:604-664,
+    * goldens spec/core_spec.cr:426-493). Two actions: a `take(maxRows+1)`
+    * and — only when the frame overflows maxRows — a count() for the
+    * exact footer/header numbers. */
   def printFrame(f: CrysFrame, title: String, maxRows: Int,
                  maxDigits: Int = 3): String = {
     val names = f.names
     val rows: Seq[Row] = f.out.take(maxRows + 1).toSeq
+    val total: Long = if (rows.size > maxRows) f.out.count() else rows.size.toLong
     val shown = rows.take(maxRows)
     val cells = shown.map(r => names.map(n => fmt(r.getAs[Any](n), maxDigits)))
     val widths = names.zipWithIndex.map { case (n, i) =>
       (n.length +: cells.map(_(i).length)).max
     }
     val sb = new StringBuilder
-    sb.append(s"$title: ${if (rows.size > maxRows) "" else s"${shown.size} x ${names.size}"}\n")
+    sb.append(s"$title: $total x ${names.size}\n")
     if (f.isGrouped) sb.append(s"Groups: ${f.groupedBy.mkString(", ")}\n")
     sb.append(names.zip(widths).map { case (n, w) => n.reverse.padTo(w, ' ').reverse }
       .mkString("   ", "   ", "\n"))
@@ -34,7 +41,7 @@ private[core] object Formatters {
       sb.append(r.zip(widths).map { case (c, w) => c.reverse.padTo(w, ' ').reverse }
         .mkString("   ", "   ", "\n"))
     }
-    if (rows.size > maxRows) sb.append(s"and more rows\n")
+    if (total > maxRows) sb.append(s"and ${total - maxRows} more rows\n")
     sb.toString
   }
 

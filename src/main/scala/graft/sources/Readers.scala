@@ -38,8 +38,17 @@ object Readers {
       .option("inferSchema", false)
       .option("mode", "PERMISSIVE")
     if (comment != null) reader = reader.option("comment", comment.toString)
-    if (skip > 0) reader = reader.option("skipLines", skip)
-    var raw: DataFrame = reader.csv(path)
+    var raw: DataFrame =
+      if (skip == 0) reader.csv(path)
+      else {
+        // Spark's CSV source has no skip-N-lines option: read as text,
+        // drop the preamble by line index, re-parse the remainder
+        // (reference `skip:` option, src/crysda/builder.cr:44-83)
+        import spark.implicits._
+        val lines = spark.read.text(path).as[String].rdd
+          .zipWithIndex.filter(_._2 >= skip).map(_._1)
+        reader.csv(spark.createDataset(lines))
+      }
     if (!header) raw = raw.toDF(raw.columns.indices.map(i => s"Col${i + 1}"): _*)
 
     // 20-value peek per column (reference: utils.cr:276), then verify the

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference has no streaming at all
+  * (SURVEY §2.11); this extends the same verb vocabulary to unbounded
+  * data the Spark-native way: readStream → transforms → writeStream,
+  * watermarks + windowed aggregations, and custom session state via
+  * `flatMapGroupsWithState`. Batch verbs from CrysFrame compose
+  * unchanged on streaming frames (same Dataset API).
+  */
+final case class Event(event_id: Long, ts: java.sql.Timestamp,
+                       user_id: Long, event_type: String, value: Double)
+
+final case class Session(user_id: Long, start: java.sql.Timestamp,
+                         end: java.sql.Timestamp, n_events: Int,
+                         sum_value: Double)
+
+final case class SessionState(start: Long, last: Long, n: Int, total: Double)
+
+object StreamVerbs {
+
+  /** File-source stream over an events-shaped parquet directory. */
+  def readEventStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(path)
+
+  /** Tumbling event-time window counts with a watermark: late rows
+    * beyond `lateness` are dropped, state is bounded — the streaming
+    * counterpart of the batch `q_time_window` aggregation. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+                     lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Gap-based sessionization per user via flatMapGroupsWithState.
+    * A session closes when a later event arrives past the gap;
+    * `closeOnSilence=true` additionally arms a processing-time timeout
+    * so idle sessions flush without new input (long-running queries
+    * only — the timeout re-triggers micro-batches, so a drain-style
+    * `processAllAvailable` test would never settle).
+    * State per key is O(1) — start/last/n/sum — so a 1000-executor
+    * cluster holds billions of concurrent sessions. */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 closeOnSilence: Boolean = false): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val timeout = if (closeOnSilence) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), timeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                if (closeOnSilence) state.setTimeoutDuration(gapMs)
+              case None =>
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Streaming exact dedup on a key with watermarked state — the
+    * unbounded counterpart of Dedup.exact (`dropDuplicates` keeps
+    * per-key state; the watermark bounds it). */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+                     lateness: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicates(keyCols :+ "ts")
+}

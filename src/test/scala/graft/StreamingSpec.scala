@@ -1,0 +1,74 @@
+package graft
+
+import graft.streaming.StreamVerbs
+import graft.streaming.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Structured Streaming verbs driven through MemoryStream + memory sink. */
+class StreamingSpec extends GraftSpec {
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  test("tumbling window counts with watermark over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = StreamVerbs.tumblingCounts(in.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(12), 2, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling").collect()
+      assert(rows.length == 2)
+      val clicks = rows.find(_.getAs[String]("event_type") == "click").get
+      assert(clicks.getAs[Long]("n") == 2L)
+      assert(clicks.getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("gap-based sessionization closes sessions across the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = StreamVerbs.sessionize(in.toDS(), gapMs = 10 * 60000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two bursts for user 1 separated by > gap, one event for user 2
+      in.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(30), 1, "view", 4.0),
+        Event(4, ts(0), 2, "view", 9.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[Session].collect()
+      // the first burst closed when the 30-min event arrived
+      assert(sessions.length == 1)
+      assert(sessions(0).user_id == 1 && sessions(0).n_events == 2
+        && sessions(0).sum_value == 3.0)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops key repeats within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = StreamVerbs.streamingDedup(in.toDF(), Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 1, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+}
