@@ -169,6 +169,19 @@ final class CrysFrame private (
     * Not codegen'd — prefer `filter` with Column predicates. */
   def filterByRow(p: Row => Boolean): CrysFrame = keep(df.filter(p))
 
+  /** Row-wise transformation escape hatch — the reference's `map{}`
+    * over cells (reference: src/crysda/columns.cr:170-182). Distributed
+    * via mapPartitions but NOT codegen'd: prefer Column expressions for
+    * anything hot. */
+  def mapRows(outSchema: StructType)(f: Row => Row): CrysFrame =
+    CrysFrame(out.mapPartitions(_.map(f))(
+      org.apache.spark.sql.Encoders.row(outSchema)).toDF())
+
+  /** Re-infer a string column's type (the reference's `convert_type`,
+    * reference: src/crysda/reshape.cr:249-253): Long → Double → Boolean
+    * probed over all values in one aggregate pass. */
+  def convertType(column: String): CrysFrame = Reshape.convertType(this, column)
+
   /** Select rows by 1-based position, per group when grouped
     * (reference: src/crysda/dataframe.cr:503-510). */
   def slice(idx: Int*): CrysFrame = sliceWhere(_.isin(idx.map(Integer.valueOf): _*))
@@ -249,6 +262,14 @@ final class CrysFrame private (
     val ks = cols.map(c => col(c).desc_nulls_last)
     val rev = cols.map(c => col(c).asc_nulls_first)
     new CrysFrame(df.orderBy(ks: _*), groupedBy, ks, rev)
+  }
+
+  /** Sort by fully-specified orderings (caller supplies direction, e.g.
+    * `c("x").desc` — the reference's `desc(col)` sort helper,
+    * reference: src/crysda/context.cr:177-193). */
+  def sortByOrder(exprs: (Ctx => Column)*): CrysFrame = {
+    val ks = exprs.map(e => e(ctx))
+    new CrysFrame(df.orderBy(ks: _*), groupedBy, ks, Nil)
   }
 
   /** Sort by computed expressions (reference: src/crysda/dataframe.cr:530-547). */

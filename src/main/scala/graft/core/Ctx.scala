@@ -82,6 +82,15 @@ final class Ctx private[core] (
 
   /** null→false, CrysDA's `nil_as_false` (reference: src/crysda/extension.cr:30-38) */
   def nilAsFalse(c: Column): Column = coalesce(c, lit(false))
+
+  /** false→null, CrysDA's `false_as_nil` (reference: src/crysda/extension.cr:40-48) */
+  def falseAsNil(c: Column): Column = when(c === false, lit(null)).otherwise(c)
+
+  /** Index permutation of a column's sort order, 1-based — the
+    * reference's `order` (reference: src/crysda/columns.cr:144-158). */
+  def order(c: Column): Column = F.row_number().over(
+    (if (groupedBy.nonEmpty) Window.partitionBy(groupedBy.map(col): _*)
+     else Window.partitionBy()).orderBy(c.asc_nulls_last))
 }
 
 /** Strict-NA aggregate helpers, the Spark counterpart of the reference's

@@ -23,25 +23,36 @@ private[core] object Formatters {
     * and — only when the frame overflows maxRows — a count() for the
     * exact footer/header numbers. */
   def printFrame(f: CrysFrame, title: String, maxRows: Int,
-                 maxDigits: Int = 3): String = {
+                 maxDigits: Int = 3, maxWidth: Int = 100): String = {
     val names = f.names
     val rows: Seq[Row] = f.out.take(maxRows + 1).toSeq
     val total: Long = if (rows.size > maxRows) f.out.count() else rows.size.toLong
     val shown = rows.take(maxRows)
-    val cells = shown.map(r => names.map(n => fmt(r.getAs[Any](n), maxDigits)))
-    val widths = names.zipWithIndex.map { case (n, i) =>
-      (n.length +: cells.map(_(i).length)).max
+    val allCells = shown.map(r => names.map(n => fmt(r.getAs[Any](n), maxDigits)))
+    val allWidths = names.zipWithIndex.map { case (n, i) =>
+      (n.length +: allCells.map(_(i).length)).max
     }
+    // width-limited column subset + "and K more variables" footer
+    // (reference: src/crysda/dataframe.cr:604-664)
+    var used = 0
+    val nShow = allWidths.takeWhile { w => used += w + 3; used <= maxWidth }.size
+    val shownNames = names.take(math.max(nShow, 1))
+    val widths = allWidths.take(shownNames.size)
+    val cells = allCells.map(_.take(shownNames.size))
+    val moreVars = names.size - shownNames.size
     val sb = new StringBuilder
     sb.append(s"$title: $total x ${names.size}\n")
     if (f.isGrouped) sb.append(s"Groups: ${f.groupedBy.mkString(", ")}\n")
-    sb.append(names.zip(widths).map { case (n, w) => n.reverse.padTo(w, ' ').reverse }
+    sb.append(shownNames.zip(widths).map { case (n, w) => n.reverse.padTo(w, ' ').reverse }
       .mkString("   ", "   ", "\n"))
     cells.foreach { r =>
       sb.append(r.zip(widths).map { case (c, w) => c.reverse.padTo(w, ' ').reverse }
         .mkString("   ", "   ", "\n"))
     }
-    if (total > maxRows) sb.append(s"and ${total - maxRows} more rows\n")
+    if (total > maxRows && moreVars > 0)
+      sb.append(s"and ${total - maxRows} more rows, and $moreVars more variables\n")
+    else if (total > maxRows) sb.append(s"and ${total - maxRows} more rows\n")
+    else if (moreVars > 0) sb.append(s"and $moreVars more variables\n")
     sb.toString
   }
 
