@@ -7,13 +7,7 @@ import org.apache.spark.sql.SparkSession
   * the formatter, and the error contracts. `sbt "runMain graft.Demo"`. */
 object Demo {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder("local[4]", 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     println("=== flagship entry() on sf0.001 ===")
@@ -33,6 +27,11 @@ object Demo {
     catch { case ex: SelectException => println(s"SelectException: ${ex.getMessage}") }
     try f.select("n_name", "n_name")
     catch { case ex: SelectException => println(s"SelectException: ${ex.getMessage}") }
+
+    println("=== sampling (exact-n, with replacement) ===")
+    println(s"sampleN(3): ${f.sampleN(3).numRow} rows; " +
+      s"sampleN(40, replace=true): ${f.sampleN(40, replace = true).numRow} rows " +
+      s"from ${f.numRow}")
 
     println("=== CSV skip-preamble read ===")
     val tmp = java.nio.file.Files.createTempDirectory("graft_demo").toString + "/pre.txt"

@@ -422,7 +422,7 @@ object SparkEntry {
 
     "q_jaccard_pairs" -> ((s, d) =>
       CrysFrame(Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
-        threshold = 0.3, n = 3, numHashes = 64, bands = 16)
+        threshold = 0.5, n = 5, numHashes = 64, bands = 16)
         .withColumn("jaccard", round(col("jaccard"), 6)))
         .sortBy("id_a", "id_b").out),
 
@@ -835,6 +835,39 @@ object SparkEntry {
         |CROSS JOIN embeddings b
         |WHERE a.vec_id < 20 AND b.vec_id >= 20 AND b.vec_id < 40
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+        |                     x -> CAST(ascii(x) AS BIGINT))),
+        |    (acc, v) -> (acc * 31 + v) % 9007199254740881) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality" ->
+      """WITH parts AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) AS DOUBLE) AS nchars,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}'']+'),
+        |                         t -> len(t) > 0)) AS DOUBLE) AS ntok,
+        |    CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}'']+'),
+        |                                       t -> len(t) > 0))) AS DOUBLE) AS nuniq,
+        |    CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) AS alpha,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}'']+'),
+        |      t -> list_contains(['the','and','of','to','in','is','that','it','was','for','with','as','his','on','be','at','by','had','not','are'], t))) AS hits,
+        |    CASE WHEN regexp_matches(text, '[.!?]["'')\]]?\s*$') THEN 1.0 ELSE 0.0 END AS term
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(((alpha / greatest(nchars, 1.0))
+        |       + (nuniq / greatest(ntok, 1.0))
+        |       + term
+        |       + (CASE WHEN ntok >= 5 AND ntok <= 100000 THEN 1.0 ELSE 0.0 END)
+        |       + (CASE WHEN alpha / greatest(ntok, 1.0) >= 2
+        |                AND alpha / greatest(ntok, 1.0) <= 12 THEN 1.0 ELSE 0.0 END)) / 5.0,
+        |        4) AS quality,
+        |  round(hits / greatest(ntok, 1.0), 6) AS stopword_ratio
+        |FROM parts ORDER BY doc_id""".stripMargin,
 
     "q_ann_topk" ->
       """SELECT query_id, rank, nn_id, cos_sim FROM (

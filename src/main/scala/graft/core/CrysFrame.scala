@@ -220,11 +220,28 @@ final class CrysFrame private (
     * (reference: src/crysda/dataframe.cr:414-440). Window-over-rand:
     * statistically different RNG from the reference (only cardinalities
     * are spec'd there). */
-  def sampleN(n: Int, seed: Long = 42L): CrysFrame = {
-    val w =
-      if (groupedBy.nonEmpty) Window.partitionBy(groupedBy.map(col): _*).orderBy(rand(seed))
-      else Window.orderBy(rand(seed))
-    keep(df.withColumn(RN, F.row_number().over(w)).filter(col(RN) <= n).drop(RN))
+  def sampleN(n: Int, seed: Long = 42L, replace: Boolean = false): CrysFrame = {
+    if (!replace) {
+      val w =
+        if (groupedBy.nonEmpty) Window.partitionBy(groupedBy.map(col): _*).orderBy(rand(seed))
+        else Window.orderBy(rand(seed))
+      keep(df.withColumn(RN, F.row_number().over(w)).filter(col(RN) <= n).drop(RN))
+    } else {
+      // with replacement: n uniform draws per group joined back by row
+      // number — two small shuffles, no driver-side state
+      // (reference: src/crysda/dataframe.cr:414-440)
+      val keys = if (groupedBy.nonEmpty) groupedBy else Nil
+      val w =
+        if (keys.nonEmpty) Window.partitionBy(keys.map(col): _*).orderBy(rand(seed + 1))
+        else Window.orderBy(rand(seed + 1))
+      val numbered = df.withColumn(RN, F.row_number().over(w))
+      val sizes = numbered.groupBy(keys.map(col): _*).agg(F.max(col(RN)).as("__m"))
+      val draws = sizes
+        .withColumn("__draw", explode(sequence(lit(1), lit(n))))
+        .withColumn(RN, (floor(rand(seed) * col("__m")) + 1).cast("int"))
+        .drop("__m", "__draw")
+      keep(numbered.join(draws, keys :+ RN).drop(RN))
+    }
   }
 
   def sampleFrac(frac: Double, seed: Long = 42L): CrysFrame =

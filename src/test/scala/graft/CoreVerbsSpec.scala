@@ -114,6 +114,12 @@ class CoreVerbsSpec extends GraftSpec {
     assert(persons.sampleN(2).numRow == 2)
   }
 
+  test("sampleN with replacement can oversample") {
+    val s = persons.sampleN(5, replace = true)
+    assert(s.numRow == 5)
+    assert(s.names == persons.names)
+  }
+
   test("distinct keeps first full row per key") {
     val f = CrysFrame.of(spark, Seq("k", "v"),
       Seq(Seq("a", 1), Seq("a", 2), Seq("b", 3)))
