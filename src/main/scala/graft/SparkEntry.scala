@@ -189,6 +189,35 @@ object SparkEntry {
           "na_q" -> (_ => Agg.na(col("l_quantity"))))
         .sortBy("l_linestatus").out),
 
+    "q_cube" -> ((s, d) =>
+      cf(s, d, "lineitem")
+        .summarizeCube(Seq("l_returnflag", "l_linestatus"),
+          "n" -> (_ => Agg.n),
+          "sum_qty" -> (_ => F.sum(col("l_quantity"))))
+        .sortBy("l_returnflag", "l_linestatus").out),
+
+    "q_rollup" -> ((s, d) =>
+      cf(s, d, "orders")
+        .summarizeRollup(Seq("o_orderstatus", "o_orderpriority"),
+          "n" -> (_ => Agg.n))
+        .sortBy("o_orderstatus", "o_orderpriority").out),
+
+    "q_count_distinct" -> ((s, d) =>
+      cf(s, d, "lineitem").groupBy("l_returnflag")
+        .summarize(
+          "n_orders" -> (_ => countDistinct(col("l_orderkey"))),
+          "n_parts" -> (_ => countDistinct(col("l_partkey"))))
+        .sortBy("l_returnflag").out),
+
+    "q_rolling" -> ((s, d) =>
+      cf(s, d, "events").filter(_ => col("user_id") < 20)
+        .groupBy("user_id").sortBy("ts", "event_id")
+        .addColumns(
+          "roll_sum" -> (c => round(c.rollingSum(col("value"), 3), 4)),
+          "roll_max" -> (c => c.rollingMax(col("value"), 3)))
+        .select("event_id", "user_id", "roll_sum", "roll_max")
+        .ungroup.sortBy("event_id").out),
+
     "q_grouped_keys" -> ((s, d) =>
       cf(s, d, "orders").groupBy("o_orderstatus", "o_orderpriority").groupedKeys
         .sortBy("o_orderstatus", "o_orderpriority").out),
@@ -601,6 +630,31 @@ object SparkEntry {
         |  round(var_samp(l_quantity), 6) AS var_q,
         |  count(CASE WHEN l_quantity IS NULL THEN 1 END) AS na_q
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_rolling" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER w3, 4) AS roll_sum,
+        |  max(value) OVER w3 AS roll_max
+        |FROM events WHERE user_id < 20
+        |WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q_grouped_keys" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders

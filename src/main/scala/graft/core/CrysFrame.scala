@@ -48,8 +48,18 @@ final class CrysFrame private (
   def numRow: Long = df.count()
   def schema: StructType =
     StructType(df.schema.fields.filterNot(_.name == ORD))
-  /** Underlying frame without internal columns — what sinks should see. */
-  def out: DataFrame = if (df.columns.contains(ORD)) df.drop(ORD) else df
+  /** Underlying frame without internal columns, with the frame's
+    * ordering applied — what sinks/actions observe. The sort is LAZY:
+    * `sortBy` only records the keys, so grouped window verbs never pay
+    * a useless global sort; the orderBy lands here, at observation
+    * points, where Catalyst turns head-style access into
+    * TakeOrderedAndProject. (The hidden ingest ordinal is physical
+    * order already — no sort needed for it.) */
+  def out: DataFrame = {
+    val base = if (df.columns.contains(ORD)) df.drop(ORD) else df
+    if (ordCols.nonEmpty && ordCols.map(colName) != Seq(ORD)) base.orderBy(ordCols: _*)
+    else base
+  }
 
   def isGrouped: Boolean = groupedBy.nonEmpty
 
@@ -255,8 +265,16 @@ final class CrysFrame private (
     * matches Spark's `dropDuplicates` exactly
     * (reference: src/crysda/dataframe.cr:216-223). */
   def distinct(cols: String*): CrysFrame = {
-    if (cols.isEmpty) keep(out.dropDuplicates())
-    else { requireCols(cols); keep(df.dropDuplicates(cols)) }
+    if (cols.isEmpty) keep(df.drop(ORD).dropDuplicates())
+    else {
+      requireCols(cols)
+      if (ordCols.nonEmpty && ordCols.map(colName) != Seq(ORD)) {
+        // keep the FIRST row per key in the frame's order — the
+        // deterministic version of dropDuplicates' keep-first
+        val w = Window.partitionBy(cols.map(col): _*).orderBy(ordCols: _*)
+        keep(df.withColumn(RN, F.row_number().over(w)).filter(col(RN) === 1).drop(RN))
+      } else keep(df.dropDuplicates(cols))
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -270,7 +288,7 @@ final class CrysFrame private (
     requireCols(cols)
     val ks = cols.map(c => col(c).asc_nulls_last)
     val rev = cols.map(c => col(c).desc_nulls_first)
-    new CrysFrame(df.orderBy(ks: _*), groupedBy, ks, rev)
+    new CrysFrame(df, groupedBy, ks, rev)
   }
 
   /** Descending, still NAs last (reference: spec/core_spec.cr:290-301). */
@@ -278,7 +296,7 @@ final class CrysFrame private (
     requireCols(cols)
     val ks = cols.map(c => col(c).desc_nulls_last)
     val rev = cols.map(c => col(c).asc_nulls_first)
-    new CrysFrame(df.orderBy(ks: _*), groupedBy, ks, rev)
+    new CrysFrame(df, groupedBy, ks, rev)
   }
 
   /** Sort by fully-specified orderings (caller supplies direction, e.g.
@@ -286,14 +304,14 @@ final class CrysFrame private (
     * reference: src/crysda/context.cr:177-193). */
   def sortByOrder(exprs: (Ctx => Column)*): CrysFrame = {
     val ks = exprs.map(e => e(ctx))
-    new CrysFrame(df.orderBy(ks: _*), groupedBy, ks, Nil)
+    new CrysFrame(df, groupedBy, ks, Nil)
   }
 
   /** Sort by computed expressions (reference: src/crysda/dataframe.cr:530-547). */
   def sortByExpr(exprs: (Ctx => Column)*): CrysFrame = {
     val es = exprs.map(e => e(ctx))
     val ks = es.map(_.asc_nulls_last)
-    new CrysFrame(df.orderBy(ks: _*), groupedBy, ks, es.map(_.desc_nulls_first))
+    new CrysFrame(df, groupedBy, ks, es.map(_.desc_nulls_first))
   }
 
   // ---------------------------------------------------------------------
@@ -342,6 +360,24 @@ final class CrysFrame private (
       if (groupedBy.isEmpty) out.agg(aggs.head, aggs.tail: _*)
       else out.groupBy(groupedBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
     CrysFrame(res)
+  }
+
+  /** CUBE aggregation — subtotals over every key subset (capability
+    * upgrade beyond the reference, SURVEY §2.5 note; Catalyst expands
+    * grouping sets before the shuffle, still one pass). */
+  def summarizeCube(cols: Seq[String], rules: (String, Ctx => Column)*): CrysFrame = {
+    requireCols(cols)
+    val c = new Ctx(Nil, Nil)
+    val aggs = rules.map { case (n, e) => e(c).as(n) }
+    CrysFrame(out.cube(cols.map(col): _*).agg(aggs.head, aggs.tail: _*))
+  }
+
+  /** ROLLUP aggregation — hierarchical subtotals. */
+  def summarizeRollup(cols: Seq[String], rules: (String, Ctx => Column)*): CrysFrame = {
+    requireCols(cols)
+    val c = new Ctx(Nil, Nil)
+    val aggs = rules.map { case (n, e) => e(c).as(n) }
+    CrysFrame(out.rollup(cols.map(col): _*).agg(aggs.head, aggs.tail: _*))
   }
 
   /** Apply aggregate fns over a column selection; result names

@@ -86,6 +86,21 @@ final class Ctx private[core] (
   /** false→null, CrysDA's `false_as_nil` (reference: src/crysda/extension.cr:40-48) */
   def falseAsNil(c: Column): Column = when(c === false, lit(null)).otherwise(c)
 
+  /** Rolling window aggregate over the trailing `width` rows (inclusive)
+    * in the frame's explicit order — capability upgrade beyond the
+    * reference (its only frames are implicit whole-prefix ones). */
+  def rollingSum(c: Column, width: Int): Column =
+    F.sum(c).over(wOrdered.rowsBetween(-(width - 1).toLong, Window.currentRow))
+
+  def rollingMean(c: Column, width: Int): Column =
+    avg(c).over(wOrdered.rowsBetween(-(width - 1).toLong, Window.currentRow))
+
+  def rollingMin(c: Column, width: Int): Column =
+    F.min(c).over(wOrdered.rowsBetween(-(width - 1).toLong, Window.currentRow))
+
+  def rollingMax(c: Column, width: Int): Column =
+    F.max(c).over(wOrdered.rowsBetween(-(width - 1).toLong, Window.currentRow))
+
   /** Index permutation of a column's sort order, 1-based — the
     * reference's `order` (reference: src/crysda/columns.cr:144-158). */
   def order(c: Column): Column = F.row_number().over(

@@ -50,13 +50,33 @@ object Similarity {
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Deterministic IVF centroids: the `nLists` corpus vectors with the
-    * lowest ids (deterministic stand-in for k-means; swap in real
-    * centroids without changing the plan shape). */
+  /** Deterministic IVF centroids: seeded from the `nLists` lowest-id
+    * corpus vectors, then refined with `refineIters` Lloyd iterations
+    * (assign → per-list dimension means). Each iteration is one
+    * assign pass (map-only vs broadcast centroids) plus a posexplode +
+    * two-level aggregation whose cardinality is nLists × dim — tiny
+    * regardless of corpus size. */
   def centroids(corpus: DataFrame, idCol: String, vecCol: String,
-                nLists: Int = 16): DataFrame =
-    corpus.orderBy(col(idCol)).limit(nLists)
-      .select(monotonically_increasing_id().as("list_id"), col(vecCol).as("cvec"))
+                nLists: Int = 16, refineIters: Int = 1): DataFrame = {
+    var cents = corpus.orderBy(col(idCol)).limit(nLists)
+      .select(monotonically_increasing_id().as("list_id"),
+        col(vecCol).cast("array<double>").as("cvec"))
+    var it = 0
+    while (it < refineIters) {
+      val assigned = assignLists(
+        corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
+      cents = assigned
+        .select(col("list_id"), posexplode(col(vecCol)).as(Seq("pos", "__x")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(avg(col("__x")).as("__mean"))
+        .groupBy(col("list_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("__mean")))).as("__ps"))
+        .select(col("list_id"),
+          transform(col("__ps"), p => p.getField("__mean")).as("cvec"))
+      it += 1
+    }
+    cents
+  }
 
   /** Assign each row to its nearest centroid list (map-only: centroids
     * broadcast, argmax computed with a max_by over the centroid array). */
@@ -75,8 +95,9 @@ object Similarity {
     * Recall < 1 by construction; the exactness knob is nProbe/nLists. */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qidCol: String, qvecCol: String,
-              k: Int = 10, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = centroids(corpus, idCol, vecCol, nLists).cache()
+              k: Int = 10, nLists: Int = 16, nProbe: Int = 4,
+              refineIters: Int = 1): DataFrame = {
+    val cents = centroids(corpus, idCol, vecCol, nLists, refineIters).cache()
     val assigned = assignLists(corpus, idCol, vecCol, cents)
     // nProbe nearest lists per query
     val qLists = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__q"))

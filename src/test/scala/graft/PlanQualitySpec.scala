@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regression guards: the properties that matter at 100 TB —
+  * filters reaching the parquet scan, schemas pruned to used columns,
+  * small dimensions broadcast, aggregates running partial-then-final —
+  * asserted on the actual physical plans so a refactor can't silently
+  * regress them. */
+class PlanQualitySpec extends GraftSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q_filter pushes predicates into the parquet scan") {
+    val p = plan("q_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity,45.0)"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("q_select prunes the read schema to the projected columns") {
+    val p = plan("q_select")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+    assert(readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("q_join_inner broadcasts the dimension sides") {
+    val p = plan("q_join_inner")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q1_agg aggregates partially before the shuffle") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), p)
+    // exactly one shuffle for the aggregation plus one for the sort
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q_lead_lag windows are partitioned (no global single-partition window)") {
+    val p = plan("q_lead_lag")
+    assert(p.contains("Window"), p)
+    assert(p.contains("windowspecdefinition(user_id"), p)
+    // lazy frame ordering: no extra global-sort exchange before the window
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q_dedup_minhash plans no cartesian product") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
