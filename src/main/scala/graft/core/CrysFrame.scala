@@ -96,7 +96,7 @@ final class CrysFrame private (
     if (cols.distinct.size != cols.size)
       throw new SelectException(s"Duplicate selection: ${cols.mkString(", ")}")
     val keepOrd = if (df.columns.contains(ORD)) Seq(ORD) else Nil
-    keep(df.select((cols ++ keepOrd).map(col): _*))
+    keep(df.select((cols ++ keepOrd).map(qcol): _*))
   }
 
   def select(selector: ColumnSelector): CrysFrame =
@@ -117,7 +117,7 @@ final class CrysFrame private (
     new CrysFrame(renamed,
       groupedBy.map(g => m.getOrElse(g, g)),
       ordCols.map(c => m.get(colName(c)).map(col).getOrElse(c)),
-      ordRev.map(c => m.get(colName(c)).map(n => col(n).desc).getOrElse(c)))
+      ordRev.map(c => m.get(colName(c)).map(n => qcol(n).desc).getOrElse(c)))
   }
 
   /** Replace all names (reference: src/crysda/dataframe.cr:488-495). */
@@ -201,7 +201,7 @@ final class CrysFrame private (
     val c = ordered
     val w =
       if (groupedBy.nonEmpty)
-        Window.partitionBy(groupedBy.map(col): _*).orderBy(c.ordCols: _*)
+        Window.partitionBy(groupedBy.map(qcol): _*).orderBy(c.ordCols: _*)
       else Window.orderBy(c.ordCols: _*)
     val tagged = c.df.withColumn(RN, F.row_number().over(w))
     new CrysFrame(tagged.filter(cond(col(RN))).drop(RN), groupedBy,
@@ -219,7 +219,7 @@ final class CrysFrame private (
     val c = ordered
     val w =
       if (groupedBy.nonEmpty)
-        Window.partitionBy(groupedBy.map(col): _*).orderBy(c.ordRev: _*)
+        Window.partitionBy(groupedBy.map(qcol): _*).orderBy(c.ordRev: _*)
       else Window.orderBy(c.ordRev: _*)
     val tagged = c.df.withColumn(RN, F.row_number().over(w))
     new CrysFrame(tagged.filter(col(RN) <= n).drop(RN), groupedBy,
@@ -233,7 +233,7 @@ final class CrysFrame private (
   def sampleN(n: Int, seed: Long = 42L, replace: Boolean = false): CrysFrame = {
     if (!replace) {
       val w =
-        if (groupedBy.nonEmpty) Window.partitionBy(groupedBy.map(col): _*).orderBy(rand(seed))
+        if (groupedBy.nonEmpty) Window.partitionBy(groupedBy.map(qcol): _*).orderBy(rand(seed))
         else Window.orderBy(rand(seed))
       keep(df.withColumn(RN, F.row_number().over(w)).filter(col(RN) <= n).drop(RN))
     } else {
@@ -242,10 +242,10 @@ final class CrysFrame private (
       // (reference: src/crysda/dataframe.cr:414-440)
       val keys = if (groupedBy.nonEmpty) groupedBy else Nil
       val w =
-        if (keys.nonEmpty) Window.partitionBy(keys.map(col): _*).orderBy(rand(seed + 1))
+        if (keys.nonEmpty) Window.partitionBy(keys.map(qcol): _*).orderBy(rand(seed + 1))
         else Window.orderBy(rand(seed + 1))
       val numbered = df.withColumn(RN, F.row_number().over(w))
-      val sizes = numbered.groupBy(keys.map(col): _*).agg(F.max(col(RN)).as("__m"))
+      val sizes = numbered.groupBy(keys.map(qcol): _*).agg(F.max(col(RN)).as("__m"))
       val draws = sizes
         .withColumn("__draw", explode(sequence(lit(1), lit(n))))
         .withColumn(RN, (floor(rand(seed) * col("__m")) + 1).cast("int"))
@@ -271,7 +271,7 @@ final class CrysFrame private (
       if (ordCols.nonEmpty && ordCols.map(colName) != Seq(ORD)) {
         // keep the FIRST row per key in the frame's order — the
         // deterministic version of dropDuplicates' keep-first
-        val w = Window.partitionBy(cols.map(col): _*).orderBy(ordCols: _*)
+        val w = Window.partitionBy(cols.map(qcol): _*).orderBy(ordCols: _*)
         keep(df.withColumn(RN, F.row_number().over(w)).filter(col(RN) === 1).drop(RN))
       } else keep(df.dropDuplicates(cols))
     }
@@ -286,16 +286,16 @@ final class CrysFrame private (
     * the frame's explicit ordering for subsequent window verbs. */
   def sortBy(cols: String*): CrysFrame = {
     requireCols(cols)
-    val ks = cols.map(c => col(c).asc_nulls_last)
-    val rev = cols.map(c => col(c).desc_nulls_first)
+    val ks = cols.map(c => qcol(c).asc_nulls_last)
+    val rev = cols.map(c => qcol(c).desc_nulls_first)
     new CrysFrame(df, groupedBy, ks, rev)
   }
 
   /** Descending, still NAs last (reference: spec/core_spec.cr:290-301). */
   def sortDescBy(cols: String*): CrysFrame = {
     requireCols(cols)
-    val ks = cols.map(c => col(c).desc_nulls_last)
-    val rev = cols.map(c => col(c).asc_nulls_first)
+    val ks = cols.map(c => qcol(c).desc_nulls_last)
+    val rev = cols.map(c => qcol(c).asc_nulls_first)
     new CrysFrame(df, groupedBy, ks, rev)
   }
 
@@ -342,7 +342,7 @@ final class CrysFrame private (
   /** Distinct key tuples (reference: src/crysda/groupdf.cr:94-97). */
   def groupedKeys: CrysFrame = {
     require(isGrouped, "not grouped")
-    CrysFrame(df.select(groupedBy.map(col): _*).distinct())
+    CrysFrame(df.select(groupedBy.map(qcol): _*).distinct())
   }
 
   /** Each row its own group (reference: src/crysda/dataframe.cr:406-412):
@@ -358,7 +358,7 @@ final class CrysFrame private (
     val aggs = rules.map { case (n, e) => e(c).as(n) }
     val res =
       if (groupedBy.isEmpty) out.agg(aggs.head, aggs.tail: _*)
-      else out.groupBy(groupedBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      else out.groupBy(groupedBy.map(qcol): _*).agg(aggs.head, aggs.tail: _*)
     CrysFrame(res)
   }
 
@@ -369,7 +369,7 @@ final class CrysFrame private (
     requireCols(cols)
     val c = new Ctx(Nil, Nil)
     val aggs = rules.map { case (n, e) => e(c).as(n) }
-    CrysFrame(out.cube(cols.map(col): _*).agg(aggs.head, aggs.tail: _*))
+    CrysFrame(out.cube(cols.map(qcol): _*).agg(aggs.head, aggs.tail: _*))
   }
 
   /** ROLLUP aggregation — hierarchical subtotals. */
@@ -377,7 +377,7 @@ final class CrysFrame private (
     requireCols(cols)
     val c = new Ctx(Nil, Nil)
     val aggs = rules.map { case (n, e) => e(c).as(n) }
-    CrysFrame(out.rollup(cols.map(col): _*).agg(aggs.head, aggs.tail: _*))
+    CrysFrame(out.rollup(cols.map(qcol): _*).agg(aggs.head, aggs.tail: _*))
   }
 
   /** Apply aggregate fns over a column selection; result names
@@ -385,7 +385,7 @@ final class CrysFrame private (
   def summarizeAt(selector: ColumnSelector, fns: (String, Column => Column)*): CrysFrame = {
     val cols = selector.resolve(names, schema)
     val rules = for (cn <- cols; (suffix, f) <- fns)
-      yield s"$cn.$suffix" -> ((_: Ctx) => f(col(cn)))
+      yield s"$cn.$suffix" -> ((_: Ctx) => f(qcol(cn)))
     summarize(rules: _*)
   }
 
@@ -394,7 +394,7 @@ final class CrysFrame private (
   def count(cols: String*): CrysFrame = {
     val keys = groupedBy ++ cols.filterNot(groupedBy.contains)
     if (keys.isEmpty) CrysFrame(out.agg(F.count(lit(1)).as("n")))
-    else { requireCols(cols); CrysFrame(out.groupBy(keys.map(col): _*).agg(F.count(lit(1)).as("n"))) }
+    else { requireCols(cols); CrysFrame(out.groupBy(keys.map(qcol): _*).agg(F.count(lit(1)).as("n"))) }
   }
 
   /** Per-group sub-frames as first-class (lazy) values — the
@@ -409,7 +409,7 @@ final class CrysFrame private (
     groupedKeys.collectRows().map { key =>
       val tuple = groupedBy.map(k => key.getAs[Any](k))
       val cond = groupedBy.zip(tuple).map { case (k, v) =>
-        if (v == null) col(k).isNull else col(k) === lit(v)
+        if (v == null) qcol(k).isNull else qcol(k) === lit(v)
       }.reduce(_ && _)
       tuple -> new CrysFrame(df.filter(cond), Nil, ordCols, ordRev)
     }

@@ -21,12 +21,13 @@ final class Ctx private[core] (
     private[core] val groupedBy: Seq[String],
     private[core] val ordCols: Seq[Column]) {
 
-  /** Column by name, `ctx("x")`. */
-  def apply(name: String): Column = col(name)
+  /** Column by name, `ctx("x")` (literal — dotted names stay one
+    * identifier). */
+  def apply(name: String): Column = graft.core.qcol(name)
 
   // ---- window plumbing -------------------------------------------------
   private def base: WindowSpec =
-    if (groupedBy.nonEmpty) Window.partitionBy(groupedBy.map(col): _*)
+    if (groupedBy.nonEmpty) Window.partitionBy(groupedBy.map(graft.core.qcol): _*)
     else Window.partitionBy()
 
   private[core] def wOrdered: WindowSpec = {
@@ -104,7 +105,7 @@ final class Ctx private[core] (
   /** Index permutation of a column's sort order, 1-based — the
     * reference's `order` (reference: src/crysda/columns.cr:144-158). */
   def order(c: Column): Column = F.row_number().over(
-    (if (groupedBy.nonEmpty) Window.partitionBy(groupedBy.map(col): _*)
+    (if (groupedBy.nonEmpty) Window.partitionBy(groupedBy.map(graft.core.qcol): _*)
      else Window.partitionBy()).orderBy(c.asc_nulls_last))
 }
 

@@ -49,8 +49,33 @@ private[core] object Joins {
       CrysFrame(ld.crossJoin(rd))
     } else {
       val (ld, rd) = suffixed(l.out, rAligned, keys, suffices)
-      CrysFrame(ld.join(rd, keys, how))
+      CrysFrame(nullSafeEquiJoin(ld, rd, keys, how))
     }
+  }
+
+  private def q(k: String): String = "`" + k.replace("`", "``") + "`"
+
+  /** Equi-join with NULL-SAFE key matching (`<=>`): the reference joins
+    * by grouping both sides on the key tuple, so NA keys match NA keys
+    * (reference: src/crysda/joins.cr:70-131; golden
+    * spec/joins_spec.cr:63-66 counts on it). Catalyst's hash joins
+    * support EqualNullSafe, so the physical plan is unchanged vs `=`. */
+  private def nullSafeEquiJoin(ld: DataFrame, rd: DataFrame,
+                               keys: Seq[String], how: String): DataFrame = {
+    val la = ld.as("__gl")
+    val ra = rd.as("__gr")
+    val cond = keys.map(k => col("__gl." + q(k)) <=> col("__gr." + q(k))).reduce(_ && _)
+    val joined = la.join(ra, cond, how)
+    val keyCols = keys.map { k =>
+      how match {
+        case "right"      => col("__gr." + q(k)).as(k)
+        case "full_outer" => coalesce(col("__gl." + q(k)), col("__gr." + q(k))).as(k)
+        case _            => col("__gl." + q(k)).as(k)
+      }
+    }
+    val lRest = ld.columns.filterNot(keys.contains).map(c => col("__gl." + q(c)))
+    val rRest = rd.columns.filterNot(keys.contains).map(c => col("__gr." + q(c)))
+    joined.select((keyCols ++ lRest ++ rRest): _*)
   }
 
   /** semi/anti: result carries only left columns — no suffixing needed
@@ -59,7 +84,10 @@ private[core] object Joins {
                  by: Option[Seq[String]]): CrysFrame = {
     val keys = by.getOrElse(defaultBy(l, r))
     require(keys.nonEmpty, "semi/anti join requires at least one key")
-    CrysFrame(l.out.join(r.out.select(keys.map(col): _*), keys, how))
+    val la = l.out.as("__gl")
+    val ra = r.out.select(keys.map(qcol): _*).as("__gr")
+    val cond = keys.map(k => col("__gl." + q(k)) <=> col("__gr." + q(k))).reduce(_ && _)
+    CrysFrame(la.join(ra, cond, how))
   }
 }
 

@@ -19,7 +19,7 @@ private[core] object Reshape {
     val rest = f.names.filterNot(c => c == key || c == value)
     val df = f.out
     if (verify) {
-      val dup = df.groupBy((rest :+ key).map(col): _*).count()
+      val dup = df.groupBy((rest :+ key).map(qcol): _*).count()
         .filter(col("count") > 1).limit(1).count()
       if (dup > 0) throw new IllegalArgumentException(
         s"spread: ($key) is not unique per row group")
@@ -27,9 +27,9 @@ private[core] object Reshape {
     // collect pivot values driver-side so the pivot is single-pass and
     // the resulting column order is deterministic (sorted, like the
     // reference's sorted distinct keys)
-    val keyVals = df.select(col(key).cast(StringType)).distinct()
+    val keyVals = df.select(qcol(key).cast(StringType)).distinct()
       .collect().map(_.getString(0)).filter(_ != null).sorted.toSeq
-    var out = df.groupBy(rest.map(col): _*)
+    var out = df.groupBy(rest.map(qcol): _*)
       .pivot(key, keyVals).agg(F.first(col(value)))
     fill.foreach { fv => out = out.na.fill(fv.toString, keyVals) }
     val res = CrysFrame(out)
@@ -51,9 +51,9 @@ private[core] object Reshape {
         val target =
           if (types.forall(t => t == DoubleType || t == IntegerType || t == LongType || t == FloatType))
             DoubleType else StringType
-        gatherCols.foldLeft(df0)((d, c) => d.withColumn(c, col(c).cast(target)))
+        gatherCols.foldLeft(df0)((d, c) => d.withColumn(c, qcol(c).cast(target)))
       } else df0
-    val long = df.unpivot(ids.map(col).toArray, gatherCols.map(col).toArray, key, value)
+    val long = df.unpivot(ids.map(qcol).toArray, gatherCols.map(qcol).toArray, key, value)
     val res = CrysFrame(long)
     if (convert) convertType(res, key) else res
   }
@@ -62,7 +62,7 @@ private[core] object Reshape {
     * (reference: src/crysda/reshape.cr:131-153). `NA` literal → null. */
   def separate(f: CrysFrame, column: String, into: Seq[String], sep: String,
                remove: Boolean, convert: Boolean): CrysFrame = {
-    val parts = split(col(column), sep)
+    val parts = split(qcol(column), sep)
     var df = f.out
     into.zipWithIndex.foreach { case (n, i) =>
       val v = parts.getItem(i)
@@ -81,7 +81,7 @@ private[core] object Reshape {
             sep: String, remove: Boolean): CrysFrame = {
     val cols = selector.resolve(f.names, f.schema)
     require(cols.nonEmpty, "unite: empty column selection")
-    val parts = cols.map(c => coalesce(col(c).cast(StringType), lit("NA")))
+    val parts = cols.map(c => coalesce(qcol(c).cast(StringType), lit("NA")))
     var df = f.out.withColumn(name, concat_ws(sep, parts: _*))
     if (remove) df = df.drop(cols.filterNot(_ == name): _*)
     CrysFrame(df)
@@ -95,8 +95,8 @@ private[core] object Reshape {
     val keys = if (f.isGrouped) f.groupedBy else f.names.filterNot(nested.contains)
     val toPack = f.names.filterNot(keys.contains)
     require(keys.nonEmpty, "nest: no key columns left")
-    CrysFrame(f.out.groupBy(keys.map(col): _*)
-      .agg(sort_array(collect_list(struct(toPack.map(col): _*))).as(packedName)))
+    CrysFrame(f.out.groupBy(keys.map(qcol): _*)
+      .agg(sort_array(collect_list(struct(toPack.map(qcol): _*))).as(packedName)))
   }
 
   /** Explode a list-/frame-column back to rows; null → one null row
@@ -107,10 +107,10 @@ private[core] object Reshape {
       case ArrayType(_: StructType, _) =>
         val others = f.names.filterNot(_ == column)
         CrysFrame(f.out
-          .withColumn(column, explode_outer(col(column)))
-          .select((others.map(col) :+ col(column + ".*")): _*))
+          .withColumn(column, explode_outer(qcol(column)))
+          .select((others.map(qcol) :+ col("`" + column + "`.*")): _*))
       case _: ArrayType =>
-        CrysFrame(f.out.withColumn(column, explode_outer(col(column))))
+        CrysFrame(f.out.withColumn(column, explode_outer(qcol(column))))
       case other =>
         throw new IllegalArgumentException(s"unnest: $column is $other, not a list")
     }
@@ -122,7 +122,7 @@ private[core] object Reshape {
     require(cols.nonEmpty, "expand: no columns")
     val distincts = cols.map(c => f.out.select(c).distinct())
     val crossed = distincts.reduce(_.crossJoin(_))
-    CrysFrame(crossed.orderBy(cols.map(c => col(c).asc_nulls_last): _*))
+    CrysFrame(crossed.orderBy(cols.map(c => qcol(c).asc_nulls_last): _*))
   }
 
   /** expand + left_join back (reference: src/crysda/reshape.cr:215-217). */
@@ -135,7 +135,7 @@ private[core] object Reshape {
     * type with zero parse failures. */
   def convertType(f: CrysFrame, column: String): CrysFrame = {
     if (f.schema(column).dataType != StringType) return f
-    val c = col(column)
+    val c = qcol(column)
     val probe = f.out.agg(
       F.count(when(c.isNotNull && try_cast(c, "long").isNull, 1)).as("badLong"),
       F.count(when(c.isNotNull && try_cast(c, "double").isNull, 1)).as("badDouble"),

@@ -29,8 +29,13 @@ object Readers {
               header: Boolean = true,
               naValue: String = "NA",
               trueValues: Set[String] = Inference.defaultTrue,
-              falseValues: Set[String] = Inference.defaultFalse): CrysFrame = {
+              falseValues: Set[String] = Inference.defaultFalse,
+              multiLine: Boolean = false): CrysFrame = {
+    // multiLine=true parses newlines inside quoted fields (the
+    // reference parser always does) but makes the scan non-splittable —
+    // leave off unless the data needs it
     var reader = spark.read
+      .option("multiLine", multiLine)
       .option("sep", separator)
       .option("quote", quoteChar)
       .option("header", header)
@@ -51,21 +56,59 @@ object Readers {
       }
     if (!header) raw = raw.toDF(raw.columns.indices.map(i => s"Col${i + 1}"): _*)
 
-    // 20-value peek per column (reference: utils.cr:276), then verify the
-    // candidate over the full column with try_cast in the same projection
-    // (overflow fallback — reference re-scans on failure).
+    // 20-value peek per column (reference: utils.cr:276) gives the
+    // candidate; then ONE aggregate pass verifies every candidate over
+    // the full column and falls down the ladder on any parse failure —
+    // the reference's conversion-failure fallback (utils.cr:275-309),
+    // e.g. "Unrated" past row 20 downgrades a numeric column to String.
     val sample = raw.take(20)
+    val candidates = raw.columns.map { c =>
+      c -> Inference.inferFromStrings(
+        sample.map(_.getAs[String](c)).toSeq, trueValues, falseValues)
+    }.toMap
+    val toVerify = raw.columns.filter(c => candidates(c) != StringType)
+    val verified: Map[String, DataType] =
+      if (toVerify.isEmpty) candidates
+      else {
+        val boolVocab = (trueValues ++ falseValues).toSeq
+        val counters = toVerify.flatMap { c =>
+          val qc = graft.core.qcol(c)
+          Seq(
+            count(when(qc.isNotNull && qc.try_cast("int").isNull, 1)).as(s"__bi_$c"),
+            count(when(qc.isNotNull && qc.try_cast("long").isNull, 1)).as(s"__bl_$c"),
+            count(when(qc.isNotNull &&
+              regexp_replace(qc, ",", "").try_cast("double").isNull, 1)).as(s"__bd_$c"),
+            count(when(qc.isNotNull &&
+              !qc.isin(boolVocab.map(x => x: Any): _*), 1)).as(s"__bb_$c"))
+        }
+        val row = raw.agg(counters.head, counters.tail: _*).collect()(0)
+        val ladder = Seq[DataType](IntegerType, LongType, DoubleType, BooleanType, StringType)
+        candidates.map { case (c, cand) =>
+          if (cand == StringType) c -> cand
+          else {
+            def bad(dt: DataType): Long = dt match {
+              case IntegerType => row.getAs[Long](s"__bi_$c")
+              case LongType    => row.getAs[Long](s"__bl_$c")
+              case DoubleType  => row.getAs[Long](s"__bd_$c")
+              case BooleanType => row.getAs[Long](s"__bb_$c")
+              case _           => 0L
+            }
+            c -> ladder.drop(ladder.indexOf(cand))
+              .find(dt => dt == StringType || bad(dt) == 0L).get
+          }
+        }
+      }
     val typed = raw.columns.map { c =>
-      val vals = sample.map(_.getAs[String](c)).toSeq
-      val dt = Inference.inferFromStrings(vals, trueValues, falseValues)
+      val dt = verified(c)
+      val qc = graft.core.qcol(c)
       dt match {
         case BooleanType =>
-          when(col(c).isin(trueValues.toSeq.map(x => x: Any): _*), lit(true))
-            .when(col(c).isin(falseValues.toSeq.map(x => x: Any): _*), lit(false))
+          when(qc.isin(trueValues.toSeq.map(x => x: Any): _*), lit(true))
+            .when(qc.isin(falseValues.toSeq.map(x => x: Any): _*), lit(false))
             .otherwise(lit(null).cast(BooleanType)).as(c)
-        case DoubleType => regexp_replace(col(c), ",", "").cast(DoubleType).as(c)
-        case StringType => col(c).as(c)
-        case other      => col(c).cast(other).as(c)
+        case DoubleType => regexp_replace(qc, ",", "").cast(DoubleType).as(c)
+        case StringType => qc.as(c)
+        case other      => qc.cast(other).as(c)
       }
     }
     CrysFrame(raw.select(typed.toSeq: _*))

@@ -1,0 +1,97 @@
+package graft
+
+import graft.core.{Agg, CrysFrame}
+import graft.sources.Readers
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Golden-value parity against the reference's own spec fixtures, read
+  * in place from the read-only reference checkout (no fixture copies).
+  * These pin exact numbers the reference asserts about itself. */
+class ReferenceGoldenSpec extends GraftSpec {
+
+  private val data = "/root/reference/spec/data"
+
+  private lazy val sleep: CrysFrame = Readers.readCsv(spark, s"$data/msleep.csv")
+  private lazy val iris: CrysFrame =
+    Readers.readCsv(spark, s"$data/iris.txt", separator = "\t")
+
+  test("msleep.csv infers the reference's column types (83 x 11, NA-heavy)") {
+    assert(sleep.numRow == 83)
+    assert(sleep.numCol == 11)
+    val byName = sleep.schema.fields.map(f => f.name -> f.dataType).toMap
+    Seq("name", "genus", "vore", "order", "conservation")
+      .foreach(c => assert(byName(c) == StringType, c))
+    Seq("sleep_total", "sleep_rem", "sleep_cycle", "awake", "brainwt", "bodywt")
+      .foreach(c => assert(byName(c) == DoubleType, c))
+  }
+
+  test("iris.txt reads as 150 x 5, four doubles + species") {
+    assert(iris.numRow == 150)
+    assert(iris.schema("Species").dataType == StringType)
+    assert(iris.schema("Sepal.Length").dataType == DoubleType)
+  }
+
+  /** reference: spec/core_spec.cr:660-680 — compound pipeline golden. */
+  test("compound pipeline reproduces mean rem proportion 0.22137215757391437") {
+    val got = sleep
+      .filter(c => c("awake") > 3)
+      .addColumn("rem_proportion")(c => c("sleep_rem") / c("sleep_total"))
+      .moveLeft("rem_proportion", "sleep_rem", "sleep_total")
+      .groupBy("vore")
+      .summarize("mean_rem_prop" -> (_ =>
+        Agg.mean(col("rem_proportion"), removeNa = true)))
+      .filter(c => c("vore") === "insecti")
+      .collectRows()
+    assert(got.size == 1)
+    assert(got.head.getDouble(1) == 0.22137215757391437)
+  }
+
+  /** reference: spec/joins_spec.cr:63-66 — unequal-by self-join golden. */
+  test("self-join on (vore, order) yields exactly 597 rows") {
+    val renamed = sleep.rename("order" -> "new_order")
+    val joined = sleep.innerJoin(renamed,
+      byPairs = Seq("vore" -> "vore", "order" -> "new_order"))
+    assert(joined.numRow == 597)
+  }
+
+  /** reference: spec/joins_spec.cr:59-61 — natural self-join keeps names. */
+  test("natural self-join by all columns preserves the column model") {
+    assert(sleep.innerJoin(sleep).names == sleep.names)
+  }
+
+  /** reference: spec/reader_spec.cr:59-63 — gzip read path. */
+  test("gzip CSV reads identically to the plain file") {
+    val gz = Readers.readCsv(spark, s"$data/msleep.csv.gz")
+    assert(gz.numRow == 83)
+    assert(gz.names == sleep.names)
+  }
+
+  /** reference: spec/reader_spec.cr:37-48 — the type-inference contract
+    * fixture (String, String, Double, Int, Bool, Long). */
+  test("test_header_types.csv reproduces the inference ladder") {
+    val f = Readers.readCsv(spark, s"$data/test_header_types.csv")
+    assert(f.schema.fields.map(_.dataType).toSeq ==
+      Seq(StringType, StringType, DoubleType, IntegerType, BooleanType, LongType))
+  }
+
+  /** reference: spec/reader_spec.cr:99-116 — movies.json (3,201 records,
+    * ragged keys). */
+  test("movies.json parses 3201 records with union-of-keys columns") {
+    val f = Readers.readJson(spark, s"$data/movies.json", multiLine = true)
+    assert(f.numRow == 3201)
+    assert(f.names.contains("Title"))
+    assert(f.names.contains("IMDB Rating"))
+  }
+
+  /** reference: README tutorial — ramen-ratings, Stars stays string
+    * because of literal "Unrated"; flips numeric with na_value. */
+  test("ramen-ratings Stars column: string by default, numeric with naValue=Unrated") {
+    val plain = Readers.readCsv(spark, s"$data/ramen-ratings.csv", multiLine = true)
+    assert(plain.numRow == 2580)
+    assert(plain.schema("Stars").dataType == StringType)
+    val na = Readers.readCsv(spark, s"$data/ramen-ratings.csv", naValue = "Unrated",
+      multiLine = true)
+    assert(na.schema("Stars").dataType == DoubleType)
+  }
+}
