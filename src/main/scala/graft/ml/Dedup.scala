@@ -106,17 +106,24 @@ object Dedup {
                    numHashes: Int = 128, bands: Int = 32,
                    threshold: Double = 0.8, shingleSize: Int = 5): DataFrame = {
     val sigs = sigFrame(df, idCol, textCol, numHashes, shingleSize)
-    val banded = sigs.select(col("__id"), col("__sig"),
+    // shuffle only (id, band, 8-byte band key) — the 64-long signature
+    // array stays out of the explode and joins back candidate-side only
+    val banded = sigs.select(col("__id"),
       posexplode(bandKeys(col("__sig"), numHashes, bands)).as(Seq("__band", "__bkey")))
     val w = Window.partitionBy(col("__band"), col("__bkey")).orderBy(col("__id"))
-    val paired = banded
+    val cand = banded
       .withColumn("__minId", first(col("__id")).over(w))
-      .withColumn("__minSig", first(col("__sig")).over(w))
       .filter(col("__id") =!= col("__minId"))
+      .select(col("__id"), col("__minId")).distinct()
     val est = aggregate(zip_with(col("__sig"), col("__minSig"),
       (a, b) => when(a === b, 1).otherwise(0)), lit(0),
       (acc, v) => acc + v).cast("double") / numHashes
-    val dups = paired.filter(est >= threshold).select(col("__id")).distinct()
+    val dups = cand
+      .join(sigs, Seq("__id"))
+      .join(sigs.select(col("__id").as("__minId"), col("__sig").as("__minSig")),
+        Seq("__minId"))
+      .filter(est >= threshold)
+      .select(col("__id")).distinct()
     df.join(dups.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
   }
 
@@ -126,15 +133,21 @@ object Dedup {
                    numHashes: Int = 128, bands: Int = 32,
                    threshold: Double = 0.8, shingleSize: Int = 5): DataFrame = {
     val sigs = sigFrame(df, idCol, textCol, numHashes, shingleSize)
-    val banded = sigs.select(col("__id"), col("__sig"),
+    // bucket-join on (band key) with bare ids; signatures join back on
+    // the (deduplicated) candidate pairs only
+    val banded = sigs.select(col("__id"),
       explode(bandKeys(col("__sig"), numHashes, bands)).as("__bkey"))
-    val l = banded.select(col("__id").as("id_a"), col("__sig").as("sig_a"), col("__bkey"))
-    val r = banded.select(col("__id").as("id_b"), col("__sig").as("sig_b"), col("__bkey"))
+    val cand = banded.select(col("__id").as("id_a"), col("__bkey"))
+      .join(banded.select(col("__id").as("id_b"), col("__bkey")), Seq("__bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
     val est = aggregate(zip_with(col("sig_a"), col("sig_b"),
       (a, b) => when(a === b, 1).otherwise(0)), lit(0),
       (acc, v) => acc + v).cast("double") / numHashes
-    l.join(r, Seq("__bkey")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), est.as("est_jaccard")).distinct()
+    cand
+      .join(sigs.select(col("__id").as("id_a"), col("__sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("__id").as("id_b"), col("__sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 
