@@ -548,7 +548,8 @@ final class CrysFrame private (
   def printFrame(title: String = "A DataFrame", maxRows: Int = 10): String =
     Formatters.printFrame(this, title, maxRows)
 
-  def schemaString(maxValues: Int = 3): String = Formatters.schemaString(this, maxValues)
+  def schemaString(maxDigits: Int = 3, maxWidth: Int = 100): String =
+    Formatters.schemaString(this, maxDigits, maxWidth)
 }
 
 object CrysFrame {

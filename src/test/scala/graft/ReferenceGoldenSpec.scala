@@ -94,4 +94,40 @@ class ReferenceGoldenSpec extends GraftSpec {
       multiLine = true)
     assert(na.schema("Stars").dataType == DoubleType)
   }
+
+  /** reference: spec/core_spec.cr:460-477 — exact print golden.
+    * One deliberate divergence: the reference's footer under-lists the
+    * hidden variable names by one (counts 5, lists 4); we list all 5. */
+  test("printFrame reproduces the reference's msleep golden") {
+    val expected =
+      """A DataFrame: 83 x 11
+        |                           name         genus    vore          order   conservation   sleep_total
+        | 1                      Cheetah      Acinonyx   carni      Carnivora             lc        12.100
+        | 2                   Owl monkey         Aotus    omni       Primates           <NA>        17.000
+        | 3              Mountain beaver    Aplodontia   herbi       Rodentia             nt        14.400
+        | 4   Greater short-tailed shrew       Blarina    omni   Soricomorpha             lc        14.900
+        | 5                          Cow           Bos   herbi   Artiodactyla   domesticated         4.000
+        | 6             Three-toed sloth      Bradypus   herbi         Pilosa           <NA>        14.400
+        | 7            Northern fur seal   Callorhinus   carni      Carnivora             vu         8.700
+        | 8                 Vesper mouse       Calomys    <NA>       Rodentia           <NA>         7.000
+        | 9                          Dog         Canis   carni      Carnivora   domesticated        10.100
+        |10                     Roe deer     Capreolus   herbi   Artiodactyla             lc         3.000
+        |and 73 more rows, and 5 more variables: sleep_rem, sleep_cycle, awake, brainwt, bodywt
+        |""".stripMargin
+    assert(sleep.printFrame("A DataFrame", 10) == expected)
+  }
+
+  /** reference: spec/core_spec.cr:436-452 — exact schema golden
+    * (alignment + value-region truncation at maxWidth). */
+  test("schemaString reproduces the reference's iris golden") {
+    val expected =
+      """DataFrame with 150 observations
+        |Sepal.Length [Float64] 5.1, 4.9, 4.7, 4.6, ...
+        |Sepal.Width  [Float64] 3.5, 3.0, 3.2, 3.1, ...
+        |Petal.Length [Float64] 1.4, 1.4, 1.3, 1.5, ...
+        |Petal.Width  [Float64] 0.2, 0.2, 0.2, 0.2, ...
+        |Species      [String]  setosa, setosa, seto...
+        |""".stripMargin
+    assert(iris.schemaString(maxDigits = 1, maxWidth = 20) == expected)
+  }
 }
