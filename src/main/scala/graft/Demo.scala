@@ -20,6 +20,7 @@ object Demo {
       .sortBy("n_nationkey")
     print(f.printFrame("nation", maxRows = 5))
     print(f.schemaString())
+    println(f.columnString("n_name"))
 
     println("=== selector DSL + error contract probes ===")
     println("names: " + f.select(sel.startsWith("n_")).names.mkString(", "))

@@ -550,6 +550,13 @@ final class CrysFrame private (
 
   def schemaString(maxDigits: Int = 3, maxWidth: Int = 100): String =
     Formatters.schemaString(this, maxDigits, maxWidth)
+
+  /** Single-column peek (reference: `df["col"].to_s`,
+    * golden spec/core_spec.cr:454-458). */
+  def columnString(name: String, maxDigits: Int = 3, maxWidth: Int = 100): String = {
+    requireCols(Seq(name))
+    Formatters.columnString(this, name, maxDigits, maxWidth)
+  }
 }
 
 object CrysFrame {

@@ -83,6 +83,26 @@ private[core] object Formatters {
     }
   }
 
+  /** Single-column peek, `name [Type][N]: v1, v2, …` truncated to
+    * `maxWidth` (reference: golden spec/core_spec.cr:454-458). */
+  def columnString(f: CrysFrame, name: String, maxDigits: Int = 3,
+                   maxWidth: Int = 100): String = {
+    val n = f.numRow
+    val vals = f.out.select(graft.core.qcol(name)).take(255)
+      .map(r => fmt(r.get(0), maxDigits))
+    val prefix = s"$name [${crysTypeName(f.schema(name).dataType)}][$n]: "
+    val sb = new StringBuilder(prefix)
+    var i = 0
+    var stop = false
+    while (i < vals.length && !stop) {
+      val piece = (if (i > 0) ", " else "") + vals(i)
+      if (sb.length + piece.length > maxWidth) stop = true
+      else { sb.append(piece); i += 1 }
+    }
+    if (stop || n > vals.length) sb.append(", ...")
+    sb.toString
+  }
+
   /** Per-column `name [Type] v1, v2, …` with alignment and value-region
     * truncation (reference: src/crysda/dataframe.cr:443-458; golden
     * spec/core_spec.cr:436-452: "DataFrame with N observations"). */

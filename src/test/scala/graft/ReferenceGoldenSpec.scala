@@ -130,4 +130,14 @@ class ReferenceGoldenSpec extends GraftSpec {
         |""".stripMargin
     assert(iris.schemaString(maxDigits = 1, maxWidth = 20) == expected)
   }
+
+  /** reference: spec/core_spec.cr:454-458 — column peek goldens. */
+  test("columnString reproduces the reference's column-peek goldens") {
+    assert(iris.columnString("Sepal.Length", maxDigits = 1) ==
+      "Sepal.Length [Float64][150]: 5.1, 4.9, 4.7, 4.6, 5.0, 5.4, 4.6, " +
+      "5.0, 4.4, 4.9, 5.4, 4.8, 4.8, 4.3, ...")
+    assert(iris.columnString("Species") ==
+      "Species [String][150]: setosa, setosa, setosa, setosa, setosa, " +
+      "setosa, setosa, setosa, setosa, ...")
+  }
 }
