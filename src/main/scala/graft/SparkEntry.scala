@@ -48,6 +48,24 @@ object SparkEntry {
   private def moneySum(c: Column): Column =
     F.sum(c.cast("decimal(18,6)")).cast("decimal(28,6)")
 
+  /** Exact decimal(12,2) view of a double column whose values are exact
+    * 2-decimal numbers (every money/measure column in the test tables).
+    * Casting the OPERAND is unambiguous — the stored double sits ~1e-12
+    * from the true 2-decimal value, nowhere near a rounding tie.
+    * Casting a double PRODUCT is NOT: Spark converts via the shortest
+    * decimal representation + HALF_UP while DuckDB scales-and-rounds the
+    * raw double, and ties at the product's scale land differently. */
+  private def dec2(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** `price * (1 - discount)` in exact decimal arithmetic — the product
+    * is an exact decimal(·,4) in both engines, so no double→decimal
+    * rounding ever happens on a computed value. */
+  private def discounted(price: Column, discount: Column): Column =
+    dec2(price) * (lit(1).cast("decimal(12,2)") - dec2(discount))
+
+  /** Sum of an exact decimal(·,4) product (see [[discounted]]). */
+  private def moneySum4(c: Column): Column = F.sum(c).cast("decimal(28,4)")
+
   /** Cross-engine-deterministic mean: exact decimal sum, ONE double
     * division — no float association order to disagree on. */
   private def exactAvg(c: Column, digits: Int = 6): Column =
@@ -61,7 +79,7 @@ object SparkEntry {
       .summarize(
         "n" -> (_ => Agg.n),
         "mean_qty" -> (_ => round(Agg.mean(col("l_quantity"), removeNa = true), 6)),
-        "revenue" -> (_ => moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+        "revenue" -> (_ => moneySum4(discounted(col("l_extendedprice"), col("l_discount")))))
       .filter(c => c("n") > 10)
       .sortBy("l_returnflag", "l_linestatus")
       .out
@@ -93,7 +111,7 @@ object SparkEntry {
     "q_mutate" -> ((s, d) =>
       cf(s, d, "lineitem")
         .addColumn("revenue")(_ =>
-          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+          discounted(col("l_extendedprice"), col("l_discount")).cast("decimal(18,4)"))
         .addColumn("bulk")(c => c.where(col("l_quantity") >= 25, lit("bulk"), lit("small")))
         .select("l_orderkey", "l_linenumber", "revenue", "bulk")
         .sortBy("l_orderkey", "l_linenumber").out),
@@ -156,7 +174,7 @@ object SparkEntry {
           "sum_qty" -> (_ => F.sum(col("l_quantity"))),
           "sum_base_price" -> (_ => moneySum(col("l_extendedprice"))),
           "sum_disc_price" -> (_ =>
-            moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))),
+            moneySum4(discounted(col("l_extendedprice"), col("l_discount")))),
           "avg_qty" -> (_ => exactAvg(col("l_quantity"))),
           "avg_price" -> (_ => exactAvg(col("l_extendedprice"))),
           "n" -> (_ => Agg.n))
@@ -272,7 +290,7 @@ object SparkEntry {
         .innerJoin(n, byPairs = Seq("c_nationkey" -> "n_nationkey"))
         .groupBy("n_name")
         .summarize(
-          "revenue" -> (_ => moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))),
+          "revenue" -> (_ => moneySum4(discounted(col("l_extendedprice"), col("l_discount")))),
           "n" -> (_ => Agg.n))
         .sortBy("n_name").out
     }),
@@ -431,7 +449,7 @@ object SparkEntry {
       CrysFrame(t(s, d, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(F.count(lit(1)).as("n"),
-          F.sum(col("value").cast("decimal(18,9)")).cast("decimal(28,9)").as("sum_value")))
+          F.sum(dec2(col("value"))).cast("decimal(28,2)").as("sum_value")))
         .sortBy("hour", "event_type").out),
 
     // ---------------- extensions: dedup ----------------
@@ -550,7 +568,9 @@ object SparkEntry {
 
     "q_mutate" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS revenue,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |       * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |       AS DECIMAL(18,4)) AS revenue,
         |  CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'small' END AS bulk
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
@@ -598,7 +618,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity), 6) AS avg_qty,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice), 6) AS avg_price,
         |  count(*) AS n
@@ -696,7 +717,8 @@ object SparkEntry {
 
     "q_join_inner" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(28,4)) AS revenue,
         |  count(*) AS n
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -838,7 +860,7 @@ object SparkEntry {
 
     "q_time_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
     "q_dedup_exact" ->
