@@ -30,8 +30,7 @@ import org.apache.spark.sql.types._
 final class CrysFrame private (
     val df: DataFrame,
     val groupedBy: Seq[String],
-    private[core] val ordCols: Seq[Column],
-    private[core] val ordRev: Seq[Column]) {
+    private[core] val ords: Seq[CrysFrame.Ord]) {
 
   import CrysFrame._
 
@@ -41,25 +40,34 @@ final class CrysFrame private (
   // introspection (reference: src/crysda/dataframe.cr:11-59)
   // ---------------------------------------------------------------------
 
-  /** Visible column names (hidden ordinal excluded). */
-  def names: Seq[String] = df.columns.toSeq.filterNot(_ == ORD)
+  /** Visible column names (hidden internals excluded). */
+  def names: Seq[String] = df.columns.toSeq.filterNot(isHidden)
   def numCol: Int = names.size
   /** Action. */
   def numRow: Long = df.count()
   def schema: StructType =
-    StructType(df.schema.fields.filterNot(_.name == ORD))
+    StructType(df.schema.fields.filterNot(f => isHidden(f.name)))
   /** Underlying frame without internal columns, with the frame's
     * ordering applied — what sinks/actions observe. The sort is LAZY:
     * `sortBy` only records the keys, so grouped window verbs never pay
     * a useless global sort; the orderBy lands here, at observation
     * points, where Catalyst turns head-style access into
     * TakeOrderedAndProject. (The hidden ingest ordinal is physical
-    * order already — no sort needed for it.) */
+    * order already — no sort needed for it.) Hidden columns (the ingest
+    * ordinal and ordering refs a projection carried along) are sorted
+    * on, then dropped. */
   def out: DataFrame = {
-    val base = if (df.columns.contains(ORD)) df.drop(ORD) else df
-    if (ordCols.nonEmpty && ordCols.map(colName) != Seq(ORD)) base.orderBy(ordCols: _*)
-    else base
+    val sorted =
+      if (ords.nonEmpty && !ingestOrderOnly) df.orderBy(ords.map(_.key): _*)
+      else df
+    val hiddenCols = sorted.columns.filter(isHidden)
+    if (hiddenCols.nonEmpty) sorted.drop(hiddenCols.toSeq: _*) else sorted
   }
+
+  /** True when the only ordering is the hidden ingest ordinal — physical
+    * order already, no sort needed at observation points. */
+  private def ingestOrderOnly: Boolean =
+    ords.size == 1 && ords.head.refs == Seq(ORD)
 
   def isGrouped: Boolean = groupedBy.nonEmpty
 
@@ -70,40 +78,54 @@ final class CrysFrame private (
   }
 
   private def keep(newDf: DataFrame): CrysFrame = {
-    val live = ordCols.zip(ordRev).filter { case (c, _) =>
-      newDf.columns.contains(colName(c)) }
-    new CrysFrame(newDf, groupedBy, live.map(_._1), live.map(_._2))
+    val live = ords.filter(_.refs.forall(newDf.columns.contains))
+    new CrysFrame(newDf, groupedBy, live)
   }
 
-  private[core] def ctx: Ctx = new Ctx(groupedBy, ordCols)
+  private[core] def ctx: Ctx = new Ctx(groupedBy, ords.map(_.key))
 
   /** Ensure an explicit ordering exists (capture ingest order lazily). */
   private def ordered: CrysFrame =
-    if (ordCols.nonEmpty) this
+    if (ords.nonEmpty) this
     else if (df.columns.contains(ORD))
-      new CrysFrame(df, groupedBy, Seq(col(ORD)), Seq(col(ORD).desc))
+      new CrysFrame(df, groupedBy, Seq(ingestOrd))
     else new CrysFrame(df.withColumn(ORD, monotonically_increasing_id()),
-      groupedBy, Seq(col(ORD)), Seq(col(ORD).desc))
+      groupedBy, Seq(ingestOrd))
 
   // ---------------------------------------------------------------------
   // projection (reference: src/crysda/dataframe.cr:465-495, select.cr)
   // ---------------------------------------------------------------------
 
   /** Keep columns in argument order; errors on missing / duplicate
-    * selection (reference: src/crysda/dataframe.cr:465-481). */
+    * selection (reference: src/crysda/dataframe.cr:465-481).
+    * The frame's ordering survives the projection even when a sort key
+    * is projected away (the reference physically reordered rows at sort
+    * time, so select never loses order): un-selected ordering refs ride
+    * along as hidden columns and are dropped at observation points. */
   def select(cols: String*): CrysFrame = {
     requireCols(cols)
     if (cols.distinct.size != cols.size)
       throw new SelectException(s"Duplicate selection: ${cols.mkString(", ")}")
     val keepOrd = if (df.columns.contains(ORD)) Seq(ORD) else Nil
-    keep(df.select((cols ++ keepOrd).map(qcol): _*))
+    val rideAlong = ords.flatMap(_.refs).distinct
+      .filterNot(r => cols.contains(r) || r == ORD)
+      .filter(df.columns.contains)
+    val aliasMap = rideAlong.map(r => r -> hiddenAlias(r)).toMap
+    val projected = df.select(
+      ((cols ++ keepOrd).map(qcol) ++
+        rideAlong.map(r => qcol(r).as(aliasMap(r)))): _*)
+    new CrysFrame(projected, groupedBy, ords.map(_.remap(aliasMap)))
   }
 
   def select(selector: ColumnSelector): CrysFrame =
     select(selector.resolve(names, schema): _*)
 
-  /** Drop by names (reference: src/crysda/dataframe.cr:342-367). */
-  def reject(cols: String*): CrysFrame = { requireCols(cols); keep(df.drop(cols: _*)) }
+  /** Drop by names (reference: src/crysda/dataframe.cr:342-367).
+    * Routed through `select` so the frame's ordering survives. */
+  def reject(cols: String*): CrysFrame = {
+    requireCols(cols)
+    select(names.filterNot(cols.contains): _*)
+  }
   def reject(selector: ColumnSelector): CrysFrame =
     reject(selector.resolve(names, schema): _*)
 
@@ -116,8 +138,7 @@ final class CrysFrame private (
     val renamed = df.withColumnsRenamed(m)
     new CrysFrame(renamed,
       groupedBy.map(g => m.getOrElse(g, g)),
-      ordCols.map(c => m.get(colName(c)).map(col).getOrElse(c)),
-      ordRev.map(c => m.get(colName(c)).map(n => qcol(n).desc).getOrElse(c)))
+      ords.map(_.remap(m)))
   }
 
   /** Replace all names (reference: src/crysda/dataframe.cr:488-495). */
@@ -144,7 +165,7 @@ final class CrysFrame private (
     * expressions (ctx.cumsum, ctx.lead, ...) window over the grouping
     * keys automatically (reference: src/crysda/groupdf.cr:77-79). */
   def addColumn(name: String)(expr: Ctx => Column): CrysFrame =
-    new CrysFrame(df.withColumn(name, expr(ctx)), groupedBy, ordCols, ordRev)
+    new CrysFrame(df.withColumn(name, expr(ctx)), groupedBy, ords)
 
   /** Capture the current physical row order as the frame's explicit
     * ordering (the reference's implicit row order, materialized). */
@@ -161,8 +182,8 @@ final class CrysFrame private (
   def addRowNumber(name: String = "row_number"): CrysFrame = {
     val c = ordered
     val numbered = c.df.withColumn(name,
-      F.row_number().over(Window.orderBy(c.ordCols: _*)))
-    new CrysFrame(numbered, groupedBy, c.ordCols, c.ordRev).moveLeft(name)
+      F.row_number().over(Window.orderBy(c.ords.map(_.key): _*)))
+    new CrysFrame(numbered, groupedBy, c.ords).moveLeft(name)
   }
 
   // ---------------------------------------------------------------------
@@ -173,7 +194,7 @@ final class CrysFrame private (
     * row out — identical to Catalyst 3VL filter semantics
     * (reference: src/crysda/simpledf.cr:80-105). */
   def filter(pred: Ctx => Column): CrysFrame =
-    new CrysFrame(df.filter(pred(ctx)), groupedBy, ordCols, ordRev)
+    new CrysFrame(df.filter(pred(ctx)), groupedBy, ords)
 
   /** Row-wise lambda filter (reference: src/crysda/dataframe.cr:252-274).
     * Not codegen'd — prefer `filter` with Column predicates. */
@@ -201,30 +222,35 @@ final class CrysFrame private (
     val c = ordered
     val w =
       if (groupedBy.nonEmpty)
-        Window.partitionBy(groupedBy.map(qcol): _*).orderBy(c.ordCols: _*)
-      else Window.orderBy(c.ordCols: _*)
+        Window.partitionBy(groupedBy.map(qcol): _*).orderBy(c.ords.map(_.key): _*)
+      else Window.orderBy(c.ords.map(_.key): _*)
     val tagged = c.df.withColumn(RN, F.row_number().over(w))
-    new CrysFrame(tagged.filter(cond(col(RN))).drop(RN), groupedBy,
-      c.ordCols, c.ordRev)
+    new CrysFrame(tagged.filter(cond(col(RN))).drop(RN), groupedBy, c.ords)
   }
 
-  /** First n rows — per group when grouped (reference: src/crysda/dataframe.cr:317-320). */
+  /** First n rows — per group when grouped (reference: src/crysda/dataframe.cr:317-320).
+    * Ungrouped: `orderBy(keys).limit(n)` compiles to TakeOrderedAndProject
+    * (per-partition heap + driver merge) — same rows as the row_number
+    * window, no single-task global sort. */
   def take(n: Int): CrysFrame =
-    if (groupedBy.isEmpty && ordCols.isEmpty) keep(df.limit(n))
-    else slice(1 to n)
+    if (groupedBy.nonEmpty) slice(1 to n)
+    else if (ords.isEmpty) keep(df.limit(n))
+    else keep(df.orderBy(ords.map(_.key): _*).limit(n))
   def head(n: Int = 5): CrysFrame = take(n)
 
-  /** Last n rows (reference: src/crysda/dataframe.cr:581-591). */
-  def takeLast(n: Int): CrysFrame = {
-    val c = ordered
-    val w =
-      if (groupedBy.nonEmpty)
-        Window.partitionBy(groupedBy.map(qcol): _*).orderBy(c.ordRev: _*)
-      else Window.orderBy(c.ordRev: _*)
-    val tagged = c.df.withColumn(RN, F.row_number().over(w))
-    new CrysFrame(tagged.filter(col(RN) <= n).drop(RN), groupedBy,
-      c.ordCols, c.ordRev)
-  }
+  /** Last n rows (reference: src/crysda/dataframe.cr:581-591).
+    * Ungrouped: TakeOrderedAndProject on the REVERSED keys — the frame
+    * keeps its forward ordering, so observation re-sorts the ≤n rows. */
+  def takeLast(n: Int): CrysFrame =
+    if (groupedBy.isEmpty) {
+      val c = ordered
+      c.keep(c.df.orderBy(c.ords.map(_.rev): _*).limit(n))
+    } else {
+      val c = ordered
+      val w = Window.partitionBy(groupedBy.map(qcol): _*).orderBy(c.ords.map(_.rev): _*)
+      val tagged = c.df.withColumn(RN, F.row_number().over(w))
+      new CrysFrame(tagged.filter(col(RN) <= n).drop(RN), groupedBy, c.ords)
+    }
 
   /** Exact-n random sample, per group when grouped
     * (reference: src/crysda/dataframe.cr:414-440). Window-over-rand:
@@ -259,19 +285,20 @@ final class CrysFrame private (
 
   /** reference: src/crysda/dataframe.cr:498-500 */
   def shuffle(seed: Long = 42L): CrysFrame =
-    new CrysFrame(df.orderBy(rand(seed)), groupedBy, Nil, Nil)
+    new CrysFrame(df.orderBy(rand(seed)), groupedBy, Nil)
 
   /** Unique rows by key subset, keeping the first full row per key —
     * matches Spark's `dropDuplicates` exactly
     * (reference: src/crysda/dataframe.cr:216-223). */
   def distinct(cols: String*): CrysFrame = {
-    if (cols.isEmpty) keep(df.drop(ORD).dropDuplicates())
+    if (cols.isEmpty)
+      keep(df.drop(df.columns.filter(isHidden).toSeq: _*).dropDuplicates())
     else {
       requireCols(cols)
-      if (ordCols.nonEmpty && ordCols.map(colName) != Seq(ORD)) {
+      if (ords.nonEmpty && !ingestOrderOnly) {
         // keep the FIRST row per key in the frame's order — the
         // deterministic version of dropDuplicates' keep-first
-        val w = Window.partitionBy(cols.map(qcol): _*).orderBy(ordCols: _*)
+        val w = Window.partitionBy(cols.map(qcol): _*).orderBy(ords.map(_.key): _*)
         keep(df.withColumn(RN, F.row_number().over(w)).filter(col(RN) === 1).drop(RN))
       } else keep(df.dropDuplicates(cols))
     }
@@ -286,33 +313,29 @@ final class CrysFrame private (
     * the frame's explicit ordering for subsequent window verbs. */
   def sortBy(cols: String*): CrysFrame = {
     requireCols(cols)
-    val ks = cols.map(c => qcol(c).asc_nulls_last)
-    val rev = cols.map(c => qcol(c).desc_nulls_first)
-    new CrysFrame(df, groupedBy, ks, rev)
+    new CrysFrame(df, groupedBy, cols.map(c =>
+      Ord(qcol(c).asc_nulls_last, qcol(c).desc_nulls_first, Seq(c))))
   }
 
   /** Descending, still NAs last (reference: spec/core_spec.cr:290-301). */
   def sortDescBy(cols: String*): CrysFrame = {
     requireCols(cols)
-    val ks = cols.map(c => qcol(c).desc_nulls_last)
-    val rev = cols.map(c => qcol(c).asc_nulls_first)
-    new CrysFrame(df, groupedBy, ks, rev)
+    new CrysFrame(df, groupedBy, cols.map(c =>
+      Ord(qcol(c).desc_nulls_last, qcol(c).asc_nulls_first, Seq(c))))
   }
 
   /** Sort by fully-specified orderings (caller supplies direction, e.g.
     * `c("x").desc` — the reference's `desc(col)` sort helper,
     * reference: src/crysda/context.cr:177-193). */
-  def sortByOrder(exprs: (Ctx => Column)*): CrysFrame = {
-    val ks = exprs.map(e => e(ctx))
-    new CrysFrame(df, groupedBy, ks, Nil)
-  }
+  def sortByOrder(exprs: (Ctx => Column)*): CrysFrame =
+    new CrysFrame(df, groupedBy, exprs.map(e => ordOf(e(ctx))))
 
   /** Sort by computed expressions (reference: src/crysda/dataframe.cr:530-547). */
-  def sortByExpr(exprs: (Ctx => Column)*): CrysFrame = {
-    val es = exprs.map(e => e(ctx))
-    val ks = es.map(_.asc_nulls_last)
-    new CrysFrame(df, groupedBy, ks, es.map(_.desc_nulls_first))
-  }
+  def sortByExpr(exprs: (Ctx => Column)*): CrysFrame =
+    new CrysFrame(df, groupedBy, exprs.map { e =>
+      val c = e(ctx)
+      Ord(c.asc_nulls_last, c.desc_nulls_first, refsOf(c))
+    })
 
   // ---------------------------------------------------------------------
   // grouping & aggregation (reference: src/crysda/groupdf.cr, simpledf.cr:107-125)
@@ -324,7 +347,7 @@ final class CrysFrame private (
     * per-group sub-frames instead: src/crysda/simpledf.cr:167-198). */
   def groupBy(cols: String*): CrysFrame = {
     requireCols(cols)
-    new CrysFrame(df, cols, ordCols, ordRev)
+    new CrysFrame(df, cols, ords)
   }
 
   /** Group by computed expression(s), materialized as `group_by_1..k`
@@ -337,7 +360,7 @@ final class CrysFrame private (
   }
 
   /** reference: src/crysda/groupdf.cr:89-92 */
-  def ungroup: CrysFrame = new CrysFrame(df, Nil, ordCols, ordRev)
+  def ungroup: CrysFrame = new CrysFrame(df, Nil, ords)
 
   /** Distinct key tuples (reference: src/crysda/groupdf.cr:94-97). */
   def groupedKeys: CrysFrame = {
@@ -411,7 +434,7 @@ final class CrysFrame private (
       val cond = groupedBy.zip(tuple).map { case (k, v) =>
         if (v == null) qcol(k).isNull else qcol(k) === lit(v)
       }.reduce(_ && _)
-      tuple -> new CrysFrame(df.filter(cond), Nil, ordCols, ordRev)
+      tuple -> new CrysFrame(df.filter(cond), Nil, ords)
     }
   }
 
@@ -423,9 +446,16 @@ final class CrysFrame private (
     require(isGrouped, "transformGroups requires grouping")
     val keyCols = groupedBy
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    val grouped = out.groupByKey(r =>
-      keyCols.map(k => String.valueOf(r.getAs[Any](k))).mkString("|"))(
-      org.apache.spark.sql.Encoders.STRING)
+    // injective key encoding: nulls get their own marker (distinct from
+    // the string "null"), values are prefixed and separator-escaped, so
+    // ("a|b","c") and ("a","b|c") can never collide
+    val grouped = out.groupByKey { r =>
+      keyCols.map { k =>
+        val v = r.getAs[Any](k)
+        if (v == null) "\u0000"
+        else "=" + String.valueOf(v).replace("\\", "\\\\").replace("|", "\\|")
+      }.mkString("|")
+    }(org.apache.spark.sql.Encoders.STRING)
     val res = grouped.flatMapGroups { (_, it: Iterator[Row]) =>
       val rows = it.toSeq
       f(rows.head, rows.iterator)
@@ -565,13 +595,66 @@ object CrysFrame {
   private[core] val RN = "__graft_rn"
   private[core] val IDX = "__graft_idx"
 
-  def apply(df: DataFrame): CrysFrame = new CrysFrame(df, Nil, Nil, Nil)
+  /** All internal columns share the prefix; `names`/`schema`/`out`
+    * exclude them. */
+  private[core] def isHidden(n: String): Boolean = n.startsWith("__graft_")
 
-  private[core] def colName(c: Column): String = {
-    // extract the referenced attribute name from a plain / sorted column
-    val s = c.toString
-    s.stripPrefix("'").takeWhile(ch => ch != ' ' && ch != '.')
+  /** Stable hidden alias for an ordering ref carried through a
+    * projection (already-hidden names pass through unchanged). */
+  private[core] def hiddenAlias(r: String): String =
+    if (isHidden(r)) r
+    else "__graft_ordref_" + r.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + Integer.toHexString(r.hashCode)
+
+  def apply(df: DataFrame): CrysFrame = new CrysFrame(df, Nil, Nil)
+
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Descending, NullsFirst, NullsLast, SortOrder}
+  import org.apache.spark.sql.graftkit.Bridge
+
+  /** Structured ordering metadata: a fully-directed sort key, its
+    * reverse, and the source column names the key references — carried
+    * explicitly instead of parsed back out of `Column.toString` (which
+    * misreads backtick-quoted dotted names and computed sort keys,
+    * silently dropping the frame's ordering on select/rename). */
+  private[core] final case class Ord(key: Column, rev: Column, refs: Seq[String]) {
+    /** Rewrite references after a rename — covers plain, dotted, and
+      * computed sort keys alike. */
+    private[core] def remap(m: Map[String, String]): Ord =
+      if (!refs.exists(m.contains)) this
+      else Ord(remapCol(key, m), remapCol(rev, m), refs.map(r => m.getOrElse(r, r)))
   }
+
+  private[core] def ingestOrd: Ord = Ord(col(ORD), col(ORD).desc, Seq(ORD))
+
+  /** Source column names referenced by a sort key (unresolved attributes
+    * are what `qcol`/user expressions produce; resolved ones appear when
+    * a caller passes `df("name")`). */
+  private[core] def refsOf(c: Column): Seq[String] =
+    Bridge.expression(c).collect {
+      case ua: UnresolvedAttribute => ua.nameParts.mkString(".")
+      case ar: AttributeReference  => ar.name
+    }.distinct
+
+  /** Reverse a (possibly direction-carrying) sort key, flipping both the
+    * direction and the null ordering. */
+  private[core] def revOf(c: Column): Column = Bridge.expression(c) match {
+    case SortOrder(child, dir, no, _) =>
+      Bridge.column(SortOrder(child,
+        if (dir == Ascending) Descending else Ascending,
+        if (no == NullsFirst) NullsLast else NullsFirst, Seq.empty))
+    case _ => c.desc
+  }
+
+  private[core] def ordOf(c: Column): Ord = Ord(c, revOf(c), refsOf(c))
+
+  private def remapCol(c: Column, m: Map[String, String]): Column =
+    Bridge.column(Bridge.expression(c).transform {
+      case ua: UnresolvedAttribute if m.contains(ua.nameParts.mkString(".")) =>
+        UnresolvedAttribute(Seq(m(ua.nameParts.mkString("."))))
+      case ar: AttributeReference if m.contains(ar.name) =>
+        UnresolvedAttribute(Seq(m(ar.name)))
+    })
 
   /** In-memory literal frame (reference: src/crysda.cr:60-93). */
   def of(spark: SparkSession, header: Seq[String], rows: Seq[Seq[Any]]): CrysFrame = {

@@ -131,12 +131,20 @@ object Agg {
   def sum(c: Column, removeNa: Boolean = false): Column = wrap(c, F.sum(c), removeNa)
   def min(c: Column, removeNa: Boolean = false): Column = wrap(c, F.min(c), removeNa)
   def max(c: Column, removeNa: Boolean = false): Column = wrap(c, F.max(c), removeNa)
-  /** exact median = percentile 0.5 (reference AggFuncs.median,
-    * src/crysda/columns.cr:34-56) */
+  /** Exact median = percentile 0.5 with interpolation — the reference
+    * averages the two middle values on even counts
+    * (reference AggFuncs.median, src/crysda/columns.cr:34-56,
+    * extension.cr:63-106), which `F.percentile` reproduces.
+    * `percentile_approx` does NOT (it always returns an observed value),
+    * so the approximate variant is opt-in under its own name. */
   def median(c: Column, removeNa: Boolean = false): Column =
-    wrap(c, percentile_approx(c, lit(0.5), lit(Int.MaxValue)), removeNa)
-  def medianExact(c: Column, removeNa: Boolean = false): Column =
     wrap(c, F.percentile(c, lit(0.5)), removeNa)
+  def medianExact(c: Column, removeNa: Boolean = false): Column =
+    median(c, removeNa)
+  /** Sketch-based approximate median — scale-friendly (mergeable sketch,
+    * no full sort) but NOT reference semantics on even counts. */
+  def medianApprox(c: Column, removeNa: Boolean = false): Column =
+    wrap(c, percentile_approx(c, lit(0.5), lit(10000)), removeNa)
   /** sample sd, n-1 denominator (reference: src/crysda/extension.cr:96-106) */
   def sd(c: Column, removeNa: Boolean = false): Column = wrap(c, stddev_samp(c), removeNa)
   def sv(c: Column, removeNa: Boolean = false): Column = wrap(c, var_samp(c), removeNa)

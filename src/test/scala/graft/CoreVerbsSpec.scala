@@ -195,4 +195,38 @@ class CoreVerbsSpec extends GraftSpec {
     assert(f.out.orderBy("rn").select("age").collect().map(_.getInt(0)).toSeq ==
       Seq(23, 30, 53))
   }
+
+  // --- ordering survives projection / rename (structured Ord metadata;
+  //     Column.toString parsing misread dotted + computed keys) ---
+
+  private def dotted: CrysFrame = CrysFrame.of(spark,
+    Seq("Sepal.Length", "species"),
+    Seq(Seq(5.1, "setosa"), Seq(7.0, "versicolor"), Seq(4.4, "virginica")))
+
+  test("sortBy(dotted name) ordering survives select") {
+    val f = dotted.sortBy("Sepal.Length").select("species")
+    assert(f.out.collect().map(_.getString(0)).toSeq ==
+      Seq("virginica", "setosa", "versicolor"))
+  }
+
+  test("rename of a dotted ordering column remaps the sort") {
+    val f = dotted.sortDescBy("Sepal.Length").rename("Sepal.Length" -> "len")
+    assert(f.out.collect().map(_.getString(1)).toSeq ==
+      Seq("versicolor", "setosa", "virginica"))
+    // the renamed key also drives takeLast (reverse direction)
+    assert(f.takeLast(1).out.collect().map(_.getString(1)).toSeq == Seq("virginica"))
+  }
+
+  test("sortByExpr ordering survives select of its source columns") {
+    val f = persons.sortByExpr(c => c("age") * -1).select("age", "first_name")
+    assert(f.out.collect().map(_.getInt(0)).toSeq == Seq(53, 30, 23))
+    // dropping a source column of the computed key drops the ordering
+    // instead of failing to resolve a stale reference
+    assert(f.select("first_name").out.columns.toSeq == Seq("first_name"))
+  }
+
+  test("rename remaps a computed sort key's references") {
+    val f = persons.sortByExpr(c => c("age") * -1).rename("age" -> "years")
+    assert(f.out.collect().map(_.getAs[Int]("years")).toSeq == Seq(53, 30, 23))
+  }
 }
