@@ -18,56 +18,81 @@ private[core] object Formatters {
     case other    => other.toString
   }
 
-  /** Layout per the reference: `"{title}: {n} x {m}"` header, optional
-    * `Groups:` line, right-aligned padded cells, `<NA>` for nulls, and
-    * an `and N more rows` footer (reference: src/crysda/dataframe.cr:604-664,
-    * goldens spec/core_spec.cr:426-493). Two actions: a `take(maxRows+1)`
-    * and — only when the frame overflows maxRows — a count() for the
-    * exact footer/header numbers. */
-  /** Console render matching the reference layout (golden
-    * spec/core_spec.cr:460-477): `"A DataFrame: n x m"` title, row
-    * numbers, right-aligned 3-space-separated cells, column subset
-    * limited by `maxWidth`, and a footer naming the hidden variables.
-    * (One deliberate divergence: the reference's footer under-lists the
-    * hidden names by one — we list all of them.) */
+  /** Console render mirroring the reference's algorithm statement by
+    * statement (reference: src/crysda/dataframe.cr:604-664; goldens
+    * spec/core_spec.cr:460-493): `"{title}: {n} x {m}"` title, optional
+    * `Groups: keys [n]` line, a leading row-number column (only when
+    * rows exist), right-aligned cells padded to `max(cellW, headerW)+3`
+    * (first column unspaced), empty columns defaulting to width 20, a
+    * width-limited column subset via prefix sums `< maxWidth`, and the
+    * `and N more rows, and K more variables: …` footer.
+    *
+    * The reference's footer indexes the hidden names by a count that
+    * includes the row-number column, so it LISTS one fewer name than it
+    * counts whenever row numbers are shown — reproduced here for
+    * byte-parity (noted as a reference bug in SURVEY.md §2.1).
+    *
+    * Two actions: a `take(maxRows+1)`, plus a count() only when the
+    * frame overflows maxRows (and a distinct-count for the Groups line). */
   def printFrame(f: CrysFrame, title: String, maxRows: Int,
                  maxDigits: Int = 3, maxWidth: Int = 100,
                  rowNumbers: Boolean = true): String = {
     val names = f.names
-    val rows: Seq[Row] = f.out.take(maxRows + 1).toSeq
-    val total: Long = if (rows.size > maxRows) f.out.count() else rows.size.toLong
-    val shown = rows.take(maxRows)
-    val allCells = shown.map(r => names.map(n => fmt(r.getAs[Any](n), maxDigits)))
-    val allWidths = names.zipWithIndex.map { case (n, i) =>
-      (n.length +: allCells.map(_(i).length)).max
+    val maxRowsOrInf = if (maxRows < 0) Int.MaxValue else maxRows
+    val rows: Seq[Row] = f.out.take(
+      if (maxRowsOrInf == Int.MaxValue) Int.MaxValue else maxRowsOrInf + 1).toSeq
+    val total: Long = if (rows.size > maxRowsOrInf) f.out.count() else rows.size.toLong
+    val shown = rows.take(maxRowsOrInf)
+    val useRn = rowNumbers && shown.nonEmpty
+    // print_data: optional " " row-number column ++ data columns
+    val headers: Seq[String] = (if (useRn) Seq(" ") else Nil) ++ names
+    val cells: Seq[Seq[String]] = shown.zipWithIndex.map { case (r, i) =>
+      (if (useRn) Seq((i + 1).toString) else Nil) ++
+        names.map(n => fmt(r.getAs[Any](n), maxDigits))
     }
-    val rnW = if (rowNumbers) shown.size.toString.length else 0
-    // width-limited column subset (reference: src/crysda/dataframe.cr:604-664)
-    var used = rnW
-    val nShow = allWidths.takeWhile { w => used += w + 3; used <= maxWidth }.size
-    val shownNames = names.take(math.max(nShow, 1))
-    val widths = allWidths.take(shownNames.size)
-    val hidden = names.drop(shownNames.size)
+    // reference: col width defaults to 20 when a column has no values
+    val padding0 = headers.indices.map { i =>
+      val cellW = if (cells.isEmpty) 20 else cells.map(_(i).length).max
+      math.max(cellW, headers(i).length) + 3
+    }
+    val padding =
+      if (padding0.nonEmpty) padding0.updated(0, padding0.head - 3) else padding0
+    // number of printed columns: prefix sums strictly below maxWidth
+    val numPrintCols =
+      padding.scanLeft(0)(_ + _).zipWithIndex.takeWhile(_._1 < maxWidth).last._2
     def pad(s: String, w: Int) = s.reverse.padTo(w, ' ').reverse
     val sb = new StringBuilder
     sb.append(s"$title: $total x ${names.size}\n")
-    if (f.isGrouped) sb.append(s"Groups: ${f.groupedBy.mkString(", ")}\n")
-    if (total > 0 || names.nonEmpty) {
-      sb.append((" " * rnW) + shownNames.zip(widths)
-        .map { case (n, w) => pad(n, w) }.mkString("   ", "   ", "\n"))
-      shown.zipWithIndex.foreach { case (_, i) =>
-        val rn = if (rowNumbers) pad((i + 1).toString, rnW) else ""
-        sb.append(rn + allCells(i).take(shownNames.size).zip(widths)
-          .map { case (c, w) => pad(c, w) }.mkString("   ", "   ", "\n"))
-      }
+    if (f.isGrouped) {
+      val nGroups = f.df.select(f.groupedBy.map(graft.core.qcol): _*).distinct().count()
+      sb.append(s"Groups: ${f.groupedBy.mkString(", ")} [$nGroups]\n")
     }
-    val moreRows = if (total > maxRows) Some(s"and ${total - maxRows} more rows") else None
-    val moreVars = if (hidden.nonEmpty)
-      Some(s"and ${hidden.size} more variables: ${hidden.mkString(", ")}") else None
-    val footer = (moreRows ++ moreVars).mkString(", ")
-    if (footer.nonEmpty) sb.append(footer + "\n")
-    sb.toString
+    sb.append(headers.take(numPrintCols).zipWithIndex
+      .map { case (h, i) => pad(h, padding(i)) }.mkString + "\n")
+    cells.foreach { row =>
+      sb.append(row.take(numPrintCols).zipWithIndex
+        .map { case (c, i) => pad(c, padding(i)) }.mkString + "\n")
+    }
+    val and = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (total > maxRowsOrInf) and += s"and ${total - maxRowsOrInf} more rows"
+    val moreVarsCount = headers.size - numPrintCols
+    if (moreVarsCount > 0)
+      // reference bug reproduced: names indexed by a column count that
+      // includes the row-number column, listing one fewer than counted
+      and += s"$moreVarsCount more variables: ${names.drop(numPrintCols).mkString(", ")}"
+    sb.append(wrap(and.mkString(", and "), maxWidth))
+    sb.toString.replaceAll("\\s+$", "") + "\n"
   }
+
+  /** Greedy word-wrap for the footer (the reference wraps it to
+    * maxWidth); a no-op for footers already within the width. */
+  private def wrap(s: String, width: Int): String =
+    if (s.length < width) s
+    else s.split(" ").foldLeft(Seq("")) { (acc, w) =>
+      if (acc.last.isEmpty) acc.init :+ w
+      else if (acc.last.length + 1 + w.length < width) acc.init :+ (acc.last + " " + w)
+      else acc :+ w
+    }.mkString("\n")
 
   /** CrysDA type names for the schema printer (golden
     * spec/core_spec.cr:436-452). */

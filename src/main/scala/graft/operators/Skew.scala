@@ -48,9 +48,20 @@ object Skew {
     * salt in [0, saltBuckets), the right side is replicated once per
     * salt value, and the join key becomes (key, salt) — the hot key's
     * rows land on `saltBuckets` different reducers.
-    * Right-side cost: × saltBuckets rows through the shuffle. */
+    * Right-side cost: × saltBuckets rows through the shuffle.
+    *
+    * Only join types that never EMIT unmatched right rows are sound:
+    * the right side is replicated once per salt bucket, so a `right` or
+    * `full_outer` join would emit each unmatched right row saltBuckets
+    * times. Rejected up front. */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltBuckets: Int = 8, joinType: String = "inner"): DataFrame = {
+    val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "semi", "left_anti", "leftanti", "anti")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left/left_semi/left_anti joins only " +
+        s"(got '$joinType'): replicating the right side per salt bucket " +
+        s"would duplicate unmatched right rows")
     val l = left.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)).cast("int"))
     val r = right.withColumn("__salt",

@@ -54,4 +54,16 @@ class PlanQualitySpec extends GraftSpec {
     val p = plan("q_dedup_minhash")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("take/takeLast compile to TakeOrderedAndProject, not a global window") {
+    import graft.core.CrysFrame
+    val li = CrysFrame(spark.read.parquet(s"$dir/lineitem.parquet"))
+    for (f <- Seq(li.sortBy("l_orderkey", "l_linenumber").take(50),
+                  li.sortBy("l_orderkey", "l_linenumber").takeLast(50))) {
+      val p = f.df.queryExecution.explainString(FormattedMode)
+      assert(p.contains("TakeOrderedAndProject"), p)
+      assert(!p.contains("Window"), p)
+      assert(!p.contains("SinglePartition"), p)
+    }
+  }
 }

@@ -41,4 +41,16 @@ class SkewSpec extends GraftSpec {
     val salted = Skew.saltedJoin(skewed, right, Seq("k"), saltBuckets = 8).count()
     assert(salted == direct)
   }
+
+  test("saltedJoin rejects join types that emit unmatched right rows") {
+    import spark.implicits._
+    val right = Seq(("k1", "d1")).toDF("k", "d")
+    intercept[IllegalArgumentException](
+      Skew.saltedJoin(skewed, right, Seq("k"), joinType = "right"))
+    intercept[IllegalArgumentException](
+      Skew.saltedJoin(skewed, right, Seq("k"), joinType = "full_outer"))
+    // left_semi remains sound: replication cannot duplicate left rows
+    val semi = Skew.saltedJoin(skewed, right, Seq("k"), joinType = "left_semi")
+    assert(semi.count() == skewed.join(right, Seq("k"), "left_semi").count())
+  }
 }
