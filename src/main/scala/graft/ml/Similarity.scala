@@ -35,19 +35,18 @@ object Similarity {
 
   /** Exact brute-force cosine top-k.
     * `queries(qid, qvec)` is broadcast (must be driver-manageable —
-    * typically thousands of rows); corpus is streamed map-side, the only
-    * shuffle is the per-query top-k window on the (queries×k)-sized
-    * candidate set after a cheap map-side filter. */
+    * typically thousands of rows); the corpus is scored in one map-side
+    * pass and folded into per-(query, task) top-k buffers by a partial
+    * aggregate (graft.ml.TopKAgg) — only `queries × tasks × k` rows
+    * reach the shuffle, never the corpus. */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, qidCol: String, qvecCol: String,
                      k: Int = 10): DataFrame = {
-    val joined = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("__v"))
+    val scored = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("__v"))
       .crossJoin(broadcast(queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__q"))))
       .filter(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"), cosine(col("__v"), col("__q")).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("nn_id").asc)
-    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    TopK.perQuery(scored, k)
   }
 
   /** Deterministic IVF centroids: seeded from the `nLists` lowest-id
@@ -111,9 +110,7 @@ object Similarity {
       .join(broadcast(qLists), Seq("list_id"))
       .filter(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"), cosine(col("__v"), col("__q")).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("nn_id").asc)
-    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    TopK.perQuery(cand, k)
   }
 
   /** Random-hyperplane LSH bucket key for cosine similarity: `nBits`

@@ -1,0 +1,70 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions._
+
+/** One (similarity, id) candidate. Top-level case class: nested case
+  * classes break Janino codegen for Encoders. */
+case class TopKItem(sim: Double, id: Long)
+
+/** Aggregation buffer: best-first, at most k items. */
+case class TopKBuf(items: Seq[TopKItem])
+
+/** Distributed top-k as a partial aggregate — the scalable shape for
+  * "best k per query over an unbounded corpus":
+  *
+  *   - map side: each task folds its corpus slice into a ≤k buffer per
+  *     query (ObjectHashAggregate keeps the buffer as a JVM object, no
+  *     per-row serialization),
+  *   - shuffle: only `queries × tasks × k` buffered candidates move,
+  *   - reduce side: buffers merge per query.
+  *
+  * Contrast with a `row_number().over(partitionBy(query_id))` window,
+  * which exchanges the ENTIRE corpus×queries candidate set and sorts
+  * each query's full corpus in a single task — the round-1 plan this
+  * replaces.
+  *
+  * Ordering is total (sim desc, id asc), so the result is deterministic
+  * under any partitioning; ties at the k boundary resolve to the lower
+  * id, matching `ORDER BY cos_sim DESC, nn_id ASC` oracles.
+  */
+class TopKAgg(k: Int) extends Aggregator[TopKItem, TopKBuf, TopKBuf] {
+
+  private def better(a: TopKItem, b: TopKItem): Boolean =
+    a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
+
+  private def insert(items: Seq[TopKItem], x: TopKItem): Seq[TopKItem] =
+    if (items.size >= k && better(items.last, x)) items // common case: no alloc
+    else {
+      val (pre, post) = items.span(i => better(i, x))
+      val merged = (pre :+ x) ++ post
+      if (merged.size > k) merged.take(k) else merged
+    }
+
+  override def zero: TopKBuf = TopKBuf(Vector.empty)
+  override def reduce(b: TopKBuf, a: TopKItem): TopKBuf = TopKBuf(insert(b.items, a))
+  override def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf =
+    TopKBuf(b2.items.foldLeft(b1.items)(insert))
+  override def finish(b: TopKBuf): TopKBuf = b
+  override def bufferEncoder = Encoders.product[TopKBuf]
+  override def outputEncoder = Encoders.product[TopKBuf]
+}
+
+object TopK {
+  /** Best k rows per query from a `(query_id, nn_id, cos_sim)` candidate
+    * frame, ranked 1..k by (cos_sim desc, nn_id asc). One partial+final
+    * aggregation, no window. */
+  def perQuery(scored: DataFrame, k: Int): DataFrame = {
+    val tk = F.udaf(new TopKAgg(k), Encoders.product[TopKItem])
+    scored.groupBy(col("query_id"))
+      .agg(tk(col("cos_sim"), col("nn_id")).as("__topk"))
+      .select(col("query_id"),
+        posexplode(col("__topk").getField("items")).as(Seq("__pos", "__it")))
+      .select(col("query_id"),
+        col("__it").getField("id").as("nn_id"),
+        col("__it").getField("sim").as("cos_sim"),
+        (col("__pos") + 1).as("rank"))
+  }
+}

@@ -55,6 +55,16 @@ class PlanQualitySpec extends GraftSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_ann_topk folds top-k in a partial aggregate — no full-corpus window") {
+    val p = plan("q_ann_topk")
+    // the per-query top-k must be a partial+final aggregate (bounded
+    // shuffle of queries×tasks×k buffers), never a window that exchanges
+    // the whole corpus×queries candidate set
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.toLowerCase.contains("partial_topkagg"), p)
+  }
+
   test("take/takeLast compile to TakeOrderedAndProject, not a global window") {
     import graft.core.CrysFrame
     val li = CrysFrame(spark.read.parquet(s"$dir/lineitem.parquet"))
