@@ -30,10 +30,11 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       (System.nanoTime() - t0) / 1e9
     }
-    // warmup pass: JIT, codegen cache, parquet footers — then measure
-    // steady-state (what a long-running cluster job actually sees)
+    // warmup pass: JIT, codegen cache, parquet footers — then take the
+    // MIN of 3 measured runs per query: a one-off JIT/GC pause in a
+    // single run cannot fabricate a 10x reading (round-1 postmortem)
     headline.foreach(run)
-    val results = headline.map(n => n -> run(n))
+    val results = headline.map(n => n -> (1 to 3).map(_ => run(n)).min)
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

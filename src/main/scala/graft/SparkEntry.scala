@@ -152,9 +152,20 @@ object SparkEntry {
       cf(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()
         .sortBy("l_returnflag", "l_linestatus").out),
 
-    // sampling has no cross-engine oracle: rows-only check
-    "q_sample" -> ((s, d) =>
-      cf(s, d, "customer").sampleN(100, seed = 42).select("c_custkey").sortBy("c_custkey").out),
+    // sampled VALUES have no cross-engine oracle (engine RNGs differ),
+    // but the INVARIANTS do: per-group exact-n cardinality, no
+    // duplicates (countDistinct == count), and subset-of-source (the
+    // semi join back to customer drops any row not present there)
+    "q_sample" -> ((s, d) => {
+      val src = cf(s, d, "customer")
+      src.groupBy("c_mktsegment").sampleN(20, seed = 42)
+        .semiJoin(src.select("c_custkey"), by = Seq("c_custkey"))
+        .groupBy("c_mktsegment")
+        .summarize(
+          "n_sampled" -> (_ => Agg.n),
+          "n_ids" -> (_ => countDistinct(col("c_custkey"))))
+        .sortBy("c_mktsegment").out
+    }),
 
     // ---------------- §2.4 sorting ----------------
     "q_sort" -> ((s, d) =>
@@ -462,16 +473,34 @@ object SparkEntry {
         numHashes = 64, bands = 16, threshold = 0.7, shingleSize = 4)
         .select("doc_id")).sortBy("doc_id").out),
 
+    // maxDist = 3: the 4-block pigeonhole scheme's guaranteed-recall
+    // bound (larger distances would silently under-recall)
     "q_simhash_pairs" -> ((s, d) =>
-      CrysFrame(Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxDist = 16)
+      CrysFrame(Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxDist = 3)
         .withColumn("hamming", col("hamming").cast("int")))
         .sortBy("id_a", "id_b").out),
 
-    "q_jaccard_pairs" -> ((s, d) =>
-      CrysFrame(Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
-        threshold = 0.5, n = 5, numHashes = 64, bands = 16)
-        .withColumn("jaccard", round(col("jaccard"), 6)))
-        .sortBy("id_a", "id_b").out),
+    // exact n-gram Jaccard over a bounded slice (the verify kernel of the
+    // candidate→verify dedup, oracle-checked); the LSH candidate path is
+    // pinned by DedupSpec's recall-vs-brute-force equality test.
+    // jaccard = inter/union of two small exact ints — IEEE division is
+    // correctly rounded in both engines, so the raw double is
+    // bit-identical (no round() needed, none wanted: rounding a ratio
+    // like 3/640 can tie at the 7th digit and diverge).
+    "q_jaccard_pairs" -> ((s, d) => {
+      val sh = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), TextFunctions.normalizeText(col("text")).as("__norm"))
+        .select(col("doc_id"), TextFunctions.shinglesFromNormalized(col("__norm"), 5).as("__sh"))
+      val a = sh.select(col("doc_id").as("id_a"), col("__sh").as("__sha"))
+      val b = sh.select(col("doc_id").as("id_b"), col("__sh").as("__shb"))
+      val inter = size(array_intersect(col("__sha"), col("__shb"))).cast("double")
+      val uni = size(array_union(col("__sha"), col("__shb"))).cast("double")
+      CrysFrame(a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          when(uni === 0, lit(0.0)).otherwise(inter / uni).as("jaccard"))
+        .filter(col("jaccard") >= 0.5))
+        .sortBy("id_a", "id_b").out
+    }),
 
     // ---------------- extensions: similarity search ----------------
     "q_cosine_pairs" -> ((s, d) => {
@@ -606,6 +635,12 @@ object SparkEntry {
     "q_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_sample" ->
+      """SELECT c_mktsegment,
+        |  CAST(least(20, count(*)) AS BIGINT) AS n_sampled,
+        |  CAST(least(20, count(*)) AS BIGINT) AS n_ids
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_sort" ->
       "SELECT * FROM nation ORDER BY n_name DESC",
@@ -944,6 +979,23 @@ object SparkEntry {
         |        4) AS quality,
         |  round(hits / greatest(ntok, 1.0), 6) AS stopword_ratio
         |FROM parts ORDER BY doc_id""".stripMargin,
+
+    "q_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(length(norm) - 5, 0) + 2),
+        |      i -> substring(norm, CAST(i AS INTEGER), 5))) AS sh
+        |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |        FROM documents WHERE doc_id < 200)),
+        |scored AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS inter,
+        |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
+        |FROM scored WHERE CAST(inter AS DOUBLE) / uni >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_ann_topk" ->
       """SELECT query_id, rank, nn_id, cos_sim FROM (

@@ -380,8 +380,22 @@ final class CrysFrame private (
     val c = new Ctx(groupedBy, Nil)
     val aggs = rules.map { case (n, e) => e(c).as(n) }
     val res =
-      if (groupedBy.isEmpty) out.agg(aggs.head, aggs.tail: _*)
-      else out.groupBy(groupedBy.map(qcol): _*).agg(aggs.head, aggs.tail: _*)
+      try {
+        if (groupedBy.isEmpty) out.agg(aggs.head, aggs.tail: _*)
+        else out.groupBy(groupedBy.map(qcol): _*).agg(aggs.head, aggs.tail: _*)
+      } catch {
+        // a rule that is a bare column / row-level expression does not
+        // reduce to one scalar per group — surface the reference-shaped
+        // error (reference: columns.cr:27-31, spec core_spec.cr:313-317)
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(c =>
+              c.startsWith("MISSING_AGGREGATION") ||
+                c.startsWith("MISSING_GROUP_BY") ||
+                c.startsWith("UNRESOLVED_ALL_IN_GROUP_BY") ||
+                c.contains("GROUP_BY")) =>
+          throw new NonScalarValueException(
+            s"summarize() expression did not evaluate into a scalar value: ${e.getMessage}")
+      }
     CrysFrame(res)
   }
 

@@ -6,6 +6,11 @@ import org.apache.spark.sql.types._
   * contract (reference: src/crysda/select.cr:21-33). */
 final class SelectException(msg: String) extends RuntimeException(msg)
 
+/** A `summarize` rule that does not reduce to a scalar per group —
+  * the reference-shaped error contract
+  * (reference: src/crysda/columns.cr:27-31, spec/core_spec.cr:313-317). */
+final class NonScalarValueException(msg: String) extends RuntimeException(msg)
+
 /** Predicate/DSL column selection, resolved driver-side against the
   * frame's column names — no Catalyst involvement needed (the plan only
   * ever sees the final `select(names)`).

@@ -165,17 +165,28 @@ object Dedup {
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs with hamming distance ≤ maxDist (≤ 3 for the
-    * classic 4-block pigeonhole): block on each of 4×16-bit chunks so
-    * any pair within distance 3 collides in ≥ 1 block; verify exact
-    * hamming after the bucket join. */
+  /** SimHash near-dup pairs with hamming distance ≤ maxDist, with a
+    * GUARANTEED recall contract: the 64 bits are split into
+    * `maxDist + 1` blocks, so by pigeonhole any pair within maxDist
+    * collides unchanged in ≥ 1 block; exact hamming verifies after the
+    * bucket join. maxDist ≤ 7 is enforced — beyond that the blocks
+    * shrink under 8 bits and the bucket join degenerates toward
+    * all-pairs (and the classic production setting is 3–4 anyway).
+    * maxDist = 3 is the classic 4×16-bit scheme. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sh"))
-    val blocks = F.array((0 until 4).map { b =>
+    require(maxDist >= 0 && maxDist <= 7,
+      s"simhashPairs guarantees recall via maxDist+1 blocks; maxDist=$maxDist " +
+        "would need blocks under 8 bits (got to be in [0,7])")
+    val nBlocks = maxDist + 1
+    val widths = Array.tabulate(nBlocks)(i => 64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val blocks = F.array((0 until nBlocks).map { b =>
       struct(lit(b).as("blk"),
-        shiftrightunsigned(col("__sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+        shiftrightunsigned(col("__sh"), offsets(b))
+          .bitwiseAND(lit((1L << widths(b)) - 1)).as("key"))
     }: _*)
+    val sh = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sh"))
     val banded = sh.select(col("__id"), col("__sh"), explode(blocks).as("__b"))
       .select(col("__id"), col("__sh"), col("__b.blk"), col("__b.key"))
     val l = banded.select(col("__id").as("id_a"), col("__sh").as("sh_a"),

@@ -229,4 +229,13 @@ class CoreVerbsSpec extends GraftSpec {
     val f = persons.sortByExpr(c => c("age") * -1).rename("age" -> "years")
     assert(f.out.collect().map(_.getAs[Int]("years")).toSeq == Seq(53, 30, 23))
   }
+
+  test("summarize raises NonScalarValueException on a non-scalar rule") {
+    // reference: spec/core_spec.cr:313-317 — a rule returning a whole
+    // column (not an aggregate) must raise the reference-shaped error
+    intercept[graft.core.NonScalarValueException](
+      persons.groupBy("last_name").summarize("bad" -> (c => c("age") + 1)))
+    intercept[graft.core.NonScalarValueException](
+      persons.summarize("bad" -> (c => c("first_name"))))
+  }
 }

@@ -154,12 +154,60 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
   }
 
+  test("simhashPairs recall contract: equals brute force up to maxDist") {
+    // the maxDist+1-block pigeonhole must find EVERY pair within
+    // maxDist, including distances the classic 4-block scheme (≤3)
+    // cannot guarantee — asserted against exhaustive hamming distances
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val hashes = real.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def brute(maxD: Int): Set[(Long, Long)] = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= maxD
+    } yield (ia, ib)).toSet
+    for (maxD <- Seq(3, 5)) {
+      val got = Dedup.simhashPairs(real, "doc_id", "text", maxDist = maxD)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute(maxD), s"maxDist=$maxD")
+    }
+    // distances beyond the old 4-block guarantee exist in the corpus,
+    // so the generalized contract is doing real work
+    assert(brute(5).size > brute(3).size)
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairs(real, "doc_id", "text", maxDist = 16))
+  }
+
   test("ngram jaccard: identical=1, near-dup high, different low") {
     import spark.implicits._
     val df = Seq(("abcdefgh", "abcdefgh"), ("abcdefgh", "zzzzzzzz")).toDF("x", "y")
     val sims = df.select(Dedup.ngramJaccard(col("x"), col("y"), 3)).collect()
       .map(_.getDouble(0))
     assert(sims(0) == 1.0 && sims(1) == 0.0)
+  }
+
+  test("LSH jaccardPairs equals brute-force high-jaccard pairs on real docs") {
+    import graft.text.TextFunctions
+    // candidate→verify via MinHash LSH must recover EVERY pair whose
+    // exact 5-gram jaccard ≥ 0.7 on the test corpus (recall 1.0 at this
+    // margin over the 0.5 est-threshold band filter), and nothing else —
+    // this pins the candidate generation that the oracle-checked
+    // q_jaccard_pairs (brute-force slice) cannot see
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lsh = Dedup.jaccardPairs(real, "doc_id", "text",
+      threshold = 0.7, n = 5, numHashes = 64, bands = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = real
+      .select(col("doc_id"), TextFunctions.normalizeText(col("text")).as("__norm"))
+      .select(col("doc_id"), TextFunctions.shinglesFromNormalized(col("__norm"), 5).as("__sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("__sh").as("__sha"))
+    val b = sh.select(col("doc_id").as("id_b"), col("__sh").as("__shb"))
+    val inter = size(array_intersect(col("__sha"), col("__shb"))).cast("double")
+    val uni = size(array_union(col("__sha"), col("__shb"))).cast("double")
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(inter / uni >= 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(lsh == brute)
   }
 
   // --- similarity search ---
