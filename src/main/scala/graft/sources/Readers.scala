@@ -21,6 +21,26 @@ import org.apache.spark.sql.types._
   */
 object Readers {
 
+  /** URL schemes the reference fetches driver-side
+    * (reference: src/crysda/builder.cr:154-169 `read_url`). */
+  private val UrlScheme = "^(?i)(https?|ftp)://.*".r
+
+  /** Fetch a URL to a local temp file (driver-side, single stream — an
+    * HTTP body has no splittable byte ranges anyway; for bulk ingest at
+    * scale, land the data on a distributed store first). The original
+    * extension is preserved so the gzip path still engages. */
+  private def fetchToTemp(url: String): String = {
+    val name = url.substring(url.lastIndexOf('/') + 1)
+    val suffix = if (name.contains('.')) name.substring(name.indexOf('.')) else ".csv"
+    val tmp = java.nio.file.Files.createTempFile("graft_url_", suffix)
+    val in = java.net.URI.create(url).toURL.openStream()
+    try java.nio.file.Files.copy(in, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    tmp.toFile.deleteOnExit()
+    tmp.toString
+  }
+
   def readCsv(spark: SparkSession, path: String,
               separator: String = ",",
               quoteChar: String = "\"",
@@ -31,9 +51,77 @@ object Readers {
               trueValues: Set[String] = Inference.defaultTrue,
               falseValues: Set[String] = Inference.defaultFalse,
               multiLine: Boolean = false): CrysFrame = {
+    // http/https/ftp input: fetch to a temp file, then the normal
+    // distributed pipeline (reference: builder.cr:154-169)
+    val localPath = path match {
+      case UrlScheme(_) => fetchToTemp(path)
+      case _            => path
+    }
     // multiLine=true parses newlines inside quoted fields (the
     // reference parser always does) but makes the scan non-splittable —
     // leave off unless the data needs it
+    val reader = csvReader(spark, separator, quoteChar, comment, header,
+      naValue, multiLine)
+    val raw: DataFrame =
+      if (skip == 0) reader.csv(localPath)
+      else {
+        // Spark's CSV source has no skip-N-lines option: read as text,
+        // drop the preamble by line index, re-parse the remainder
+        // (reference `skip:` option, src/crysda/builder.cr:44-83)
+        import spark.implicits._
+        val lines = spark.read.text(localPath).as[String].rdd
+          .zipWithIndex.filter(_._2 >= skip).map(_._1)
+        reader.csv(spark.createDataset(lines))
+      }
+    inferAndType(raw, header, trueValues, falseValues)
+  }
+
+  /** CSV from an in-memory string — the reference's `read_csv(io : IO)`
+    * / `from_csv` surface (reference: builder.cr:44-83, 154-160).
+    * Content is parallelized driver-side; meant for literals and tests,
+    * not bulk data. */
+  def readCsvString(spark: SparkSession, content: String,
+                    separator: String = ",",
+                    quoteChar: String = "\"",
+                    skip: Int = 0,
+                    comment: Character = '#',
+                    header: Boolean = true,
+                    naValue: String = "NA",
+                    trueValues: Set[String] = Inference.defaultTrue,
+                    falseValues: Set[String] = Inference.defaultFalse): CrysFrame = {
+    import spark.implicits._
+    val lines = content.linesIterator.drop(skip).toSeq
+    val reader = csvReader(spark, separator, quoteChar, comment, header,
+      naValue, multiLine = false)
+    inferAndType(reader.csv(spark.createDataset(lines)), header,
+      trueValues, falseValues)
+  }
+
+  /** CSV from a stream (the reference's arbitrary-IO input); gzip
+    * auto-detected from the 0x1f8b magic, matching the reference's
+    * gzip handling (reference: builder.cr:161-169). The stream is
+    * drained driver-side. */
+  def readCsvStream(spark: SparkSession, in: java.io.InputStream,
+                    separator: String = ",",
+                    quoteChar: String = "\"",
+                    skip: Int = 0,
+                    comment: Character = '#',
+                    header: Boolean = true,
+                    naValue: String = "NA"): CrysFrame = {
+    val buf = new java.io.BufferedInputStream(in)
+    buf.mark(2)
+    val m1 = buf.read(); val m2 = buf.read()
+    buf.reset()
+    val data: java.io.InputStream =
+      if (m1 == 0x1f && m2 == 0x8b) new java.util.zip.GZIPInputStream(buf) else buf
+    val content = new String(data.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    readCsvString(spark, content, separator, quoteChar, skip, comment, header, naValue)
+  }
+
+  private def csvReader(spark: SparkSession, separator: String,
+                        quoteChar: String, comment: Character,
+                        header: Boolean, naValue: String,
+                        multiLine: Boolean) = {
     var reader = spark.read
       .option("multiLine", multiLine)
       .option("sep", separator)
@@ -43,17 +131,15 @@ object Readers {
       .option("inferSchema", false)
       .option("mode", "PERMISSIVE")
     if (comment != null) reader = reader.option("comment", comment.toString)
-    var raw: DataFrame =
-      if (skip == 0) reader.csv(path)
-      else {
-        // Spark's CSV source has no skip-N-lines option: read as text,
-        // drop the preamble by line index, re-parse the remainder
-        // (reference `skip:` option, src/crysda/builder.cr:44-83)
-        import spark.implicits._
-        val lines = spark.read.text(path).as[String].rdd
-          .zipWithIndex.filter(_._2 >= skip).map(_._1)
-        reader.csv(spark.createDataset(lines))
-      }
+    reader
+  }
+
+  /** The inference + typed-projection pipeline shared by all CSV entry
+    * points (see class doc). */
+  private def inferAndType(raw0: DataFrame, header: Boolean,
+                           trueValues: Set[String],
+                           falseValues: Set[String]): CrysFrame = {
+    var raw = raw0
     if (!header) raw = raw.toDF(raw.columns.indices.map(i => s"Col${i + 1}"): _*)
 
     // 20-value peek per column (reference: utils.cr:276) gives the

@@ -32,6 +32,49 @@ class ReferenceGoldenSpec extends GraftSpec {
     assert(iris.schema("Sepal.Length").dataType == DoubleType)
   }
 
+  /** reference: spec/reader_spec.cr URL test — served by an in-test
+    * HTTP server exactly like the reference's own spec. */
+  test("readCsv from an http:// URL matches the direct file read") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$data/msleep.csv"))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/msleep.csv", exchange => {
+      exchange.sendResponseHeaders(200, bytes.length.toLong)
+      try exchange.getResponseBody.write(bytes) finally exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/msleep.csv"
+      val viaUrl = Readers.readCsv(spark, url)
+      assert(viaUrl.numRow == 83 && viaUrl.numCol == 11)
+      assert(viaUrl.schema == sleep.schema)
+      assert(viaUrl.out.orderBy("name").collect().toSeq ==
+        sleep.out.orderBy("name").collect().toSeq)
+    } finally server.stop(0)
+  }
+
+  /** reference: builder.cr:44-83 IO/string input + gzip autodetect
+    * (spec/reader_spec.cr gzip case). */
+  test("readCsvString and gzip readCsvStream run the same typed pipeline") {
+    val s = Readers.readCsvString(spark,
+      """# preamble to skip
+        |a,b,flag
+        |1,x,T
+        |2,NA,F
+        |3,y,NA
+        |""".stripMargin, skip = 1)
+    assert(s.schema("a").dataType == IntegerType)
+    assert(s.schema("flag").dataType == BooleanType)
+    assert(s.numRow == 3)
+    assert(s.out.orderBy("a").collect()(1).isNullAt(1)) // NA -> null
+    val gz = Readers.readCsvStream(spark,
+      java.nio.file.Files.newInputStream(
+        java.nio.file.Paths.get(s"$data/msleep.csv.gz")))
+    assert(gz.numRow == 83 && gz.numCol == 11)
+    assert(gz.schema == sleep.schema)
+  }
+
   /** reference: spec/core_spec.cr:660-680 — compound pipeline golden. */
   test("compound pipeline reproduces mean rem proportion 0.22137215757391437") {
     val got = sleep
