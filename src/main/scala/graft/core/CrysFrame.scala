@@ -200,6 +200,20 @@ final class CrysFrame private (
     * Not codegen'd — prefer `filter` with Column predicates. */
   def filterByRow(p: Row => Boolean): CrysFrame = keep(df.filter(p))
 
+  /** Row-wise filter with the 0-based row index in the frame's order
+    * (reference: src/crysda/dataframe.cr:262-274). Indexing uses RDD
+    * zipWithIndex — no single-partition window; the predicate row
+    * carries the visible schema. */
+  def filterByRowWithIndex(p: (Row, Long) => Boolean): CrysFrame = {
+    val base = out
+    val visSchema = base.schema
+    val withIdx = Binds.withIdx(base)
+    CrysFrame(withIdx.filter { r =>
+      p(new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        r.toSeq.init.toArray, visSchema), r.getLong(r.length - 1))
+    }.drop(IDX))
+  }
+
   /** Row-wise transformation escape hatch — the reference's `map{}`
     * over cells (reference: src/crysda/columns.cr:170-182). Distributed
     * via mapPartitions but NOT codegen'd: prefer Column expressions for
@@ -519,12 +533,12 @@ final class CrysFrame private (
   // ---------------------------------------------------------------------
 
   /** Union by column name; union of all names, missing columns
-    * null-filled; grouping discarded
-    * (reference: src/crysda/dataframe.cr:104-160). */
+    * null-filled; grouping discarded; conflicting column types re-infer
+    * like the reference (reference: src/crysda/dataframe.cr:104-160,
+    * widening at dataframe.cr:694-714): integral+integral → Long,
+    * numeric+numeric → Double, anything else → String. */
   def bindRows(others: CrysFrame*): CrysFrame =
-    CrysFrame(others.foldLeft(out) { (acc, o) =>
-      acc.unionByName(o.out, allowMissingColumns = true)
-    })
+    CrysFrame(others.foldLeft(out)((acc, o) => Binds.unionWidened(acc, o.out)))
 
   /** Positional column concat; duplicate names suffixed `_1, _2…`
     * (reference: src/crysda/dataframe.cr:162-182, 754-766).
@@ -693,4 +707,15 @@ object CrysFrame {
   }
 
   def empty(spark: SparkSession): CrysFrame = CrysFrame(spark.emptyDataFrame)
+
+  /** Frames with arbitrary-object columns — the reference's
+    * `CustomColumnValue` / `ArrayList` cells
+    * (reference: src/crysda/context.cr:48-52,76-119): case classes with
+    * product encoders become struct/array columns, groupable and
+    * unnestable by value. Spark's value semantics replace the
+    * reference's run-stable `hashcode` contract (which only existed to
+    * make grouping order deterministic — grouping here is by value). */
+  def ofDataset[T <: Product](spark: SparkSession, values: Seq[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T]): CrysFrame =
+    CrysFrame(spark.createDataset(values)(enc).toDF())
 }

@@ -81,6 +81,13 @@ final class Ctx private[core] (
   def matching(c: Column, re: String): Column =
     coalesce(c.rlike(re), lit(false))
 
+  /** Zip-concatenate two columns with a space, nulls stringified to
+    * "NA" like the reference's AnyVal#to_s
+    * (reference: src/crysda/extension.cr:58-61, utils.cr:115-117). */
+  def concatenate(a: Column, b: Column): Column =
+    concat(coalesce(a.cast("string"), lit("NA")), lit(" "),
+      coalesce(b.cast("string"), lit("NA")))
+
   /** null→false, CrysDA's `nil_as_false` (reference: src/crysda/extension.cr:30-38) */
   def nilAsFalse(c: Column): Column = coalesce(c, lit(false))
 

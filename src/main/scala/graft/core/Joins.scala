@@ -106,6 +106,31 @@ private[core] object Binds {
       schema)
   }
 
+  /** Union by name with the reference's conflicting-type re-inference
+    * (reference: bind_col_data, src/crysda/dataframe.cr:694-714):
+    * integral+integral widen to Long, numeric+numeric to Double, and
+    * any other conflict falls back to String (the reference's AnyCol
+    * worst case). `unionByName` would otherwise throw on e.g.
+    * Int vs String. */
+  def unionWidened(a: DataFrame, b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType, LongType, NumericType, ShortType, StringType}
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    def widened(x: DataType, y: DataType): Option[DataType] = (x, y) match {
+      case _ if x == y                       => None
+      case _ if integral(x) && integral(y)   => Some(LongType)
+      case (_: NumericType, _: NumericType)  => Some(DoubleType)
+      case _                                 => Some(StringType)
+    }
+    val bt = b.schema.fields.map(f => f.name -> f.dataType).toMap
+    val conflicts = a.schema.fields.flatMap { f =>
+      bt.get(f.name).flatMap(widened(f.dataType, _)).map(f.name -> _)
+    }.toMap
+    def cast(df: DataFrame) = conflicts.foldLeft(df) { case (d, (c, t)) =>
+      d.withColumn(c, qcol(c).cast(t))
+    }
+    cast(a).unionByName(cast(b), allowMissingColumns = true)
+  }
+
   /** `name` → `name_1`, `name_2`… on collision
     * (reference: DuplicateNameResolver, src/crysda/dataframe.cr:754-766). */
   def dedupNames(taken: Seq[String], r: DataFrame): DataFrame = {

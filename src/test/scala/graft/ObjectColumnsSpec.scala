@@ -1,0 +1,83 @@
+package graft
+
+import graft.core.CrysFrame
+import org.apache.spark.sql.functions._
+
+// top-level case classes: nested ones break Janino codegen for Encoders
+case class GeoPoint(lat: Double, lon: Double)
+case class Sighting(id: Long, species: String, where: GeoPoint)
+case class Tagged(id: String, tags: Seq[String])
+
+/** Arbitrary-object columns and the remaining reference tail:
+  * CustomColumnValue-style struct cells (reference: context.cr:48-52),
+  * ArrayList cells + unnest (reference: context.cr:76-119,
+  * spec/reshape_spec.cr:212-221), filter_by_row_with_index
+  * (dataframe.cr:262-274), concatenate (extension.cr:58-61),
+  * JDBC ingest (crysda.cr:50-52, spec/reader_spec.cr:160-199). */
+class ObjectColumnsSpec extends GraftSpec {
+
+  import org.apache.spark.sql.Encoders
+  private implicit val sightingEnc: org.apache.spark.sql.Encoder[Sighting] =
+    Encoders.product[Sighting]
+  private implicit val taggedEnc: org.apache.spark.sql.Encoder[Tagged] =
+    Encoders.product[Tagged]
+
+  test("case-class object columns group and sort by value") {
+    val f = CrysFrame.ofDataset(spark, Seq(
+      Sighting(1, "fox", GeoPoint(52.5, 13.4)),
+      Sighting(2, "owl", GeoPoint(52.5, 13.4)),
+      Sighting(3, "fox", GeoPoint(48.1, 11.6))))
+    // the struct column is a first-class value: groupable like the
+    // reference's hashcode-backed CustomColumnValue grouping
+    val counts = f.groupBy("where").count()
+      .out.collect().map(r => r.getStruct(0).getDouble(0) -> r.getLong(1)).toMap
+    assert(counts == Map(52.5 -> 2L, 48.1 -> 1L))
+    assert(f.schema("where").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  test("ArrayList-style list cells unnest to rows (reference reshape_spec)") {
+    val f = CrysFrame.ofDataset(spark, Seq(
+      Tagged("foo", Seq("some", "tags")),
+      Tagged("bar", Seq("some", "other", "tags"))))
+    assert(f.unnest("tags").numRow == 5)
+  }
+
+  test("filterByRowWithIndex passes the 0-based index in frame order") {
+    val f = CrysFrame.of(spark, Seq("person", "year"),
+      Seq(Seq("max", 2014), Seq("max", 2016), Seq("anna", 2015), Seq("anna", 2016)))
+      .withRowOrder
+    // reference doc example: year > 2015 || odd index
+    val kept = f.filterByRowWithIndex((r, i) =>
+      r.getAs[Int]("year") > 2015 || i % 2 != 0)
+    assert(kept.numRow == 2) // indices 1 (2016) and 3 (2016, odd)
+    // index respects an explicit sort order
+    val firstTwo = f.sortBy("year").filterByRowWithIndex((_, i) => i < 2)
+      .out.collect().map(_.getInt(1)).toSeq.sorted
+    assert(firstTwo == Seq(2014, 2015))
+  }
+
+  test("concatenate zips two columns with space, nulls as NA") {
+    val f = CrysFrame.of(spark, Seq("a", "b"),
+      Seq(Seq("x", 1), Seq(null, 2)))
+      .addColumn("c")(c => c.concatenate(c("a"), c("b")))
+    assert(f.out.orderBy("b").collect().map(_.getString(2)).toSeq ==
+      Seq("x 1", "NA 2"))
+  }
+
+  test("readJdbc reads a table from an embedded Derby database") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE users") catch { case _: java.sql.SQLException => }
+      st.execute("CREATE TABLE users (id INT, login VARCHAR(32), balance DOUBLE)")
+      st.execute("INSERT INTO users VALUES (1, 'ann', 10.5), (2, 'bob', -3.25), (3, NULL, 0.0)")
+      val f = graft.sources.Readers.readJdbc(spark, url, "users")
+      assert(f.numRow == 3)
+      assert(f.names.map(_.toLowerCase) == Seq("id", "login", "balance"))
+      val rows = f.out.orderBy("id").collect()
+      assert(rows(0).getString(1) == "ann" && rows(1).getDouble(2) == -3.25)
+      assert(rows(2).isNullAt(1))
+    } finally conn.close()
+  }
+}

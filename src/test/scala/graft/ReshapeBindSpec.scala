@@ -93,6 +93,23 @@ class ReshapeBindSpec extends GraftSpec {
     assert(f.numRow == 2)
   }
 
+  test("bindRows re-infers conflicting column types like the reference") {
+    // reference: dataframe.cr:694-714 — Int+Double → Float64,
+    // incompatible → AnyCol (String here); unionByName alone would throw
+    val ints = CrysFrame.of(spark, Seq("v"), Seq(Seq(1)))
+    val dbls = CrysFrame.of(spark, Seq("v"), Seq(Seq(2.5)))
+    val strs = CrysFrame.of(spark, Seq("v"), Seq(Seq("x")))
+    val longs = CrysFrame.of(spark, Seq("v"), Seq(Seq(9999999999L)))
+    val numeric = ints.bindRows(dbls)
+    assert(numeric.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(numeric.out.orderBy("v").collect().map(_.getDouble(0)).toSeq == Seq(1.0, 2.5))
+    val integral = ints.bindRows(longs)
+    assert(integral.schema("v").dataType == org.apache.spark.sql.types.LongType)
+    val mixed = ints.bindRows(strs)
+    assert(mixed.schema("v").dataType == org.apache.spark.sql.types.StringType)
+    assert(mixed.out.orderBy("v").collect().map(_.getString(0)).toSeq == Seq("1", "x"))
+  }
+
   test("bindCols zips positionally, dedups names with _1 suffix") {
     val a = CrysFrame.of(spark, Seq("v"), Seq(Seq(1), Seq(2)))
     val b = CrysFrame.of(spark, Seq("v"), Seq(Seq(10), Seq(20)))
