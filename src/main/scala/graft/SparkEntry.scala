@@ -502,6 +502,23 @@ object SparkEntry {
         .sortBy("id_a", "id_b").out
     }),
 
+    // embedding-cosine near-dedup: the EXACT variant (all-pairs on the
+    // bounded corpus) so the keep-min-id semantics get a DuckDB oracle;
+    // the 100-TB path is Dedup.embeddingDedup (banded LSH candidates,
+    // pinned by the planted-near-dup spec). Threshold compares on
+    // round(cos, 6) — the granularity at which the kernels are verified
+    // bit-identical across engines.
+    "q_embed_dedup" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val dups = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .filter(round(Similarity.cosine(col("va"), col("vb")), 6) >= 0.45)
+        .select(col("id_b").as("vec_id")).distinct()
+      CrysFrame(e.join(dups, Seq("vec_id"), "left_anti").select("vec_id"))
+        .sortBy("vec_id").out
+    }),
+
     // ---------------- extensions: similarity search ----------------
     "q_cosine_pairs" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -938,6 +955,15 @@ object SparkEntry {
         |       WHEN h_fr >= h_es THEN 'fr'
         |       ELSE 'es' END AS pred_lang
         |FROM hits ORDER BY doc_id""".stripMargin,
+
+    "q_embed_dedup" ->
+      """SELECT vec_id FROM embeddings e
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM embeddings b
+        |  WHERE b.vec_id < e.vec_id
+        |    AND round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+        |                                     CAST(e.embedding AS DOUBLE[])), 6) >= 0.45)
+        |ORDER BY vec_id""".stripMargin,
 
     "q_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -37,6 +37,9 @@ object Kernels {
 
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSimExpr(expression(a), expression(b)))
+
+  def cosineLshBands(vec: Column, bands: Int, bitsPerBand: Int, seed: Long): Column =
+    column(CosineLshBandsExpr(expression(vec), bands, bitsPerBand, seed))
 }
 
 /** MinHash signature over character shingles of an (already normalized)
@@ -141,6 +144,64 @@ case class SimHash64Expr(child: Expression)
     var b = 0
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Multi-band random-hyperplane LSH keys for cosine similarity: band b
+  * gets `bitsPerBand` sign bits of projections onto deterministic
+  * hash-derived ±1 hyperplanes (no stored plane table). Two vectors at
+  * angle θ agree on one bit with prob 1-θ/π, on a band with that to the
+  * bitsPerBand'th power, and miss ALL bands with the complement to the
+  * bands'th power — the same amplification scheme as MinHash banding.
+  * One JVM loop per row (bands × bits × dim sign-dot-products); the HOF
+  * formulation of the same math is interpreted per element and
+  * re-evaluates the projection expression per bit. */
+case class CosineLshBandsExpr(child: Expression, bands: Int, bitsPerBand: Int,
+                              seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  private def elemGetter: (ArrayData, Int) => Double =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType   => (a, i) => a.getFloat(i).toDouble
+      case DoubleType  => (a, i) => a.getDouble(i)
+      case LongType    => (a, i) => a.getLong(i).toDouble
+      case IntegerType => (a, i) => a.getInt(i).toDouble
+      case other => throw new IllegalArgumentException(s"cosine LSH over $other")
+    }
+
+  @transient private lazy val get = elemGetter
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var i = 0
+      while (i < bitsPerBand) {
+        var proj = 0.0
+        var d = 0
+        val planeBase = ((b * bitsPerBand + i).toLong * 1000003L + seed) * 31L
+        while (d < dim) {
+          val sign = if ((Kernels.mix(planeBase + d) & 1L) != 0L) 1.0 else -1.0
+          proj += get(v, d) * sign
+          d += 1
+        }
+        if (proj > 0) key |= (1L << i)
+        i += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    new GenericArrayData(keys)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -200,6 +200,24 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // embedding-cosine near-dup
+  // -------------------------------------------------------------------
+
+  /** Embedding-cosine near-dedup: drop every row whose vector is
+    * ≥ `threshold` cosine-similar to a LOWER-id row (greedy min-id, the
+    * same first-pass contract as [[minhashDedup]]). Candidates come
+    * from banded hyperplane LSH ([[Similarity.lshNeighborPairs]]), so
+    * the plan is bucket-join + verify — never all-pairs. */
+  def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double = 0.95, nBits: Int = 6,
+                     bands: Int = 16, seed: Long = 42L): DataFrame = {
+    val dups = Similarity.lshNeighborPairs(df, idCol, vecCol, nBits, bands,
+      threshold, seed)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dups, Seq(idCol), "left_anti")
+  }
+
+  // -------------------------------------------------------------------
   // n-gram Jaccard
   // -------------------------------------------------------------------
 

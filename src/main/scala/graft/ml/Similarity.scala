@@ -131,16 +131,31 @@ object Similarity {
     bits.reduce((a, c) => a.bitwiseOR(c))
   }
 
-  /** LSH-bucketed approximate neighbor pairs within the corpus:
-    * bucket-join on the LSH key, verify with exact cosine ≥ threshold. */
+  /** Banded LSH approximate neighbor pairs within the corpus — the
+    * embedding-space counterpart of MinHash banding: `bands` independent
+    * hyperplane sketches of `nBits` each (graft.functions
+    * CosineLshBandsExpr, one JVM loop per row), candidates from the
+    * (band, key) bucket join, exact-cosine verify. A pair at cosine c
+    * misses all bands with prob (1-p^nBits)^bands, p = 1-acos(c)/π —
+    * e.g. c=0.95, 16×6-bit bands → miss ≈ 6e-6. Shuffle discipline as
+    * in MinHash: bare (id, band, key) through the explode; vectors join
+    * back on the deduplicated candidate pairs only. */
   def lshNeighborPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                       dim: Int, nBits: Int = 12,
-                       threshold: Double = 0.8): DataFrame = {
-    val keyed = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-      cosineLshKey(col(vecCol), dim, nBits).as("__key"))
-    val l = keyed.select(col("__id").as("id_a"), col("__v").as("va"), col("__key"))
-    val r = keyed.select(col("__id").as("id_b"), col("__v").as("vb"), col("__key"))
-    l.join(r, Seq("__key")).filter(col("id_a") < col("id_b"))
+                       nBits: Int = 6, bands: Int = 16,
+                       threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    val keyed = corpus.select(col(idCol).as("__id"),
+      graft.functions.Kernels.cosineLshBands(col(vecCol), bands, nBits, seed).as("__keys"))
+    val banded = keyed.select(col("__id"),
+      posexplode(col("__keys")).as(Seq("__band", "__key")))
+    val cand = banded.select(col("__id").as("id_a"), col("__band"), col("__key"))
+      .join(banded.select(col("__id").as("id_b"), col("__band"), col("__key")),
+        Seq("__band", "__key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val vecs = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    cand
+      .join(vecs.select(col("__id").as("id_a"), col("__v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("__id").as("id_b"), col("__v").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }

@@ -212,6 +212,40 @@ class ReadersExtensionsSpec extends GraftSpec {
 
   // --- similarity search ---
 
+  test("banded cosine LSH finds exactly the planted near-duplicate pairs") {
+    import spark.implicits._
+    // 40 random unit-ish vectors + 10 planted near-dups (tiny noise):
+    // banded LSH (16 x 6-bit) must return exactly the brute-force pairs
+    // at threshold 0.95 (miss prob ~6e-6 per pair — deterministic here)
+    val rng = new scala.util.Random(7)
+    def randVec() = Array.fill(32)(rng.nextGaussian().toFloat)
+    val base = (0 until 40).map(i => i.toLong -> randVec())
+    val dups = (0 until 10).map { i =>
+      val (srcId, v) = base(i * 3)
+      (100L + srcId) -> v.map(x => x + (rng.nextGaussian() * 0.01).toFloat)
+    }
+    val all = (base ++ dups).map { case (id, v) => (id, v.toSeq) }
+    val df = all.toDF("id", "vec")
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val brute = (for {
+      (ia, va) <- all; (ib, vb) <- all
+      if ia < ib && cos(va, vb) >= 0.95
+    } yield (ia, ib)).toSet
+    assert(brute.size == 10) // every planted pair, nothing else
+    val lsh = Similarity.lshNeighborPairs(df, "id", "vec",
+      nBits = 6, bands = 16, threshold = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute)
+    // embedding dedup drops exactly the higher-id member of each pair
+    val kept = Dedup.embeddingDedup(df, "id", "vec", threshold = 0.95)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == all.map(_._1).toSet -- brute.map(_._2))
+  }
+
   test("cosine kernel is correct") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)), (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)))
