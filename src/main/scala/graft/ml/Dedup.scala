@@ -200,6 +200,65 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // connected-components clustering over candidate pairs
+  // -------------------------------------------------------------------
+
+  /** Min-label propagation over an undirected pair graph: returns
+    * `(id, label)` where label = the component's minimum id. Converges
+    * in O(component diameter) rounds — duplicate clusters are shallow,
+    * so a handful of iterations suffice at any corpus size; every round
+    * is a join + min-aggregation (no driver-side graph). Iterations cap
+    * at `maxIters` and stop early at fixpoint (one count per round). */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("label").as("__nl")), Seq("dst"))
+        .groupBy(col("src")).agg(F.min(col("__nl")).as("__minNbr"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__minNbr"), col("label"))).as("label"))
+        .cache()
+      val changed = next
+        .join(labels.withColumnRenamed("label", "__old"), Seq("id"))
+        .filter(col("label") < col("__old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Duplicate-CLUSTER dedup: connected components over the verified
+    * MinHash candidate graph, keeping each component's minimum id.
+    * Unlike the greedy [[minhashDedup]] (drop-if-any-lower-neighbor),
+    * near-duplication is treated as transitive: a star {A–C, B–C} is
+    * ONE cluster keeping only A, where the greedy pass would keep A and
+    * B. The standard choice for fuzzy-dedup pipelines; costs
+    * O(diameter) extra join rounds over the pair graph, which is tiny
+    * relative to the corpus (|pairs| ≈ duplicates, not rows). */
+  def minhashDedupCC(df: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int = 128, bands: Int = 32,
+                     threshold: Double = 0.8, shingleSize: Int = 5,
+                     maxIters: Int = 20): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, numHashes, bands,
+      threshold, shingleSize)
+    val dups = connectedComponents(pairs.select(col("id_a"), col("id_b")), maxIters)
+      .filter(col("label") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(dups, Seq(idCol), "left_anti")
+  }
+
+  // -------------------------------------------------------------------
   // embedding-cosine near-dup
   // -------------------------------------------------------------------
 

@@ -65,6 +65,36 @@ class PlanQualitySpec extends GraftSpec {
     assert(p.toLowerCase.contains("partial_topkagg"), p)
   }
 
+  test("bucketed tables join with no exchange and no sort") {
+    import graft.sources.Tables
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    for (t <- Seq("b_lineitem", "b_orders")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"/tmp/graft-test-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    Tables.writeBucketed(li, "b_lineitem", 4, Seq("l_orderkey"))
+    Tables.writeBucketed(ord, "b_orders", 4, Seq("l_orderkey"))
+    // hint forces SMJ (these sf0.001 tables would broadcast); what the
+    // bucketing buys is visible in the SMJ shape: co-located +
+    // co-sorted bucket files — no shuffle before the join
+    val joined = Tables.readTable(spark, "b_lineitem").hint("merge")
+      .join(Tables.readTable(spark, "b_orders"), Seq("l_orderkey"))
+    val p = joined.queryExecution.explainString(FormattedMode)
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(joined.count() == li.count())
+  }
+
   test("take/takeLast compile to TakeOrderedAndProject, not a global window") {
     import graft.core.CrysFrame
     val li = CrysFrame(spark.read.parquet(s"$dir/lineitem.parquet"))

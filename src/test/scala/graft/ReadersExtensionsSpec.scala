@@ -185,6 +185,23 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(sims(0) == 1.0 && sims(1) == 0.0)
   }
 
+  test("connectedComponents merges transitive clusters; CC dedup keeps one per cluster") {
+    import spark.implicits._
+    // star {1-3, 2-3} plus chain {10-11, 11-12} plus isolated pair {20-21}
+    val pairs = Seq((1L, 3L), (2L, 3L), (10L, 11L), (11L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // cluster dedup on the doc fixture: drops both copies of doc 1's
+    // cluster (2 exact, 3 near), keeps the distinct doc 4
+    val kept = Dedup.minhashDedupCC(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.6, shingleSize = 4)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept.head == 1L && kept.contains(4L) && !kept.contains(2L))
+  }
+
   test("LSH jaccardPairs equals brute-force high-jaccard pairs on real docs") {
     import graft.text.TextFunctions
     // candidate→verify via MinHash LSH must recover EVERY pair whose
