@@ -584,11 +584,12 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp")))
         .sortBy("doc_id").out),
 
-    // ---------------- extensions: multimodal plumbing (decode stubbed) --
+    // ---------------- extensions: multimodal ----------------
+    // header sniffing (mime/dims/duration) is REAL byte parsing; the
+    // pixel-decode feature path remains an acknowledged stub
     "q_multimodal" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(s, 200)
-      CrysFrame(Multimodal.extractFeatures(media, dim = 8)
-        .select(col("media_id"), col("kind"), col("n_bytes")))
+      CrysFrame(Multimodal.sniffMetadata(media))
         .sortBy("media_id").out
     })
   )

@@ -315,4 +315,39 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(rows.zip(again).forall { case (a, b) =>
       a.getAs[Seq[Float]]("feature") == b.getAs[Seq[Float]]("feature") })
   }
+
+  test("sniffMetadata parses real PNG/JPEG/GIF/WAV container headers") {
+    // hand-built headers — the sniffer does real byte-level parsing
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 1, 0x40, /* w=320 */ 0, 0, 0, 0xF0, /* h=240 */
+      8, 6, 0, 0, 0, 0, 0, 0, 0).map(_.toByte)
+    assert(Multimodal.sniffMeta(png) == ("image/png", 320, 240, null))
+    val jpeg = Array[Int](0xFF, 0xD8, // SOI
+      0xFF, 0xE0, 0, 4, 0, 0, // APP0, length 4
+      0xFF, 0xC0, 0, 17, 8, 0, 100, 0, 200, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0
+    ).map(_.toByte)
+    assert(Multimodal.sniffMeta(jpeg) == ("image/jpeg", 200, 100, null))
+    val gif = ("GIF89a".getBytes("US-ASCII") ++
+      Array[Int](0x20, 0x01, 0xC8, 0x00, 0, 0).map(_.toByte)) // 288 x 200
+    assert(Multimodal.sniffMeta(gif) == ("image/gif", 288, 200, null))
+    // WAV: 16 kHz mono 16-bit, 32000 data bytes → 1000 ms
+    val wav = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes).putInt(36 + 32000).put("WAVE".getBytes)
+    wav.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(16000).putInt(32000).putShort(2).putShort(16)
+    wav.put("data".getBytes).putInt(32000)
+    assert(Multimodal.sniffMeta(wav.array()) == ("audio/wav", null, null, 1000L))
+    // unknown bytes sniff to nulls, not errors
+    assert(Multimodal.sniffMeta(Array.fill[Byte](32)(7)) == (null, null, null, null))
+    // end-to-end over the synthetic frame: every image row gets real
+    // PNG dims, every audio row a real duration, video stays opaque
+    val sniffed = Multimodal.sniffMetadata(Multimodal.syntheticMedia(spark, 30))
+      .collect()
+    assert(sniffed.filter(_.getString(1) == "image")
+      .forall(r => r.getString(3) == "image/png" && r.getInt(4) >= 32))
+    assert(sniffed.filter(_.getString(1) == "audio")
+      .forall(r => r.getString(3) == "audio/wav" && r.getLong(6) > 0))
+    assert(sniffed.filter(_.getString(1) == "video").forall(_.isNullAt(3)))
+  }
 }
