@@ -131,6 +131,53 @@ object Similarity {
     bits.reduce((a, c) => a.bitwiseOR(c))
   }
 
+  /** Persist an IVF index: the assigned corpus written as parquet
+    * PARTITIONED BY list_id (one directory per inverted list) plus the
+    * centroid table. Build once, query many: a probe of nProbe lists
+    * becomes a partition-pruned scan that READS only nProbe/nLists of
+    * the corpus bytes — the property that makes IVF pay at 100 TB
+    * (pruning is visible in the scan's PartitionFilters; asserted in
+    * PlanQualitySpec). */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String, nLists: Int = 16,
+                    refineIters: Int = 1): Unit = {
+    val cents = centroids(corpus, idCol, vecCol, nLists, refineIters)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    assignLists(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+  }
+
+  /** Query a persisted IVF index: rank lists per query against the
+    * (tiny) centroid table, then scan ONLY the probed list partitions.
+    * The `isin` filter prunes at the file-listing level — untouched
+    * lists are never opened. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, qidCol: String, qvecCol: String,
+                     k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val qLists = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__q"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__sim", cosine(col("__q"), col("cvec")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__sim").desc)))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_id"), col("__q"), col("list_id"))
+    // probed list ids are tiny (queries × nProbe): collect for a
+    // partition-pruning literal filter, then bucket-join candidates
+    val probed = qLists.select(col("list_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("list_id").isin(probed: _*))
+    val idCol = lists.columns.filterNot(c => c == "list_id" || lists.schema(c).dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType]).head
+    val vecCol = lists.columns.filterNot(c => c == "list_id" || c == idCol).head
+    val cand = lists.select(col(idCol).as("nn_id"), col(vecCol).as("__v"), col("list_id"))
+      .join(broadcast(qLists), Seq("list_id"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"), cosine(col("__v"), col("__q")).as("cos_sim"))
+    TopK.perQuery(cand, k)
+  }
+
   /** Banded LSH approximate neighbor pairs within the corpus — the
     * embedding-space counterpart of MinHash banding: `bands` independent
     * hyperplane sketches of `nBits` each (graft.functions

@@ -65,6 +65,28 @@ class PlanQualitySpec extends GraftSpec {
     assert(p.toLowerCase.contains("partial_topkagg"), p)
   }
 
+  test("persisted IVF index queries prune to the probed list partitions") {
+    import graft.ml.Similarity
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val path = "/tmp/graft-test-ivf"
+    Similarity.buildIvfIndex(e, "vec_id", "embedding", path, nLists = 8)
+    val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+    val res = Similarity.ivfTopKIndexed(spark, path, queries, "vec_id", "embedding",
+      k = 5, nProbe = 2)
+    val p = res.queryExecution.explainString(FormattedMode)
+    // the lists scan must carry a PartitionFilters entry on list_id —
+    // unprobed inverted lists are pruned at file-listing time, so a
+    // query touches nProbe/nLists of the index bytes
+    val scanLine = p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(scanLine.contains("list_id"), p)
+    // the persisted index answers identically to the in-memory IVF path
+    val direct = Similarity.ivfTopK(e, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, nLists = 8, nProbe = 2)
+      .select("query_id", "rank", "nn_id").collect().map(_.toSeq).toSet
+    val indexed = res.select("query_id", "rank", "nn_id").collect().map(_.toSeq).toSet
+    assert(indexed == direct)
+  }
+
   test("bucketed tables join with no exchange and no sort") {
     import graft.sources.Tables
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
