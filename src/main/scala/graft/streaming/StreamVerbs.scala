@@ -96,4 +96,25 @@ object StreamVerbs {
                      lateness: String = "2 hours"): DataFrame =
     events.withWatermark("ts", lateness)
       .dropDuplicates(keyCols :+ "ts")
+
+  /** Streaming content dedup for text records: 64-bit normalized
+    * content hash (the same codegen'd kernel as the batch
+    * `Dedup.exactByContentHash`), duplicates dropped within the
+    * watermark horizon — per-key state is the 8-byte hash, never the
+    * document. */
+  def streamingContentDedup(docs: DataFrame, textCol: String, tsCol: String,
+                            lateness: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("__chash", graft.text.TextFunctions.contentHash(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(Seq("__chash"))
+      .drop("__chash")
+
+  /** Stream-static dimension enrichment: broadcast-join a (small,
+    * slowly-changing) dimension onto the stream — map-side per
+    * micro-batch, no streaming state at all. The everyday shape for
+    * attaching user/document metadata in an ingest pipeline. */
+  def enrich(stream: DataFrame, dim: DataFrame, by: Seq[String],
+             joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), by, joinType)
 }

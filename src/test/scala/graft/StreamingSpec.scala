@@ -71,4 +71,42 @@ class StreamingSpec extends GraftSpec {
       assert(spark.table("dedup").count() == 2)
     } finally q.stop()
   }
+
+  test("streaming content dedup drops textual duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamVerbs.streamingContentDedup(docs, "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("cdedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (1L, ts(0), "the quick brown fox"),
+        (2L, ts(1), "The  quick   brown fox"), // normalizes to the same content
+        (3L, ts(2), "something else entirely"))
+      q.processAllAvailable()
+      assert(spark.table("cdedup").count() == 2)
+    } finally q.stop()
+  }
+
+  test("stream-static enrich broadcast-joins a dimension per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "trial")).toDF("user_id", "tier")
+    val in = MemoryStream[Event]
+    val q = StreamVerbs.enrich(in.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 9, "view", 2.0)) // no dim row -> null tier
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+      assert(rows.length == 2)
+      assert(rows.find(_.getAs[Long]("user_id") == 1L).get.getAs[String]("tier") == "gold")
+      assert(rows.find(_.getAs[Long]("user_id") == 9L).get.getAs[String]("tier") == null)
+    } finally q.stop()
+  }
 }
