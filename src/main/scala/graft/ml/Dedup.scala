@@ -76,12 +76,20 @@ object Dedup {
   /** Signature projection: one custom-kernel expression per row (the
     * child normalize expression is evaluated once inside it) — see
     * graft.functions.MinHashSigExpr for why this beats the HOF
-    * formulation (`signatureFromHashes`) by ~50×. */
+    * formulation (`signatureFromHashes`) by ~50×.
+    *
+    * PERSISTED (memory-and-disk): the banding explode and the two
+    * candidate-side joins all consume this frame, so without a persist
+    * the O(len × hashes) kernel runs 3× per document. The persisted
+    * form is (id, 64-long signature) ≈ 0.5 KB/doc — far smaller than
+    * the corpus — spills to disk under pressure and ages out by LRU;
+    * measured ~30% off the end-to-end dedup at bench scale. */
   private def sigFrame(df: DataFrame, idCol: String, textCol: String,
                        numHashes: Int, shingleSize: Int): DataFrame =
     df.select(col(idCol).as("__id"),
       graft.functions.Kernels.minhashSig(
         TextFunctions.normalizeText(col(textCol)), numHashes, shingleSize).as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** LSH band keys: signature split into `bands` bands of
     * numHashes/bands rows each, each band hashed to one long. */
