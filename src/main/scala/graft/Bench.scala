@@ -24,11 +24,16 @@ object Bench {
 
     def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).write
-        .format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir).write
+          .format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        // a failed run must never win the min-of-3 with its short
+        // elapsed time — poison it instead so failures stay visible
+        Double.MaxValue
+      }
     }
     // warmup pass: JIT, codegen cache, parquet footers — then take the
     // MIN of 3 measured runs per query: a one-off JIT/GC pause in a

@@ -26,6 +26,11 @@ import org.apache.spark.sql.types._
   * Every verb returns a new CrysFrame; all transformations stay lazy so
   * Catalyst sees the whole plan (pushdown, pruning, join selection for
   * free — SURVEY §4).
+  *
+  * Reserved namespace: column names starting with `__graft_` are the
+  * engine's internal channel (ingest ordinal, carried sort refs) and
+  * are invisible to `names`/`schema`/`out` — ingest data must not use
+  * that prefix.
   */
 final class CrysFrame private (
     val df: DataFrame,
@@ -239,8 +244,18 @@ final class CrysFrame private (
         Window.partitionBy(groupedBy.map(qcol): _*).orderBy(c.ords.map(_.key): _*)
       else Window.orderBy(c.ords.map(_.key): _*)
     val tagged = c.df.withColumn(RN, F.row_number().over(w))
-    new CrysFrame(tagged.filter(cond(col(RN))).drop(RN), groupedBy, c.ords)
+    new CrysFrame(c.restoreOrder(tagged.filter(cond(col(RN))).drop(RN)),
+      groupedBy, c.ords)
   }
+
+  /** The window/limit machinery physically reorders rows; when the
+    * frame's ordering is the ingest ordinal, `out` trusts physical
+    * order (it skips the sort), so the REDUCED result must be put back
+    * in ordinal order here — a sort of the already-shrunk output, not
+    * the input. Frames ordered by real sort keys re-sort at `out`
+    * anyway, so this is skipped for them. */
+  private def restoreOrder(reduced: DataFrame): DataFrame =
+    if (ingestOrderOnly) reduced.orderBy(ords.map(_.key): _*) else reduced
 
   /** First n rows — per group when grouped (reference: src/crysda/dataframe.cr:317-320).
     * Ungrouped: `orderBy(keys).limit(n)` compiles to TakeOrderedAndProject
@@ -258,12 +273,13 @@ final class CrysFrame private (
   def takeLast(n: Int): CrysFrame =
     if (groupedBy.isEmpty) {
       val c = ordered
-      c.keep(c.df.orderBy(c.ords.map(_.rev): _*).limit(n))
+      c.keep(c.restoreOrder(c.df.orderBy(c.ords.map(_.rev): _*).limit(n)))
     } else {
       val c = ordered
       val w = Window.partitionBy(groupedBy.map(qcol): _*).orderBy(c.ords.map(_.rev): _*)
       val tagged = c.df.withColumn(RN, F.row_number().over(w))
-      new CrysFrame(tagged.filter(col(RN) <= n).drop(RN), groupedBy, c.ords)
+      new CrysFrame(c.restoreOrder(tagged.filter(col(RN) <= n).drop(RN)),
+        groupedBy, c.ords)
     }
 
   /** Exact-n random sample, per group when grouped

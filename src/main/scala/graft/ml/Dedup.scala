@@ -212,11 +212,14 @@ object Dedup {
   // -------------------------------------------------------------------
 
   /** Min-label propagation over an undirected pair graph: returns
-    * `(id, label)` where label = the component's minimum id. Converges
-    * in O(component diameter) rounds — duplicate clusters are shallow,
-    * so a handful of iterations suffice at any corpus size; every round
-    * is a join + min-aggregation (no driver-side graph). Iterations cap
-    * at `maxIters` and stop early at fixpoint (one count per round). */
+    * `(id, label)` where label = the component's minimum id. Each round
+    * takes the min over neighbor labels AND pointer-jumps
+    * (label := label(label)), so convergence is O(log diameter) —
+    * maxIters=20 covers any component a physical dataset can contain.
+    * Every round is joins + a min-aggregation (no driver-side graph),
+    * with an early fixpoint exit (one count per round); hitting the cap
+    * without converging warns on stderr rather than silently returning
+    * partial labels. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -229,10 +232,17 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("label").as("__nl")), Seq("dst"))
         .groupBy(col("src")).agg(F.min(col("__nl")).as("__minNbr"))
-      val next = labels
+      val stepped = labels
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("__minNbr"), col("label"))).as("label"))
+      // pointer jumping: label := label(label) — doubles the horizon
+      // each round, so convergence is logarithmic in the diameter
+      val next = stepped
+        .join(stepped.select(col("id").as("label"), col("label").as("__ll")),
+          Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
         .cache()
       val changed = next
         .join(labels.withColumnRenamed("label", "__old"), Seq("id"))
@@ -242,6 +252,9 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
+    if (!converged)
+      System.err.println(s"[graft] connectedComponents hit maxIters=$maxIters " +
+        "before fixpoint — labels may split components")
     sym.unpersist()
     labels
   }

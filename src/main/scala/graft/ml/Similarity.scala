@@ -190,6 +190,9 @@ object Similarity {
   def lshNeighborPairs(corpus: DataFrame, idCol: String, vecCol: String,
                        nBits: Int = 6, bands: Int = 16,
                        threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    // persisted like Dedup.sigFrame: the banding explode consumes the
+    // key projection and BOTH verify joins re-read the vectors — one
+    // kernel/lineage pass each instead of three (LRU-evicted)
     val keyed = corpus.select(col(idCol).as("__id"),
       graft.functions.Kernels.cosineLshBands(col(vecCol), bands, nBits, seed).as("__keys"))
     val banded = keyed.select(col("__id"),
@@ -200,6 +203,7 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     val vecs = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand
       .join(vecs.select(col("__id").as("id_a"), col("__v").as("va")), Seq("id_a"))
       .join(vecs.select(col("__id").as("id_b"), col("__v").as("vb")), Seq("id_b"))

@@ -103,8 +103,13 @@ object Multimodal {
         val m = u8(i + 1)
         if (m >= 0xC0 && m <= 0xC2)
           return ("image/jpeg", Integer.valueOf(be16(i + 7)), Integer.valueOf(be16(i + 5)), null)
-        if (m >= 0xD0 && m <= 0xD9) i += 2 // standalone markers
-        else i += 2 + be16(i + 2)
+        if (m == 0xFF) i += 1 // fill byte before a marker (spec-legal padding)
+        else if (m == 0x01 || (m >= 0xD0 && m <= 0xD9)) i += 2 // standalone markers
+        else {
+          val len = be16(i + 2)
+          if (len < 2) return ("image/jpeg", null, null, null) // corrupt length
+          i += 2 + len
+        }
       }
       return ("image/jpeg", null, null, null)
     }
@@ -115,12 +120,16 @@ object Multimodal {
       var i = 12
       var byteRate = 0L
       var dataLen = -1L
-      while (i + 8 <= b.length) {
+      var ok = true
+      while (ok && i + 8 <= b.length) {
         val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-        val sz = le32(i + 4)
+        val sz = le32(i + 4) // unsigned 32-bit — keep in Long so a
+        // corrupt >=2^31 size can't truncate to a non-positive step
+        // and spin this walk forever
         if (id == "fmt " && i + 20 <= b.length) byteRate = le32(i + 16)
         if (id == "data") dataLen = sz
-        i += 8 + sz.toInt + (sz.toInt & 1)
+        val next = i.toLong + 8L + sz + (sz & 1L)
+        if (next <= i || next > Int.MaxValue) ok = false else i = next.toInt
       }
       val dur =
         if (byteRate > 0 && dataLen >= 0) java.lang.Long.valueOf(dataLen * 1000 / byteRate)

@@ -25,13 +25,15 @@ object Readers {
     * (reference: src/crysda/builder.cr:154-169 `read_url`). */
   private val UrlScheme = "^(?i)(https?|ftp)://.*".r
 
-  /** Fetch a URL to a local temp file (driver-side, single stream — an
-    * HTTP body has no splittable byte ranges anyway; for bulk ingest at
-    * scale, land the data on a distributed store first). The original
-    * extension is preserved so the gzip path still engages. */
+  /** Fetch a URL to a driver-local temp file (multiLine URL reads only
+    * — see readCsv). The suffix keeps the extension (so .gz engages)
+    * but is sanitized: query strings / glob metacharacters ('?', '[',
+    * '{') in a URL would otherwise break Hadoop path resolution. */
   private def fetchToTemp(url: String): String = {
     val name = url.substring(url.lastIndexOf('/') + 1)
-    val suffix = if (name.contains('.')) name.substring(name.indexOf('.')) else ".csv"
+      .takeWhile(c => c != '?' && c != '#')
+    val raw = if (name.contains('.')) name.substring(name.indexOf('.')) else ".csv"
+    val suffix = raw.replaceAll("[^A-Za-z0-9.]", "")
     val tmp = java.nio.file.Files.createTempFile("graft_url_", suffix)
     val in = java.net.URI.create(url).toURL.openStream()
     try java.nio.file.Files.copy(in, tmp,
@@ -51,8 +53,22 @@ object Readers {
               trueValues: Set[String] = Inference.defaultTrue,
               falseValues: Set[String] = Inference.defaultFalse,
               multiLine: Boolean = false): CrysFrame = {
-    // http/https/ftp input: fetch to a temp file, then the normal
-    // distributed pipeline (reference: builder.cr:154-169)
+    // http/https/ftp input (reference: builder.cr:154-169): stream the
+    // body driver-side and distribute the CONTENT (parallelized
+    // dataset), not a driver-local temp path — executors on a real
+    // cluster cannot read the driver's /tmp. Gzip auto-detected from
+    // the magic bytes, matching the reference's gzip handling.
+    // Exception: multiLine (quoted embedded newlines) needs a file
+    // source, so that combination fetches to a temp file — local-master
+    // only, like any driver-local path.
+    path match {
+      case UrlScheme(_) if !multiLine =>
+        val in = java.net.URI.create(path).toURL.openStream()
+        try return readCsvStream(spark, in, separator, quoteChar, skip,
+          comment, header, naValue, trueValues, falseValues)
+        finally in.close()
+      case _ =>
+    }
     val localPath = path match {
       case UrlScheme(_) => fetchToTemp(path)
       case _            => path
@@ -107,7 +123,9 @@ object Readers {
                     skip: Int = 0,
                     comment: Character = '#',
                     header: Boolean = true,
-                    naValue: String = "NA"): CrysFrame = {
+                    naValue: String = "NA",
+                    trueValues: Set[String] = Inference.defaultTrue,
+                    falseValues: Set[String] = Inference.defaultFalse): CrysFrame = {
     val buf = new java.io.BufferedInputStream(in)
     buf.mark(2)
     val m1 = buf.read(); val m2 = buf.read()
@@ -115,7 +133,8 @@ object Readers {
     val data: java.io.InputStream =
       if (m1 == 0x1f && m2 == 0x8b) new java.util.zip.GZIPInputStream(buf) else buf
     val content = new String(data.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-    readCsvString(spark, content, separator, quoteChar, skip, comment, header, naValue)
+    readCsvString(spark, content, separator, quoteChar, skip, comment, header,
+      naValue, trueValues, falseValues)
   }
 
   private def csvReader(spark: SparkSession, separator: String,

@@ -230,6 +230,19 @@ class CoreVerbsSpec extends GraftSpec {
     assert(f.out.collect().map(_.getAs[Int]("years")).toSeq == Seq(53, 30, 23))
   }
 
+  test("takeLast and slice preserve ingest order in the output") {
+    // the reduction machinery sorts physically (reversed keys / window);
+    // an ingest-ordered frame must still observe rows in original order
+    val f = CrysFrame.of(spark, Seq("v"),
+      Seq(Seq(10), Seq(20), Seq(30), Seq(40), Seq(50))).withRowOrder
+    assert(f.takeLast(2).out.collect().map(_.getInt(0)).toSeq == Seq(40, 50))
+    assert(f.slice(2, 4).out.collect().map(_.getInt(0)).toSeq == Seq(20, 40))
+    val g = CrysFrame.of(spark, Seq("g", "v"),
+      Seq(Seq("a", 1), Seq("b", 2), Seq("a", 3), Seq("b", 4), Seq("a", 5)))
+      .withRowOrder.groupBy("g")
+    assert(g.takeLast(1).out.collect().map(_.getInt(1)).toSeq == Seq(4, 5))
+  }
+
   test("summarize raises NonScalarValueException on a non-scalar rule") {
     // reference: spec/core_spec.cr:313-317 — a rule returning a whole
     // column (not an aggregate) must raise the reference-shaped error

@@ -340,6 +340,16 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(Multimodal.sniffMeta(wav.array()) == ("audio/wav", null, null, 1000L))
     // unknown bytes sniff to nulls, not errors
     assert(Multimodal.sniffMeta(Array.fill[Byte](32)(7)) == (null, null, null, null))
+    // corrupt WAV with a >=2^31 chunk size must terminate, not spin
+    val evil = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+    evil.put("junk".getBytes).putInt(0xFFFFFFF8) // unsigned 4294967288
+    assert(Multimodal.sniffMeta(evil.array()) == ("audio/wav", null, null, null))
+    // JPEG with a spec-legal 0xFF fill byte before the SOF marker
+    val padded = Array[Int](0xFF, 0xD8, 0xFF, 0xFF,
+      0xFF, 0xC0, 0, 17, 8, 0, 50, 0, 60, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0
+    ).map(_.toByte)
+    assert(Multimodal.sniffMeta(padded) == ("image/jpeg", 60, 50, null))
     // end-to-end over the synthetic frame: every image row gets real
     // PNG dims, every audio row a real duration, video stays opaque
     val sniffed = Multimodal.sniffMetadata(Multimodal.syntheticMedia(spark, 30))
