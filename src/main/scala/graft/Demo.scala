@@ -41,6 +41,28 @@ object Demo {
     val skipped = graft.sources.Readers.readCsv(spark, tmp, skip = 2)
     print(skipped.sortBy("a").printFrame("skipped", 5))
 
+    println("=== dedup: minhash greedy vs connected components (fixture docs) ===")
+    locally {
+      import spark.implicits._
+      val docs = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (3L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (4L, "completely different content about catalyst optimizer internals here"))
+        .toDF("doc_id", "text")
+      val greedy = graft.ml.Dedup.minhashDedup(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.6, shingleSize = 4)
+      val cc = graft.ml.Dedup.minhashDedupCC(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.6, shingleSize = 4)
+      println(s"greedy keeps: ${greedy.select("doc_id").collect().map(_.getLong(0)).sorted.mkString(",")}; " +
+        s"clusters keep: ${cc.select("doc_id").collect().map(_.getLong(0)).sorted.mkString(",")}")
+    }
+
+    println("=== multimodal: real container-header sniffing ===")
+    graft.multimodal.Multimodal.sniffMetadata(
+      graft.multimodal.Multimodal.syntheticMedia(spark, 6))
+      .orderBy("media_id").show(6, truncate = false)
+
     println("=== streaming: tumbling counts over the events table (one batch) ===")
     val evDir = java.nio.file.Files.createTempDirectory("graft_demo_ev").toString
     spark.read.parquet("/root/testdata/sf0.001/events.parquet")
