@@ -112,6 +112,16 @@ class ReferenceGoldenSpec extends GraftSpec {
 
   /** reference: spec/reader_spec.cr:37-48 — the type-inference contract
     * fixture (String, String, Double, Int, Bool, Long). */
+  /** reference: spec/reader_spec.cr:50-57 — a custom NA sentinel must
+    * not block numeric inference (leading NAs, Int32 column). */
+  test("custom_na_value.csv infers Int with nulls under naValue=CUSTOM_NA") {
+    val f = Readers.readCsv(spark, s"$data/custom_na_value.csv", naValue = "CUSTOM_NA")
+    assert(f.schema("a").dataType == IntegerType)
+    val vals = f.out.collect().map(r => if (r.isNullAt(0)) null else r.getInt(0))
+    assert(vals.count(_ == null) == 5)
+    assert(vals.filter(_ != null).map(_.asInstanceOf[Int]).sorted.toSeq == Seq(6, 7, 8, 9, 10))
+  }
+
   test("test_header_types.csv reproduces the inference ladder") {
     val f = Readers.readCsv(spark, s"$data/test_header_types.csv")
     assert(f.schema.fields.map(_.dataType).toSeq ==

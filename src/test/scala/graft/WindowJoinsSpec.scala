@@ -111,6 +111,21 @@ class WindowJoinsSpec extends GraftSpec {
     assert(a.innerJoin(b).numRow == 1)
   }
 
+  test("joins against an empty left side (reference: joins_spec.cr:147-172)") {
+    val user = CrysFrame.of(spark, Seq("first_name", "last_name", "age", "weight"),
+      Seq(Seq("Max", "Doe", 23, 55)))
+    val pets = CrysFrame.of(spark, Seq("first_name", "pet"),
+      Seq(Seq("Max", "Cat"), Seq("Franz", "Dog")))
+    val none = user.filter(c => c("first_name") === "Hans")
+    val left = none.leftJoin(pets, by = Seq("first_name"))
+    assert(left.numRow == 0)
+    assert(left.names == Seq("first_name", "last_name", "age", "weight", "pet"))
+    val outer = none.outerJoin(pets, by = Seq("first_name"))
+    assert(outer.names == Seq("first_name", "last_name", "age", "weight", "pet"))
+    assert(outer.numRow == 2)
+    assert(outer.out.collect().map(_.getString(0)).toSet == Set("Max", "Franz"))
+  }
+
   // --- as-of join ---
 
   test("as-of join picks latest right row at-or-before left ts") {
