@@ -43,9 +43,65 @@ object Multimodal {
     StructField("n_bytes", LongType, nullable = true),
     StructField("feature", ArrayType(FloatType), nullable = true)))
 
+  /** REAL pixel decode for uncompressed 24-bit BMP (pure JVM: file
+    * header, BITMAPINFOHEADER, bottom-up padded rows). Returns
+    * (width, height, BGR bytes row-major top-down) or null when the
+    * content is not an uncompressed 24-bit BMP. */
+  private[graft] def decodeBmp(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+    def le16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def le32(i: Int): Int = le16(i) | (le16(i + 2) << 16)
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
+    val dataOff = le32(10)
+    val w = le32(18)
+    val h = le32(22)
+    val bpp = le16(28)
+    val compression = le32(30)
+    if (bpp != 24 || compression != 0 || w <= 0 || h <= 0) return null
+    val rowBytes = (w * 3 + 3) & ~3
+    if (dataOff.toLong + rowBytes.toLong * h > b.length) return null
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      // BMP rows are stored bottom-up
+      System.arraycopy(b, dataOff + (h - 1 - y) * rowBytes, out, y * w * 3, w * 3)
+      y += 1
+    }
+    (w, h, out)
+  }
+
+  /** Real feature for decodable images: per-quadrant mean B,G,R in
+    * [0,1] (2×2 grid × 3 channels = 12 dims), truncated or zero-padded
+    * to `dim` — an honest tiny visual descriptor. */
+  private[graft] def bmpQuadrantMeans(w: Int, h: Int, px: Array[Byte], dim: Int): Array[Float] = {
+    val sums = new Array[Double](12)
+    val counts = new Array[Long](12)
+    var y = 0
+    while (y < h) {
+      val qy = if (y < h / 2 || h == 1) 0 else 1
+      var x = 0
+      while (x < w) {
+        val qx = if (x < w / 2 || w == 1) 0 else 1
+        val base = (qy * 2 + qx) * 3
+        val p = (y * w + x) * 3
+        var c = 0
+        while (c < 3) {
+          sums(base + c) += (px(p + c) & 0xff) / 255.0
+          counts(base + c) += 1
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(dim)(i =>
+      if (i < 12 && counts(i) > 0) (sums(i) / counts(i)).toFloat else 0.0f)
+  }
+
   /** STUB decoder — deterministic fake "embedding" derived from the
-    * bytes. Replace with a real codec (e.g. javax.imageio / ffmpeg
-    * bindings) without touching the pipeline shape. */
+    * bytes, used for formats whose decode needs a codec library
+    * (PNG/JPEG pixels, audio samples, video). Replace with a real codec
+    * (e.g. javax.imageio / ffmpeg bindings) without touching the
+    * pipeline shape. */
   private[multimodal] def fakeDecodeFeature(bytes: Array[Byte], dim: Int): Array[Float] = {
     if (bytes == null) return null
     val out = new Array[Float](dim)
@@ -62,20 +118,27 @@ object Multimodal {
   }
 
   /** Decode + featurize media rows per partition. `mapPartitions` so a
-    * (stubbed) decoder is initialized once per task, not per row —
-    * the pattern that matters when the decoder is an expensive native
-    * context. Binary-heavy frames should be repartitioned by size
-    * beforehand (`maxPartitionBytes` governs scan splits natively). */
+    * decoder is initialized once per task, not per row — the pattern
+    * that matters when the decoder is an expensive native context.
+    * Uncompressed 24-bit BMPs get a REAL pixel decode (per-quadrant
+    * channel means); codec-requiring formats fall back to the
+    * deterministic stub. Binary-heavy frames should be repartitioned by
+    * size beforehand (`maxPartitionBytes` governs scan splits natively). */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
     media.select(col("media_id"), col("kind"), col("content"))
       .mapPartitions { rows =>
-        // decoder init would happen here, once per partition
+        // codec-library init would happen here, once per partition
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("content")
+          val feature: Seq[Float] =
+            if (bytes == null) null
+            else decodeBmp(bytes) match {
+              case (w, h, px) => bmpQuadrantMeans(w, h, px, dim).toSeq
+              case null       => fakeDecodeFeature(bytes, dim).toSeq
+            }
           Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
-            if (bytes == null) null else bytes.length.toLong,
-            if (bytes == null) null else fakeDecodeFeature(bytes, dim).toSeq)
+            if (bytes == null) null else bytes.length.toLong, feature)
         }
       }(enc)
   }
@@ -115,6 +178,8 @@ object Multimodal {
     }
     if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
       return ("image/gif", Integer.valueOf(le16(6)), Integer.valueOf(le16(8)), null)
+    if (b.length >= 54 && b(0) == 'B' && b(1) == 'M')
+      return ("image/bmp", Integer.valueOf(le32(18).toInt), Integer.valueOf(le32(22).toInt), null)
     if (b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
       var i = 12
@@ -176,6 +241,37 @@ object Multimodal {
     out.array()
   }
 
+  /** Complete uncompressed 24-bit BMP with a deterministic pixel
+    * pattern — fully decodable by [[decodeBmp]]. */
+  private def bmpBytes(w: Int, h: Int, id: Long): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) & ~3
+    val total = 54 + rowBytes * h
+    val out = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(total).putInt(0).putInt(54)
+    out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = Kernels_mix(id * 131 + y.toLong * w + x)
+        out.put((v & 0xff).toByte).put(((v >> 8) & 0xff).toByte).put(((v >> 16) & 0xff).toByte)
+        x += 1
+      }
+      var pad = rowBytes - w * 3
+      while (pad > 0) { out.put(0.toByte); pad -= 1 }
+      y += 1
+    }
+    out.array()
+  }
+
+  private def Kernels_mix(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   private def wavBytes(sampleRate: Int, nSamples: Int, id: Long): Array[Byte] = {
     val dataLen = nSamples * 2
     val out = java.nio.ByteBuffer.allocate(44 + 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -191,8 +287,9 @@ object Multimodal {
   }
 
   /** Deterministic synthetic media frame for tests/demos: image rows
-    * carry real PNG headers, audio rows real WAV headers (so metadata
-    * sniffing is exercised for real), video rows opaque bytes (the
+    * alternate fully-decodable 24-bit BMPs and real PNG headers, audio
+    * rows carry real WAV headers (so metadata sniffing AND the BMP
+    * pixel decode are exercised for real), video rows opaque bytes (the
     * honest stub — container duration needs codec timebases). */
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
@@ -201,6 +298,8 @@ object Multimodal {
         val id = r.getLong(0)
         val kind = Seq("image", "audio", "video")((id % 3).toInt)
         val content: Array[Byte] = kind match {
+          case "image" if id % 2 == 0 =>
+            bmpBytes(8 + (id % 16).toInt, 8 + (id % 12).toInt, id)
           case "image" => pngBytes(32 + (id % 64).toInt, 32 + (id % 48).toInt, id)
           case "audio" => wavBytes(16000, 8000 + (id % 100).toInt * 160, id)
           case _ =>

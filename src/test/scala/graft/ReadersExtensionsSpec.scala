@@ -316,6 +316,39 @@ class ReadersExtensionsSpec extends GraftSpec {
       a.getAs[Seq[Float]]("feature") == b.getAs[Seq[Float]]("feature") })
   }
 
+  test("BMP pixel decode is real: known pixels give exact quadrant means") {
+    // 2x2 uncompressed 24-bit BMP, one pure channel per quadrant pixel:
+    // bottom-up rows, BGR order, rows padded to 4 bytes (2*3 -> 8)
+    val buf = java.nio.ByteBuffer.allocate(54 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + 16).putInt(0).putInt(54)
+    buf.putInt(40).putInt(2).putInt(2).putShort(1).putShort(24)
+      .putInt(0).putInt(16).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // bottom row first: (x=0,y=1)=blue(255,0,0 BGR), (x=1,y=1)=green
+    buf.put(255.toByte).put(0.toByte).put(0.toByte)
+    buf.put(0.toByte).put(255.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    // top row: (x=0,y=0)=red(0,0,255 BGR), (x=1,y=0)=white
+    buf.put(0.toByte).put(0.toByte).put(255.toByte)
+    buf.put(255.toByte).put(255.toByte).put(255.toByte).put(0.toByte).put(0.toByte)
+    val bmp = buf.array()
+    val (w, h, px) = Multimodal.decodeBmp(bmp)
+    assert(w == 2 && h == 2)
+    // top-down row-major after decode: (0,0) red -> BGR (0,0,255)
+    assert((px(0) & 0xff, px(1) & 0xff, px(2) & 0xff) == (0, 0, 255))
+    // quadrant means (2x2 image => one pixel per quadrant, exact)
+    val f = Multimodal.bmpQuadrantMeans(w, h, px, 12)
+    assert(f.toSeq == Seq(0f, 0f, 1f, /* red */ 1f, 1f, 1f, /* white */
+      1f, 0f, 0f, /* blue */ 0f, 1f, 0f /* green */))
+    // non-BMP bytes refuse to decode
+    assert(Multimodal.decodeBmp("not a bitmap at all".getBytes) == null)
+    // end-to-end: synthetic BMP rows get real (quadrant-mean) features
+    val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 12), dim = 12)
+      .collect()
+    val bmpRows = feats.filter(r => r.getLong(0) % 6 == 0) // image && even id
+    assert(bmpRows.nonEmpty)
+    assert(bmpRows.forall(_.getAs[Seq[Float]]("feature").forall(v => v >= 0f && v <= 1f)))
+  }
+
   test("sniffMetadata parses real PNG/JPEG/GIF/WAV container headers") {
     // hand-built headers — the sniffer does real byte-level parsing
     val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
@@ -355,7 +388,8 @@ class ReadersExtensionsSpec extends GraftSpec {
     val sniffed = Multimodal.sniffMetadata(Multimodal.syntheticMedia(spark, 30))
       .collect()
     assert(sniffed.filter(_.getString(1) == "image")
-      .forall(r => r.getString(3) == "image/png" && r.getInt(4) >= 32))
+      .forall(r => Set("image/png", "image/bmp").contains(r.getString(3)) &&
+        r.getInt(4) >= 8))
     assert(sniffed.filter(_.getString(1) == "audio")
       .forall(r => r.getString(3) == "audio/wav" && r.getLong(6) > 0))
     assert(sniffed.filter(_.getString(1) == "video").forall(_.isNullAt(3)))
