@@ -223,10 +223,27 @@ object Readers {
     * objects and exploding arrays-of-objects, ragged keys null-filled
     * (reference: src/crysda/builder.cr:101-152, 171-191). Spark's JSON
     * source already schema-unions + null-fills; we add the recursive
-    * flatten (struct → `parent.*`, array<struct> → explode). */
+    * flatten (struct → `parent.*`, array<struct> → explode).
+    * http/https/ftp URLs stream the body driver-side (gzip
+    * auto-detected) and distribute the content, like `readCsv`
+    * (reference URL read: spec/reader_spec.cr:99-116). */
   def readJson(spark: SparkSession, path: String,
-               multiLine: Boolean = true): CrysFrame =
-    CrysFrame(flattenAll(spark.read.option("multiLine", multiLine).json(path)))
+               multiLine: Boolean = true): CrysFrame = path match {
+    case UrlScheme(_) =>
+      val in = new java.io.BufferedInputStream(
+        java.net.URI.create(path).toURL.openStream())
+      try {
+        in.mark(2)
+        val m1 = in.read(); val m2 = in.read()
+        in.reset()
+        val data: java.io.InputStream =
+          if (m1 == 0x1f && m2 == 0x8b) new java.util.zip.GZIPInputStream(in) else in
+        fromJsonString(spark, new String(data.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    case _ =>
+      CrysFrame(flattenAll(spark.read.option("multiLine", multiLine).json(path)))
+  }
 
   def fromJsonString(spark: SparkSession, json: String): CrysFrame = {
     import spark.implicits._

@@ -54,6 +54,26 @@ class ReferenceGoldenSpec extends GraftSpec {
     } finally server.stop(0)
   }
 
+  /** reference: spec/reader_spec.cr:99-116 — read_json from a URL via
+    * an in-test HTTP server (3,201 movies, last column "IMDB Votes"). */
+  test("readJson from an http:// URL matches the reference's movies expectations") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$data/movies.json"))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/movies.json", exchange => {
+      exchange.sendResponseHeaders(200, bytes.length.toLong)
+      try exchange.getResponseBody.write(bytes) finally exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/movies.json"
+      val f = Readers.readJson(spark, url)
+      assert(f.numRow == 3201)
+      assert(f.names.contains("IMDB Votes"))
+    } finally server.stop(0)
+  }
+
   /** reference: builder.cr:44-83 IO/string input + gzip autodetect
     * (spec/reader_spec.cr gzip case). */
   test("readCsvString and gzip readCsvStream run the same typed pipeline") {
