@@ -21,7 +21,7 @@ object Kernels {
 
   /** splitmix64 finalizer — the hash-family parameter source (same
     * scheme as graft.ml.Dedup.hashParams). */
-  private[functions] def mix(x: Long): Long = {
+  private[graft] def mix(x: Long): Long = {
     var z = x + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL

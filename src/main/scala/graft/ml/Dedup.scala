@@ -40,14 +40,11 @@ object Dedup {
   private val P = 2147483647L
 
   /** Deterministic hash-family params a_i in [1,P-1], b_i in [0,P-1],
-    * derived from the index (splitmix64 finalizer). */
+    * derived from the index (splitmix64 finalizer — the one definition
+    * in graft.functions.Kernels, shared with the kernel expressions so
+    * the families can never drift apart). */
   private def hashParams(i: Int): (Long, Long) = {
-    def mix(x: Long): Long = {
-      var z = x + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
+    import graft.functions.Kernels.mix
     (((mix(i.toLong * 2 + 1) >>> 33) % (P - 1)) + 1, (mix(i.toLong * 2 + 2) >>> 33) % P)
   }
 

@@ -48,15 +48,19 @@ object Multimodal {
     * (width, height, BGR bytes row-major top-down) or null when the
     * content is not an uncompressed 24-bit BMP. */
   private[graft] def decodeBmp(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
     def le16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
     def le32(i: Int): Int = le16(i) | (le16(i + 2) << 16)
-    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
     val dataOff = le32(10)
     val w = le32(18)
     val h = le32(22)
     val bpp = le16(28)
     val compression = le32(30)
-    if (bpp != 24 || compression != 0 || w <= 0 || h <= 0) return null
+    // dimension caps keep every later product inside Int range, so a
+    // crafted header can't overflow rowBytes/offsets into a crash —
+    // the contract is return-null-on-anything-not-decodable
+    if (bpp != 24 || compression != 0 ||
+        dataOff < 54 || w <= 0 || h <= 0 || w > 32767 || h > 32767) return null
     val rowBytes = (w * 3 + 3) & ~3
     if (dataOff.toLong + rowBytes.toLong * h > b.length) return null
     val out = new Array[Byte](w * h * 3)
@@ -179,7 +183,10 @@ object Multimodal {
     if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
       return ("image/gif", Integer.valueOf(le16(6)), Integer.valueOf(le16(8)), null)
     if (b.length >= 54 && b(0) == 'B' && b(1) == 'M')
-      return ("image/bmp", Integer.valueOf(le32(18).toInt), Integer.valueOf(le32(22).toInt), null)
+      // biHeight < 0 is spec-legal (top-down row order) — report the
+      // magnitude, not the sign convention
+      return ("image/bmp", Integer.valueOf(le32(18).toInt),
+        Integer.valueOf(math.abs(le32(22).toInt)), null)
     if (b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
       var i = 12
@@ -254,7 +261,7 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val v = Kernels_mix(id * 131 + y.toLong * w + x)
+        val v = graft.functions.Kernels.mix(id * 131 + y.toLong * w + x)
         out.put((v & 0xff).toByte).put(((v >> 8) & 0xff).toByte).put(((v >> 16) & 0xff).toByte)
         x += 1
       }
@@ -263,13 +270,6 @@ object Multimodal {
       y += 1
     }
     out.array()
-  }
-
-  private def Kernels_mix(x: Long): Long = {
-    var z = x + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
   }
 
   private def wavBytes(sampleRate: Int, nSamples: Int, id: Long): Array[Byte] = {

@@ -125,16 +125,21 @@ object Readers {
                     header: Boolean = true,
                     naValue: String = "NA",
                     trueValues: Set[String] = Inference.defaultTrue,
-                    falseValues: Set[String] = Inference.defaultFalse): CrysFrame = {
+                    falseValues: Set[String] = Inference.defaultFalse): CrysFrame =
+    readCsvString(spark, drainMaybeGzip(in), separator, quoteChar, skip,
+      comment, header, naValue, trueValues, falseValues)
+
+  /** Drain a stream to UTF-8 text, transparently gunzipping when the
+    * 0x1f8b magic is present — the shared IO step behind every
+    * stream/URL entry point. */
+  private def drainMaybeGzip(in: java.io.InputStream): String = {
     val buf = new java.io.BufferedInputStream(in)
     buf.mark(2)
     val m1 = buf.read(); val m2 = buf.read()
     buf.reset()
     val data: java.io.InputStream =
       if (m1 == 0x1f && m2 == 0x8b) new java.util.zip.GZIPInputStream(buf) else buf
-    val content = new String(data.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-    readCsvString(spark, content, separator, quoteChar, skip, comment, header,
-      naValue, trueValues, falseValues)
+    new String(data.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
   }
 
   private def csvReader(spark: SparkSession, separator: String,
@@ -230,17 +235,16 @@ object Readers {
   def readJson(spark: SparkSession, path: String,
                multiLine: Boolean = true): CrysFrame = path match {
     case UrlScheme(_) =>
-      val in = new java.io.BufferedInputStream(
-        java.net.URI.create(path).toURL.openStream())
-      try {
-        in.mark(2)
-        val m1 = in.read(); val m2 = in.read()
-        in.reset()
-        val data: java.io.InputStream =
-          if (m1 == 0x1f && m2 == 0x8b) new java.util.zip.GZIPInputStream(in) else in
-        fromJsonString(spark, new String(data.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8))
-      } finally in.close()
+      val in = java.net.URI.create(path).toURL.openStream()
+      val content = try drainMaybeGzip(in) finally in.close()
+      if (multiLine) fromJsonString(spark, content) // one document / array
+      else {
+        // NDJSON: one record per line, same as the file source's
+        // multiLine=false mode
+        import spark.implicits._
+        CrysFrame(flattenAll(spark.read.json(
+          spark.createDataset(content.linesIterator.toSeq))))
+      }
     case _ =>
       CrysFrame(flattenAll(spark.read.option("multiLine", multiLine).json(path)))
   }

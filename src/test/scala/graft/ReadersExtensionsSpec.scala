@@ -341,6 +341,12 @@ class ReadersExtensionsSpec extends GraftSpec {
       1f, 0f, 0f, /* blue */ 0f, 1f, 0f /* green */))
     // non-BMP bytes refuse to decode
     assert(Multimodal.decodeBmp("not a bitmap at all".getBytes) == null)
+    // crafted header whose width*3 overflows Int must return null, not throw
+    val evilBmp = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evilBmp.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+    evilBmp.putInt(40).putInt(715827883).putInt(2).putShort(1).putShort(24)
+      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    assert(Multimodal.decodeBmp(evilBmp.array()) == null)
     // end-to-end: synthetic BMP rows get real (quadrant-mean) features
     val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 12), dim = 12)
       .collect()

@@ -74,6 +74,24 @@ class ReferenceGoldenSpec extends GraftSpec {
     } finally server.stop(0)
   }
 
+  test("readJson URL honors multiLine=false (NDJSON, one record per line)") {
+    val nd = "{\"a\": 1}\n{\"a\": 2}\n{\"a\": 3}\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data.jsonl", exchange => {
+      exchange.sendResponseHeaders(200, nd.length.toLong)
+      try exchange.getResponseBody.write(nd) finally exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/data.jsonl"
+      val f = Readers.readJson(spark, url, multiLine = false)
+      assert(f.numRow == 3)
+      assert(f.out.orderBy("a").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    } finally server.stop(0)
+  }
+
   /** reference: builder.cr:44-83 IO/string input + gzip autodetect
     * (spec/reader_spec.cr gzip case). */
   test("readCsvString and gzip readCsvStream run the same typed pipeline") {
@@ -130,8 +148,6 @@ class ReferenceGoldenSpec extends GraftSpec {
     assert(gz.names == sleep.names)
   }
 
-  /** reference: spec/reader_spec.cr:37-48 — the type-inference contract
-    * fixture (String, String, Double, Int, Bool, Long). */
   /** reference: spec/reader_spec.cr:50-57 — a custom NA sentinel must
     * not block numeric inference (leading NAs, Int32 column). */
   test("custom_na_value.csv infers Int with nulls under naValue=CUSTOM_NA") {
@@ -142,6 +158,8 @@ class ReferenceGoldenSpec extends GraftSpec {
     assert(vals.filter(_ != null).map(_.asInstanceOf[Int]).sorted.toSeq == Seq(6, 7, 8, 9, 10))
   }
 
+  /** reference: spec/reader_spec.cr:37-48 — the type-inference contract
+    * fixture (String, String, Double, Int, Bool, Long). */
   test("test_header_types.csv reproduces the inference ladder") {
     val f = Readers.readCsv(spark, s"$data/test_header_types.csv")
     assert(f.schema.fields.map(_.dataType).toSeq ==
