@@ -343,29 +343,37 @@ final class CrysFrame private (
     * the frame's explicit ordering for subsequent window verbs. */
   def sortBy(cols: String*): CrysFrame = {
     requireCols(cols)
-    new CrysFrame(df, groupedBy, cols.map(c =>
-      Ord(qcol(c).asc_nulls_last, qcol(c).desc_nulls_first, Seq(c))))
+    new CrysFrame(df, groupedBy, stabilized(cols.map(c =>
+      Ord(qcol(c).asc_nulls_last, qcol(c).desc_nulls_first, Seq(c)))))
   }
 
   /** Descending, still NAs last (reference: spec/core_spec.cr:290-301). */
   def sortDescBy(cols: String*): CrysFrame = {
     requireCols(cols)
-    new CrysFrame(df, groupedBy, cols.map(c =>
-      Ord(qcol(c).desc_nulls_last, qcol(c).asc_nulls_first, Seq(c))))
+    new CrysFrame(df, groupedBy, stabilized(cols.map(c =>
+      Ord(qcol(c).desc_nulls_last, qcol(c).asc_nulls_first, Seq(c)))))
   }
+
+  /** The reference sort is STABLE (ties keep prior row order,
+    * reference: src/crysda/simpledf.cr:149-165). Distributed sort is
+    * not — so when the frame carries the ingest ordinal, it rides along
+    * as the final tiebreaker. Frames without a captured order (e.g.
+    * straight off parquet) have no prior order to preserve. */
+  private def stabilized(keys: Seq[Ord]): Seq[Ord] =
+    if (df.columns.contains(ORD)) keys :+ ingestOrd else keys
 
   /** Sort by fully-specified orderings (caller supplies direction, e.g.
     * `c("x").desc` — the reference's `desc(col)` sort helper,
     * reference: src/crysda/context.cr:177-193). */
   def sortByOrder(exprs: (Ctx => Column)*): CrysFrame =
-    new CrysFrame(df, groupedBy, exprs.map(e => ordOf(e(ctx))))
+    new CrysFrame(df, groupedBy, stabilized(exprs.map(e => ordOf(e(ctx)))))
 
   /** Sort by computed expressions (reference: src/crysda/dataframe.cr:530-547). */
   def sortByExpr(exprs: (Ctx => Column)*): CrysFrame =
-    new CrysFrame(df, groupedBy, exprs.map { e =>
+    new CrysFrame(df, groupedBy, stabilized(exprs.map { e =>
       val c = e(ctx)
       Ord(c.asc_nulls_last, c.desc_nulls_first, refsOf(c))
-    })
+    }))
 
   // ---------------------------------------------------------------------
   // grouping & aggregation (reference: src/crysda/groupdf.cr, simpledf.cr:107-125)
