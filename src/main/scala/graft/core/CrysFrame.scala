@@ -287,7 +287,20 @@ final class CrysFrame private (
     * statistically different RNG from the reference (only cardinalities
     * are spec'd there). */
   def sampleN(n: Int, seed: Long = 42L, replace: Boolean = false): CrysFrame = {
+    if (n < 0)
+      throw new CrysdaException(s"Sample size must be greater equal than 0 but was $n")
     if (!replace) {
+      // reference error contract: over-sampling without replacement
+      // raises (per group when grouped — reference: dataframe.cr:425-429,
+      // spec/core_spec.cr:320-326). One eager count job — sampling has
+      // exact-n semantics, so the cardinality is inspected anyway.
+      val minGroup =
+        if (groupedBy.isEmpty) numRow
+        else df.groupBy(groupedBy.map(qcol): _*).count()
+          .agg(F.min(col("count"))).collect()(0).getLong(0)
+      if (n > minGroup)
+        throw new CrysdaException(
+          s"can not over-sample data without replace (num_row<$n)")
       val w =
         if (groupedBy.nonEmpty) Window.partitionBy(groupedBy.map(qcol): _*).orderBy(rand(seed))
         else Window.orderBy(rand(seed))
@@ -310,7 +323,28 @@ final class CrysFrame private (
     }
   }
 
-  def sampleFrac(frac: Double, seed: Long = 42L): CrysFrame =
+  /** Exact-fraction sample: round(frac × group size) rows per group
+    * (the reference delegates to sample_n(round(frac*num_row)) per
+    * group — dataframe.cr:414-419), NOT Bernoulli row-flipping. The
+    * grouped form is partition-parallel; ungrouped it is a global
+    * window (the same deliberate bottleneck as any exact global
+    * operation — use `sampleFracApprox` for scan-speed sampling). */
+  def sampleFrac(frac: Double, seed: Long = 42L): CrysFrame = {
+    if (frac < 0)
+      throw new CrysdaException(s"fraction must be greater equal than 0 but was $frac")
+    val part =
+      if (groupedBy.nonEmpty) Window.partitionBy(groupedBy.map(qcol): _*)
+      else Window.partitionBy()
+    keep(df
+      .withColumn(RN, F.row_number().over(part.orderBy(rand(seed))))
+      .withColumn(CNT, F.count(lit(1)).over(part))
+      .filter(col(RN) <= F.round(col(CNT) * frac))
+      .drop(RN, CNT))
+  }
+
+  /** Bernoulli per-row sampling — approximate cardinality, map-only,
+    * the scale-friendly variant (Spark-native `df.sample`). */
+  def sampleFracApprox(frac: Double, seed: Long = 42L): CrysFrame =
     keep(df.sample(withReplacement = false, frac, seed))
 
   /** reference: src/crysda/dataframe.cr:498-500 */
@@ -646,6 +680,7 @@ object CrysFrame {
   private[core] val ORD = "__graft_ord"
   private[core] val RN = "__graft_rn"
   private[core] val IDX = "__graft_idx"
+  private[core] val CNT = "__graft_cnt"
 
   /** All internal columns share the prefix; `names`/`schema`/`out`
     * exclude them. */

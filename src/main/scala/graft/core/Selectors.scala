@@ -11,6 +11,10 @@ final class SelectException(msg: String) extends RuntimeException(msg)
   * (reference: src/crysda/columns.cr:27-31, spec/core_spec.cr:313-317). */
 final class NonScalarValueException(msg: String) extends RuntimeException(msg)
 
+/** General reference-shaped failure (oversampling, invalid arguments —
+  * reference: src/crysda/context.cr:56-58 CrysdaException). */
+final class CrysdaException(msg: String) extends RuntimeException(msg)
+
 /** Predicate/DSL column selection, resolved driver-side against the
   * frame's column names — no Catalyst involvement needed (the plan only
   * ever sees the final `select(names)`).

@@ -243,6 +243,21 @@ class CoreVerbsSpec extends GraftSpec {
     assert(g.takeLast(1).out.collect().map(_.getInt(1)).toSeq == Seq(4, 5))
   }
 
+  test("sampling: exact per-group fraction, oversample error contract") {
+    // reference: dataframe.cr:414-429, spec/core_spec.cr:320-326
+    val f = CrysFrame.of(spark, Seq("g", "v"),
+      (1 to 12).map(i => Seq(if (i <= 8) "a" else "b", i)))
+    val grouped = f.groupBy("g")
+    // exact per-group counts: round(0.5 * 8) = 4 and round(0.5 * 4) = 2
+    val counts = grouped.sampleFrac(0.5).ungroup.count("g")
+      .out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 4L, "b" -> 2L))
+    intercept[graft.core.CrysdaException](f.sampleN(-1))
+    intercept[graft.core.CrysdaException](f.sampleN(13))
+    intercept[graft.core.CrysdaException](grouped.sampleN(5)) // group b has 4
+    assert(f.sampleN(13, replace = true).numRow == 13) // replacement allows it
+  }
+
   test("summarize raises NonScalarValueException on a non-scalar rule") {
     // reference: spec/core_spec.cr:313-317 — a rule returning a whole
     // column (not an aggregate) must raise the reference-shaped error
