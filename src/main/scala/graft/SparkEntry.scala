@@ -179,6 +179,14 @@ object SparkEntry {
         .sortBy("c_mktsegment").out
     }),
 
+    // exact-fraction sampling invariant: per-group cardinality is
+    // round(frac x group size) by construction — fully oracle-checkable
+    // even though the sampled VALUES are engine-RNG-specific
+    "q_sample_frac" -> ((s, d) =>
+      cf(s, d, "customer").groupBy("c_mktsegment").sampleFrac(0.3, seed = 7)
+        .ungroup.count("c_mktsegment")
+        .sortBy("c_mktsegment").out),
+
     // ---------------- §2.4 sorting ----------------
     "q_sort" -> ((s, d) =>
       cf(s, d, "nation").sortDescBy("n_name").out),
@@ -487,6 +495,15 @@ object SparkEntry {
 
     // maxDist = 3: the 4-block pigeonhole scheme's guaranteed-recall
     // bound (larger distances would silently under-recall)
+    // duplicate-CLUSTER dedup (connected components over the verified
+    // candidate graph) — deterministic kept set; hash family not
+    // SQL-portable, so rows-only like q_dedup_minhash (CC semantics
+    // spec-pinned in ReadersExtensionsSpec)
+    "q_dedup_cc" -> ((s, d) =>
+      CrysFrame(Dedup.minhashDedupCC(t(s, d, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.7, shingleSize = 4)
+        .select("doc_id")).sortBy("doc_id").out),
+
     "q_simhash_pairs" -> ((s, d) =>
       CrysFrame(Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxDist = 3)
         .withColumn("hamming", col("hamming").cast("int")))
@@ -670,6 +687,10 @@ object SparkEntry {
       """SELECT c_mktsegment,
         |  CAST(least(20, count(*)) AS BIGINT) AS n_sampled,
         |  CAST(least(20, count(*)) AS BIGINT) AS n_ids
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_sample_frac" ->
+      """SELECT c_mktsegment, CAST(round(0.3 * count(*)) AS BIGINT) AS n
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_sort" ->
