@@ -493,8 +493,6 @@ object SparkEntry {
         numHashes = 64, bands = 16, threshold = 0.7, shingleSize = 4)
         .select("doc_id")).sortBy("doc_id").out),
 
-    // maxDist = 3: the 4-block pigeonhole scheme's guaranteed-recall
-    // bound (larger distances would silently under-recall)
     // duplicate-CLUSTER dedup (connected components over the verified
     // candidate graph) — deterministic kept set; hash family not
     // SQL-portable, so rows-only like q_dedup_minhash (CC semantics
@@ -504,6 +502,8 @@ object SparkEntry {
         numHashes = 64, bands = 16, threshold = 0.7, shingleSize = 4)
         .select("doc_id")).sortBy("doc_id").out),
 
+    // maxDist = 3: the 4-block pigeonhole scheme's guaranteed-recall
+    // bound (larger distances would silently under-recall)
     "q_simhash_pairs" -> ((s, d) =>
       CrysFrame(Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxDist = 3)
         .withColumn("hamming", col("hamming").cast("int")))
@@ -690,7 +690,7 @@ object SparkEntry {
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_sample_frac" ->
-      """SELECT c_mktsegment, CAST(round(0.3 * count(*)) AS BIGINT) AS n
+      """SELECT c_mktsegment, CAST(round_even(0.3 * count(*), 0) AS BIGINT) AS n
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_sort" ->

@@ -289,57 +289,78 @@ final class CrysFrame private (
   def sampleN(n: Int, seed: Long = 42L, replace: Boolean = false): CrysFrame = {
     if (n < 0)
       throw new CrysdaException(s"Sample size must be greater equal than 0 but was $n")
-    if (!replace) {
-      // reference error contract: over-sampling without replacement
-      // raises (per group when grouped — reference: dataframe.cr:425-429,
-      // spec/core_spec.cr:320-326). One eager count job — sampling has
-      // exact-n semantics, so the cardinality is inspected anyway.
-      val minGroup =
-        if (groupedBy.isEmpty) numRow
-        else df.groupBy(groupedBy.map(qcol): _*).count()
-          .agg(F.min(col("count"))).collect()(0).getLong(0)
-      if (n > minGroup)
-        throw new CrysdaException(
-          s"can not over-sample data without replace (num_row<$n)")
-      val w =
-        if (groupedBy.nonEmpty) Window.partitionBy(groupedBy.map(qcol): _*).orderBy(rand(seed))
-        else Window.orderBy(rand(seed))
-      keep(df.withColumn(RN, F.row_number().over(w)).filter(col(RN) <= n).drop(RN))
-    } else {
-      // with replacement: n uniform draws per group joined back by row
-      // number — two small shuffles, no driver-side state
-      // (reference: src/crysda/dataframe.cr:414-440)
-      val keys = if (groupedBy.nonEmpty) groupedBy else Nil
-      val w =
-        if (keys.nonEmpty) Window.partitionBy(keys.map(qcol): _*).orderBy(rand(seed + 1))
-        else Window.orderBy(rand(seed + 1))
-      val numbered = df.withColumn(RN, F.row_number().over(w))
-      val sizes = numbered.groupBy(keys.map(qcol): _*).agg(F.max(col(RN)).as("__m"))
-      val draws = sizes
-        .withColumn("__draw", explode(sequence(lit(1), lit(n))))
-        .withColumn(RN, (floor(rand(seed) * col("__m")) + 1).cast("int"))
-        .drop("__m", "__draw")
-      keep(numbered.join(draws, keys :+ RN).drop(RN))
+    if (n == 0) new CrysFrame(df.limit(0), groupedBy, Nil)
+    else if (replace) sampleWithReplacement(_ => lit(n), seed)
+    else if (groupedBy.isEmpty) {
+      // reference raises EAGERLY on ungrouped over-sampling
+      // (dataframe.cr:428, spec/core_spec.cr:320-326); the count job is
+      // the price of the exact-n error contract
+      if (n > numRow)
+        throw new CrysdaException(s"can not over-sample data without replace (num_row<$n)")
+      sampleWhere(_ => lit(n))
+    } else
+      // grouped: the guard rides inside the query — no extra job, no
+      // driver round trip; a too-small group raises at action time
+      sampleWhere(cnt => when(lit(n) > cnt,
+        raise_error(lit(s"can not over-sample data without replace (num_row<$n)")))
+        .otherwise(lit(n)))
+  }
+
+  /** Exact-fraction sample: bround(frac × group size) rows per group
+    * (the reference delegates to sample_n((frac*num_row).round) per
+    * group — dataframe.cr:414-419 — and Crystal's Float#round is
+    * ties-to-even, hence `bround`), NOT Bernoulli row-flipping. A
+    * fraction whose rounded target exceeds a group raises the
+    * over-sample error like the reference's sample_n. The grouped form
+    * is partition-parallel; ungrouped it is a global window (the same
+    * deliberate bottleneck as any exact global operation — use
+    * `sampleFracApprox` for scan-speed sampling). */
+  def sampleFrac(frac: Double, seed: Long = 42L, replace: Boolean = false): CrysFrame = {
+    if (frac < 0)
+      throw new CrysdaException(s"fraction must be greater equal than 0 but was $frac")
+    if (replace) sampleWithReplacement(m => F.bround(m * frac), seed)
+    else sampleWhere { cnt =>
+      val target = F.bround(cnt * frac)
+      when(target > cnt,
+        raise_error(lit("can not over-sample data without replace"))).otherwise(target)
     }
   }
 
-  /** Exact-fraction sample: round(frac × group size) rows per group
-    * (the reference delegates to sample_n(round(frac*num_row)) per
-    * group — dataframe.cr:414-419), NOT Bernoulli row-flipping. The
-    * grouped form is partition-parallel; ungrouped it is a global
-    * window (the same deliberate bottleneck as any exact global
-    * operation — use `sampleFracApprox` for scan-speed sampling). */
-  def sampleFrac(frac: Double, seed: Long = 42L): CrysFrame = {
-    if (frac < 0)
-      throw new CrysdaException(s"fraction must be greater equal than 0 but was $frac")
+  /** Without-replacement machinery: keep the first `targetOf(groupSize)`
+    * rows per group in random order. Like the reference, the sampled
+    * frame's prior ordering is DISCARDED — sample_n materializes rows
+    * in shuffled order (simpledf via shuf_idx, dataframe.cr:430-439),
+    * the same contract as `shuffle()`. */
+  private def sampleWhere(targetOf: Column => Column, seed: Long = 42L): CrysFrame = {
     val part =
       if (groupedBy.nonEmpty) Window.partitionBy(groupedBy.map(qcol): _*)
       else Window.partitionBy()
-    keep(df
+    new CrysFrame(df
       .withColumn(RN, F.row_number().over(part.orderBy(rand(seed))))
-      .withColumn(CNT, F.count(lit(1)).over(part))
-      .filter(col(RN) <= F.round(col(CNT) * frac))
-      .drop(RN, CNT))
+      .withColumn(CNT, targetOf(F.count(lit(1)).over(part)))
+      .filter(col(RN) <= col(CNT))
+      .drop(RN, CNT), groupedBy, Nil)
+  }
+
+  /** With-replacement machinery: `targetOf(groupSize)` uniform draws per
+    * group joined back by row number — two small shuffles, no
+    * driver-side state (reference: src/crysda/dataframe.cr:414-440). */
+  private def sampleWithReplacement(targetOf: Column => Column, seed: Long): CrysFrame = {
+    val keys = groupedBy
+    val w =
+      if (keys.nonEmpty) Window.partitionBy(keys.map(qcol): _*).orderBy(rand(seed + 1))
+      else Window.orderBy(rand(seed + 1))
+    val numbered = df.withColumn(RN, F.row_number().over(w))
+    val sizes = numbered.groupBy(keys.map(qcol): _*).agg(F.max(col(RN)).as("__m"))
+    val target = targetOf(col("__m")).cast("int")
+    val draws = sizes
+      // sequence(1, 0) would DESCEND to [1, 0]; a zero/negative target
+      // must contribute no draws at all
+      .withColumn("__draw", explode(when(target >= 1, sequence(lit(1), target))
+        .otherwise(array().cast("array<int>"))))
+      .withColumn(RN, (floor(rand(seed) * col("__m")) + 1).cast("int"))
+      .drop("__m", "__draw")
+    new CrysFrame(numbered.join(draws, keys :+ RN).drop(RN), groupedBy, Nil)
   }
 
   /** Bernoulli per-row sampling — approximate cardinality, map-only,
@@ -388,13 +409,23 @@ final class CrysFrame private (
       Ord(qcol(c).desc_nulls_last, qcol(c).asc_nulls_first, Seq(c)))))
   }
 
-  /** The reference sort is STABLE (ties keep prior row order,
+  /** The reference sort is STABLE (ties keep PRIOR row order,
     * reference: src/crysda/simpledf.cr:149-165). Distributed sort is
-    * not — so when the frame carries the ingest ordinal, it rides along
-    * as the final tiebreaker. Frames without a captured order (e.g.
-    * straight off parquet) have no prior order to preserve. */
-  private def stabilized(keys: Seq[Ord]): Seq[Ord] =
-    if (df.columns.contains(ORD)) keys :+ ingestOrd else keys
+    * not — so the frame's previous ordering (which itself ends in the
+    * ingest ordinal when one was captured) rides along as the
+    * tiebreaker chain: sortBy("a").sortBy("b") leaves b-ties in
+    * a-order, exactly like re-sorting physically ordered rows. Keys
+    * re-sorted on are dropped from the chain. Frames without any
+    * captured order (e.g. straight off parquet) have no prior order to
+    * preserve. */
+  private def stabilized(keys: Seq[Ord]): Seq[Ord] = {
+    val prior =
+      if (ords.nonEmpty) ords
+      else if (df.columns.contains(ORD)) Seq(ingestOrd)
+      else Nil
+    keys ++ prior.filterNot(p =>
+      p.refs.nonEmpty && keys.exists(_.refs == p.refs))
+  }
 
   /** Sort by fully-specified orderings (caller supplies direction, e.g.
     * `c("x").desc` — the reference's `desc(col)` sort helper,

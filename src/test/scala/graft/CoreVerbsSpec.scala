@@ -246,16 +246,37 @@ class CoreVerbsSpec extends GraftSpec {
   test("sampling: exact per-group fraction, oversample error contract") {
     // reference: dataframe.cr:414-429, spec/core_spec.cr:320-326
     val f = CrysFrame.of(spark, Seq("g", "v"),
-      (1 to 12).map(i => Seq(if (i <= 8) "a" else "b", i)))
+      (1 to 13).map(i => Seq(if (i <= 8) "a" else "b", i)))
     val grouped = f.groupBy("g")
-    // exact per-group counts: round(0.5 * 8) = 4 and round(0.5 * 4) = 2
+    // exact per-group counts: bround(0.5*8)=4, bround(0.5*5)=2 — the
+    // reference's Crystal round is ties-to-even, so 2.5 rounds to 2
     val counts = grouped.sampleFrac(0.5).ungroup.count("g")
       .out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts == Map("a" -> 4L, "b" -> 2L))
     intercept[graft.core.CrysdaException](f.sampleN(-1))
-    intercept[graft.core.CrysdaException](f.sampleN(13))
-    intercept[graft.core.CrysdaException](grouped.sampleN(5)) // group b has 4
-    assert(f.sampleN(13, replace = true).numRow == 13) // replacement allows it
+    intercept[graft.core.CrysdaException](f.sampleN(14)) // ungrouped: eager
+    // grouped: the guard rides in the query, raising at action time
+    val ex = intercept[Exception](grouped.sampleN(6).out.collect())
+    assert(ex.getMessage.contains("over-sample"))
+    intercept[Exception](f.sampleFrac(3.0).out.collect())
+    // reference spec core_spec.cr:199: frac > 1 WITH replacement doubles
+    assert(f.sampleFrac(2.0, replace = true).numRow == 26)
+    assert(f.sampleN(14, replace = true).numRow == 14)
+    assert(f.sampleN(0).numRow == 0)
+    assert(f.sampleN(0, replace = true).numRow == 0)
+    // empty grouped frame: no rows, no error (transform over zero groups)
+    assert(grouped.filter(_ => lit(false)).sampleN(3).out.count() == 0)
+  }
+
+  test("chained sorts are stable: later ties keep the earlier sort order") {
+    // reference stable sort: re-sorting physically ordered rows keeps
+    // prior order on ties (simpledf.cr:149-165)
+    val f = CrysFrame.of(spark, Seq("a", "b"),
+      Seq(Seq(2, 1), Seq(1, 1), Seq(3, 0), Seq(0, 1)))
+      .withRowOrder
+    val rows = f.sortBy("a").sortBy("b").out.collect().map(_.getInt(0)).toSeq
+    // b=0 first (a=3), then b=1 ties in a-order: 0, 1, 2
+    assert(rows == Seq(3, 0, 1, 2))
   }
 
   test("summarize raises NonScalarValueException on a non-scalar rule") {
