@@ -726,6 +726,12 @@ object CrysFrame {
 
   def apply(df: DataFrame): CrysFrame = new CrysFrame(df, Nil, Nil)
 
+  /** Rebuild a frame keeping its grouping annotation (dropping keys no
+    * longer present) — for verbs like separate/unite/convertType that
+    * change columns but must not silently ungroup. */
+  private[core] def regrouped(df: DataFrame, groupedBy: Seq[String]): CrysFrame =
+    new CrysFrame(df, groupedBy.filter(df.columns.contains), Nil)
+
   import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
   import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Descending, NullsFirst, NullsLast, SortOrder}
   import org.apache.spark.sql.graftkit.Bridge

@@ -17,21 +17,34 @@ private[core] object Reshape {
   def spread(f: CrysFrame, key: String, value: String, fill: Option[Any],
              convert: Boolean, verify: Boolean): CrysFrame = {
     val rest = f.names.filterNot(c => c == key || c == value)
-    val df = f.out
+    // null keys become the "NA" column (the reference's nil print
+    // convention) instead of silently dropping those values
+    val keyTmp = "__graft_spread_key"
+    val df = f.out.withColumn(keyTmp,
+      coalesce(qcol(key).cast(StringType), lit("NA")))
     if (verify) {
-      val dup = df.groupBy((rest :+ key).map(qcol): _*).count()
-        .filter(col("count") > 1).limit(1).count()
+      val dup = df.groupBy((rest :+ keyTmp).map(qcol): _*)
+        .agg(F.count(lit(1)).as("__graft_n"))
+        .filter(col("__graft_n") > 1).limit(1).count()
       if (dup > 0) throw new IllegalArgumentException(
         s"spread: ($key) is not unique per row group")
     }
     // collect pivot values driver-side so the pivot is single-pass and
     // the resulting column order is deterministic (sorted, like the
     // reference's sorted distinct keys)
-    val keyVals = df.select(qcol(key).cast(StringType)).distinct()
-      .collect().map(_.getString(0)).filter(_ != null).sorted.toSeq
-    var out = df.groupBy(rest.map(qcol): _*)
-      .pivot(key, keyVals).agg(F.first(col(value)))
-    fill.foreach { fv => out = out.na.fill(fv.toString, keyVals) }
+    val keyVals = df.select(col(keyTmp)).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    var out = df.drop(key).groupBy(rest.map(qcol): _*)
+      .pivot(keyTmp, keyVals).agg(F.first(col(value)))
+    // typed per-column fill: DataFrameNaFunctions.fill(String, cols)
+    // silently skips non-string columns, so coalesce with the fill
+    // value cast to each pivot column's own type
+    fill.foreach { fv =>
+      keyVals.foreach { c =>
+        out = out.withColumn(c,
+          coalesce(qcol(c), lit(fv).cast(out.schema(c).dataType)))
+      }
+    }
     val res = CrysFrame(out)
     if (convert) keyVals.foldLeft(res)((acc, c) => convertType(acc, c)) else res
   }
@@ -62,14 +75,18 @@ private[core] object Reshape {
     * (reference: src/crysda/reshape.cr:131-153). `NA` literal → null. */
   def separate(f: CrysFrame, column: String, into: Seq[String], sep: String,
                remove: Boolean, convert: Boolean): CrysFrame = {
-    val parts = split(qcol(column), sep)
-    var df = f.out
+    // materialize the split of the ORIGINAL column once — deriving each
+    // part from qcol(column) would re-resolve against an already
+    // overwritten column when `into` contains the source name
+    val sepTmp = "__graft_sep"
+    var df = f.out.withColumn(sepTmp, split(qcol(column), sep))
     into.zipWithIndex.foreach { case (n, i) =>
-      val v = parts.getItem(i)
+      val v = col(sepTmp).getItem(i)
       df = df.withColumn(n, when(v === "NA" || v === "", lit(null)).otherwise(v))
     }
+    df = df.drop(sepTmp)
     if (remove && !into.contains(column)) df = df.drop(column)
-    val res = CrysFrame(df)
+    val res = CrysFrame.regrouped(df, f.groupedBy)
     if (convert) into.foldLeft(res)((acc, c) => convertType(acc, c)) else res
   }
 
@@ -84,7 +101,7 @@ private[core] object Reshape {
     val parts = cols.map(c => coalesce(qcol(c).cast(StringType), lit("NA")))
     var df = f.out.withColumn(name, concat_ws(sep, parts: _*))
     if (remove) df = df.drop(cols.filterNot(_ == name): _*)
-    CrysFrame(df)
+    CrysFrame.regrouped(df, f.groupedBy)
   }
 
   /** Pack selected columns into a per-group list-of-structs column
@@ -120,7 +137,7 @@ private[core] object Reshape {
     * (reference: src/crysda/reshape.cr:221-229). */
   def expand(f: CrysFrame, cols: Seq[String]): CrysFrame = {
     require(cols.nonEmpty, "expand: no columns")
-    val distincts = cols.map(c => f.out.select(c).distinct())
+    val distincts = cols.map(c => f.out.select(qcol(c)).distinct())
     val crossed = distincts.reduce(_.crossJoin(_))
     CrysFrame(crossed.orderBy(cols.map(c => qcol(c).asc_nulls_last): _*))
   }
@@ -152,7 +169,7 @@ private[core] object Reshape {
         when(lower(c).isin("true", "t"), lit(true))
           .when(lower(c).isin("false", "f"), lit(false)))
       else f.out
-    CrysFrame(df)
+    CrysFrame.regrouped(df, f.groupedBy)
   }
 
   private def try_cast(c: Column, t: String): Column = c.try_cast(t)

@@ -19,10 +19,12 @@ object TextFunctions {
 
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * non-space symbols — a cheap, deterministic proxy for subword
-    * tokenizer counts. */
+    * tokenizer counts. Splits at symbol boundaries AND at letter↔digit
+    * transitions ("room101" → "room", "101"). */
   def tokenCountBpe(text: Column): Column =
     size(filter(
-      split(text, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
+      split(text, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])" +
+        "|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})"),
       t => length(trim(t)) > 0))
 
   /** Lowercased whitespace tokens. */

@@ -81,12 +81,13 @@ class ReadersExtensionsSpec extends GraftSpec {
 
   test("token counts: whitespace and BPE-ish") {
     import spark.implicits._
-    val df = Seq("hello world, friend!", "", "  a  b  ").toDF("t")
+    val df = Seq("hello world, friend!", "", "  a  b  ", "room101 x2").toDF("t")
     val got = df.select(
       TextFunctions.tokenCountWs(col("t")).as("ws"),
       TextFunctions.tokenCountBpe(col("t")).as("bpe")).collect()
-    assert(got.map(_.getInt(0)).toSeq == Seq(3, 0, 2))
+    assert(got.map(_.getInt(0)).toSeq == Seq(3, 0, 2, 2))
     assert(got(0).getInt(1) == 5) // hello world , friend !
+    assert(got(3).getInt(1) == 4) // room 101 x 2 — letter↔digit splits
   }
 
   test("langId picks the stopword-dominant language, Han → zh") {

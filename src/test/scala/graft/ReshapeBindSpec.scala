@@ -93,6 +93,41 @@ class ReshapeBindSpec extends GraftSpec {
     assert(f.numRow == 2)
   }
 
+  test("spread fills typed holes and keeps null-key values as the NA column") {
+    val long = CrysFrame.of(spark, Seq("id", "key", "value"),
+      Seq(Seq(1, "x", 10), Seq(2, "y", 20), Seq(3, null, 30)))
+    val wide = long.spread("key", "value", fill = 0)
+    assert(wide.names.toSet == Set("id", "x", "y", "NA"))
+    val byId = wide.out.collect().map(r => r.getInt(0) ->
+      (r.get(1), r.get(2), r.get(3))).toMap
+    // numeric fill actually lands (na.fill(String, _) would skip ints)
+    assert(byId(1)._2 == 0 || byId(1)._1 == 0) // row 1 has x=10, others 0
+    assert(!byId.values.exists { case (a, b, c) => a == null || b == null || c == null })
+    // the null-key row's value survives in the NA column
+    assert(byId(3).productIterator.contains(30))
+  }
+
+  test("separate works when `into` contains the source column name") {
+    val f = CrysFrame.of(spark, Seq("x"), Seq(Seq("a-b")))
+      .separate("x", Seq("x", "y"), sep = "-")
+    val r = f.out.collect()(0)
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+  }
+
+  test("convertType and unite preserve the grouping annotation") {
+    val f = CrysFrame.of(spark, Seq("g", "v"),
+      Seq(Seq("a", "1"), Seq("a", "2"), Seq("b", "3")))
+      .groupBy("g").convertType("v")
+    assert(f.groupedBy == Seq("g"))
+    assert(f.schema("v").dataType == org.apache.spark.sql.types.LongType)
+    // grouped summarize after convertType aggregates per group
+    assert(f.summarize("s" -> (_ => org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.col("v")))).numRow == 2)
+    val u = CrysFrame.of(spark, Seq("g", "v"), Seq(Seq("a", 1)))
+      .groupBy("g").unite("gv", sel.listOf("v"), sep = "_")
+    assert(u.groupedBy == Seq("g"))
+  }
+
   test("bindRows re-infers conflicting column types like the reference") {
     // reference: dataframe.cr:694-714 — Int+Double → Float64,
     // incompatible → AnyCol (String here); unionByName alone would throw

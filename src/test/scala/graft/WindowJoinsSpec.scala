@@ -139,4 +139,25 @@ class WindowJoinsSpec extends GraftSpec {
     assert(j.map(r => Option(r.getAs[String]("last_v")).orNull).toSeq ==
       Seq("a", "b", null))
   }
+
+  test("as-of join SQL edge semantics: matched row travels as a unit, nulls never match") {
+    import spark.implicits._
+    // the matched right row (t=2) has a null in payload `a` — that null
+    // must NOT fall back to the older row's a=1 (DuckDB returns the
+    // matched row as a unit)
+    val left = Seq((1L, "u", 3L)).toDF("id", "u", "t")
+    val right = Seq(("u", 1L, Some(1), 10), ("u", 2L, None, 20))
+      .toDF("u", "t", "a", "b")
+    val unit = AsOfJoin.join(left, right, Seq("u"), "t",
+      Seq("a" -> "a", "b" -> "b")).collect()(0)
+    assert(unit.isNullAt(unit.fieldIndex("a")) && unit.getAs[Int]("b") == 20)
+    // a null-ts right row is never a match; a null-key left row matches nothing
+    val left2 = CrysFrame.of(spark, Seq("id", "u", "t"),
+      Seq(Seq(1L, "u", 5L), Seq(2L, null, 5L))).out
+    val right2 = CrysFrame.of(spark, Seq("u", "t", "v"),
+      Seq(Seq("u", null, 99), Seq(null, 1L, 77))).out
+    val rows = AsOfJoin.join(left2, right2, Seq("u"), "t", Seq("v" -> "v"))
+      .orderBy("id").collect()
+    assert(rows.forall(_.isNullAt(rows(0).fieldIndex("v"))))
+  }
 }
