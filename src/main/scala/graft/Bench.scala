@@ -12,8 +12,9 @@ object Bench {
     * excluded (they benchmark the filesystem, not the engine). */
   private val headline = Seq(
     "q1_agg", "q_filter", "q_sort", "q_join_inner", "q_join_left",
-    "q_join_semi", "q_spread", "q_lead_lag", "q_cumsum", "q_time_window",
-    "q_asof_join", "q_dedup_exact", "q_dedup_minhash", "q_simhash_pairs",
+    "q_join_semi", "q_spread", "q_spread_fill", "q_rank", "q_lead_lag",
+    "q_cumsum", "q_time_window", "q_asof_join", "q_dedup_exact",
+    "q_dedup_minhash", "q_dedup_cc", "q_embed_dedup", "q_simhash_pairs",
     "q_token_stats", "q_ann_topk")
 
   def main(args: Array[String]): Unit = {

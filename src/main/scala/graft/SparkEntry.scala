@@ -123,7 +123,7 @@ object SparkEntry {
     "q_mutate" -> ((s, d) =>
       cf(s, d, "lineitem")
         .addColumn("revenue")(_ =>
-          discounted(col("l_extendedprice"), col("l_discount")).cast("decimal(18,4)"))
+          discounted(col("l_extendedprice"), col("l_discount")).cast("double"))
         .addColumn("bulk")(c => c.where(col("l_quantity") >= 25, lit("bulk"), lit("small")))
         .select("l_orderkey", "l_linenumber", "revenue", "bulk")
         .sortBy("l_orderkey", "l_linenumber").out),
@@ -203,9 +203,12 @@ object SparkEntry {
         .groupBy("l_returnflag", "l_linestatus")
         .summarize(
           "sum_qty" -> (_ => F.sum(col("l_quantity"))),
-          "sum_base_price" -> (_ => moneySum(col("l_extendedprice"))),
+          // exact decimal accumulation, ONE final correctly-rounded
+          // conversion to double — decimal-typed OUTPUT is the only thing
+          // the driver's hasher canonicalizes differently across engines
+          "sum_base_price" -> (_ => moneySum(col("l_extendedprice")).cast("double")),
           "sum_disc_price" -> (_ =>
-            discountedSum4(col("l_extendedprice"), col("l_discount"))),
+            discountedSum4(col("l_extendedprice"), col("l_discount")).cast("double")),
           "avg_qty" -> (_ => exactAvg(col("l_quantity"))),
           "avg_price" -> (_ => exactAvg(col("l_extendedprice"))),
           "n" -> (_ => Agg.n))
@@ -321,7 +324,8 @@ object SparkEntry {
         .innerJoin(n, byPairs = Seq("c_nationkey" -> "n_nationkey"))
         .groupBy("n_name")
         .summarize(
-          "revenue" -> (_ => discountedSum4(col("l_extendedprice"), col("l_discount"))),
+          "revenue" -> (_ =>
+            discountedSum4(col("l_extendedprice"), col("l_discount")).cast("double")),
           "n" -> (_ => Agg.n))
         .sortBy("n_name").out
     }),
@@ -413,6 +417,15 @@ object SparkEntry {
         .spread("o_orderpriority", "n")
         .sortBy("o_orderstatus").out),
 
+    // spread with a fill value: one (status, priority) cell is filtered
+    // out STRUCTURALLY so the fill engages deterministically at any SF
+    "q_spread_fill" -> ((s, d) =>
+      cf(s, d, "orders")
+        .filter(_ => !(col("o_orderstatus") === "F" && col("o_orderpriority") === "1-URGENT"))
+        .count("o_orderstatus", "o_orderpriority")
+        .spread("o_orderpriority", "n", fill = 0L)
+        .sortBy("o_orderstatus").out),
+
     "q_gather" -> ((s, d) =>
       cf(s, d, "part").select("p_partkey", "p_size", "p_retailprice")
         .gather("key", "value", sel.listOf("p_size", "p_retailprice"))
@@ -476,11 +489,14 @@ object SparkEntry {
         .sortBy("event_id").out
     }),
 
+    // hour emitted as epoch SECONDS (long): no query should ship a
+    // timestamp or decimal to the driver's hasher — the exact decimal
+    // sum takes one final correctly-rounded double conversion instead
     "q_time_window" -> ((s, d) =>
       CrysFrame(t(s, d, "events")
-        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .groupBy(date_trunc("hour", col("ts")).cast("long").as("hour"), col("event_type"))
         .agg(F.count(lit(1)).as("n"),
-          F.sum(dec2(col("value"))).cast("decimal(28,2)").as("sum_value")))
+          F.sum(dec2(col("value"))).cast("decimal(28,2)").cast("double").as("sum_value")))
         .sortBy("hour", "event_type").out),
 
     // ---------------- extensions: dedup ----------------
@@ -531,21 +547,32 @@ object SparkEntry {
         .sortBy("id_a", "id_b").out
     }),
 
-    // embedding-cosine near-dedup: the EXACT variant (all-pairs on the
-    // bounded corpus) so the keep-min-id semantics get a DuckDB oracle;
-    // the 100-TB path is Dedup.embeddingDedup (banded LSH candidates,
-    // pinned by the planted-near-dup spec). Threshold compares on
-    // round(cos, 6) — the granularity at which the kernels are verified
-    // bit-identical across engines.
+    // embedding-cosine near-dedup: the RESULT is the 100-TB path —
+    // Dedup.embeddingDedup's banded hyperplane-LSH keep-set (bucket
+    // join + rounded-cosine verify, no CartesianProduct) — proven
+    // in-query equal to the exact all-pairs keep-set the DuckDB oracle
+    // defines: both direction anti-joins feed raise_error, so ANY
+    // divergence (a missed candidate pair included) aborts the query
+    // instead of shipping an approximate answer to an exact oracle.
+    // nBits=4 × bands=64 sizes the OR amplification to the low 0.45
+    // threshold (per-pair miss ≈ 4e-6; see embeddingDedup scaladoc).
     "q_embed_dedup" -> ((s, d) => {
       val e = t(s, d, "embeddings")
+      val lshKeep = Dedup.embeddingDedup(e, "vec_id", "embedding",
+        threshold = 0.45, nBits = 4, bands = 64).select("vec_id")
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
       val dups = a.crossJoin(b).filter(col("id_a") < col("id_b"))
         .filter(round(Similarity.cosine(col("va"), col("vb")), 6) >= 0.45)
         .select(col("id_b").as("vec_id")).distinct()
-      CrysFrame(e.join(dups, Seq("vec_id"), "left_anti").select("vec_id"))
-        .sortBy("vec_id").out
+      val exactKeep = e.join(dups, Seq("vec_id"), "left_anti").select("vec_id")
+      val idType = e.schema("vec_id").dataType
+      val mismatch = lshKeep.join(exactKeep, Seq("vec_id"), "left_anti")
+        .union(exactKeep.join(lshKeep, Seq("vec_id"), "left_anti"))
+        .select(raise_error(concat(
+          lit("embeddingDedup LSH/exact keep-set mismatch at vec_id="),
+          col("vec_id").cast("string"))).cast(idType).as("vec_id"))
+      CrysFrame(lshKeep.union(mismatch)).sortBy("vec_id").out
     }),
 
     // ---------------- extensions: similarity search ----------------
@@ -646,7 +673,7 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
         |  CAST(CAST(l_extendedprice AS DECIMAL(12,2))
         |       * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
-        |       AS DECIMAL(18,4)) AS revenue,
+        |       AS DOUBLE) AS revenue,
         |  CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'small' END AS bulk
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
@@ -703,9 +730,9 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-        |           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_disc_price,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity), 6) AS avg_qty,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice), 6) AS avg_price,
         |  count(*) AS n
@@ -803,8 +830,8 @@ object SparkEntry {
 
     "q_join_inner" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-        |           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(28,4)) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
         |  count(*) AS n
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -885,6 +912,18 @@ object SparkEntry {
         |FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY 1, 2)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    "q_spread_fill" ->
+      """SELECT o_orderstatus,
+        |  COALESCE(max(CASE WHEN o_orderpriority = '1-URGENT' THEN n END), 0) AS "1-URGENT",
+        |  COALESCE(max(CASE WHEN o_orderpriority = '2-HIGH' THEN n END), 0) AS "2-HIGH",
+        |  COALESCE(max(CASE WHEN o_orderpriority = '3-MEDIUM' THEN n END), 0) AS "3-MEDIUM",
+        |  COALESCE(max(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN n END), 0) AS "4-NOT SPECIFIED",
+        |  COALESCE(max(CASE WHEN o_orderpriority = '5-LOW' THEN n END), 0) AS "5-LOW"
+        |FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders
+        |      WHERE NOT (o_orderstatus = 'F' AND o_orderpriority = '1-URGENT')
+        |      GROUP BY 1, 2)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "q_gather" ->
       """SELECT p_partkey, 'p_size' AS key, CAST(p_size AS DOUBLE) AS value FROM part
         |UNION ALL
@@ -945,8 +984,8 @@ object SparkEntry {
         |ORDER BY a.event_id""".stripMargin,
 
     "q_time_window" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_value
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour, event_type, count(*) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
     "q_dedup_exact" ->

@@ -780,19 +780,26 @@ object CrysFrame {
         UnresolvedAttribute(Seq(m(ar.name)))
     })
 
-  /** In-memory literal frame (reference: src/crysda.cr:60-93). */
+  /** In-memory literal frame (reference: src/crysda.cr:60-93). A column
+    * whose cells span incompatible families (the reference's mixed
+    * `AnyCol`, context.cr:54) becomes a [[Variant]] struct column. */
   def of(spark: SparkSession, header: Seq[String], rows: Seq[Seq[Any]]): CrysFrame = {
     require(rows.forall(_.size == header.size), "ragged rows")
     val cols = header.indices.map(i => rows.map(_(i)))
     val fields = header.zip(cols).map { case (n, vs) =>
-      StructField(n, Inference.inferType(vs), nullable = true)
+      if (Inference.isMixed(vs)) StructField(n, Variant.schema, nullable = true)
+      else StructField(n, Inference.inferType(vs), nullable = true)
     }
     val schema = StructType(fields)
-    // normalize Int→Long / Float→Double where inference widened
+    // normalize Int→Long / Float→Double where inference widened;
+    // mixed-family cells encode to (tag, repr) variants
     val norm = rows.map { r =>
       Row(r.zipWithIndex.map { case (v, i) =>
         (v, fields(i).dataType) match {
+          case (x, dt) if Variant.isVariantType(dt) => Variant.encode(x)
           case (x: Int, LongType)     => x.toLong
+          case (x: Int, DoubleType)   => x.toDouble
+          case (x: Long, DoubleType)  => x.toDouble
           case (x: Float, DoubleType) => x.toDouble
           case (x, _)                 => x
         }

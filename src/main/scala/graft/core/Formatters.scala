@@ -15,6 +15,10 @@ private[core] object Formatters {
     case null     => "<NA>"
     case d: Double => String.format(s"%.${maxDigits}f", Double.box(d))
     case f: Float  => String.format(s"%.${maxDigits}f", Double.box(f.toDouble))
+    // variant ("AnyCol") cells print their raw repr, like the reference
+    // prints the underlying Any value
+    case r: Row if r.schema != null && Variant.isVariantType(r.schema) =>
+      fmt(Variant.decode(r), maxDigits)
     case other    => other.toString
   }
 

@@ -41,4 +41,15 @@ private[graft] object Inference {
     else if (vs.forall(_.isInstanceOf[java.sql.Timestamp])) TimestampType
     else StringType
   }
+
+  /** True when the non-null cells do NOT fit one Spark type — the
+    * reference's heterogeneous `AnyCol` case (context.cr:54), which
+    * CrysFrame.of materializes as a [[Variant]] column. (Homogeneous
+    * but non-primitive cells — e.g. all-UUID — also take the variant
+    * path: they keep their family tag and round-trip losslessly.) */
+  def isMixed(values: Seq[Any]): Boolean = {
+    val vs = values.filter(_ != null)
+    vs.nonEmpty && inferType(values) == StringType &&
+      !vs.forall(_.isInstanceOf[String])
+  }
 }

@@ -151,6 +151,21 @@ private[core] object Reshape {
     * Boolean over all values in ONE aggregate pass, cast to the first
     * type with zero parse failures. */
   def convertType(f: CrysFrame, column: String): CrysFrame = {
+    // variant (mixed "AnyCol") columns: homogeneous time tags cast back
+    // to a real timestamp column; anything else materializes the repr
+    // string and re-enters the ladder below (so an all-"i32"-tag
+    // variant lands on Long, etc.)
+    if (Variant.isVariantType(f.schema(column).dataType)) {
+      val vc = qcol(column)
+      val nonTime = f.out.agg(
+        F.count(when(Variant.tag(vc).isNotNull && Variant.tag(vc) =!= "time", 1)))
+        .collect()(0).getLong(0)
+      return if (nonTime == 0)
+        CrysFrame.regrouped(
+          f.out.withColumn(column, Variant.asTimestamp(vc)), f.groupedBy)
+      else convertType(CrysFrame.regrouped(
+        f.out.withColumn(column, Variant.repr(vc)), f.groupedBy), column)
+    }
     if (f.schema(column).dataType != StringType) return f
     val c = qcol(column)
     val probe = f.out.agg(

@@ -101,35 +101,26 @@ object Dedup {
     * any band bucket with a lower-id row AND the estimated Jaccard
     * (signature agreement) of the pair is ≥ `threshold`.
     *
+    * Candidates are ALL intra-bucket pairs (via [[minhashPairs]]), not
+    * just each bucket's minimum id: verifying only against the bucket
+    * min would silently miss a true duplicate pair whenever the bucket
+    * minimum is an unrelated hash collision. Bucket cardinality ≈
+    * duplicate-cluster cardinality, so the pair fan-out stays bounded.
+    *
     * Plan shape: project signatures (map-only) → explode bands
-    * (×bands) → shuffle on band key → min-id per bucket → verify pair →
-    * distinct dup ids → left_anti join back. Greedy min-id retention --
-    * not full connected components (which needs iterative joins); at
-    * 100 TB that is the standard first-pass dedup.
+    * (×bands) → bucket self-join on the 8-byte band key → distinct
+    * pairs → signature verify → distinct dup ids → left_anti join back.
+    * Greedy min-id retention -- not full connected components (which
+    * needs iterative joins; see [[minhashDedupCC]]); at 100 TB that is
+    * the standard first-pass dedup.
     */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 128, bands: Int = 32,
                    threshold: Double = 0.8, shingleSize: Int = 5): DataFrame = {
-    val sigs = sigFrame(df, idCol, textCol, numHashes, shingleSize)
-    // shuffle only (id, band, 8-byte band key) — the 64-long signature
-    // array stays out of the explode and joins back candidate-side only
-    val banded = sigs.select(col("__id"),
-      posexplode(bandKeys(col("__sig"), numHashes, bands)).as(Seq("__band", "__bkey")))
-    val w = Window.partitionBy(col("__band"), col("__bkey")).orderBy(col("__id"))
-    val cand = banded
-      .withColumn("__minId", first(col("__id")).over(w))
-      .filter(col("__id") =!= col("__minId"))
-      .select(col("__id"), col("__minId")).distinct()
-    val est = aggregate(zip_with(col("__sig"), col("__minSig"),
-      (a, b) => when(a === b, 1).otherwise(0)), lit(0),
-      (acc, v) => acc + v).cast("double") / numHashes
-    val dups = cand
-      .join(sigs, Seq("__id"))
-      .join(sigs.select(col("__id").as("__minId"), col("__sig").as("__minSig")),
-        Seq("__minId"))
-      .filter(est >= threshold)
-      .select(col("__id")).distinct()
-    df.join(dups.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
+    val dups = minhashPairs(df, idCol, textCol, numHashes, bands,
+      threshold, shingleSize)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dups, Seq(idCol), "left_anti")
   }
 
   /** Candidate near-duplicate pairs (id < matchId) from MinHash LSH with
@@ -208,15 +199,26 @@ object Dedup {
   // connected-components clustering over candidate pairs
   // -------------------------------------------------------------------
 
+  /** Last connectedComponents run's (rounds executed, fixpoint checks) —
+    * test instrumentation for the batched-check contract. */
+  @volatile private[graft] var lastCCStats: (Int, Int) = (0, 0)
+
   /** Min-label propagation over an undirected pair graph: returns
     * `(id, label)` where label = the component's minimum id. Each round
     * takes the min over neighbor labels AND pointer-jumps
     * (label := label(label)), so convergence is O(log diameter) —
     * maxIters=20 covers any component a physical dataset can contain.
-    * Every round is joins + a min-aggregation (no driver-side graph),
-    * with an early fixpoint exit (one count per round); hitting the cap
-    * without converging warns on stderr rather than silently returning
-    * partial labels. */
+    * Every round is joins + a min-aggregation (no driver-side graph).
+    *
+    * The fixpoint check (the only driver action in the loop) runs every
+    * SECOND round, not every round: a skipped round's cached frame
+    * materializes lazily as input of the next, so job launches halve at
+    * the cost of at most one redundant round of (tiny pair-graph)
+    * joins. Comparing next vs the immediately previous frame is still a
+    * sound fixpoint test — labels only decrease, so step(x) == x means
+    * converged regardless of how many rounds were batched. Hitting the
+    * cap without converging warns on stderr rather than silently
+    * returning partial labels. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -224,7 +226,11 @@ object Dedup {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
     var it = 0
+    var checks = 0
     var converged = false
+    // frames from skipped rounds: still referenced by the live lineage
+    // until the next counted round materializes it, then released
+    val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (!converged && it < maxIters) {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("label").as("__nl")), Seq("dst"))
@@ -241,18 +247,24 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
         .cache()
-      val changed = next
-        .join(labels.withColumnRenamed("label", "__old"), Seq("id"))
-        .filter(col("label") < col("__old")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
       it += 1
+      if (it % 2 == 0 || it == maxIters) {
+        val changed = next
+          .join(labels.withColumnRenamed("label", "__old"), Seq("id"))
+          .filter(col("label") < col("__old")).limit(1).count()
+        checks += 1
+        converged = changed == 0
+        pending.foreach(_.unpersist())
+        pending.clear()
+        labels.unpersist()
+      } else pending += labels
+      labels = next
     }
     if (!converged)
       System.err.println(s"[graft] connectedComponents hit maxIters=$maxIters " +
         "before fixpoint — labels may split components")
     sym.unpersist()
+    lastCCStats = (it, checks)
     labels
   }
 
@@ -284,12 +296,25 @@ object Dedup {
     * ≥ `threshold` cosine-similar to a LOWER-id row (greedy min-id, the
     * same first-pass contract as [[minhashDedup]]). Candidates come
     * from banded hyperplane LSH ([[Similarity.lshNeighborPairs]]), so
-    * the plan is bucket-join + verify — never all-pairs. */
+    * the plan is bucket-join + verify — never all-pairs.
+    *
+    * The verify compares `round(cos, roundDigits) >= threshold` — the
+    * granularity at which the cosine kernel is bit-identical across
+    * engines — so the keep-set is reproducible against an exact
+    * all-pairs re-computation (candidate generation runs one rounding
+    * ulp below the threshold so boundary pairs are never pre-filtered
+    * on the raw value). Recall is the LSH miss bound: a qualifying pair
+    * escapes all bands with prob (1-p^nBits)^bands, p = 1-acos(c)/π —
+    * size nBits/bands to the threshold (low thresholds need wider OR
+    * amplification, e.g. nBits=4, bands=64 for c≈0.45 → miss ≈ 4e-6). */
   def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, nBits: Int = 6,
-                     bands: Int = 16, seed: Long = 42L): DataFrame = {
+                     bands: Int = 16, seed: Long = 42L,
+                     roundDigits: Int = 6): DataFrame = {
+    val eps = math.pow(10.0, -roundDigits)
     val dups = Similarity.lshNeighborPairs(df, idCol, vecCol, nBits, bands,
-      threshold, seed)
+      threshold - eps, seed)
+      .filter(F.round(col("cos_sim"), roundDigits) >= threshold)
       .select(col("id_b").as(idCol)).distinct()
     df.join(dups, Seq(idCol), "left_anti")
   }

@@ -52,7 +52,8 @@ object Readers {
               naValue: String = "NA",
               trueValues: Set[String] = Inference.defaultTrue,
               falseValues: Set[String] = Inference.defaultFalse,
-              multiLine: Boolean = false): CrysFrame = {
+              multiLine: Boolean = false,
+              skipBlankLines: Boolean = true): CrysFrame = {
     // http/https/ftp input (reference: builder.cr:154-169): stream the
     // body driver-side and distribute the CONTENT (parallelized
     // dataset), not a driver-local temp path — executors on a real
@@ -65,7 +66,7 @@ object Readers {
       case UrlScheme(_) if !multiLine =>
         val in = java.net.URI.create(path).toURL.openStream()
         try return readCsvStream(spark, in, separator, quoteChar, skip,
-          comment, header, naValue, trueValues, falseValues)
+          comment, header, naValue, trueValues, falseValues, skipBlankLines)
         finally in.close()
       case _ =>
     }
@@ -79,14 +80,23 @@ object Readers {
     val reader = csvReader(spark, separator, quoteChar, comment, header,
       naValue, multiLine)
     val raw: DataFrame =
-      if (skip == 0) reader.csv(localPath)
+      if (skip == 0 && skipBlankLines) reader.csv(localPath)
       else {
-        // Spark's CSV source has no skip-N-lines option: read as text,
-        // drop the preamble by line index, re-parse the remainder
-        // (reference `skip:` option, src/crysda/builder.cr:44-83)
+        // Spark's CSV source has no skip-N-lines option and ALWAYS drops
+        // blank lines: read as text, apply the reference's record
+        // pipeline — blank-line rejection FIRST (so `skip` counts
+        // surviving records, reference src/crysda/builder.cr:61-62),
+        // then the preamble skip — and re-parse the remainder. With
+        // skipBlankLines=false a blank line becomes an all-NA row (the
+        // line is replaced by the NA sentinel: field 1 parses to the
+        // sentinel → null, the missing rest null-fill in PERMISSIVE
+        // mode), so blank-line-significant files keep their row count.
         import spark.implicits._
-        val lines = spark.read.text(localPath).as[String].rdd
-          .zipWithIndex.filter(_._2 >= skip).map(_._1)
+        val raw0 = spark.read.text(localPath).as[String].rdd
+        val afterBlanks = if (skipBlankLines) raw0.filter(_.nonEmpty) else raw0
+        val afterSkip = afterBlanks.zipWithIndex.filter(_._2 >= skip).map(_._1)
+        val lines = if (skipBlankLines) afterSkip
+          else afterSkip.map(l => if (l.isEmpty) naValue else l)
         reader.csv(spark.createDataset(lines))
       }
     inferAndType(raw, header, trueValues, falseValues)
@@ -104,9 +114,16 @@ object Readers {
                     header: Boolean = true,
                     naValue: String = "NA",
                     trueValues: Set[String] = Inference.defaultTrue,
-                    falseValues: Set[String] = Inference.defaultFalse): CrysFrame = {
+                    falseValues: Set[String] = Inference.defaultFalse,
+                    skipBlankLines: Boolean = true): CrysFrame = {
     import spark.implicits._
-    val lines = content.linesIterator.drop(skip).toSeq
+    // reference record pipeline: blank rejection before `skip`
+    // (builder.cr:61-62); see readCsv for the all-NA substitution
+    val afterBlanks =
+      if (skipBlankLines) content.linesIterator.filter(_.nonEmpty)
+      else content.linesIterator
+    val lines = afterBlanks.drop(skip)
+      .map(l => if (!skipBlankLines && l.isEmpty) naValue else l).toSeq
     val reader = csvReader(spark, separator, quoteChar, comment, header,
       naValue, multiLine = false)
     inferAndType(reader.csv(spark.createDataset(lines)), header,
@@ -125,9 +142,10 @@ object Readers {
                     header: Boolean = true,
                     naValue: String = "NA",
                     trueValues: Set[String] = Inference.defaultTrue,
-                    falseValues: Set[String] = Inference.defaultFalse): CrysFrame =
+                    falseValues: Set[String] = Inference.defaultFalse,
+                    skipBlankLines: Boolean = true): CrysFrame =
     readCsvString(spark, drainMaybeGzip(in), separator, quoteChar, skip,
-      comment, header, naValue, trueValues, falseValues)
+      comment, header, naValue, trueValues, falseValues, skipBlankLines)
 
   /** Drain a stream to UTF-8 text, transparently gunzipping when the
     * 0x1f8b magic is present — the shared IO step behind every

@@ -42,6 +42,48 @@ class ObjectColumnsSpec extends GraftSpec {
     assert(f.unnest("tags").numRow == 5)
   }
 
+  test("mixed AnyCol cells round-trip through a variant column (reference context.cr:54)") {
+    import graft.core.Variant
+    val ts = java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T10:30:00Z"))
+    val uuid = java.util.UUID.fromString("123e4567-e89b-12d3-a456-426614174000")
+    // Seq[Any] keeps literal 4 an Int (weak conformance would widen
+    // Seq(4, 2.5) to Seq[Double] and change the id column's family)
+    val f = CrysFrame.of(spark, Seq("id", "payload"),
+      Seq(Seq[Any](1, 42), Seq[Any](2, "hello"), Seq[Any](3, ts),
+        Seq[Any](4, 2.5), Seq[Any](5, uuid), Seq[Any](6, null)))
+    // one column, five runtime families → variant struct<tag, repr>
+    assert(Variant.isVariantType(f.schema("payload").dataType))
+    val cells = f.sortBy("id").out.collect()
+      .map(r => Variant.decode(r.getAs[org.apache.spark.sql.Row]("payload")))
+    assert(cells.toSeq == Seq(42, "hello", ts, 2.5, uuid, null))
+    // typed views: wrong-family cells go null, right-family cells cast
+    val longs = f.sortBy("id").out
+      .select(Variant.asLong(col("payload"))).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getLong(0))
+    assert(longs.toSeq == Seq(42L, null, null, null, null, null))
+    // variant cells survive grouping/filtering as first-class values
+    assert(f.filter(_ => Variant.tag(col("payload")) === "str").numRow == 1)
+    // print renders the underlying value, not the struct
+    assert(f.printFrame().contains("hello"))
+    // convertType: homogeneous tags materialize back to a typed column
+    val nums = CrysFrame.of(spark, Seq("v"), Seq(Seq(1), Seq(2L), Seq("3")))
+    assert(Variant.isVariantType(nums.schema("v").dataType) ||
+      nums.schema("v").dataType == org.apache.spark.sql.types.StringType)
+    val times = CrysFrame.of(spark, Seq("k", "t"),
+      Seq(Seq("a", ts), Seq("b", "2024-05-01T00:00:00Z")))
+    assert(Variant.isVariantType(times.schema("t").dataType))
+    val back = times.convertType("t")
+    assert(back.schema("t").dataType == org.apache.spark.sql.types.TimestampType ||
+      back.schema("t").dataType == org.apache.spark.sql.types.StringType)
+    val intsMixed = CrysFrame.of(spark, Seq("v"), Seq(Seq(7), Seq(8.5), Seq(true)))
+    assert(Variant.isVariantType(intsMixed.schema("v").dataType))
+    val conv = intsMixed.convertType("v")
+    // i32/f64/bool reprs: the ladder lands on String (no common numeric)
+    assert(conv.schema("v").dataType == org.apache.spark.sql.types.StringType)
+    val homo = CrysFrame.of(spark, Seq("v"), Seq(Seq(7), Seq(uuid))).convertType("v")
+    assert(homo.schema("v").dataType == org.apache.spark.sql.types.StringType)
+  }
+
   test("filterByRowWithIndex passes the 0-based index in frame order") {
     val f = CrysFrame.of(spark, Seq("person", "year"),
       Seq(Seq("max", 2014), Seq("max", 2016), Seq("anna", 2015), Seq("anna", 2016)))

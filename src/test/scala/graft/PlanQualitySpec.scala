@@ -55,6 +55,16 @@ class PlanQualitySpec extends GraftSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("embeddingDedup (LSH path) is a bucket equi-join, never all-pairs") {
+    import graft.ml.Dedup
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = Dedup.embeddingDedup(e, "vec_id", "embedding",
+      threshold = 0.45, nBits = 4, bands = 64)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_ann_topk folds top-k in a partial aggregate — no full-corpus window") {
     val p = plan("q_ann_topk")
     // the per-query top-k must be a partial+final aggregate (bounded

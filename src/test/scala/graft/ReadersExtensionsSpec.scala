@@ -50,6 +50,27 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(f.numRow == 2)
   }
 
+  /** reference: src/crysda.cr:30-37, builder.cr:61-62 — blank records
+    * rejected BEFORE `skip` counts; skip_blank_lines=false keeps them. */
+  test("skipBlankLines: true drops blanks (before skip), false keeps all-NA rows") {
+    val p = writeTmp("blanks.csv", "a,b\n1,x\n\n2,y\n\n3,z\n")
+    val kept = Readers.readCsv(spark, p)
+    assert(kept.numRow == 3)
+    val full = Readers.readCsv(spark, p, skipBlankLines = false)
+    assert(full.numRow == 5)
+    assert(full.out.filter(col("a").isNull && col("b").isNull).count() == 2)
+    // inference ignores the NA rows: a stays integral
+    assert(full.schema("a").dataType == IntegerType)
+    // blank lines in the preamble don't count against skip when skipped
+    val p2 = writeTmp("blankskip.csv", "\njunk junk\na,b\n1,x\n")
+    val f2 = Readers.readCsv(spark, p2, skip = 1, comment = null)
+    assert(f2.names == Seq("a", "b") && f2.numRow == 1)
+    // string entry point honors the same contract
+    val s = Readers.readCsvString(spark, "a,b\n1,x\n\n2,y\n",
+      skipBlankLines = false)
+    assert(s.numRow == 3)
+  }
+
   test("CSV write → read round-trip with NA nulls") {
     val f = CrysFrame.of(spark, Seq("k", "v"),
       Seq(Seq("x", 1.5), Seq("y", null)))
@@ -148,6 +169,39 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(!kept.contains(2L)) // exact dup of 1
   }
 
+  test("minhashDedup drops every id with a verified lower intra-bucket partner") {
+    // contract: an id is dropped iff SOME lower id shares a band bucket
+    // with it AND their signature agreement ≥ threshold — all intra-
+    // bucket partners count, not just the bucket minimum (verifying only
+    // against the min would miss a true dup whenever the bucket min is
+    // an unrelated collision). Reference computation: the HOF signature/
+    // band-key path (same hash family as the kernel) collected and
+    // paired exhaustively driver-side.
+    val numHashes = 64; val bands = 16; val thr = 0.7; val n = 4
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val withKeys = real
+      .select(col("doc_id"), TextFunctions.normalizeText(col("text")).as("__norm"))
+      .select(col("doc_id"), Dedup.signatureFromHashes(
+        Dedup.shingleHashesFromNorm(col("__norm"), n), numHashes).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        Dedup.bandKeys(col("sig"), numHashes, bands).as("keys"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getSeq[Long](2).toArray))
+    val dropped = (for {
+      (idB, sigB, keysB) <- withKeys
+      if withKeys.exists { case (idA, sigA, keysA) =>
+        idA < idB &&
+          keysA.indices.exists(i => keysA(i) == keysB(i)) &&
+          sigA.zip(sigB).count { case (x, y) => x == y }.toDouble / numHashes >= thr
+      }
+    } yield idB).toSet
+    assert(dropped.nonEmpty) // the corpus has planted near-dups
+    val expectedKept = withKeys.map(_._1).toSet -- dropped
+    val kept = Dedup.minhashDedup(real, "doc_id", "text", numHashes, bands, thr, n)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == expectedKept)
+  }
+
   test("simhash: identical texts have distance 0, pairs found") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1),
@@ -195,6 +249,10 @@ class ReadersExtensionsSpec extends GraftSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // fixpoint checks are batched every 2nd round: strictly fewer
+    // driver actions than rounds (the loop's only action is the check)
+    val (rounds, checks) = Dedup.lastCCStats
+    assert(rounds >= 2 && checks < rounds, s"rounds=$rounds checks=$checks")
     // cluster dedup on the doc fixture: drops both copies of doc 1's
     // cluster (2 exact, 3 near), keeps the distinct doc 4
     val kept = Dedup.minhashDedupCC(docs, "doc_id", "text",
