@@ -12,13 +12,16 @@ import org.apache.spark.sql.types._
   * (the Scala counterpart of `mapInPandas`: one decoder init per
   * partition, streaming rows, no whole-partition materialization).
   *
-  * Two tiers of "decode":
+  * Three tiers of "decode":
   *   - HEADER SNIFFING is REAL: container formats carry their geometry
   *     in plain bytes, so `sniffMeta` parses PNG IHDR, JPEG SOFn
   *     markers, GIF logical-screen, and RIFF/WAVE chunk headers with
   *     pure JVM byte arithmetic — no codec library involved.
-  *   - PIXEL/SAMPLE decoding is STUBBED with a deterministic fake
-  *     (image/audio codec libs are not in this container); the
+  *   - PIXEL decoding is REAL for uncompressed 24-bit BMP
+  *     ([[decodeBmp]]) and 8-bit non-interlaced PNG ([[decodePng]] —
+  *     zlib inflate + scanline unfiltering, both pure JVM).
+  *   - SAMPLE decoding for codec-requiring formats (JPEG, audio
+  *     samples, video) is STUBBED with a deterministic fake; the
   *     Spark-side contract — schema, batch shape, partition sizing —
   *     is real and tested, so swapping in a real decoder is a
   *     one-function change.
@@ -73,6 +76,129 @@ object Multimodal {
     (w, h, out)
   }
 
+  /** REAL pixel decode for 8-bit non-interlaced PNG (pure JVM — zlib
+    * lives in `java.util.zip`): signature + IHDR validation, IDAT chunk
+    * concatenation, Inflater, and per-scanline unfiltering (None/Sub/
+    * Up/Average/Paeth). Gray, RGB and RGBA color types; palette,
+    * 16-bit and interlaced images return null (the honest boundary —
+    * same return-null-on-anything-not-decodable contract as
+    * [[decodeBmp]]). Returns (width, height, BGR bytes row-major
+    * top-down), the same buffer convention as the BMP path, so the
+    * quadrant-mean featurizer is shared. */
+  private[graft] def decodePng(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+    if (b == null || b.length < 45) return null
+    def u8(i: Int): Int = b(i) & 0xff
+    def be32(i: Int): Long = (u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)
+    if (!(u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
+        u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a)) return null
+    // IHDR must be the first chunk
+    if (be32(8) != 13 || b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R')
+      return null
+    val w = be32(16).toInt
+    val h = be32(20).toInt
+    val depth = u8(24); val colorType = u8(25); val interlace = u8(28)
+    if (depth != 8 || interlace != 0) return null
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 6 => 4; case _ => return null
+    }
+    // caps keep (stride+1)*h and w*h*3 inside Int range — a crafted
+    // header can't overflow the buffers into a crash
+    if (w <= 0 || h <= 0 || w > 32767 || h > 32767 ||
+        (w.toLong * channels + 1) * h > 256 * 1024 * 1024) return null
+    val idat = new java.io.ByteArrayOutputStream()
+    var p = 33
+    var sawEnd = false
+    while (!sawEnd && p + 12 <= b.length) {
+      val len = be32(p)
+      if (len > b.length - p - 12) return null // truncated/corrupt chunk
+      val t = new String(b, p + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (t == "IDAT") idat.write(b, p + 8, len.toInt)
+      if (t == "IEND") sawEnd = true
+      p += 12 + len.toInt
+    }
+    if (idat.size == 0) return null
+    val stride = w * channels
+    val rawLen = (stride + 1) * h
+    val raw = new Array[Byte](rawLen)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var off = 0
+      while (off < rawLen && !inf.finished()) {
+        val n = inf.inflate(raw, off, rawLen - off)
+        if (n == 0 && inf.needsInput()) return null // truncated stream
+        off += n
+      }
+      if (off < rawLen) return null
+    } catch {
+      case _: java.util.zip.DataFormatException => return null
+    } finally inf.end()
+    // unfilter in place (PNG filters operate on the raw channel bytes)
+    val bpp = channels
+    var y = 0
+    while (y < h) {
+      val rowStart = y * (stride + 1)
+      val ft = raw(rowStart) & 0xff
+      val cur = rowStart + 1
+      val prev = cur - (stride + 1)
+      ft match {
+        case 0 => // None
+        case 1 => // Sub
+          var x = bpp
+          while (x < stride) { raw(cur + x) = (raw(cur + x) + raw(cur + x - bpp)).toByte; x += 1 }
+        case 2 => // Up
+          if (y > 0) {
+            var x = 0
+            while (x < stride) { raw(cur + x) = (raw(cur + x) + raw(prev + x)).toByte; x += 1 }
+          }
+        case 3 => // Average
+          var x = 0
+          while (x < stride) {
+            val a = if (x >= bpp) raw(cur + x - bpp) & 0xff else 0
+            val up = if (y > 0) raw(prev + x) & 0xff else 0
+            raw(cur + x) = (raw(cur + x) + ((a + up) >> 1)).toByte
+            x += 1
+          }
+        case 4 => // Paeth
+          var x = 0
+          while (x < stride) {
+            val a = if (x >= bpp) raw(cur + x - bpp) & 0xff else 0
+            val up = if (y > 0) raw(prev + x) & 0xff else 0
+            val c = if (x >= bpp && y > 0) raw(prev + x - bpp) & 0xff else 0
+            val pp = a + up - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - up); val pc = math.abs(pp - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+            raw(cur + x) = (raw(cur + x) + pred).toByte
+            x += 1
+          }
+        case _ => return null
+      }
+      y += 1
+    }
+    // repack to the shared BGR top-down convention
+    val out = new Array[Byte](w * h * 3)
+    var i = 0
+    var o = 0
+    y = 0
+    while (y < h) {
+      i = y * (stride + 1) + 1
+      var x = 0
+      while (x < w) {
+        if (channels == 1) {
+          val g = raw(i); out(o) = g; out(o + 1) = g; out(o + 2) = g; i += 1
+        } else {
+          out(o) = raw(i + 2); out(o + 1) = raw(i + 1); out(o + 2) = raw(i)
+          i += channels
+        }
+        o += 3
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
+  }
+
   /** Real feature for decodable images: per-quadrant mean B,G,R in
     * [0,1] (2×2 grid × 3 channels = 12 dims), truncated or zero-padded
     * to `dim` — an honest tiny visual descriptor. */
@@ -103,7 +229,7 @@ object Multimodal {
 
   /** STUB decoder — deterministic fake "embedding" derived from the
     * bytes, used for formats whose decode needs a codec library
-    * (PNG/JPEG pixels, audio samples, video). Replace with a real codec
+    * (JPEG pixels, audio samples, video). Replace with a real codec
     * (e.g. javax.imageio / ffmpeg bindings) without touching the
     * pipeline shape. */
   private[multimodal] def fakeDecodeFeature(bytes: Array[Byte], dim: Int): Array[Float] = {
@@ -124,10 +250,11 @@ object Multimodal {
   /** Decode + featurize media rows per partition. `mapPartitions` so a
     * decoder is initialized once per task, not per row — the pattern
     * that matters when the decoder is an expensive native context.
-    * Uncompressed 24-bit BMPs get a REAL pixel decode (per-quadrant
-    * channel means); codec-requiring formats fall back to the
-    * deterministic stub. Binary-heavy frames should be repartitioned by
-    * size beforehand (`maxPartitionBytes` governs scan splits natively). */
+    * Uncompressed 24-bit BMPs AND 8-bit non-interlaced PNGs get a REAL
+    * pixel decode (per-quadrant channel means); codec-requiring formats
+    * fall back to the deterministic stub. Binary-heavy frames should be
+    * repartitioned by size beforehand (`maxPartitionBytes` governs scan
+    * splits natively). */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
     media.select(col("media_id"), col("kind"), col("content"))
@@ -135,9 +262,15 @@ object Multimodal {
         // codec-library init would happen here, once per partition
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("content")
-          val feature: Seq[Float] =
+          val decoded =
             if (bytes == null) null
             else decodeBmp(bytes) match {
+              case d @ (_, _, _) => d
+              case null          => decodePng(bytes)
+            }
+          val feature: Seq[Float] =
+            if (bytes == null) null
+            else decoded match {
               case (w, h, px) => bmpQuadrantMeans(w, h, px, dim).toSeq
               case null       => fakeDecodeFeature(bytes, dim).toSeq
             }
@@ -235,17 +368,50 @@ object Multimodal {
       }(enc)
   }
 
-  /** Minimal-but-well-formed container headers for the synthetic frame
-    * (real enough that `sniffMetadata` exercises the true parse path). */
-  private def pngBytes(w: Int, h: Int, id: Long): Array[Byte] = {
-    val out = java.nio.ByteBuffer.allocate(64)
-    out.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
-    out.putInt(13).put("IHDR".getBytes("US-ASCII"))
-    out.putInt(w).putInt(h)
-    out.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
-    out.putInt(0) // CRC not needed for header sniffing
-    out.putLong(id) // deterministic tail so content hashes differ
+  /** One PNG chunk: length + type + data + CRC32 over type‖data. */
+  private def pngChunk(t: String, data: Array[Byte]): Array[Byte] = {
+    val tb = t.getBytes("US-ASCII")
+    val out = java.nio.ByteBuffer.allocate(12 + data.length)
+    out.putInt(data.length).put(tb).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(data)
+    out.putInt(crc.getValue.toInt)
     out.array()
+  }
+
+  /** COMPLETE spec-conformant RGB PNG with a deterministic pixel
+    * pattern (filter-0 scanlines, one deflated IDAT, CRC'd chunks) —
+    * fully decodable by [[decodePng]] and by any external viewer. */
+  private[graft] def pngBytes(w: Int, h: Int, id: Long): Array[Byte] = {
+    val stride = w * 3
+    val raw = new Array[Byte]((stride + 1) * h)
+    var y = 0
+    while (y < h) {
+      raw(y * (stride + 1)) = 0 // filter: None
+      var x = 0
+      while (x < w) {
+        val v = graft.functions.Kernels.mix(id * 131 + y.toLong * w + x)
+        val p = y * (stride + 1) + 1 + x * 3
+        raw(p) = (v & 0xff).toByte          // R
+        raw(p + 1) = ((v >> 8) & 0xff).toByte
+        raw(p + 2) = ((v >> 16) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zipped = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) zipped.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      pngChunk("IHDR", ihdr.array()) ++
+      pngChunk("IDAT", zipped.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
   }
 
   /** Complete uncompressed 24-bit BMP with a deterministic pixel

@@ -414,6 +414,51 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(bmpRows.forall(_.getAs[Seq[Float]]("feature").forall(v => v >= 0f && v <= 1f)))
   }
 
+  test("PNG pixel decode is real: pixel-exact vs a JDK-ImageIO golden") {
+    // golden: the JDK's own PNG encoder (independent implementation,
+    // uses real filters) — our pure-JVM decoder must reproduce every
+    // pixel byte-exactly
+    val w = 5; val h = 4
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 50) << 16) | ((y * 60) << 8) | (x * y * 20))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (dw, dh, px) = Multimodal.decodePng(bos.toByteArray)
+    assert(dw == w && dh == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val p = (y * w + x) * 3
+      assert((px(p) & 0xff) == (rgb & 0xff), s"B at ($x,$y)")
+      assert((px(p + 1) & 0xff) == ((rgb >> 8) & 0xff), s"G at ($x,$y)")
+      assert((px(p + 2) & 0xff) == ((rgb >> 16) & 0xff), s"R at ($x,$y)")
+    }
+    // the synthetic frame's PNGs are complete spec files that
+    // round-trip through BOTH decoders identically
+    val syn = Multimodal.pngBytes(7, 5, 42L)
+    val (sw, sh, spx) = Multimodal.decodePng(syn)
+    assert(sw == 7 && sh == 5)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(syn))
+    for (y <- 0 until sh; x <- 0 until sw) {
+      val rgb = ref.getRGB(x, y)
+      val p = (y * sw + x) * 3
+      assert((spx(p) & 0xff) == (rgb & 0xff) &&
+        (spx(p + 2) & 0xff) == ((rgb >> 16) & 0xff))
+    }
+    // unsupported / corrupt inputs refuse to decode, never throw
+    assert(Multimodal.decodePng("not a png at all".getBytes) == null)
+    assert(Multimodal.decodePng(syn.dropRight(20)) == null) // truncated
+    // end-to-end: synthetic PNG rows (image && odd id) now take the
+    // real quadrant-mean path
+    val feats = Multimodal.extractFeatures(
+      Multimodal.syntheticMedia(spark, 12), dim = 12).collect()
+    val pngRows = feats.filter(r => r.getLong(0) % 6 == 3)
+    assert(pngRows.nonEmpty)
+    assert(pngRows.forall(_.getAs[Seq[Float]]("feature")
+      .forall(v => v >= 0f && v <= 1f)))
+  }
+
   test("sniffMetadata parses real PNG/JPEG/GIF/WAV container headers") {
     // hand-built headers — the sniffer does real byte-level parsing
     val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
