@@ -182,7 +182,11 @@ object Dedup {
         shiftrightunsigned(col("__sh"), offsets(b))
           .bitwiseAND(lit((1L << widths(b)) - 1)).as("key"))
     }: _*)
+    // persisted: the block self-join consumes both sides of this
+    // projection — without it the simhash kernel walks every document
+    // twice (8 bytes/doc cached, LRU-evicted)
     val sh = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh.select(col("__id"), col("__sh"), explode(blocks).as("__b"))
       .select(col("__id"), col("__sh"), col("__b.blk"), col("__b.key"))
     val l = banded.select(col("__id").as("id_a"), col("__sh").as("sh_a"),
@@ -220,8 +224,12 @@ object Dedup {
     * cap without converging warns on stderr rather than silently
     * returning partial labels. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // persist the INPUT first: sym unions two selects over it, so an
+    // un-cached pairs plan (often a whole LSH candidate+verify
+    // pipeline) would execute twice just to build the edge list
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
@@ -264,6 +272,7 @@ object Dedup {
       System.err.println(s"[graft] connectedComponents hit maxIters=$maxIters " +
         "before fixpoint — labels may split components")
     sym.unpersist()
+    p.unpersist()
     lastCCStats = (it, checks)
     labels
   }

@@ -190,11 +190,13 @@ object Similarity {
   def lshNeighborPairs(corpus: DataFrame, idCol: String, vecCol: String,
                        nBits: Int = 6, bands: Int = 16,
                        threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
-    // persisted like Dedup.sigFrame: the banding explode consumes the
-    // key projection and BOTH verify joins re-read the vectors — one
-    // kernel/lineage pass each instead of three (LRU-evicted)
+    // persisted like Dedup.sigFrame: the banding explode feeds BOTH
+    // sides of the candidate self-join — without the persist the LSH
+    // kernel would run twice per row — and both verify joins re-read
+    // the vectors (LRU-evicted under pressure)
     val keyed = corpus.select(col(idCol).as("__id"),
       graft.functions.Kernels.cosineLshBands(col(vecCol), bands, nBits, seed).as("__keys"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = keyed.select(col("__id"),
       posexplode(col("__keys")).as(Seq("__band", "__key")))
     val cand = banded.select(col("__id").as("id_a"), col("__band"), col("__key"))
