@@ -44,9 +44,13 @@ object SparkEntry {
     CrysFrame(t(s, dir, name))
 
   /** Exact money aggregation: per-term decimal cast, exact decimal sum,
-    * final scale-2 decimal. */
+    * final scale-2 decimal. The final scale is the SOURCE scale (money
+    * values are 2-decimal), not the working scale: the scaled integer a
+    * decimal→double conversion sees is 10⁴× smaller at scale 2 than at
+    * scale 6, keeping it under 2^53 (where every engine's conversion is
+    * exactly the same correctly-rounded double) up to ~10¹³ money sums. */
   private def moneySum(c: Column): Column =
-    F.sum(c.cast("decimal(18,6)")).cast("decimal(28,6)")
+    F.sum(c.cast("decimal(18,6)")).cast("decimal(28,2)")
 
   /** Exact decimal(12,2) view of a double column whose values are exact
     * 2-decimal numbers (every money/measure column in the test tables).
@@ -730,7 +734,7 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_base_price,
         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
         |           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_disc_price,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity), 6) AS avg_qty,

@@ -22,15 +22,18 @@ import org.apache.spark.sql.types._
   */
 object Variant {
 
-  /** The variant cell schema. */
+  /** The variant cell schema. Field names live in the engine's reserved
+    * `__graft_` namespace so a USER struct column that happens to carry
+    * (tag, repr) string fields is never misread as a variant by the
+    * printer or convertType. */
   val schema: StructType = StructType(Seq(
-    StructField("tag", StringType, nullable = true),
-    StructField("repr", StringType, nullable = true)))
+    StructField("__graft_tag", StringType, nullable = true),
+    StructField("__graft_repr", StringType, nullable = true)))
 
   def isVariantType(dt: DataType): Boolean = dt match {
     case st: StructType =>
       st.fields.length == 2 &&
-        st.fieldNames.toSeq == Seq("tag", "repr") &&
+        st.fieldNames.toSeq == Seq("__graft_tag", "__graft_repr") &&
         st.fields.forall(_.dataType == StringType)
     case _ => false
   }
@@ -63,8 +66,8 @@ object Variant {
       case _      => r.getString(1)
     }
 
-  def tag(c: Column): Column = c.getField("tag")
-  def repr(c: Column): Column = c.getField("repr")
+  def tag(c: Column): Column = c.getField("__graft_tag")
+  def repr(c: Column): Column = c.getField("__graft_repr")
 
   /** Typed views — wrong-family cells evaluate to null (try_cast). */
   def asLong(c: Column): Column = repr(c).try_cast("long")
@@ -75,19 +78,4 @@ object Variant {
     when(tag(c) === "time", repr(c).try_cast("timestamp"))
   def asString(c: Column): Column = repr(c)
 
-  /** Build a variant cell from any typed column (the expression-side
-    * encode): numeric → i64/f64 by type, bool, timestamp, else str. */
-  def of(c: Column, dt: DataType): Column = {
-    val tagged = dt match {
-      case IntegerType            => ("i32", c.cast(StringType))
-      case LongType               => ("i64", c.cast(StringType))
-      case FloatType | DoubleType => ("f64", c.cast(DoubleType).cast(StringType))
-      case BooleanType            => ("bool", c.cast(StringType))
-      case TimestampType          =>
-        ("time", date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"))
-      case _                      => ("str", c.cast(StringType))
-    }
-    when(c.isNull, lit(null).cast(schema))
-      .otherwise(struct(lit(tagged._1).as("tag"), tagged._2.as("repr")))
-  }
 }

@@ -101,11 +101,12 @@ object Dedup {
     * any band bucket with a lower-id row AND the estimated Jaccard
     * (signature agreement) of the pair is ≥ `threshold`.
     *
-    * Candidates are ALL intra-bucket pairs (via [[minhashPairs]]), not
-    * just each bucket's minimum id: verifying only against the bucket
+    * Candidates are the intra-bucket pairs from [[minhashPairs]] —
+    * each row against the bucket's `maxPartners` smallest lower ids,
+    * not just the single bucket minimum: verifying only against the
     * min would silently miss a true duplicate pair whenever the bucket
-    * minimum is an unrelated hash collision. Bucket cardinality ≈
-    * duplicate-cluster cardinality, so the pair fan-out stays bounded.
+    * minimum is an unrelated hash collision, while the per-bucket cap
+    * keeps a degenerate giant cluster linear instead of quadratic.
     *
     * Plan shape: project signatures (map-only) → explode bands
     * (×bands) → bucket self-join on the 8-byte band key → distinct
@@ -124,16 +125,32 @@ object Dedup {
   }
 
   /** Candidate near-duplicate pairs (id < matchId) from MinHash LSH with
-    * estimated Jaccard — the audit-friendly variant of `minhashDedup`. */
+    * estimated Jaccard — the audit-friendly variant of `minhashDedup`.
+    *
+    * The bucket self-join pairs each row only with the bucket's
+    * `maxPartners` SMALLEST ids (window rank on the left side): fan-out
+    * per bucket is maxPartners × |bucket| instead of |bucket|², so one
+    * degenerate cluster (10⁶ copies of a boilerplate page) cannot
+    * explode the shuffle quadratically. Recall cost is nil in practice:
+    * a 64-bit band-key collision is rare, so a bucket's smallest ids
+    * are overwhelmingly true near-dups of their co-members — a row is
+    * missed only if ALL maxPartners smallest lower ids fail the
+    * signature verify in EVERY shared band. Buckets at or under
+    * maxPartners+1 members (every non-degenerate corpus) get exactly
+    * the all-pairs behavior. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 128, bands: Int = 32,
-                   threshold: Double = 0.8, shingleSize: Int = 5): DataFrame = {
+                   threshold: Double = 0.8, shingleSize: Int = 5,
+                   maxPartners: Int = 64): DataFrame = {
     val sigs = sigFrame(df, idCol, textCol, numHashes, shingleSize)
     // bucket-join on (band key) with bare ids; signatures join back on
     // the (deduplicated) candidate pairs only
     val banded = sigs.select(col("__id"),
       explode(bandKeys(col("__sig"), numHashes, bands)).as("__bkey"))
-    val cand = banded.select(col("__id").as("id_a"), col("__bkey"))
+    val w = Window.partitionBy(col("__bkey")).orderBy(col("__id"))
+    val lhs = banded.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxPartners)
+    val cand = lhs.select(col("__id").as("id_a"), col("__bkey"))
       .join(banded.select(col("__id").as("id_b"), col("__bkey")), Seq("__bkey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
@@ -226,8 +243,14 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // persist the INPUT first: sym unions two selects over it, so an
     // un-cached pairs plan (often a whole LSH candidate+verify
-    // pipeline) would execute twice just to build the edge list
-    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pipeline) would execute twice just to build the edge list.
+    // Only install (and later release) the cache if the caller didn't
+    // already own one — unpersisting a caller's cache would silently
+    // force their later actions to recompute the whole upstream.
+    val ownCache = pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val p =
+      if (ownCache) pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else pairs
     val sym = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
@@ -272,7 +295,7 @@ object Dedup {
       System.err.println(s"[graft] connectedComponents hit maxIters=$maxIters " +
         "before fixpoint — labels may split components")
     sym.unpersist()
-    p.unpersist()
+    if (ownCache) p.unpersist()
     lastCCStats = (it, checks)
     labels
   }

@@ -127,7 +127,9 @@ object Multimodal {
       var off = 0
       while (off < rawLen && !inf.finished()) {
         val n = inf.inflate(raw, off, rawLen - off)
-        if (n == 0 && inf.needsInput()) return null // truncated stream
+        // zero progress = truncated stream OR a preset-dictionary
+        // (FDICT) request — either way undecodable, never spin
+        if (n == 0) return null
         off += n
       }
       if (off < rawLen) return null
@@ -262,17 +264,17 @@ object Multimodal {
         // codec-library init would happen here, once per partition
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("content")
-          val decoded =
-            if (bytes == null) null
-            else decodeBmp(bytes) match {
-              case d @ (_, _, _) => d
-              case null          => decodePng(bytes)
-            }
           val feature: Seq[Float] =
             if (bytes == null) null
-            else decoded match {
-              case (w, h, px) => bmpQuadrantMeans(w, h, px, dim).toSeq
-              case null       => fakeDecodeFeature(bytes, dim).toSeq
+            else {
+              val decoded = decodeBmp(bytes) match {
+                case d @ (_, _, _) => d
+                case null          => decodePng(bytes)
+              }
+              decoded match {
+                case (w, h, px) => bmpQuadrantMeans(w, h, px, dim).toSeq
+                case null       => fakeDecodeFeature(bytes, dim).toSeq
+              }
             }
           Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
             if (bytes == null) null else bytes.length.toLong, feature)

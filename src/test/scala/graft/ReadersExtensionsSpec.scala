@@ -176,7 +176,9 @@ class ReadersExtensionsSpec extends GraftSpec {
     // against the min would miss a true dup whenever the bucket min is
     // an unrelated collision). Reference computation: the HOF signature/
     // band-key path (same hash family as the kernel) collected and
-    // paired exhaustively driver-side.
+    // paired exhaustively driver-side. (The production per-bucket
+    // maxPartners cap is inactive here — every corpus bucket is far
+    // under 64 members — so exhaustive pairing IS the contract.)
     val numHashes = 64; val bands = 16; val thr = 0.7; val n = 4
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val withKeys = real
