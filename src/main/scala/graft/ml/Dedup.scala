@@ -117,9 +117,10 @@ object Dedup {
     */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 128, bands: Int = 32,
-                   threshold: Double = 0.8, shingleSize: Int = 5): DataFrame = {
+                   threshold: Double = 0.8, shingleSize: Int = 5,
+                   maxPartners: Int = 64): DataFrame = {
     val dups = minhashPairs(df, idCol, textCol, numHashes, bands,
-      threshold, shingleSize)
+      threshold, shingleSize, maxPartners)
       .select(col("id_b").as(idCol)).distinct()
     df.join(dups, Seq(idCol), "left_anti")
   }
@@ -311,9 +312,9 @@ object Dedup {
   def minhashDedupCC(df: DataFrame, idCol: String, textCol: String,
                      numHashes: Int = 128, bands: Int = 32,
                      threshold: Double = 0.8, shingleSize: Int = 5,
-                     maxIters: Int = 20): DataFrame = {
+                     maxIters: Int = 20, maxPartners: Int = 64): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, numHashes, bands,
-      threshold, shingleSize)
+      threshold, shingleSize, maxPartners)
     val dups = connectedComponents(pairs.select(col("id_a"), col("id_b")), maxIters)
       .filter(col("label") =!= col("id"))
       .select(col("id").as(idCol))

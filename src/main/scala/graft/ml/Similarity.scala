@@ -186,7 +186,12 @@ object Similarity {
     * misses all bands with prob (1-p^nBits)^bands, p = 1-acos(c)/π —
     * e.g. c=0.95, 16×6-bit bands → miss ≈ 6e-6. Shuffle discipline as
     * in MinHash: bare (id, band, key) through the explode; vectors join
-    * back on the deduplicated candidate pairs only. */
+    * back on the deduplicated candidate pairs only.
+    *
+    * Bucket sizing: hyperplane buckets partition SPACE, so expected
+    * bucket size is n/2^nBits and the per-band self-join is quadratic
+    * in it — size nBits with the corpus (e.g. 2^nBits ≈ n/1000 keeps
+    * buckets ~1000 rows) and spend recall budget on more bands. */
   def lshNeighborPairs(corpus: DataFrame, idCol: String, vecCol: String,
                        nBits: Int = 6, bands: Int = 16,
                        threshold: Double = 0.8, seed: Long = 42L): DataFrame = {

@@ -204,6 +204,29 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(kept == expectedKept)
   }
 
+  test("per-bucket partner cap keeps a giant duplicate cluster linear and still dedups it") {
+    import spark.implicits._
+    // 100 identical docs: every band bucket holds all 100 ids. With
+    // maxPartners=5 the pair fan-out is ≤ 5×100 per band (not 100²/2),
+    // yet every non-min id still pairs with a verified smaller id, so
+    // dedup keeps exactly the minimum
+    val docs100 = (1L to 100L)
+      .map(i => (i, "the exact same boilerplate text appears everywhere"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs100, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.9, shingleSize = 4,
+      maxPartners = 5)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // bounded: only the 5 smallest ids ever appear on the left
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(got.length == 5 * 100 - (5 + 4 + 3 + 2 + 1)) // k×n − k(k+1)/2 ordered pairs
+    val kept = Dedup.minhashDedup(docs100, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.9, shingleSize = 4,
+      maxPartners = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L))
+  }
+
   test("simhash: identical texts have distance 0, pairs found") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1),
