@@ -484,6 +484,44 @@ class ReadersExtensionsSpec extends GraftSpec {
       .forall(v => v >= 0f && v <= 1f)))
   }
 
+  test("PNG decode round-trips random gray/RGB/RGBA images of odd sizes") {
+    // seeded random content across sizes and color types: ImageIO's
+    // encoder picks per-scanline filters adaptively, so this sweeps
+    // Sub/Up/Average/Paeth paths the single hand-built golden may not
+    val rng = new scala.util.Random(1234)
+    val types = Seq(
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY, // PNG color type 0
+      java.awt.image.BufferedImage.TYPE_INT_RGB,   // color type 2
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)  // color type 6
+    for (t <- types; (w, h) <- Seq((1, 1), (3, 7), (16, 16), (33, 9))) {
+      val img = new java.awt.image.BufferedImage(w, h, t)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (0xff << 24) | rng.nextInt(1 << 24))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val decoded = Multimodal.decodePng(bos.toByteArray)
+      assert(decoded != null, s"type=$t ${w}x$h did not decode")
+      val (dw, dh, px) = decoded
+      assert(dw == w && dh == h, s"type=$t ${w}x$h dims")
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = (y * w + x) * 3
+        if (t == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+          // the PNG stores the RASTER byte; getRGB would apply AWT's
+          // linear-gray→sRGB colorspace transform and not match
+          val g = img.getRaster.getSample(x, y, 0)
+          assert((px(p) & 0xff) == g && (px(p + 1) & 0xff) == g &&
+            (px(p + 2) & 0xff) == g, s"gray ${w}x$h pixel ($x,$y)")
+        } else {
+          val rgb = img.getRGB(x, y)
+          assert((px(p) & 0xff) == (rgb & 0xff) &&
+            (px(p + 1) & 0xff) == ((rgb >> 8) & 0xff) &&
+            (px(p + 2) & 0xff) == ((rgb >> 16) & 0xff),
+            s"type=$t ${w}x$h pixel ($x,$y)")
+        }
+      }
+    }
+  }
+
   test("sniffMetadata parses real PNG/JPEG/GIF/WAV container headers") {
     // hand-built headers — the sniffer does real byte-level parsing
     val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
