@@ -17,14 +17,15 @@ import org.apache.spark.sql.types._
   *     in plain bytes, so `sniffMeta` parses PNG IHDR, JPEG SOFn
   *     markers, GIF logical-screen, and RIFF/WAVE chunk headers with
   *     pure JVM byte arithmetic — no codec library involved.
-  *   - PIXEL decoding is REAL for uncompressed 24-bit BMP
-  *     ([[decodeBmp]]) and 8-bit non-interlaced PNG ([[decodePng]] —
-  *     zlib inflate + scanline unfiltering, both pure JVM).
-  *   - SAMPLE decoding for codec-requiring formats (JPEG, audio
-  *     samples, video) is STUBBED with a deterministic fake; the
-  *     Spark-side contract — schema, batch shape, partition sizing —
-  *     is real and tested, so swapping in a real decoder is a
-  *     one-function change.
+  *   - PIXEL/SAMPLE decoding is REAL for uncompressed 24-bit BMP
+  *     ([[decodeBmp]]), 8-bit non-interlaced PNG ([[decodePng]] —
+  *     zlib inflate + scanline unfiltering) and PCM 16-bit WAV
+  *     ([[decodeWavPcm16]] — the data chunk is plain LE shorts), all
+  *     pure JVM.
+  *   - Codec-REQUIRING formats (JPEG pixels, compressed audio, video)
+  *     are STUBBED with a deterministic fake; the Spark-side contract
+  *     — schema, batch shape, partition sizing — is real and tested,
+  *     so swapping in a real decoder is a one-function change.
   */
 object Multimodal {
 
@@ -229,9 +230,81 @@ object Multimodal {
       if (i < 12 && counts(i) > 0) (sums(i) / counts(i)).toFloat else 0.0f)
   }
 
+  /** REAL sample decode for PCM 16-bit WAV — pure JVM RIFF chunk walk;
+    * the data chunk is plain little-endian shorts, no codec involved.
+    * Returns (sampleRate, samples — interleaved if multichannel) or
+    * null for compressed/non-16-bit/corrupt input. A data chunk that
+    * claims more bytes than the buffer holds is truncated to what is
+    * actually present (robust to clipped files). */
+  private[graft] def decodeWavPcm16(b: Array[Byte]): (Int, Array[Short]) = {
+    if (b == null || b.length < 44 ||
+        b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
+    def le16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def le32(i: Int): Long = le16(i).toLong | (le16(i + 2).toLong << 16)
+    var i = 12
+    var rate = 0
+    var fmtOk = false
+    var dataOff = -1
+    var dataLen = 0L
+    var walk = true
+    while (walk && i + 8 <= b.length) {
+      val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = le32(i + 4) // unsigned — Long so corrupt sizes can't spin the walk
+      if (id == "fmt " && i + 24 <= b.length) {
+        fmtOk = le16(i + 8) == 1 && le16(i + 22) == 16 // PCM, 16-bit
+        rate = le32(i + 12).toInt
+      }
+      if (id == "data") { dataOff = i + 8; dataLen = sz }
+      val next = i.toLong + 8L + sz + (sz & 1L)
+      if (next <= i || next > Int.MaxValue) walk = false else i = next.toInt
+    }
+    if (!fmtOk || rate <= 0 || dataOff < 0) return null
+    val avail = (math.min(dataLen, (b.length - dataOff).toLong).toInt) & ~1
+    val n = avail / 2
+    val out = new Array[Short](n)
+    var j = 0
+    while (j < n) {
+      out(j) = ((b(dataOff + 2 * j) & 0xff) | (b(dataOff + 2 * j + 1) << 8)).toShort
+      j += 1
+    }
+    (rate, out)
+  }
+
+  /** Real audio feature: per-quarter RMS (of full-scale-normalized
+    * samples) and zero-crossing ratio — 4 × 2 = 8 dims, truncated or
+    * zero-padded to `dim`. The audio counterpart of the image
+    * quadrant means: tiny, honest, deterministic. */
+  private[graft] def wavQuarterFeatures(samples: Array[Short], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (samples.isEmpty) return out
+    val q = math.max(1, samples.length / 4)
+    var blk = 0
+    while (blk < 4) {
+      val start = blk * q
+      val end = if (blk == 3) samples.length else math.min(samples.length, start + q)
+      if (start < samples.length) {
+        var ss = 0.0
+        var zc = 0
+        var i = start
+        while (i < end) {
+          val v = samples(i) / 32768.0
+          ss += v * v
+          if (i > start && (samples(i) ^ samples(i - 1)) < 0) zc += 1
+          i += 1
+        }
+        val len = math.max(1, end - start)
+        if (blk * 2 < dim) out(blk * 2) = math.sqrt(ss / len).toFloat
+        if (blk * 2 + 1 < dim) out(blk * 2 + 1) = zc.toFloat / len
+      }
+      blk += 1
+    }
+    out
+  }
+
   /** STUB decoder — deterministic fake "embedding" derived from the
     * bytes, used for formats whose decode needs a codec library
-    * (JPEG pixels, audio samples, video). Replace with a real codec
+    * (JPEG pixels, compressed audio, video). Replace with a real codec
     * (e.g. javax.imageio / ffmpeg bindings) without touching the
     * pipeline shape. */
   private[multimodal] def fakeDecodeFeature(bytes: Array[Byte], dim: Int): Array[Float] = {
@@ -273,7 +346,10 @@ object Multimodal {
               }
               decoded match {
                 case (w, h, px) => bmpQuadrantMeans(w, h, px, dim).toSeq
-                case null       => fakeDecodeFeature(bytes, dim).toSeq
+                case null => decodeWavPcm16(bytes) match {
+                  case (_, samples) => wavQuarterFeatures(samples, dim).toSeq
+                  case null         => fakeDecodeFeature(bytes, dim).toSeq
+                }
               }
             }
           Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
@@ -440,9 +516,12 @@ object Multimodal {
     out.array()
   }
 
+  /** Complete PCM WAV with a REAL (deterministic integer square-wave)
+    * sample payload — fully decodable by [[decodeWavPcm16]]. */
   private def wavBytes(sampleRate: Int, nSamples: Int, id: Long): Array[Byte] = {
     val dataLen = nSamples * 2
-    val out = java.nio.ByteBuffer.allocate(44 + 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
     out.put("WAVE".getBytes("US-ASCII"))
     out.put("fmt ".getBytes("US-ASCII")).putInt(16)
@@ -450,15 +529,23 @@ object Multimodal {
       .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
       .putShort(2.toShort).putShort(16.toShort)
     out.put("data".getBytes("US-ASCII")).putInt(dataLen)
-    out.putLong(id)
+    // square wave, period/amplitude derived from id — integer-exact
+    val period = 20 + (id % 30).toInt
+    val amp = (4000 + (id % 7) * 2000).toShort
+    var j = 0
+    while (j < nSamples) {
+      out.putShort(if ((j / period) % 2 == 0) amp else (-amp).toShort)
+      j += 1
+    }
     out.array()
   }
 
   /** Deterministic synthetic media frame for tests/demos: image rows
-    * alternate fully-decodable 24-bit BMPs and real PNG headers, audio
-    * rows carry real WAV headers (so metadata sniffing AND the BMP
-    * pixel decode are exercised for real), video rows opaque bytes (the
-    * honest stub — container duration needs codec timebases). */
+    * alternate fully-decodable 24-bit BMPs and complete PNGs, audio
+    * rows carry complete PCM WAVs (square-wave payload) — so metadata
+    * sniffing AND all three real decodes are exercised end to end —
+    * video rows opaque bytes (the honest stub — container duration
+    * needs codec timebases). */
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
     spark.range(n.toLong).toDF("id").mapPartitions { it =>

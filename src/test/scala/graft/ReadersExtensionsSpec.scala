@@ -522,6 +522,40 @@ class ReadersExtensionsSpec extends GraftSpec {
     }
   }
 
+  test("WAV PCM decode is real: exact RMS and zero-crossing features") {
+    // 16 samples alternating ±16384 (mono 16-bit PCM): every quarter
+    // has RMS = 16384/32768 = 0.5 exactly and 3 sign flips in 4
+    // samples → zcr 0.75 exactly
+    val n = 16
+    val wav = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes).putInt(36 + n * 2).put("WAVE".getBytes)
+    wav.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(16000).putInt(32000).putShort(2).putShort(16)
+    wav.put("data".getBytes).putInt(n * 2)
+    for (j <- 0 until n) wav.putShort(if (j % 2 == 0) 16384 else -16384)
+    val (rate, samples) = Multimodal.decodeWavPcm16(wav.array())
+    assert(rate == 16000 && samples.length == n)
+    val f = Multimodal.wavQuarterFeatures(samples, 10)
+    assert(f.toSeq == Seq(0.5f, 0.75f, 0.5f, 0.75f, 0.5f, 0.75f, 0.5f, 0.75f, 0f, 0f))
+    // truncated data chunk decodes what is present, never overruns
+    val clipped = java.util.Arrays.copyOf(wav.array(), 44 + 6)
+    assert(Multimodal.decodeWavPcm16(clipped)._2.length == 3)
+    // non-PCM (compressed) and non-WAV bytes refuse to decode
+    val alaw = wav.array().clone(); alaw(20) = 6 // audioFormat = A-law
+    assert(Multimodal.decodeWavPcm16(alaw) == null)
+    assert(Multimodal.decodeWavPcm16("not audio at all".getBytes) == null)
+    // end-to-end: synthetic audio rows take the real sample path —
+    // square-wave RMS is amp/32768 (equal in all four quarters)
+    val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 12), dim = 8)
+      .collect().filter(_.getString(1) == "audio")
+    assert(feats.nonEmpty)
+    assert(feats.forall { r =>
+      val f = r.getAs[scala.collection.Seq[Float]]("feature")
+      f(0) > 0f && f(0) == f(2) && f(0) == f(4) && f(0) == f(6)
+    })
+  }
+
   test("sniffMetadata parses real PNG/JPEG/GIF/WAV container headers") {
     // hand-built headers — the sniffer does real byte-level parsing
     val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
