@@ -143,6 +143,9 @@ object Dedup {
                    numHashes: Int = 128, bands: Int = 32,
                    threshold: Double = 0.8, shingleSize: Int = 5,
                    maxPartners: Int = 64): DataFrame = {
+    require(maxPartners >= 1,
+      s"maxPartners must be >= 1 (got $maxPartners): 0 would silently " +
+        "generate no candidate pairs and disable dedup entirely")
     val sigs = sigFrame(df, idCol, textCol, numHashes, shingleSize)
     // bucket-join on (band key) with bare ids; signatures join back on
     // the (deduplicated) candidate pairs only
@@ -370,12 +373,21 @@ object Dedup {
     * exact n-gram Jaccard — the standard candidate→verify shape. The
     * shingle sets are computed ONCE per document (staged projection) and
     * joined to the candidate pairs; the verify step is then pure
-    * in-memory array intersect/union. */
+    * in-memory array intersect/union.
+    *
+    * `maxPartners` defaults to UNCAPPED here, unlike the dedup entry
+    * points: this is the audit op whose contract is the complete
+    * high-Jaccard pair list, and a capped bucket join would silently
+    * omit pairs between two ids both ranked past the cap in a large
+    * duplicate cluster. Pass a cap explicitly when auditing corpora
+    * with degenerate clusters. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.7, n: Int = 3,
-                   numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                   numHashes: Int = 64, bands: Int = 16,
+                   maxPartners: Int = Int.MaxValue): DataFrame = {
     val cand = minhashPairs(df, idCol, textCol, numHashes, bands,
-      threshold = math.min(threshold, 0.5), shingleSize = n)
+      threshold = math.min(threshold, 0.5), shingleSize = n,
+      maxPartners = maxPartners)
     val sh = df
       .select(col(idCol).as("__id"), TextFunctions.normalizeText(col(textCol)).as("__norm"))
       .select(col("__id"), TextFunctions.shinglesFromNormalized(col("__norm"), n).as("__sh"))

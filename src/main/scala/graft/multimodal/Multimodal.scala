@@ -230,38 +230,60 @@ object Multimodal {
       if (i < 12 && counts(i) > 0) (sums(i) / counts(i)).toFloat else 0.0f)
   }
 
-  /** REAL sample decode for PCM 16-bit WAV — pure JVM RIFF chunk walk;
-    * the data chunk is plain little-endian shorts, no codec involved.
-    * Returns (sampleRate, samples — interleaved if multichannel) or
-    * null for compressed/non-16-bit/corrupt input. A data chunk that
-    * claims more bytes than the buffer holds is truncated to what is
-    * actually present (robust to clipped files). */
-  private[graft] def decodeWavPcm16(b: Array[Byte]): (Int, Array[Short]) = {
-    if (b == null || b.length < 44 ||
-        b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
-        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
-    def le16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-    def le32(i: Int): Long = le16(i).toLong | (le16(i + 2).toLong << 16)
+  private def wavLe16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def wavLe32(b: Array[Byte], i: Int): Long =
+    wavLe16(b, i).toLong | (wavLe16(b, i + 2).toLong << 16)
+
+  /** True when `b` carries the RIFF/WAVE magic (caller must have
+    * checked length >= 12). */
+  private def isWave(b: Array[Byte]): Boolean =
+    b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** RIFF/WAVE chunk walk shared by the sniffer and the sample decoder
+    * (ONE copy of the padded-size advance and the unsigned-size spin
+    * guard): returns (fmtOff, fmtSize, dataOff, dataSize) — offsets of
+    * each chunk's PAYLOAD, -1 when absent. Chunk sizes stay in Long so
+    * a corrupt >= 2^31 size can't truncate to a non-positive step and
+    * spin the walk forever. */
+  private def wavChunks(b: Array[Byte]): (Int, Long, Int, Long) = {
     var i = 12
-    var rate = 0
-    var fmtOk = false
-    var dataOff = -1
-    var dataLen = 0L
+    var fmtOff = -1; var fmtSz = 0L
+    var dataOff = -1; var dataSz = -1L
     var walk = true
     while (walk && i + 8 <= b.length) {
       val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val sz = le32(i + 4) // unsigned — Long so corrupt sizes can't spin the walk
-      if (id == "fmt " && i + 24 <= b.length) {
-        fmtOk = le16(i + 8) == 1 && le16(i + 22) == 16 // PCM, 16-bit
-        rate = le32(i + 12).toInt
-      }
-      if (id == "data") { dataOff = i + 8; dataLen = sz }
+      val sz = wavLe32(b, i + 4)
+      if (id == "fmt " && fmtOff < 0) { fmtOff = i + 8; fmtSz = sz }
+      if (id == "data" && dataOff < 0) { dataOff = i + 8; dataSz = sz }
       val next = i.toLong + 8L + sz + (sz & 1L)
       if (next <= i || next > Int.MaxValue) walk = false else i = next.toInt
     }
-    if (!fmtOk || rate <= 0 || dataOff < 0) return null
-    val avail = (math.min(dataLen, (b.length - dataOff).toLong).toInt) & ~1
-    val n = avail / 2
+    (fmtOff, fmtSz, dataOff, dataSz)
+  }
+
+  /** REAL sample decode for MONO PCM 16-bit WAV — pure JVM; the data
+    * chunk is plain little-endian shorts, no codec involved. Returns
+    * (sampleRate, samples) or null for compressed/non-16-bit/
+    * multichannel/corrupt input (interleaved stereo would make the
+    * zero-crossing feature count inter-channel flips — refusing is the
+    * honest boundary). The fmt chunk must DECLARE at least the 16
+    * standard bytes — a short fmt chunk must not be padded out with the
+    * next chunk's bytes. A data chunk claiming more bytes than the
+    * buffer holds is truncated to what is present (clipped files). */
+  private[graft] def decodeWavPcm16(b: Array[Byte]): (Int, Array[Short]) = {
+    if (b == null || b.length < 44 || !isWave(b)) return null
+    val (fmtOff, fmtSz, dataOff, dataSz) = wavChunks(b)
+    if (fmtOff < 0 || fmtSz < 16 || fmtOff + 16 > b.length || dataOff < 0)
+      return null
+    val fmtOk = wavLe16(b, fmtOff) == 1 &&      // PCM
+      wavLe16(b, fmtOff + 2) == 1 &&            // mono
+      wavLe16(b, fmtOff + 14) == 16             // 16-bit
+    val rate = wavLe32(b, fmtOff + 4).toInt
+    if (!fmtOk || rate <= 0) return null
+    val avail = (math.min(dataSz, (b.length - dataOff).toLong).toInt) & ~1
+    val n = math.max(avail, 0) / 2
     val out = new Array[Short](n)
     var j = 0
     while (j < n) {
@@ -398,24 +420,15 @@ object Multimodal {
       // magnitude, not the sign convention
       return ("image/bmp", Integer.valueOf(le32(18).toInt),
         Integer.valueOf(math.abs(le32(22).toInt)), null)
-    if (b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
-        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
-      var i = 12
-      var byteRate = 0L
-      var dataLen = -1L
-      var ok = true
-      while (ok && i + 8 <= b.length) {
-        val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-        val sz = le32(i + 4) // unsigned 32-bit — keep in Long so a
-        // corrupt >=2^31 size can't truncate to a non-positive step
-        // and spin this walk forever
-        if (id == "fmt " && i + 20 <= b.length) byteRate = le32(i + 16)
-        if (id == "data") dataLen = sz
-        val next = i.toLong + 8L + sz + (sz & 1L)
-        if (next <= i || next > Int.MaxValue) ok = false else i = next.toInt
-      }
+    if (b.length >= 44 && isWave(b)) {
+      val (fmtOff, fmtSz, dataOff, dataSz) = wavChunks(b)
+      val byteRate =
+        if (fmtOff >= 0 && fmtSz >= 16 && fmtOff + 12 <= b.length)
+          wavLe32(b, fmtOff + 8)
+        else 0L
       val dur =
-        if (byteRate > 0 && dataLen >= 0) java.lang.Long.valueOf(dataLen * 1000 / byteRate)
+        if (byteRate > 0 && dataOff >= 0 && dataSz >= 0)
+          java.lang.Long.valueOf(dataSz * 1000 / byteRate)
         else null
       return ("audio/wav", null, null, dur)
     }

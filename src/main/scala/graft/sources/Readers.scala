@@ -54,6 +54,13 @@ object Readers {
               falseValues: Set[String] = Inference.defaultFalse,
               multiLine: Boolean = false,
               skipBlankLines: Boolean = true): CrysFrame = {
+    // the skip/blank-line machinery is LINE-oriented (read-as-text then
+    // re-parse): under multiLine a quoted record spanning lines would be
+    // torn apart and silently corrupted — refuse the combination UP
+    // FRONT, before any URL download happens
+    require(!multiLine || (skip == 0 && skipBlankLines),
+      "multiLine CSV cannot be combined with skip or skipBlankLines=false " +
+        "(both preprocess line-by-line, which would tear quoted multi-line records)")
     // http/https/ftp input (reference: builder.cr:154-169): stream the
     // body driver-side and distribute the CONTENT (parallelized
     // dataset), not a driver-local temp path — executors on a real
@@ -79,12 +86,6 @@ object Readers {
     // leave off unless the data needs it
     val reader = csvReader(spark, separator, quoteChar, comment, header,
       naValue, multiLine)
-    // the skip/blank-line machinery is LINE-oriented (read-as-text then
-    // re-parse): under multiLine a quoted record spanning lines would be
-    // torn apart and silently corrupted — refuse the combination
-    require(!multiLine || (skip == 0 && skipBlankLines),
-      "multiLine CSV cannot be combined with skip or skipBlankLines=false " +
-        "(both preprocess line-by-line, which would tear quoted multi-line records)")
     val raw: DataFrame =
       if (skip == 0 && skipBlankLines) reader.csv(localPath)
       else {

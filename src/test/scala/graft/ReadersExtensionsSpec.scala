@@ -545,6 +545,15 @@ class ReadersExtensionsSpec extends GraftSpec {
     val alaw = wav.array().clone(); alaw(20) = 6 // audioFormat = A-law
     assert(Multimodal.decodeWavPcm16(alaw) == null)
     assert(Multimodal.decodeWavPcm16("not audio at all".getBytes) == null)
+    // stereo refuses (interleaved channels would corrupt the
+    // zero-crossing feature), sniffing still reports the container
+    val stereo = wav.array().clone(); stereo(22) = 2
+    assert(Multimodal.decodeWavPcm16(stereo) == null)
+    assert(Multimodal.sniffMeta(stereo)._1 == "audio/wav")
+    // a short fmt chunk (declared sz 4) must not read the next chunk's
+    // bytes as format fields
+    val shortFmt = wav.array().clone(); shortFmt(16) = 4
+    assert(Multimodal.decodeWavPcm16(shortFmt) == null)
     // end-to-end: synthetic audio rows take the real sample path —
     // square-wave RMS is amp/32768 (equal in all four quarters)
     val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 12), dim = 8)
