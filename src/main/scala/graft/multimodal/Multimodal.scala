@@ -19,7 +19,8 @@ import org.apache.spark.sql.types._
   *     pure JVM byte arithmetic — no codec library involved.
   *   - PIXEL/SAMPLE decoding is REAL for uncompressed 24-bit BMP
   *     ([[decodeBmp]]), 8-bit non-interlaced PNG ([[decodePng]] —
-  *     zlib inflate + scanline unfiltering) and PCM 16-bit WAV
+  *     zlib inflate + scanline unfiltering), static GIF ([[decodeGif]]
+  *     — hand-rolled LZW + de-interlacing) and mono PCM 16-bit WAV
   *     ([[decodeWavPcm16]] — the data chunk is plain LE shorts), all
   *     pure JVM.
   *   - Codec-REQUIRING formats (JPEG pixels, compressed audio, video)
@@ -202,6 +203,147 @@ object Multimodal {
     (w, h, out)
   }
 
+  /** REAL pixel decode for static GIF (87a/89a, first frame) — pure
+    * JVM LZW: header + logical screen + color tables, extension-block
+    * skip, LSB-first variable-width code stream across sub-blocks,
+    * prefix/suffix dictionary, and 4-pass de-interlacing. Returns
+    * (frameWidth, frameHeight, BGR bytes row-major top-down) — the
+    * shared featurizer convention — or null for corrupt/truncated
+    * input (same contract as [[decodeBmp]]/[[decodePng]]). Animation
+    * beyond the first frame and transparency are ignored: the consumer
+    * is a feature extractor, not a renderer. */
+  private[graft] def decodeGif(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+    if (b == null || b.length < 13 ||
+        b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
+        (b(4) != '7' && b(4) != '9') || b(5) != 'a') return null
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    var p = 6
+    val screenPacked = u8(p + 4)
+    p += 7
+    var globalTable: Array[Byte] = null
+    if ((screenPacked & 0x80) != 0) {
+      val sz = 3 * (1 << ((screenPacked & 7) + 1))
+      if (p + sz > b.length) return null
+      globalTable = java.util.Arrays.copyOfRange(b, p, p + sz)
+      p += sz
+    }
+    // walk blocks to the first image descriptor
+    while (p < b.length && u8(p) == 0x21) { // extension: label + sub-blocks
+      p += 2
+      while (p < b.length && u8(p) != 0) p += 1 + u8(p)
+      p += 1
+    }
+    if (p + 10 > b.length || u8(p) != 0x2C) return null
+    val w = le16(p + 5); val h = le16(p + 7)
+    val imgPacked = u8(p + 9)
+    p += 10
+    if (w <= 0 || h <= 0 || w > 32767 || h > 32767 ||
+        w.toLong * h * 3 > 256 * 1024 * 1024) return null
+    var table = globalTable
+    if ((imgPacked & 0x80) != 0) {
+      val sz = 3 * (1 << ((imgPacked & 7) + 1))
+      if (p + sz > b.length) return null
+      table = java.util.Arrays.copyOfRange(b, p, p + sz)
+      p += sz
+    }
+    if (table == null || p >= b.length) return null
+    val interlaced = (imgPacked & 0x40) != 0
+    val minCode = u8(p); p += 1
+    if (minCode < 1 || minCode > 11) return null
+    // concatenate the LZW sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    var ok = true
+    while (ok && p < b.length && u8(p) != 0) {
+      val len = u8(p)
+      if (p + 1 + len > b.length) ok = false
+      else { data.write(b, p + 1, len); p += 1 + len }
+    }
+    if (!ok) return null
+    val bytes = data.toByteArray
+    // LZW decode: prefix/suffix dictionary, LSB-first variable width
+    val clear = 1 << minCode
+    val end = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    val indices = new Array[Byte](w * h)
+    var dictSize = end + 1
+    var codeSize = minCode + 1
+    var prev = -1
+    var bitPos = 0L
+    var out = 0
+    val totalBits = bytes.length.toLong * 8
+    var done = false
+    while (!done && out < w * h) {
+      if (bitPos + codeSize > totalBits) { done = true }
+      else {
+        // read `codeSize` bits LSB-first
+        var code = 0
+        var got = 0
+        while (got < codeSize) {
+          val byteIdx = (bitPos >> 3).toInt
+          val bit = (bytes(byteIdx) >> (bitPos & 7).toInt) & 1
+          code |= bit << got
+          bitPos += 1; got += 1
+        }
+        if (code == clear) {
+          dictSize = end + 1; codeSize = minCode + 1; prev = -1
+        } else if (code == end) done = true
+        else if (code > dictSize || (code == dictSize && prev < 0)) return null
+        else {
+          // expand `code` (or prev+firstOf(prev) for the just-created code)
+          var sp = 0
+          var c = if (code == dictSize) prev else code
+          if (code == dictSize) { stack(sp) = 0; sp += 1 } // placeholder, patched below
+          while (c >= clear + 2) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+          if (c >= clear) return null // chain must terminate at a root code
+          stack(sp) = c.toByte; sp += 1
+          val first = c.toByte
+          if (code == dictSize) stack(0) = first
+          // emit reversed
+          var i = sp - 1
+          while (i >= 0 && out < w * h) { indices(out) = stack(i); out += 1; i -= 1 }
+          if (prev >= 0 && dictSize < 4096) {
+            prefix(dictSize) = prev; suffix(dictSize) = first; dictSize += 1
+            if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+          }
+          prev = code
+        }
+      }
+    }
+    if (out < w * h) return null
+    // de-interlace row order: passes at strides 8,8,4,2 from rows 0,4,2,1
+    val rowOf = new Array[Int](h)
+    if (interlaced) {
+      var r = 0
+      for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)); y <- start until h by step) {
+        rowOf(r) = y; r += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) { rowOf(y) = y; y += 1 }
+    }
+    val maxIdx = table.length / 3
+    val outPx = new Array[Byte](w * h * 3)
+    var r = 0
+    while (r < h) {
+      val y = rowOf(r)
+      var x = 0
+      while (x < w) {
+        val idx = indices(r * w + x) & 0xff
+        if (idx >= maxIdx) return null
+        val o = (y * w + x) * 3
+        outPx(o) = table(idx * 3 + 2)     // B
+        outPx(o + 1) = table(idx * 3 + 1) // G
+        outPx(o + 2) = table(idx * 3)     // R
+        x += 1
+      }
+      r += 1
+    }
+    (w, h, outPx)
+  }
+
   /** Real feature for decodable images: per-quadrant mean B,G,R in
     * [0,1] (2×2 grid × 3 channels = 12 dims), truncated or zero-padded
     * to `dim` — an honest tiny visual descriptor. */
@@ -362,10 +504,9 @@ object Multimodal {
           val feature: Seq[Float] =
             if (bytes == null) null
             else {
-              val decoded = decodeBmp(bytes) match {
-                case d @ (_, _, _) => d
-                case null          => decodePng(bytes)
-              }
+              var decoded = decodeBmp(bytes)
+              if (decoded == null) decoded = decodePng(bytes)
+              if (decoded == null) decoded = decodeGif(bytes)
               decoded match {
                 case (w, h, px) => bmpQuadrantMeans(w, h, px, dim).toSeq
                 case null => decodeWavPcm16(bytes) match {

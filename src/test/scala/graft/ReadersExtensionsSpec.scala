@@ -522,6 +522,49 @@ class ReadersExtensionsSpec extends GraftSpec {
     }
   }
 
+  test("GIF pixel decode is real: LZW + interlacing, pixel-exact vs ImageIO") {
+    // golden: the JDK's GIF encoder over an 8-color indexed image (an
+    // exact palette — no quantization), interlaced and not; our
+    // hand-rolled LZW + 4-pass de-interlace must reproduce every pixel
+    val palette = Array(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF,
+      0x000000, 0x808080, 0xFFA500, 0x123456)
+    val icm = new java.awt.image.IndexColorModel(3, 8,
+      palette.map(_ | 0xFF000000), 0, false, -1,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+    val rng = new scala.util.Random(77)
+    for (interlaced <- Seq(false, true); (w, h) <- Seq((7, 5), (16, 16), (33, 9))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, 0xFF000000 | palette(rng.nextInt(palette.length)))
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(
+        if (interlaced) javax.imageio.ImageWriteParam.MODE_DEFAULT
+        else javax.imageio.ImageWriteParam.MODE_DISABLED)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose(); ios.close()
+      val decoded = Multimodal.decodeGif(bos.toByteArray)
+      assert(decoded != null, s"interlaced=$interlaced ${w}x$h did not decode")
+      val (dw, dh, px) = decoded
+      assert(dw == w && dh == h, s"interlaced=$interlaced ${w}x$h dims")
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val p = (y * w + x) * 3
+        assert((px(p) & 0xff) == (rgb & 0xff) &&
+          (px(p + 1) & 0xff) == ((rgb >> 8) & 0xff) &&
+          (px(p + 2) & 0xff) == ((rgb >> 16) & 0xff),
+          s"interlaced=$interlaced ${w}x$h pixel ($x,$y)")
+      }
+    }
+    // corrupt / truncated inputs refuse to decode, never throw or spin
+    assert(Multimodal.decodeGif("GIF89a then total garbage".getBytes) == null)
+    assert(Multimodal.decodeGif("not a gif".getBytes) == null)
+  }
+
   test("WAV PCM decode is real: exact RMS and zero-crossing features") {
     // 16 samples alternating ±16384 (mono 16-bit PCM): every quarter
     // has RMS = 16384/32768 = 0.5 exactly and 3 sign flips in 4
