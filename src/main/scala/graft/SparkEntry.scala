@@ -645,11 +645,16 @@ object SparkEntry {
         .sortBy("doc_id").out),
 
     // ---------------- extensions: multimodal ----------------
-    // header sniffing (mime/dims/duration) is REAL byte parsing; the
-    // pixel-decode feature path remains an acknowledged stub
+    // header sniffing (mime/dims/duration) AND the feature column are
+    // REAL byte-level work for BMP/PNG/GIF pixels and PCM-WAV samples
+    // (pure JVM decodes, golden-pinned in ReadersExtensionsSpec); only
+    // codec-requiring formats take the deterministic stub features
     "q_multimodal" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(s, 200)
-      CrysFrame(Multimodal.sniffMetadata(media))
+      val meta = Multimodal.sniffMetadata(media)
+      val feats = Multimodal.extractFeatures(media, dim = 8)
+        .select(col("media_id"), col("feature"))
+      CrysFrame(meta.join(feats, Seq("media_id")))
         .sortBy("media_id").out
     })
   )
