@@ -649,11 +649,24 @@ object SparkEntry {
     // REAL byte-level work for BMP/PNG/GIF pixels and PCM-WAV samples
     // (pure JVM decodes, golden-pinned in ReadersExtensionsSpec); only
     // codec-requiring formats take the deterministic stub features
+    // the library op returns feature as array<float>; the driver compare
+    // loads parquet into pandas, which cannot sort/hash ndarray cells —
+    // so the driver-facing projection ships only SCALAR summaries of the
+    // decoded features (dim, L2 norm, 64-bit digest of the rounded
+    // components), all derived in-plan from the real decode output
     "q_multimodal" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(s, 200)
       val meta = Multimodal.sniffMetadata(media)
+      val fcol = col("feature")
+      val featD = transform(fcol, f => f.cast("double"))
       val feats = Multimodal.extractFeatures(media, dim = 8)
-        .select(col("media_id"), col("feature"))
+        .select(col("media_id"),
+          size(fcol).as("feature_dim"),
+          round(sqrt(aggregate(featD, lit(0.0), (acc, f) => acc + f * f)), 4)
+            .as("feature_norm"),
+          xxhash64(concat_ws(",",
+            transform(featD, f => F.round(f, 4).cast("string"))))
+            .as("feature_digest"))
       CrysFrame(meta.join(feats, Seq("media_id")))
         .sortBy("media_id").out
     })
