@@ -30,7 +30,7 @@ object SparkEntry {
     * Spark 4 parquet reader rejects; read nanos as long
     * (`spark.sql.legacy.parquet.nanosAsLong`) and floor-convert to a
     * microsecond timestamp — the same µs truncation DuckDB applies. */
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
     try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => }
     val df = s.read.parquet(s"$dir/$name.parquet")

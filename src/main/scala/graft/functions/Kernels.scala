@@ -40,6 +40,9 @@ object Kernels {
 
   def cosineLshBands(vec: Column, bands: Int, bitsPerBand: Int, seed: Long): Column =
     column(CosineLshBandsExpr(expression(vec), bands, bitsPerBand, seed))
+
+  def cosineBucketDups(bucket: Column, threshold: Double, roundDigits: Int): Column =
+    column(CosineBucketDupsExpr(expression(bucket), threshold, roundDigits))
 }
 
 /** MinHash signature over character shingles of an (already normalized)
@@ -202,6 +205,103 @@ case class CosineLshBandsExpr(child: Expression, bands: Int, bitsPerBand: Int,
       b += 1
     }
     new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** In-bucket pairwise cosine verify for LSH dedup: input is one bucket
+  * as `array<struct<id: long, vec: array<float|double>>>`; output the
+  * DISTINCT ids that have a LOWER-id bucket partner with
+  * `round(cos, roundDigits) >= threshold` — i.e. the rows a greedy
+  * min-id dedup drops, as far as this bucket can see.
+  *
+  * Why this shape: at low thresholds the OR-amplified banding makes a
+  * random pair collide in MANY bands, so the bare-id formulation
+  * (explode → self-join → distinct pairs → two vector joins → verify)
+  * shuffles tens of millions of redundant candidate rows. Carrying the
+  * vectors INTO the bucket turns all of that into one modest shuffle
+  * (corpus × bands vector rows) plus tight in-task loops: vectors are
+  * unpacked once per bucket, norms precomputed (the per-pair work drops
+  * to one dot product), duplicates deduped in-bucket before emission.
+  *
+  * Bit-compatibility: dot and per-vector norms accumulate in index
+  * order exactly like [[CosineSimExpr]] (norms are pair-independent, so
+  * hoisting them preserves every bit), and rounding is
+  * BigDecimal HALF_UP — the same as Spark's `round` on doubles — so the
+  * result set is identical to the bare-id verify path's. */
+case class CosineBucketDupsExpr(child: Expression, threshold: Double, roundDigits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  private def elemGetter: (ArrayData, Int) => Double =
+    child.dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[StructType](1).dataType
+      .asInstanceOf[ArrayType].elementType match {
+      case FloatType   => (a, i) => a.getFloat(i).toDouble
+      case DoubleType  => (a, i) => a.getDouble(i)
+      case LongType    => (a, i) => a.getLong(i).toDouble
+      case IntegerType => (a, i) => a.getInt(i).toDouble
+      case other => throw new IllegalArgumentException(s"cosine over $other")
+    }
+
+  @transient private lazy val get = elemGetter
+
+  private def roundHalfUp(d: Double): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(roundDigits, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override def nullSafeEval(input: Any): Any = {
+    val bucket = input.asInstanceOf[ArrayData]
+    val m = bucket.numElements()
+    if (m < 2) return new GenericArrayData(Array.empty[Long])
+    // unpack once: ids, dense double vectors, norms (index-order sums,
+    // identical to CosineSimExpr's accumulation)
+    val ids = new Array[Long](m)
+    val vecs = new Array[Array[Double]](m)
+    val norms = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      val row = bucket.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      val ad = row.getArray(1)
+      val dim = ad.numElements()
+      val v = new Array[Double](dim)
+      var d = 0
+      var nn = 0.0
+      while (d < dim) { val x = get(ad, d); v(d) = x; nn += x * x; d += 1 }
+      vecs(i) = v
+      norms(i) = math.sqrt(nn)
+      i += 1
+    }
+    val dropped = new java.util.HashSet[Long]()
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        val (lo, hi) = if (ids(i) < ids(j)) (i, j) else (j, i)
+        if (ids(lo) != ids(hi) && !dropped.contains(ids(hi))) {
+          val a = vecs(i); val b = vecs(j)
+          val dim = math.min(a.length, b.length)
+          var dot = 0.0
+          var d = 0
+          while (d < dim) { dot += a(d) * b(d); d += 1 }
+          if (roundHalfUp(dot / (norms(i) * norms(j))) >= threshold)
+            dropped.add(ids(hi))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](dropped.size())
+    val it = dropped.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

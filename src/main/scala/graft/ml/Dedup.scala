@@ -224,30 +224,49 @@ object Dedup {
   // connected-components clustering over candidate pairs
   // -------------------------------------------------------------------
 
-  /** Last connectedComponents run's (rounds executed, fixpoint checks) —
-    * test instrumentation for the batched-check contract. */
+  /** Last connectedComponents run's (rounds executed, driver actions in
+    * the loop) — test instrumentation. (0, 0) means the local
+    * union-find path was taken. */
   @volatile private[graft] var lastCCStats: (Int, Int) = (0, 0)
 
-  /** Min-label propagation over an undirected pair graph: returns
-    * `(id, label)` where label = the component's minimum id. Each round
-    * takes the min over neighbor labels AND pointer-jumps
-    * (label := label(label)), so convergence is O(log diameter) —
-    * maxIters=20 covers any component a physical dataset can contain.
-    * Every round is joins + a min-aggregation (no driver-side graph).
+  /** Natural ordering for the id types a pair graph can realistically
+    * carry — the local path needs one to pick deterministic min labels. */
+  private def idOrdering(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType    => Some(Ordering.Long.on[Any](_.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.Int.on[Any](_.asInstanceOf[Int]))
+      case ShortType   => Some(Ordering.Short.on[Any](_.asInstanceOf[Short]))
+      case StringType  => Some(Ordering.String.on[Any](_.asInstanceOf[String]))
+      case _           => None
+    }
+  }
+
+  /** Connected components over an undirected pair graph: returns
+    * `(id, label)` where label = the component's minimum id.
     *
-    * The fixpoint check (the only driver action in the loop) runs every
-    * SECOND round, not every round: a skipped round's cached frame
-    * materializes lazily as input of the next, so job launches halve at
-    * the cost of at most one redundant round of (tiny pair-graph)
-    * joins. Comparing next vs the immediately previous frame is still a
-    * sound fixpoint test — labels only decrease, so step(x) == x means
-    * converged regardless of how many rounds were batched. Hitting the
-    * cap without converging warns on stderr rather than silently
-    * returning partial labels. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // persist the INPUT first: sym unions two selects over it, so an
-    // un-cached pairs plan (often a whole LSH candidate+verify
-    // pipeline) would execute twice just to build the edge list.
+    * Two-tier execution, the same reasoning Spark applies to broadcast
+    * joins: the pair graph scales with the DUPLICATES, not the corpus,
+    * so it is usually orders of magnitude smaller than the input.
+    *   - At or under `localEdgeLimit` edges (default 4M ≈ a broadcast
+    *     side's footprint) the edge list is collected once and solved
+    *     with union-find + path compression — exact, deterministic
+    *     min-labels, zero iteration overhead.
+    *   - Above it (or for exotic id types with no natural ordering) a
+    *     distributed min-label loop runs: each round takes the min over
+    *     neighbor labels AND pointer-jumps (label := label(label)), so
+    *     convergence is O(log diameter); maxIters=20 covers any
+    *     component a physical dataset can contain. The ONE driver
+    *     action per round is the count that materializes the round's
+    *     cache — its `observe` metric (how many labels decreased)
+    *     doubles as the fixpoint check, so convergence detection costs
+    *     no extra job at all. Hitting the cap without converging warns
+    *     on stderr rather than silently returning partial labels. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+                          localEdgeLimit: Long = 4L * 1000 * 1000): DataFrame = {
+    // persist the INPUT first: both paths read it at least twice (the
+    // count + either the collect or the sym union), and an un-cached
+    // pairs plan is often a whole LSH candidate+verify pipeline.
     // Only install (and later release) the cache if the caller didn't
     // already own one — unpersisting a caller's cache would silently
     // force their later actions to recompute the whole upstream.
@@ -255,6 +274,76 @@ object Dedup {
     val p =
       if (ownCache) pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else pairs
+    val idType = p.schema("id_a").dataType
+    val nEdges = p.count()
+    val ord = idOrdering(idType)
+    if (nEdges <= localEdgeLimit && ord.isDefined) {
+      val labels = localUnionFind(p, idType, ord.get)
+      if (ownCache) p.unpersist()
+      lastCCStats = (0, 0)
+      labels
+    } else {
+      val labels = distributedCC(p, maxIters)
+      if (ownCache) p.unpersist()
+      labels
+    }
+  }
+
+  /** Driver-local union-find over a collected edge list (size-guarded
+    * by the caller). Union by rank + path compression, then each
+    * component labeled with its minimum id under `ord`. */
+  private def localUnionFind(p: DataFrame, idType: org.apache.spark.sql.types.DataType,
+                             ord: Ordering[Any]): DataFrame = {
+    import scala.collection.mutable
+    val edges = p.select(col("id_a"), col("id_b")).collect()
+    val parent = mutable.HashMap.empty[Any, Any]
+    val rank = mutable.HashMap.empty[Any, Int]
+    def find(x: Any): Any = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent.getOrElse(root, root)
+      var cur = x // path compression
+      while (parent.getOrElse(cur, cur) != cur) {
+        val nxt = parent(cur); parent(cur) = root; cur = nxt
+      }
+      root
+    }
+    def union(a: Any, b: Any): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (rka, rkb) = (rank.getOrElse(ra, 0), rank.getOrElse(rb, 0))
+        if (rka < rkb) parent(ra) = rb
+        else if (rka > rkb) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = rka + 1 }
+      }
+    }
+    edges.foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      require(a != null && b != null,
+        "connectedComponents: null id in pair graph")
+      union(a, b)
+    }
+    val nodes = edges.iterator.flatMap(r => Iterator(r.get(0), r.get(1))).toArray.distinct
+    val minOfRoot = mutable.HashMap.empty[Any, Any]
+    nodes.foreach { n =>
+      val root = find(n)
+      minOfRoot.get(root) match {
+        case Some(m) if ord.lteq(m, n) => ()
+        case _ => minOfRoot(root) = n
+      }
+    }
+    val spark = p.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+      org.apache.spark.sql.types.StructField("label", idType, nullable = false)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(nodes.map(n =>
+        org.apache.spark.sql.Row(n, minOfRoot(find(n)))): _*)
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Distributed min-label + pointer-jumping loop (see
+    * [[connectedComponents]] scaladoc for the contract). */
+  private def distributedCC(p: DataFrame, maxIters: Int): DataFrame = {
     val sym = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
@@ -263,43 +352,39 @@ object Dedup {
     var it = 0
     var checks = 0
     var converged = false
-    // frames from skipped rounds: still referenced by the live lineage
-    // until the next counted round materializes it, then released
-    val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (!converged && it < maxIters) {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("label").as("__nl")), Seq("dst"))
         .groupBy(col("src")).agg(F.min(col("__nl")).as("__minNbr"))
       val stepped = labels
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("__minNbr"), col("label"))).as("label"))
       // pointer jumping: label := label(label) — doubles the horizon
       // each round, so convergence is logarithmic in the diameter
-      val next = stepped
+      val jumped = stepped
         .join(stepped.select(col("id").as("label"), col("label").as("__ll")),
           Seq("label"), "left")
-        .select(col("id"),
+        .select(col("id"), col("__old"),
           least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
-        .cache()
+      // the observed metric rides the SAME job that materializes the
+      // round's cache: one count = materialization + fixpoint check
+      val obs = org.apache.spark.sql.Observation(s"graft_cc_$it")
+      val observed = jumped
+        .observe(obs, coalesce(F.sum(when(col("label") < col("__old"), 1L)), lit(0L))
+          .as("changed"))
+      val next = observed.select(col("id"), col("label")).cache()
+      next.count()
       it += 1
-      if (it % 2 == 0 || it == maxIters) {
-        val changed = next
-          .join(labels.withColumnRenamed("label", "__old"), Seq("id"))
-          .filter(col("label") < col("__old")).limit(1).count()
-        checks += 1
-        converged = changed == 0
-        pending.foreach(_.unpersist())
-        pending.clear()
-        labels.unpersist()
-      } else pending += labels
+      checks += 1
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
+      labels.unpersist()
       labels = next
     }
     if (!converged)
       System.err.println(s"[graft] connectedComponents hit maxIters=$maxIters " +
         "before fixpoint — labels may split components")
     sym.unpersist()
-    if (ownCache) p.unpersist()
     lastCCStats = (it, checks)
     labels
   }
@@ -347,11 +432,39 @@ object Dedup {
                      threshold: Double = 0.95, nBits: Int = 6,
                      bands: Int = 16, seed: Long = 42L,
                      roundDigits: Int = 6): DataFrame = {
-    val eps = math.pow(10.0, -roundDigits)
-    val dups = Similarity.lshNeighborPairs(df, idCol, vecCol, nBits, bands,
-      threshold - eps, seed)
-      .filter(F.round(col("cos_sim"), roundDigits) >= threshold)
-      .select(col("id_b").as(idCol)).distinct()
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val idType = df.schema(idCol).dataType
+    val dups = idType match {
+      case LongType | IntegerType =>
+        // IN-BUCKET verify (graft.functions.CosineBucketDupsExpr): the
+        // banding explode carries the vectors to their buckets and each
+        // bucket verifies its own pairs in one tight loop. One shuffle
+        // of corpus × bands vector rows, NO candidate-pair shuffle —
+        // the winning shape when OR amplification is wide (low
+        // thresholds), where the bare-id candidate stream is dominated
+        // by pairs colliding in many bands at once. Result set is
+        // bit-identical to the pair-join path (same accumulation order,
+        // same HALF_UP rounding; see the kernel scaladoc).
+        val keyed = df.select(col(idCol).cast("long").as("__id"),
+          col(vecCol).as("__v"),
+          graft.functions.Kernels.cosineLshBands(col(vecCol), bands, nBits, seed)
+            .as("__keys"))
+        keyed
+          .select(col("__id"), col("__v"),
+            posexplode(col("__keys")).as(Seq("__band", "__key")))
+          .groupBy(col("__band"), col("__key"))
+          .agg(collect_list(struct(col("__id"), col("__v"))).as("__bucket"))
+          .select(explode(graft.functions.Kernels.cosineBucketDups(
+            col("__bucket"), threshold, roundDigits)).as("__dup"))
+          .select(col("__dup").cast(idType).as(idCol)).distinct()
+      case _ =>
+        // non-integral ids: bare-id candidate pairs + verify joins
+        val eps = math.pow(10.0, -roundDigits)
+        Similarity.lshNeighborPairs(df, idCol, vecCol, nBits, bands,
+          threshold - eps, seed)
+          .filter(F.round(col("cos_sim"), roundDigits) >= threshold)
+          .select(col("id_b").as(idCol)).distinct()
+    }
     df.join(dups, Seq(idCol), "left_anti")
   }
 

@@ -270,14 +270,21 @@ class ReadersExtensionsSpec extends GraftSpec {
     // star {1-3, 2-3} plus chain {10-11, 11-12} plus isolated pair {20-21}
     val pairs = Seq((1L, 3L), (2L, 3L), (10L, 11L), (11L, 12L), (20L, 21L))
       .toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // a graph this small takes the local union-find path: (0, 0) stats
     val labels = Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
-    // fixpoint checks are batched every 2nd round: strictly fewer
-    // driver actions than rounds (the loop's only action is the check)
+    assert(labels == expected)
+    assert(Dedup.lastCCStats == ((0, 0)), s"stats=${Dedup.lastCCStats}")
+    // forcing the distributed loop must give the SAME labels, with the
+    // observed-metric fixpoint check riding the per-round cache
+    // materialization (exactly one driver action per round)
+    val distLabels = Dedup.connectedComponents(pairs, localEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distLabels == expected)
     val (rounds, checks) = Dedup.lastCCStats
-    assert(rounds >= 2 && checks < rounds, s"rounds=$rounds checks=$checks")
+    assert(rounds >= 2 && checks == rounds, s"rounds=$rounds checks=$checks")
     // cluster dedup on the doc fixture: drops both copies of doc 1's
     // cluster (2 exact, 3 near), keeps the distinct doc 4
     val kept = Dedup.minhashDedupCC(docs, "doc_id", "text",
