@@ -551,6 +551,29 @@ object SparkEntry {
         .sortBy("id_a", "id_b").out
     }),
 
+    // connected components ORACLE-CHECKED: the pair graph here is
+    // SQL-expressible (exact 5-gram Jaccard >= 0.25 over a bounded doc
+    // slice — 305 edges incl. a 116-node transitive component at
+    // sf0.01), so DuckDB can recompute the labels with a recursive CTE
+    // and hash-compare them. localEdgeLimit=0 FORCES the distributed
+    // min-label loop — the 100-TB path — under the oracle; the local
+    // union-find path is pinned equal to it in ReadersExtensionsSpec.
+    "q_cc_labels" -> ((s, d) => {
+      val sh = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), TextFunctions.normalizeText(col("text")).as("__norm"))
+        .select(col("doc_id"), TextFunctions.shinglesFromNormalized(col("__norm"), 5).as("__sh"))
+      val a = sh.select(col("doc_id").as("id_a"), col("__sh").as("__sha"))
+      val b = sh.select(col("doc_id").as("id_b"), col("__sh").as("__shb"))
+      val inter = size(array_intersect(col("__sha"), col("__shb"))).cast("double")
+      val uni = size(array_union(col("__sha"), col("__shb"))).cast("double")
+      val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .filter(when(uni === 0, lit(0.0)).otherwise(inter / uni) >= 0.25)
+        .select(col("id_a"), col("id_b"))
+      CrysFrame(Dedup.connectedComponents(pairs, localEdgeLimit = 0L)
+        .withColumnRenamed("id", "doc_id"))
+        .sortBy("doc_id").out
+    }),
+
     // embedding-cosine near-dedup: the RESULT is the 100-TB path —
     // Dedup.embeddingDedup's banded hyperplane-LSH keep-set (bucket
     // join + rounded-cosine verify, no CartesianProduct) — proven
@@ -1117,6 +1140,36 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
         |FROM scored WHERE CAST(inter AS DOUBLE) / uni >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // connected components via transitive closure: walk(id, reach)
+    // saturates to every node reachable from id (UNION dedup bounds
+    // the recursion); the component label is min(reach)
+    "q_cc_labels" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(length(norm) - 5, 0) + 2),
+        |      i -> substring(norm, CAST(i AS INTEGER), 5))) AS sh
+        |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |        FROM documents WHERE doc_id < 200)),
+        |scored AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS inter,
+        |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM scored
+        |  WHERE CAST(inter AS DOUBLE) / uni >= 0.25),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM pairs),
+        |walk(id, reach) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach)
+        |SELECT id AS doc_id, min(reach) AS label
+        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q_ann_topk" ->
       """SELECT query_id, rank, nn_id, cos_sim FROM (
