@@ -43,6 +43,10 @@ object Kernels {
 
   def cosineBucketDups(bucket: Column, threshold: Double, roundDigits: Int): Column =
     column(CosineBucketDupsExpr(expression(bucket), threshold, roundDigits))
+
+  def minhashBucketDups(bucket: Column, numHashes: Int, threshold: Double,
+                        maxPartners: Int): Column =
+    column(MinHashBucketDupsExpr(expression(bucket), numHashes, threshold, maxPartners))
 }
 
 /** MinHash signature over character shingles of an (already normalized)
@@ -296,6 +300,71 @@ case class CosineBucketDupsExpr(child: Expression, threshold: Double, roundDigit
         j += 1
       }
       i += 1
+    }
+    val out = new Array[Long](dropped.size())
+    val it = dropped.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** In-bucket MinHash verify for LSH dedup: input is one band bucket as
+  * `array<struct<id: long, sig: array<long>>>`; output the DISTINCT ids
+  * that have a qualifying LOWER-id partner — estimated Jaccard
+  * (signature agreement / numHashes) >= threshold — among the bucket's
+  * `maxPartners` smallest ids. Exactly the [[graft.ml.Dedup.minhashPairs]]
+  * candidate contract (window rank <= maxPartners on the lower side),
+  * computed in one in-task loop over the sorted bucket instead of a
+  * window sort + bucket self-join + distinct + two signature joins.
+  * The estimate compares `matches.toDouble / numHashes >= threshold` —
+  * the same IEEE division the column formulation produces. */
+case class MinHashBucketDupsExpr(child: Expression, numHashes: Int,
+                                 threshold: Double, maxPartners: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(input: Any): Any = {
+    val bucket = input.asInstanceOf[ArrayData]
+    val m = bucket.numElements()
+    if (m < 2) return new GenericArrayData(Array.empty[Long])
+    val ids = new Array[Long](m)
+    val sigs = new Array[Array[Long]](m)
+    var i = 0
+    while (i < m) {
+      val row = bucket.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      sigs(i) = row.getArray(1).toLongArray()
+      i += 1
+    }
+    // sort by id so "maxPartners smallest lower ids" is a prefix scan
+    val order = Array.range(0, m).sortBy(ids(_))
+    val dropped = new java.util.HashSet[Long]()
+    var j = 1
+    while (j < m) {
+      val oj = order(j)
+      if (!dropped.contains(ids(oj))) {
+        val lim = math.min(j, maxPartners)
+        var i2 = 0
+        var hit = false
+        while (i2 < lim && !hit) {
+          val oi = order(i2)
+          var matches = 0
+          var h = 0
+          val sa = sigs(oi); val sb = sigs(oj)
+          while (h < numHashes) { if (sa(h) == sb(h)) matches += 1; h += 1 }
+          if (matches.toDouble / numHashes >= threshold) hit = true
+          i2 += 1
+        }
+        if (hit) dropped.add(ids(oj))
+      }
+      j += 1
     }
     val out = new Array[Long](dropped.size())
     val it = dropped.iterator()

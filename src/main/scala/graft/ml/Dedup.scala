@@ -119,9 +119,38 @@ object Dedup {
                    numHashes: Int = 128, bands: Int = 32,
                    threshold: Double = 0.8, shingleSize: Int = 5,
                    maxPartners: Int = 64): DataFrame = {
-    val dups = minhashPairs(df, idCol, textCol, numHashes, bands,
-      threshold, shingleSize, maxPartners)
-      .select(col("id_b").as(idCol)).distinct()
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    require(maxPartners >= 1,
+      s"maxPartners must be >= 1 (got $maxPartners): 0 would silently " +
+        "generate no candidate pairs and disable dedup entirely")
+    val idType = df.schema(idCol).dataType
+    val dups = idType match {
+      case LongType | IntegerType =>
+        // IN-BUCKET verify (graft.functions.MinHashBucketDupsExpr):
+        // signatures ride the banding explode into their buckets
+        // (512 B/row — far cheaper than re-joining them onto candidate
+        // pairs) and each bucket applies the capped lower-partner
+        // contract in one sorted in-task loop. Replaces the window
+        // rank + bucket self-join + distinct + two signature joins of
+        // the pair formulation with ONE groupBy shuffle; same result
+        // set (see the kernel scaladoc). No persist needed — the
+        // signature projection is consumed exactly once.
+        val sigs = df.select(col(idCol).cast("long").as("__id"),
+          graft.functions.Kernels.minhashSig(
+            TextFunctions.normalizeText(col(textCol)), numHashes, shingleSize)
+            .as("__sig"))
+        sigs.select(col("__id"), col("__sig"),
+            explode(bandKeys(col("__sig"), numHashes, bands)).as("__bkey"))
+          .groupBy(col("__bkey"))
+          .agg(collect_list(struct(col("__id"), col("__sig"))).as("__bucket"))
+          .select(explode(graft.functions.Kernels.minhashBucketDups(
+            col("__bucket"), numHashes, threshold, maxPartners)).as("__dup"))
+          .select(col("__dup").cast(idType).as(idCol)).distinct()
+      case _ =>
+        minhashPairs(df, idCol, textCol, numHashes, bands,
+          threshold, shingleSize, maxPartners)
+          .select(col("id_b").as(idCol)).distinct()
+    }
     df.join(dups, Seq(idCol), "left_anti")
   }
 
