@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -44,9 +44,10 @@ object Kernels {
   def cosineBucketDups(bucket: Column, threshold: Double, roundDigits: Int): Column =
     column(CosineBucketDupsExpr(expression(bucket), threshold, roundDigits))
 
-  def minhashBucketDups(bucket: Column, numHashes: Int, threshold: Double,
-                        maxPartners: Int): Column =
-    column(MinHashBucketDupsExpr(expression(bucket), numHashes, threshold, maxPartners))
+  def minhashAnchorDrop(id: Column, sig: Column, anchors: Column,
+                        numHashes: Int, threshold: Double): Column =
+    column(MinHashAnchorDropExpr(expression(id), expression(sig),
+      expression(anchors), numHashes, threshold))
 }
 
 /** MinHash signature over character shingles of an (already normalized)
@@ -255,8 +256,13 @@ case class CosineBucketDupsExpr(child: Expression, threshold: Double, roundDigit
 
   @transient private lazy val get = elemGetter
 
+  /** Spark's Round on doubles guards NaN/Infinity and passes them
+    * through (so NaN >= threshold is simply false); BigDecimal.valueOf
+    * would throw on them instead — replicate the guard (zero-norm
+    * vectors produce 0/0 = NaN cosines). */
   private def roundHalfUp(d: Double): Double =
-    java.math.BigDecimal.valueOf(d)
+    if (d.isNaN || d.isInfinite) d
+    else java.math.BigDecimal.valueOf(d)
       .setScale(roundDigits, java.math.RoundingMode.HALF_UP).doubleValue()
 
   override def nullSafeEval(input: Any): Any = {
@@ -290,11 +296,27 @@ case class CosineBucketDupsExpr(child: Expression, threshold: Double, roundDigit
         val (lo, hi) = if (ids(i) < ids(j)) (i, j) else (j, i)
         if (ids(lo) != ids(hi) && !dropped.contains(ids(hi))) {
           val a = vecs(i); val b = vecs(j)
-          val dim = math.min(a.length, b.length)
-          var dot = 0.0
-          var d = 0
-          while (d < dim) { dot += a(d) * b(d); d += 1 }
-          if (roundHalfUp(dot / (norms(i) * norms(j))) >= threshold)
+          val cos =
+            if (a.length == b.length) {
+              var dot = 0.0
+              var d = 0
+              while (d < a.length) { dot += a(d) * b(d); d += 1 }
+              dot / (norms(i) * norms(j))
+            } else {
+              // ragged dims: CosineSimExpr truncates the dot AND both
+              // norms to the shorter length — recompute pairwise so the
+              // result stays bit-identical to the pair-join path
+              val dim = math.min(a.length, b.length)
+              var dot = 0.0; var na = 0.0; var nb = 0.0
+              var d = 0
+              while (d < dim) {
+                val x = a(d); val y = b(d)
+                dot += x * y; na += x * x; nb += y * y
+                d += 1
+              }
+              dot / (math.sqrt(na) * math.sqrt(nb))
+            }
+          if (roundHalfUp(cos) >= threshold)
             dropped.add(ids(hi))
         }
         j += 1
@@ -312,69 +334,56 @@ case class CosineBucketDupsExpr(child: Expression, threshold: Double, roundDigit
     copy(child = newChild)
 }
 
-/** In-bucket MinHash verify for LSH dedup: input is one band bucket as
-  * `array<struct<id: long, sig: array<long>>>`; output the DISTINCT ids
-  * that have a qualifying LOWER-id partner — estimated Jaccard
-  * (signature agreement / numHashes) >= threshold — among the bucket's
-  * `maxPartners` smallest ids. Exactly the [[graft.ml.Dedup.minhashPairs]]
-  * candidate contract (window rank <= maxPartners on the lower side),
-  * computed in one in-task loop over the sorted bucket instead of a
-  * window sort + bucket self-join + distinct + two signature joins.
-  * The estimate compares `matches.toDouble / numHashes >= threshold` —
-  * the same IEEE division the column formulation produces. */
-case class MinHashBucketDupsExpr(child: Expression, numHashes: Int,
-                                 threshold: Double, maxPartners: Int)
-    extends UnaryExpression with CodegenFallback {
+/** Anchor-probe MinHash verify: does this row's signature agree with
+  * any LOWER-id anchor at estimated Jaccard >= threshold? `anchors` is
+  * the bucket's bounded k-smallest member list
+  * (`array<struct<id: long, sig: array<long>>>`, from
+  * [[graft.ml.MinKSigAgg]]) joined back onto each bucket member —
+  * together they implement [[graft.ml.Dedup.minhashPairs]]' capped
+  * lower-partner contract with bounded memory everywhere: the
+  * aggregation buffer holds k items, each probe row carries one
+  * bounded anchor array, and no bucket is ever materialized whole.
+  * Equal ids (a duplicated input row) never match themselves, mirroring
+  * the pair path's `id_a < id_b`. */
+case class MinHashAnchorDropExpr(idExpr: Expression, sigExpr: Expression,
+                                 anchorsExpr: Expression,
+                                 numHashes: Int, threshold: Double)
+    extends TernaryExpression with CodegenFallback {
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def first: Expression = idExpr
+  override def second: Expression = sigExpr
+  override def third: Expression = anchorsExpr
+  override def dataType: DataType = BooleanType
   override def checkInputDataTypes() =
     org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 
-  override def nullSafeEval(input: Any): Any = {
-    val bucket = input.asInstanceOf[ArrayData]
-    val m = bucket.numElements()
-    if (m < 2) return new GenericArrayData(Array.empty[Long])
-    val ids = new Array[Long](m)
-    val sigs = new Array[Array[Long]](m)
+  override def nullSafeEval(idv: Any, sigv: Any, anchorsv: Any): Any = {
+    val id = idv.asInstanceOf[Long]
+    val sig = sigv.asInstanceOf[ArrayData].toLongArray()
+    val anchors = anchorsv.asInstanceOf[ArrayData]
+    val m = anchors.numElements()
     var i = 0
     while (i < m) {
-      val row = bucket.getStruct(i, 2)
-      ids(i) = row.getLong(0)
-      sigs(i) = row.getArray(1).toLongArray()
+      val a = anchors.getStruct(i, 2)
+      if (a.getLong(0) < id) {
+        val asig = a.getArray(1)
+        var matches = 0
+        var h = 0
+        while (h < numHashes) {
+          if (asig.getLong(h) == sig(h)) matches += 1
+          h += 1
+        }
+        if (matches.toDouble / numHashes >= threshold)
+          return java.lang.Boolean.TRUE
+      }
       i += 1
     }
-    // sort by id so "maxPartners smallest lower ids" is a prefix scan
-    val order = Array.range(0, m).sortBy(ids(_))
-    val dropped = new java.util.HashSet[Long]()
-    var j = 1
-    while (j < m) {
-      val oj = order(j)
-      if (!dropped.contains(ids(oj))) {
-        val lim = math.min(j, maxPartners)
-        var i2 = 0
-        var hit = false
-        while (i2 < lim && !hit) {
-          val oi = order(i2)
-          var matches = 0
-          var h = 0
-          val sa = sigs(oi); val sb = sigs(oj)
-          while (h < numHashes) { if (sa(h) == sb(h)) matches += 1; h += 1 }
-          if (matches.toDouble / numHashes >= threshold) hit = true
-          i2 += 1
-        }
-        if (hit) dropped.add(ids(oj))
-      }
-      j += 1
-    }
-    val out = new Array[Long](dropped.size())
-    val it = dropped.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    new GenericArrayData(out)
+    java.lang.Boolean.FALSE
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression): Expression =
+    copy(idExpr = f, sigExpr = s, anchorsExpr = t)
 }
 
 /** Cosine similarity between two numeric arrays, accumulated in double,

@@ -126,26 +126,35 @@ object Dedup {
     val idType = df.schema(idCol).dataType
     val dups = idType match {
       case LongType | IntegerType =>
-        // IN-BUCKET verify (graft.functions.MinHashBucketDupsExpr):
-        // signatures ride the banding explode into their buckets
-        // (512 B/row — far cheaper than re-joining them onto candidate
-        // pairs) and each bucket applies the capped lower-partner
-        // contract in one sorted in-task loop. Replaces the window
-        // rank + bucket self-join + distinct + two signature joins of
-        // the pair formulation with ONE groupBy shuffle; same result
-        // set (see the kernel scaladoc). No persist needed — the
-        // signature projection is consumed exactly once.
+        // ANCHOR-PROBE verify, bounded memory at every stage:
+        // signatures ride the banding explode (512 B/row — far cheaper
+        // than re-joining them onto candidate pairs); each bucket's
+        // `maxPartners` SMALLEST members are folded by a bounded
+        // partial aggregate (graft.ml.MinKSigAgg — a degenerate
+        // 10^6-copy bucket costs k × sigBytes in the buffer, never
+        // |bucket|); then every bucket member probes its bucket's
+        // anchor array in one in-task loop
+        // (graft.functions.MinHashAnchorDropExpr). Same result set as
+        // the pair formulation's capped lower-partner contract,
+        // without its window rank, bucket self-join, pair distinct, or
+        // signature re-joins. The signature projection is persisted:
+        // the anchor aggregation and the probe join both consume it.
         val sigs = df.select(col(idCol).cast("long").as("__id"),
           graft.functions.Kernels.minhashSig(
             TextFunctions.normalizeText(col(textCol)), numHashes, shingleSize)
             .as("__sig"))
-        sigs.select(col("__id"), col("__sig"),
-            explode(bandKeys(col("__sig"), numHashes, bands)).as("__bkey"))
-          .groupBy(col("__bkey"))
-          .agg(collect_list(struct(col("__id"), col("__sig"))).as("__bucket"))
-          .select(explode(graft.functions.Kernels.minhashBucketDups(
-            col("__bucket"), numHashes, threshold, maxPartners)).as("__dup"))
-          .select(col("__dup").cast(idType).as(idCol)).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val banded = sigs.select(col("__id"), col("__sig"),
+          explode(bandKeys(col("__sig"), numHashes, bands)).as("__bkey"))
+        val mk = F.udaf(new MinKSigAgg(maxPartners),
+          org.apache.spark.sql.Encoders.product[MinKSigItem])
+        val anchors = banded.groupBy(col("__bkey"))
+          .agg(mk(col("__id"), col("__sig")).as("__mk"))
+          .select(col("__bkey"), col("__mk").getField("items").as("__anchors"))
+        banded.join(anchors, Seq("__bkey"))
+          .filter(graft.functions.Kernels.minhashAnchorDrop(
+            col("__id"), col("__sig"), col("__anchors"), numHashes, threshold))
+          .select(col("__id").cast(idType).as(idCol)).distinct()
       case _ =>
         minhashPairs(df, idCol, textCol, numHashes, bands,
           threshold, shingleSize, maxPartners)
@@ -259,14 +268,31 @@ object Dedup {
   @volatile private[graft] var lastCCStats: (Int, Int) = (0, 0)
 
   /** Natural ordering for the id types a pair graph can realistically
-    * carry — the local path needs one to pick deterministic min labels. */
+    * carry — the local path needs one to pick deterministic min labels.
+    * Strings compare by UTF-8 BYTE order (unsigned), not Java UTF-16
+    * compareTo: Spark's `min`/`least` compare UTF8String binary, and
+    * the two orders disagree on supplementary-plane characters — the
+    * local path must pick the same labels the distributed path would. */
   private def idOrdering(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
     import org.apache.spark.sql.types._
     dt match {
       case LongType    => Some(Ordering.Long.on[Any](_.asInstanceOf[Long]))
       case IntegerType => Some(Ordering.Int.on[Any](_.asInstanceOf[Int]))
       case ShortType   => Some(Ordering.Short.on[Any](_.asInstanceOf[Short]))
-      case StringType  => Some(Ordering.String.on[Any](_.asInstanceOf[String]))
+      case StringType  => Some(new Ordering[Any] {
+        def compare(x: Any, y: Any): Int = {
+          val a = x.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val b = y.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = math.min(a.length, b.length)
+          var i = 0
+          while (i < n) {
+            val c = (a(i) & 0xff) - (b(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          a.length - b.length
+        }
+      })
       case _           => None
     }
   }
@@ -277,10 +303,12 @@ object Dedup {
     * Two-tier execution, the same reasoning Spark applies to broadcast
     * joins: the pair graph scales with the DUPLICATES, not the corpus,
     * so it is usually orders of magnitude smaller than the input.
-    *   - At or under `localEdgeLimit` edges (default 4M ≈ a broadcast
-    *     side's footprint) the edge list is collected once and solved
-    *     with union-find + path compression — exact, deterministic
-    *     min-labels, zero iteration overhead.
+    *   - At or under `localEdgeLimit` edges (default 500k ≈ tens of MB
+    *     of collected rows — safe even on a default-sized 1g driver
+    *     heap; raise it when the driver has room) the edge list is
+    *     collected once and solved with union-find + path
+    *     compression — exact, deterministic min-labels, zero
+    *     iteration overhead.
     *   - Above it (or for exotic id types with no natural ordering) a
     *     distributed min-label loop runs: each round takes the min over
     *     neighbor labels AND pointer-jumps (label := label(label)), so
@@ -292,7 +320,7 @@ object Dedup {
     *     no extra job at all. Hitting the cap without converging warns
     *     on stderr rather than silently returning partial labels. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
-                          localEdgeLimit: Long = 4L * 1000 * 1000): DataFrame = {
+                          localEdgeLimit: Long = 500L * 1000): DataFrame = {
     // persist the INPUT first: both paths read it at least twice (the
     // count + either the collect or the sym union), and an un-cached
     // pairs plan is often a whole LSH candidate+verify pipeline.
@@ -429,10 +457,12 @@ object Dedup {
   def minhashDedupCC(df: DataFrame, idCol: String, textCol: String,
                      numHashes: Int = 128, bands: Int = 32,
                      threshold: Double = 0.8, shingleSize: Int = 5,
-                     maxIters: Int = 20, maxPartners: Int = 64): DataFrame = {
+                     maxIters: Int = 20, maxPartners: Int = 64,
+                     localEdgeLimit: Long = 500L * 1000): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, numHashes, bands,
       threshold, shingleSize, maxPartners)
-    val dups = connectedComponents(pairs.select(col("id_a"), col("id_b")), maxIters)
+    val dups = connectedComponents(pairs.select(col("id_a"), col("id_b")),
+        maxIters, localEdgeLimit)
       .filter(col("label") =!= col("id"))
       .select(col("id").as(idCol))
     df.join(dups, Seq(idCol), "left_anti")
@@ -456,7 +486,19 @@ object Dedup {
     * on the raw value). Recall is the LSH miss bound: a qualifying pair
     * escapes all bands with prob (1-p^nBits)^bands, p = 1-acos(c)/π —
     * size nBits/bands to the threshold (low thresholds need wider OR
-    * amplification, e.g. nBits=4, bands=64 for c≈0.45 → miss ≈ 4e-6). */
+    * amplification, e.g. nBits=4, bands=64 for c≈0.45 → miss ≈ 4e-6).
+    *
+    * SIZING IS MANDATORY for the integral-id path: hyperplane keys
+    * partition SPACE, so a bucket holds ~corpus/2^nBits vectors and the
+    * in-bucket verify materializes it in one aggregation row — set
+    * nBits so buckets fit a task (2^nBits ≥ corpus/10^5, say). This is
+    * inherent to the UNCAPPED verify contract (every lower-id partner
+    * is checked — the property the LSH==exact equivalence proof
+    * relies on), not to the implementation: the pair-join fallback
+    * would shuffle the same quadratic candidate stream instead. For
+    * capped large-corpus dedup semantics use [[minhashDedup]]-style
+    * anchors (maxPartners) — deliberately NOT offered here to keep the
+    * exactness contract honest. */
   def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, nBits: Int = 6,
                      bands: Int = 16, seed: Long = 42L,

@@ -52,6 +52,41 @@ class TopKAgg(k: Int) extends Aggregator[TopKItem, TopKBuf, TopKBuf] {
   override def outputEncoder = Encoders.product[TopKBuf]
 }
 
+/** One (id, signature) bucket member. Top-level for Janino (see
+  * TopKItem). */
+case class MinKSigItem(id: Long, sig: Seq[Long])
+
+/** Aggregation buffer: ascending by id, at most k items. */
+case class MinKSigBuf(items: Seq[MinKSigItem])
+
+/** Bounded "k smallest ids per group, with payload" as a partial
+  * aggregate — the memory-safe replacement for
+  * `collect_list(struct(id, sig))` when only the group's smallest k
+  * members matter (MinHash dedup's capped lower-partner contract).
+  * The buffer never exceeds k items on either the map or reduce side,
+  * so one degenerate bucket (10^6 copies of a boilerplate page) costs
+  * k × sigBytes, not |bucket| × sigBytes, and cannot overflow a single
+  * aggregation row. */
+class MinKSigAgg(k: Int) extends Aggregator[MinKSigItem, MinKSigBuf, MinKSigBuf] {
+
+  private def insert(items: Seq[MinKSigItem], x: MinKSigItem): Seq[MinKSigItem] =
+    if (items.size >= k && items.last.id <= x.id) items // common case: no alloc
+    else {
+      val (pre, post) = items.span(_.id <= x.id)
+      val merged = (pre :+ x) ++ post
+      if (merged.size > k) merged.take(k) else merged
+    }
+
+  override def zero: MinKSigBuf = MinKSigBuf(Vector.empty)
+  override def reduce(b: MinKSigBuf, a: MinKSigItem): MinKSigBuf =
+    MinKSigBuf(insert(b.items, a))
+  override def merge(b1: MinKSigBuf, b2: MinKSigBuf): MinKSigBuf =
+    MinKSigBuf(b2.items.foldLeft(b1.items)(insert))
+  override def finish(b: MinKSigBuf): MinKSigBuf = b
+  override def bufferEncoder = Encoders.product[MinKSigBuf]
+  override def outputEncoder = Encoders.product[MinKSigBuf]
+}
+
 object TopK {
   /** Best k rows per query from a `(query_id, nn_id, cos_sim)` candidate
     * frame, ranked 1..k by (cos_sim desc, nn_id asc). One partial+final

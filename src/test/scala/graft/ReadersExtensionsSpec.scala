@@ -354,6 +354,50 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(kept == all.map(_._1).toSet -- brute.map(_._2))
   }
 
+  test("dedup edge cases: zero-norm vectors survive; duplicated ids are not self-dups") {
+    import spark.implicits._
+    // an all-zero embedding yields NaN cosines — Spark's round() passes
+    // NaN through (NaN >= t is false), and the in-bucket kernel must
+    // do the same instead of crashing in BigDecimal
+    val zdf = Seq(
+      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.5f, 0.2f, 0.1f)),
+      (4L, Seq(1.0f, 0.5f, 0.2f, 0.1f))).toDF("id", "vec")
+    val zkept = Dedup.embeddingDedup(zdf, "id", "vec", threshold = 0.9,
+      nBits = 2, bands = 4).select("id").collect().map(_.getLong(0)).toSet
+    assert(zkept == Set(1L, 2L, 3L)) // 4 is a true dup of 3; NaN pairs keep
+    // a duplicated id (upstream union glitch) must never match itself:
+    // the pair path's id_a < id_b excludes equal ids, so BOTH copies
+    // survive — dedup is by id, not by multiplicity
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "completely different content about distributed query engines"))
+      .toDF("doc_id", "text")
+    val dkept = Dedup.minhashDedup(docs, "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.5, shingleSize = 4)
+    assert(dkept.count() == 3)
+  }
+
+  test("connectedComponents string ids: local labels equal distributed labels") {
+    import spark.implicits._
+    // U+FFFD sorts BELOW a supplementary-plane char in UTF-8 byte order
+    // but ABOVE it in Java UTF-16 compareTo — the local union-find must
+    // follow Spark's binary order so both tiers pick the same label
+    val hi = new String(Character.toChars(0x1F600)) // UTF-8 F0 9F 98 80
+    val lo = "�"                               // UTF-8 EF BF BD
+    assert(lo.compareTo(hi) > 0) // UTF-16 disagrees with UTF-8 here
+    val pairs = Seq((hi, lo)).toDF("id_a", "id_b")
+    def labelsOf(limit: Long) =
+      Dedup.connectedComponents(pairs, localEdgeLimit = limit)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val local = labelsOf(1000L)
+    val dist = labelsOf(0L)
+    assert(local == dist, s"local=$local dist=$dist")
+    assert(local.values.toSet == Set(lo)) // UTF-8 byte-order minimum
+  }
+
   test("cosine kernel is correct") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)), (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)))
