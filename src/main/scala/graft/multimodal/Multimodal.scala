@@ -507,6 +507,7 @@ object Multimodal {
               var decoded = decodeBmp(bytes)
               if (decoded == null) decoded = decodePng(bytes)
               if (decoded == null) decoded = decodeGif(bytes)
+              if (decoded == null) decoded = Jpeg.decode(bytes)
               decoded match {
                 case (w, h, px) => bmpQuadrantMeans(w, h, px, dim).toSeq
                 case null => decodeWavPcm16(bytes) match {
@@ -648,6 +649,31 @@ object Multimodal {
 
   /** Complete uncompressed 24-bit BMP with a deterministic pixel
     * pattern — fully decodable by [[decodeBmp]]. */
+  /** Real baseline JPEG via the JRE's ImageIO encoder: a smooth
+    * two-gradient-plus-checker pattern (JPEG is lossy — smooth content
+    * keeps the round-trip meaningful, unlike the hash noise the
+    * lossless formats carry). */
+  private[graft] def jpegBytes(w: Int, h: Int, id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val phase = (graft.functions.Kernels.mix(id) & 0xff).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (x * 255 / math.max(w - 1, 1) + phase) & 0xff
+        val g = (y * 255 / math.max(h - 1, 1)) & 0xff
+        val b = if (((x / 8) + (y / 8)) % 2 == 0) 64 else 192
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
   private def bmpBytes(w: Int, h: Int, id: Long): Array[Byte] = {
     val rowBytes = (w * 3 + 3) & ~3
     val total = 54 + rowBytes * h
@@ -707,8 +733,15 @@ object Multimodal {
         val id = r.getLong(0)
         val kind = Seq("image", "audio", "video")((id % 3).toInt)
         val content: Array[Byte] = kind match {
-          case "image" if id % 2 == 0 =>
+          case "image" if id % 6 == 0 =>
             bmpBytes(8 + (id % 16).toInt, 8 + (id % 12).toInt, id)
+          case "image" if id % 12 == 3 =>
+            // real JPEG via the JRE's built-in encoder (java.desktop);
+            // the hand-rolled Jpeg.decode consumes it downstream. Falls
+            // back to PNG on a stripped-down JRE without ImageIO.
+            try jpegBytes(24 + (id % 32).toInt, 24 + (id % 24).toInt, id)
+            catch { case _: Throwable =>
+              pngBytes(32 + (id % 64).toInt, 32 + (id % 48).toInt, id) }
           case "image" => pngBytes(32 + (id % 64).toInt, 32 + (id % 48).toInt, id)
           case "audio" => wavBytes(16000, 8000 + (id % 100).toInt * 160, id)
           case _ =>

@@ -490,6 +490,86 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(bmpRows.forall(_.getAs[Seq[Float]]("feature").forall(v => v >= 0f && v <= 1f)))
   }
 
+  test("JPEG baseline decode is real: within tolerance of ImageIO's decoder") {
+    import graft.multimodal.{Jpeg, Multimodal}
+    def encode(img: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    // color: smooth gradients (chroma is 4:2:0 subsampled — replication
+    // vs ImageIO's fancy upsampling differs most on sharp chroma edges,
+    // so the tolerance is checked on smooth content)
+    val w = 37; val h = 29 // non-multiple-of-MCU dims exercise edge blocks
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = x * 255 / (w - 1); val g = y * 255 / (h - 1)
+      val b = (x + y) * 255 / (w + h - 2)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    for (q <- Seq(0.7f, 0.95f)) {
+      val bytes = encode(img, q)
+      val dec = Jpeg.decode(bytes)
+      assert(dec != null, s"decode failed at q=$q")
+      val (dw, dh, px) = dec
+      assert(dw == w && dh == h)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var maxDiff = 0; var sumDiff = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = ref.getRGB(x, y)
+        val o = (y * w + x) * 3
+        val db = math.abs((px(o) & 0xff) - (rgb & 0xff))
+        val dg = math.abs((px(o + 1) & 0xff) - ((rgb >> 8) & 0xff))
+        val dr = math.abs((px(o + 2) & 0xff) - ((rgb >> 16) & 0xff))
+        maxDiff = math.max(maxDiff, math.max(db, math.max(dg, dr)))
+        sumDiff += db + dg + dr
+      }
+      val meanDiff = sumDiff.toDouble / (w * h * 3)
+      // both decoders are conformant; differences = IDCT rounding +
+      // chroma upsampling choice
+      assert(maxDiff <= 16 && meanDiff <= 2.0,
+        s"q=$q maxDiff=$maxDiff meanDiff=$meanDiff")
+    }
+    // grayscale: single component, no chroma upsampling — only IDCT
+    // rounding differs (ImageIO uses a fast integer IDCT, ours the
+    // exact definition)
+    val gimg = new java.awt.image.BufferedImage(24, 17,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 17; x <- 0 until 24) {
+      val v = (math.sin(x * 0.4) * 60 + math.cos(y * 0.6) * 50 + 128).toInt.max(0).min(255)
+      gimg.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val gbytes = encode(gimg, 0.9f)
+    val gdec = Jpeg.decode(gbytes)
+    assert(gdec != null)
+    val (gw, gh, gpx) = gdec
+    assert(gw == 24 && gh == 17)
+    val gref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gbytes))
+    val graster = gref.getRaster
+    var gmax = 0
+    for (y <- 0 until gh; x <- 0 until gw)
+      gmax = math.max(gmax,
+        math.abs((gpx((y * gw + x) * 3) & 0xff) - graster.getSample(x, y, 0)))
+    assert(gmax <= 3, s"gray maxDiff=$gmax")
+    // refusals: progressive JPEGs and non-JPEG bytes return null
+    assert(Jpeg.decode("definitely not a jpeg".getBytes) == null)
+    assert(Jpeg.decode(null) == null)
+    // end-to-end: synthetic JPEG rows flow through extractFeatures with
+    // real (quadrant-mean) features in [0,1]
+    val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 30), dim = 8)
+      .collect().filter(r => r.getLong(0) % 12 == 3)
+    assert(feats.nonEmpty)
+    assert(feats.forall(_.getAs[Seq[Float]]("feature").forall(v => v >= 0f && v <= 1f)))
+  }
+
   test("PNG pixel decode is real: pixel-exact vs a JDK-ImageIO golden") {
     // golden: the JDK's own PNG encoder (independent implementation,
     // uses real filters) — our pure-JVM decoder must reproduce every
@@ -698,7 +778,7 @@ class ReadersExtensionsSpec extends GraftSpec {
     val sniffed = Multimodal.sniffMetadata(Multimodal.syntheticMedia(spark, 30))
       .collect()
     assert(sniffed.filter(_.getString(1) == "image")
-      .forall(r => Set("image/png", "image/bmp").contains(r.getString(3)) &&
+      .forall(r => Set("image/png", "image/bmp", "image/jpeg").contains(r.getString(3)) &&
         r.getInt(4) >= 8))
     assert(sniffed.filter(_.getString(1) == "audio")
       .forall(r => r.getString(3) == "audio/wav" && r.getLong(6) > 0))
