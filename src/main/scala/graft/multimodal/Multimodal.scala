@@ -15,18 +15,21 @@ import org.apache.spark.sql.types._
   * Three tiers of "decode":
   *   - HEADER SNIFFING is REAL: container formats carry their geometry
   *     in plain bytes, so `sniffMeta` parses PNG IHDR, JPEG SOFn
-  *     markers, GIF logical-screen, and RIFF/WAVE chunk headers with
-  *     pure JVM byte arithmetic — no codec library involved.
+  *     markers, GIF logical-screen, RIFF/WAVE chunk headers, and ISO
+  *     BMFF (MP4) mvhd/tkhd boxes ([[Mp4]]) with pure JVM byte
+  *     arithmetic — no codec library involved.
   *   - PIXEL/SAMPLE decoding is REAL for uncompressed 24-bit BMP
   *     ([[decodeBmp]]), 8-bit non-interlaced PNG ([[decodePng]] —
   *     zlib inflate + scanline unfiltering), static GIF ([[decodeGif]]
-  *     — hand-rolled LZW + de-interlacing) and mono PCM 16-bit WAV
-  *     ([[decodeWavPcm16]] — the data chunk is plain LE shorts), all
-  *     pure JVM.
-  *   - Codec-REQUIRING formats (JPEG pixels, compressed audio, video)
-  *     are STUBBED with a deterministic fake; the Spark-side contract
-  *     — schema, batch shape, partition sizing — is real and tested,
-  *     so swapping in a real decoder is a one-function change.
+  *     — hand-rolled LZW + de-interlacing), baseline JPEG ([[Jpeg]] —
+  *     Huffman + dequant + IDCT + chroma upsampling), mono PCM 16-bit
+  *     WAV ([[decodeWavPcm16]]) and mono IMA-ADPCM WAV ([[Adpcm]] — a
+  *     real compressed codec), all pure JVM.
+  *   - The rest (video FRAMES, perceptual-codec audio like MP3/AAC,
+  *     progressive JPEG) are STUBBED with a deterministic fake; the
+  *     Spark-side contract — schema, batch shape, partition sizing —
+  *     is real and tested, so swapping in a real decoder is a
+  *     one-function change.
   */
 object Multimodal {
 
@@ -383,26 +386,31 @@ object Multimodal {
     b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
-  /** RIFF/WAVE chunk walk shared by the sniffer and the sample decoder
+  /** RIFF/WAVE chunk walk shared by the sniffer and the sample decoders
     * (ONE copy of the padded-size advance and the unsigned-size spin
-    * guard): returns (fmtOff, fmtSize, dataOff, dataSize) — offsets of
-    * each chunk's PAYLOAD, -1 when absent. Chunk sizes stay in Long so
-    * a corrupt >= 2^31 size can't truncate to a non-positive step and
-    * spin the walk forever. */
-  private def wavChunks(b: Array[Byte]): (Int, Long, Int, Long) = {
+    * guard): returns (fmtOff, fmtSize, dataOff, dataSize, factSamples)
+    * — offsets of each chunk's PAYLOAD, -1 when absent; factSamples is
+    * the `fact` chunk's frame count (-1 when absent), which compressed
+    * formats need to know where the final block's padding starts.
+    * Chunk sizes stay in Long so a corrupt >= 2^31 size can't truncate
+    * to a non-positive step and spin the walk forever. */
+  private def wavChunks(b: Array[Byte]): (Int, Long, Int, Long, Long) = {
     var i = 12
     var fmtOff = -1; var fmtSz = 0L
     var dataOff = -1; var dataSz = -1L
+    var factSamples = -1L
     var walk = true
     while (walk && i + 8 <= b.length) {
       val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val sz = wavLe32(b, i + 4)
       if (id == "fmt " && fmtOff < 0) { fmtOff = i + 8; fmtSz = sz }
       if (id == "data" && dataOff < 0) { dataOff = i + 8; dataSz = sz }
+      if (id == "fact" && factSamples < 0 && sz >= 4 && i + 12 <= b.length)
+        factSamples = wavLe32(b, i + 8)
       val next = i.toLong + 8L + sz + (sz & 1L)
       if (next <= i || next > Int.MaxValue) walk = false else i = next.toInt
     }
-    (fmtOff, fmtSz, dataOff, dataSz)
+    (fmtOff, fmtSz, dataOff, dataSz, factSamples)
   }
 
   /** REAL sample decode for MONO PCM 16-bit WAV — pure JVM; the data
@@ -416,7 +424,12 @@ object Multimodal {
     * buffer holds is truncated to what is present (clipped files). */
   private[graft] def decodeWavPcm16(b: Array[Byte]): (Int, Array[Short]) = {
     if (b == null || b.length < 44 || !isWave(b)) return null
-    val (fmtOff, fmtSz, dataOff, dataSz) = wavChunks(b)
+    val (fmtOff, fmtSz, dataOff, dataSz, _) = wavChunks(b)
+    decodePcm16Chunks(b, fmtOff, fmtSz, dataOff, dataSz)
+  }
+
+  private def decodePcm16Chunks(b: Array[Byte], fmtOff: Int, fmtSz: Long,
+                                dataOff: Int, dataSz: Long): (Int, Array[Short]) = {
     if (fmtOff < 0 || fmtSz < 16 || fmtOff + 16 > b.length || dataOff < 0)
       return null
     val fmtOk = wavLe16(b, fmtOff) == 1 &&      // PCM
@@ -433,6 +446,30 @@ object Multimodal {
       j += 1
     }
     (rate, out)
+  }
+
+  /** One chunk walk, then dispatch on the fmt tag: PCM 16-bit or IMA
+    * ADPCM samples, null for anything else — the decoder the feature
+    * path calls, so a non-PCM row never pays the walk twice. */
+  private[graft] def decodeWavSamples(b: Array[Byte]): (Int, Array[Short]) = {
+    if (b == null || b.length < 44 || !isWave(b)) return null
+    val (fmtOff, fmtSz, dataOff, dataSz, factSamples) = wavChunks(b)
+    if (fmtOff < 0 || fmtSz < 2 || fmtOff + 2 > b.length) return null
+    wavLe16(b, fmtOff) match {
+      case 0x0001 => decodePcm16Chunks(b, fmtOff, fmtSz, dataOff, dataSz)
+      case 0x0011 => Adpcm.decodeWavIma(b, fmtOff, fmtSz, dataOff, dataSz, factSamples)
+      case _      => null
+    }
+  }
+
+  /** REAL sample decode for mono IMA-ADPCM WAV (format tag 0x0011) —
+    * a genuinely compressed audio codec, decoded pure-JVM (see
+    * [[Adpcm]]). Returns (sampleRate, samples) or null when the
+    * content is anything else. */
+  private[graft] def decodeWavAdpcm(b: Array[Byte]): (Int, Array[Short]) = {
+    if (b == null || b.length < 44 || !isWave(b)) return null
+    val (fmtOff, fmtSz, dataOff, dataSz, factSamples) = wavChunks(b)
+    Adpcm.decodeWavIma(b, fmtOff, fmtSz, dataOff, dataSz, factSamples)
   }
 
   /** Real audio feature: per-quarter RMS (of full-scale-normalized
@@ -510,7 +547,7 @@ object Multimodal {
               if (decoded == null) decoded = Jpeg.decode(bytes)
               decoded match {
                 case (w, h, px) => bmpQuadrantMeans(w, h, px, dim).toSeq
-                case null => decodeWavPcm16(bytes) match {
+                case null => decodeWavSamples(bytes) match {
                   case (_, samples) => wavQuarterFeatures(samples, dim).toSeq
                   case null         => fakeDecodeFeature(bytes, dim).toSeq
                 }
@@ -525,9 +562,10 @@ object Multimodal {
   /** REAL container-header sniffing, pure JVM byte arithmetic:
     * PNG IHDR (big-endian dims at offsets 16/20), JPEG SOF0-2 marker
     * walk, GIF logical screen (little-endian), RIFF/WAVE chunk walk
-    * (duration from data size / byte rate). Unknown formats (including
-    * video containers, whose duration needs codec timebases) return
-    * nulls. Returns (mime, width, height, durationMs). */
+    * (duration from data size / byte rate), and ISO BMFF (MP4/MOV) box
+    * walk ([[Mp4.sniff]] — geometry from tkhd, duration from mvhd
+    * timescale ticks). Unknown formats return nulls. Returns
+    * (mime, width, height, durationMs). */
   private[graft] def sniffMeta(b: Array[Byte])
       : (String, Integer, Integer, java.lang.Long) = {
     if (b == null || b.length < 12) return (null, null, null, null)
@@ -563,7 +601,7 @@ object Multimodal {
       return ("image/bmp", Integer.valueOf(le32(18).toInt),
         Integer.valueOf(math.abs(le32(22).toInt)), null)
     if (b.length >= 44 && isWave(b)) {
-      val (fmtOff, fmtSz, dataOff, dataSz) = wavChunks(b)
+      val (fmtOff, fmtSz, dataOff, dataSz, _) = wavChunks(b)
       val byteRate =
         if (fmtOff >= 0 && fmtSz >= 16 && fmtOff + 12 <= b.length)
           wavLe32(b, fmtOff + 8)
@@ -574,6 +612,10 @@ object Multimodal {
         else null
       return ("audio/wav", null, null, dur)
     }
+    // ISO BMFF (MP4/QuickTime): geometry and duration live in plain
+    // mvhd/tkhd boxes — real container metadata, no codec involved
+    val mp4 = Mp4.sniff(b)
+    if (mp4 != null) return mp4
     (null, null, null, null)
   }
 
@@ -710,22 +752,35 @@ object Multimodal {
       .putShort(2.toShort).putShort(16.toShort)
     out.put("data".getBytes("US-ASCII")).putInt(dataLen)
     // square wave, period/amplitude derived from id — integer-exact
-    val period = 20 + (id % 30).toInt
-    val amp = (4000 + (id % 7) * 2000).toShort
-    var j = 0
-    while (j < nSamples) {
-      out.putShort(if ((j / period) % 2 == 0) amp else (-amp).toShort)
-      j += 1
-    }
+    squareWave(nSamples, id).foreach(out.putShort)
     out.array()
   }
 
+  /** Deterministic square-wave samples shared by the PCM and ADPCM
+    * synthetic writers (same waveform family, two encodings). */
+  private def squareWave(nSamples: Int, id: Long): Array[Short] = {
+    val period = 20 + (id % 30).toInt
+    val amp = (4000 + (id % 7) * 2000).toShort
+    val s = new Array[Short](nSamples)
+    var j = 0
+    while (j < nSamples) {
+      s(j) = if ((j / period) % 2 == 0) amp else (-amp).toShort
+      j += 1
+    }
+    s
+  }
+
+  /** Complete IMA-ADPCM WAV (a REAL compressed encoding of the square
+    * wave) — fully decodable by [[decodeWavAdpcm]]. */
+  private def adpcmWavBytes(sampleRate: Int, nSamples: Int, id: Long): Array[Byte] =
+    Adpcm.encodeWavIma(sampleRate, squareWave(nSamples, id))._1
+
   /** Deterministic synthetic media frame for tests/demos: image rows
-    * alternate fully-decodable 24-bit BMPs and complete PNGs, audio
-    * rows carry complete PCM WAVs (square-wave payload) — so metadata
-    * sniffing AND all three real decodes are exercised end to end —
-    * video rows opaque bytes (the honest stub — container duration
-    * needs codec timebases). */
+    * cycle fully-decodable 24-bit BMPs, real JPEGs and complete PNGs;
+    * audio rows alternate complete PCM WAVs and IMA-ADPCM WAVs
+    * (square-wave payload); video rows carry structurally valid MP4
+    * containers with real mvhd/tkhd metadata (one sub-cycle stays
+    * opaque bytes so the unknown-format stub path is exercised too). */
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
     spark.range(n.toLong).toDF("id").mapPartitions { it =>
@@ -743,13 +798,19 @@ object Multimodal {
             catch { case _: Throwable =>
               pngBytes(32 + (id % 64).toInt, 32 + (id % 48).toInt, id) }
           case "image" => pngBytes(32 + (id % 64).toInt, 32 + (id % 48).toInt, id)
+          case "audio" if id % 6 == 4 =>
+            adpcmWavBytes(16000, 8000 + (id % 100).toInt * 160, id)
           case "audio" => wavBytes(16000, 8000 + (id % 100).toInt * 160, id)
-          case _ =>
+          case "video" if id % 9 == 8 =>
+            // opaque bytes: the honest unknown-format stub path
             val bs = new Array[Byte](32)
             var h = id * 0x9E3779B97F4A7C15L
             var i = 0
             while (i < 32) { h ^= h << 13; h ^= h >>> 7; h ^= h << 17; bs(i) = h.toByte; i += 1 }
             bs
+          case _ =>
+            Mp4.mp4Bytes(320 + (id % 8).toInt * 80, 240 + (id % 6).toInt * 60,
+              1000L + (id % 120) * 500L, id)
         }
         val (mime, w, hgt, dur) = sniffMeta(content)
         Row(id, kind, content, Row(mime, w, hgt, dur))

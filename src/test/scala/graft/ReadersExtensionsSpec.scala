@@ -729,13 +729,20 @@ class ReadersExtensionsSpec extends GraftSpec {
     val shortFmt = wav.array().clone(); shortFmt(16) = 4
     assert(Multimodal.decodeWavPcm16(shortFmt) == null)
     // end-to-end: synthetic audio rows take the real sample path —
-    // square-wave RMS is amp/32768 (equal in all four quarters)
+    // square-wave RMS is amp/32768, equal in all four quarters
+    // EXACTLY for PCM rows; ADPCM rows (id % 6 == 4) are lossy, so
+    // their quarters agree only approximately
     val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 12), dim = 8)
       .collect().filter(_.getString(1) == "audio")
-    assert(feats.nonEmpty)
-    assert(feats.forall { r =>
+    val (adpcm, pcm) = feats.partition(_.getLong(0) % 6 == 4)
+    assert(pcm.nonEmpty && adpcm.nonEmpty)
+    assert(pcm.forall { r =>
       val f = r.getAs[scala.collection.Seq[Float]]("feature")
       f(0) > 0f && f(0) == f(2) && f(0) == f(4) && f(0) == f(6)
+    })
+    assert(adpcm.forall { r =>
+      val f = r.getAs[scala.collection.Seq[Float]]("feature")
+      f(0) > 0f && Seq(f(2), f(4), f(6)).forall(v => math.abs(v - f(0)) < 0.05f)
     })
   }
 
@@ -774,7 +781,9 @@ class ReadersExtensionsSpec extends GraftSpec {
     ).map(_.toByte)
     assert(Multimodal.sniffMeta(padded) == ("image/jpeg", 60, 50, null))
     // end-to-end over the synthetic frame: every image row gets real
-    // PNG dims, every audio row a real duration, video stays opaque
+    // dims, every audio row a real duration, MP4 video rows real
+    // geometry + duration; only the deliberate opaque sub-cycle
+    // (id % 9 == 8) sniffs to nulls
     val sniffed = Multimodal.sniffMetadata(Multimodal.syntheticMedia(spark, 30))
       .collect()
     assert(sniffed.filter(_.getString(1) == "image")
@@ -782,6 +791,125 @@ class ReadersExtensionsSpec extends GraftSpec {
         r.getInt(4) >= 8))
     assert(sniffed.filter(_.getString(1) == "audio")
       .forall(r => r.getString(3) == "audio/wav" && r.getLong(6) > 0))
-    assert(sniffed.filter(_.getString(1) == "video").forall(_.isNullAt(3)))
+    val (opaque, mp4s) = sniffed.filter(_.getString(1) == "video")
+      .partition(r => r.getLong(0) % 9 == 8)
+    assert(opaque.nonEmpty && opaque.forall(_.isNullAt(3)))
+    assert(mp4s.nonEmpty && mp4s.forall(r => r.getString(3) == "video/mp4" &&
+      r.getInt(4) >= 320 && r.getInt(5) >= 240 && r.getLong(6) >= 1000L))
+  }
+
+  test("MP4 box-walk sniffing is real: v0/v1 boxes, largesize, refusals") {
+    import graft.multimodal.Mp4
+    // writer(v0 boxes) → sniffer round-trip with exact values
+    assert(Multimodal.sniffMeta(Mp4.mp4Bytes(640, 480, 12345L, 7L)) ==
+      ("video/mp4", 640, 480, 12345L))
+    // hand-built VERSION-1 mvhd/tkhd (64-bit times — layout offsets
+    // pinned independently of the writer, which only emits v0)
+    def box(t: String, payload: Array[Byte]*): Array[Byte] = {
+      val total = 8 + payload.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(total)
+      bb.putInt(total).put(t.getBytes("US-ASCII"))
+      payload.foreach(bb.put)
+      bb.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes, Array[Byte](0, 0, 2, 0), "isom".getBytes)
+    val mvhd1 = {
+      val bb = java.nio.ByteBuffer.allocate(112)
+      bb.putInt(0x01000000)             // version 1
+        .putLong(0L).putLong(0L)        // 64-bit creation/modification
+        .putInt(90000)                  // timescale
+        .putLong(90000L * 7)            // 64-bit duration = 7 s
+        .putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+        .putInt(0).putInt(0)
+      bb.array()                        // (matrix/pre_defined left zero)
+    }
+    val tkhd1 = {
+      val bb = java.nio.ByteBuffer.allocate(96)
+      bb.putInt(0x01000007)
+        .putLong(0L).putLong(0L)        // 64-bit times
+        .putInt(1).putInt(0)
+        .putLong(90000L * 7)            // 64-bit duration
+        .putInt(0).putInt(0)
+        .putShort(0).putShort(0).putShort(0).putShort(0)
+        .put(new Array[Byte](36))       // matrix
+        .putInt(1280 << 16).putInt(720 << 16)
+      bb.array()
+    }
+    val v1 = ftyp ++ box("moov", box("mvhd", mvhd1), box("trak", box("tkhd", tkhd1)))
+    assert(Multimodal.sniffMeta(v1) == ("video/mp4", 1280, 720, 7000L))
+    // 64-bit largesize framing on the moov box itself
+    val inner = box("mvhd", mvhd1) ++ box("trak", box("tkhd", tkhd1))
+    val largeMoov = {
+      val bb = java.nio.ByteBuffer.allocate(16 + inner.length)
+      bb.putInt(1).put("moov".getBytes).putLong(16L + inner.length).put(inner)
+      bb.array()
+    }
+    assert(Multimodal.sniffMeta(ftyp ++ largeMoov) == ("video/mp4", 1280, 720, 7000L))
+    // no video-sized track → audio/mp4 (geometry nulls, duration real)
+    val audioOnly = ftyp ++ box("moov", box("mvhd", mvhd1))
+    assert(Multimodal.sniffMeta(audioOnly) == ("audio/mp4", null, null, 7000L))
+    // refusals: truncated mid-box, corrupt size, non-BMFF bytes
+    val bad = Mp4.mp4Bytes(64, 48, 100L, 1L)
+    val truncated = bad.take(bad.length / 2) // ftyp intact, moov torn
+    assert(Mp4.sniff(truncated) == ("video/mp4", null, null, null))
+    assert(Mp4.sniff("this is not an mp4 file at all....".getBytes) == null)
+    assert(Mp4.sniff(null) == null)
+  }
+
+  test("IMA-ADPCM decode is real: bit-exact vs encoder reconstruction") {
+    import graft.multimodal.Adpcm
+    // smooth sine + a sharp step — exercises the step-size adaptation
+    val n = 4321                        // deliberately not a block multiple
+    val src = Array.tabulate[Short](n) { i =>
+      val s = math.sin(i * 0.037) * 9000 + (if (i > 2000) 6000 else -2000)
+      s.toInt.max(-32768).min(32767).toShort
+    }
+    val (bytes, recon) = Adpcm.encodeWavIma(16000, src)
+    val dec = Multimodal.decodeWavAdpcm(bytes)
+    assert(dec != null)
+    val (rate, got) = dec
+    assert(rate == 16000)
+    // the fact chunk trims the final block's padding to exactly n
+    assert(got.length == n)
+    // decoder output must equal the encoder's tracked reconstruction
+    // BIT-EXACTLY — one shared nibble rule, zero drift
+    assert(got.sameElements(recon))
+    // and the lossy reconstruction must actually track the source:
+    // 4-bit IMA ADPCM on smooth content stays within a few step sizes
+    val nmse = {
+      var se = 0.0; var sp = 0.0
+      for (i <- 0 until n) {
+        val d = (got(i) - src(i)).toDouble; se += d * d
+        sp += src(i).toDouble * src(i)
+      }
+      se / sp
+    }
+    assert(nmse < 0.01, s"NMSE too high: $nmse")
+    // refusals: the PCM decoder must not accept ADPCM content and
+    // vice versa; garbage refuses cleanly
+    assert(Multimodal.decodeWavPcm16(bytes) == null)
+    val pcm = {
+      val bb = java.nio.ByteBuffer.allocate(44 + 200).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + 200).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      bb.put("data".getBytes).putInt(200)
+      bb.array()
+    }
+    assert(Multimodal.decodeWavAdpcm(pcm) == null)
+    assert(Multimodal.decodeWavAdpcm("not audio".getBytes) == null)
+    // truncated data: whole blocks decode, the torn tail is dropped
+    val cut = java.util.Arrays.copyOf(bytes, bytes.length - 100)
+    val cutDec = Multimodal.decodeWavAdpcm(cut)
+    assert(cutDec != null && cutDec._2.length > 0 && cutDec._2.length < n)
+    // end-to-end: synthetic ADPCM rows produce real quarter features
+    // (id % 6 == 4 rows), matching the PCM featurizer's contract
+    val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 30), dim = 8)
+      .collect().filter(r => r.getLong(0) % 6 == 4)
+    assert(feats.nonEmpty)
+    assert(feats.forall { r =>
+      val f = r.getAs[collection.Seq[Float]]("feature")
+      f.forall(v => v >= 0f && v <= 1f) && f.take(8).exists(_ > 0f)
+    })
   }
 }
