@@ -667,6 +667,30 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp")))
         .sortBy("doc_id").out),
 
+    // Gopher-style duplicate-text quality signals: the kernel emits raw
+    // integer counters; the ratios are two IEEE double ops each
+    // (cast-divide, subtract) — the same op sequence the oracle runs,
+    // so the doubles are bit-identical (no rounding, none wanted)
+    "q_repetition" -> ((s, d) => {
+      val st = t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.normalizeText(col("text")).as("__norm"))
+        .select(col("doc_id"),
+          graft.functions.Kernels.repetitionStats(col("__norm")).as("__st"))
+      CrysFrame(st.select(
+        col("doc_id"),
+        col("__st.total_words").cast("long").as("total_words"),
+        when(col("__st.total_words") > 0,
+          lit(1.0) - col("__st.distinct_words").cast("double") / col("__st.total_words"))
+          .otherwise(lit(0.0)).as("dup_word_ratio"),
+        when(col("__st.total_bigrams") > 0,
+          lit(1.0) - col("__st.distinct_bigrams").cast("double") / col("__st.total_bigrams"))
+          .otherwise(lit(0.0)).as("dup_bigram_ratio"),
+        when(col("__st.total_words") > 0,
+          col("__st.top_word").cast("double") / col("__st.total_words"))
+          .otherwise(lit(0.0)).as("top_word_ratio")))
+        .sortBy("doc_id").out
+    }),
+
     // ---------------- extensions: multimodal ----------------
     // header sniffing (mime/dims/duration) AND the feature column are
     // REAL byte-level work for BMP/PNG/GIF pixels and PCM-WAV samples
@@ -1099,6 +1123,36 @@ object SparkEntry {
         |                     x -> CAST(ascii(x) AS BIGINT))),
         |    (acc, v) -> (acc * 31 + v) % 9007199254740881) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // bigrams join words with ' ' — injective, words cannot contain a
+    // space post-normalization; ratios deliberately NOT rounded (raw
+    // IEEE division of small exact ints is bit-identical cross-engine)
+    "q_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(
+        |      string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |      x -> x <> '') AS words
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, words, len(words) AS total,
+        |    len(list_distinct(words)) AS dw,
+        |    CASE WHEN len(words) > 1 THEN
+        |      list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+        |    ELSE [] END AS bigrams
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(total AS BIGINT) AS total_words,
+        |  CASE WHEN total > 0 THEN 1.0 - CAST(dw AS DOUBLE) / total
+        |       ELSE 0.0 END AS dup_word_ratio,
+        |  CASE WHEN len(bigrams) > 0
+        |       THEN 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+        |       ELSE 0.0 END AS dup_bigram_ratio,
+        |  CASE WHEN total > 0 THEN
+        |    CAST(list_max(list_transform(list_distinct(words),
+        |      u -> len(list_filter(words, x -> x = u)))) AS DOUBLE) / total
+        |       ELSE 0.0 END AS top_word_ratio
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_quality" ->
       """WITH parts AS (

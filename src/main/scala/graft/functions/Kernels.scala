@@ -48,6 +48,9 @@ object Kernels {
                         numHashes: Int, threshold: Double): Column =
     column(MinHashAnchorDropExpr(expression(id), expression(sig),
       expression(anchors), numHashes, threshold))
+
+  def repetitionStats(norm: Column): Column =
+    column(RepetitionStatsExpr(expression(norm)))
 }
 
 /** MinHash signature over character shingles of an (already normalized)
@@ -426,4 +429,64 @@ case class CosineSimExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** Per-document repetition counters over an ALREADY-NORMALIZED string
+  * (lowercase, single-space separated — see TextFunctions
+  * .normalizeText): word total/distinct, bigram total/distinct, and
+  * the top word's occurrence count — the raw integers behind
+  * Gopher-style duplicate-text quality signals (ratios are taken in
+  * plain SQL so the oracle can reproduce them bit-exactly).
+  *
+  * One hash-map pass per row, O(words); the HOF formulation
+  * (`array_max(transform(array_distinct(w), u -> size(filter(w, ...`)
+  * is O(words × distinct) AND interpreted — this kernel replaces it
+  * the same way MinHashSigExpr replaces shingle HOFs. */
+case class RepetitionStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("total_words", IntegerType, nullable = false),
+    StructField("distinct_words", IntegerType, nullable = false),
+    StructField("total_bigrams", IntegerType, nullable = false),
+    StructField("distinct_bigrams", IntegerType, nullable = false),
+    StructField("top_word", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes() =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val wordCounts = new java.util.HashMap[String, Integer]()
+    val bigrams = new java.util.HashSet[String]()
+    var total = 0
+    var totalBigrams = 0
+    var top = 0
+    var prev: String = null
+    var start = 0
+    val len = s.length
+    var i = 0
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (i > start) {
+          val w = s.substring(start, i)
+          total += 1
+          val c = wordCounts.merge(w, 1, (a, b) => a + b)
+          if (c > top) top = c
+          if (prev != null) {
+            totalBigrams += 1
+            bigrams.add(prev + " " + w)
+          }
+          prev = w
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      total, wordCounts.size(), totalBigrams, bigrams.size(), top)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -122,4 +122,13 @@ object TextFunctions {
     * materialize `normalizeText` first and use `shinglesFromNormalized`. */
   def shingles(text: Column, n: Int = 5): Column =
     shinglesFromNormalized(normalizeText(text), n)
+
+  /** Raw counters behind Gopher-style duplicate-text quality signals,
+    * over an ALREADY-NORMALIZED column: struct<total_words,
+    * distinct_words, total_bigrams, distinct_bigrams, top_word>.
+    * Ratios (dup-word, dup-bigram, top-word fractions) are plain SQL
+    * over these ints — one hash-map pass per row in a custom kernel
+    * (graft.functions.Kernels.repetitionStats). */
+  def repetitionStats(norm: Column): Column =
+    graft.functions.Kernels.repetitionStats(norm)
 }

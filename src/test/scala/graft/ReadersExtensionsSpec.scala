@@ -111,6 +111,39 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(got(3).getInt(1) == 4) // room 101 x 2 — letter↔digit splits
   }
 
+  test("repetition kernel counts duplicate words and bigrams exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat on the mat the cat"),
+      (2L, "a a a a"),
+      (3L, "unique words only here"),
+      (4L, "")).toDF("id", "norm")
+    val rows = df.select(col("id"),
+        graft.functions.Kernels.repetitionStats(col("norm")).as("st"))
+      .select(col("id"), col("st.*")).collect().sortBy(_.getLong(0))
+    // doc 1: 8 words, 5 distinct; bigrams: [the cat, cat sat, sat on,
+    // on the, the mat, mat the, the cat] = 7 total, 6 distinct
+    // ("the cat" repeats); top word "the" ×3
+    assert(rows(0).getInt(1) == 8 && rows(0).getInt(2) == 5)
+    assert(rows(0).getInt(3) == 7 && rows(0).getInt(4) == 6)
+    assert(rows(0).getInt(5) == 3)
+    // doc 2: maximal repetition — one distinct word, one distinct bigram
+    assert(rows(1).getInt(1) == 4 && rows(1).getInt(2) == 1)
+    assert(rows(1).getInt(3) == 3 && rows(1).getInt(4) == 1)
+    assert(rows(1).getInt(5) == 4)
+    // doc 3: zero repetition
+    assert(rows(2).getInt(1) == 4 && rows(2).getInt(2) == 4)
+    assert(rows(2).getInt(3) == 3 && rows(2).getInt(4) == 3)
+    assert(rows(2).getInt(5) == 1)
+    // doc 4: empty text — all counters zero, no division anywhere
+    assert((1 to 5).forall(rows(3).getInt(_) == 0))
+    // null text → null struct (null-safe expression contract)
+    val nullRow = Seq(Tuple1(null: String)).toDF("norm")
+      .select(graft.functions.Kernels.repetitionStats(col("norm")).as("st"))
+      .collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
+
   test("langId picks the stopword-dominant language, Han → zh") {
     import spark.implicits._
     val df = Seq(
