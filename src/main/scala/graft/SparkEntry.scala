@@ -702,7 +702,11 @@ object SparkEntry {
     // decoded features (dim, L2 norm, 64-bit digest of the rounded
     // components), all derived in-plan from the real decode output
     "q_multimodal" -> ((s, d) => {
+      // persisted: the plan references the frame in three branches
+      // (sniff / features / resize) — uncached, every synthetic payload
+      // (incl. ImageIO JPEG encodes) would be generated three times
       val media = Multimodal.syntheticMedia(s, 200)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val meta = Multimodal.sniffMetadata(media)
       val fcol = col("feature")
       val featD = transform(fcol, f => f.cast("double"))
@@ -714,7 +718,13 @@ object SparkEntry {
           xxhash64(concat_ws(",",
             transform(featD, f => F.round(f, 4).cast("string"))))
             .as("feature_digest"))
-      CrysFrame(meta.join(feats, Seq("media_id")))
+      // resize stage: decodable images re-emitted as 16x12 PNGs —
+      // surfaced as the resampled-pixel digest (scalar for the pandas
+      // compare, and independent of the JDK's zlib, unlike the
+      // deflated payload length)
+      val resized = Multimodal.resizeImages(media, 16, 12)
+        .select(col("media_id"), col("pixel_digest"))
+      CrysFrame(meta.join(feats, Seq("media_id")).join(resized, Seq("media_id")))
         .sortBy("media_id").out
     })
   )

@@ -541,11 +541,7 @@ object Multimodal {
           val feature: Seq[Float] =
             if (bytes == null) null
             else {
-              var decoded = decodeBmp(bytes)
-              if (decoded == null) decoded = decodePng(bytes)
-              if (decoded == null) decoded = decodeGif(bytes)
-              if (decoded == null) decoded = Jpeg.decode(bytes)
-              decoded match {
+              decodeImage(bytes) match {
                 case (w, h, px) => bmpQuadrantMeans(w, h, px, dim).toSeq
                 case null => decodeWavSamples(bytes) match {
                   case (_, samples) => wavQuarterFeatures(samples, dim).toSeq
@@ -628,6 +624,49 @@ object Multimodal {
     StructField("height", IntegerType, nullable = true),
     StructField("duration_ms", LongType, nullable = true)))
 
+  /** FNV-1a 64-bit — stable path→id and pixel-digest hash. */
+  private def fnv64Bytes(bs: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bs.length) { h ^= (bs(i) & 0xff).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  private def fnv64(s: String): Long =
+    fnv64Bytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Ingest a directory tree of media files as a media frame via
+    * Spark's `binaryFile` source (distributed file listing, pushdown
+    * of `pathGlobFilter`, scan splitting by `maxPartitionBytes`-style
+    * file packing): one row per file with the payload in `content`,
+    * `kind` derived from the sniffed mime ("image"/"audio"/"video"/
+    * "other"), and the typed metadata struct filled by the same
+    * pure-JVM sniffers the synthetic path uses. `media_id` is a stable
+    * 64-bit FNV-1a hash of the file path (reproducible across runs,
+    * unlike zipWithIndex which depends on listing order; 64 bits keep
+    * the birthday bound negligible at training-corpus file counts). */
+  def readMediaDir(spark: org.apache.spark.sql.SparkSession, path: String,
+                   glob: String = null): DataFrame = {
+    val reader = spark.read.format("binaryFile")
+    val withGlob = if (glob != null) reader.option("pathGlobFilter", glob) else reader
+    val enc = org.apache.spark.sql.Encoders.row(StructType(
+      mediaSchema.fields :+ StructField("path", StringType, nullable = false)))
+    withGlob.load(path).select(col("path"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val p = r.getAs[String]("path")
+          val bytes = r.getAs[Array[Byte]]("content")
+          val (mime, w, h, dur) = sniffMeta(bytes)
+          val kind =
+            if (mime == null) "other"
+            else if (mime.startsWith("image/")) "image"
+            else if (mime.startsWith("audio/")) "audio"
+            else "video"
+          Row(fnv64(p), kind, bytes, Row(mime, w, h, dur), p)
+        }
+      }(enc)
+  }
+
   /** Parse container headers across a media frame — real metadata from
     * the bytes themselves (mapPartitions like the decoder, map-only). */
   def sniffMetadata(media: DataFrame): DataFrame = {
@@ -643,21 +682,51 @@ object Multimodal {
       }(enc)
   }
 
-  /** One PNG chunk: length + type + data + CRC32 over type‖data. */
-  private def pngChunk(t: String, data: Array[Byte]): Array[Byte] = {
-    val tb = t.getBytes("US-ASCII")
-    val out = java.nio.ByteBuffer.allocate(12 + data.length)
-    out.putInt(data.length).put(tb).put(data)
-    val crc = new java.util.zip.CRC32()
-    crc.update(tb); crc.update(data)
-    out.putInt(crc.getValue.toInt)
-    out.array()
+  /** Bilinear resample of a decoded BGR buffer (the shared decoder
+    * output convention) — pure JVM, half-pixel-center mapping (the
+    * standard align-corners=false convention: output pixel centers map
+    * to (x+0.5)·sw/ow − 0.5), channels rounded half-up. An identity
+    * resize (same dims) reproduces the input exactly. */
+  private[graft] def bilinearResizeBgr(sw: Int, sh: Int, px: Array[Byte],
+                                       ow: Int, oh: Int): Array[Byte] = {
+    val out = new Array[Byte](ow * oh * 3)
+    val xScale = sw.toDouble / ow
+    val yScale = sh.toDouble / oh
+    var y = 0
+    while (y < oh) {
+      val srcY = (y + 0.5) * yScale - 0.5
+      val y0 = math.max(0, math.min(sh - 1, math.floor(srcY).toInt))
+      val y1 = math.min(sh - 1, y0 + 1)
+      val fy = math.max(0.0, math.min(1.0, srcY - y0))
+      var x = 0
+      while (x < ow) {
+        val srcX = (x + 0.5) * xScale - 0.5
+        val x0 = math.max(0, math.min(sw - 1, math.floor(srcX).toInt))
+        val x1 = math.min(sw - 1, x0 + 1)
+        val fx = math.max(0.0, math.min(1.0, srcX - x0))
+        val o = (y * ow + x) * 3
+        var c = 0
+        while (c < 3) {
+          val p00 = px((y0 * sw + x0) * 3 + c) & 0xff
+          val p01 = px((y0 * sw + x1) * 3 + c) & 0xff
+          val p10 = px((y1 * sw + x0) * 3 + c) & 0xff
+          val p11 = px((y1 * sw + x1) * 3 + c) & 0xff
+          val v = (p00 * (1 - fx) + p01 * fx) * (1 - fy) +
+            (p10 * (1 - fx) + p11 * fx) * fy
+          out(o + c) = math.floor(v + 0.5).toInt.max(0).min(255).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
-  /** COMPLETE spec-conformant RGB PNG with a deterministic pixel
-    * pattern (filter-0 scanlines, one deflated IDAT, CRC'd chunks) —
-    * fully decodable by [[decodePng]] and by any external viewer. */
-  private[graft] def pngBytes(w: Int, h: Int, id: Long): Array[Byte] = {
+  /** Spec-conformant RGB PNG from a decoded BGR buffer (filter-0
+    * scanlines, one deflated IDAT, CRC'd chunks) — decodable by
+    * [[decodePng]] and any external viewer. */
+  private[graft] def pngFromBgr(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
     val stride = w * 3
     val raw = new Array[Byte]((stride + 1) * h)
     var y = 0
@@ -665,11 +734,11 @@ object Multimodal {
       raw(y * (stride + 1)) = 0 // filter: None
       var x = 0
       while (x < w) {
-        val v = graft.functions.Kernels.mix(id * 131 + y.toLong * w + x)
-        val p = y * (stride + 1) + 1 + x * 3
-        raw(p) = (v & 0xff).toByte          // R
-        raw(p + 1) = ((v >> 8) & 0xff).toByte
-        raw(p + 2) = ((v >> 16) & 0xff).toByte
+        val src = (y * w + x) * 3
+        val dst = y * (stride + 1) + 1 + x * 3
+        raw(dst) = px(src + 2)     // R (buffer is BGR)
+        raw(dst + 1) = px(src + 1) // G
+        raw(dst + 2) = px(src)     // B
         x += 1
       }
       y += 1
@@ -689,8 +758,94 @@ object Multimodal {
       pngChunk("IEND", Array.emptyByteArray)
   }
 
-  /** Complete uncompressed 24-bit BMP with a deterministic pixel
-    * pattern — fully decodable by [[decodeBmp]]. */
+  /** Decode one image payload through the pure-JVM decoder chain —
+    * (width, height, BGR) or null. Shared by the featurizer and the
+    * resize op. */
+  private def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    var d = decodeBmp(bytes)
+    if (d == null) d = decodePng(bytes)
+    if (d == null) d = decodeGif(bytes)
+    if (d == null) d = Jpeg.decode(bytes)
+    d
+  }
+
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("resized", BinaryType, nullable = true),
+    // FNV-1a over the resampled BGR buffer: a deflate-independent
+    // content digest (the PNG byte length varies with the JDK's zlib)
+    StructField("pixel_digest", LongType, nullable = true)))
+
+  /** REAL image resize across a media frame: decode (BMP/PNG/GIF/
+    * baseline JPEG), bilinear-resample to (outW, outH), re-encode as
+    * RGB PNG — all pure JVM, per-partition like the featurizer.
+    * Rows whose payload isn't a decodable image carry null `resized`
+    * (width/height report the ORIGINAL decoded geometry, so callers
+    * can filter upscales). The training-pipeline "resize" stage:
+    * normalize heterogeneous image sizes before feature extraction /
+    * tensor batching. */
+  def resizeImages(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0 && outW <= 32767 && outH <= 32767 &&
+      // same invariant decodePng enforces: the pixel buffer and the
+      // (stride+1)*h scanline buffer must stay inside Int range
+      (outW.toLong * 3 + 1) * outH <= 256L * 1024 * 1024,
+      s"resize dims out of range: $outW x $outH")
+    val enc = org.apache.spark.sql.Encoders.row(resizedSchema)
+    media.select(col("media_id"), col("kind"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          decodeImage(bytes) match {
+            case (w, h, px) =>
+              val resampled = bilinearResizeBgr(w, h, px, outW, outH)
+              Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+                Integer.valueOf(w), Integer.valueOf(h),
+                pngFromBgr(outW, outH, resampled),
+                java.lang.Long.valueOf(fnv64Bytes(resampled)))
+            case null =>
+              Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+                null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** One PNG chunk: length + type + data + CRC32 over type‖data. */
+  private def pngChunk(t: String, data: Array[Byte]): Array[Byte] = {
+    val tb = t.getBytes("US-ASCII")
+    val out = java.nio.ByteBuffer.allocate(12 + data.length)
+    out.putInt(data.length).put(tb).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(data)
+    out.putInt(crc.getValue.toInt)
+    out.array()
+  }
+
+  /** COMPLETE spec-conformant RGB PNG with a deterministic pixel
+    * pattern — the BGR buffer goes through the same [[pngFromBgr]]
+    * assembly the resize op uses (one copy of the deflate/chunk
+    * machinery), fully decodable by [[decodePng]] and any viewer. */
+  private[graft] def pngBytes(w: Int, h: Int, id: Long): Array[Byte] = {
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = graft.functions.Kernels.mix(id * 131 + y.toLong * w + x)
+        val p = (y * w + x) * 3
+        px(p) = ((v >> 16) & 0xff).toByte   // B
+        px(p + 1) = ((v >> 8) & 0xff).toByte
+        px(p + 2) = (v & 0xff).toByte       // R
+        x += 1
+      }
+      y += 1
+    }
+    pngFromBgr(w, h, px)
+  }
+
   /** Real baseline JPEG via the JRE's ImageIO encoder: a smooth
     * two-gradient-plus-checker pattern (JPEG is lossy — smooth content
     * keeps the round-trip meaningful, unlike the hash noise the
@@ -716,6 +871,8 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Complete uncompressed 24-bit BMP with a deterministic pixel
+    * pattern — fully decodable by [[decodeBmp]]. */
   private def bmpBytes(w: Int, h: Int, id: Long): Array[Byte] = {
     val rowBytes = (w * 3 + 3) & ~3
     val total = 54 + rowBytes * h

@@ -831,6 +831,90 @@ class ReadersExtensionsSpec extends GraftSpec {
       r.getInt(4) >= 320 && r.getInt(5) >= 240 && r.getLong(6) >= 1000L))
   }
 
+  test("readMediaDir ingests a file tree with sniffed metadata and stable ids") {
+    import graft.multimodal.{Adpcm, Mp4, Multimodal}
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toFile
+    try {
+      def write(name: String, bytes: Array[Byte]): Unit = {
+        val f = new java.io.File(dir, name)
+        java.nio.file.Files.write(f.toPath, bytes)
+      }
+      // one real file per family, via the same writers the decoders pin
+      write("a.png", Multimodal.pngFromBgr(6, 4, new Array[Byte](6 * 4 * 3)))
+      write("b.wav", Adpcm.encodeWavIma(8000, new Array[Short](4000))._1)
+      write("c.mp4", Mp4.mp4Bytes(320, 240, 2500L, 3L))
+      write("d.txt", "just some text, not media".getBytes)
+      val all = Multimodal.readMediaDir(spark, dir.getAbsolutePath).collect()
+      assert(all.length == 4)
+      val byKind = all.map(r => r.getString(1) -> r).toMap
+      assert(byKind.keySet == Set("image", "audio", "video", "other"))
+      val img = byKind("image").getStruct(3)
+      assert(img.getString(0) == "image/png" && img.getInt(1) == 6 && img.getInt(2) == 4)
+      val vid = byKind("video").getStruct(3)
+      assert(vid.getString(0) == "video/mp4" && vid.getInt(1) == 320 &&
+        vid.getLong(3) == 2500L)
+      assert(byKind("audio").getStruct(3).getString(0) == "audio/wav")
+      assert(byKind("other").getStruct(3).isNullAt(0))
+      // ids are stable across re-reads (path-derived, not listing-order)
+      val again = Multimodal.readMediaDir(spark, dir.getAbsolutePath).collect()
+      assert(all.map(r => r.getString(4) -> r.getLong(0)).toMap ==
+        again.map(r => r.getString(4) -> r.getLong(0)).toMap)
+      assert(all.map(_.getLong(0)).distinct.length == 4)
+      // glob pushdown restricts the listing
+      val pngOnly = Multimodal.readMediaDir(spark, dir.getAbsolutePath, "*.png").collect()
+      assert(pngOnly.length == 1 && pngOnly(0).getString(1) == "image")
+      // the ingested frame feeds the normal pipeline stages
+      val feats = Multimodal.extractFeatures(
+        Multimodal.readMediaDir(spark, dir.getAbsolutePath), dim = 4).collect()
+      assert(feats.length == 4 && feats.forall(!_.isNullAt(3)))
+    } finally {
+      dir.listFiles.foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("bilinear resize is real: hand-computed taps, identity, round-trip") {
+    import graft.multimodal.Multimodal
+    // 4x4 → 2x2 with half-pixel centers: output (0,0) samples source
+    // (0.5, 0.5) = mean of the 2x2 top-left block, exactly
+    val px = new Array[Byte](4 * 4 * 3)
+    for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3)
+      px((y * 4 + x) * 3 + c) = ((y * 4 + x) * 10 + c).toByte
+    val small = Multimodal.bilinearResizeBgr(4, 4, px, 2, 2)
+    for (c <- 0 until 3) {
+      // top-left block values: 0,10,40,50 (+c) → mean 25 (+c)
+      assert((small(c) & 0xff) == 25 + c)
+      // top-right block: 20,30,60,70 (+c) → 45 (+c)
+      assert((small(3 + c) & 0xff) == 45 + c)
+      // bottom-left block: 80,90,120,130 (+c) → 105 (+c)
+      assert((small(6 + c) & 0xff) == 105 + c)
+      // bottom-right block: 100,110,140,150 (+c) → 125 (+c)
+      assert((small(9 + c) & 0xff) == 125 + c)
+    }
+    // identity resize reproduces the buffer byte-for-byte
+    assert(Multimodal.bilinearResizeBgr(4, 4, px, 4, 4).sameElements(px))
+    // PNG re-encode round-trips through our own decoder
+    val png = Multimodal.pngFromBgr(2, 2, small)
+    val dec = Multimodal.decodePng(png)
+    assert(dec != null && dec._1 == 2 && dec._2 == 2 && dec._3.sameElements(small))
+    // e2e: every decodable image row resizes to the target dims and
+    // the payload is a valid PNG; non-image rows carry null
+    val resized = Multimodal.resizeImages(Multimodal.syntheticMedia(spark, 30), 16, 12)
+      .collect()
+    val (imgs, rest) = resized.partition(_.getString(1) == "image")
+    assert(imgs.nonEmpty && imgs.forall { r =>
+      val d = Multimodal.decodePng(r.getAs[Array[Byte]]("resized"))
+      d != null && d._1 == 16 && d._2 == 12 && r.getInt(2) >= 8 && r.getInt(3) >= 8 &&
+        // digest is over the resampled pixels, zlib-independent
+        !r.isNullAt(5)
+    })
+    assert(rest.nonEmpty && rest.forall(r => r.isNullAt(4) && r.isNullAt(5)))
+    // digests are deterministic across executions
+    val again = Multimodal.resizeImages(Multimodal.syntheticMedia(spark, 30), 16, 12)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(5)) 0L else r.getLong(5))).toMap
+    assert(resized.map(r => r.getLong(0) -> (if (r.isNullAt(5)) 0L else r.getLong(5)))
+      .toMap == again)
+  }
+
   test("MP4 box-walk sniffing is real: v0/v1 boxes, largesize, refusals") {
     import graft.multimodal.Mp4
     // writer(v0 boxes) → sniffer round-trip with exact values
