@@ -117,4 +117,29 @@ object StreamVerbs {
   def enrich(stream: DataFrame, dim: DataFrame, by: Seq[String],
              joinType: String = "left"): DataFrame =
     stream.join(broadcast(dim), by, joinType)
+
+  /** Stream-stream interval join: rows of `left` match rows of `right`
+    * with the same key whose event time lies in
+    * [leftTs − before, leftTs + after]. BOTH sides carry watermarks,
+    * and the time-range predicate is what lets Spark BOUND the join
+    * state — each side's buffer evicts rows older than
+    * watermark − interval, so state is O(rate × (lateness + interval)),
+    * never the stream history. Without the range predicate a
+    * stream-stream join would require unbounded buffering (and Spark
+    * rejects it for inner joins without watermarks). Column names must
+    * be disjoint apart from the key. The everyday shape: correlating
+    * two event feeds (clicks ↔ impressions) at 100 TB/day rates. */
+  def intervalJoin(left: DataFrame, leftTs: String,
+                   right: DataFrame, rightTs: String,
+                   by: Seq[String],
+                   before: String = "10 minutes", after: String = "10 minutes",
+                   lateness: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    val keyCond = by.map(k => l(k) === r(k)).reduce(_ && _)
+    val range = r(rightTs).between(
+      l(leftTs) - expr(s"INTERVAL $before"),
+      l(leftTs) + expr(s"INTERVAL $after"))
+    by.foldLeft(l.join(r, keyCond && range, "inner"))((d, k) => d.drop(r(k)))
+  }
 }

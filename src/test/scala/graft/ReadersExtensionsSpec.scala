@@ -831,6 +831,39 @@ class ReadersExtensionsSpec extends GraftSpec {
       r.getInt(4) >= 320 && r.getInt(5) >= 240 && r.getLong(6) >= 1000L))
   }
 
+  test("decoders and sniffers never throw on random or corrupted bytes") {
+    import graft.multimodal.{Jpeg, Multimodal}
+    // the refuse-with-null contract, adversarially: every decoder and
+    // sniffer must survive (a) pure noise, (b) bit-flipped real
+    // payloads (valid magics, corrupt internals), (c) truncations —
+    // a poisoned blob in a 100 TB corpus must never kill a task
+    def exercise(b: Array[Byte]): Unit = {
+      Multimodal.sniffMeta(b)
+      Multimodal.decodeBmp(b); Multimodal.decodePng(b); Multimodal.decodeGif(b)
+      Jpeg.decode(b); Multimodal.decodeWavSamples(b); Multimodal.decodeWavAdpcm(b)
+    }
+    val rnd = new scala.util.Random(20260812L)
+    for (_ <- 0 until 300) {
+      val b = new Array[Byte](rnd.nextInt(400))
+      rnd.nextBytes(b)
+      exercise(b)
+    }
+    val payloads = Multimodal.syntheticMedia(spark, 40).collect()
+      .map(_.getAs[Array[Byte]]("content"))
+    for (p <- payloads) {
+      for (_ <- 0 until 25) {
+        val c = p.clone()
+        for (_ <- 0 to rnd.nextInt(8)) {
+          val i = rnd.nextInt(c.length)
+          c(i) = (c(i) ^ (1 << rnd.nextInt(8))).toByte
+        }
+        exercise(c)
+      }
+      for (_ <- 0 until 10)
+        exercise(java.util.Arrays.copyOf(p, rnd.nextInt(p.length + 1)))
+    }
+  }
+
   test("readMediaDir ingests a file tree with sniffed metadata and stable ids") {
     import graft.multimodal.{Adpcm, Mp4, Multimodal}
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toFile

@@ -109,4 +109,37 @@ class StreamingSpec extends GraftSpec {
       assert(rows.find(_.getAs[Long]("user_id") == 9L).get.getAs[String]("tier") == null)
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches only within the time range") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val lIn = MemoryStream[Event]
+    val rIn = MemoryStream[Event]
+    // impressions ↔ clicks: key user_id, click within 10 min after the
+    // impression; non-key columns renamed disjoint per the verb contract
+    val imps = lIn.toDF().select(col("user_id"), col("ts"),
+      col("event_id").as("imp_id"))
+    val clicks = rIn.toDF().select(col("user_id"), col("ts").as("ts_r"),
+      col("event_id").as("click_id"))
+    val q = StreamVerbs.intervalJoin(imps, "ts", clicks, "ts_r", Seq("user_id"),
+        before = "0 minutes", after = "10 minutes", lateness = "30 minutes")
+      .writeStream.format("memory").queryName("ijoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      lIn.addData(
+        Event(10, ts(0), 1, "imp", 0.0),
+        Event(11, ts(0), 2, "imp", 0.0))
+      rIn.addData(
+        Event(20, ts(5), 1, "click", 0.0),  // in range → the one match
+        Event(21, ts(25), 1, "click", 0.0), // outside [ts, ts+10m]
+        Event(22, ts(5), 3, "click", 0.0))  // no impression for user 3
+      q.processAllAvailable()
+      val rows = spark.table("ijoin").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Long]("imp_id") == 10L &&
+        rows(0).getAs[Long]("click_id") == 20L &&
+        rows(0).getAs[Long]("user_id") == 1L)
+    } finally q.stop()
+  }
 }
