@@ -691,6 +691,12 @@ object SparkEntry {
         .sortBy("doc_id").out
     }),
 
+    // vocabulary: top-k words by global count; (n desc, word) is a
+    // total order so the k-row SET matches the oracle's LIMIT exactly
+    "q_vocab" -> ((s, d) =>
+      CrysFrame(TextFunctions.topWords(t(s, d, "documents"), col("text"), 100))
+        .out),
+
     // ---------------- extensions: multimodal ----------------
     // header sniffing (mime/dims/duration) AND the feature column are
     // REAL byte-level work for BMP/PNG/GIF pixels and PCM-WAV samples
@@ -1133,6 +1139,16 @@ object SparkEntry {
         |                     x -> CAST(ascii(x) AS BIGINT))),
         |    (acc, v) -> (acc * 31 + v) % 9007199254740881) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_vocab" ->
+      """SELECT word, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(list_filter(
+        |        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |        x -> x <> '')) AS word
+        |      FROM documents)
+        |GROUP BY word
+        |ORDER BY n DESC, word
+        |LIMIT 100""".stripMargin,
 
     // bigrams join words with ' ' — injective, words cannot contain a
     // space post-normalization; ratios deliberately NOT rounded (raw

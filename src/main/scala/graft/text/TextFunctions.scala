@@ -131,4 +131,21 @@ object TextFunctions {
     * (graft.functions.Kernels.repetitionStats). */
   def repetitionStats(norm: Column): Column =
     graft.functions.Kernels.repetitionStats(norm)
+
+  /** Corpus vocabulary: global word counts over normalized text,
+    * top-k by count with ties broken by word (a total order, so the
+    * result SET is deterministic). The tokenizer-prep primitive.
+    * Scale shape: explode is map-side; the single shuffle is the
+    * hash aggregation on the word key with map-side partial counts
+    * (vocabulary ≪ corpus), and the top-k is a TakeOrdered — k rows
+    * per partition to the driver-side merge, never the vocabulary. */
+  def topWords(docs: org.apache.spark.sql.DataFrame, textCol: Column,
+               k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, explode, lit, split}
+    docs.select(explode(split(normalizeText(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(k)
+  }
 }

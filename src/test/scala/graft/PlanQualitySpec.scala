@@ -42,6 +42,22 @@ class PlanQualitySpec extends GraftSpec {
     assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2, p)
   }
 
+  test("q_vocab partial-aggregates word counts and takes top-k, no global sort") {
+    val p = plan("q_vocab")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // one shuffle for the word aggregation; the top-k needs none
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q_repetition evaluates the kernel once in a map-only pass") {
+    val p = plan("q_repetition")
+    assert("repetitionstatsexpr".r.findAllIn(p.toLowerCase).size <= 2, p) // plan prints project once + schema echo
+    // the only exchange is the output ordering
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+  }
+
   test("q_lead_lag windows are partitioned (no global single-partition window)") {
     val p = plan("q_lead_lag")
     assert(p.contains("Window"), p)
