@@ -697,6 +697,27 @@ object SparkEntry {
       CrysFrame(TextFunctions.topWords(t(s, d, "documents"), col("text"), 100))
         .out),
 
+    // end-to-end training-data pipeline in ONE plan: quality filter →
+    // exact dedup (min-id per content hash) → per-language stats.
+    // Every aggregate is order-insensitive-exact (counts, int sums,
+    // min/max of identical 4-dp doubles) so the composite stays
+    // hash-stable; a mean would sum doubles in engine-dependent order
+    "q_pipeline" -> ((s, d) => {
+      val scored = t(s, d, "documents")
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .filter(col("quality") >= 0.67)
+      val kept = Dedup.exactByContentHash(scored, "doc_id", "text")
+      CrysFrame(kept
+        .select(col("lang"), col("quality"),
+          TextFunctions.tokenCountWs(col("text")).cast("long").as("__tok"))
+        .groupBy(col("lang"))
+        .agg(F.count(lit(1)).as("n_docs"),
+          F.sum(col("__tok")).as("total_tokens"),
+          F.min(col("quality")).as("min_quality"),
+          F.max(col("quality")).as("max_quality")))
+        .sortBy("lang").out
+    }),
+
     // ---------------- extensions: multimodal ----------------
     // header sniffing (mime/dims/duration) AND the feature column are
     // REAL byte-level work for BMP/PNG/GIF pixels and PCM-WAV samples
@@ -1139,6 +1160,43 @@ object SparkEntry {
         |                     x -> CAST(ascii(x) AS BIGINT))),
         |    (acc, v) -> (acc * 31 + v) % 9007199254740881) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline" ->
+      """WITH parts AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(length(text) AS DOUBLE) AS nchars,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}'']+'),
+        |                         t -> len(t) > 0)) AS DOUBLE) AS ntok,
+        |    CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}'']+'),
+        |                                       t -> len(t) > 0))) AS DOUBLE) AS nuniq,
+        |    CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) AS alpha,
+        |    CASE WHEN regexp_matches(text, '[.!?]["'')\]]?\s*$') THEN 1.0 ELSE 0.0 END AS term
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang, text,
+        |    round(((alpha / greatest(nchars, 1.0))
+        |         + (nuniq / greatest(ntok, 1.0))
+        |         + term
+        |         + (CASE WHEN ntok >= 5 AND ntok <= 100000 THEN 1.0 ELSE 0.0 END)
+        |         + (CASE WHEN alpha / greatest(ntok, 1.0) >= 2
+        |                  AND alpha / greatest(ntok, 1.0) <= 12 THEN 1.0 ELSE 0.0 END)) / 5.0,
+        |          4) AS quality
+        |  FROM parts),
+        |filtered AS (SELECT * FROM scored WHERE quality >= 0.67),
+        |kept AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |      ORDER BY doc_id) AS rn
+        |    FROM filtered) WHERE rn = 1)
+        |SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |           ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT)
+        |    AS total_tokens,
+        |  min(quality) AS min_quality,
+        |  max(quality) AS max_quality
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_vocab" ->
       """SELECT word, CAST(count(*) AS BIGINT) AS n
