@@ -15,7 +15,7 @@ object Bench {
     "q_join_semi", "q_spread", "q_spread_fill", "q_rank", "q_lead_lag",
     "q_cumsum", "q_time_window", "q_asof_join", "q_dedup_exact",
     "q_dedup_minhash", "q_dedup_cc", "q_embed_dedup", "q_simhash_pairs",
-    "q_token_stats", "q_repetition", "q_ann_topk")
+    "q_token_stats", "q_repetition", "q_vocab", "q_pipeline", "q_ann_topk")
 
   /** Bench-only variants for names whose VERIFY query is a correctness
     * HARNESS rather than the operator itself. q_embed_dedup's verify

@@ -134,12 +134,20 @@ object StreamVerbs {
                    by: Seq[String],
                    before: String = "10 minutes", after: String = "10 minutes",
                    lateness: String = "1 hour"): DataFrame = {
+    // fail fast on shared non-key names (incl. both sides naming their
+    // ts column the same): the join would otherwise plan fine and blow
+    // up with AMBIGUOUS_REFERENCE at the first downstream col() use
+    val shared = left.columns.toSet.intersect(right.columns.toSet) -- by
+    require(shared.isEmpty,
+      s"intervalJoin requires disjoint non-key column names; shared: ${shared.mkString(", ")}")
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
-    val keyCond = by.map(k => l(k) === r(k)).reduce(_ && _)
     val range = r(rightTs).between(
       l(leftTs) - expr(s"INTERVAL $before"),
       l(leftTs) + expr(s"INTERVAL $after"))
-    by.foldLeft(l.join(r, keyCond && range, "inner"))((d, k) => d.drop(r(k)))
+    // an empty key list is a pure time-range join — valid in Spark
+    // when both sides are watermarked (state still bounded)
+    val cond = by.map(k => l(k) === r(k)).foldLeft(range)(_ && _)
+    by.foldLeft(l.join(r, cond, "inner"))((d, k) => d.drop(r(k)))
   }
 }

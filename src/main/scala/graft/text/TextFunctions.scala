@@ -140,12 +140,10 @@ object TextFunctions {
     * (vocabulary ≪ corpus), and the top-k is a TakeOrdered — k rows
     * per partition to the driver-side merge, never the vocabulary. */
   def topWords(docs: org.apache.spark.sql.DataFrame, textCol: Column,
-               k: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, count, explode, lit, split}
+               k: Int): org.apache.spark.sql.DataFrame =
     docs.select(explode(split(normalizeText(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word"))
       .limit(k)
-  }
 }
