@@ -925,6 +925,11 @@ class ReadersExtensionsSpec extends GraftSpec {
     }
     // identity resize reproduces the buffer byte-for-byte
     assert(Multimodal.bilinearResizeBgr(4, 4, px, 4, 4).sameElements(px))
+    // upscale: a constant image stays constant at any output size
+    // (edge clamping must not bleed garbage at the borders)
+    val const = Array.fill[Byte](2 * 2 * 3)(77)
+    assert(Multimodal.bilinearResizeBgr(2, 2, const, 5, 7)
+      .forall(_ == 77.toByte))
     // PNG re-encode round-trips through our own decoder
     val png = Multimodal.pngFromBgr(2, 2, small)
     val dec = Multimodal.decodePng(png)
@@ -998,6 +1003,12 @@ class ReadersExtensionsSpec extends GraftSpec {
     // no video-sized track → audio/mp4 (geometry nulls, duration real)
     val audioOnly = ftyp ++ box("moov", box("mvhd", mvhd1))
     assert(Multimodal.sniffMeta(audioOnly) == ("audio/mp4", null, null, 7000L))
+    // real-world shapes: free/skip padding boxes between ftyp and moov,
+    // and trak listed BEFORE mvhd inside moov — both must still parse
+    val padded2 = ftyp ++ box("free", new Array[Byte](32)) ++
+      box("skip", new Array[Byte](8)) ++
+      box("moov", box("trak", box("tkhd", tkhd1)), box("mvhd", mvhd1))
+    assert(Multimodal.sniffMeta(padded2) == ("video/mp4", 1280, 720, 7000L))
     // refusals: truncated mid-box, corrupt size, non-BMFF bytes
     val bad = Mp4.mp4Bytes(64, 48, 100L, 1L)
     val truncated = bad.take(bad.length / 2) // ftyp intact, moov torn
