@@ -20,7 +20,10 @@ object Jpeg {
   /** (width, height, BGR bytes row-major top-down), or null when the
     * bytes are not a decodable baseline JPEG. */
   private[graft] def decode(b: Array[Byte]): (Int, Int, Array[Byte]) =
-    try decode0(b) catch { case _: Throwable => null }
+    // NonFatal only: corrupt entropy data → null, but VM errors must
+    // propagate (allocation is pre-guarded from header dims, so a
+    // hostile header cannot reach an OOM in the first place)
+    try decode0(b) catch { case scala.util.control.NonFatal(_) => null }
 
   private final class Huff {
     // canonical decode tables per spec F.2.2.3
@@ -226,6 +229,12 @@ object Jpeg {
                 compTq(c) > 3) return null
             c += 1
           }
+          // T.81 A.2.3: a single-component scan is NON-interleaved —
+          // data units raster over the full-resolution component, one
+          // 8x8 block per MCU. Sampling factors only describe the
+          // (absent) interleave geometry; normalizing them to 1 makes
+          // the interleaved decoder below produce exactly that layout.
+          if (nComp == 1) { compH(0) = 1; compV(0) = 1 }
           p += len
         case 0xda => // SOS — decode the single interleaved scan
           if (compId == null) return null
@@ -268,10 +277,20 @@ object Jpeg {
     val planeW = new Array[Int](nComp)
     val planeH = new Array[Int](nComp)
     val planes = new Array[Array[Int]](nComp)
+    // guard the TOTAL plane allocation (4 bytes/sample, up to 3 planes)
+    // from header-declared dims BEFORE allocating — the w*h*3 output
+    // guard alone admits ~1 GB of Int planes from a crafted SOF
+    var totalInts = 0L
     var c = 0
     while (c < nComp) {
       planeW(c) = mcusX * compH(c) * 8
       planeH(c) = mcusY * compV(c) * 8
+      totalInts += planeW(c).toLong * planeH(c)
+      c += 1
+    }
+    if (totalInts * 4 > 256L * 1024 * 1024) return null
+    c = 0
+    while (c < nComp) {
       planes(c) = new Array[Int](planeW(c) * planeH(c))
       c += 1
     }

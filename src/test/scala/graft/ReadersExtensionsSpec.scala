@@ -411,6 +411,18 @@ class ReadersExtensionsSpec extends GraftSpec {
     val dkept = Dedup.minhashDedup(docs, "doc_id", "text",
       numHashes = 32, bands = 8, threshold = 0.5, shingleSize = 4)
     assert(dkept.count() == 3)
+    // a null id (upstream outer join) must not crash the anchor UDAF:
+    // the row is excluded from candidates and survives to the output,
+    // while true dups among non-null ids are still dropped
+    val ndocs = Seq(
+      (java.lang.Long.valueOf(20L), "the quick brown fox jumps over the lazy dog again and again"),
+      (java.lang.Long.valueOf(21L), "the quick brown fox jumps over the lazy dog again and again"),
+      (null.asInstanceOf[java.lang.Long], "completely different content about distributed query engines"))
+      .toDF("doc_id", "text")
+    val nkept = Dedup.minhashDedup(ndocs, "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.5, shingleSize = 4)
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSet
+    assert(nkept == Set(20L, -1L)) // 21 deduped; the null-id row kept
   }
 
   test("connectedComponents string ids: local labels equal distributed labels") {
@@ -585,6 +597,23 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(gdec != null)
     val (gw, gh, gpx) = gdec
     assert(gw == 24 && gh == 17)
+    // T.81 A.2.3: a single-component scan is non-interleaved, so the
+    // declared sampling factors must NOT change the block layout —
+    // patch the SOF sampling byte from 1x1 to 2x2 (entropy data
+    // untouched) and require bit-identical output
+    val patched = gbytes.clone()
+    var sofAt = -1
+    var pi = 2
+    while (sofAt < 0 && pi + 4 < patched.length) {
+      if ((patched(pi) & 0xff) == 0xff && (patched(pi + 1) & 0xff) == 0xc0) sofAt = pi
+      else pi += 1
+    }
+    assert(sofAt > 0)
+    assert((patched(sofAt + 11) & 0xff) == 0x11) // gray SOF: H=V=1
+    patched(sofAt + 11) = 0x22.toByte
+    val pdec = Jpeg.decode(patched)
+    assert(pdec != null && pdec._3.sameElements(gpx),
+      "2x2-factor grayscale must decode identically to 1x1")
     val gref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gbytes))
     val graster = gref.getRaster
     var gmax = 0
