@@ -691,6 +691,26 @@ final class CrysFrame private (
       .option("nullValue", "NA").option("header", true)
       .csv(path)
 
+  /** Columnar sink for at-scale storage: parquet with optional
+    * partition columns — a partitioned layout is what lets later
+    * reads prune at file-listing time (`PartitionFilters` in the
+    * scan), the single biggest lever for 100 TB re-reads. Scale
+    * extension beyond the reference's CSV-only sink surface. */
+  def writeParquet(path: String, partitionBy: Seq[String] = Nil,
+                   mode: String = "overwrite"): Unit = {
+    requireCols(partitionBy)
+    val w = out.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** ORC sink — same contract as [[writeParquet]]. */
+  def writeOrc(path: String, partitionBy: Seq[String] = Nil,
+               mode: String = "overwrite"): Unit = {
+    requireCols(partitionBy)
+    val w = out.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** Pretty console render (reference: src/crysda/dataframe.cr:604-664). */
   def printFrame(title: String = "A DataFrame", maxRows: Int = 10): String =
     Formatters.printFrame(this, title, maxRows)

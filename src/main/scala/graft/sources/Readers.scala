@@ -279,6 +279,17 @@ object Readers {
     CrysFrame(flattenAll(spark.read.json(Seq(json).toDS())))
   }
 
+  /** Columnar at-scale sources (scale extension — the reference reads
+    * only text formats): schema from the file footers, predicate/
+    * column pushdown and partition pruning for free via the native
+    * sources. Pair with `CrysFrame.writeParquet/writeOrc(partitionBy)`
+    * for layouts that prune at file-listing time. */
+  def readParquet(spark: SparkSession, path: String): CrysFrame =
+    CrysFrame(spark.read.parquet(path))
+
+  def readOrc(spark: SparkSession, path: String): CrysFrame =
+    CrysFrame(spark.read.orc(path))
+
   def flattenAll(df0: DataFrame): DataFrame = {
     var df = df0
     var changed = true

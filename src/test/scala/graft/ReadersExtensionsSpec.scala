@@ -98,6 +98,41 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(f.names.toSet == Set("a", "b"))
   }
 
+  test("parquet/ORC partitioned sinks round-trip and prune on read") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_colsink").toFile
+    try {
+      val f = CrysFrame(Seq(
+        (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "c", 40.0))
+        .toDF("id", "grp", "v"))
+      for ((name, write, read) <- Seq(
+        ("parquet",
+          (p: String) => f.writeParquet(p, partitionBy = Seq("grp")),
+          (p: String) => Readers.readParquet(spark, p)),
+        ("orc",
+          (p: String) => f.writeOrc(p, partitionBy = Seq("grp")),
+          (p: String) => Readers.readOrc(spark, p)))) {
+        val dir = new java.io.File(base, name).getAbsolutePath
+        write(dir)
+        val back = read(dir)
+        assert(back.names.toSet == Set("id", "grp", "v"), name)
+        assert(back.out.count() == 4, name)
+        // the partitioned layout must prune at file-listing time
+        val plan = back.out.filter(col("grp") === "a")
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("PartitionFilters") &&
+          plan.contains("isnotnull(grp"), s"$name plan:\n$plan")
+        assert(back.out.filter(col("grp") === "a").count() == 2, name)
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      rm(base)
+    }
+  }
+
   // --- text analysis ---
 
   test("token counts: whitespace and BPE-ish") {
