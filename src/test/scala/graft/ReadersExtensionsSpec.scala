@@ -1079,6 +1079,12 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(Mp4.sniff(truncated) == ("video/mp4", null, null, null))
     assert(Mp4.sniff("this is not an mp4 file at all....".getBytes) == null)
     assert(Mp4.sniff(null) == null)
+    // brand-driven mimes: M4A → audio/mp4, qt → video/quicktime
+    def withBrand(brand: String): Array[Byte] =
+      box("ftyp", brand.getBytes("US-ASCII"), Array[Byte](0, 0, 2, 0),
+        "isom".getBytes) ++ box("moov", box("mvhd", mvhd1))
+    assert(Multimodal.sniffMeta(withBrand("M4A "))._1 == "audio/mp4")
+    assert(Multimodal.sniffMeta(withBrand("qt  "))._1 == "video/quicktime")
   }
 
   test("IMA-ADPCM decode is real: bit-exact vs encoder reconstruction") {
@@ -1110,6 +1116,25 @@ class ReadersExtensionsSpec extends GraftSpec {
       se / sp
     }
     assert(nmse < 0.01, s"NMSE too high: $nmse")
+    // property over random waveforms: decode(encode(x)) equals the
+    // encoder's tracked reconstruction bit-exactly for ANY input —
+    // white noise, DC offsets, full-scale swings, odd lengths
+    val prnd = new scala.util.Random(7)
+    for (trial <- 0 until 20) {
+      val len = 1 + prnd.nextInt(3000)
+      val wave = Array.tabulate[Short](len) { _ =>
+        trial % 4 match {
+          case 0 => prnd.nextInt(65536).toShort                  // white noise
+          case 1 => (prnd.nextGaussian() * 300 + 12000).toInt
+            .max(-32768).min(32767).toShort                      // high DC
+          case 2 => (if (prnd.nextBoolean()) 32767 else -32768).toShort // slam
+          case _ => (prnd.nextInt(200) - 100).toShort            // near-silence
+        }
+      }
+      val (wb, wrecon) = Adpcm.encodeWavIma(8000, wave)
+      val wdec = Multimodal.decodeWavAdpcm(wb)
+      assert(wdec != null && wdec._2.sameElements(wrecon), s"trial $trial len $len")
+    }
     // refusals: the PCM decoder must not accept ADPCM content and
     // vice versa; garbage refuses cleanly
     assert(Multimodal.decodeWavPcm16(bytes) == null)
