@@ -133,7 +133,14 @@ object StreamVerbs {
                    right: DataFrame, rightTs: String,
                    by: Seq[String],
                    before: String = "10 minutes", after: String = "10 minutes",
-                   lateness: String = "1 hour"): DataFrame = {
+                   lateness: String = "1 hour",
+                   joinType: String = "inner"): DataFrame = {
+    // outer variants are watermark-gated: an unmatched row emits
+    // null-padded only once the watermark proves no partner can still
+    // arrive — same bounded state, delayed emission
+    require(Set("inner", "left_outer", "right_outer", "full_outer")
+      .contains(joinType.toLowerCase.replace(" ", "")),
+      s"unsupported stream-stream interval joinType '$joinType'")
     // fail fast on shared non-key names (incl. both sides naming their
     // ts column the same): the join would otherwise plan fine and blow
     // up with AMBIGUOUS_REFERENCE at the first downstream col() use
@@ -148,6 +155,11 @@ object StreamVerbs {
     // an empty key list is a pure time-range join — valid in Spark
     // when both sides are watermarked (state still bounded)
     val cond = by.map(k => l(k) === r(k)).foldLeft(range)(_ && _)
-    by.foldLeft(l.join(r, cond, "inner"))((d, k) => d.drop(r(k)))
+    // one key column in the output: coalesced so unmatched outer rows
+    // (null on one side) still carry their key
+    val keyCols = by.map(k => coalesce(l(k), r(k)).as(k))
+    val lCols = left.columns.filterNot(by.contains).map(c => l(c))
+    val rCols = right.columns.filterNot(by.contains).map(c => r(c))
+    l.join(r, cond, joinType).select(keyCols ++ lCols ++ rCols: _*)
   }
 }

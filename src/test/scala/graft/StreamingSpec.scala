@@ -142,4 +142,43 @@ class StreamingSpec extends GraftSpec {
         rows(0).getAs[Long]("user_id") == 1L)
     } finally q.stop()
   }
+
+  test("left-outer interval join emits unmatched rows after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val lIn = MemoryStream[Event]
+    val rIn = MemoryStream[Event]
+    val imps = lIn.toDF().select(col("user_id"), col("ts"),
+      col("event_id").as("imp_id"))
+    val clicks = rIn.toDF().select(col("user_id"), col("ts").as("ts_r"),
+      col("event_id").as("click_id"))
+    val q = StreamVerbs.intervalJoin(imps, "ts", clicks, "ts_r", Seq("user_id"),
+        before = "0 minutes", after = "5 minutes", lateness = "10 minutes",
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("ojoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      lIn.addData(
+        Event(10, ts(0), 1, "imp", 0.0),  // will match
+        Event(11, ts(0), 2, "imp", 0.0))  // never matches
+      rIn.addData(Event(20, ts(2), 1, "click", 0.0))
+      q.processAllAvailable()
+      // advance both watermarks far past imp@0's join range so the
+      // unmatched left row is provably partnerless and must emit
+      lIn.addData(Event(30, ts(120), 9, "imp", 0.0))
+      rIn.addData(Event(31, ts(120), 9, "click", 0.0))
+      q.processAllAvailable()
+      lIn.addData(Event(32, ts(121), 9, "imp", 0.0))
+      rIn.addData(Event(33, ts(121), 9, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ojoin").collect()
+      val matched = rows.filter(r => r.getAs[Long]("imp_id") == 10L)
+      val unmatched = rows.filter(r => r.getAs[Long]("imp_id") == 11L)
+      assert(matched.length == 1 && matched(0).getAs[Long]("click_id") == 20L)
+      assert(unmatched.length == 1 && unmatched(0).isNullAt(
+        unmatched(0).fieldIndex("click_id")))
+      assert(unmatched(0).getAs[Long]("user_id") == 2L) // coalesced key
+    } finally q.stop()
+  }
 }
