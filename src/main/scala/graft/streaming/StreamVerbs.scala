@@ -127,7 +127,10 @@ object StreamVerbs {
     * never the stream history. Without the range predicate a
     * stream-stream join would require unbounded buffering (and Spark
     * rejects it for inner joins without watermarks). Column names must
-    * be disjoint apart from the key. The everyday shape: correlating
+    * be disjoint apart from the key. Output layout: the key columns
+    * FIRST (coalesced across sides so unmatched outer rows keep
+    * theirs), then left non-key columns, then right non-key columns —
+    * access by name, not position. The everyday shape: correlating
     * two event feeds (clicks ↔ impressions) at 100 TB/day rates. */
   def intervalJoin(left: DataFrame, leftTs: String,
                    right: DataFrame, rightTs: String,
@@ -137,9 +140,11 @@ object StreamVerbs {
                    joinType: String = "inner"): DataFrame = {
     // outer variants are watermark-gated: an unmatched row emits
     // null-padded only once the watermark proves no partner can still
-    // arrive — same bounded state, delayed emission
-    require(Set("inner", "left_outer", "right_outer", "full_outer")
-      .contains(joinType.toLowerCase.replace(" ", "")),
+    // arrive — same bounded state, delayed emission. Normalize ONCE
+    // (ROOT locale, spaces→underscores, trimmed) and hand Spark that
+    // exact string, so everything the require admits actually plans
+    val jt = joinType.trim.toLowerCase(java.util.Locale.ROOT).replace(" ", "_")
+    require(Set("inner", "left_outer", "right_outer", "full_outer").contains(jt),
       s"unsupported stream-stream interval joinType '$joinType'")
     // fail fast on shared non-key names (incl. both sides naming their
     // ts column the same): the join would otherwise plan fine and blow
@@ -160,6 +165,6 @@ object StreamVerbs {
     val keyCols = by.map(k => coalesce(l(k), r(k)).as(k))
     val lCols = left.columns.filterNot(by.contains).map(c => l(c))
     val rCols = right.columns.filterNot(by.contains).map(c => r(c))
-    l.join(r, cond, joinType).select(keyCols ++ lCols ++ rCols: _*)
+    l.join(r, cond, jt).select(keyCols ++ lCols ++ rCols: _*)
   }
 }

@@ -181,4 +181,43 @@ class StreamingSpec extends GraftSpec {
       assert(unmatched(0).getAs[Long]("user_id") == 2L) // coalesced key
     } finally q.stop()
   }
+
+  test("full-outer interval join keeps the key on BOTH unmatched sides") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val lIn = MemoryStream[Event]
+    val rIn = MemoryStream[Event]
+    val imps = lIn.toDF().select(col("user_id"), col("ts"),
+      col("event_id").as("imp_id"))
+    val clicks = rIn.toDF().select(col("user_id"), col("ts").as("ts_r"),
+      col("event_id").as("click_id"))
+    // spaced joinType spelling exercises the normalization too
+    val q = StreamVerbs.intervalJoin(imps, "ts", clicks, "ts_r", Seq("user_id"),
+        before = "0 minutes", after = "5 minutes", lateness = "10 minutes",
+        joinType = "FULL OUTER")
+      .writeStream.format("memory").queryName("fjoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      lIn.addData(Event(40, ts(0), 1, "imp", 0.0))   // unmatched left
+      rIn.addData(Event(41, ts(0), 2, "click", 0.0)) // unmatched right
+      q.processAllAvailable()
+      for (m <- Seq(120, 121)) { // advance both watermarks past range
+        lIn.addData(Event(50L + m, ts(m), 9, "imp", 0.0))
+        rIn.addData(Event(60L + m, ts(m), 9, "click", 0.0))
+        q.processAllAvailable()
+      }
+      val rows = spark.table("fjoin").collect()
+      val lUn = rows.filter(r => !r.isNullAt(r.fieldIndex("imp_id")) &&
+        r.getAs[Long]("imp_id") == 40L)
+      val rUn = rows.filter(r => !r.isNullAt(r.fieldIndex("click_id")) &&
+        r.getAs[Long]("click_id") == 41L)
+      assert(lUn.length == 1 && lUn(0).isNullAt(lUn(0).fieldIndex("click_id")))
+      assert(lUn(0).getAs[Long]("user_id") == 1L)
+      // the unmatched RIGHT row's key must come from the right side
+      // through the coalesce — the case left_outer never exercises
+      assert(rUn.length == 1 && rUn(0).isNullAt(rUn(0).fieldIndex("imp_id")))
+      assert(rUn(0).getAs[Long]("user_id") == 2L)
+    } finally q.stop()
+  }
 }
