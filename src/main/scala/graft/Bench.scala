@@ -15,7 +15,12 @@ object Bench {
     "q_join_semi", "q_spread", "q_spread_fill", "q_rank", "q_lead_lag",
     "q_cumsum", "q_time_window", "q_asof_join", "q_dedup_exact",
     "q_dedup_minhash", "q_dedup_cc", "q_embed_dedup", "q_simhash_pairs",
-    "q_token_stats", "q_repetition", "q_vocab", "q_pipeline", "q_ann_topk")
+    "q_token_stats", "q_repetition", "q_vocab", "q_pipeline", "q_ann_topk",
+    // LAST deliberately: the distributed CC loop spawns dozens of
+    // short stages and its async unpersist/shuffle cleanup bleeds into
+    // whatever runs next (measured +4s on the following query when it
+    // ran mid-list) — at the end it can only contaminate itself
+    "q_cc_distributed")
 
   /** Bench-only variants for names whose VERIFY query is a correctness
     * HARNESS rather than the operator itself. q_embed_dedup's verify
@@ -29,7 +34,20 @@ object Bench {
     "q_embed_dedup" -> ((s, d) =>
       graft.ml.Dedup.embeddingDedup(SparkEntry.t(s, d, "embeddings"),
         "vec_id", "embedding", threshold = 0.45, nBits = 4, bands = 64)
-        .select("vec_id")))
+        .select("vec_id")),
+    // the 100-TB connected-components code path: q_dedup_cc's pair
+    // generation, but labels forced through the DISTRIBUTED min-label
+    // + pointer-jumping loop (localEdgeLimit = 0) instead of the
+    // driver union-find — tracks the per-round cost of the path
+    // q_cc_labels oracle-checks, which the local tier otherwise hides
+    "q_cc_distributed" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val pairs = graft.ml.Dedup.minhashPairs(
+        SparkEntry.t(s, d, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.7, shingleSize = 4)
+      graft.ml.Dedup.connectedComponents(
+        pairs.select(col("id_a"), col("id_b")), localEdgeLimit = 0L)
+    }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -23,6 +23,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // library-internal persists (minhash signatures, LSH keys,
+      // q_multimodal's synthetic media frame) must not pile up across
+      // 70+ queries — same per-query cache discipline as Bench
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

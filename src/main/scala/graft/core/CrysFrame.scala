@@ -691,6 +691,56 @@ final class CrysFrame private (
       .option("nullValue", "NA").option("header", true)
       .csv(path)
 
+  /** SINGLE-file CSV — the reference's "write me one .csv" surface
+    * (reference: src/crysda/dataframe.cr:675-692, which writes to any
+    * IO). `coalesce(1)` funnels the whole frame through ONE task, so
+    * this is for driver-sized results (reports, samples, oracle dumps)
+    * — at scale use [[writeCsv]] (a directory of part files) and let
+    * the consumer glob. The part file Spark produces is renamed onto
+    * `path` via the Hadoop FileSystem API, so any supported filesystem
+    * works, not just local disk. */
+  def writeCsvFile(path: String, separator: String = ",",
+                   quoteChar: String = "\""): Unit = {
+    val hconf = out.sparkSession.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__graft_tmp__")
+    out.coalesce(1).write.mode("overwrite")
+      .option("sep", separator).option("quote", quoteChar)
+      .option("nullValue", "NA").option("header", true)
+      .csv(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    if (fs.exists(target)) fs.delete(target, true)
+    if (!fs.rename(part, target))
+      throw new IllegalStateException(s"rename $part -> $target failed")
+    fs.delete(tmp, true)
+  }
+
+  /** CSV to an in-memory string — the write-side twin of
+    * `Readers.readCsvString` and the closest Spark analogue of the
+    * reference's arbitrary-IO writer (dataframe.cr:675-692). Collects
+    * driver-side: small frames only. Quoting matches the CSV sink:
+    * fields containing the separator, quote, or a newline are quoted,
+    * embedded quotes doubled; nulls print as NA. */
+  def toCsvString(separator: String = ",", quoteChar: String = "\""): String = {
+    val sb = new StringBuilder
+    def field(v: String): String =
+      if (v == null) "NA"
+      else if (v.contains(separator) || v.contains(quoteChar) ||
+               v.contains("\n") || v.contains("\r"))
+        quoteChar + v.replace(quoteChar, quoteChar + quoteChar) + quoteChar
+      else v
+    sb.append(names.map(field).mkString(separator)).append('\n')
+    out.collect().foreach { r =>
+      sb.append(names.indices.map(i =>
+        field(if (r.isNullAt(i)) null else r.get(i).toString))
+        .mkString(separator)).append('\n')
+    }
+    sb.result()
+  }
+
   /** Columnar sink for at-scale storage: parquet with optional
     * partition columns — a partitioned layout is what lets later
     * reads prune at file-listing time (`PartitionFilters` in the

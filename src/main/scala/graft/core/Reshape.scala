@@ -31,9 +31,19 @@ private[core] object Reshape {
     }
     // collect pivot values driver-side so the pivot is single-pass and
     // the resulting column order is deterministic (sorted, like the
-    // reference's sorted distinct keys)
-    val keyVals = df.select(col(keyTmp)).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+    // reference's sorted distinct keys). The collect is capped at
+    // Spark's own pivot ceiling (spark.sql.pivotMaxValues, default
+    // 10000): keys become COLUMN NAMES, so a high-cardinality key is a
+    // user error — fail with the count bound, not an OOM'd driver.
+    val maxKeys = f.out.sparkSession.conf
+      .get("spark.sql.pivotMaxValues", "10000").toInt
+    val keyVals0 = df.select(col(keyTmp)).distinct().limit(maxKeys + 1)
+      .collect().map(_.getString(0))
+    if (keyVals0.length > maxKeys) throw new IllegalArgumentException(
+      s"spread: ($key) has more than $maxKeys distinct values — each " +
+        s"becomes a column, which cannot be what you want. Aggregate or " +
+        s"filter the key first (or raise spark.sql.pivotMaxValues).")
+    val keyVals = keyVals0.sorted.toSeq
     var out = df.drop(key).groupBy(rest.map(qcol): _*)
       .pivot(keyTmp, keyVals).agg(F.first(col(value)))
     // typed per-column fill: DataFrameNaFunctions.fill(String, cols)

@@ -241,10 +241,26 @@ case class CosineLshBandsExpr(child: Expression, bands: Int, bitsPerBand: Int,
   * result set is identical to the bare-id verify path's. */
 case class CosineBucketDupsExpr(child: Expression, threshold: Double, roundDigits: Int)
     extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def checkInputDataTypes() =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  /** Misuse must fail at ANALYSIS, not mid-task: the bucket shape is
+    * `array<struct<long, array<numeric>>>` and anything else means the
+    * caller bypassed [[graft.ml.Dedup.embeddingDedup]]'s packing. */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def fail = TypeCheckResult.TypeCheckFailure(
+      s"cosine_bucket_dups expects array<struct<id: long, vec: array<float|double|int|long>>>, got ${child.dataType.sql}")
+    child.dataType match {
+      case ArrayType(st: StructType, _) if st.length == 2 =>
+        (st(0).dataType, st(1).dataType) match {
+          case (LongType, ArrayType(FloatType | DoubleType | LongType | IntegerType, _)) =>
+            TypeCheckResult.TypeCheckSuccess
+          case _ => fail
+        }
+      case _ => fail
+    }
+  }
 
   private def elemGetter: (ArrayData, Int) => Double =
     child.dataType.asInstanceOf[ArrayType].elementType

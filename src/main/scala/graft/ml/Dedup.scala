@@ -508,11 +508,21 @@ object Dedup {
     * would shuffle the same quadratic candidate stream instead. For
     * capped large-corpus dedup semantics use [[minhashDedup]]-style
     * anchors (maxPartners) — deliberately NOT offered here to keep the
-    * exactness contract honest. */
+    * exactness contract honest.
+    *
+    * The sizing contract is ENFORCED: before the banding shuffle a
+    * one-column `count()` estimates the mean bucket load
+    * (corpus / 2^nBits) and anything above `bucketBudget` rows raises
+    * an [[IllegalArgumentException]] naming the smallest adequate
+    * nBits — a clear plan-time error instead of a task OOM hours into
+    * a 100-TB run. The guard costs one columnar count scan; pass
+    * `bucketBudget = 0` to skip it when the caller has already sized
+    * the corpus (e.g. re-running a known-good configuration). */
   def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, nBits: Int = 6,
                      bands: Int = 16, seed: Long = 42L,
-                     roundDigits: Int = 6): DataFrame = {
+                     roundDigits: Int = 6,
+                     bucketBudget: Long = 200L * 1000): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val idType = df.schema(idCol).dataType
     val dups = idType match {
@@ -526,7 +536,28 @@ object Dedup {
         // by pairs colliding in many bands at once. Result set is
         // bit-identical to the pair-join path (same accumulation order,
         // same HALF_UP rounding; see the kernel scaladoc).
-        val keyed = df.select(col(idCol).cast("long").as("__id"),
+        if (bucketBudget > 0) {
+          val corpus = df.select(col(idCol)).count()
+          val estPerBucket = corpus >> nBits
+          if (estPerBucket > bucketBudget) {
+            val needed = 64 - java.lang.Long.numberOfLeadingZeros(
+              math.max(1L, (corpus + bucketBudget - 1) / bucketBudget - 1))
+            throw new IllegalArgumentException(
+              s"embeddingDedup: nBits=$nBits puts ~$estPerBucket rows " +
+                s"(corpus=$corpus / 2^$nBits buckets) into ONE in-bucket verify " +
+                s"aggregation row — over bucketBudget=$bucketBudget and headed " +
+                s"for a task OOM, not a wrong answer. Use nBits >= $needed " +
+                s"(and re-check recall: miss prob is (1-p^nBits)^bands), " +
+                s"or raise bucketBudget if tasks have the memory, " +
+                s"or bucketBudget=0 to skip this guard.")
+          }
+        }
+        // null ids cannot participate in min-id dedup (they'd read as 0
+        // via getLong and masquerade as id 0 in the kernel); drop them
+        // from the candidate side so they survive via the left_anti,
+        // mirroring the pair-join fallback's null-safe join semantics.
+        val keyed = df.filter(col(idCol).isNotNull)
+          .select(col(idCol).cast("long").as("__id"),
           col(vecCol).as("__v"),
           graft.functions.Kernels.cosineLshBands(col(vecCol), bands, nBits, seed)
             .as("__keys"))

@@ -504,10 +504,17 @@ object Multimodal {
   }
 
   /** STUB decoder — deterministic fake "embedding" derived from the
-    * bytes, used for formats whose decode needs a codec library
-    * (JPEG pixels, compressed audio, video). Replace with a real codec
-    * (e.g. javax.imageio / ffmpeg bindings) without touching the
-    * pipeline shape. */
+    * bytes, used for the formats whose SAMPLE decode is formally
+    * scoped OUT of this pure-JVM library: perceptual audio (MP3/AAC —
+    * [[Mp3]] walks their frame headers for real metadata, but
+    * synthesizing samples needs a filterbank/MDCT codec) and video
+    * FRAME decode ([[Mp4]] reads container metadata only). Contract:
+    * same signature and determinism as the real decoders, so swapping
+    * in a codec binding (javax.imageio, ffmpeg JNI) changes no
+    * pipeline shape, schema, or partitioning — only the feature
+    * VALUES. Everything else (baseline AND progressive JPEG, PNG,
+    * GIF, BMP, PCM + IMA-ADPCM WAV) takes a real decode path and
+    * never reaches this stub. */
   private[multimodal] def fakeDecodeFeature(bytes: Array[Byte], dim: Int): Array[Float] = {
     if (bytes == null) return null
     val out = new Array[Float](dim)
@@ -526,9 +533,10 @@ object Multimodal {
   /** Decode + featurize media rows per partition. `mapPartitions` so a
     * decoder is initialized once per task, not per row — the pattern
     * that matters when the decoder is an expensive native context.
-    * Uncompressed 24-bit BMPs AND 8-bit non-interlaced PNGs get a REAL
-    * pixel decode (per-quadrant channel means); codec-requiring formats
-    * fall back to the deterministic stub. Binary-heavy frames should be
+    * BMP, PNG, GIF, baseline+progressive JPEG and PCM/ADPCM WAV get a
+    * REAL decode (per-quadrant pixel means / RMS+zero-crossing audio
+    * features); the scoped-out formats fall back to the deterministic
+    * stub. Binary-heavy frames should be
     * repartitioned by size beforehand (`maxPartitionBytes` governs scan
     * splits natively). */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
@@ -612,6 +620,11 @@ object Multimodal {
     // mvhd/tkhd boxes — real container metadata, no codec involved
     val mp4 = Mp4.sniff(b)
     if (mp4 != null) return mp4
+    // MPEG audio LAST: it has no magic bytes, only an 11-bit sync, so
+    // the walker demands Mp3.MinFrames chained frames before claiming
+    // audio/mpeg (duration/bitrate from the real frame sequence)
+    val mp3 = Mp3.sniff(b)
+    if (mp3 != null) return mp3
     (null, null, null, null)
   }
 
@@ -850,7 +863,8 @@ object Multimodal {
     * two-gradient-plus-checker pattern (JPEG is lossy — smooth content
     * keeps the round-trip meaningful, unlike the hash noise the
     * lossless formats carry). */
-  private[graft] def jpegBytes(w: Int, h: Int, id: Long): Array[Byte] = {
+  private[graft] def jpegBytes(w: Int, h: Int, id: Long,
+                               progressive: Boolean = false): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     val phase = (graft.functions.Kernels.mix(id) & 0xff).toInt
@@ -867,7 +881,15 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", bos)
+    if (progressive) {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = writer.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      writer.dispose(); ios.close()
+    } else javax.imageio.ImageIO.write(img, "jpg", bos)
     bos.toByteArray
   }
 
@@ -934,10 +956,11 @@ object Multimodal {
 
   /** Deterministic synthetic media frame for tests/demos: image rows
     * cycle fully-decodable 24-bit BMPs, real JPEGs and complete PNGs;
-    * audio rows alternate complete PCM WAVs and IMA-ADPCM WAVs
-    * (square-wave payload); video rows carry structurally valid MP4
-    * containers with real mvhd/tkhd metadata (one sub-cycle stays
-    * opaque bytes so the unknown-format stub path is exercised too). */
+    * audio rows cycle complete PCM WAVs, IMA-ADPCM WAVs (square-wave
+    * payload) and walkable MP3 frame streams; video rows carry
+    * structurally valid MP4 containers with real mvhd/tkhd metadata
+    * (one sub-cycle stays opaque bytes so the unknown-format stub path
+    * is exercised too). */
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
     spark.range(n.toLong).toDF("id").mapPartitions { it =>
@@ -949,14 +972,23 @@ object Multimodal {
             bmpBytes(8 + (id % 16).toInt, 8 + (id % 12).toInt, id)
           case "image" if id % 12 == 3 =>
             // real JPEG via the JRE's built-in encoder (java.desktop);
-            // the hand-rolled Jpeg.decode consumes it downstream. Falls
-            // back to PNG on a stripped-down JRE without ImageIO.
-            try jpegBytes(24 + (id % 32).toInt, 24 + (id % 24).toInt, id)
+            // the hand-rolled Jpeg.decode consumes it downstream —
+            // alternating baseline and PROGRESSIVE (multi-scan SOF2)
+            // streams. Falls back to PNG on a stripped-down JRE
+            // without ImageIO.
+            try jpegBytes(24 + (id % 32).toInt, 24 + (id % 24).toInt, id,
+              progressive = id % 24 == 15)
             catch { case _: Throwable =>
               pngBytes(32 + (id % 64).toInt, 32 + (id % 48).toInt, id) }
           case "image" => pngBytes(32 + (id % 64).toInt, 32 + (id % 48).toInt, id)
           case "audio" if id % 6 == 4 =>
             adpcmWavBytes(16000, 8000 + (id % 100).toInt * 160, id)
+          case "audio" if id % 9 == 7 =>
+            // MP3: real walkable frame headers (duration/bitrate from
+            // the frame walk); payload is junk → stub feature path.
+            // audio ids are ≡1 (mod 3), so this picks ids 7, 25, 43…
+            // without starving the PCM/ADPCM sub-cycles
+            Mp3.mp3Bytes(10 + (id % 40).toInt, id, withId3 = id % 18 == 7)
           case "audio" => wavBytes(16000, 8000 + (id % 100).toInt * 160, id)
           case "video" if id % 9 == 8 =>
             // opaque bytes: the honest unknown-format stub path

@@ -43,6 +43,14 @@ object Readers {
     tmp.toString
   }
 
+  /** `headerRow` mirrors the reference's INTEGER `header` option
+    * (reference: src/crysda.cr:33, builder.cr:56-66): the 0-based
+    * position of the header among surviving records — a file whose
+    * header sits at line 3 reads with `headerRow = 2`, no manual
+    * skip arithmetic. Routed through the existing skip machinery
+    * (preamble records before the header are discarded), so it
+    * composes with `skip`, blank-line rejection and comment lines
+    * exactly like a plain read. Requires `header = true`. */
   def readCsv(spark: SparkSession, path: String,
               separator: String = ",",
               quoteChar: String = "\"",
@@ -53,12 +61,17 @@ object Readers {
               trueValues: Set[String] = Inference.defaultTrue,
               falseValues: Set[String] = Inference.defaultFalse,
               multiLine: Boolean = false,
-              skipBlankLines: Boolean = true): CrysFrame = {
+              skipBlankLines: Boolean = true,
+              headerRow: Int = 0): CrysFrame = {
+    require(headerRow == 0 || header,
+      "headerRow positions the header line and needs header=true")
+    require(headerRow >= 0, s"headerRow must be >= 0, got $headerRow")
+    val effSkip = skip + headerRow
     // the skip/blank-line machinery is LINE-oriented (read-as-text then
     // re-parse): under multiLine a quoted record spanning lines would be
     // torn apart and silently corrupted — refuse the combination UP
     // FRONT, before any URL download happens
-    require(!multiLine || (skip == 0 && skipBlankLines),
+    require(!multiLine || (effSkip == 0 && skipBlankLines),
       "multiLine CSV cannot be combined with skip or skipBlankLines=false " +
         "(both preprocess line-by-line, which would tear quoted multi-line records)")
     // http/https/ftp input (reference: builder.cr:154-169): stream the
@@ -72,7 +85,7 @@ object Readers {
     path match {
       case UrlScheme(_) if !multiLine =>
         val in = java.net.URI.create(path).toURL.openStream()
-        try return readCsvStream(spark, in, separator, quoteChar, skip,
+        try return readCsvStream(spark, in, separator, quoteChar, effSkip,
           comment, header, naValue, trueValues, falseValues, skipBlankLines)
         finally in.close()
       case _ =>
@@ -87,7 +100,7 @@ object Readers {
     val reader = csvReader(spark, separator, quoteChar, comment, header,
       naValue, multiLine)
     val raw: DataFrame =
-      if (skip == 0 && skipBlankLines) reader.csv(localPath)
+      if (effSkip == 0 && skipBlankLines) reader.csv(localPath)
       else {
         // Spark's CSV source has no skip-N-lines option and ALWAYS drops
         // blank lines: read as text, apply the reference's record
@@ -101,7 +114,7 @@ object Readers {
         import spark.implicits._
         val raw0 = spark.read.text(localPath).as[String].rdd
         val afterBlanks = if (skipBlankLines) raw0.filter(_.nonEmpty) else raw0
-        val afterSkip = afterBlanks.zipWithIndex.filter(_._2 >= skip).map(_._1)
+        val afterSkip = afterBlanks.zipWithIndex.filter(_._2 >= effSkip).map(_._1)
         val lines = if (skipBlankLines) afterSkip
           else afterSkip.map(l => if (l.isEmpty) naValue else l)
         reader.csv(spark.createDataset(lines))
@@ -122,14 +135,18 @@ object Readers {
                     naValue: String = "NA",
                     trueValues: Set[String] = Inference.defaultTrue,
                     falseValues: Set[String] = Inference.defaultFalse,
-                    skipBlankLines: Boolean = true): CrysFrame = {
+                    skipBlankLines: Boolean = true,
+                    headerRow: Int = 0): CrysFrame = {
     import spark.implicits._
+    require(headerRow == 0 || header,
+      "headerRow positions the header line and needs header=true")
+    require(headerRow >= 0, s"headerRow must be >= 0, got $headerRow")
     // reference record pipeline: blank rejection before `skip`
     // (builder.cr:61-62); see readCsv for the all-NA substitution
     val afterBlanks =
       if (skipBlankLines) content.linesIterator.filter(_.nonEmpty)
       else content.linesIterator
-    val lines = afterBlanks.drop(skip)
+    val lines = afterBlanks.drop(skip + headerRow)
       .map(l => if (!skipBlankLines && l.isEmpty) naValue else l).toSeq
     val reader = csvReader(spark, separator, quoteChar, comment, header,
       naValue, multiLine = false)
@@ -150,9 +167,11 @@ object Readers {
                     naValue: String = "NA",
                     trueValues: Set[String] = Inference.defaultTrue,
                     falseValues: Set[String] = Inference.defaultFalse,
-                    skipBlankLines: Boolean = true): CrysFrame =
+                    skipBlankLines: Boolean = true,
+                    headerRow: Int = 0): CrysFrame =
     readCsvString(spark, drainMaybeGzip(in), separator, quoteChar, skip,
-      comment, header, naValue, trueValues, falseValues, skipBlankLines)
+      comment, header, naValue, trueValues, falseValues, skipBlankLines,
+      headerRow)
 
   /** Drain a stream to UTF-8 text, transparently gunzipping when the
     * 0x1f8b magic is present — the shared IO step behind every

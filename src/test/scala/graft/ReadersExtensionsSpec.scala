@@ -50,6 +50,47 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(f.numRow == 2)
   }
 
+  /** reference: src/crysda.cr:33, builder.cr:56-66 — `header` is an
+    * integer row position in the reference; headerRow mirrors it. */
+  test("headerRow reads a header buried at line 3 (file and string paths)") {
+    val content = "title line\ngenerated 2026-08-12\na,b\n1,x\n2,y\n"
+    val p = writeTmp("buried.csv", content)
+    val f = Readers.readCsv(spark, p, headerRow = 2)
+    assert(f.names == Seq("a", "b"))
+    assert(f.numRow == 2)
+    assert(f.schema("a").dataType == IntegerType)
+    val s = Readers.readCsvString(spark, content, headerRow = 2)
+    assert(s.names == Seq("a", "b") && s.numRow == 2)
+    // composes with skip (skip counts first, then headerRow positions)
+    val g = Readers.readCsv(spark, p, skip = 1, headerRow = 1)
+    assert(g.names == Seq("a", "b") && g.numRow == 2)
+    // contract: positioning a header you then ignore is an error
+    intercept[IllegalArgumentException](
+      Readers.readCsv(spark, p, header = false, headerRow = 2))
+  }
+
+  test("writeCsvFile produces ONE csv file that round-trips; toCsvString quotes") {
+    val f = CrysFrame.of(spark, Seq("id", "note"),
+      Seq(Seq(1, "plain"), Seq(2, "has,comma"), Seq(3, "has\"quote"), Seq(4, null)))
+    val dir = Files.createTempDirectory("graft_single").toFile
+    val path = new java.io.File(dir, "out.csv").getAbsolutePath
+    f.writeCsvFile(path)
+    val file = new java.io.File(path)
+    assert(file.isFile, s"$path should be a single FILE, not a directory")
+    val back = Readers.readCsv(spark, path)
+    assert(back.names == Seq("id", "note"))
+    assert(back.numRow == 4)
+    assert(back.out.filter(col("note").isNull).count() == 1) // NA → null
+    assert(back.out.filter(col("note") === "has,comma").count() == 1)
+    // overwrite: second write onto the same path succeeds
+    f.writeCsvFile(path)
+    assert(new java.io.File(path).isFile)
+    val s = f.toCsvString()
+    assert(s.startsWith("id,note\n"))
+    assert(s.contains("\"has,comma\"") && s.contains("\"has\"\"quote\""))
+    assert(s.contains("4,NA"))
+  }
+
   /** reference: src/crysda.cr:30-37, builder.cr:61-62 — blank records
     * rejected BEFORE `skip` counts; skip_blank_lines=false keeps them. */
   test("skipBlankLines: true drops blanks (before skip), false keeps all-NA rows") {
@@ -221,6 +262,23 @@ class ReadersExtensionsSpec extends GraftSpec {
       (3L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
       (4L, "completely different content about spark catalyst optimizer internals here")
     ).toDF("doc_id", "text")
+  }
+
+  test("topWords at vocabulary scale: 50k distinct words >> shuffle partitions") {
+    // the TakeOrdered contract at a vocabulary far beyond the partition
+    // count: exact top-k, k rows to the driver, never the vocabulary
+    val n = 50000
+    val docs = spark.range(n).selectExpr(
+      "concat_ws(' ', transform(sequence(1, cast(id % 5 + 1 as int)), " +
+        "x -> concat('w', cast(id as string)))) as text")
+    val expected = (0 until n).map(i => (s"w$i", (i % 5 + 1).toLong))
+      .sortBy { case (w, c) => (-c, w) }.take(25)
+    val top = TextFunctions.topWords(docs, col("text"), 25)
+    val got = top.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    // plan shape: a TakeOrdered merge, not a global sort of 50k words
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
 
   test("exact dedup by content hash keeps min id") {
@@ -460,6 +518,46 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(nkept == Set(20L, -1L)) // 21 deduped; the null-id row kept
   }
 
+  test("embeddingDedup enforces bucket sizing with a clear error, not an OOM") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val df = (0 until 1000).map(i =>
+      (i.toLong, Seq.fill(8)(rng.nextGaussian().toFloat))).toDF("id", "vec")
+    // nBits=2 puts ~1000/4 = 250 rows per bucket: over a 10-row budget
+    // the guard must refuse BEFORE the banding shuffle with a message
+    // that names the smallest adequate nBits (2^7 = 128 >= 1000/10)
+    val err = intercept[IllegalArgumentException] {
+      Dedup.embeddingDedup(df, "id", "vec", threshold = 0.9,
+        nBits = 2, bands = 4, bucketBudget = 10L)
+    }
+    assert(err.getMessage.contains("nBits >= 7"), err.getMessage)
+    assert(err.getMessage.contains("bucketBudget=10"), err.getMessage)
+    // the same call sized correctly (or with the guard waived) runs
+    assert(Dedup.embeddingDedup(df, "id", "vec", threshold = 0.9,
+      nBits = 7, bands = 4, bucketBudget = 10L).count() > 0)
+    assert(Dedup.embeddingDedup(df, "id", "vec", threshold = 0.9,
+      nBits = 2, bands = 4, bucketBudget = 0L).count() > 0)
+  }
+
+  test("embeddingDedup integral-id path: null ids survive and never act as id 0") {
+    import spark.implicits._
+    // a null id must not read as 0 inside the bucket kernel: row 0L is a
+    // genuine id whose vector matches the null row's — if the null
+    // masqueraded as 0, 0 would 'dup' itself away or phantom-drop others
+    val v = Seq(1.0f, 0.5f, 0.2f, 0.1f)
+    val df = Seq(
+      (java.lang.Long.valueOf(0L), v),
+      (null.asInstanceOf[java.lang.Long], v),
+      (java.lang.Long.valueOf(5L), Seq(-1.0f, 0.3f, 0.9f, -0.4f)))
+      .toDF("id", "vec")
+    val kept = Dedup.embeddingDedup(df, "id", "vec", threshold = 0.9,
+      nBits = 2, bands = 4)
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSet
+    // null row kept (not a candidate), id 0 kept (lowest), id 5 kept
+    // (dissimilar) — nothing dropped
+    assert(kept == Set(-1L, 0L, 5L))
+  }
+
   test("connectedComponents string ids: local labels equal distributed labels") {
     import spark.implicits._
     // U+FFFD sorts BELOW a supplementary-plane char in UTF-8 byte order
@@ -656,7 +754,7 @@ class ReadersExtensionsSpec extends GraftSpec {
       gmax = math.max(gmax,
         math.abs((gpx((y * gw + x) * 3) & 0xff) - graster.getSample(x, y, 0)))
     assert(gmax <= 3, s"gray maxDiff=$gmax")
-    // refusals: progressive JPEGs and non-JPEG bytes return null
+    // refusals: non-JPEG bytes return null
     assert(Jpeg.decode("definitely not a jpeg".getBytes) == null)
     assert(Jpeg.decode(null) == null)
     // end-to-end: synthetic JPEG rows flow through extractFeatures with
@@ -665,6 +763,79 @@ class ReadersExtensionsSpec extends GraftSpec {
       .collect().filter(r => r.getLong(0) % 12 == 3)
     assert(feats.nonEmpty)
     assert(feats.forall(_.getAs[Seq[Float]]("feature").forall(v => v >= 0f && v <= 1f)))
+  }
+
+  test("JPEG progressive decode is real: multi-scan SOF2 vs ImageIO") {
+    import graft.multimodal.Jpeg
+    def encodeProg(img: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    def isSof2(b: Array[Byte]): Boolean =
+      b.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2)
+    // smooth color content, non-MCU-multiple dims (edge blocks +
+    // 4:2:0 interleaved DC scan + per-component AC scans + refinements)
+    val w = 37; val h = 29
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = x * 255 / (w - 1); val g = y * 255 / (h - 1)
+      val b = (x + y) * 255 / (w + h - 2)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    for (q <- Seq(0.7f, 0.95f)) {
+      val bytes = encodeProg(img, q)
+      assert(isSof2(bytes), "encoder did not produce a progressive stream")
+      val dec = Jpeg.decode(bytes)
+      assert(dec != null, s"progressive decode failed at q=$q")
+      val (dw, dh, px) = dec
+      assert(dw == w && dh == h)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var maxDiff = 0; var sumDiff = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = ref.getRGB(x, y)
+        val o = (y * w + x) * 3
+        val db = math.abs((px(o) & 0xff) - (rgb & 0xff))
+        val dg = math.abs((px(o + 1) & 0xff) - ((rgb >> 8) & 0xff))
+        val dr = math.abs((px(o + 2) & 0xff) - ((rgb >> 16) & 0xff))
+        maxDiff = math.max(maxDiff, math.max(db, math.max(dg, dr)))
+        sumDiff += db + dg + dr
+      }
+      val meanDiff = sumDiff.toDouble / (w * h * 3)
+      assert(maxDiff <= 16 && meanDiff <= 2.0,
+        s"q=$q maxDiff=$maxDiff meanDiff=$meanDiff")
+    }
+    // grayscale progressive: single component, every scan non-interleaved
+    val gw = 24; val gh = 17
+    val gimg = new java.awt.image.BufferedImage(gw, gh,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until gh; x <- 0 until gw) {
+      val v = (math.sin(x * 0.4) * 60 + math.cos(y * 0.6) * 50 + 128).toInt.max(0).min(255)
+      gimg.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val gbytes = encodeProg(gimg, 0.9f)
+    assert(isSof2(gbytes))
+    val gdec = Jpeg.decode(gbytes)
+    assert(gdec != null)
+    val gref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gbytes))
+    val graster = gref.getRaster
+    var gmax = 0
+    for (y <- 0 until gh; x <- 0 until gw)
+      gmax = math.max(gmax,
+        math.abs((gdec._3((y * gw + x) * 3) & 0xff) - graster.getSample(x, y, 0)))
+    assert(gmax <= 3, s"gray maxDiff=$gmax")
+    // truncation mid-scan refuses (no EOI, no reconstruction)
+    val cut = encodeProg(img, 0.9f)
+    assert(Jpeg.decode(cut.take(cut.length / 2)) == null)
   }
 
   test("PNG pixel decode is real: pixel-exact vs a JDK-ImageIO golden") {
@@ -831,6 +1002,7 @@ class ReadersExtensionsSpec extends GraftSpec {
     // their quarters agree only approximately
     val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 12), dim = 8)
       .collect().filter(_.getString(1) == "audio")
+      .filterNot(r => r.getLong(0) % 9 == 7 && r.getLong(0) % 6 != 4) // MP3 rows: stub path
     val (adpcm, pcm) = feats.partition(_.getLong(0) % 6 == 4)
     assert(pcm.nonEmpty && adpcm.nonEmpty)
     assert(pcm.forall { r =>
@@ -887,7 +1059,10 @@ class ReadersExtensionsSpec extends GraftSpec {
       .forall(r => Set("image/png", "image/bmp", "image/jpeg").contains(r.getString(3)) &&
         r.getInt(4) >= 8))
     assert(sniffed.filter(_.getString(1) == "audio")
-      .forall(r => r.getString(3) == "audio/wav" && r.getLong(6) > 0))
+      .forall(r => Set("audio/wav", "audio/mpeg").contains(r.getString(3)) &&
+        r.getLong(6) > 0))
+    // the MP3 sub-cycle (id % 6 == 1 among audio rows) actually occurs
+    assert(sniffed.exists(r => r.getString(3) == "audio/mpeg"))
     val (opaque, mp4s) = sniffed.filter(_.getString(1) == "video")
       .partition(r => r.getLong(0) % 9 == 8)
     assert(opaque.nonEmpty && opaque.forall(_.isNullAt(3)))
@@ -1085,6 +1260,46 @@ class ReadersExtensionsSpec extends GraftSpec {
         "isom".getBytes) ++ box("moov", box("mvhd", mvhd1))
     assert(Multimodal.sniffMeta(withBrand("M4A "))._1 == "audio/mp4")
     assert(Multimodal.sniffMeta(withBrand("qt  "))._1 == "video/quicktime")
+  }
+
+  test("MP3 frame walk is real: duration/bitrate from chained headers") {
+    import graft.multimodal.Mp3
+    // 38 frames of MPEG-1 Layer III @ 44100: duration is EXACTLY
+    // 38 * 1152 / 44100 s = 992.65... -> 993 ms, regardless of payload
+    val plain = Mp3.mp3Bytes(38, id = 5L)
+    assert(Mp3.walk(plain) == (38, 993L, 128, 44100))
+    assert(Multimodal.sniffMeta(plain) == ("audio/mpeg", null, null, 993L))
+    // a leading ID3v2 tag is skipped via its syncsafe size
+    val tagged = Mp3.mp3Bytes(38, id = 6L, withId3 = true)
+    assert(Multimodal.sniffMeta(tagged) == ("audio/mpeg", null, null, 993L))
+    // trailing ID3v1 block ends the walk cleanly, frames unchanged
+    val v1 = plain ++ ("TAG" + "x" * 125).getBytes("US-ASCII")
+    assert(Mp3.walk(v1) == (38, 993L, 128, 44100))
+    // under MinFrames chained frames the bytes are NOT mp3 (the
+    // false-positive guard random payloads rely on)
+    assert(Mp3.sniff(Mp3.mp3Bytes(2, id = 7L)) == null)
+    // truncation mid-stream keeps only the complete frames
+    val cut = plain.take(418 + 417 + 418 + 100) // 3 frames + a torn 4th
+    assert(Mp3.walk(cut)._1 == 3)
+    // hand-built VBR: 128k frame chained to a 192k frame (idx 11) —
+    // the walk must honor EACH header's own length and average them
+    def frame(brIdx: Int, len: Int): Array[Byte] = {
+      val f = new Array[Byte](len)
+      f(0) = 0xFF.toByte; f(1) = 0xFB.toByte
+      f(2) = (brIdx << 4).toByte; f(3) = 0x44
+      f
+    }
+    val vbr = frame(9, 417) ++ frame(11, 626) ++ frame(9, 417) ++ frame(11, 626)
+    val (fr, dur, kbps, rate) = Mp3.walk(vbr)
+    assert(fr == 4 && rate == 44100)
+    assert(kbps == (128 + 192 + 128 + 192) / 4)
+    assert(dur == math.round(4 * 1152 * 1000.0 / 44100))
+    // refusals: random bytes, reserved version/layer, free-format bitrate
+    assert(Mp3.sniff("definitely not mpeg audio data at all".getBytes) == null)
+    assert(Mp3.sniff(null) == null)
+    val reserved = plain.clone
+    reserved(1) = 0xF3.toByte // version bits = 01 (reserved) in frame 1
+    assert(Mp3.walk(reserved) == null || Mp3.walk(reserved)._1 < 38)
   }
 
   test("IMA-ADPCM decode is real: bit-exact vs encoder reconstruction") {

@@ -27,6 +27,21 @@ class ReshapeBindSpec extends GraftSpec {
     intercept[IllegalArgumentException](dup.spread("year", "weight", verify = true))
   }
 
+  test("spread refuses a high-cardinality key with a clear error (pivotMaxValues)") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.pivotMaxValues", "10000")
+    spark.conf.set("spark.sql.pivotMaxValues", "50")
+    try {
+      val tall = CrysFrame((1 to 200).map(i => (i % 4, s"k$i", i)).toDF("g", "key", "value"))
+      val err = intercept[IllegalArgumentException](tall.spread("key", "value"))
+      assert(err.getMessage.contains("more than 50 distinct values"), err.getMessage)
+      // under the cap it still pivots
+      val ok = CrysFrame((1 to 40).map(i => (i % 4, s"k${i % 10}", i)).toDF("g", "key", "value"))
+        .spread("key", "value")
+      assert(ok.names.length == 11) // g + 10 pivot columns
+    } finally spark.conf.set("spark.sql.pivotMaxValues", prev)
+  }
+
   test("gather coerces mixed numeric columns to double") {
     val f = CrysFrame.of(spark, Seq("id", "i", "d"),
       Seq(Seq(1, 10, 1.5), Seq(2, 20, 2.5)))

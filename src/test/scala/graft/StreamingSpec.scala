@@ -220,4 +220,51 @@ class StreamingSpec extends GraftSpec {
       assert(rUn(0).getAs[Long]("user_id") == 2L)
     } finally q.stop()
   }
+
+  test("e2e on files: readEventStream → intervalJoin → parquet sink via AvailableNow") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    // the full production loop on the one entry point the MemoryStream
+    // cases bypass: parquet in → file-source stream → stateful join →
+    // exactly-once parquet out, drained by Trigger.AvailableNow
+    val root = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    Seq(Event(10, ts(0), 1, "imp", 1.0),   // matched by click 20
+        Event(11, ts(0), 2, "imp", 2.0),   // click 30 min later: outside range
+        Event(12, ts(0), 9, "imp", 9.0))   // no click at all
+      .toDS().write.parquet(s"$root/imps")
+    Seq(Event(20, ts(5), 1, "click", 0.5),
+        Event(21, ts(30), 2, "click", 0.7),
+        Event(22, ts(2), 7, "click", 0.9)) // no impression
+      .toDS().write.parquet(s"$root/clicks")
+    val clicks = StreamVerbs.readEventStream(spark, s"$root/clicks")
+      .select(col("event_id").as("click_id"), col("ts").as("cts"), col("user_id"))
+    val imps = StreamVerbs.readEventStream(spark, s"$root/imps")
+      .select(col("event_id").as("imp_id"), col("ts").as("its"),
+        col("user_id"), col("value").as("imp_value"))
+    // a click attributes to an impression of the SAME user within the
+    // 10 minutes BEFORE the click
+    val q = StreamVerbs.intervalJoin(clicks, "cts", imps, "its", Seq("user_id"),
+        before = "10 minutes", after = "0 seconds", lateness = "5 minutes")
+      .writeStream.format("parquet")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Append()).start()
+    q.awaitTermination(120000L)
+    val out = spark.read.parquet(s"$root/out").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("click_id") == 20L)
+    assert(out(0).getAs[Long]("imp_id") == 10L)
+    assert(out(0).getAs[Long]("user_id") == 1L)
+    assert(out(0).getAs[Double]("imp_value") == 1.0)
+    // restart on the same checkpoint: exactly-once means no re-emission
+    val q2 = StreamVerbs.intervalJoin(clicks, "cts", imps, "its", Seq("user_id"),
+        before = "10 minutes", after = "0 seconds", lateness = "5 minutes")
+      .writeStream.format("parquet")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Append()).start()
+    q2.awaitTermination(120000L)
+    assert(spark.read.parquet(s"$root/out").count() == 1)
+  }
 }
