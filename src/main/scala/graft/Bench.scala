@@ -13,7 +13,7 @@ object Bench {
   private val headline = Seq(
     "q1_agg", "q_filter", "q_sort", "q_join_inner", "q_join_left",
     "q_join_semi", "q_spread", "q_spread_fill", "q_rank", "q_lead_lag",
-    "q_cumsum", "q_time_window", "q_asof_join", "q_dedup_exact",
+    "q_cumsum", "q_time_window", "q_sessionize", "q_asof_join", "q_dedup_exact",
     "q_dedup_minhash", "q_dedup_cc", "q_embed_dedup", "q_simhash_pairs",
     "q_token_stats", "q_repetition", "q_vocab", "q_pipeline", "q_ann_topk",
     // LAST deliberately: the distributed CC loop spawns dozens of
@@ -77,11 +77,22 @@ object Bench {
     // subsidize a later query that builds the identical sub-plan —
     // each triple stays self-contained (run 1 pays its own persists,
     // runs 2-3 measure steady state).
+    // clearCache alone leaves dead shuffle state behind — Spark's
+    // ContextCleaner only reaps it when the owning objects are GC'd,
+    // and a 24g heap may not GC for minutes, so earlier queries' debris
+    // (cleaner thread churn, shuffle-file pressure) bleeds into later
+    // measurements (observed: q_dedup_cc min-of-3 swinging 1.3→3.9 s
+    // run to run). Force a GC at each reset so every query starts from
+    // the same reclaimed state.
+    def reset(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+    }
     headline.foreach(run)
-    spark.catalog.clearCache()
+    reset()
     val results = headline.map { n =>
       val r = n -> (1 to 3).map(_ => run(n)).min
-      spark.catalog.clearCache()
+      reset()
       r
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

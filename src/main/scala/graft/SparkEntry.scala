@@ -245,6 +245,19 @@ object SparkEntry {
           "na_q" -> (_ => Agg.na(col("l_quantity"))))
         .sortBy("l_linestatus").out),
 
+    // exact interpolating percentiles at arbitrary p (the median
+    // generalization, SQL percentile_cont ≡ DuckDB quantile_cont);
+    // rounded to 6dp like median_q so the interpolation arithmetic
+    // stays bit-stable across engines
+    "q_percentile" -> ((s, d) =>
+      cf(s, d, "lineitem").groupBy("l_returnflag")
+        .summarize(
+          "p10" -> (_ => round(Agg.percentile(col("l_extendedprice"), 0.10, removeNa = true), 6)),
+          "p25" -> (_ => round(Agg.percentile(col("l_extendedprice"), 0.25, removeNa = true), 6)),
+          "p90" -> (_ => round(Agg.percentile(col("l_extendedprice"), 0.90, removeNa = true), 6)),
+          "p99" -> (_ => round(Agg.percentile(col("l_extendedprice"), 0.99, removeNa = true), 6)))
+        .sortBy("l_returnflag").out),
+
     "q_cube" -> ((s, d) =>
       cf(s, d, "lineitem")
         .summarizeCube(Seq("l_returnflag", "l_linestatus"),
@@ -502,6 +515,17 @@ object SparkEntry {
         .agg(F.count(lit(1)).as("n"),
           F.sum(dec2(col("value"))).cast("decimal(28,2)").cast("double").as("sum_value")))
         .sortBy("hour", "event_type").out),
+
+    // batch gap sessionization (operators.Sessionize): integer-micros
+    // gap arithmetic + decimal-exact value sums keep every column
+    // hash-stable against the SQL lag→flag→running-sum oracle;
+    // event_id tiebreak makes equal-ts lag order engine-independent
+    "q_sessionize" -> ((s, d) =>
+      CrysFrame(graft.operators.Sessionize.sessionStats(
+        t(s, d, "events").filter(col("ts").isNotNull),
+        keyCols = Seq("user_id"), tsCol = "ts", gapMs = 30L * 60 * 1000,
+        valueCol = "value", tieBreak = Seq("event_id")))
+        .sortBy("user_id", "session_index").out),
 
     // ---------------- extensions: dedup ----------------
     "q_dedup_exact" -> ((s, d) =>
@@ -871,6 +895,14 @@ object SparkEntry {
         |  count(CASE WHEN l_quantity IS NULL THEN 1 END) AS na_q
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.10), 6) AS p10,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.90), 6) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -1093,6 +1125,27 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour, event_type, count(*) AS n,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_index
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_index AS BIGINT) AS session_index,
+        |  epoch_us(min(ts)) // 1000000 AS start_s,
+        |  epoch_us(max(ts)) // 1000000 AS end_s,
+        |  count(*) AS n_events,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, session_index
+        |ORDER BY user_id, session_index""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT doc_id, lang, n_chars FROM (

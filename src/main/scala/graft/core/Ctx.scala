@@ -152,6 +152,20 @@ object Agg {
     * no full sort) but NOT reference semantics on even counts. */
   def medianApprox(c: Column, removeNa: Boolean = false): Column =
     wrap(c, percentile_approx(c, lit(0.5), lit(10000)), removeNa)
+  /** Exact interpolating percentile at arbitrary p ∈ [0,1] — the
+    * generalization of [[median]] (SQL `percentile_cont` semantics,
+    * matching DuckDB's `quantile_cont`). Exact percentile sorts each
+    * group's values; for corpus-scale quantiles where an error bound
+    * is acceptable use [[percentileApprox]] (mergeable sketch). */
+  def percentile(c: Column, p: Double, removeNa: Boolean = false): Column = {
+    require(p >= 0.0 && p <= 1.0, s"percentile p must be in [0,1], got $p")
+    wrap(c, F.percentile(c, lit(p)), removeNa)
+  }
+  def percentileApprox(c: Column, p: Double, accuracy: Int = 10000,
+                       removeNa: Boolean = false): Column = {
+    require(p >= 0.0 && p <= 1.0, s"percentile p must be in [0,1], got $p")
+    wrap(c, percentile_approx(c, lit(p), lit(accuracy)), removeNa)
+  }
   /** sample sd, n-1 denominator (reference: src/crysda/extension.cr:96-106) */
   def sd(c: Column, removeNa: Boolean = false): Column = wrap(c, stddev_samp(c), removeNa)
   def sv(c: Column, removeNa: Boolean = false): Column = wrap(c, var_samp(c), removeNa)

@@ -155,6 +155,35 @@ class CoreVerbsSpec extends GraftSpec {
     assert(ok.out.collect()(0).getDouble(0) == 1.0)
   }
 
+  test("percentile: exact interpolation at arbitrary p, strict-NA, approx in-band") {
+    val f = CrysFrame.of(spark, Seq("v"),
+      (1 to 10).map(i => Seq(i.toDouble * 10)))
+    // rank p*(n-1): p=0.25 on 10..100 → index 2.25 → 30 + 0.25*10 = 32.5
+    val got = f.summarize(
+      "p25" -> (_ => Agg.percentile(col("v"), 0.25)),
+      "p50" -> (_ => Agg.percentile(col("v"), 0.5)),
+      "p100" -> (_ => Agg.percentile(col("v"), 1.0))).out.collect()(0)
+    assert(got.getDouble(0) == 32.5 && got.getDouble(1) == 55.0 &&
+      got.getDouble(2) == 100.0)
+    // p50 ≡ median (the generalization contract)
+    assert(f.summarize("m" -> (_ => Agg.medianExact(col("v"))))
+      .out.collect()(0).getDouble(0) == 55.0)
+    // strict-NA raise mirrors the other aggregates
+    val withNa = CrysFrame.of(spark, Seq("v"), Seq(Seq(1.0), Seq(null.asInstanceOf[Any])))
+    val e = intercept[Exception](
+      withNa.summarize("p" -> (_ => Agg.percentile(col("v"), 0.5))).out.collect())
+    assert(e.getMessage.contains("MissingValueException")
+      || e.getCause != null && e.getCause.getMessage.contains("MissingValueException"))
+    assert(withNa.summarize(
+      "p" -> (_ => Agg.percentile(col("v"), 0.5, removeNa = true)))
+      .out.collect()(0).getDouble(0) == 1.0)
+    // approx stays within the sketch's rank guarantee on this tiny set
+    val ap = f.summarize(
+      "p" -> (_ => Agg.percentileApprox(col("v"), 0.25))).out.collect()(0).getDouble(0)
+    assert(ap >= 20.0 && ap <= 40.0, s"approx p25=$ap")
+    intercept[IllegalArgumentException](Agg.percentile(col("v"), 1.5))
+  }
+
   test("count cross-tabulation and bare count") {
     val f = persons.count()
     assert(f.out.collect()(0).getLong(0) == 3L)

@@ -106,4 +106,66 @@ class PropertiesSpec extends GraftSpec {
       }
     }
   }
+
+  test("property: MP3 walk recovers frames/duration/bitrate of arbitrary VBR streams") {
+    // pure-JVM property (no Spark jobs): serialize random VALID frame
+    // sequences from the PUBLIC header tables (ISO/IEC 11172-3 —
+    // restated here independently of the implementation) and require
+    // the walker to recover the exact frame count, per-frame-summed
+    // duration, and mean bitrate. Fixed version/layer/rate per stream
+    // (like real files), per-frame bitrate + padding (VBR).
+    import graft.multimodal.Mp3
+    val brTables = Map( // (mpeg1, layer) -> kbps by header index
+      (true, 3)  -> Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448, 0),
+      (true, 2)  -> Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384, 0),
+      (true, 1)  -> Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0),
+      (false, 3) -> Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256, 0),
+      (false, 2) -> Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0),
+      (false, 1) -> Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0))
+    val genStream = for {
+      ver <- Gen.oneOf(3, 2, 0)      // MPEG1 / MPEG2 / MPEG2.5
+      layer <- Gen.oneOf(3, 2, 1)    // I / II / III
+      srIdx <- Gen.choose(0, 2)
+      n <- Gen.choose(3, 20)
+      brs <- Gen.listOfN(n, Gen.choose(1, 14))
+      pads <- Gen.listOfN(n, Gen.choose(0, 1))
+      seed <- Gen.choose(1L, Long.MaxValue)
+    } yield (ver, layer, srIdx, brs, pads, seed)
+    check("mp3.walk", cases = 40) {
+      Prop.forAll(genStream) { case (ver, layer, srIdx, brs, pads, seed) =>
+        val mpeg1 = ver == 3
+        val rate = Array(44100, 48000, 32000)(srIdx) >>
+          (if (ver == 3) 0 else if (ver == 2) 1 else 2)
+        val out = new java.io.ByteArrayOutputStream()
+        var rng = seed
+        var expDur = 0.0
+        brs.zip(pads).foreach { case (brIdx, pad) =>
+          val kbps = brTables((mpeg1, layer))(brIdx)
+          val (samples, len) = layer match {
+            case 3 => (384, (12 * kbps * 1000 / rate + pad) * 4)
+            case 2 => (1152, 144 * kbps * 1000 / rate + pad)
+            case _ => if (mpeg1) (1152, 144 * kbps * 1000 / rate + pad)
+                      else (576, 72 * kbps * 1000 / rate + pad)
+          }
+          expDur += samples * 1000.0 / rate
+          out.write(0xFF)
+          out.write(0xE0 | (ver << 3) | (layer << 1) | 1)
+          out.write((brIdx << 4) | (srIdx << 2) | (pad << 1))
+          out.write(0x44)
+          var j = 4
+          while (j < len) {
+            rng ^= rng << 13; rng ^= rng >>> 7; rng ^= rng << 17
+            out.write((rng & 0xff).toInt)
+            j += 1
+          }
+        }
+        val got = Mp3.walk(out.toByteArray)
+        got != null &&
+          got._1 == brs.length &&
+          got._2 == math.round(expDur) &&
+          got._3 == brs.map(i => brTables((mpeg1, layer))(i).toLong).sum / brs.length &&
+          got._4 == rate
+      }
+    }
+  }
 }

@@ -160,4 +160,41 @@ class WindowJoinsSpec extends GraftSpec {
       .orderBy("id").collect()
     assert(rows.forall(_.isNullAt(rows(0).fieldIndex("v"))))
   }
+
+  test("batch sessionize: strict-gap boundary, ties, and shared window sort") {
+    import spark.implicits._
+    import graft.operators.Sessionize
+    val base = 1700000000000L
+    def t(sec: Long) = new java.sql.Timestamp(base + sec * 1000)
+    val df = Seq(
+      (1L, t(0), 1L, 1.0),
+      (2L, t(1800), 1L, 2.0),        // exactly gapMs later: SAME session
+      (3L, t(1800 + 1801), 1L, 3.0), // gap + 1s: new session
+      (4L, t(0), 2L, 5.0),
+      (5L, t(0), 2L, 6.0))           // equal ts: event_id tiebreak, one session
+      .toDF("event_id", "ts", "user_id", "value")
+    val assigned = Sessionize.assignSessions(df, Seq("user_id"), "ts",
+      gapMs = 30 * 60 * 1000L, tieBreak = Seq("event_id"))
+      .select("event_id", "session_index").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 0L))
+    val stats = Sessionize.sessionStats(df, Seq("user_id"), "ts",
+      gapMs = 30 * 60 * 1000L, valueCol = "value", tieBreak = Seq("event_id"))
+    val rows2 = stats.orderBy("user_id", "session_index").collect()
+    assert(rows2.length == 3)
+    val s0 = rows2(0) // user 1 session 0: events 1+2
+    assert(s0.getAs[Long]("n_events") == 2 && s0.getAs[Double]("sum_value") == 3.0)
+    assert(s0.getAs[Long]("end_s") - s0.getAs[Long]("start_s") == 1800L)
+    val s2 = rows2(2) // user 2: both tied events in ONE session
+    assert(s2.getAs[Long]("n_events") == 2 && s2.getAs[Double]("sum_value") == 11.0)
+    // plan shape: lag + running sum share ONE sort over ONE exchange,
+    // and the stats aggregation reuses that partitioning (grouping on
+    // (user_id, session_index) is co-located by hashpartitioning
+    // (user_id)) — the whole operator costs a single shuffle
+    val plan = stats.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val sorts = "\\bSort \\[".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${plan.take(2000)}")
+    assert(sorts == 1, s"expected 1 sort, got $sorts:\n${plan.take(2000)}")
+  }
 }
