@@ -527,6 +527,43 @@ object SparkEntry {
         valueCol = "value", tieBreak = Seq("event_id")))
         .sortBy("user_id", "session_index").out),
 
+    // approximate distinct counting (HLL++), the cardinality tool that
+    // replaces exact count-distinct at 100 TB (mergeable sketch, fixed
+    // memory, no expand). The emitted count is the EXACT one (oracle-
+    // hashable); the sketch estimate is proven in-band IN the output
+    // column itself — when it strays past 5x the configured rsd,
+    // raise_error fires instead of a row, and because the check wraps
+    // the kept column Catalyst cannot prune it away
+    "q_approx_distinct" -> ((s, d) => {
+      val rsd = 0.02
+      val agg = t(s, d, "documents").groupBy(col("lang"))
+        .agg(F.countDistinct(col("text")).as("__exact"),
+          F.approx_count_distinct(col("text"), rsd).as("__approx"))
+      CrysFrame(agg.select(col("lang"),
+        when(F.abs(col("__approx") - col("__exact")).cast("double") >
+            F.greatest(lit(5.0), col("__exact") * (5 * rsd)),
+          F.raise_error(concat(lit("approx_count_distinct out of band: lang="),
+            col("lang"), lit(" exact="), col("__exact").cast("string"),
+            lit(" approx="), col("__approx").cast("string"))).cast("long"))
+          .otherwise(col("__exact")).as("n_distinct")))
+        .sortBy("lang").out
+    }),
+
+    // greedy sequence packing (operators.Pack): fit documents into
+    // 2048-token bins per language, walked in doc_id order — the
+    // pre-training batching step. The walk is strictly sequential per
+    // key, so the oracle is a recursive CTE doing the identical walk
+    "q_pack" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      CrysFrame(graft.operators.Pack.greedyPack(docs,
+        keyCols = Seq("lang"), orderCols = Seq("doc_id"),
+        sizeCol = "n_tok", budget = 2048L)
+        .select(col("doc_id"), col("lang"), col("bin_index")))
+        .sortBy("doc_id").out
+    }),
+
     // ---------------- extensions: dedup ----------------
     "q_dedup_exact" -> ((s, d) =>
       CrysFrame(Dedup.exactByContentHash(t(s, d, "documents"), "doc_id", "text")
@@ -1146,6 +1183,27 @@ object SparkEntry {
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_index
         |ORDER BY user_id, session_index""".stripMargin,
+
+    "q_approx_distinct" ->
+      """SELECT lang, count(DISTINCT text) AS n_distinct
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_pack" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS tok,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |walk AS (
+        |  SELECT doc_id, lang, tok, rn, CAST(0 AS BIGINT) AS bin_index, tok AS cum
+        |  FROM toks WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.doc_id, t.lang, t.tok, t.rn,
+        |    CASE WHEN w.cum + t.tok > 2048 THEN w.bin_index + 1 ELSE w.bin_index END,
+        |    CASE WHEN w.cum + t.tok > 2048 THEN t.tok ELSE w.cum + t.tok END
+        |  FROM toks t JOIN walk w ON t.lang = w.lang AND t.rn = w.rn + 1)
+        |SELECT doc_id, lang, bin_index FROM walk ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT doc_id, lang, n_chars FROM (

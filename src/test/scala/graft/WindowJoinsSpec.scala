@@ -197,4 +197,29 @@ class WindowJoinsSpec extends GraftSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${plan.take(2000)}")
     assert(sorts == 1, s"expected 1 sort, got $sorts:\n${plan.take(2000)}")
   }
+
+  test("greedy packing: budget boundaries, oversize rows, per-key reset") {
+    import spark.implicits._
+    import graft.operators.Pack
+    val df = Seq(
+      ("a", 1L, 600L), ("a", 2L, 400L),  // 600+400 = 1000 = budget: same bin
+      ("a", 3L, 1L),                     // 1001 > budget: new bin
+      ("a", 4L, 5000L),                  // oversize: its own bin
+      ("a", 5L, 10L),                    // after oversize: new bin again
+      ("b", 1L, 999L), ("b", 2L, 1L))    // fresh key: bins restart at 0
+      .toDF("k", "id", "size")
+    val got = Pack.greedyPack(df, Seq("k"), Seq("id"), "size", budget = 1000L)
+      .select("k", "id", "bin_index").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("a", 1L) -> 0L, ("a", 2L) -> 0L, ("a", 3L) -> 1L,
+      ("a", 4L) -> 2L, ("a", 5L) -> 3L,
+      ("b", 1L) -> 0L, ("b", 2L) -> 0L))
+    // scale shape: one shuffle on the key, sort within partitions, no
+    // window operator (the walk is a streaming mapPartitions)
+    val plan = Pack.greedyPack(df, Seq("k"), Seq("id"), "size", 1000L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
 }
