@@ -549,6 +549,27 @@ object SparkEntry {
         .sortBy("lang").out
     }),
 
+    // binned range join (operators.RangeJoin): every event matched to
+    // the session interval containing it — equi-join on (user, time
+    // bin) + residual filter, never a nested-loop. Sessions of a user
+    // are >30min apart, so each event hits EXACTLY one interval and
+    // the output is one row per event, fully hash-checkable against a
+    // plain inequality join in DuckDB
+    "q_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+      val sess = graft.operators.Sessionize.sessionStats(ev,
+          keyCols = Seq("user_id"), tsCol = "ts", gapMs = 30L * 60 * 1000,
+          valueCol = "value", tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("session_index"),
+          col("start_s"), col("end_s"))
+      val points = ev.select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("ts_s"))
+      CrysFrame(graft.operators.RangeJoin.pointInInterval(points, "ts_s",
+        sess, "start_s", "end_s", by = Seq("user_id"), binWidth = 3600L)
+        .select(col("event_id"), col("session_index")))
+        .sortBy("event_id").out
+    }),
+
     // greedy sequence packing (operators.Pack): fit documents into
     // 2048-token bins per language, walked in doc_id order — the
     // pre-training batching step. The walk is strictly sequential per
@@ -1187,6 +1208,33 @@ object SparkEntry {
     "q_approx_distinct" ->
       """SELECT lang, count(DISTINCT text) AS n_distinct
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_range_join" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |labeled AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_index
+        |  FROM flagged),
+        |sessions AS (
+        |  SELECT user_id, CAST(session_index AS BIGINT) AS session_index,
+        |    epoch_us(min(ts)) // 1000000 AS start_s,
+        |    epoch_us(max(ts)) // 1000000 AS end_s
+        |  FROM labeled GROUP BY user_id, session_index),
+        |points AS (
+        |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_s
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT p.event_id, s.session_index
+        |FROM points p JOIN sessions s
+        |  ON p.user_id = s.user_id
+        | AND p.ts_s >= s.start_s AND p.ts_s <= s.end_s
+        |ORDER BY p.event_id""".stripMargin,
 
     "q_pack" ->
       """WITH RECURSIVE toks AS (

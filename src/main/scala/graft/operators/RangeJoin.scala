@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range join (point-in-interval) — with [[AsOfJoin]], the second of
+  * the classic temporal joins Spark SQL lacks as a first-class
+  * operator: naively, `l JOIN r ON l.k = r.k AND l.p BETWEEN r.lo AND
+  * r.hi` plans a BroadcastNestedLoopJoin (or worse, a cartesian) whose
+  * per-key cost is |points| × |intervals|.
+  *
+  * This implementation BINS the domain: every interval explodes to the
+  * fixed-width bins it overlaps, every point maps to exactly ONE bin,
+  * and the join becomes a plain equi-join on (keys, bin) + a residual
+  * range filter. Each qualifying (point, interval) pair meets in
+  * exactly one bin — the point's — so no dedup pass is needed. Cost:
+  * one shuffle of each side on (keys, bin); the explode factor is
+  * ceil(interval span / binWidth) + 1, so size `binWidth` near the
+  * TYPICAL interval span (~1-2 bins per interval). A mis-sized call
+  * (an interval spanning > `maxBinsPerInterval` bins) raises a
+  * descriptive error instead of silently exploding the shuffle — the
+  * same fail-at-plan-shape-time contract as embeddingDedup's bucket
+  * guard.
+  *
+  * Columns are NUMERIC (long) domains — epoch seconds/micros or any
+  * monotone encoding; floor-division bin math is exact for |value| <
+  * 2^53 (the year ~2255 in microseconds). Intervals with null or
+  * inverted bounds match nothing; null points match nothing.
+  * Non-key column names must be disjoint, like `intervalJoin`. */
+object RangeJoin {
+
+  /** Inner point-in-interval join: rows of `left` paired with every
+    * `right` interval of the same keys containing `pointCol`
+    * (`[lo, hi]` when `inclusiveHi`, else `[lo, hi)`). */
+  def pointInInterval(left: DataFrame, pointCol: String,
+                      right: DataFrame, loCol: String, hiCol: String,
+                      by: Seq[String], binWidth: Long,
+                      inclusiveHi: Boolean = true,
+                      maxBinsPerInterval: Long = 100000L): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val shared = left.columns.toSet.intersect(right.columns.toSet) -- by
+    require(shared.isEmpty,
+      s"rangeJoin requires disjoint non-key column names; shared: ${shared.mkString(", ")}")
+    val bin = "__range_bin"
+    def floorDiv(c: Column): Column =
+      ((c - pmod(c, lit(binWidth))) / lit(binWidth)).cast("long")
+    val l = left.withColumn(bin, floorDiv(col(pointCol)))
+    val loBin = floorDiv(col(loCol))
+    val hiBin = floorDiv(col(hiCol))
+    val r = right
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(loCol) <= col(hiCol))
+      .withColumn(bin, explode(
+        when(hiBin - loBin >= maxBinsPerInterval,
+          raise_error(concat(
+            lit(s"rangeJoin: an interval spans more than $maxBinsPerInterval " +
+              s"bins at binWidth=$binWidth — the explode would flood the " +
+              "shuffle. Raise binWidth toward the typical interval span " +
+              "(or maxBinsPerInterval if the skew is intended): interval=["),
+            col(loCol).cast("string"), lit(","), col(hiCol).cast("string"),
+            lit("]"))).cast("array<bigint>"))
+          .otherwise(sequence(loBin, hiBin))))
+    val residual =
+      if (inclusiveHi) col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol)
+      else col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol)
+    l.join(r, (by :+ bin).toSeq, "inner").filter(residual).drop(bin)
+  }
+}

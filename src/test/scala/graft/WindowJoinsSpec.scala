@@ -198,6 +198,44 @@ class WindowJoinsSpec extends GraftSpec {
     assert(sorts == 1, s"expected 1 sort, got $sorts:\n${plan.take(2000)}")
   }
 
+  test("range join: binned point-in-interval, no nested-loop, sizing guard") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    val points = Seq((1L, "a", 50L), (2L, "a", 150L), (3L, "a", 250L),
+      (4L, "b", 50L), (5L, "a", 100L)).toDF("pid", "k", "p")
+    // interval [40,160] spans bins 0-1 at width 100; [100,100] is a
+    // point-interval; [0,49] tests the exclusive variant below
+    val ivs = Seq((10L, "a", 40L, 160L), (11L, "a", 100L, 100L),
+      (12L, "b", 0L, 49L), (13L, "a", 240L, 260L)).toDF("iid", "k", "lo", "hi")
+    val j = RangeJoin.pointInInterval(points, "p", ivs, "lo", "hi",
+      by = Seq("k"), binWidth = 100L)
+    val got = j.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pid 1 (a,50) ∈ [40,160]; pid 5 (a,100) ∈ [40,160] AND [100,100];
+    // pid 2 (a,150) ∈ [40,160]; pid 3 (a,250) ∈ [13's 240,260];
+    // pid 4 (b,50) ∉ [0,49] (inclusive hi, 50 > 49)
+    assert(got == Set((1L, 10L), (5L, 10L), (5L, 11L), (2L, 10L), (3L, 13L)))
+    // exclusive-hi drops the hi boundary
+    val excl = RangeJoin.pointInInterval(points, "p", ivs, "lo", "hi",
+      by = Seq("k"), binWidth = 100L, inclusiveHi = false)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!excl.contains((5L, 11L)) && excl.contains((5L, 10L)))
+    // plan: equi-join on (key, bin) — never a nested loop or cartesian
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(1500))
+    // a mis-sized interval (1e9 bins) raises the descriptive guard
+    val huge = Seq((20L, "a", 0L, 100L * 1000000000L)).toDF("iid", "k", "lo", "hi")
+    val e = intercept[Exception](RangeJoin.pointInInterval(points, "p", huge,
+      "lo", "hi", by = Seq("k"), binWidth = 100L).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("Raise binWidth")), msgs(e).mkString(" | "))
+    // inverted and null bounds match nothing rather than exploding
+    val bad = Seq((30L, "a", 200L, 100L)).toDF("iid", "k", "lo", "hi")
+    assert(RangeJoin.pointInInterval(points, "p", bad, "lo", "hi",
+      by = Seq("k"), binWidth = 100L).count() == 0)
+  }
+
   test("greedy packing: budget boundaries, oversize rows, per-key reset") {
     import spark.implicits._
     import graft.operators.Pack
