@@ -721,16 +721,20 @@ final class CrysFrame private (
   /** CSV to an in-memory string — the write-side twin of
     * `Readers.readCsvString` and the closest Spark analogue of the
     * reference's arbitrary-IO writer (dataframe.cr:675-692). Collects
-    * driver-side: small frames only. Quoting matches the CSV sink:
-    * fields containing the separator, quote, or a newline are quoted,
-    * embedded quotes doubled; nulls print as NA. */
+    * driver-side: small frames only. Quoting matches the CSV sink's
+    * univocity defaults — fields containing the separator, quote, or a
+    * newline are quoted, and embedded quotes/backslashes are
+    * BACKSLASH-escaped (Spark's `escape` default, NOT RFC-4180
+    * doubling) so the output parses back through `readCsvString`
+    * byte-faithfully; nulls print as NA. */
   def toCsvString(separator: String = ",", quoteChar: String = "\""): String = {
     val sb = new StringBuilder
     def field(v: String): String =
       if (v == null) "NA"
       else if (v.contains(separator) || v.contains(quoteChar) ||
-               v.contains("\n") || v.contains("\r"))
-        quoteChar + v.replace(quoteChar, quoteChar + quoteChar) + quoteChar
+               v.contains("\\") || v.contains("\n") || v.contains("\r"))
+        quoteChar + v.replace("\\", "\\\\")
+          .replace(quoteChar, "\\" + quoteChar) + quoteChar
       else v
     sb.append(names.map(field).mkString(separator)).append('\n')
     out.collect().foreach { r =>

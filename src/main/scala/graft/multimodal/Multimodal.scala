@@ -987,8 +987,10 @@ object Multimodal {
             // MP3: real walkable frame headers (duration/bitrate from
             // the frame walk); payload is junk → stub feature path.
             // audio ids are ≡1 (mod 3), so this picks ids 7, 25, 43…
-            // without starving the PCM/ADPCM sub-cycles
-            Mp3.mp3Bytes(10 + (id % 40).toInt, id, withId3 = id % 18 == 7)
+            // (all ≡7 mod 18) without starving the PCM/ADPCM
+            // sub-cycles; mod 36 genuinely alternates tagged and
+            // tagless streams (mod 18 would be constant-true here)
+            Mp3.mp3Bytes(10 + (id % 40).toInt, id, withId3 = id % 36 == 7)
           case "audio" => wavBytes(16000, 8000 + (id % 100).toInt * 160, id)
           case "video" if id % 9 == 8 =>
             // opaque bytes: the honest unknown-format stub path

@@ -35,13 +35,30 @@ object Pack {
     *                 only for driver-scale data)
     * @param orderCols total order within a key (make it unique for
     *                 engine-independent determinism)
-    * @param sizeCol  per-row size expression name (e.g. token count)
+    * @param sizeCol  per-row size column name (e.g. token count);
+    *                 null sizes count as 0 (the row joins the current
+    *                 bin for free)
     * @param budget   max total size per bin
     */
+  /** Value equality for key tuples: array-valued columns (BinaryType
+    * reads back as Array[Byte]) compare by CONTENT — Seq's default
+    * `==` would be reference equality there, making every row look
+    * like a fresh key and silently zeroing all bins. */
+  private def keyEquals(a: Seq[Any], b: Seq[Any]): Boolean =
+    a.length == b.length && a.indices.forall { i =>
+      (a(i), b(i)) match {
+        case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+        case (x: Array[_], y: Array[_]) => x.toSeq == y.toSeq
+        case (x, y) => x == y
+      }
+    }
+
   def greedyPack(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
                  sizeCol: String, budget: Long): DataFrame = {
     require(orderCols.nonEmpty, "greedyPack needs a total order")
     require(budget > 0, s"budget must be positive, got $budget")
+    require(!df.columns.contains("bin_index"),
+      "greedyPack appends 'bin_index' — the input already has that column")
     val sortCols: Seq[Column] = (keyCols ++ orderCols).map(col)
     val arranged =
       if (keyCols.nonEmpty)
@@ -65,7 +82,7 @@ object Pack {
           case other => throw new IllegalArgumentException(
             s"sizeCol '$sizeCol' must be numeric, got $other")
         }
-        if (curKey == null || k != curKey) { curKey = k; cum = 0L; bin = -1L }
+        if (curKey == null || !keyEquals(k, curKey)) { curKey = k; cum = 0L; bin = -1L }
         if (bin < 0 || cum + size > budget) { bin += 1; cum = size }
         else cum += size
         Row.fromSeq(r.toSeq :+ bin)

@@ -42,6 +42,10 @@ object Sessionize {
                      gapMs: Long, tieBreak: Seq[String] = Nil): DataFrame = {
     require(keyCols.nonEmpty, "sessionize needs at least one key column")
     require(gapMs >= 0, s"gapMs must be >= 0, got $gapMs")
+    require(!df.columns.contains("session_index"),
+      "assignSessions appends 'session_index' — the input already has " +
+        "that column (drop or rename it first; silently overwriting " +
+        "previously assigned sessions would corrupt re-labeling runs)")
     val order: Seq[Column] = col(tsCol) +: tieBreak.map(col)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
     val us = unix_micros(col(tsCol))

@@ -87,8 +87,26 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(new java.io.File(path).isFile)
     val s = f.toCsvString()
     assert(s.startsWith("id,note\n"))
-    assert(s.contains("\"has,comma\"") && s.contains("\"has\"\"quote\""))
+    assert(s.contains("\"has,comma\"") && s.contains("\"has\\\"quote\""))
     assert(s.contains("4,NA"))
+    // the contract that matters: toCsvString round-trips through the
+    // engine's own readers (same univocity escaping as the Spark
+    // sink) even for quote/backslash-hostile values
+    val hostile = CrysFrame.of(spark, Seq("id", "v"),
+      Seq(Seq(1, "a\"b"), Seq(2, "c\\d"), Seq(3, "e,f"), Seq(5, "\"\\\"")))
+    val round = Readers.readCsvString(spark, hostile.toCsvString())
+    assert(round.numRow == 4)
+    val got = round.out.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(1 -> "a\"b", 2 -> "c\\d", 3 -> "e,f", 5 -> "\"\\\""),
+      got.toString)
+    // embedded newlines are quoted in the output; the line-oriented
+    // string reader cannot reassemble them (documented), but the
+    // multiLine file reader can
+    val nl = CrysFrame.of(spark, Seq("id", "v"), Seq(Seq(4, "g\nh")))
+    val nlPath = writeTmp("nl.csv", nl.toCsvString())
+    val nlBack = Readers.readCsv(spark, nlPath, multiLine = true)
+    assert(nlBack.numRow == 1)
+    assert(nlBack.out.collect()(0).getString(1) == "g\nh")
   }
 
   /** reference: src/crysda.cr:30-37, builder.cr:61-62 — blank records

@@ -250,7 +250,7 @@ class StreamingSpec extends GraftSpec {
       .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
       .trigger(Trigger.AvailableNow())
       .outputMode(OutputMode.Append()).start()
-    q.awaitTermination(120000L)
+    assert(q.awaitTermination(120000L), "AvailableNow drain did not finish in 120s")
     val out = spark.read.parquet(s"$root/out").collect()
     assert(out.length == 1)
     assert(out(0).getAs[Long]("click_id") == 20L)
@@ -264,7 +264,7 @@ class StreamingSpec extends GraftSpec {
       .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
       .trigger(Trigger.AvailableNow())
       .outputMode(OutputMode.Append()).start()
-    q2.awaitTermination(120000L)
+    assert(q2.awaitTermination(120000L), "restarted drain did not finish in 120s")
     assert(spark.read.parquet(s"$root/out").count() == 1)
   }
 }

@@ -259,5 +259,16 @@ class WindowJoinsSpec extends GraftSpec {
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan.take(1500))
     assert(!plan.contains("Window"), plan.take(1500))
+    // binary keys compare by CONTENT in the walk (Array[Byte] equality
+    // is referential by default — a fresh array per row must not look
+    // like a key change and reset every bin to 0)
+    val bdf = Seq((Array[Byte](1, 2), 1L, 600L), (Array[Byte](1, 2), 2L, 600L),
+      (Array[Byte](3), 3L, 600L)).toDF("k", "id", "size")
+    val bins = Pack.greedyPack(bdf, Seq("k"), Seq("id"), "size", 1000L)
+      .select("id", "bin_index").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bins == Map(1L -> 0L, 2L -> 1L, 3L -> 0L), bins.toString)
+    // appending onto a frame that already has bin_index is refused
+    intercept[IllegalArgumentException](Pack.greedyPack(
+      df.withColumn("bin_index", lit(0L)), Seq("k"), Seq("id"), "size", 1000L))
   }
 }
