@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{Agg, CrysFrame, sel}
-import graft.ml.{Dedup, Similarity}
+import graft.ml.{Dedup, Sampling, Similarity}
 import graft.operators.AsOfJoin
 import graft.sources.Readers
 import graft.text.TextFunctions
@@ -548,6 +548,23 @@ object SparkEntry {
           .otherwise(col("__exact")).as("n_distinct")))
         .sortBy("lang").out
     }),
+
+    // deterministic content-stable sampling (ml.Sampling): both derive
+    // randomness from a SQL-expressible integer hash of the row id, so
+    // the oracle computes the IDENTICAL assignment — and so can any
+    // audit system. hashSplit is map-only; weightedSample is an
+    // exponential-clock top-k per group (one shuffle)
+    "q_hash_split" -> ((s, d) =>
+      CrysFrame(Sampling.hashSplit(t(s, d, "documents"), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("split")))
+        .sortBy("doc_id").out),
+
+    "q_weighted_sample" -> ((s, d) =>
+      CrysFrame(Sampling.weightedSample(t(s, d, "documents"),
+        keyCols = Seq("lang"), idCol = "doc_id", weightCol = "n_chars", k = 20)
+        .select(col("lang"), col("doc_id")))
+        .sortBy("lang", "doc_id").out),
 
     // binned range join (operators.RangeJoin): every event matched to
     // the session interval containing it — equi-join on (user, time
@@ -1208,6 +1225,21 @@ object SparkEntry {
     "q_approx_distinct" ->
       """SELECT lang, count(DISTINCT text) AS n_distinct
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN ((doc_id * 2654435761 + 42) % 2147483647 + 0.5) / 2147483647 < 0.9 THEN 'train'
+        |       WHEN ((doc_id * 2654435761 + 42) % 2147483647 + 0.5) / 2147483647 < 0.95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY -ln(((doc_id * 2654435761 + 42) % 2147483647 + 0.5) / 2147483647) / n_chars,
+        |             doc_id) AS rn
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
 
     "q_range_join" ->
       """WITH flagged AS (

@@ -1,0 +1,74 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-stable sampling — the reproducibility tools
+  * a training-data pipeline needs beyond the reference's RNG-based
+  * `sample_n`/`sample_frac` (which answer "give me n random rows",
+  * not "give me the SAME split every run on every cluster").
+  *
+  * Both operators derive randomness from a SQL-expressible integer
+  * hash of the row's own id (`(id * 2654435761 + seed) % 2^31-1`,
+  * Knuth's multiplicative scheme over a Mersenne prime), so:
+  * - the assignment is a pure per-row function — map-only, no
+  *   shuffle for [[hashSplit]], re-runnable on any partitioning;
+  * - adding or removing OTHER rows never changes a row's fate (the
+  *   property percentage-based `limit` sampling lacks);
+  * - an external system (SQL warehouse, another engine) can compute
+  *   the identical assignment for audit — the driver oracle does.
+  * All arithmetic stays under 2^63 for ids below ~3.5e9; the uniform
+  * u = (h + 0.5) / (2^31-1) is never 0 or 1, so `ln(u)` is finite. */
+object Sampling {
+
+  private val P = 2654435761L      // Knuth multiplicative constant
+  private val M = 2147483647L      // 2^31 - 1
+
+  private def hashU(id: Column, seed: Long): Column =
+    (((id * P + lit(seed)) % M + 0.5) / M.toDouble)
+
+  /** Append a `split` column assigning each row to a named fraction —
+    * deterministic train/val/test partitioning. `splits` are
+    * (name, fraction) pairs summing to ~1; a row lands in the split
+    * whose cumulative range contains its uniform hash. Map-only. */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
+    require(splits.nonEmpty, "hashSplit needs at least one split")
+    require(splits.forall(_._2 > 0), "split fractions must be positive")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got $total")
+    require(!df.columns.contains("split"),
+      "hashSplit appends 'split' — the input already has that column")
+    val u = hashU(col(idCol), seed)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    // the last split takes the remainder so float accumulation can
+    // never leave a row unassigned
+    val expr = splits.init.zip(cum.init).reverse
+      .foldLeft(lit(splits.last._1): Column) { case (acc, ((name, _), hi)) =>
+        when(u < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", expr)
+  }
+
+  /** Weighted sample WITHOUT replacement, k rows per key group:
+    * exponential-clock priorities (Efraimidis–Spirakis via
+    * `-ln(u)/w`), smallest k win — a row's selection probability is
+    * proportional to `weightCol` at every prefix, and the whole draw
+    * is reproducible from (id, seed). Rows with null/non-positive
+    * weights are excluded. One shuffle on the keys (the top-k rank);
+    * ties are impossible (distinct ids give distinct priorities). */
+  def weightedSample(df: DataFrame, keyCols: Seq[String], idCol: String,
+                     weightCol: String, k: Int, seed: Long = 42L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val pri = "__ws_priority"
+    val rn = "__ws_rank"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(pri), col(idCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn(pri, -log(hashU(col(idCol), seed)) / col(weightCol))
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= k)
+      .drop(pri, rn)
+  }
+}

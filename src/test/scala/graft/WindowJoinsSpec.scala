@@ -236,6 +236,46 @@ class WindowJoinsSpec extends GraftSpec {
       by = Seq("k"), binWidth = 100L).count() == 0)
   }
 
+  test("deterministic sampling: stable hash splits and weight-proportional draws") {
+    import spark.implicits._
+    import graft.ml.Sampling
+    val docs = (1L to 2000L).map(i => (i, 10L + i % 90)).toDF("id", "w")
+    val split = Sampling.hashSplit(docs, "id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    // fractions land near their targets (hash uniformity)
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") - 1800L) < 60, counts.toString)
+    assert(counts("val") > 50 && counts("test") > 50, counts.toString)
+    // content-stable: the assignment of id 7 is a pure function of the
+    // id — unchanged when OTHER rows are dropped
+    val sub = Sampling.hashSplit(docs.filter(col("id") < 100), "id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val full7 = split.filter(col("id") === 7).select("split").collect()(0).getString(0)
+    val sub7 = sub.filter(col("id") === 7).select("split").collect()(0).getString(0)
+    assert(full7 == sub7)
+    // map-only: no exchange anywhere in the split plan
+    val plan = split.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1200))
+    // weighted draws: 10x weight ⇒ ~10x selection rate (two-point
+    // weight mix, 200 draws of 2000 rows — expect ~10:1 ratio, loose
+    // band so the test is seed-robust but a uniform sampler fails)
+    val mix = (1L to 2000L).map(i => (i, if (i % 2 == 0) 100L else 10L))
+      .toDF("id", "w").withColumn("g", lit(1))
+    val picked = Sampling.weightedSample(mix, Seq("g"), "id", "w", k = 200)
+      .collect().map(_.getLong(0))
+    val heavy = picked.count(_ % 2 == 0)
+    assert(heavy > 140 && heavy < 195, s"heavy=$heavy of ${picked.length}")
+    // reproducible: same seed, same draw
+    val again = Sampling.weightedSample(mix, Seq("g"), "id", "w", k = 200)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == picked.toSet)
+    // zero/null weights are never drawn
+    val zw = Seq((1L, 0L), (2L, 5L)).toDF("id", "w").withColumn("g", lit(1))
+    assert(Sampling.weightedSample(zw, Seq("g"), "id", "w", k = 5)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("greedy packing: budget boundaries, oversize rows, per-key reset") {
     import spark.implicits._
     import graft.operators.Pack
