@@ -854,6 +854,34 @@ class ReadersExtensionsSpec extends GraftSpec {
     // truncation mid-scan refuses (no EOI, no reconstruction)
     val cut = encodeProg(img, 0.9f)
     assert(Jpeg.decode(cut.take(cut.length / 2)) == null)
+    // property sweep: random-noise GRAYSCALE images (no chroma, so the
+    // only legitimate divergence from ImageIO is IDCT rounding) across
+    // odd sizes and qualities — pins the multi-scan machinery (EOB
+    // runs, refinement bits, edge blocks) far beyond one golden image
+    val rng = new scala.util.Random(13L)
+    for (trial <- 0 until 8) {
+      val tw = 8 + rng.nextInt(49)
+      val th = 8 + rng.nextInt(41)
+      val timg = new java.awt.image.BufferedImage(tw, th,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until th; x <- 0 until tw) {
+        val v = rng.nextInt(256)
+        timg.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val tq = 0.5f + 0.1f * (trial % 5)
+      val tb = encodeProg(timg, tq)
+      assert(isSof2(tb), s"trial $trial not progressive")
+      val tdec = Jpeg.decode(tb)
+      assert(tdec != null, s"trial $trial ($tw x $th q=$tq) failed")
+      assert(tdec._1 == tw && tdec._2 == th)
+      val tref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(tb))
+      val traster = tref.getRaster
+      var tmax = 0
+      for (y <- 0 until th; x <- 0 until tw)
+        tmax = math.max(tmax, math.abs(
+          (tdec._3((y * tw + x) * 3) & 0xff) - traster.getSample(x, y, 0)))
+      assert(tmax <= 4, s"trial $trial ($tw x $th q=$tq) maxDiff=$tmax")
+    }
   }
 
   test("PNG pixel decode is real: pixel-exact vs a JDK-ImageIO golden") {
