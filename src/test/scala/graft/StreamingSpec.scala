@@ -221,6 +221,32 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("map-only batch verbs compose on streams: hashSplit labels a live stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // a pure per-row function needs no streaming-specific variant —
+    // the same operator labels a stream, and content stability means
+    // the stream assigns the SAME split the batch path would
+    val in = MemoryStream[Event]
+    val q = graft.ml.Sampling.hashSplit(in.toDF(), "event_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .writeStream.format("memory").queryName("streamsplit")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L to 50L).map(i => Event(i, ts(i.toInt), i % 3, "e", 1.0)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("streamsplit").collect()
+      assert(rows.length == 50)
+      assert(rows.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
+      val batch = graft.ml.Sampling.hashSplit(
+          (1L to 50L).map(i => Event(i, ts(i.toInt), i % 3, "e", 1.0)).toDF(),
+          "event_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("split")).toMap
+      assert(rows.forall(r =>
+        batch(r.getAs[Long]("event_id")) == r.getAs[String]("split")))
+    } finally q.stop()
+  }
+
   test("e2e on files: readEventStream → intervalJoin → parquet sink via AvailableNow") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
