@@ -549,6 +549,28 @@ object SparkEntry {
         .sortBy("lang").out
     }),
 
+    // image near-dup dedup: perceptual dHash over the REAL decoders
+    // (multimodal) fed through the SAME pigeonhole Hamming blocking as
+    // text SimHash (ml.Dedup.hammingPairs). Harness scenario: every
+    // synthetic image "ingested twice" (resampled to a common size,
+    // second copy id-offset) — distance-0 pairs tie each copy to its
+    // original and greedy min-id keeps the originals. Rows-only by
+    // design (no SQL oracle can decode images); dHash correctness is
+    // spec-pinned (format-independence, resample tolerance, refusals)
+    "q_image_dedup" -> ((s, d) => {
+      val imgs = Multimodal.syntheticMedia(s, 90).filter(col("kind") === "image")
+      val a = Multimodal.resizeImages(imgs, 17, 13)
+        .filter(col("resized").isNotNull)
+        .select(col("media_id"), col("resized").as("content"))
+      val b = a.select((col("media_id") + 10000L).as("media_id"), col("content"))
+      val hashed = Multimodal.withPerceptualHash(a.unionByName(b))
+      val dups = Dedup.hammingPairs(hashed, "media_id", "phash", maxDist = 0)
+        .select(col("id_b").as("media_id")).distinct()
+      CrysFrame(hashed.join(dups, Seq("media_id"), "left_anti")
+        .select(col("media_id")))
+        .sortBy("media_id").out
+    }),
+
     // deterministic content-stable sampling (ml.Sampling): both derive
     // randomness from a SQL-expressible integer hash of the row id, so
     // the oracle computes the IDENTICAL assignment — and so can any

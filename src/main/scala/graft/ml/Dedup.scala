@@ -230,18 +230,27 @@ object Dedup {
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs with hamming distance ≤ maxDist, with a
+  /** SimHash near-dup pairs with hamming distance ≤ maxDist — the
+    * text entry point over [[hammingPairs]]' blocking machinery. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame =
+    hammingPairs(df.select(col(idCol),
+      simhash(col(textCol)).as("__graft_sh64")), idCol, "__graft_sh64", maxDist)
+
+  /** Near-dup pairs over ANY precomputed 64-bit locality hash column
+    * (SimHash, image perceptual dHash, audio fingerprint…), with a
     * GUARANTEED recall contract: the 64 bits are split into
     * `maxDist + 1` blocks, so by pigeonhole any pair within maxDist
     * collides unchanged in ≥ 1 block; exact hamming verifies after the
     * bucket join. maxDist ≤ 7 is enforced — beyond that the blocks
     * shrink under 8 bits and the bucket join degenerates toward
     * all-pairs (and the classic production setting is 3–4 anyway).
-    * maxDist = 3 is the classic 4×16-bit scheme. */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+    * maxDist = 3 is the classic 4×16-bit scheme. Null hashes (e.g.
+    * undecodable media) never pair. */
+  def hammingPairs(df: DataFrame, idCol: String, hashCol: String,
                    maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist <= 7,
-      s"simhashPairs guarantees recall via maxDist+1 blocks; maxDist=$maxDist " +
+      s"hammingPairs guarantees recall via maxDist+1 blocks; maxDist=$maxDist " +
         "would need blocks under 8 bits (got to be in [0,7])")
     val nBlocks = maxDist + 1
     val widths = Array.tabulate(nBlocks)(i => 64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
@@ -252,9 +261,11 @@ object Dedup {
           .bitwiseAND(lit((1L << widths(b)) - 1)).as("key"))
     }: _*)
     // persisted: the block self-join consumes both sides of this
-    // projection — without it the simhash kernel walks every document
-    // twice (8 bytes/doc cached, LRU-evicted)
-    val sh = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sh"))
+    // projection — without it the hash input (for simhash, a kernel
+    // walk over every document) is computed twice (8 bytes/row cached,
+    // LRU-evicted)
+    val sh = df.filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("__id"), col(hashCol).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh.select(col("__id"), col("__sh"), explode(blocks).as("__b"))
       .select(col("__id"), col("__sh"), col("__b.blk"), col("__b.key"))

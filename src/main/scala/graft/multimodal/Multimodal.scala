@@ -736,6 +736,58 @@ object Multimodal {
     out
   }
 
+  /** 64-bit difference hash (dHash) of a decodable image: decode →
+    * BGR bilinear resample to 9×8 → ITU-R 601 grayscale → bit set
+    * where a pixel is brighter than its RIGHT neighbor, row-major MSB
+    * first. Gradient SIGNS survive re-encode, resize and brightness
+    * shifts, so Hamming distance over this hash ranks near-duplicate
+    * IMAGES the way SimHash ranks near-duplicate text — and plugs
+    * straight into `graft.ml.Dedup.hammingPairs`' pigeonhole blocking.
+    * Null for undecodable bytes. */
+  private[graft] def dHash64(bytes: Array[Byte]): java.lang.Long = {
+    val dec = decodeImage(bytes)
+    if (dec == null) return null
+    val (w, h, px) = dec
+    if (w <= 0 || h <= 0) return null
+    val small = bilinearResizeBgr(w, h, px, 9, 8)
+    val gray = new Array[Double](72)
+    var i = 0
+    while (i < 72) {
+      gray(i) = 0.114 * (small(i * 3) & 0xff) +
+        0.587 * (small(i * 3 + 1) & 0xff) + 0.299 * (small(i * 3 + 2) & 0xff)
+      i += 1
+    }
+    var hsh = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        hsh <<= 1
+        if (gray(y * 9 + x) > gray(y * 9 + x + 1)) hsh |= 1L
+        x += 1
+      }
+      y += 1
+    }
+    java.lang.Long.valueOf(hsh)
+  }
+
+  /** Append a `phash` column ([[dHash64]], null for undecodable rows)
+    * to a media frame — mapPartitions like the featurizer, so a codec
+    * context initializes once per task. Near-dup image pairs are then
+    * one `Dedup.hammingPairs(out, "media_id", "phash", maxDist)` call. */
+  def withPerceptualHash(media: DataFrame): DataFrame = {
+    val schema = StructType(media.schema.fields :+
+      StructField("phash", LongType, nullable = true))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val h = dHash64(r.getAs[Array[Byte]](contentIdx))
+        Row.fromSeq(r.toSeq :+ (if (h == null) null else h.longValue()))
+      }
+    }(enc)
+  }
+
   /** Spec-conformant RGB PNG from a decoded BGR buffer (filter-0
     * scanlines, one deflated IDAT, CRC'd chunks) — decodable by
     * [[decodePng]] and any external viewer. */
@@ -895,7 +947,7 @@ object Multimodal {
 
   /** Complete uncompressed 24-bit BMP with a deterministic pixel
     * pattern — fully decodable by [[decodeBmp]]. */
-  private def bmpBytes(w: Int, h: Int, id: Long): Array[Byte] = {
+  private[graft] def bmpBytes(w: Int, h: Int, id: Long): Array[Byte] = {
     val rowBytes = (w * 3 + 3) & ~3
     val total = 54 + rowBytes * h
     val out = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)

@@ -1149,6 +1149,50 @@ class ReadersExtensionsSpec extends GraftSpec {
     }
   }
 
+  test("image perceptual dHash: format-independent, resample-tolerant, blockable") {
+    import graft.multimodal.Multimodal
+    def dist(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // the same PIXELS in different containers hash IDENTICALLY: decode
+    // a BMP and re-wrap its buffer as a PNG
+    val bmp = Multimodal.bmpBytes(24, 18, 7L)
+    val (bw, bh, bpx) = Multimodal.decodeBmp(bmp)
+    val png = Multimodal.pngFromBgr(bw, bh, bpx)
+    val hBmp = Multimodal.dHash64(bmp)
+    assert(hBmp != null && hBmp == Multimodal.dHash64(png))
+    // a smooth gradient survives downsampling (gradient SIGNS are the
+    // hash) while a different gradient is far away
+    def gradPng(w: Int, h: Int, flip: Boolean): Array[Byte] = {
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val v = (x * 2 + y) * 255 / (2 * w + h)
+        px((y * w + x) * 3 + c) = (if (flip) 255 - v else v).toByte
+      }
+      Multimodal.pngFromBgr(w, h, px)
+    }
+    val big = gradPng(64, 48, flip = false)
+    val (gw, gh, gpx) = Multimodal.decodePng(big)
+    val halfPng = Multimodal.pngFromBgr(32, 24,
+      Multimodal.bilinearResizeBgr(gw, gh, gpx, 32, 24))
+    val dNear = dist(Multimodal.dHash64(big), Multimodal.dHash64(halfPng))
+    val dFar = dist(Multimodal.dHash64(big), Multimodal.dHash64(gradPng(64, 48, flip = true)))
+    assert(dNear <= 6, s"resampled distance $dNear")
+    assert(dFar >= 20, s"flipped-gradient distance $dFar")
+    // undecodable bytes hash to null and never pair
+    assert(Multimodal.dHash64("not an image".getBytes) == null)
+    assert(Multimodal.dHash64(null) == null)
+    // e2e: withPerceptualHash + hammingPairs finds exactly the planted
+    // cross-container duplicate (and nulls stay unpaired)
+    import spark.implicits._
+    val frame = Seq(
+      (1L, bmp), (2L, png), (3L, big), (4L, "junk".getBytes))
+      .toDF("media_id", "content")
+    val hashed = Multimodal.withPerceptualHash(frame)
+    assert(hashed.filter(col("media_id") === 4L).select("phash").collect()(0).isNullAt(0))
+    val pairs = graft.ml.Dedup.hammingPairs(hashed, "media_id", "phash", maxDist = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
+
   test("readMediaDir ingests a file tree with sniffed metadata and stable ids") {
     import graft.multimodal.{Adpcm, Mp4, Multimodal}
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toFile
