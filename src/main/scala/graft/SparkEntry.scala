@@ -4,7 +4,7 @@ import graft.core.{Agg, CrysFrame, sel}
 import graft.ml.{Dedup, Sampling, Similarity}
 import graft.operators.AsOfJoin
 import graft.sources.Readers
-import graft.text.TextFunctions
+import graft.text.{Search, TextFunctions}
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -818,6 +818,21 @@ object SparkEntry {
       CrysFrame(TextFunctions.topWords(t(s, d, "documents"), col("text"), 100))
         .out),
 
+    // BM25 full-text top-k per query (text.Search): contributions are
+    // quantized to integer micro-units before the distributed sum, so
+    // the score is an order-independent exact long any engine
+    // reproduces — the oracle mirrors the formula EXPRESSION shape
+    // (same IEEE op order, same primitive constants) and hash-matches
+    "q_bm25" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq((0L, "hash join table"), (1L, "window agg stream batch"),
+        (2L, "slow query filter")).toDF("query_id", "qtext")
+      CrysFrame(Search.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+          qs, "query_id", "qtext", k = 10)
+          .withColumn("rank", col("rank").cast("long")))
+        .sortBy("query_id", "rank").out
+    }),
+
     // end-to-end training-data pipeline in ONE plan: quality filter →
     // exact dedup (min-id per content hash) → per-language stats.
     // Every aggregate is order-insensitive-exact (counts, int sums,
@@ -1410,6 +1425,49 @@ object SparkEntry {
         |  min(quality) AS min_quality,
         |  max(quality) AS max_quality
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // mirrors Search.bm25TopK EXPRESSION-shape for bit-identical
+    // doubles: same IEEE op order, same primitive constants (1.2 + 1.0,
+    // not 2.2 — they are different doubles), avgdl as an explicit
+    // exact-int-sum division; contributions quantize to micro-unit
+    // longs so the final sum is order-independent on both engines
+    "q_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    t -> t <> '') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+        |stats AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        |q(query_id, qtext) AS (VALUES
+        |  (0, 'hash join table'), (1, 'window agg stream batch'),
+        |  (2, 'slow query filter')),
+        |qt AS (SELECT DISTINCT query_id, term FROM
+        |  (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q)),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |contrib AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    CAST(round(1e6 *
+        |      ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+        |      (tf.tf * (1.2 + 1.0)) /
+        |      (tf.tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl.dl) / stats.avgdl)),
+        |      0) AS BIGINT) AS ci
+        |  FROM tf JOIN dfreq USING (term) JOIN qt USING (term)
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+        |score AS (SELECT query_id, doc_id, CAST(sum(ci) AS BIGINT) AS score_micro
+        |          FROM contrib GROUP BY query_id, doc_id)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_micro,
+        |  score_micro / 1e6 AS score, rank
+        |FROM (SELECT query_id, doc_id, score_micro,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+        |      FROM score)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_vocab" ->
       """SELECT word, CAST(count(*) AS BIGINT) AS n

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+import graft.text.Search
+
+/** BM25 full-text search: distributed result vs an independent naive
+  * driver-side computation, determinism under repartitioning, and the
+  * plan shape that keeps it scalable. */
+class SearchSpec extends GraftSpec {
+
+  import org.apache.spark.sql.DataFrame
+
+  private def fixture: (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark shuffles data across the cluster"),
+      (2L, "a hash join broadcasts the small table"),
+      (3L, "hash hash hash join join partitions"),
+      (4L, "sorting data before a merge join"),
+      (5L, "the optimizer prunes parquet columns")).toDF("doc_id", "text")
+    val qs = Seq((0L, "hash join"), (1L, "data")).toDF("query_id", "qtext")
+    (docs, qs)
+  }
+
+  /** Naive single-threaded BM25 with the same quantization contract. */
+  private def naive(docs: Seq[(Long, String)], query: Seq[String],
+                    k1: Double = 1.2, b: Double = 0.75): Map[Long, Long] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val n = docs.size
+    val avgdl = toks.values.map(_.size).sum.toDouble / n.toDouble
+    val terms = query.distinct
+    docs.flatMap { case (id, _) =>
+      val dl = toks(id).size
+      val cis = terms.flatMap { t =>
+        val tf = toks(id).count(_ == t)
+        if (tf == 0) None
+        else {
+          val df = toks.values.count(_.contains(t))
+          val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+          val c = 1e6 * idf * (tf * (k1 + 1.0)) /
+            (tf + k1 * ((1.0 - b) + (b * dl) / avgdl))
+          Some(math.round(c))
+        }
+      }
+      if (cis.isEmpty) None else Some(id -> cis.sum)
+    }.toMap
+  }
+
+  test("bm25TopK matches an independent naive computation exactly") {
+    val (docs, qs) = fixture
+    val res = Search.bm25TopK(docs, "doc_id", "text", qs, "query_id", "qtext", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(4)))
+    val docSeq = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    for ((qid, qtext) <- Seq((0L, "hash join"), (1L, "data"))) {
+      val expect = naive(docSeq, qtext.split(" ").toSeq)
+      val got = res.filter(_._1 == qid).map(r => r._2 -> r._3).toMap
+      assert(got == expect, s"q$qid: $got vs $expect")
+      // ranks follow (score desc, doc_id asc)
+      val ranked = res.filter(_._1 == qid).sortBy(_._4)
+      assert(ranked.map(_._3).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b; case _ => true })
+    }
+  }
+
+  test("bm25TopK is deterministic under repartitioning and respects k") {
+    val (docs, qs) = fixture
+    def run(d: DataFrame) =
+      Search.bm25TopK(d, "doc_id", "text", qs, "query_id", "qtext", k = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(4))).toSet
+    val a = run(docs)
+    val b = run(docs.repartition(7))
+    assert(a == b)
+    assert(a.groupBy(_._1).values.forall(_.size <= 2))
+  }
+
+  test("query terms absent from the corpus contribute zero") {
+    val (docs, qs0) = fixture
+    import spark.implicits._
+    val qs = Seq((0L, "hash join zzzunknown")).toDF("query_id", "qtext")
+    val qsBase = Seq((0L, "hash join")).toDF("query_id", "qtext")
+    def scores(q: DataFrame) =
+      Search.bm25TopK(docs, "doc_id", "text", q, "query_id", "qtext", k = 10)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(scores(qs) == scores(qsBase))
+  }
+
+  test("bm25 plan: broadcast dictionary prune, no window, no cartesian blow-up") {
+    val (docs, qs) = fixture
+    val p = Search.bm25TopK(docs, "doc_id", "text", qs, "query_id", "qtext", k = 3)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+}
