@@ -788,6 +788,117 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit audio fingerprint of a decodable (PCM / IMA-ADPCM) WAV:
+    * 17 equal sample frames × 5 Goertzel band powers, one bit per
+    * adjacent-band double-difference across consecutive frames
+    * (16 × 4 = 64 bits):
+    *   bit = (E[f][b] − E[f][b+1]) − (E[f−1][b] − E[f−1][b+1]) > 0
+    * Double-differences of band powers are invariant under uniform
+    * volume scaling (all powers scale by c²; for power-of-two sample
+    * scaling the FP computation scales EXACTLY, so the hash is
+    * bit-identical) — Hamming distance over this hash ranks
+    * near-duplicate AUDIO the way dHash ranks images, and plugs into
+    * `graft.ml.Dedup.hammingPairs`. The pinned dedup contract targets
+    * GAIN-EDITED and re-wrapped ingests of the same samples (distance
+    * ≈ 0, vs ≥ ~16 for distinct content — spec-measured); LOSSY
+    * re-encodes drift with codec fidelity (IMA-ADPCM of hard-edged
+    * synthetic signals lands ~10–25 bits away, outside the ≤7-bit
+    * blocking window — cross-codec near-dup is out of scope, like
+    * perceptual-audio decode itself). Null for undecodable bytes or
+    * clips shorter than ~8 samples per frame. */
+  private[graft] def audioFingerprint64(bytes: Array[Byte]): java.lang.Long = {
+    val dec = decodeWavSamples(bytes)
+    if (dec == null) return null
+    val samples = dec._2
+    val nf = 17
+    val nb = 5
+    if (samples.length < nf * 8) return null
+    val e = Array.ofDim[Double](nf, nb)
+    var f = 0
+    while (f < nf) {
+      val start = (f.toLong * samples.length / nf).toInt
+      val end = ((f + 1).toLong * samples.length / nf).toInt
+      var b = 0
+      while (b < nb) {
+        // Goertzel power at normalized frequency (b+1)/(2(nb+1))
+        val coeff = 2.0 * math.cos(math.Pi * (b + 1) / (nb + 1).toDouble)
+        var s1 = 0.0
+        var s2 = 0.0
+        var i = start
+        while (i < end) {
+          val s0 = samples(i) + coeff * s1 - s2
+          s2 = s1
+          s1 = s0
+          i += 1
+        }
+        e(f)(b) = s1 * s1 + s2 * s2 - coeff * s1 * s2
+        b += 1
+      }
+      f += 1
+    }
+    var h = 0L
+    f = 1
+    while (f < nf) {
+      var b = 0
+      while (b < nb - 1) {
+        h <<= 1
+        if ((e(f)(b) - e(f)(b + 1)) - (e(f - 1)(b) - e(f - 1)(b + 1)) > 0) h |= 1L
+        b += 1
+      }
+      f += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+
+  /** Append an `audio_fp` column ([[audioFingerprint64]], null for
+    * undecodable rows) — mapPartitions like the featurizer. Near-dup
+    * audio pairs are then one
+    * `Dedup.hammingPairs(out, "media_id", "audio_fp", maxDist)` call. */
+  def withAudioFingerprint(media: DataFrame): DataFrame = {
+    val schema = StructType(media.schema.fields :+
+      StructField("audio_fp", LongType, nullable = true))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val h = audioFingerprint64(r.getAs[Array[Byte]](contentIdx))
+        Row.fromSeq(r.toSeq :+ (if (h == null) null else h.longValue()))
+      }
+    }(enc)
+  }
+
+  /** Volume-scale decodable WAV audio by the exact rational num/den and
+    * re-encode as mono 16-bit PCM at the source rate — the audio
+    * counterpart of [[resizeImages]]: decode → integer-exact transform
+    * → standard re-encode. Appends a `scaled` binary column (null when
+    * the content isn't decodable audio). Scaling is integer arithmetic
+    * (s·num/den, truncated, clamped to short range) so a power-of-two
+    * attenuation of even-amplitude samples is EXACT. */
+  def scaleAudioPcm(media: DataFrame, num: Int, den: Int): DataFrame = {
+    require(den != 0, "den must be nonzero")
+    val schema = StructType(media.schema.fields :+
+      StructField("scaled", org.apache.spark.sql.types.BinaryType, nullable = true))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val dec = decodeWavSamples(r.getAs[Array[Byte]](contentIdx))
+        val scaled: Array[Byte] = if (dec == null) null else {
+          val (rate, samples) = dec
+          val out = new Array[Short](samples.length)
+          var i = 0
+          while (i < samples.length) {
+            val v = samples(i).toLong * num / den
+            out(i) = math.max(Short.MinValue, math.min(Short.MaxValue, v)).toShort
+            i += 1
+          }
+          pcmWavBytes(rate, out)
+        }
+        Row.fromSeq(r.toSeq :+ scaled)
+      }
+    }(enc)
+  }
+
   /** Spec-conformant RGB PNG from a decoded BGR buffer (filter-0
     * scanlines, one deflated IDAT, CRC'd chunks) — decodable by
     * [[decodePng]] and any external viewer. */
@@ -971,8 +1082,15 @@ object Multimodal {
 
   /** Complete PCM WAV with a REAL (deterministic integer square-wave)
     * sample payload — fully decodable by [[decodeWavPcm16]]. */
-  private def wavBytes(sampleRate: Int, nSamples: Int, id: Long): Array[Byte] = {
-    val dataLen = nSamples * 2
+  private def wavBytes(sampleRate: Int, nSamples: Int, id: Long): Array[Byte] =
+    // square wave, period/amplitude derived from id — integer-exact
+    pcmWavBytes(sampleRate, squareWave(nSamples, id))
+
+  /** Complete mono 16-bit PCM WAV from raw samples — the re-encoder
+    * behind [[scaleAudioPcm]] and the synthetic writer; round-trips
+    * through [[decodeWavPcm16]] exactly. */
+  private[graft] def pcmWavBytes(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
     val out = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
@@ -982,8 +1100,7 @@ object Multimodal {
       .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
       .putShort(2.toShort).putShort(16.toShort)
     out.put("data".getBytes("US-ASCII")).putInt(dataLen)
-    // square wave, period/amplitude derived from id — integer-exact
-    squareWave(nSamples, id).foreach(out.putShort)
+    samples.foreach(out.putShort)
     out.array()
   }
 
