@@ -571,6 +571,32 @@ object SparkEntry {
         .sortBy("media_id").out
     }),
 
+    // audio near-dup dedup: spectral fingerprint over the REAL WAV
+    // decoders fed through the same pigeonhole Hamming blocking as text
+    // and images. Harness scenario: every decodable audio row
+    // "ingested twice at half gain" (decode → exact integer scale →
+    // PCM re-encode, id-offset) — gain edits defeat content-hash exact
+    // dedup but leave this fingerprint bit-identical (power-of-two
+    // scaling scales Goertzel powers exactly), so distance-≤2 pairs
+    // tie each copy to its original and greedy min-id keeps the
+    // originals. Rows-only by design; contract spec-pinned
+    // (AudioFingerprintSpec: exact gain invariance, separation,
+    // ADPCM-drift honesty, refusals)
+    "q_audio_dedup" -> ((s, d) => {
+      val aud = Multimodal.syntheticMedia(s, 90).filter(col("kind") === "audio")
+      val copies = Multimodal.scaleAudioPcm(aud, 1, 2)
+        .filter(col("scaled").isNotNull)
+        .select((col("media_id") + 10000L).as("media_id"), col("scaled").as("content"))
+      val hashed = Multimodal.withAudioFingerprint(
+          aud.select(col("media_id"), col("content")).unionByName(copies))
+        .filter(col("audio_fp").isNotNull)
+      val dups = Dedup.hammingPairs(hashed, "media_id", "audio_fp", maxDist = 2)
+        .select(col("id_b").as("media_id")).distinct()
+      CrysFrame(hashed.join(dups, Seq("media_id"), "left_anti")
+        .select(col("media_id")))
+        .sortBy("media_id").out
+    }),
+
     // deterministic content-stable sampling (ml.Sampling): both derive
     // randomness from a SQL-expressible integer hash of the row id, so
     // the oracle computes the IDENTICAL assignment — and so can any
@@ -817,6 +843,20 @@ object SparkEntry {
     "q_vocab" -> ((s, d) =>
       CrysFrame(TextFunctions.topWords(t(s, d, "documents"), col("text"), 100))
         .out),
+
+    // benchmark decontamination (text.Decontaminate): flag corpus docs
+    // sharing 13-word-grams with an eval split (doc_id % 3 == 2 — the
+    // split that crosses the corpus's planted near-dup pairs). Joins on
+    // 8-byte xxhash64 keys; the DuckDB oracle joins the STRINGS, so a
+    // hash-collision would surface as a mismatch — the hash-match green
+    // doubles as a collision-freeness check at this SF
+    "q_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      CrysFrame(graft.text.Decontaminate.ngramOverlap(
+          docs.filter(col("doc_id") % 3 =!= 2), "doc_id", "text",
+          docs.filter(col("doc_id") % 3 === 2), "text", n = 13))
+        .sortBy("doc_id").out
+    }),
 
     // BM25 full-text top-k per query (text.Search): contributions are
     // quantized to integer micro-units before the distributed sum, so
@@ -1425,6 +1465,31 @@ object SparkEntry {
         |  min(quality) AS min_quality,
         |  max(quality) AS max_quality
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    t -> t <> '') AS toks
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 13 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 13 + 2),
+        |        i -> array_to_string(list_slice(toks, i, i + 12), ' ')))
+        |    ELSE CAST([] AS VARCHAR[]) END AS ngs
+        |  FROM d),
+        |bench AS (SELECT DISTINCT unnest(ngs) AS g FROM ng WHERE doc_id % 3 = 2),
+        |corpus AS (SELECT doc_id, ngs FROM ng WHERE doc_id % 3 <> 2),
+        |hits AS (
+        |  SELECT u.doc_id, count(b.g) AS n_contaminated
+        |  FROM (SELECT doc_id, unnest(ngs) AS g FROM corpus) u
+        |  LEFT JOIN bench b ON u.g = b.g
+        |  GROUP BY u.doc_id)
+        |SELECT c.doc_id, CAST(len(c.ngs) AS BIGINT) AS n_ngrams,
+        |  CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+        |  coalesce(h.n_contaminated, 0) > 0 AS contaminated
+        |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
 
     // mirrors Search.bm25TopK EXPRESSION-shape for bit-identical
     // doubles: same IEEE op order, same primitive constants (1.2 + 1.0,

@@ -1,0 +1,79 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag corpus documents sharing long word
+  * n-grams with an evaluation set — the classic 13-gram overlap check
+  * run before training so eval answers don't leak into the corpus.
+  * (Extension beyond the reference surface — a training-data pipeline
+  * staple alongside dedup.)
+  *
+  * Scale shape:
+  *   - the eval side reduces to a DISTINCT set of 8-byte n-gram hashes
+  *     (one explode + one distinct on the SMALL side);
+  *   - the corpus side hashes each document's distinct n-grams right
+  *     after the explode and joins on the 8-byte key only — no n-gram
+  *     STRINGS ever reach a shuffle;
+  *   - AQE turns the join broadcast when the eval dictionary fits
+  *     (typical: eval sets are orders of magnitude smaller than the
+  *     corpus); above that it's a plain hash join on longs;
+  *   - short documents (< n words) survive with zero counts via
+  *     `explode_outer`, so the output covers the whole corpus.
+  *
+  * Tokenization is the BM25 one (lowercase, whitespace-collapsed,
+  * single-space split) — mirror it exactly in any oracle. Counting is
+  * over each document's DISTINCT n-grams (xxhash64 keys; collision
+  * probability at even 10^9 distinct n-grams is ~10^-2 per corpus for
+  * a COUNT of 1 — and irrelevant to the contaminated FLAG unless the
+  * colliding gram is the document's only hit).
+  */
+object Decontaminate {
+
+  /** Distinct word n-grams (space-joined) of an ALREADY-MATERIALIZED
+    * token-array column. `toks` must be a plain attribute — it is
+    * referenced both by the window count and per-element inside the
+    * lambda (see TextFunctions.shinglesFromNormalized scaladoc). */
+  private def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - lit(n)),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+
+  private def toks(text: Column): Column =
+    filter(split(TextFunctions.normalizeText(text), " "), t => t =!= "")
+
+  /** Per-document overlap with the eval set:
+    * (doc_id, n_ngrams, n_contaminated, contaminated) — the distinct
+    * word-n-gram count, how many of them appear anywhere in `bench`,
+    * and the flag. Every corpus row appears in the output. */
+  def ngramOverlap(docs: DataFrame, idCol: String, textCol: String,
+                   bench: DataFrame, benchTextCol: String,
+                   n: Int = 13): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2 (got $n)")
+
+    val benchDict = bench
+      .select(toks(col(benchTextCol)).as("__toks"))
+      .select(explode(wordNgrams(col("__toks"), n)).as("__ng"))
+      .select(xxhash64(col("__ng")).as("__h"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+
+    val corpusGrams = docs
+      .select(col(idCol).cast("long").as("doc_id"), toks(col(textCol)).as("__toks"))
+      .select(col("doc_id"), wordNgrams(col("__toks"), n).as("__ngs"))
+      .select(col("doc_id"), size(col("__ngs")).cast("long").as("n_ngrams"),
+        explode_outer(col("__ngs")).as("__ng"))
+      .select(col("doc_id"), col("n_ngrams"),
+        when(col("__ng").isNotNull, xxhash64(col("__ng"))).as("__h"))
+
+    corpusGrams
+      .join(benchDict, Seq("__h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_ngrams")).as("n_ngrams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_contaminated"),
+        (col("n_contaminated") > 0).as("contaminated"))
+  }
+}

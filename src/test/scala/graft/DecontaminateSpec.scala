@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+import graft.text.Decontaminate
+
+/** Benchmark decontamination: planted leaks found, clean docs pass,
+  * short docs survive with zero counts, plan shape joins on hashes. */
+class DecontaminateSpec extends GraftSpec {
+
+  private val leak = (1 to 15).map(i => s"w$i").mkString(" ")
+
+  private def fixture = {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, s"intro text then $leak and a tail"), // contains the leaked passage
+      (2L, "a completely different document about other things entirely " +
+        "with plenty of words but nothing shared beyond stray unigrams " +
+        "so it stays clean under any long gram check"),
+      (3L, "too short to have grams"),
+      (4L, "")).toDF("doc_id", "text")
+    val bench = Seq((s"question: $leak answer: yes")).toDF("qtext")
+    (docs, bench)
+  }
+
+  test("13-gram overlap flags exactly the leaked document") {
+    val (docs, bench) = fixture
+    val out = Decontaminate.ngramOverlap(docs, "doc_id", "text", bench, "qtext")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L)) // whole corpus covered
+    // doc 1: the 15-word leak inside a longer doc shares every 13-gram
+    // window fully inside it → 3 of them
+    assert(out(1L)._3 && out(1L)._2 == 3, out(1L).toString)
+    assert(!out(2L)._3 && out(2L)._2 == 0)
+    assert(out(3L) == ((0L, 0L, false))) // < 13 words: zero grams, kept
+    assert(out(4L) == ((0L, 0L, false)))
+  }
+
+  test("n parameter: bigger windows need longer shared runs") {
+    val (docs, bench) = fixture
+    val out16 = Decontaminate.ngramOverlap(docs, "doc_id", "text", bench, "qtext", n = 16)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // the shared run is 15 words — no 16-gram can fit inside it
+    assert(!out16(1L))
+    val out5 = Decontaminate.ngramOverlap(docs, "doc_id", "text", bench, "qtext", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out5(1L) == 11) // 15-word run → 11 5-gram windows
+  }
+
+  test("duplicate grams in a doc count once (distinct contract)") {
+    import spark.implicits._
+    val docs = Seq((1L, s"$leak $leak $leak")).toDF("doc_id", "text")
+    val bench = Seq((leak)).toDF("qtext")
+    val out = Decontaminate.ngramOverlap(docs, "doc_id", "text", bench, "qtext", n = 15)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // repeated passage: windows spanning the seam are distinct, but the
+    // leak window itself appears 3 times and counts once; bench holds
+    // only the single 15-gram → n_contaminated is exactly 1
+    assert(out(1L)._2 == 1, out(1L).toString)
+  }
+
+  test("plan: n-gram strings never reach the join — 8-byte hash keys only") {
+    val (docs, bench) = fixture
+    val p = Decontaminate.ngramOverlap(docs, "doc_id", "text", bench, "qtext")
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"), p)
+    // the equi-join keys are the hash column, not a string column
+    val keyLines = p.linesIterator.filter(_.contains("keys")).mkString("\n")
+    assert(keyLines.contains("__h"), p)
+    assert(!keyLines.contains("__ng"), keyLines)
+  }
+}
