@@ -844,6 +844,15 @@ object SparkEntry {
       CrysFrame(TextFunctions.topWords(t(s, d, "documents"), col("text"), 100))
         .out),
 
+    // corpus-internal duplicated-passage profile: fraction of each
+    // doc's distinct 13-grams appearing in some OTHER doc (sizes the
+    // near-dedup pass; finds boilerplate). Joins on 8-byte hashes; the
+    // string-joining oracle again doubles as a collision check
+    "q_dup_passages" -> ((s, d) =>
+      CrysFrame(graft.text.Decontaminate.duplicatedPassageStats(
+          t(s, d, "documents"), "doc_id", "text", n = 13))
+        .sortBy("doc_id").out),
+
     // benchmark decontamination (text.Decontaminate): flag corpus docs
     // sharing 13-word-grams with an eval split (doc_id % 3 == 2 — the
     // split that crosses the corpus's planted near-dup pairs). Joins on
@@ -1465,6 +1474,31 @@ object SparkEntry {
         |  min(quality) AS min_quality,
         |  max(quality) AS max_quality
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_dup_passages" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    t -> t <> '') AS toks
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 13 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 13 + 2),
+        |        i -> array_to_string(list_slice(toks, i, i + 12), ' ')))
+        |    ELSE CAST([] AS VARCHAR[]) END AS ngs
+        |  FROM d),
+        |u AS (SELECT doc_id, unnest(ngs) AS g FROM ng),
+        |dc AS (SELECT g, count(*) AS n_docs FROM u GROUP BY g HAVING count(*) > 1),
+        |hits AS (
+        |  SELECT u.doc_id, count(dc.g) AS n_duplicated
+        |  FROM u LEFT JOIN dc ON u.g = dc.g GROUP BY u.doc_id)
+        |SELECT ng.doc_id, CAST(len(ng.ngs) AS BIGINT) AS n_ngrams,
+        |  CAST(coalesce(h.n_duplicated, 0) AS BIGINT) AS n_duplicated,
+        |  CASE WHEN len(ng.ngs) > 0 THEN
+        |    CAST(coalesce(h.n_duplicated, 0) AS DOUBLE) / CAST(len(ng.ngs) AS DOUBLE)
+        |  ELSE 0.0 END AS dup_fraction
+        |FROM ng LEFT JOIN hits h ON ng.doc_id = h.doc_id
+        |ORDER BY ng.doc_id""".stripMargin,
 
     "q_decontaminate" ->
       """WITH d AS (

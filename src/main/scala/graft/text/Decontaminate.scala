@@ -44,6 +44,70 @@ object Decontaminate {
   private def toks(text: Column): Column =
     filter(split(TextFunctions.normalizeText(text), " "), t => t =!= "")
 
+  /** Streaming decontamination: the ids of incoming documents sharing
+    * any word n-gram with the STATIC eval set, as they arrive. The
+    * n-gram explode and the semi-join against the (small, static)
+    * dictionary are STATELESS on a stream; the only state is the
+    * per-id dedup — 8 bytes per contaminated doc (add a watermark on
+    * an event-time column upstream to bound it on unbounded streams).
+    * The flags agree with the batch [[ngramOverlap]] by construction
+    * (same tokenizer, same hashes). */
+  def contaminatedIdsStream(docs: DataFrame, idCol: String, textCol: String,
+                            bench: DataFrame, benchTextCol: String,
+                            n: Int = 13): DataFrame = {
+    val benchDict = bench
+      .select(toks(col(benchTextCol)).as("__toks"))
+      .select(explode(wordNgrams(col("__toks"), n)).as("__ng"))
+      .select(xxhash64(col("__ng")).as("__h"))
+      .distinct()
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), toks(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(wordNgrams(col("__toks"), n)).as("__ng"))
+      .select(col("doc_id"), xxhash64(col("__ng")).as("__h"))
+      .join(benchDict, Seq("__h"), "left_semi")
+      .select(col("doc_id"))
+      .dropDuplicates("doc_id")
+  }
+
+  /** Corpus-internal duplicated-passage profile: for each document,
+    * how many of its distinct word n-grams appear in at least one
+    * OTHER document — the "fraction of the corpus that is duplicated
+    * text" signal used to size near-dedup passes (and to find
+    * boilerplate) before training.
+    *
+    * Output: (doc_id, n_ngrams, n_duplicated, dup_fraction) with
+    * dup_fraction = n_duplicated / n_ngrams (0.0 for gram-less docs;
+    * raw IEEE division of exact longs — bit-stable cross-engine).
+    *
+    * Scale shape: two shuffles of 8-byte keys — (hash → distinct doc
+    * count) then the count joined back to the exploded corpus on the
+    * same hash key (co-partitioned, no strings move); per-doc
+    * reduction is a plain count aggregation. */
+  def duplicatedPassageStats(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int = 13): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2 (got $n)")
+    val grams = docs
+      .select(col(idCol).cast("long").as("doc_id"), toks(col(textCol)).as("__toks"))
+      .select(col("doc_id"), wordNgrams(col("__toks"), n).as("__ngs"))
+      .select(col("doc_id"), size(col("__ngs")).cast("long").as("n_ngrams"),
+        explode_outer(col("__ngs")).as("__ng"))
+      .select(col("doc_id"), col("n_ngrams"),
+        when(col("__ng").isNotNull, xxhash64(col("__ng"))).as("__h"))
+    // grams are distinct per doc, so count(*) per hash = distinct docs
+    val docCounts = grams.filter(col("__h").isNotNull)
+      .groupBy(col("__h")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") > 1)
+    grams
+      .join(docCounts, Seq("__h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_ngrams")).as("n_ngrams"),
+        coalesce(sum(when(col("__docs").isNotNull, 1L)), lit(0L)).as("n_duplicated"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_duplicated"),
+        when(col("n_ngrams") > 0,
+          col("n_duplicated").cast("double") / col("n_ngrams").cast("double"))
+          .otherwise(lit(0.0)).as("dup_fraction"))
+  }
+
   /** Per-document overlap with the eval set:
     * (doc_id, n_ngrams, n_contaminated, contaminated) — the distinct
     * word-n-gram count, how many of them appear anywhere in `bench`,

@@ -60,6 +60,47 @@ class DecontaminateSpec extends GraftSpec {
     assert(out(1L)._2 == 1, out(1L).toString)
   }
 
+  test("duplicatedPassageStats profiles corpus-internal repetition") {
+    import spark.implicits._
+    val shared = (1 to 13).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha opening words then $shared closing remarks here"),
+      (2L, s"totally different beginning yet $shared and another ending"),
+      (3L, "no repeated passages anywhere in this document at all " +
+        "just singular prose that appears exactly once in the corpus"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val out = Decontaminate.duplicatedPassageStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // docs 1 and 2 share exactly the one 13-gram window
+    assert(out(1L)._2 == 1 && out(2L)._2 == 1, out.toString)
+    assert(out(1L)._3 == 1.0 / out(1L)._1)
+    assert(out(3L)._2 == 0 && out(3L)._3 == 0.0)
+    assert(out(4L) == ((0L, 0L, 0.0))) // gram-less doc covered with zeros
+  }
+
+  test("streaming: contaminated ids emit live and match the batch flags") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (docs, bench) = fixture
+    val docRows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Decontaminate.contaminatedIdsStream(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", bench, "qtext")
+      .writeStream.format("memory").queryName("streamdecon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(docRows.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("streamdecon").collect().map(_.getLong(0)).toSet
+      val batch = Decontaminate.ngramOverlap(docs, "doc_id", "text", bench, "qtext")
+        .filter(col("contaminated")).collect().map(_.getLong(0)).toSet
+      assert(streamed == batch && streamed == Set(1L), streamed.toString)
+    } finally q.stop()
+  }
+
   test("plan: n-gram strings never reach the join — 8-byte hash keys only") {
     val (docs, bench) = fixture
     val p = Decontaminate.ngramOverlap(docs, "doc_id", "text", bench, "qtext")
