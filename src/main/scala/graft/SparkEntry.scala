@@ -844,6 +844,26 @@ object SparkEntry {
       CrysFrame(TextFunctions.topWords(t(s, d, "documents"), col("text"), 100))
         .out),
 
+    // PII scrub (text.Scrub): plant deterministic emails/IPs/phones in
+    // a slice of the corpus (mirrored verbatim in the oracle), then
+    // count + redact with lookaround-free patterns that mean the same
+    // thing in Java regex and RE2 — so DuckDB reproduces counts AND
+    // redacted text byte-for-byte
+    "q_scrub_pii" -> ((s, d) => {
+      val aug = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com or +1415555"), (col("doc_id") % 100).cast("string")))
+            .when(col("doc_id") % 5 === 1,
+              concat(lit(" from host 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+            .otherwise(lit(""))).as("text"))
+      CrysFrame(graft.text.Scrub.redactPii(aug, "text")
+          .select(col("doc_id"), col("n_emails"), col("n_ips"),
+            col("n_phones"), col("text_redacted")))
+        .sortBy("doc_id").out
+    }),
+
     // corpus-internal duplicated-passage profile: fraction of each
     // doc's distinct 13-grams appearing in some OTHER doc (sizes the
     // near-dedup pass; finds boilerplate). Joins on 8-byte hashes; the
@@ -1474,6 +1494,28 @@ object SparkEntry {
         |  min(quality) AS min_quality,
         |  max(quality) AS max_quality
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_scrub_pii" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |        ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |        '@example.com or +1415555' || CAST(doc_id % 100 AS VARCHAR)
+        |      WHEN doc_id % 5 = 1 THEN
+        |        ' from host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+        |      ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b(?:[0-9]{1,3}\.)(?:[0-9]{1,3}\.)(?:[0-9]{1,3}\.)[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\+[0-9]{7,15}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:[0-9]{1,3}\.)(?:[0-9]{1,3}\.)(?:[0-9]{1,3}\.)[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+[0-9]{7,15}', '<PHONE>', 'g') AS text_redacted
+        |FROM aug ORDER BY doc_id""".stripMargin,
 
     "q_dup_passages" ->
       """WITH d AS (
