@@ -844,6 +844,20 @@ object SparkEntry {
       CrysFrame(TextFunctions.topWords(t(s, d, "documents"), col("text"), 100))
         .out),
 
+    // int8 embedding quantization (ml.Quantize): per-vector affine
+    // codes with one fixed IEEE op order — the oracle reproduces every
+    // code and the reconstruction error bound exactly (codes join to a
+    // comma string; the driver compare can't hash array cells)
+    "q_quantize" -> ((s, d) => {
+      val q = graft.ml.Quantize.quantizeEmbeddings(t(s, d, "embeddings"), "embedding")
+        .withColumn("__vd", col("embedding").cast("array<double>"))
+      CrysFrame(q.select(col("vec_id"), col("vmin"), col("vmax"),
+          array_join(col("qvec"), ",").as("qstr"),
+          round(graft.ml.Quantize.maxAbsError(
+            col("__vd"), col("qvec"), col("vmin"), col("vmax")), 9).as("max_err")))
+        .sortBy("vec_id").out
+    }),
+
     // PII scrub (text.Scrub): plant deterministic emails/IPs/phones in
     // a slice of the corpus (mirrored verbatim in the oracle), then
     // count + redact with lookaround-free patterns that mean the same
@@ -1494,6 +1508,21 @@ object SparkEntry {
         |  min(quality) AS min_quality,
         |  max(quality) AS max_quality
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+        |m AS (SELECT vec_id, vd, list_min(vd) AS vmin, list_max(vd) AS vmax FROM e),
+        |q AS (SELECT vec_id, vd, vmin, vmax,
+        |  CASE WHEN vmax = vmin THEN list_transform(vd, v -> 0)
+        |  ELSE list_transform(vd, v ->
+        |    CAST(round((v - vmin) * 255.0 / (vmax - vmin), 0) AS INTEGER)) END AS qvec
+        |  FROM m)
+        |SELECT vec_id, vmin, vmax, array_to_string(qvec, ',') AS qstr,
+        |  round(list_max(list_transform(range(1, len(vd) + 1), i ->
+        |    abs(vmin + CAST(qvec[i] AS DOUBLE) * (vmax - vmin) / 255.0 - vd[i]))), 9)
+        |    AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q_scrub_pii" ->
       """WITH aug AS (
