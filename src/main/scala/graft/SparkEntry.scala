@@ -844,6 +844,18 @@ object SparkEntry {
       CrysFrame(TextFunctions.topWords(t(s, d, "documents"), col("text"), 100))
         .out),
 
+    // temperature resampling (ml.Sampling): language-mix flattening at
+    // alpha=0.5 — rare langs keep a higher fraction than dominant
+    // ones. Keep probabilities quantize to micro-units and the per-row
+    // draw compares INTEGERS, so the kept set is bit-reproducible by
+    // the oracle
+    "q_temperature_sample" -> ((s, d) =>
+      CrysFrame(Sampling.temperatureResample(
+          t(s, d, "documents"), "lang", "doc_id",
+          alpha = 0.5, targetFraction = 0.5)
+          .select(col("doc_id"), col("lang")))
+        .sortBy("doc_id").out),
+
     // int8 embedding quantization (ml.Quantize): per-vector affine
     // codes with one fixed IEEE op order — the oracle reproduces every
     // code and the reconstruction error bound exactly (codes join to a
@@ -1508,6 +1520,19 @@ object SparkEntry {
         |  min(quality) AS min_quality,
         |  max(quality) AS max_quality
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_temperature_sample" ->
+      """WITH n AS (SELECT lang, count(*) AS ns FROM documents
+        |           WHERE lang IS NOT NULL GROUP BY lang),
+        |t AS (SELECT sum(ns) AS nn, sum(pow(ns, 0.5)) AS sp FROM n),
+        |p AS (SELECT lang,
+        |    CAST(round(least(1.0, 0.5 * nn * pow(ns, 0.5) / (sp * ns)) * 1e6, 0)
+        |      AS BIGINT) AS pm
+        |  FROM n CROSS JOIN t)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN p USING (lang)
+        |WHERE ((d.doc_id * 2654435761 + 42) % 2147483647) * 2000000 + 1000000
+        |      < pm * 4294967294
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_quantize" ->
       """WITH e AS (

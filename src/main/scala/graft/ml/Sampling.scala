@@ -51,6 +51,43 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Temperature resampling across sources — the multilingual-mixing
+    * primitive: keep a `targetFraction` of the corpus with per-source
+    * rates proportional to `n_s^alpha` (alpha < 1 flattens the mix
+    * toward rare sources, alpha = 1 preserves it, alpha = 0 equalizes
+    * expected counts). Per-source keep probability:
+    *   p_s = min(1, targetFraction · N · n_s^alpha / (Σ n^alpha · n_s))
+    * quantized to MICRO-units, with the per-row draw the same Knuth
+    * id-hash as [[hashSplit]] compared in INTEGER arithmetic —
+    * deterministic, content-stable, and bit-reproducible by any SQL
+    * engine (the driver oracle is one).
+    *
+    * Scale shape: one count aggregation (sources ≪ corpus), a one-row
+    * total, both broadcast back; the corpus-side decision is a
+    * map-only filter. Rows with a null source are dropped (no rate is
+    * defined for them). */
+  def temperatureResample(df: DataFrame, srcCol: String, idCol: String,
+                          alpha: Double, targetFraction: Double,
+                          seed: Long = 42L): DataFrame = {
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0,1], got $targetFraction")
+    val stats = df.filter(col(srcCol).isNotNull)
+      .groupBy(col(srcCol)).agg(count(lit(1)).as("__n"))
+    val totals = stats.agg(sum(col("__n")).as("__tot"),
+      sum(pow(col("__n"), lit(alpha))).as("__sp"))
+    val rates = stats.crossJoin(broadcast(totals))
+      .select(col(srcCol),
+        round(least(lit(1.0),
+          lit(targetFraction) * col("__tot") * pow(col("__n"), lit(alpha)) /
+            (col("__sp") * col("__n"))) * lit(1e6), 0)
+          .cast("long").as("__pm"))
+    val h = (col(idCol) * P + lit(seed)) % M
+    df.join(broadcast(rates), Seq(srcCol))
+      .filter(h * lit(2000000L) + lit(1000000L) < col("__pm") * lit(2 * M))
+      .drop("__pm")
+  }
+
   /** Weighted sample WITHOUT replacement, k rows per key group:
     * exponential-clock priorities (Efraimidis–Spirakis via
     * `-ln(u)/w`), smallest k win — a row's selection probability is

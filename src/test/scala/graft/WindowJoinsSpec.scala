@@ -276,6 +276,41 @@ class WindowJoinsSpec extends GraftSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("temperature resampling flattens a skewed source mix deterministically") {
+    import spark.implicits._
+    import graft.ml.Sampling
+    // 9:1 skew: 1800 'big' rows, 200 'small' rows
+    val docs = (1L to 2000L).map(i => (i, if (i <= 1800) "big" else "small"))
+      .toDF("id", "src")
+    def rates(alpha: Double) = {
+      val kept = Sampling.temperatureResample(docs, "src", "id", alpha, 0.5)
+        .groupBy("src").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      (kept.getOrElse("big", 0L) / 1800.0, kept.getOrElse("small", 0L) / 200.0)
+    }
+    // alpha = 1 preserves the mix: both sources keep ~targetFraction
+    val (b1, s1) = rates(1.0)
+    assert(math.abs(b1 - 0.5) < 0.05 && math.abs(s1 - 0.5) < 0.1, (b1, s1).toString)
+    // alpha = 0 equalizes EXPECTED COUNTS: each source targets 500 rows
+    // → small keeps all 200 (p capped at 1), big keeps ~500
+    val (b0, s0) = rates(0.0)
+    assert(s0 == 1.0, s0.toString)
+    assert(math.abs(b0 - 500.0 / 1800.0) < 0.05, b0.toString)
+    // alpha = 0.5 sits between
+    val (bh, sh) = rates(0.5)
+    assert(bh > b0 && bh < s1 && sh > s1, (bh, sh).toString)
+    // deterministic under repartitioning; null sources are dropped
+    val a = Sampling.temperatureResample(docs, "src", "id", 0.5, 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureResample(docs.repartition(13), "src", "id", 0.5, 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    val withNull = docs.withColumn("src",
+      when(col("id") === 1L, lit(null: String)).otherwise(col("src")))
+    assert(!Sampling.temperatureResample(withNull, "src", "id", 0.5, 0.5)
+      .select("id").collect().map(_.getLong(0)).contains(1L))
+  }
+
   test("greedy packing: budget boundaries, oversize rows, per-key reset") {
     import spark.implicits._
     import graft.operators.Pack
