@@ -844,6 +844,27 @@ object SparkEntry {
       CrysFrame(TextFunctions.topWords(t(s, d, "documents"), col("text"), 100))
         .out),
 
+    // hybrid retrieval (text.Search): BM25 + cosine fused by
+    // reciprocal-rank fusion over integer micro-unit terms — both
+    // rankers' ranks are already oracle-exact (q_bm25 / q_ann_topk
+    // machinery), so the fused ranking is too. Corpus = documents ⋈
+    // embeddings on id; probe vectors are the query-id embeddings
+    "q_hybrid_search" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val docs = t(s, d, "documents")
+      val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), col("text"), col("embedding"))
+      val qtexts = Seq((0L, "hash join table"), (1L, "window agg stream batch"),
+        (2L, "slow query filter")).toDF("query_id", "qtext")
+      val queries = qtexts.join(emb, qtexts("query_id") === emb("vec_id"))
+        .select(col("query_id"), col("qtext"), col("embedding").as("qvec"))
+      CrysFrame(Search.hybridTopK(corpus, "doc_id", "text", "embedding",
+          queries, "query_id", "qtext", "qvec", k = 10)
+          .withColumn("rank", col("rank").cast("long")))
+        .sortBy("query_id", "rank").out
+    }),
+
     // temperature resampling (ml.Sampling): language-mix flattening at
     // alpha=0.5 — rare langs keep a higher fraction than dominant
     // ones. Keep probabilities quantize to micro-units and the per-row
@@ -1520,6 +1541,71 @@ object SparkEntry {
         |  min(quality) AS min_quality,
         |  max(quality) AS max_quality
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // composes the PROVEN q_bm25 and q_ann_topk oracle machinery
+    // (restricted to the docs ⋈ embeddings corpus), then fuses with
+    // integer micro-unit RRF terms — order-independent exact
+    "q_hybrid_search" ->
+      """WITH docs0 AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id IN (SELECT vec_id FROM embeddings)),
+        |d AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    t -> t <> '') AS toks
+        |  FROM docs0),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+        |stats AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        |q(query_id, qtext) AS (VALUES
+        |  (0, 'hash join table'), (1, 'window agg stream batch'),
+        |  (2, 'slow query filter')),
+        |qt AS (SELECT DISTINCT query_id, term FROM
+        |  (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q)),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |contrib AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    CAST(round(1e6 *
+        |      ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+        |      (tf.tf * (1.2 + 1.0)) /
+        |      (tf.tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl.dl) / stats.avgdl)),
+        |      0) AS BIGINT) AS ci
+        |  FROM tf JOIN dfreq USING (term) JOIN qt USING (term)
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+        |score AS (SELECT query_id, doc_id, CAST(sum(ci) AS BIGINT) AS score_micro
+        |          FROM contrib GROUP BY query_id, doc_id),
+        |lex AS (SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id,
+        |      CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+        |    FROM score) WHERE rank <= 20),
+        |sem AS (SELECT query_id, doc_id, rank FROM (
+        |    SELECT qe.vec_id AS query_id, c.vec_id AS doc_id,
+        |      CAST(row_number() OVER (PARTITION BY qe.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                   CAST(qe.embedding AS DOUBLE[])) DESC,
+        |                 c.vec_id) AS BIGINT) AS rank
+        |    FROM embeddings c
+        |    CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) qe
+        |    WHERE c.vec_id <> qe.vec_id
+        |      AND c.vec_id IN (SELECT doc_id FROM docs0)) WHERE rank <= 20),
+        |fused AS (
+        |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+        |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+        |    coalesce(CAST(round(1e6 / (60.0 + l.rank), 0) AS BIGINT), 0) +
+        |    coalesce(CAST(round(1e6 / (60.0 + s.rank), 0) AS BIGINT), 0) AS rrf_micro
+        |  FROM lex l FULL OUTER JOIN sem s
+        |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_micro, rank FROM (
+        |  SELECT query_id, doc_id, rrf_micro,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
+        |  FROM fused)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_temperature_sample" ->
       """WITH n AS (SELECT lang, count(*) AS ns FROM documents

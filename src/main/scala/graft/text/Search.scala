@@ -116,4 +116,49 @@ object Search {
         (col("cos_sim") / lit(1e6)).as("score"),
         col("rank"))
   }
+
+  /** Reciprocal-rank fusion of any number of per-query rankings (each
+    * a frame of `query_id, doc_id, rank`): a document scores
+    * Σ_r 1/(k0 + rank_r) over the rankings that retrieved it. Like
+    * BM25 above, each term is quantized to integer micro-units —
+    * `round(1e6 / (k0 + rank))` — so the fused score is an
+    * order-independent long any engine reproduces.
+    *
+    * Scale shape: the inputs are already top-k'd (queries × k rows
+    * each), so the union + sum is tiny regardless of corpus size; the
+    * final top-k reuses the bounded [[graft.ml.TopKAgg]].
+    * Returns (query_id, doc_id, rrf_micro, rank). */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0 && k0 >= 0, s"bad k=$k / k0=$k0")
+    val scored = rankings
+      .map(_.select(col("query_id"), col("doc_id"),
+        round(lit(1e6) / (lit(k0.toDouble) + col("rank")), 0)
+          .cast("long").as("__c")))
+      .reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c")).as("rrf_micro"))
+    graft.ml.TopK.perQuery(
+        scored.select(col("query_id"), col("doc_id").as("nn_id"),
+          col("rrf_micro").cast("double").as("cos_sim")), k)
+      .select(col("query_id"), col("nn_id").as("doc_id"),
+        col("cos_sim").cast("long").as("rrf_micro"), col("rank"))
+  }
+
+  /** Hybrid retrieval: BM25 (lexical) and brute-force cosine
+    * (semantic) rankings fused with [[rrfFuse]] — the standard
+    * two-tower search pattern. `corpus` carries both a text and an
+    * embedding column; `queries` carries query text and a probe
+    * vector. Each ranker contributes its top `kPerRanker`. */
+  def hybridTopK(corpus: DataFrame, idCol: String, textCol: String, vecCol: String,
+                 queries: DataFrame, qidCol: String, qtextCol: String, qvecCol: String,
+                 k: Int, kPerRanker: Int = 20, k0: Int = 60): DataFrame = {
+    val lexical = bm25TopK(corpus, idCol, textCol,
+        queries, qidCol, qtextCol, kPerRanker)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val semantic = graft.ml.Similarity.bruteForceTopK(corpus, idCol, vecCol,
+        queries, qidCol, qvecCol, kPerRanker)
+      .select(col("query_id"), col("nn_id").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lexical, semantic), k, k0)
+  }
 }

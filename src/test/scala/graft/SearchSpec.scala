@@ -86,6 +86,54 @@ class SearchSpec extends GraftSpec {
     assert(scores(qs) == scores(qsBase))
   }
 
+  test("rrfFuse: hand-computed fusion, consensus beats single-ranker, ties by id") {
+    import spark.implicits._
+    // ranker A: doc 10 first, doc 20 second; ranker B: doc 20 first,
+    // doc 30 second. doc 20 appears in both → should fuse on top.
+    val a = Seq((0L, 10L, 1L), (0L, 20L, 2L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 20L, 1L), (0L, 30L, 2L)).toDF("query_id", "doc_id", "rank")
+    val got = Search.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toList
+      .sortBy(_._3)
+    def c(rank: Long) = math.round(1e6 / (60.0 + rank))
+    assert(got == List(
+      (20L, c(2) + c(1), 1),  // consensus doc: both contributions
+      (10L, c(1), 2),         // rank-1 in A only
+      (30L, c(2), 3)), got.toString)
+    // exact ties (same single rank in one ranker each) break by doc_id
+    val t1 = Seq((0L, 7L, 1L)).toDF("query_id", "doc_id", "rank")
+    val t2 = Seq((0L, 3L, 1L)).toDF("query_id", "doc_id", "rank")
+    val tied = Search.rrfFuse(Seq(t1, t2), k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toList.sortBy(_._2)
+    assert(tied == List((3L, 1), (7L, 2)), tied.toString)
+  }
+
+  test("hybridTopK surfaces docs either ranker likes and respects k") {
+    import spark.implicits._
+    val (docs, qs) = fixture
+    // give every doc a vector; make doc 5's vector align with the probe
+    def vec(seed: Int): Seq[Float] =
+      Seq.tabulate(4)(i => (((seed * 31 + i * 7) % 10) + 1).toFloat)
+    val corpus = docs.withColumn("embedding",
+      typedLit(Seq.empty[Float])).drop("embedding")
+      .collect().map(r => (r.getLong(0), r.getString(1), vec(r.getLong(0).toInt)))
+      .toSeq.toDF("doc_id", "text", "embedding")
+    val queries = qs.collect().map(r => (r.getLong(0), r.getString(1), vec(5)))
+      .toSeq.toDF("query_id", "qtext", "qvec")
+    // kPerRanker = 1: each ranker contributes exactly its best doc
+    val out = Search.hybridTopK(corpus, "doc_id", "text", "embedding",
+        queries, "query_id", "qtext", "qvec", k = 3, kPerRanker = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(out.groupBy(_._1).values.forall(_.length <= 3))
+    // the probe equals doc 5's vector → doc 5 is semantic rank 1 for
+    // every query and must surface, even where the lexical side never
+    // retrieves it (doc 5 shares no term with q0 "hash join")
+    assert(out.filter(_._1 == 0L).map(_._2).contains(5L), out.mkString(","))
+    // the lexical best for q0 (doc 3: tf-heavy "hash ... join") also
+    // surfaces — the fused list covers both modalities
+    assert(out.filter(_._1 == 0L).map(_._2).contains(3L), out.mkString(","))
+  }
+
   test("bm25 plan: broadcast dictionary prune, no window, no cartesian blow-up") {
     val (docs, qs) = fixture
     val p = Search.bm25TopK(docs, "doc_id", "text", qs, "query_id", "qtext", k = 3)
