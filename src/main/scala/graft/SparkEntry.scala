@@ -844,6 +844,14 @@ object SparkEntry {
       CrysFrame(TextFunctions.topWords(t(s, d, "documents"), col("text"), 100))
         .out),
 
+    // sharded export assignment (sources.Export): fixed shard count,
+    // content-stable Knuth-hash map — the oracle computes the same
+    // layout, proving a loader can address shards engine-independently
+    "q_shard_assign" -> ((s, d) =>
+      CrysFrame(graft.sources.Export.shardAssign(
+          t(s, d, "documents").select(col("doc_id")), "doc_id", nShards = 8))
+        .sortBy("doc_id").out),
+
     // hybrid retrieval (text.Search): BM25 + cosine fused by
     // reciprocal-rank fusion over integer micro-unit terms — both
     // rankers' ranks are already oracle-exact (q_bm25 / q_ann_topk
@@ -1541,6 +1549,11 @@ object SparkEntry {
         |  min(quality) AS min_quality,
         |  max(quality) AS max_quality
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_shard_assign" ->
+      """SELECT doc_id,
+        |  ((doc_id * 2654435761 + 42) % 2147483647) % 8 AS shard
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // composes the PROVEN q_bm25 and q_ann_topk oracle machinery
     // (restricted to the docs ⋈ embeddings corpus), then fuses with

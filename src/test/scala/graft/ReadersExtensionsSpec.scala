@@ -1467,4 +1467,36 @@ class ReadersExtensionsSpec extends GraftSpec {
       f.forall(v => v >= 0f && v <= 1f) && f.take(8).exists(_ > 0f)
     })
   }
+
+  test("sharded export: stable assignment, one file per shard, manifest counts") {
+    import graft.sources.Export
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, s"doc $i")).toDF("id", "body")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val manifest = Export.writeShards(df, "id", nShards = 8, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every row accounted for; shards reasonably balanced (uniform hash)
+    assert(manifest.values.sum == 500L)
+    assert(manifest.keySet.subsetOf((0L until 8L).toSet))
+    assert(manifest.values.forall(n => n > 30 && n < 95), manifest.toString)
+    // one data file per shard directory
+    for (s <- manifest.keys) {
+      val files = new java.io.File(s"$dir/shard=$s")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $s has ${files.length} files")
+    }
+    // the export round-trips, shard column intact and assignment stable
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 500)
+    val re = Export.shardAssign(df, "id", 8)
+      .select("id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    back.select("id", "shard").collect().foreach { r =>
+      assert(re(r.getLong(0)) == r.getAs[Number]("shard").longValue())
+    }
+    // content-stable: dropping other rows never moves a row
+    val sub = Export.shardAssign(df.filter(col("id") <= 10), "id", 8)
+      .select("id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sub.forall { case (id, s) => re(id) == s })
+  }
+
 }
