@@ -17,7 +17,8 @@ object Bench {
     "q_asof_join", "q_dedup_exact",
     "q_dedup_minhash", "q_dedup_cc", "q_embed_dedup", "q_simhash_pairs",
     "q_token_stats", "q_repetition", "q_vocab", "q_pipeline", "q_ann_topk",
-    "q_bm25", "q_decontaminate", "q_scrub_pii",
+    "q_bm25", "q_decontaminate", "q_scrub_pii", "q_dup_passages",
+    "q_hybrid_search", "q_quantize", "q_temperature_sample",
     // LAST deliberately: the distributed CC loop spawns dozens of
     // short stages and its async unpersist/shuffle cleanup bleeds into
     // whatever runs next (measured +4s on the following query when it
