@@ -1604,8 +1604,7 @@ object SparkEntry {
         |                 c.vec_id) AS BIGINT) AS rank
         |    FROM embeddings c
         |    CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) qe
-        |    WHERE c.vec_id <> qe.vec_id
-        |      AND c.vec_id IN (SELECT doc_id FROM docs0)) WHERE rank <= 20),
+        |    WHERE c.vec_id IN (SELECT doc_id FROM docs0)) WHERE rank <= 20),
         |fused AS (
         |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
         |    coalesce(l.doc_id, s.doc_id) AS doc_id,
@@ -1621,11 +1620,15 @@ object SparkEntry {
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_temperature_sample" ->
-      """WITH n AS (SELECT lang, count(*) AS ns FROM documents
-        |           WHERE lang IS NOT NULL GROUP BY lang),
-        |t AS (SELECT sum(ns) AS nn, sum(pow(ns, 0.5)) AS sp FROM n),
+      """WITH n AS (SELECT lang, count(*) AS ns,
+        |             CAST(round(pow(ns, 0.5) * 1e6, 0) AS BIGINT) AS pw
+        |           FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+        |t AS (SELECT CAST(sum(ns) AS BIGINT) AS nn,
+        |             CAST(sum(pw) AS BIGINT) AS sp FROM n),
         |p AS (SELECT lang,
-        |    CAST(round(least(1.0, 0.5 * nn * pow(ns, 0.5) / (sp * ns)) * 1e6, 0)
+        |    CAST(round(least(1.0,
+        |        0.5 * CAST(nn AS DOUBLE) * CAST(pw AS DOUBLE) /
+        |        (CAST(sp AS DOUBLE) * CAST(ns AS DOUBLE))) * 1e6, 0)
         |      AS BIGINT) AS pm
         |  FROM n CROSS JOIN t)
         |SELECT d.doc_id, d.lang FROM documents d JOIN p USING (lang)

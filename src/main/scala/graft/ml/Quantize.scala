@@ -28,7 +28,10 @@ object Quantize {
 
   /** Append `vmin`, `vmax` (doubles) and `qvec` (array<int>, values
     * 0..255) for the given vector column. */
-  def quantizeEmbeddings(df: DataFrame, vecCol: String): DataFrame =
+  def quantizeEmbeddings(df: DataFrame, vecCol: String): DataFrame = {
+    Seq("vmin", "vmax", "qvec", "__vd").foreach(c =>
+      require(!df.columns.contains(c),
+        s"quantizeEmbeddings appends '$c' — the input already has that column"))
     df.withColumn("__vd", col(vecCol).cast("array<double>"))
       .withColumn("vmin", array_min(col("__vd")))
       .withColumn("vmax", array_max(col("__vd")))
@@ -39,6 +42,7 @@ object Quantize {
             round((v - col("vmin")) * lit(255.0) / (col("vmax") - col("vmin")), 0)
               .cast("int"))))
       .drop("__vd")
+  }
 
   /** Reconstruct an `array<double>` column from `qvec`/`vmin`/`vmax`
     * (the inverse of [[quantizeEmbeddings]] up to half a step). */

@@ -72,15 +72,20 @@ object Sampling {
     require(alpha >= 0, s"alpha must be >= 0, got $alpha")
     require(targetFraction > 0 && targetFraction <= 1,
       s"targetFraction must be in (0,1], got $targetFraction")
+    // per-source weights quantize to micro-units BEFORE the sum, so
+    // Σ n^alpha is an order-independent INTEGER — like every other
+    // micro-unit contract here, the rates are then bit-reproducible
+    // regardless of partial-aggregation merge order or engine
     val stats = df.filter(col(srcCol).isNotNull)
       .groupBy(col(srcCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__pw", round(pow(col("__n"), lit(alpha)) * lit(1e6), 0).cast("long"))
     val totals = stats.agg(sum(col("__n")).as("__tot"),
-      sum(pow(col("__n"), lit(alpha))).as("__sp"))
+      sum(col("__pw")).as("__sp"))
     val rates = stats.crossJoin(broadcast(totals))
       .select(col(srcCol),
         round(least(lit(1.0),
-          lit(targetFraction) * col("__tot") * pow(col("__n"), lit(alpha)) /
-            (col("__sp") * col("__n"))) * lit(1e6), 0)
+          lit(targetFraction) * col("__tot").cast("double") * col("__pw").cast("double") /
+            (col("__sp").cast("double") * col("__n").cast("double"))) * lit(1e6), 0)
           .cast("long").as("__pm"))
     val h = (col(idCol) * P + lit(seed)) % M
     df.join(broadcast(rates), Seq(srcCol))

@@ -41,10 +41,15 @@ object Similarity {
     * reach the shuffle, never the corpus. */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, qidCol: String, qvecCol: String,
-                     k: Int = 10): DataFrame = {
-    val scored = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("__v"))
+                     k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
+    val paired = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("__v"))
       .crossJoin(broadcast(queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__q"))))
-      .filter(col("nn_id") =!= col("query_id"))
+    // excludeSelf drops nn_id == query_id — right when queries ARE
+    // corpus rows probing for neighbors; set false when query ids live
+    // in a separate namespace (e.g. hybrid retrieval probes), where an
+    // accidental id collision must not hide a corpus document
+    val scored = (if (excludeSelf) paired.filter(col("nn_id") =!= col("query_id"))
+      else paired)
       .select(col("query_id"), col("nn_id"), cosine(col("__v"), col("__q")).as("cos_sim"))
     TopK.perQuery(scored, k)
   }

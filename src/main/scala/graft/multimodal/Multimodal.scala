@@ -872,8 +872,12 @@ object Multimodal {
     * counterpart of [[resizeImages]]: decode → integer-exact transform
     * → standard re-encode. Appends a `scaled` binary column (null when
     * the content isn't decodable audio). Scaling is integer arithmetic
-    * (s·num/den, truncated, clamped to short range) so a power-of-two
-    * attenuation of even-amplitude samples is EXACT. */
+    * (s·num/den, truncated, clamped to short range): a power-of-two
+    * attenuation of EVEN samples is exact (fingerprint distance 0);
+    * ODD samples (e.g. ADPCM-reconstructed signals) truncate by up to
+    * 1 LSB, drifting [[audioFingerprint64]] by at most a couple of
+    * bits — AudioFingerprintSpec pins the full syntheticMedia frame
+    * within Hamming distance 2 of its half-gain copies. */
   def scaleAudioPcm(media: DataFrame, num: Int, den: Int): DataFrame = {
     require(den != 0, "den must be nonzero")
     val schema = StructType(media.schema.fields :+

@@ -31,18 +31,39 @@ object Export {
 
   /** Export `df` into `nShards` hash-addressed subdirectories
     * (`shard=K/`) under `dir`, one file per shard, and return the
-    * manifest (shard, n_rows) — the loader's index. The
-    * `repartition(nShards, shard)`ed write gives exactly one task per
-    * shard; shard sizes stay balanced because the assignment is
-    * uniform in the id hash (size the shard count to the corpus —
-    * 100 TB / nShards per task). */
+    * (materialized) manifest (shard, n_rows) — the loader's index.
+    *
+    * Partitioning is an IDENTITY map shard→task (an RDD-level custom
+    * `Partitioner`): exactly one write task per shard, every task
+    * non-empty. A `repartition(nShards, col)` would instead hash the
+    * shard id — balls-in-bins collisions put several shards in one
+    * task (and leave ~1/e of tasks empty), breaking the
+    * 100 TB / nShards task-sizing contract. The RDD hop costs one
+    * serialization boundary on a write that is IO-bound anyway.
+    *
+    * The input lineage runs ONCE: rows stream through the shuffle to
+    * the writer tasks, and the manifest is aggregated from the
+    * written files' own metadata (a listing-only read at `dir`), so
+    * the counts describe exactly what landed on disk. */
   def writeShards(df: DataFrame, idCol: String, nShards: Int, dir: String,
                   format: String = "parquet", seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
     val sharded = shardAssign(df, idCol, nShards, seed)
-    sharded.repartition(nShards, col("shard"))
+    val schema = sharded.schema
+    val shardIdx = schema.fieldIndex("shard")
+    val identityPartitioned = sharded.rdd
+      .map(r => (r.getLong(shardIdx), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nShards
+        override def getPartition(key: Any): Int = key.asInstanceOf[Long].toInt
+      })
+      .map(_._2)
+    spark.createDataFrame(identityPartitioned, schema)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard").format(format).save(dir)
-    sharded.groupBy(col("shard")).agg(count(lit(1)).as("n_rows"))
+    spark.read.format(format).load(dir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"))
       .orderBy(col("shard"))
   }
 }

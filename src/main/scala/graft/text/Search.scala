@@ -81,6 +81,13 @@ object Search {
 
     // corpus stats: ONE row. avgdl as an explicit exact-integer-sum
     // division so any oracle computes the identical double.
+    // DELIBERATE second tokenization pass: stats needs a corpus-global
+    // aggregate over ALL docs (N, avgdl) while the tf branch needs the
+    // exploded tokens — Spark computes shared subtrees once per
+    // exchange, so avoiding this scan would mean persisting the
+    // exploded corpus (≫ the text itself at 100 TB) or shuffling a
+    // per-doc projection; a second column-pruned scan of the text
+    // column is the cheaper trade at every scale we measured.
     val stats = docs.select(size(bmTokens(col(textCol))).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .select(col("n_docs"),
@@ -156,8 +163,10 @@ object Search {
     val lexical = bm25TopK(corpus, idCol, textCol,
         queries, qidCol, qtextCol, kPerRanker)
       .select(col("query_id"), col("doc_id"), col("rank"))
+    // excludeSelf = false: query ids are a separate namespace here — a
+    // doc whose id happens to equal a query id must stay retrievable
     val semantic = graft.ml.Similarity.bruteForceTopK(corpus, idCol, vecCol,
-        queries, qidCol, qvecCol, kPerRanker)
+        queries, qidCol, qvecCol, kPerRanker, excludeSelf = false)
       .select(col("query_id"), col("nn_id").as("doc_id"), col("rank"))
     rrfFuse(Seq(lexical, semantic), k, k0)
   }

@@ -64,6 +64,31 @@ class AudioFingerprintSpec extends GraftSpec {
     assert(dec.toSeq == s.map(x => (x / 2).toShort).toSeq)
   }
 
+  test("q_audio_dedup scenario pinned: EVERY syntheticMedia audio row is within 2 bits of its half-gain copy") {
+    import org.apache.spark.sql.functions._
+    // the exact frame the driver query uses (n = 90) — every decodable
+    // audio row (PCM and ADPCM sub-cycles, all rates) must sit within
+    // the query's maxDist = 2 of its scaled copy, else the rows-only
+    // q_audio_dedup result would silently keep an undeduped copy
+    val aud = Multimodal.syntheticMedia(spark, 90).filter(col("kind") === "audio")
+    val rows = Multimodal.scaleAudioPcm(aud, 1, 2)
+      .select(col("media_id"), col("content"), col("scaled")).collect()
+    var checked = 0
+    rows.foreach { r =>
+      val orig = Multimodal.audioFingerprint64(r.getAs[Array[Byte]]("content"))
+      val copy =
+        if (r.isNullAt(2)) null
+        else Multimodal.audioFingerprint64(r.getAs[Array[Byte]]("scaled"))
+      assert((orig == null) == (copy == null), s"id ${r.getLong(0)}")
+      if (orig != null) {
+        val dist = d(orig, copy)
+        assert(dist <= 2, s"id ${r.getLong(0)} drifted $dist bits")
+        checked += 1
+      }
+    }
+    assert(checked >= 20, s"only $checked decodable audio rows — scenario too thin")
+  }
+
   test("e2e: gain-edited re-ingest dedups via withAudioFingerprint + hammingPairs") {
     import spark.implicits._
     val rows = Seq(
