@@ -844,6 +844,15 @@ object SparkEntry {
       CrysFrame(TextFunctions.topWords(t(s, d, "documents"), col("text"), 100))
         .out),
 
+    // per-doc tf-idf keywords (text.Search): micro-unit scores, ties
+    // by term string (binary collation both engines — q_vocab
+    // precedent); restricted to doc_id < 50 to keep the compare small
+    "q_tfidf_keywords" -> ((s, d) =>
+      CrysFrame(Search.tfidfTopTerms(
+          t(s, d, "documents"), "doc_id", "text", k = 5)
+          .filter(col("doc_id") < 50))
+        .sortBy("doc_id", "rank").out),
+
     // sharded export assignment (sources.Export): fixed shard count,
     // content-stable Knuth-hash map — the oracle computes the same
     // layout, proving a loader can address shards engine-independently
@@ -1549,6 +1558,29 @@ object SparkEntry {
         |  min(quality) AS min_quality,
         |  max(quality) AS max_quality
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_tfidf_keywords" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    t -> t <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(round(1e6 * tf.tf *
+        |      (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 0) AS BIGINT)
+        |      AS tfidf_micro
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tfidf_micro, rank FROM (
+        |  SELECT doc_id, term, tfidf_micro,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf_micro DESC, term) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 AND doc_id < 50 ORDER BY doc_id, rank""".stripMargin,
 
     "q_shard_assign" ->
       """SELECT doc_id,

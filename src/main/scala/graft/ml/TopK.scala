@@ -87,6 +87,41 @@ class MinKSigAgg(k: Int) extends Aggregator[MinKSigItem, MinKSigBuf, MinKSigBuf]
   override def outputEncoder = Encoders.product[MinKSigBuf]
 }
 
+/** One (score, term) candidate with a STRING payload — for top-k
+  * rankings whose members are terms, not row ids (tf-idf keywords).
+  * Top-level for Janino (see TopKItem). */
+case class TopKStrItem(score: Double, term: String)
+
+/** Aggregation buffer: best-first, at most k items. */
+case class TopKStrBuf(items: Seq[TopKStrItem])
+
+/** [[TopKAgg]] with a string payload: total order (score desc, term
+  * asc) so results are deterministic under any partitioning and ties
+  * match `ORDER BY score DESC, term` oracles (binary collation both
+  * sides). Buffer never exceeds k on either side of the shuffle. */
+class TopKStrAgg(k: Int) extends Aggregator[TopKStrItem, TopKStrBuf, TopKStrBuf] {
+
+  private def better(a: TopKStrItem, b: TopKStrItem): Boolean =
+    a.score > b.score || (a.score == b.score && a.term < b.term)
+
+  private def insert(items: Seq[TopKStrItem], x: TopKStrItem): Seq[TopKStrItem] =
+    if (items.size >= k && better(items.last, x)) items
+    else {
+      val (pre, post) = items.span(i => better(i, x))
+      val merged = (pre :+ x) ++ post
+      if (merged.size > k) merged.take(k) else merged
+    }
+
+  override def zero: TopKStrBuf = TopKStrBuf(Vector.empty)
+  override def reduce(b: TopKStrBuf, a: TopKStrItem): TopKStrBuf =
+    TopKStrBuf(insert(b.items, a))
+  override def merge(b1: TopKStrBuf, b2: TopKStrBuf): TopKStrBuf =
+    TopKStrBuf(b2.items.foldLeft(b1.items)(insert))
+  override def finish(b: TopKStrBuf): TopKStrBuf = b
+  override def bufferEncoder = Encoders.product[TopKStrBuf]
+  override def outputEncoder = Encoders.product[TopKStrBuf]
+}
+
 object TopK {
   /** Best k rows per query from a `(query_id, nn_id, cos_sim)` candidate
     * frame, ranked 1..k by (cos_sim desc, nn_id asc). One partial+final

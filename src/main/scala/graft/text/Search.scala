@@ -124,6 +124,45 @@ object Search {
         col("rank"))
   }
 
+  /** Per-document keyword extraction: the top-k terms of each document
+    * by tf-idf (sklearn-style smooth idf: `ln((N+1)/(df+1)) + 1`),
+    * scores quantized to integer micro-units (order-independent-exact,
+    * oracle-reproducible like BM25).
+    *
+    * Scale shape: tf aggregates on (doc, term) — the corpus-scale
+    * shuffle; df reduces tf by term (vocabulary-sized, with map-side
+    * partials) and joins back on the term key; corpus size N is one
+    * broadcast row; the per-doc top-k is a bounded string-payload
+    * partial aggregate ([[graft.ml.TopKStrAgg]]) — docs × tasks × k
+    * buffered terms to the final shuffle, no Window.
+    * Returns (doc_id, term, tfidf_micro, rank). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    val tf = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(bmTokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(lit(1e6) * col("tf") *
+          (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)),
+          0).cast("long").as("tfidf_micro"))
+    val tk = org.apache.spark.sql.functions.udaf(
+      new graft.ml.TopKStrAgg(k),
+      org.apache.spark.sql.Encoders.product[graft.ml.TopKStrItem])
+    scored.groupBy(col("doc_id"))
+      .agg(tk(col("tfidf_micro").cast("double"), col("term")).as("__topk"))
+      .select(col("doc_id"),
+        posexplode(col("__topk").getField("items")).as(Seq("__pos", "__it")))
+      .select(col("doc_id"),
+        col("__it").getField("term").as("term"),
+        col("__it").getField("score").cast("long").as("tfidf_micro"),
+        (col("__pos") + 1).cast("long").as("rank"))
+  }
+
   /** Reciprocal-rank fusion of any number of per-query rankings (each
     * a frame of `query_id, doc_id, rank`): a document scores
     * Σ_r 1/(k0 + rank_r) over the rankings that retrieved it. Like

@@ -86,6 +86,28 @@ class SearchSpec extends GraftSpec {
     assert(scores(qs) == scores(qsBase))
   }
 
+  test("tfidfTopTerms matches a naive computation, breaks ties by term, avoids windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FormattedMode
+    val docs = Seq(
+      (1L, "spark spark spark shuffle"),
+      (2L, "shuffle sort merge"),
+      (3L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    val out = Search.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // naive: tf * (ln((N+1)/(df+1)) + 1), micro-rounded
+    def score(tf: Int, df: Int) = math.round(1e6 * tf * (math.log(4.0 / (df + 1.0)) + 1.0))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toList).toMap
+    assert(byDoc(1L) == List(("spark", score(3, 1)), ("shuffle", score(1, 2))))
+    assert(byDoc(2L).head._1 == "sort" || byDoc(2L).head._1 == "merge") // both df=1 tf=1: tie
+    // doc 3: alpha and beta tie exactly (tf=2, df=1) → term order decides
+    assert(byDoc(3L) == List(("alpha", score(2, 1)), ("beta", score(2, 1))))
+    val p = Search.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
   test("rrfFuse: hand-computed fusion, consensus beats single-ranker, ties by id") {
     import spark.implicits._
     // ranker A: doc 10 first, doc 20 second; ranker B: doc 20 first,
