@@ -844,6 +844,18 @@ object SparkEntry {
       CrysFrame(TextFunctions.topWords(t(s, d, "documents"), col("text"), 100))
         .out),
 
+    // unigram LM cross-entropy (text.LangModel): train on the 'en'
+    // slice, score everything — in-domain docs score lower xent than
+    // out-of-domain, the CCNet-style filter signal. Micro-unit
+    // surprisals keep the sums order-independent-exact
+    "q_lm_score" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      CrysFrame(graft.text.LangModel.unigramXent(
+          docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"), "text"))
+        .sortBy("doc_id").out
+    }),
+
     // per-doc tf-idf keywords (text.Search): micro-unit scores, ties
     // by term string (binary collation both engines — q_vocab
     // precedent); restricted to doc_id < 50 to keep the compare small
@@ -1558,6 +1570,41 @@ object SparkEntry {
         |  min(quality) AS min_quality,
         |  max(quality) AS max_quality
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH tr AS (
+        |  SELECT list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    t -> t <> '') AS toks
+        |  FROM documents WHERE lang = 'en'),
+        |vocab AS (
+        |  SELECT term, count(*) AS cnt FROM
+        |    (SELECT unnest(toks) AS term FROM tr) GROUP BY term),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |               CAST(count(*) AS BIGINT) AS v FROM vocab),
+        |d AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    t -> t <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS term FROM d),
+        |c AS (
+        |  SELECT g.doc_id, g.n_tokens,
+        |    CAST(round(-1e6 * ln((coalesce(vocab.cnt, 0) + 1.0) / (tot.total + tot.v)),
+        |      0) AS BIGINT) AS ci
+        |  FROM g LEFT JOIN vocab ON g.term = vocab.term CROSS JOIN tot),
+        |agg AS (
+        |  SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(sum(ci) AS BIGINT) AS surprisal_micro
+        |  FROM c GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(a.surprisal_micro, 0) AS BIGINT) AS surprisal_micro,
+        |  CASE WHEN coalesce(a.n_tokens, 0) > 0 THEN
+        |    CAST(a.surprisal_micro AS DOUBLE) / 1e6 / CAST(a.n_tokens AS DOUBLE)
+        |  ELSE 0.0 END AS xent
+        |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_tfidf_keywords" ->
       """WITH d AS (

@@ -1,0 +1,64 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-adaptive language-model quality scoring: per-document
+  * cross-entropy under an add-one-smoothed unigram model of a
+  * reference corpus — the CCNet-style filter ("how surprising is this
+  * document under in-domain statistics"), one notch above the static
+  * heuristics in [[TextFunctions]]. (Extension beyond the reference
+  * surface.)
+  *
+  * Model: p(t) = (count(t) + 1) / (total + V) over the training
+  * corpus (V = vocabulary size; unseen tokens get 1 / (total + V)).
+  * Per-token surprisals −ln p(t) quantize to integer micro-units, so
+  * each document's surprisal SUM is an order-independent long and the
+  * mean (`xent = sum / 1e6 / n`) is bit-reproducible cross-engine —
+  * same contract as the BM25 / tf-idf scores.
+  *
+  * Scale shape: the vocabulary aggregates once (map-side partials,
+  * vocabulary ≪ corpus); totals are one broadcast row; scoring joins
+  * the exploded corpus to the vocabulary on the term key (AQE
+  * broadcasts when it fits) and reduces per document. Gram-less
+  * documents survive with n_tokens = 0, xent = 0.
+  */
+object LangModel {
+
+  private def toks(text: org.apache.spark.sql.Column) =
+    filter(split(TextFunctions.normalizeText(text), " "), t => t =!= "")
+
+  /** Score `docs` under a unigram model trained on `train` (pass the
+    * same frame to self-score). Returns
+    * (doc_id, n_tokens, surprisal_micro, xent) with xent in nats. */
+  def unigramXent(docs: DataFrame, idCol: String, textCol: String,
+                  train: DataFrame, trainTextCol: String): DataFrame = {
+    val vocab = train
+      .select(explode(toks(col(trainTextCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("__cnt"))
+    val totals = vocab.agg(sum(col("__cnt")).as("__total"),
+      count(lit(1)).as("__v"))
+
+    val grams = docs
+      .select(col(idCol).cast("long").as("doc_id"), toks(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
+        explode_outer(col("__toks")).as("term"))
+
+    grams
+      .join(vocab, Seq("term"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("term").isNotNull,
+          round(lit(-1e6) *
+            log((coalesce(col("__cnt"), lit(0L)) + lit(1.0)) /
+              (col("__total") + col("__v"))), 0).cast("long"))
+          .otherwise(lit(0L)).as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        sum(col("__c")).as("surprisal_micro"))
+      .select(col("doc_id"), col("n_tokens"), col("surprisal_micro"),
+        when(col("n_tokens") > 0,
+          col("surprisal_micro").cast("double") / lit(1e6) / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("xent"))
+  }
+}
