@@ -59,6 +59,32 @@ class ScrubSpec extends GraftSpec {
     assert(flagged == Set(1L, 3L, 4L))
   }
 
+  test("map-only scrub composes on streams with batch-identical output") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail a@b.io and 10.0.0.1"), (2L, "clean"), (3L, "call +1234567890"))
+    val in = MemoryStream[(Long, String)]
+    val q = Scrub.redactPii(in.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("streamscrub")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("streamscrub")
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "text_redacted")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSet
+      val batch = Scrub.redactPii(rows.toDF("doc_id", "text"), "text")
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "text_redacted")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSet
+      assert(streamed == batch && streamed.size == 3)
+    } finally q.stop()
+  }
+
   test("plan is map-only: no exchange, no UDF") {
     import spark.implicits._
     val p = Scrub.redactPii(Seq((1L, "x")).toDF("doc_id", "text"), "text")
