@@ -21,8 +21,16 @@ import org.apache.spark.sql.functions._
   * u = (h + 0.5) / (2^31-1) is never 0 or 1, so `ln(u)` is finite. */
 object Sampling {
 
-  private val P = 2654435761L      // Knuth multiplicative constant
-  private val M = 2147483647L      // 2^31 - 1
+  private[graft] val P = 2654435761L      // Knuth multiplicative constant
+  private[graft] val M = 2147483647L      // 2^31 - 1
+
+  /** The shared integer draw: `(id·P + seed) mod M` — every
+    * hash-deterministic operator (splits, samples, shards) derives
+    * from this one formula so external auditors reproduce them all
+    * with the same arithmetic. Ids must stay below ~3.5e9 to keep
+    * `id·P` inside a long. */
+  private[graft] def knuthHash(id: Column, seed: Long): Column =
+    pmod(id * P + lit(seed), lit(M))
 
   private def hashU(id: Column, seed: Long): Column =
     (((id * P + lit(seed)) % M + 0.5) / M.toDouble)
@@ -69,7 +77,12 @@ object Sampling {
   def temperatureResample(df: DataFrame, srcCol: String, idCol: String,
                           alpha: Double, targetFraction: Double,
                           seed: Long = 42L): DataFrame = {
-    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    // alpha ∈ [0,1] is the flattening range (1 preserves, 0 equalizes);
+    // it also bounds the micro-quantized weights: pow(n, alpha) ≤ n, so
+    // __pw ≤ n·1e6 and the integer sums cannot overflow below ~9e12
+    // rows per source. alpha > 1 (sharpening) would need a rescaled
+    // quantization and is not supported.
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0, 1], got $alpha")
     require(targetFraction > 0 && targetFraction <= 1,
       s"targetFraction must be in (0,1], got $targetFraction")
     // per-source weights quantize to micro-units BEFORE the sum, so

@@ -97,12 +97,28 @@ case class TopKStrBuf(items: Seq[TopKStrItem])
 
 /** [[TopKAgg]] with a string payload: total order (score desc, term
   * asc) so results are deterministic under any partitioning and ties
-  * match `ORDER BY score DESC, term` oracles (binary collation both
-  * sides). Buffer never exceeds k on either side of the shuffle. */
+  * match `ORDER BY score DESC, term` oracles. Tie comparison is over
+  * UTF-8 BYTES (code-point order — what Spark SQL and DuckDB ORDER BY
+  * use), NOT Java's UTF-16 code-unit order, which disagrees for
+  * supplementary-plane strings vs [U+E000, U+FFFF]. Buffer never
+  * exceeds k on either side of the shuffle. */
 class TopKStrAgg(k: Int) extends Aggregator[TopKStrItem, TopKStrBuf, TopKStrBuf] {
 
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   private def better(a: TopKStrItem, b: TopKStrItem): Boolean =
-    a.score > b.score || (a.score == b.score && a.term < b.term)
+    a.score > b.score || (a.score == b.score && utf8Less(a.term, b.term))
 
   private def insert(items: Seq[TopKStrItem], x: TopKStrItem): Seq[TopKStrItem] =
     if (items.size >= k && better(items.last, x)) items

@@ -36,11 +36,24 @@ object LangModel {
     val vocab = train
       .select(explode(toks(col(trainTextCol))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("__cnt"))
-    val totals = vocab.agg(sum(col("__cnt")).as("__total"),
+    // an empty/token-less training corpus has no model to score under —
+    // raise a descriptive error at evaluation instead of propagating
+    // nulls into every score (sum over zero rows is null)
+    val totals = vocab.agg(
+      coalesce(sum(col("__cnt")), lit(0L)).as("__total"),
       count(lit(1)).as("__v"))
+      .select(
+        when(col("__v") > 0, col("__total"))
+          .otherwise(raise_error(lit(
+            "unigramXent: training corpus has no tokens — no model to score under")))
+          .as("__total"),
+        col("__v"))
 
+    // null text scores like empty text (0 tokens), not Spark's
+    // size(null) = -1 legacy sentinel
     val grams = docs
-      .select(col(idCol).cast("long").as("doc_id"), toks(col(textCol)).as("__toks"))
+      .select(col(idCol).cast("long").as("doc_id"),
+        toks(coalesce(col(textCol), lit(""))).as("__toks"))
       .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
         explode_outer(col("__toks")).as("term"))
 

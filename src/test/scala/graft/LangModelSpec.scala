@@ -33,13 +33,25 @@ class LangModelSpec extends GraftSpec {
     assert(xents(1L) < xents(2L) - 1.0, xents.toString) // clear margin in nats
   }
 
-  test("gram-less docs survive with zero counts; self-training works") {
+  test("gram-less and null-text docs survive with zero counts; self-training works") {
     import spark.implicits._
-    val docs = Seq((1L, "aa bb aa"), (2L, "")).toDF("doc_id", "text")
+    val docs = Seq((1L, "aa bb aa"), (2L, ""), (3L, null: String))
+      .toDF("doc_id", "text")
     val out = LangModel.unigramXent(docs, "doc_id", "text", docs, "text")
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(out(2L) == ((0L, 0L, 0.0)), out.toString)
+    assert(out(3L) == ((0L, 0L, 0.0)), out.toString) // not size(null) = -1
     assert(out(1L)._1 == 3L && out(1L)._3 > 0.0)
+  }
+
+  test("an empty training corpus raises a descriptive error, not null scores") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      LangModel.unigramXent(docs, "doc_id", "text", empty, "text").collect()
+    }
+    assert(e.getMessage.contains("no tokens"), e.getMessage)
   }
 }

@@ -1497,6 +1497,13 @@ class ReadersExtensionsSpec extends GraftSpec {
     val sub = Export.shardAssign(df.filter(col("id") <= 10), "id", 8)
       .select("id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sub.forall { case (id, s) => re(id) == s })
+    // zero-row shards still get a manifest entry (no directory): with
+    // 3 rows into 64 shards most shards are empty but all 64 report
+    val tiny = java.nio.file.Files.createTempDirectory("graft_tiny").toString
+    val m64 = Export.writeShards(df.filter(col("id") <= 3), "id", 64, tiny)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m64.size == 64 && m64.values.sum == 3, m64.toString)
+    assert(m64.count(_._2 == 0L) == 61 || m64.count(_._2 == 0L) == 62, m64.toString)
   }
 
 }
