@@ -844,6 +844,15 @@ object SparkEntry {
       CrysFrame(TextFunctions.topWords(t(s, d, "documents"), col("text"), 100))
         .out),
 
+    // token-window chunking (text.TextFunctions): 64-token chunks with
+    // 16-token overlap — context-length prep; every doc yields ≥ 1
+    // chunk so corpus coverage is total
+    "q_chunk" -> ((s, d) =>
+      CrysFrame(TextFunctions.chunkByTokens(
+          t(s, d, "documents"), "doc_id", "text", maxTokens = 64, overlap = 16)
+          .filter(col("doc_id") < 100))
+        .sortBy("doc_id", "chunk_id").out),
+
     // unigram LM cross-entropy (text.LangModel): train on the 'en'
     // slice, score everything — in-domain docs score lower xent than
     // out-of-domain, the CCNet-style filter signal. Micro-unit
@@ -1570,6 +1579,23 @@ object SparkEntry {
         |  min(quality) AS min_quality,
         |  max(quality) AS max_quality
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'), ' '),
+        |    t -> t <> '') AS toks
+        |  FROM documents WHERE doc_id < 100),
+        |n AS (SELECT doc_id, toks,
+        |  greatest(1, CAST(floor((len(toks) - 16 + 48 - 1) / 48.0) AS BIGINT)) AS nc
+        |  FROM d),
+        |c AS (SELECT doc_id, unnest(range(0, nc)) AS chunk_id, toks FROM n)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT)
+        |    AS n_chunk_tokens,
+        |  array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')
+        |    AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_lm_score" ->
       """WITH tr AS (

@@ -132,6 +132,42 @@ object TextFunctions {
   def repetitionStats(norm: Column): Column =
     graft.functions.Kernels.repetitionStats(norm)
 
+  /** Split documents into overlapping token-window chunks — the
+    * context-length prep for pretraining and retrieval indexing.
+    * Chunk k covers tokens [k·stride, k·stride + maxTokens) with
+    * stride = maxTokens − overlap; every document yields ≥ 1 chunk
+    * (empty/short docs produce one, possibly empty, chunk — the whole
+    * corpus stays represented). Expression-only and map-only: no
+    * shuffle, no UDF; the explode multiplies rows by ~n/stride.
+    * Output: (doc_id, chunk_id, n_chunk_tokens, chunk_text).
+    * HOF discipline per [[shinglesFromNormalized]]: the token array is
+    * materialized before the windowing lambda references it. */
+  def chunkByTokens(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, maxTokens: Int,
+                    overlap: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive (got $maxTokens)")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens) (got $overlap)")
+    val stride = maxTokens - overlap
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        filter(split(normalizeText(coalesce(col(textCol), lit(""))), " "),
+          t => t =!= "").as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        greatest(lit(1L),
+          floor((size(col("__toks")).cast("long") - lit(overlap.toLong) +
+            lit(stride.toLong) - lit(1L)).cast("double") / lit(stride.toDouble))
+            .cast("long")).as("__nc"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L), col("__nc") - lit(1L)),
+          k => slice(col("__toks"), (k * stride).cast("int") + lit(1), lit(maxTokens))))
+          .as(Seq("__pos", "__chunk")))
+      .select(col("doc_id"), col("__pos").cast("long").as("chunk_id"),
+        size(col("__chunk")).cast("long").as("n_chunk_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
   /** Corpus vocabulary: global word counts over normalized text,
     * top-k by count with ties broken by word (a total order, so the
     * result SET is deterministic). The tokenizer-prep primitive.

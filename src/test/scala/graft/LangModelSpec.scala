@@ -45,6 +45,36 @@ class LangModelSpec extends GraftSpec {
     assert(out(1L)._1 == 3L && out(1L)._3 > 0.0)
   }
 
+  test("chunkByTokens: windows, overlap, reconstruction, edge docs") {
+    import spark.implicits._
+    import graft.text.TextFunctions
+    val words = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words), (2L, "a b"), (3L, ""), (4L, null: String))
+      .toDF("doc_id", "text")
+    val out = TextFunctions.chunkByTokens(docs, "doc_id", "text",
+        maxTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    // doc 1: stride 3 → chunks at 0,3,6 cover [1..4],[4..7],[7..10]
+    assert(out((1L, 0L)) == ((4L, "w1 w2 w3 w4")), out.toString)
+    assert(out((1L, 1L)) == ((4L, "w4 w5 w6 w7")), out.toString)
+    assert(out((1L, 2L)) == ((4L, "w7 w8 w9 w10")), out.toString)
+    assert(!out.contains((1L, 3L)))
+    // consecutive chunks share exactly `overlap` tokens; the union of
+    // chunk tokens reconstructs the document
+    val recon = (0L to 2L).flatMap(k => out((1L, k))._2.split(" ").drop(if (k == 0) 0 else 1))
+    assert(recon == (1 to 10).map(i => s"w$i"), recon.toString)
+    // short / empty / null docs: one chunk each, corpus fully covered
+    assert(out((2L, 0L)) == ((2L, "a b")))
+    assert(out((3L, 0L)) == ((0L, "")))
+    assert(out((4L, 0L)) == ((0L, "")))
+    assert(out.keySet.map(_._1) == Set(1L, 2L, 3L, 4L))
+    // contract guards
+    intercept[IllegalArgumentException] {
+      TextFunctions.chunkByTokens(docs, "doc_id", "text", 4, overlap = 4)
+    }
+  }
+
   test("an empty training corpus raises a descriptive error, not null scores") {
     import spark.implicits._
     val docs = Seq((1L, "aa bb")).toDF("doc_id", "text")
