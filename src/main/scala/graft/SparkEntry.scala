@@ -844,6 +844,27 @@ object SparkEntry {
       CrysFrame(TextFunctions.topWords(t(s, d, "documents"), col("text"), 100))
         .out),
 
+    // capstone composite: the RAG indexing flow in ONE plan — chunk
+    // the corpus into token windows, then BM25-rank CHUNKS per query
+    // (chunk_uid = doc_id·1000 + chunk_id; chunk counts are bounded by
+    // doc length / stride ≪ 1000). Every stage reuses proven
+    // machinery, so the composite inherits bit-exactness
+    "q_rag_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val chunks = TextFunctions.chunkByTokens(
+          t(s, d, "documents"), "doc_id", "text", maxTokens = 64, overlap = 16)
+        .select((col("doc_id") * 1000L + col("chunk_id")).as("chunk_uid"),
+          col("chunk_text"))
+      val qs = Seq((0L, "hash join table"), (1L, "window agg stream batch"),
+        (2L, "slow query filter")).toDF("query_id", "qtext")
+      CrysFrame(Search.bm25TopK(chunks, "chunk_uid", "chunk_text",
+          qs, "query_id", "qtext", k = 10)
+          .withColumn("rank", col("rank").cast("long"))
+          .select(col("query_id"), col("doc_id").as("chunk_uid"),
+            col("score_micro"), col("rank")))
+        .sortBy("query_id", "rank").out
+    }),
+
     // token-window chunking (text.TextFunctions): 64-token chunks with
     // 16-token overlap — context-length prep; every doc yields ≥ 1
     // chunk so corpus coverage is total
@@ -1579,6 +1600,50 @@ object SparkEntry {
         |  min(quality) AS min_quality,
         |  max(quality) AS max_quality
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // chunk CTEs feed the BM25 CTEs: N/avgdl/df are over CHUNKS
+    "q_rag_pipeline" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'), ' '),
+        |    t -> t <> '') AS toks
+        |  FROM documents),
+        |n0 AS (SELECT doc_id, toks,
+        |  greatest(1, CAST(floor((len(toks) - 16 + 48 - 1) / 48.0) AS BIGINT)) AS nc
+        |  FROM d0),
+        |ch AS (SELECT doc_id, unnest(range(0, nc)) AS chunk_id, toks FROM n0),
+        |chunks AS (SELECT doc_id * 1000 + chunk_id AS chunk_uid,
+        |  list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64) AS ctoks FROM ch),
+        |dl AS (SELECT chunk_uid, len(ctoks) AS dl FROM chunks),
+        |stats AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |tok AS (SELECT chunk_uid, unnest(ctoks) AS term FROM chunks),
+        |q(query_id, qtext) AS (VALUES
+        |  (0, 'hash join table'), (1, 'window agg stream batch'),
+        |  (2, 'slow query filter')),
+        |qt AS (SELECT DISTINCT query_id, term FROM
+        |  (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q)),
+        |tf AS (
+        |  SELECT chunk_uid, term, count(*) AS tf FROM tok
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY chunk_uid, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |contrib AS (
+        |  SELECT qt.query_id, tf.chunk_uid,
+        |    CAST(round(1e6 *
+        |      ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+        |      (tf.tf * (1.2 + 1.0)) /
+        |      (tf.tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl.dl) / stats.avgdl)),
+        |      0) AS BIGINT) AS ci
+        |  FROM tf JOIN dfreq USING (term) JOIN qt USING (term)
+        |  JOIN dl ON tf.chunk_uid = dl.chunk_uid CROSS JOIN stats),
+        |score AS (SELECT query_id, chunk_uid, CAST(sum(ci) AS BIGINT) AS score_micro
+        |          FROM contrib GROUP BY query_id, chunk_uid)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, chunk_uid, score_micro, rank
+        |FROM (SELECT query_id, chunk_uid, score_micro,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY score_micro DESC, chunk_uid) AS BIGINT) AS rank
+        |      FROM score)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_chunk" ->
       """WITH d AS (
