@@ -844,6 +844,18 @@ object SparkEntry {
       CrysFrame(TextFunctions.topWords(t(s, d, "documents"), col("text"), 100))
         .out),
 
+    // bigram LM conditional cross-entropy (text.LangModel.bigramXent):
+    // same contract as q_lm_score one order up — pair counts join on
+    // 8-byte hashes while the oracle joins pair STRINGS (collision
+    // check included, like q_decontaminate)
+    "q_lm_bigram" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      CrysFrame(graft.text.LangModel.bigramXent(
+          docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"), "text"))
+        .sortBy("doc_id").out
+    }),
+
     // capstone composite: the RAG indexing flow in ONE plan — chunk
     // the corpus into token windows, then BM25-rank CHUNKS per query
     // (chunk_uid = doc_id·1000 + chunk_id; chunk counts are bounded by
@@ -1661,6 +1673,49 @@ object SparkEntry {
         |  array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')
         |    AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_lm_bigram" ->
+      """WITH tr AS (
+        |  SELECT list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    t -> t <> '') AS toks
+        |  FROM documents WHERE lang = 'en'),
+        |uni AS (SELECT term, count(*) AS ctx FROM
+        |  (SELECT unnest(toks) AS term FROM tr) GROUP BY term),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |bic AS (
+        |  SELECT pair, count(*) AS cnt FROM (
+        |    SELECT unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS pair
+        |    FROM tr WHERE len(toks) >= 2)
+        |  GROUP BY pair),
+        |d AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'), ' '),
+        |    t -> t <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS pair
+        |  FROM d WHERE len(toks) >= 2),
+        |c AS (
+        |  SELECT g.doc_id,
+        |    CAST(round(-1e6 * ln((coalesce(bic.cnt, 0) + 1.0) /
+        |      (coalesce(uni.ctx, 0) + tot.v)), 0) AS BIGINT) AS ci
+        |  FROM g
+        |  LEFT JOIN bic ON g.pair = bic.pair
+        |  LEFT JOIN uni ON string_split(g.pair, ' ')[1] = uni.term
+        |  CROSS JOIN tot),
+        |agg AS (SELECT doc_id, CAST(sum(ci) AS BIGINT) AS surprisal_micro
+        |        FROM c GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(greatest(len(d.toks) - 1, 0) AS BIGINT) AS n_transitions,
+        |  CAST(coalesce(a.surprisal_micro, 0) AS BIGINT) AS surprisal_micro,
+        |  CASE WHEN len(d.toks) >= 2 THEN
+        |    CAST(a.surprisal_micro AS DOUBLE) / 1e6 / CAST(len(d.toks) - 1 AS DOUBLE)
+        |  ELSE 0.0 END AS xent
+        |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_lm_score" ->
       """WITH tr AS (

@@ -28,6 +28,79 @@ object LangModel {
   private def toks(text: org.apache.spark.sql.Column) =
     filter(split(TextFunctions.normalizeText(text), " "), t => t =!= "")
 
+  /** Bigram upgrade of [[unigramXent]]: per-document mean conditional
+    * surprisal −ln p(w_i | w_{i−1}) under add-one-smoothed bigram
+    * statistics of the training corpus:
+    *   p(b | a) = (count(a b) + 1) / (count(a ·) + V)
+    * (V = unigram vocabulary size; unseen contexts fall back to
+    * 1 / V). Documents with < 2 tokens score 0 over 0 transitions.
+    * Same micro-unit exactness contract and the same scale shape —
+    * one extra vocabulary-sized aggregation (bigrams) and the scoring
+    * join runs on an 8-byte xxhash64 of the pair, so no pair STRINGS
+    * reach a shuffle. Returns
+    * (doc_id, n_transitions, surprisal_micro, xent). */
+  def bigramXent(docs: DataFrame, idCol: String, textCol: String,
+                 train: DataFrame, trainTextCol: String): DataFrame = {
+    val trainToks = train.select(toks(col(trainTextCol)).as("__toks"))
+    val uni = trainToks.select(explode(col("__toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("__ctx"))
+    val totals = uni.agg(count(lit(1)).as("__v"))
+      .select(when(col("__v") > 0, col("__v"))
+        .otherwise(raise_error(lit(
+          "bigramXent: training corpus has no tokens — no model to score under")))
+        .as("__v"))
+    // NB sequence(0, n) with n < 0 DESCENDS ([0, -1]) — guard short rows
+    val bi = trainToks
+      .select(when(size(col("__toks")) >= 2,
+        transform(
+          sequence(lit(0), size(col("__toks")) - lit(2)),
+          i => concat_ws(" ",
+            element_at(col("__toks"), i + lit(1)),
+            element_at(col("__toks"), i + lit(2))))).as("__pairs"))
+      .select(explode(col("__pairs")).as("__pair"))
+      .select(xxhash64(col("__pair")).as("__ph"))
+      .groupBy(col("__ph")).agg(count(lit(1)).as("__cnt"))
+
+    val grams = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        toks(coalesce(col(textCol), lit(""))).as("__toks"))
+      .select(col("doc_id"),
+        greatest(size(col("__toks")).cast("long") - lit(1L), lit(0L))
+          .as("n_transitions"),
+        explode_outer(when(size(col("__toks")) >= 2,
+          transform(
+            sequence(lit(0), size(col("__toks")) - lit(2)),
+            i => struct(
+              element_at(col("__toks"), i + lit(1)).as("w1"),
+              concat_ws(" ",
+                element_at(col("__toks"), i + lit(1)),
+                element_at(col("__toks"), i + lit(2))).as("pair")))))
+          .as("__t"))
+      .select(col("doc_id"), col("n_transitions"),
+        col("__t.w1").as("term"),
+        when(col("__t").isNotNull, xxhash64(col("__t.pair"))).as("__ph"))
+
+    grams
+      .join(uni.withColumnRenamed("term", "__uterm"),
+        col("term") === col("__uterm"), "left")
+      .join(bi, Seq("__ph"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_transitions"),
+        when(col("term").isNotNull,
+          round(lit(-1e6) *
+            log((coalesce(col("__cnt"), lit(0L)) + lit(1.0)) /
+              (coalesce(col("__ctx"), lit(0L)) + col("__v"))), 0).cast("long"))
+          .otherwise(lit(0L)).as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_transitions")).as("n_transitions"),
+        sum(col("__c")).as("surprisal_micro"))
+      .select(col("doc_id"), col("n_transitions"), col("surprisal_micro"),
+        when(col("n_transitions") > 0,
+          col("surprisal_micro").cast("double") / lit(1e6) /
+            col("n_transitions").cast("double"))
+          .otherwise(lit(0.0)).as("xent"))
+  }
+
   /** Score `docs` under a unigram model trained on `train` (pass the
     * same frame to self-score). Returns
     * (doc_id, n_tokens, surprisal_micro, xent) with xent in nats. */

@@ -45,6 +45,31 @@ class LangModelSpec extends GraftSpec {
     assert(out(1L)._1 == 3L && out(1L)._3 > 0.0)
   }
 
+  test("bigram surprisals match a naive computation; word order matters") {
+    import spark.implicits._
+    val train = Seq("a b c", "a b d").toDF("text")
+    val docs = Seq(
+      (1L, "a b"),       // seen bigram (count 2)
+      (2L, "b a"),       // REVERSED: unseen bigram, seen context b
+      (3L, "z q"),       // unseen context entirely
+      (4L, "a")).toDF("doc_id", "text") // no transitions
+    val out = LangModel.bigramXent(docs, "doc_id", "text", train, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // V = 4 (a,b,c,d); ctx(a)=2, ctx(b)=2; c(a b)=2, c(b a)=0, ctx(z)=0
+    def c(cnt: Int, ctx: Int) = math.round(-1e6 * math.log((cnt + 1.0) / (ctx + 4.0)))
+    assert(out(1L) == ((1L, c(2, 2))), out.toString)
+    assert(out(2L) == ((1L, c(0, 2))), out.toString)
+    assert(out(3L) == ((1L, c(0, 0))), out.toString)
+    assert(out(4L) == ((0L, 0L)), out.toString)
+    // the reversed pair is more surprising than the attested one —
+    // exactly what the unigram model CANNOT see
+    assert(out(2L)._2 > out(1L)._2)
+    val uni = LangModel.unigramXent(docs, "doc_id", "text", train, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(uni(1L) == uni(2L)) // unigram is order-blind
+  }
+
   test("chunkByTokens: windows, overlap, reconstruction, edge docs") {
     import spark.implicits._
     import graft.text.TextFunctions
