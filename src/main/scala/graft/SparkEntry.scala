@@ -863,9 +863,15 @@ object SparkEntry {
     // machinery, so the composite inherits bit-exactness
     "q_rag_pipeline" -> ((s, d) => {
       import s.implicits._
+      // uid packing is GUARDED: a ≥48k-token doc would alias uids
+      // identically in both engines (green but corrupt) — raise instead
       val chunks = TextFunctions.chunkByTokens(
           t(s, d, "documents"), "doc_id", "text", maxTokens = 64, overlap = 16)
-        .select((col("doc_id") * 1000L + col("chunk_id")).as("chunk_uid"),
+        .select(when(col("chunk_id") < 1000L,
+            col("doc_id") * 1000L + col("chunk_id"))
+            .otherwise(raise_error(lit(
+              "q_rag_pipeline: chunk_id >= 1000 overflows the uid packing")))
+          .as("chunk_uid"),
           col("chunk_text"))
       val qs = Seq((0L, "hash join table"), (1L, "window agg stream batch"),
         (2L, "slow query filter")).toDF("query_id", "qtext")

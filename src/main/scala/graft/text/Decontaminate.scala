@@ -41,8 +41,7 @@ object Decontaminate {
         i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
 
-  private def toks(text: Column): Column =
-    filter(split(TextFunctions.normalizeText(text), " "), t => t =!= "")
+  private def toks(text: Column): Column = TextFunctions.wsTokens(text)
 
   /** Streaming decontamination: the ids of incoming documents sharing
     * any word n-gram with the STATIC eval set, as they arrive. The

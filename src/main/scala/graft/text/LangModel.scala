@@ -26,14 +26,17 @@ import org.apache.spark.sql.functions._
 object LangModel {
 
   private def toks(text: org.apache.spark.sql.Column) =
-    filter(split(TextFunctions.normalizeText(text), " "), t => t =!= "")
+    TextFunctions.wsTokens(text)
 
   /** Bigram upgrade of [[unigramXent]]: per-document mean conditional
     * surprisal −ln p(w_i | w_{i−1}) under add-one-smoothed bigram
-    * statistics of the training corpus:
-    *   p(b | a) = (count(a b) + 1) / (count(a ·) + V)
-    * (V = unigram vocabulary size; unseen contexts fall back to
-    * 1 / V). Documents with < 2 tokens score 0 over 0 transitions.
+    * statistics of the training corpus — the textbook Laplace bigram:
+    *   p(b | a) = (count(a b) + 1) / (count(a) + V)
+    * where count(a) is a's UNIGRAM count (it differs from the count
+    * of bigrams starting with a only for document-final tokens, and
+    * keeps the denominator derivable from the unigram table alone);
+    * V = unigram vocabulary size, so an unseen context scores
+    * 1 / V. Documents with < 2 tokens score 0 over 0 transitions.
     * Same micro-unit exactness contract and the same scale shape —
     * one extra vocabulary-sized aggregation (bigrams) and the scoring
     * join runs on an 8-byte xxhash64 of the pair, so no pair STRINGS

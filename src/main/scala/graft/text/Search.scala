@@ -46,7 +46,7 @@ object Search {
     * single space). Kept dead-simple so SQL oracles reproduce it with
     * `string_split(regexp_replace(lower(trim(x)), '\s+', ' ', 'g'), ' ')`. */
   private def bmTokens(text: org.apache.spark.sql.Column) =
-    filter(split(TextFunctions.normalizeText(text), " "), t => t =!= "")
+    TextFunctions.wsTokens(text)
 
   /** Top-k BM25 matches per query.
     *

@@ -106,6 +106,16 @@ object TextFunctions {
   def normalizeText(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** THE pipeline tokenizer: [[normalizeText]] then a single-space
+    * split, empties dropped. Every token-level operator (BM25, tf-idf,
+    * decontamination, LM scoring, chunking) uses this one definition,
+    * and every DuckDB oracle mirrors it as
+    * `list_filter(string_split(regexp_replace(lower(trim(x)), '\s+',
+    * ' ', 'g'), ' '), t -> t <> '')` — change them TOGETHER or the
+    * oracles desynchronize. */
+  def wsTokens(text: Column): Column =
+    filter(split(normalizeText(text), " "), t => t =!= "")
+
   /** Character n-gram (shingle) set over an ALREADY-NORMALIZED column.
     *
     * Implementation note: higher-order functions are interpreted, and
@@ -151,8 +161,7 @@ object TextFunctions {
     val stride = maxTokens - overlap
     docs
       .select(col(idCol).cast("long").as("doc_id"),
-        filter(split(normalizeText(coalesce(col(textCol), lit(""))), " "),
-          t => t =!= "").as("__toks"))
+        wsTokens(coalesce(col(textCol), lit(""))).as("__toks"))
       .select(col("doc_id"), col("__toks"),
         greatest(lit(1L),
           floor((size(col("__toks")).cast("long") - lit(overlap.toLong) +

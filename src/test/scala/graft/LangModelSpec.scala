@@ -108,5 +108,9 @@ class LangModelSpec extends GraftSpec {
       LangModel.unigramXent(docs, "doc_id", "text", empty, "text").collect()
     }
     assert(e.getMessage.contains("no tokens"), e.getMessage)
+    val e2 = intercept[Exception] {
+      LangModel.bigramXent(docs, "doc_id", "text", empty, "text").collect()
+    }
+    assert(e2.getMessage.contains("no tokens"), e2.getMessage)
   }
 }
