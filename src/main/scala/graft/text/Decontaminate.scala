@@ -56,7 +56,9 @@ object Decontaminate {
                             n: Int = 13): DataFrame = {
     val benchDict = bench
       .select(toks(col(benchTextCol)).as("__toks"))
-      .select(explode(wordNgrams(col("__toks"), n)).as("__ng"))
+      .select(wordNgrams(col("__toks"), n).as("__ngs"))
+      .select(explode_outer(col("__ngs")).as("__ng"))
+      .filter(col("__ng").isNotNull)
       .select(xxhash64(col("__ng")).as("__h"))
       .distinct()
     docs
@@ -116,9 +118,14 @@ object Decontaminate {
                    n: Int = 13): DataFrame = {
     require(n >= 2, s"n-gram order must be >= 2 (got $n)")
 
+    // explode_outer + post-filter: plain explode's inferred size-filter
+    // pushdown would duplicate the whole n-gram computation (see
+    // LangModel scaladoc note; measured 2x on the eval-side scan)
     val benchDict = bench
       .select(toks(col(benchTextCol)).as("__toks"))
-      .select(explode(wordNgrams(col("__toks"), n)).as("__ng"))
+      .select(wordNgrams(col("__toks"), n).as("__ngs"))
+      .select(explode_outer(col("__ngs")).as("__ng"))
+      .filter(col("__ng").isNotNull)
       .select(xxhash64(col("__ng")).as("__h"))
       .distinct()
       .withColumn("__hit", lit(1L))
