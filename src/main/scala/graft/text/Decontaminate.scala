@@ -63,7 +63,9 @@ object Decontaminate {
       .distinct()
     docs
       .select(col(idCol).cast("long").as("doc_id"), toks(col(textCol)).as("__toks"))
-      .select(col("doc_id"), explode(wordNgrams(col("__toks"), n)).as("__ng"))
+      .select(col("doc_id"), wordNgrams(col("__toks"), n).as("__ngs"))
+      .select(col("doc_id"), explode_outer(col("__ngs")).as("__ng"))
+      .filter(col("__ng").isNotNull)
       .select(col("doc_id"), xxhash64(col("__ng")).as("__h"))
       .join(benchDict, Seq("__h"), "left_semi")
       .select(col("doc_id"))

@@ -68,10 +68,14 @@ object Search {
 
     // (doc_id, dl, term): dl computed BEFORE the explode and carried
     // through the tf aggregation — avoids a corpus-sized self-join
+    // explode_outer + post-filter: a plain explode's inferred
+    // size-filter pushes through the projection and re-tokenizes
+    // (see SCALING.md "Generate-pushdown pitfall")
     val toked = docs.select(col(idCol).cast("long").as("doc_id"),
         bmTokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), size(col("__toks")).as("dl"),
-        explode(col("__toks")).as("term"))
+        explode_outer(col("__toks")).as("term"))
+      .filter(col("term").isNotNull)
 
     // query → distinct terms (tiny, broadcast everywhere below)
     val qterms = queries.select(col(qidCol).cast("long").as("query_id"),
@@ -140,7 +144,9 @@ object Search {
                     k: Int): DataFrame = {
     require(k > 0, s"k must be positive (got $k)")
     val tf = docs.select(col(idCol).cast("long").as("doc_id"),
-        explode(bmTokens(col(textCol))).as("term"))
+        bmTokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode_outer(col("__toks")).as("term"))
+      .filter(col("term").isNotNull)
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -168,7 +168,7 @@ object TextFunctions {
             lit(stride.toLong) - lit(1L)).cast("double") / lit(stride.toDouble))
             .cast("long")).as("__nc"))
       .select(col("doc_id"),
-        posexplode(transform(
+        posexplode_outer(transform(
           sequence(lit(0L), col("__nc") - lit(1L)),
           k => slice(col("__toks"), (k * stride).cast("int") + lit(1), lit(maxTokens))))
           .as(Seq("__pos", "__chunk")))
@@ -186,8 +186,9 @@ object TextFunctions {
     * per partition to the driver-side merge, never the vocabulary. */
   def topWords(docs: org.apache.spark.sql.DataFrame, textCol: Column,
                k: Int): org.apache.spark.sql.DataFrame =
-    docs.select(explode(split(normalizeText(textCol), " ")).as("word"))
-      .filter(col("word") =!= "")
+    docs.select(split(normalizeText(textCol), " ").as("__w"))
+      .select(explode_outer(col("__w")).as("word"))
+      .filter(col("word").isNotNull && col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word"))
       .limit(k)
