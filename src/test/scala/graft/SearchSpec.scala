@@ -156,6 +156,24 @@ class SearchSpec extends GraftSpec {
     assert(out.filter(_._1 == 0L).map(_._2).contains(3L), out.mkString(","))
   }
 
+  test("no tokenizer expression leaks into a pushed-down filter (Generate pitfall)") {
+    import org.apache.spark.sql.execution.FormattedMode
+    val (docs, qs) = fixture
+    // a plain explode would infer a size-filter whose pushdown clones
+    // the regexp tokenizer below the projection — pin that no Filter
+    // node carries the tokenizer for the token-exploding operators
+    val plans = Seq(
+      Search.bm25TopK(docs, "doc_id", "text", qs, "query_id", "qtext", 5),
+      Search.tfidfTopTerms(docs, "doc_id", "text", 5),
+      graft.text.TextFunctions.chunkByTokens(docs, "doc_id", "text", 4, 1))
+      .map(_.queryExecution.optimizedPlan.toString)
+    plans.foreach { p =>
+      val filterLines = p.linesIterator.filter(_.trim.startsWith("Filter")).toList
+      assert(filterLines.forall(!_.contains("regexp_replace")),
+        filterLines.mkString("\n"))
+    }
+  }
+
   test("bm25 plan: broadcast dictionary prune, no window, no cartesian blow-up") {
     val (docs, qs) = fixture
     val p = Search.bm25TopK(docs, "doc_id", "text", qs, "query_id", "qtext", k = 3)
