@@ -154,8 +154,10 @@ object Dedup {
           df.filter(col(idCol).isNotNull)
             .select(col(idCol).cast("long").as(idCol), col(textCol)),
           idCol, textCol, numHashes, shingleSize)
+        // explode_outer: bandKeys is fixed-size (never empty), and a
+        // plain explode's inferred size-filter would evaluate it twice
         val banded = sigs.select(col("__id"), col("__sig"),
-          explode(bandKeys(col("__sig"), numHashes, bands)).as("__bkey"))
+          explode_outer(bandKeys(col("__sig"), numHashes, bands)).as("__bkey"))
         val mk = F.udaf(new MinKSigAgg(maxPartners),
           org.apache.spark.sql.Encoders.product[MinKSigItem])
         val anchors = banded.groupBy(col("__bkey"))
@@ -198,7 +200,7 @@ object Dedup {
     // bucket-join on (band key) with bare ids; signatures join back on
     // the (deduplicated) candidate pairs only
     val banded = sigs.select(col("__id"),
-      explode(bandKeys(col("__sig"), numHashes, bands)).as("__bkey"))
+      explode_outer(bandKeys(col("__sig"), numHashes, bands)).as("__bkey"))
     val w = Window.partitionBy(col("__bkey")).orderBy(col("__id"))
     val lhs = banded.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= maxPartners)
@@ -267,7 +269,7 @@ object Dedup {
     val sh = df.filter(col(hashCol).isNotNull)
       .select(col(idCol).as("__id"), col(hashCol).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sh.select(col("__id"), col("__sh"), explode(blocks).as("__b"))
+    val banded = sh.select(col("__id"), col("__sh"), explode_outer(blocks).as("__b"))
       .select(col("__id"), col("__sh"), col("__b.blk"), col("__b.key"))
     val l = banded.select(col("__id").as("id_a"), col("__sh").as("sh_a"),
       col("blk"), col("key"))
