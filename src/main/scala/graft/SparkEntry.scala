@@ -571,6 +571,30 @@ object SparkEntry {
         .sortBy("media_id").out
     }),
 
+    // cross-modal video dedup: the same footage ingested as STILLS and
+    // as MJPEG VIDEO. JPEG stills are packaged into real single-frame
+    // AVIs (id-offset), frames sampled back out, and both modalities
+    // perceptual-hashed into ONE Hamming dedup — distance-0 pairs tie
+    // each video to its source still and greedy min-id keeps the
+    // stills. Rows-only (container walk + frame decode not
+    // SQL-expressible); AviSpec pins writer/walker/frame exactness
+    "q_video_dedup" -> ((s, d) => {
+      val imgs = Multimodal.syntheticMedia(s, 90).filter(col("kind") === "image")
+      val wrapped = Multimodal.wrapAsMjpegAvi(imgs)
+        .filter(col("avi").isNotNull)
+        .select((col("media_id") + 20000L).as("media_id"), col("avi").as("content"))
+      val frames = Multimodal.sampleVideoFrames(wrapped)
+        .select(col("media_id"), col("content"))
+      val stills = imgs.select(col("media_id"), col("content"))
+      val hashed = Multimodal.withPerceptualHash(stills.unionByName(frames))
+        .filter(col("phash").isNotNull)
+      val dups = Dedup.hammingPairs(hashed, "media_id", "phash", maxDist = 0)
+        .select(col("id_b").as("media_id")).distinct()
+      CrysFrame(hashed.join(dups, Seq("media_id"), "left_anti")
+        .select(col("media_id")))
+        .sortBy("media_id").out
+    }),
+
     // audio near-dup dedup: spectral fingerprint over the REAL WAV
     // decoders fed through the same pigeonhole Hamming blocking as text
     // and images. Harness scenario: every decodable audio row

@@ -507,8 +507,10 @@ object Multimodal {
     * bytes, used for the formats whose SAMPLE decode is formally
     * scoped OUT of this pure-JVM library: perceptual audio (MP3/AAC —
     * [[Mp3]] walks their frame headers for real metadata, but
-    * synthesizing samples needs a filterbank/MDCT codec) and video
-    * FRAME decode ([[Mp4]] reads container metadata only). Contract:
+    * synthesizing samples needs a filterbank/MDCT codec) and
+    * INTER-FRAME video codecs ([[Mp4]] reads container metadata only;
+    * MJPEG-in-AVI frame decode is REAL via [[Avi]] + [[Jpeg]] and
+    * never reaches this stub). Contract:
     * same signature and determinism as the real decoders, so swapping
     * in a codec binding (javax.imageio, ffmpeg JNI) changes no
     * pipeline shape, schema, or partitioning — only the feature
@@ -553,7 +555,14 @@ object Multimodal {
                 case (w, h, px) => bmpQuadrantMeans(w, h, px, dim).toSeq
                 case null => decodeWavSamples(bytes) match {
                   case (_, samples) => wavQuarterFeatures(samples, dim).toSeq
-                  case null         => fakeDecodeFeature(bytes, dim).toSeq
+                  case null =>
+                    // REAL video-frame features for MJPEG AVI: frame 0
+                    // is a complete JPEG the image decoder handles
+                    val fr = Avi.frame(bytes, 0)
+                    (if (fr == null) null else decodeImage(fr)) match {
+                      case (w, h, px) => bmpQuadrantMeans(w, h, px, dim).toSeq
+                      case null       => fakeDecodeFeature(bytes, dim).toSeq
+                    }
                 }
               }
             }
@@ -616,6 +625,10 @@ object Multimodal {
         else null
       return ("audio/wav", null, null, dur)
     }
+    // RIFF AVI (checked after RIFF/WAVE — both share the RIFF magic):
+    // geometry/timing from avih, REAL for MJPEG payloads
+    val avi = Avi.sniff(b)
+    if (avi != null) return avi
     // ISO BMFF (MP4/QuickTime): geometry and duration live in plain
     // mvhd/tkhd boxes — real container metadata, no codec involved
     val mp4 = Mp4.sniff(b)
@@ -899,6 +912,60 @@ object Multimodal {
           pcmWavBytes(rate, out)
         }
         Row.fromSeq(r.toSeq :+ scaled)
+      }
+    }(enc)
+  }
+
+  /** Sample every `everyK`-th stored video frame of each decodable
+    * AVI row into its own row (media_id, frame_index, content) — the
+    * frame-sampling stage of a video pipeline. For MJPEG the emitted
+    * content is a complete JPEG, so the sampled rows feed every image
+    * op directly (resize, features, [[withPerceptualHash]] → video
+    * near-dup via the same Hamming blocking). Non-AVI rows yield no
+    * frames. mapPartitions like the featurizer (decoder init once per
+    * task); the row multiplier is frames/everyK. */
+  def sampleVideoFrames(media: DataFrame, everyK: Int = 1): DataFrame = {
+    require(everyK >= 1, s"everyK must be >= 1 (got $everyK)")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_index", LongType, nullable = false),
+      StructField("content", org.apache.spark.sql.types.BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val n = Avi.frameCount(bytes)
+        (0 until n by everyK).iterator.map(k =>
+          Row(r.getLong(idIdx), k.toLong, Avi.frame(bytes, k)))
+      }
+    }(enc)
+  }
+
+  /** Package each JPEG still as a single-frame MJPEG AVI (appended
+    * `avi` column; null for rows whose content is not a JPEG — MJPEG
+    * payloads must be JPEGs). The harness-side inverse of
+    * [[sampleVideoFrames]], and a real packaging stage: the emitted
+    * container round-trips through the sniffer, the frame extractor,
+    * and external players. */
+  def wrapAsMjpegAvi(media: DataFrame, fps: Int = 1): DataFrame = {
+    require(fps >= 1, s"fps must be >= 1 (got $fps)")
+    val schema = StructType(media.schema.fields :+
+      StructField("avi", org.apache.spark.sql.types.BinaryType, nullable = true))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val avi: Array[Byte] =
+          if (bytes == null) null
+          else sniffMeta(bytes) match {
+            case ("image/jpeg", w, h, _) if w != null && h != null =>
+              Avi.mjpegAvi(w.intValue(), h.intValue(), fps, Seq(bytes))
+            case _ => null
+          }
+        Row.fromSeq(r.toSeq :+ avi)
       }
     }(enc)
   }
