@@ -20,6 +20,7 @@ object Bench {
     "q_bm25", "q_decontaminate", "q_scrub_pii", "q_dup_passages",
     "q_hybrid_search", "q_quantize", "q_temperature_sample",
     "q_tfidf_keywords", "q_lm_score", "q_lm_bigram", "q_chunk", "q_rag_pipeline",
+    "q_video_dedup",
     // LAST deliberately: the distributed CC loop spawns dozens of
     // short stages and its async unpersist/shuffle cleanup bleeds into
     // whatever runs next (measured +4s on the following query when it
