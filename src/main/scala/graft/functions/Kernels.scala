@@ -19,6 +19,26 @@ object Kernels {
 
   private[functions] val P31 = 2147483647L // 2^31 - 1
 
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  /** Misuse of a kernel must fail at ANALYSIS, not mid-task on a
+    * 100-TB scan: shared input-type validators for the kernels below
+    * (same refuse-early contract as CosineBucketDupsExpr's). */
+  private[functions] def requireString(name: String, dt: DataType): TypeCheckResult =
+    dt match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name expects a string column, got ${other.sql}")
+    }
+
+  private[functions] def requireNumericArray(name: String, dt: DataType): TypeCheckResult =
+    dt match {
+      case ArrayType(FloatType | DoubleType | LongType | IntegerType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name expects array<float|double|int|long>, got ${other.sql}")
+    }
+
   /** splitmix64 finalizer — the hash-family parameter source (same
     * scheme as graft.ml.Dedup.hashParams). */
   private[graft] def mix(x: Long): Long = {
@@ -66,7 +86,7 @@ case class MinHashSigExpr(child: Expression, numHashes: Int, shingleSize: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes() =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    Kernels.requireString("minhash_sig", child.dataType)
 
   @transient private lazy val as: Array[Long] =
     Array.tabulate(numHashes)(i => ((Kernels.mix(i.toLong * 2 + 1) >>> 33) % (Kernels.P31 - 1)) + 1)
@@ -123,7 +143,7 @@ case class SimHash64Expr(child: Expression)
 
   override def dataType: DataType = LongType
   override def checkInputDataTypes() =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    Kernels.requireString("simhash64", child.dataType)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
@@ -176,7 +196,7 @@ case class CosineLshBandsExpr(child: Expression, bands: Int, bitsPerBand: Int,
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes() =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    Kernels.requireNumericArray("cosine_lsh_bands", child.dataType)
 
   private def elemGetter: (ArrayData, Int) => Double =
     child.dataType.asInstanceOf[ArrayType].elementType match {
@@ -373,8 +393,22 @@ case class MinHashAnchorDropExpr(idExpr: Expression, sigExpr: Expression,
   override def second: Expression = sigExpr
   override def third: Expression = anchorsExpr
   override def dataType: DataType = BooleanType
-  override def checkInputDataTypes() =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    def fail = TypeCheckResult.TypeCheckFailure(
+      "minhash_anchor_drop expects (id: long, sig: array<long>, " +
+        "anchors: array<struct<id: long, sig: array<long>>>), got (" +
+        s"${idExpr.dataType.sql}, ${sigExpr.dataType.sql}, ${anchorsExpr.dataType.sql})")
+    (idExpr.dataType, sigExpr.dataType, anchorsExpr.dataType) match {
+      case (LongType, ArrayType(LongType, _), ArrayType(st: StructType, _))
+          if st.length == 2 =>
+        (st(0).dataType, st(1).dataType) match {
+          case (LongType, ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+          case _ => fail
+        }
+      case _ => fail
+    }
+  }
 
   override def nullSafeEval(idv: Any, sigv: Any, anchorsv: Any): Any = {
     val id = idv.asInstanceOf[Long]
@@ -414,8 +448,12 @@ case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
-  override def checkInputDataTypes() =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    Kernels.requireNumericArray("cosine_sim", left.dataType) match {
+      case org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess =>
+        Kernels.requireNumericArray("cosine_sim", right.dataType)
+      case fail => fail
+    }
 
   private def elemGetter(e: Expression): (ArrayData, Int) => Double =
     e.dataType.asInstanceOf[ArrayType].elementType match {
@@ -469,7 +507,7 @@ case class RepetitionStatsExpr(child: Expression)
     StructField("top_word", IntegerType, nullable = false)))
 
   override def checkInputDataTypes() =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    Kernels.requireString("repetition_stats", child.dataType)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
