@@ -341,9 +341,15 @@ object Dedup {
     *     cache — its `observe` metric (how many labels decreased)
     *     doubles as the fixpoint check, so convergence detection costs
     *     no extra job at all. Hitting the cap without converging warns
-    *     on stderr rather than silently returning partial labels. */
+    *     on stderr rather than silently returning partial labels.
+    *
+    * `persistSteppedEdges`: edge count above which each round persists
+    * its intermediate `stepped` frame so the pointer-jumping self-join
+    * doesn't compute the min-label join twice (see
+    * [[PersistSteppedEdges]] for the crossover reasoning). */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
-                          localEdgeLimit: Long = 500L * 1000): DataFrame = {
+                          localEdgeLimit: Long = 500L * 1000,
+                          persistSteppedEdges: Long = PersistSteppedEdges): DataFrame = {
     // persist the INPUT first: both paths read it at least twice (the
     // count + either the collect or the sym union), and an un-cached
     // pairs plan is often a whole LSH candidate+verify pipeline.
@@ -363,7 +369,7 @@ object Dedup {
       lastCCStats = (0, 0)
       labels
     } else {
-      val labels = distributedCC(p, maxIters)
+      val labels = distributedCC(p, maxIters, nEdges >= persistSteppedEdges)
       if (ownCache) p.unpersist()
       labels
     }
@@ -421,9 +427,39 @@ object Dedup {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Rounds between lineage truncations in [[distributedCC]]: the
+    * per-round logical plan nests the previous round's, so without a
+    * checkpoint a high-diameter graph builds an O(rounds)-deep plan —
+    * analyzer cost grows per round and a lost cached partition would
+    * recompute through the entire history. Every k-th round the labels
+    * frame is `localCheckpoint`ed (plan collapses to a scanned RDD;
+    * on a real cluster swap for reliable `checkpoint` if executor loss
+    * matters more than the HDFS round-trip). */
+  private val CheckpointEvery = 4
+
+  /** Edge count above which [[distributedCC]] persists the per-round
+    * `stepped` frame. Both sides of the pointer-jumping self-join read
+    * it, and its two exchanges can never be reused (different
+    * projections AND different keys — id vs label), so without a
+    * persist the min-label join + neighbor-min aggregation compute
+    * TWICE per round. Measured at bench scale (thousands of edges,
+    * local[32]) the persist is a net LOSS — ~0.15 s/round of extra
+    * job + cache-materialization overhead vs a double-compute that
+    * whole-stage codegen makes nearly free on tiny data — while on a
+    * 100-TB-derived pair graph (billions of edges) the double-computed
+    * join dominates everything. Crossover is a few seconds of join
+    * work; 2M edges is comfortably below any graph where the
+    * double-compute hurts and above every graph where fixed overhead
+    * shows. */
+  private val PersistSteppedEdges = 2L * 1000 * 1000
+
   /** Distributed min-label + pointer-jumping loop (see
-    * [[connectedComponents]] scaladoc for the contract). */
-  private def distributedCC(p: DataFrame, maxIters: Int): DataFrame = {
+    * [[connectedComponents]] scaladoc for the contract).
+    * `persistStepped` is decided by the caller from the already-counted
+    * edge total (the [[PersistSteppedEdges]] tradeoff) — never
+    * recounted here. */
+  private def distributedCC(p: DataFrame, maxIters: Int,
+                            persistStepped: Boolean): DataFrame = {
     val sym = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
@@ -436,10 +472,18 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("label").as("__nl")), Seq("dst"))
         .groupBy(col("src")).agg(F.min(col("__nl")).as("__minNbr"))
-      val stepped = labels
+      // persisted above the size crossover (see PersistSteppedEdges):
+      // BOTH sides of the pointer-jumping self-join read this frame
+      val steppedRaw = labels
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("__minNbr"), col("label"))).as("label"))
+      val stepped =
+        if (persistStepped) {
+          val s = steppedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          s.count() // materialize before the self-join races two scans
+          s
+        } else steppedRaw
       // pointer jumping: label := label(label) — doubles the horizon
       // each round, so convergence is logarithmic in the diameter
       val jumped = stepped
@@ -458,8 +502,19 @@ object Dedup {
       it += 1
       checks += 1
       converged = obs.get("changed").asInstanceOf[Long] == 0L
+      if (persistStepped) stepped.unpersist()
       labels.unpersist()
-      labels = next
+      // periodic lineage truncation (see CheckpointEvery). Runs AFTER
+      // the count so the observation has already fired; reads the
+      // just-materialized cache, so the extra job is one cheap
+      // (id, label) pass. eager=true: a lazy checkpoint would silently
+      // defer the truncation to a consumer's first action.
+      labels =
+        if (!converged && it % CheckpointEvery == 0) {
+          val cp = next.localCheckpoint(eager = true)
+          next.unpersist()
+          cp
+        } else next
     }
     if (!converged)
       System.err.println(s"[graft] connectedComponents hit maxIters=$maxIters " +

@@ -576,6 +576,58 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(kept == Set(-1L, 0L, 5L))
   }
 
+  test("distributed CC: plan depth stays bounded across rounds (lineage checkpointed)") {
+    import spark.implicits._
+    def treeDepth(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      if (p.children.isEmpty) 1 else 1 + p.children.map(treeDepth).max
+    // path graphs: every round's logical plan nests the previous
+    // round's, so WITHOUT the periodic localCheckpoint the final plan
+    // depth would grow with the number of rounds (≈ log diameter).
+    // With it, depth is bounded by CheckpointEvery rounds' worth of
+    // operators no matter the diameter.
+    def ccDepth(n: Int): (Int, Int) = {
+      val pairs = (0L until n.toLong).sliding(2).map(w => (w(0), w(1))).toSeq
+        .toDF("id_a", "id_b")
+      val labels = Dedup.connectedComponents(pairs, localEdgeLimit = 0L)
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == (0L until n.toLong).map(_ -> 0L).toMap,
+        s"chain of $n mislabeled")
+      (treeDepth(labels.queryExecution.analyzed), Dedup.lastCCStats._1)
+    }
+    val (dSmall, rSmall) = ccDepth(8)
+    val (dBig, rBig) = ccDepth(120)
+    assert(rBig > rSmall, s"expected more rounds on the long chain ($rSmall vs $rBig)")
+    // bound chosen as: one round's join stack (~17 nodes) × CheckpointEvery
+    // plus the checkpointed scan — generous, but strict enough that an
+    // O(rounds) plan (85+ nodes deep by round 5) must fail it
+    assert(dBig <= 80, s"plan depth $dBig after $rBig rounds — lineage not truncated?")
+  }
+
+  test("distributed CC: big-graph persist path labels equal the fused path") {
+    import spark.implicits._
+    // two chains + a star; persistSteppedEdges = 0 forces the per-round
+    // stepped persist that a >2M-edge graph would take at 100 TB
+    val pairs = ((0L until 30L).sliding(2).map(w => (w(0), w(1))) ++
+      Iterator((100L, 103L), (101L, 103L), (102L, 103L))).toSeq
+      .toDF("id_a", "id_b")
+    def labelsOf(persistAt: Long) =
+      Dedup.connectedComponents(pairs, localEdgeLimit = 0L,
+          persistSteppedEdges = persistAt)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val persisted = labelsOf(0L)
+    val fused = labelsOf(Long.MaxValue)
+    assert(persisted == fused, "persist path diverged from fused path")
+    assert(persisted.values.toSet == Set(0L, 100L))
+    // the loop must release its per-round caches. What MAY survive the
+    // two calls: the two returned label frames (the API result is
+    // cached) and their localCheckpoint RDDs (reaped by ContextCleaner
+    // on GC, not unpersist) — but never the per-round stepped/labels
+    // intermediates, which would grow with round count
+    val leaked = spark.sparkContext.getPersistentRDDs.size - before
+    assert(leaked <= 6, s"$leaked new RDDs still persisted after 2 CC calls")
+  }
+
   test("connectedComponents string ids: local labels equal distributed labels") {
     import spark.implicits._
     // U+FFFD sorts BELOW a supplementary-plane char in UTF-8 byte order
@@ -631,7 +683,74 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(ivf.intersect(bf).size >= 8) // decent recall on 15 pairs
   }
 
+  test("kmeans++ IVF seeding beats first-n-by-id on a clustered corpus (recall@10)") {
+    import spark.implicits._
+    import graft.ml.Similarity
+    // 8 well-separated direction clusters, ids arranged ADVERSARIALLY:
+    // the 50 lowest ids all sit in cluster 0, so a first-n-by-id seed
+    // starts every centroid inside one cluster and Lloyd refine cannot
+    // spread them back out — the failure mode the k-means|| init fixes
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val pts = for (c <- 0 until 8; j <- 0 until 50) yield
+      ((c * 50 + j).toLong,
+        centers(c).map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
+    val corpus = pts.toDF("id", "vec")
+    // queries weighted toward cluster 0 — the cluster the legacy init
+    // SPLITS across most of its lists (its neighbors then straddle
+    // unprobed lists at nProbe=1, which is what kills recall)
+    val queries = corpus.filter(col("id") % 50 === 25 || col("id").isin(5L, 15L, 35L, 45L))
+    val bf = Similarity.bruteForceTopK(corpus, "id", "vec",
+        queries, "id", "vec", k = 10)
+      .select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(init: String): Double = {
+      val hits = Similarity.ivfTopK(corpus, "id", "vec", queries, "id", "vec",
+          k = 10, nLists = 8, nProbe = 1, refineIters = 1, initMethod = init)
+        .select("query_id", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      hits.intersect(bf).size.toDouble / bf.size
+    }
+    def maxListShare(init: String): Double = {
+      val cents = Similarity.centroids(corpus, "id", "vec", 8, 1, initMethod = init)
+      Similarity.assignLists(corpus, "id", "vec", cents)
+        .groupBy("list_id").count().collect().map(_.getLong(1)).max / 400.0
+    }
+    val legacy = recall("firstN")
+    val pp = recall("kmeans++")
+    info(s"recall@10 nProbe=1: kmeans++ $pp vs firstN $legacy")
+    info(s"max list share: kmeans++ ${maxListShare("kmeans++")} vs firstN ${maxListShare("firstN")}")
+    assert(pp > legacy,
+      s"kmeans++ recall $pp not above firstN recall $legacy")
+    assert(pp >= 0.9, s"kmeans++ recall@10 only $pp at nProbe=1/8")
+    // the 100-TB property: balanced lists mean a probe reads
+    // ~nProbe/nLists of the index BYTES — a degenerate giant list
+    // would make every probe scan most of the corpus
+    assert(maxListShare("kmeans++") <= 0.2,
+      "kmeans++ lists unbalanced — probe cost no longer ~nProbe/nLists")
+    // determinism: the seeded init gives the same centroid set twice
+    val c1 = Similarity.centroids(corpus, "id", "vec", 8, 1).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val c2 = Similarity.centroids(corpus, "id", "vec", 8, 1).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(c1 == c2, "seeded kmeans++ centroids differ across runs")
+  }
+
   // --- multimodal plumbing ---
+
+  test("q_multimodal leaves no lingering cache entry (self-contained for any caller)") {
+    // the query materializes its synthetic payloads via an eager
+    // localCheckpoint, NOT a persist: a persist could never be paired
+    // with an unpersist (the caller executes the frame after the
+    // builder returns), so it would silently occupy the cache registry
+    // for the rest of the session
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q_multimodal")(spark, "/root/testdata/sf0.001")
+    assert(df.count() == 200)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "q_multimodal left an entry in the cache registry")
+  }
 
   test("multimodal feature extraction preserves schema and determinism") {
     val media = Multimodal.syntheticMedia(spark, 10)
