@@ -1082,11 +1082,16 @@ object SparkEntry {
     // decoded features (dim, L2 norm, 64-bit digest of the rounded
     // components), all derived in-plan from the real decode output
     "q_multimodal" -> ((s, d) => {
-      // persisted: the plan references the frame in three branches
-      // (sniff / features / resize) — uncached, every synthetic payload
-      // (incl. ImageIO JPEG encodes) would be generated three times
-      val media = Multimodal.syntheticMedia(s, 200)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint (eager), not persist: the plan references the
+      // frame in three branches (sniff / features / resize) — uncached,
+      // every synthetic payload (incl. ImageIO JPEG encodes) would be
+      // generated three times. A persist would do the same job but
+      // leak a CacheManager entry past the query's lifetime (the
+      // caller executes the returned frame AFTER this builder returns,
+      // so no try/finally can pair it); the checkpoint's RDD blocks are
+      // reaped by the ContextCleaner once the result is dropped, and
+      // the cache registry stays clean (spec-pinned)
+      val media = Multimodal.syntheticMedia(s, 200).localCheckpoint()
       val meta = Multimodal.sniffMetadata(media)
       val fcol = col("feature")
       val featD = transform(fcol, f => f.cast("double"))

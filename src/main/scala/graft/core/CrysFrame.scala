@@ -726,7 +726,11 @@ final class CrysFrame private (
     * newline are quoted, and embedded quotes/backslashes are
     * BACKSLASH-escaped (Spark's `escape` default, NOT RFC-4180
     * doubling) so the output parses back through `readCsvString`
-    * byte-faithfully; nulls print as NA. */
+    * byte-faithfully — EXCEPT fields containing embedded newlines:
+    * `readCsvString` is line-oriented and tears them (its spec pins
+    * that limitation); round-trip those through the multiLine file
+    * reader (`readCsv` on a written file) instead. Nulls print as
+    * NA. */
   def toCsvString(separator: String = ",", quoteChar: String = "\""): String = {
     val sb = new StringBuilder
     def field(v: String): String =

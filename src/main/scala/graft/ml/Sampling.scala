@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   *   property percentage-based `limit` sampling lacks);
   * - an external system (SQL warehouse, another engine) can compute
   *   the identical assignment for audit — the driver oracle does.
-  * All arithmetic stays under 2^63 for ids below ~3.5e9; the uniform
+  * All arithmetic stays under 2^63 for |id| below ~3.5e9 (negative ids
+  * are valid: the draw is pmod, so u stays in (0,1)); the uniform
   * u = (h + 0.5) / (2^31-1) is never 0 or 1, so `ln(u)` is finite. */
 object Sampling {
 
@@ -27,13 +28,17 @@ object Sampling {
   /** The shared integer draw: `(id·P + seed) mod M` — every
     * hash-deterministic operator (splits, samples, shards) derives
     * from this one formula so external auditors reproduce them all
-    * with the same arithmetic. Ids must stay below ~3.5e9 to keep
+    * with the same arithmetic. |id| must stay below ~3.5e9 to keep
     * `id·P` inside a long. */
   private[graft] def knuthHash(id: Column, seed: Long): Column =
     pmod(id * P + lit(seed), lit(M))
 
+  /** Uniform draw in (0,1) from [[knuthHash]] — pmod, not `%`, so a
+    * NEGATIVE id still yields u ∈ (0,1): with plain `%` it gave u ≤ 0,
+    * whose -ln(u) is null/∞ — such rows would sort first in every
+    * weightedSample top-k and land in hashSplit's first split. */
   private def hashU(id: Column, seed: Long): Column =
-    (((id * P + lit(seed)) % M + 0.5) / M.toDouble)
+    (knuthHash(id, seed) + 0.5) / M.toDouble
 
   /** Append a `split` column assigning each row to a named fraction —
     * deterministic train/val/test partitioning. `splits` are
@@ -100,7 +105,9 @@ object Sampling {
           lit(targetFraction) * col("__tot").cast("double") * col("__pw").cast("double") /
             (col("__sp").cast("double") * col("__n").cast("double"))) * lit(1e6), 0)
           .cast("long").as("__pm"))
-    val h = (col(idCol) * P + lit(seed)) % M
+    // knuthHash (pmod): plain `%` would hand every negative id a
+    // negative draw, which the integer compare below always keeps
+    val h = knuthHash(col(idCol), seed)
     df.join(broadcast(rates), Seq(srcCol))
       .filter(h * lit(2000000L) + lit(1000000L) < col("__pm") * lit(2 * M))
       .drop("__pm")

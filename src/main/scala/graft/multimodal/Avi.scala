@@ -16,8 +16,13 @@ package graft.multimodal
   */
 object Avi {
 
-  /** Hard cap on indexed frames — a hostile header cannot make the
-    * walker allocate unboundedly. */
+  /** Hard cap on INDEXED frames — a hostile header cannot make the
+    * walker allocate unboundedly. A container with more movi chunks is
+    * still valid: the walk keeps parsing (headers, geometry, duration)
+    * and simply stops RECORDING frame offsets, so an over-long but
+    * well-formed video sniffs/decodes normally with only frames past
+    * the cap unaddressable — rejecting the whole file would silently
+    * turn "large" into "undecodable". */
   private val MaxFrames = 100000
 
   private def le16(b: Array[Byte], i: Int): Int =
@@ -63,8 +68,8 @@ object Avi {
         } else if (inMovi && cc.length == 4 &&
           Character.isDigit(cc(0)) && Character.isDigit(cc(1)) &&
           (cc.endsWith("dc") || cc.endsWith("db"))) {
-          if (frames.size >= MaxFrames) return false
-          frames :+= ((dataOff, sz.toInt))
+          if (frames.size < MaxFrames) // past the cap: parse on, index off
+            frames :+= ((dataOff, sz.toInt))
         }
         i = dataOff + sz.toInt + (sz.toInt & 1) // chunks pad to even
       }

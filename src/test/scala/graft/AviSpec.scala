@@ -45,6 +45,21 @@ class AviSpec extends GraftSpec {
     }
   }
 
+  test("over-MaxFrames AVI truncates the frame index but stays valid") {
+    // 100_001 one-byte '00dc' chunks: well-formed, just long. The walk
+    // must keep the container VALID (sniff geometry + duration, frames
+    // up to the cap addressable) rather than rejecting the whole file —
+    // a large-but-valid video is not hostile input
+    val tiny = Array[Byte](0x42)
+    val avi = Avi.mjpegAvi(32, 24, fps = 30, Seq.fill(100001)(tiny))
+    val (mime, w, h, dur) = Multimodal.sniffMeta(avi)
+    assert(mime == "video/x-msvideo" && w == 32 && h == 24)
+    assert(dur == 100001L * (1000000 / 30) / 1000, s"dur $dur") // avih count, not index size
+    assert(Avi.frameCount(avi) == 100000)              // capped index
+    assert(Avi.frame(avi, 0) != null && Avi.frame(avi, 99999) != null)
+    assert(Avi.frame(avi, 100000) == null)             // past the cap: unaddressable
+  }
+
   test("sampleVideoFrames composes into image ops: frame dHash finds the video's source image") {
     import spark.implicits._
     val frames = jpegFrames(4)

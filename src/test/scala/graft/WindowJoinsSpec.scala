@@ -276,6 +276,35 @@ class WindowJoinsSpec extends GraftSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("negative ids draw valid uniforms (pmod): no null priorities, no split bias") {
+    import spark.implicits._
+    import graft.ml.Sampling
+    // the draw is pmod-based: with plain % every negative id got u ≤ 0
+    // (null -ln(u) priority that SORTS FIRST and wins every top-k; and
+    // hashSplit dumped all of them in the first split)
+    val neg = (-1000L to -1L).map(i => (i, 10L)).toDF("id", "w")
+      .withColumn("g", lit(1))
+    val split = Sampling.hashSplit(neg, "id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse("val", 0L) > 10 && counts.getOrElse("test", 0L) > 10,
+      s"negative ids biased into one split: $counts")
+    // weighted draws from an even weight field must not favor negatives
+    val mix = ((-500L to -1L) ++ (1L to 500L)).map(i => (i, 10L)).toDF("id", "w")
+      .withColumn("g", lit(1))
+    val picked = Sampling.weightedSample(mix, Seq("g"), "id", "w", k = 100)
+      .collect().map(_.getLong(0))
+    val negPicked = picked.count(_ < 0)
+    assert(negPicked > 20 && negPicked < 80,
+      s"$negPicked of ${picked.length} picks were negative ids")
+    // temperature resample keeps a sane fraction of an all-negative corpus
+    // (plain % kept EVERYTHING: negative draw always under the rate)
+    val kept = Sampling.temperatureResample(
+      neg.withColumn("src", lit("s")), "src", "id", 1.0, 0.5).count()
+    assert(kept > 350 && kept < 650, s"kept $kept of 1000 at rate 0.5")
+  }
+
   test("temperature resampling flattens a skewed source mix deterministically") {
     import spark.implicits._
     import graft.ml.Sampling
