@@ -54,17 +54,48 @@ object Similarity {
     TopK.perQuery(scored, k)
   }
 
-  /** Deterministic IVF centroids: seeded from the `nLists` lowest-id
-    * corpus vectors, then refined with `refineIters` Lloyd iterations
-    * (assign → per-list dimension means). Each iteration is one
-    * assign pass (map-only vs broadcast centroids) plus a posexplode +
-    * two-level aggregation whose cardinality is nLists × dim — tiny
-    * regardless of corpus size. */
+  /** Deterministic IVF centroids: k-means||-style seeding (Bahmani et
+    * al., VLDB'12 — the distributed kmeans++) followed by `refineIters`
+    * Lloyd iterations (assign → per-list dimension means).
+    *
+    * Seeding: starting from the lowest-id vector, a few rounds each
+    * OVERSAMPLE ~2·nLists candidates with probability proportional to
+    * D² (squared angular distance to the nearest already-chosen
+    * candidate) — the kmeans++ bias that spreads seeds across the
+    * data's actual clusters, where a first-n-by-id seed can land every
+    * centroid inside one dense cluster and strand the rest of the
+    * space on a single list (recall collapses at fixed nProbe; the
+    * adversarial spec pins the difference). The "random" draw is a
+    * per-(round, id) hash, so the sample is deterministic and
+    * content-stable — same corpus, same seeds, any partitioning.
+    * Each round costs one map pass over the corpus (broadcast
+    * candidates) + two tiny driver actions; the candidate set
+    * (≤ 1 + rounds·2·nLists rows) is then weighted by cluster
+    * population and reduced to nLists seeds with a seeded
+    * driver-local weighted kmeans++ — the standard || recluster step,
+    * on data that fits in one task by construction.
+    *
+    * `initMethod`: "kmeans++" (default) or "firstN" (the legacy
+    * lowest-id seed — kept for comparison and for corpora known to be
+    * pre-shuffled, where it saves the seeding passes).
+    *
+    * Scale shape per round: map-only D² scoring vs broadcast
+    * candidates, one scalar agg, one ≤~2·nLists-row collect — no
+    * shuffle of the corpus anywhere in seeding; Lloyd refine unchanged
+    * (nLists × dim aggregation rows). */
   def centroids(corpus: DataFrame, idCol: String, vecCol: String,
-                nLists: Int = 16, refineIters: Int = 1): DataFrame = {
-    var cents = corpus.orderBy(col(idCol)).limit(nLists)
-      .select(monotonically_increasing_id().as("list_id"),
-        col(vecCol).cast("array<double>").as("cvec"))
+                nLists: Int = 16, refineIters: Int = 1,
+                seed: Long = 42L, initMethod: String = "kmeans++"): DataFrame = {
+    val spark = corpus.sparkSession
+    var cents = initMethod match {
+      case "firstN" =>
+        corpus.orderBy(col(idCol)).limit(nLists)
+          .select(monotonically_increasing_id().as("list_id"),
+            col(vecCol).cast("array<double>").as("cvec"))
+      case "kmeans++" => kmeansParallelInit(corpus, idCol, vecCol, nLists, seed)
+      case other => throw new IllegalArgumentException(
+        s"initMethod must be kmeans++ or firstN, got $other")
+    }
     var it = 0
     while (it < refineIters) {
       val assigned = assignLists(
@@ -80,6 +111,162 @@ object Similarity {
       it += 1
     }
     cents
+  }
+
+  /** k-means|| seeding rounds (see [[centroids]]). Returns
+    * (list_id, cvec) with ≤ nLists rows (fewer only when the corpus
+    * itself has fewer non-null vectors). */
+  private def kmeansParallelInit(corpus: DataFrame, idCol: String, vecCol: String,
+                                 nLists: Int, seed: Long): DataFrame = {
+    val rounds = 4
+    val over = 2 * nLists // per-round expected oversample (the || "l")
+    val v = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__cid"), col(vecCol).cast("array<double>").as("__cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val first = v.orderBy(col("__cid")).limit(1).collect()
+      if (first.isEmpty) return emptyCents(corpus, vecCol)
+      // candidate pool, keyed by a STRING of the id for determinism
+      // across id types (collected order is not deterministic — every
+      // driver-side step below sorts by this key first)
+      val pool = scala.collection.mutable.LinkedHashMap[String, Array[Double]](
+        first(0).get(0).toString -> first(0).getSeq[Double](1).toArray)
+      def candDf() = {
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(pool.toSeq.sortBy(_._1).map { case (_, c) =>
+            org.apache.spark.sql.Row(c.toSeq) }: _*)
+        corpus.sparkSession.createDataFrame(rows,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("cvec",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType), nullable = false))))
+      }
+      // squared angular distance to the nearest candidate: for unit
+      // vectors ||x-c||² = 2(1-cos); unnormalized vectors use the same
+      // direction-only metric the index itself ranks by
+      def withD2(cand: DataFrame) = {
+        val cs = cand.agg(collect_list(col("cvec")).as("cs"))
+        v.crossJoin(broadcast(cs))
+          .withColumn("__d2", lit(2.0) *
+            (lit(1.0) - array_max(transform(col("cs"),
+              c => cosine(col("__cv"), c)))))
+          .drop("cs")
+      }
+      var r = 0
+      while (r < rounds && pool.size < 1 + rounds * over) {
+        val scored = withD2(candDf())
+          .withColumn("__u", shiftrightunsigned(
+            xxhash64(lit(seed), lit(r), col("__cid").cast("string")), 11)
+            .cast("double") / lit(9007199254740992.0)) // 2^53
+        val total = scored.agg(F.sum(col("__d2"))).collect()(0)
+        if (total.isNullAt(0) || total.getDouble(0) <= 0) {
+          r = rounds // every point sits on a candidate — done seeding
+        } else {
+          val tot = total.getDouble(0)
+          // deterministic D²-proportional draw; the limit is a guard
+          // against degenerate D² concentrations, not a sampler
+          val picked = scored
+            .filter(col("__u") * lit(tot) < lit(over.toDouble) * col("__d2"))
+            .orderBy(col("__d2").desc, col("__cid"))
+            .limit(4 * over)
+            .select(col("__cid"), col("__cv")).collect()
+          picked.foreach(row =>
+            pool.getOrElseUpdate(row.get(0).toString, row.getSeq[Double](1).toArray))
+          r += 1
+        }
+      }
+      // pad a too-small pool (tiny corpus / zero distances) with the
+      // lowest-id rows so list count matches the legacy contract
+      if (pool.size < nLists) {
+        v.orderBy(col("__cid")).limit(nLists + pool.size).collect()
+          .foreach(row =>
+            pool.getOrElseUpdate(row.get(0).toString, row.getSeq[Double](1).toArray))
+      }
+      // population weights for the || recluster step
+      val keyed = pool.toSeq.sortBy(_._1)
+      val weights: Map[Int, Long] =
+        if (keyed.size <= nLists) Map.empty
+        else {
+          val byList = assignLists(v, "__cid", "__cv", candDfIndexed(corpus, keyed))
+            .groupBy(col("list_id")).agg(F.count(lit(1)).as("__n")).collect()
+          byList.map(rw => rw.getLong(0).toInt -> rw.getLong(1)).toMap
+        }
+      val seeds = weightedKmeansPlusPlus(
+        keyed.map(_._2).toArray,
+        keyed.indices.map(i => weights.getOrElse(i, 1L).toDouble).toArray,
+        math.min(nLists, keyed.size), seed)
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(seeds.zipWithIndex.map { case (c, i) =>
+          org.apache.spark.sql.Row(i.toLong, c.toSeq) }: _*)
+      corpus.sparkSession.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("list_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cvec",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType), nullable = false))))
+    } finally v.unpersist()
+  }
+
+  private def emptyCents(corpus: DataFrame, vecCol: String): DataFrame =
+    corpus.limit(0).select(lit(0L).as("list_id"),
+      col(vecCol).cast("array<double>").as("cvec"))
+
+  /** Candidate pool as an indexed (list_id, cvec) frame for the weight
+    * pass. */
+  private def candDfIndexed(corpus: DataFrame,
+                            keyed: Seq[(String, Array[Double])]): DataFrame = {
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(keyed.zipWithIndex.map { case ((_, c), i) =>
+        org.apache.spark.sql.Row(i.toLong, c.toSeq) }: _*)
+    corpus.sparkSession.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("list_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cvec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = false))))
+  }
+
+  /** Seeded weighted kmeans++ over the (tiny, driver-local) candidate
+    * pool — the k-means|| recluster. Cosine-angular D² like the
+    * distributed rounds. */
+  private def weightedKmeansPlusPlus(cands: Array[Array[Double]],
+                                     w: Array[Double], k: Int,
+                                     seed: Long): Array[Array[Double]] = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0) 0.0 else dot / d
+    }
+    val rnd = new scala.util.Random(seed)
+    val n = cands.length
+    val chosen = scala.collection.mutable.ArrayBuffer[Int]()
+    // first seed: weighted draw
+    def weightedDraw(weight: Int => Double): Int = {
+      val total = (0 until n).map(weight).sum
+      if (total <= 0) return (0 until n).find(i => !chosen.contains(i)).getOrElse(0)
+      var x = rnd.nextDouble() * total
+      var i = 0
+      while (i < n - 1 && x >= weight(i)) { x -= weight(i); i += 1 }
+      i
+    }
+    chosen += weightedDraw(i => w(i))
+    val d2 = Array.tabulate(n)(i => 2.0 * (1.0 - cos(cands(i), cands(chosen(0)))))
+    while (chosen.size < k) {
+      val next = weightedDraw(i => if (chosen.contains(i)) 0.0 else w(i) * d2(i))
+      chosen += next
+      var i = 0
+      while (i < n) {
+        val d = 2.0 * (1.0 - cos(cands(i), cands(next)))
+        if (d < d2(i)) d2(i) = d
+        i += 1
+      }
+    }
+    chosen.map(cands).toArray
   }
 
   /** Assign each row to its nearest centroid list (map-only: centroids
@@ -100,8 +287,10 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qidCol: String, qvecCol: String,
               k: Int = 10, nLists: Int = 16, nProbe: Int = 4,
-              refineIters: Int = 1): DataFrame = {
-    val cents = centroids(corpus, idCol, vecCol, nLists, refineIters).cache()
+              refineIters: Int = 1, seed: Long = 42L,
+              initMethod: String = "kmeans++"): DataFrame = {
+    val cents = centroids(corpus, idCol, vecCol, nLists, refineIters,
+      seed, initMethod).cache()
     val assigned = assignLists(corpus, idCol, vecCol, cents)
     // nProbe nearest lists per query
     val qLists = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__q"))
@@ -145,8 +334,10 @@ object Similarity {
     * PlanQualitySpec). */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     path: String, nLists: Int = 16,
-                    refineIters: Int = 1): Unit = {
-    val cents = centroids(corpus, idCol, vecCol, nLists, refineIters)
+                    refineIters: Int = 1, seed: Long = 42L,
+                    initMethod: String = "kmeans++"): Unit = {
+    val cents = centroids(corpus, idCol, vecCol, nLists, refineIters,
+      seed, initMethod)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     assignLists(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
