@@ -607,12 +607,20 @@ object SparkEntry {
     // (AudioFingerprintSpec: exact gain invariance, separation,
     // ADPCM-drift honesty, refusals)
     "q_audio_dedup" -> ((s, d) => {
+      // two re-ingest shapes of every decodable clip: a half-gain edit
+      // and an 8 kHz rate conversion — both must collapse onto the
+      // original via the canonicalized fingerprint (AudioFingerprintSpec
+      // and AudioCrossCodecSpec pin the per-row distances)
       val aud = Multimodal.syntheticMedia(s, 90).filter(col("kind") === "audio")
-      val copies = Multimodal.scaleAudioPcm(aud, 1, 2)
+      val gainCopies = Multimodal.scaleAudioPcm(aud, 1, 2)
         .filter(col("scaled").isNotNull)
         .select((col("media_id") + 10000L).as("media_id"), col("scaled").as("content"))
+      val rateCopies = Multimodal.resampleAudioPcm(aud, 8000)
+        .filter(col("resampled").isNotNull)
+        .select((col("media_id") + 20000L).as("media_id"), col("resampled").as("content"))
       val hashed = Multimodal.withAudioFingerprint(
-          aud.select(col("media_id"), col("content")).unionByName(copies))
+          aud.select(col("media_id"), col("content"))
+            .unionByName(gainCopies).unionByName(rateCopies))
         .filter(col("audio_fp").isNotNull)
       val dups = Dedup.hammingPairs(hashed, "media_id", "audio_fp", maxDist = 2)
         .select(col("id_b").as("media_id")).distinct()

@@ -801,28 +801,59 @@ object Multimodal {
     }(enc)
   }
 
+  /** Canonical time base for [[audioFingerprint64]]: every clip is
+    * linearly resampled to this rate before the Goertzel pass, so the
+    * SAME clip stored at different sample rates (8 k vs 16 k vs 44.1 k
+    * PCM — the "different PCM encoding" ingest case) lands within the
+    * dedup blocking window instead of hashing as unrelated content
+    * (Goertzel band frequencies are normalized to the sample rate, so
+    * un-canonicalized rates shifted every band). */
+  private val CanonicalFpRate = 8000
+
+  /** Linear-interpolation resample, exact rational index arithmetic
+    * (k·from/to) — deterministic on any engine, no phase drift. Output
+    * in double so an exact power-of-two gain edit stays exactly scaled
+    * through the resample (the fingerprint's bit-identity contract). */
+  private[graft] def resampleLinear(samples: Array[Short], from: Int, to: Int): Array[Double] = {
+    if (from == to) return samples.map(_.toDouble)
+    val outLen = math.max(1, (samples.length.toLong * to / from).toInt)
+    val out = new Array[Double](outLen)
+    var k = 0
+    while (k < outLen) {
+      val num = k.toLong * from
+      val i0 = (num / to).toInt
+      val frac = (num % to).toDouble / to
+      val i1 = math.min(i0 + 1, samples.length - 1)
+      out(k) = samples(i0) + frac * (samples(i1) - samples(i0))
+      k += 1
+    }
+    out
+  }
+
   /** 64-bit audio fingerprint of a decodable (PCM / IMA-ADPCM) WAV:
-    * 17 equal sample frames × 5 Goertzel band powers, one bit per
+    * samples canonicalized to [[CanonicalFpRate]], then 17 equal
+    * sample frames × 5 Goertzel band powers, one bit per
     * adjacent-band double-difference across consecutive frames
     * (16 × 4 = 64 bits):
     *   bit = (E[f][b] − E[f][b+1]) − (E[f−1][b] − E[f−1][b+1]) > 0
     * Double-differences of band powers are invariant under uniform
     * volume scaling (all powers scale by c²; for power-of-two sample
-    * scaling the FP computation scales EXACTLY, so the hash is
-    * bit-identical) — Hamming distance over this hash ranks
-    * near-duplicate AUDIO the way dHash ranks images, and plugs into
-    * `graft.ml.Dedup.hammingPairs`. The pinned dedup contract targets
-    * GAIN-EDITED and re-wrapped ingests of the same samples (distance
-    * ≈ 0, vs ≥ ~16 for distinct content — spec-measured); LOSSY
-    * re-encodes drift with codec fidelity (IMA-ADPCM of hard-edged
-    * synthetic signals lands ~10–25 bits away, outside the ≤7-bit
-    * blocking window — cross-codec near-dup is out of scope, like
-    * perceptual-audio decode itself). Null for undecodable bytes or
-    * clips shorter than ~8 samples per frame. */
+    * scaling the FP computation scales EXACTLY through the linear
+    * resample, so the hash is bit-identical) — Hamming distance over
+    * this hash ranks near-duplicate AUDIO the way dHash ranks images,
+    * and plugs into `graft.ml.Dedup.hammingPairs`. The pinned dedup
+    * contract covers GAIN-EDITED, re-wrapped, and RATE-CONVERTED
+    * ingests of the same clip (distance ≤ ~2, vs ≥ ~16 for distinct
+    * content — spec-measured). LOSSY re-encodes drift with codec SNR:
+    * IMA-ADPCM at 44.1 kHz (~32 dB) lands inside the ≤ 7 pigeonhole
+    * blocking window, at 16 kHz (~20 dB) ~12 bits out, and 8 kHz
+    * full-band content is destroyed by the 4-bit quantizer (~29 bits
+    * — out of scope, spec-pinned gradient). Null for undecodable
+    * bytes or clips shorter than ~8 canonical samples per frame. */
   private[graft] def audioFingerprint64(bytes: Array[Byte]): java.lang.Long = {
     val dec = decodeWavSamples(bytes)
     if (dec == null) return null
-    val samples = dec._2
+    val samples = resampleLinear(dec._2, dec._1, CanonicalFpRate)
     val nf = 17
     val nb = 5
     if (samples.length < nf * 8) return null
@@ -833,18 +864,50 @@ object Multimodal {
       val end = ((f + 1).toLong * samples.length / nf).toInt
       var b = 0
       while (b < nb) {
-        // Goertzel power at normalized frequency (b+1)/(2(nb+1))
+        // Goertzel power at normalized frequency (b+1)/(2(nb+1)),
+        // AVERAGED over short sub-windows of the frame. One long
+        // unwindowed Goertzel at a non-bin frequency measures mostly
+        // phase-dependent spectral leakage — a chaotic quantity that
+        // modest codec noise flips wholesale; summing |X|² over many
+        // short windows converges to the band's actual PSD share,
+        // which noise only perturbs by its own power fraction.
         val coeff = 2.0 * math.cos(math.Pi * (b + 1) / (nb + 1).toDouble)
-        var s1 = 0.0
-        var s2 = 0.0
-        var i = start
-        while (i < end) {
-          val s0 = samples(i) + coeff * s1 - s2
-          s2 = s1
-          s1 = s0
-          i += 1
+        val frameLen = end - start
+        val w = math.min(96, frameLen) // 12 ms at the canonical 8 kHz
+        var acc = 0.0
+        var ws = start
+        while (ws + w <= end) {
+          var s1 = 0.0
+          var s2 = 0.0
+          var i = ws
+          while (i < ws + w) {
+            val s0 = samples(i) + coeff * s1 - s2
+            s2 = s1
+            s1 = s0
+            i += 1
+          }
+          acc += s1 * s1 + s2 * s2 - coeff * s1 * s2
+          ws += w
         }
-        e(f)(b) = s1 * s1 + s2 * s2 - coeff * s1 * s2
+        e(f)(b) = acc
+        b += 1
+      }
+      f += 1
+    }
+    // bits compare LOG energies: sign of a ratio-of-ratios. In the
+    // linear domain a 100x-louder band's codec noise drowns the quiet
+    // band's difference entirely (IMA-ADPCM at ~19 dB SNR flipped ~20
+    // bits); log margins are scale-free per band, and gain invariance
+    // strengthens from powers-of-two to ANY uniform gain (log c cancels
+    // in the differences). The epsilon keeps degenerate near-zero
+    // differences (stationary frames, exact ratio ties) on a stable
+    // side of the threshold under 1-ulp log rounding drift.
+    val le = Array.ofDim[Double](nf, nb)
+    f = 0
+    while (f < nf) {
+      var b = 0
+      while (b < nb) {
+        le(f)(b) = if (e(f)(b) > 0) math.log(e(f)(b)) else -745.0
         b += 1
       }
       f += 1
@@ -855,7 +918,8 @@ object Multimodal {
       var b = 0
       while (b < nb - 1) {
         h <<= 1
-        if ((e(f)(b) - e(f)(b + 1)) - (e(f - 1)(b) - e(f - 1)(b + 1)) > 0) h |= 1L
+        if ((le(f)(b) - le(f)(b + 1)) - (le(f - 1)(b) - le(f - 1)(b + 1)) > 1e-9)
+          h |= 1L
         b += 1
       }
       f += 1
@@ -912,6 +976,39 @@ object Multimodal {
           pcmWavBytes(rate, out)
         }
         Row.fromSeq(r.toSeq :+ scaled)
+      }
+    }(enc)
+  }
+
+  /** Resample decodable WAV audio to `targetRate` and re-encode as
+    * mono 16-bit PCM — the rate-normalization stage of an audio ingest
+    * pipeline (every clip onto one time base before fingerprinting or
+    * training). Linear interpolation with exact rational index
+    * arithmetic ([[resampleLinear]]), rounded half-even to shorts.
+    * Appends a `resampled` binary column (null when the content isn't
+    * decodable audio). Same mapPartitions shape as [[scaleAudioPcm]] —
+    * per-row binary codec work, map-only, no shuffle. */
+  def resampleAudioPcm(media: DataFrame, targetRate: Int): DataFrame = {
+    require(targetRate > 0, s"targetRate must be positive, got $targetRate")
+    val schema = StructType(media.schema.fields :+
+      StructField("resampled", org.apache.spark.sql.types.BinaryType, nullable = true))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val dec = decodeWavSamples(r.getAs[Array[Byte]](contentIdx))
+        val out: Array[Byte] = if (dec == null) null else {
+          val res = resampleLinear(dec._2, dec._1, targetRate)
+          val shorts = new Array[Short](res.length)
+          var i = 0
+          while (i < res.length) {
+            shorts(i) = math.max(Short.MinValue,
+              math.min(Short.MaxValue, math.rint(res(i)).toLong)).toShort
+            i += 1
+          }
+          pcmWavBytes(targetRate, shorts)
+        }
+        Row.fromSeq(r.toSeq :+ out)
       }
     }(enc)
   }
