@@ -110,6 +110,29 @@ object StreamVerbs {
       .dropDuplicatesWithinWatermark(Seq("__chash"))
       .drop("__chash")
 
+  /** Streaming NEAR-dedup at ingest on a row-local signature column —
+    * the perceptual counterpart of [[streamingContentDedup]]: feed it
+    * a 64-bit perceptual hash (`Multimodal.withPerceptualHash`), audio
+    * fingerprint, or MinHash signature, and re-encodes of the SAME
+    * decoded content (BMP re-saved as PNG, gain-edited PCM, re-wrapped
+    * containers) collapse onto the first arrival even though their
+    * BYTES — and so their content hashes — differ. Signature kernels
+    * are row-local (mapPartitions / expressions), so they compose onto
+    * a stream unchanged; the dedup state is one ≤8-byte signature per
+    * distinct key within the watermark, never the media. Rows with a
+    * NULL signature (undecodable content) pass through un-deduped,
+    * matching the batch ops' convention that unhashable rows survive.
+    * Semantics are signature EQUALITY (Hamming-0): the batch
+    * equivalent is `Dedup.exact` on the signature column, which the
+    * e2e spec pins keep-set-identical. */
+  def streamingSignatureDedup(rows: DataFrame, sigCol: String, tsCol: String,
+                              lateness: String = "2 hours"): DataFrame = {
+    val wm = rows.withWatermark(tsCol, lateness)
+    wm.filter(col(sigCol).isNotNull)
+      .dropDuplicatesWithinWatermark(Seq(sigCol))
+      .unionByName(wm.filter(col(sigCol).isNull))
+  }
+
   /** Stream-static dimension enrichment: broadcast-join a (small,
     * slowly-changing) dimension onto the stream — map-side per
     * micro-batch, no streaming state at all. The everyday shape for

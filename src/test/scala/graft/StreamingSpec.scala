@@ -247,6 +247,76 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("e2e on files: perceptual near-dedup at ingest via AvailableNow, batch-identical keep-set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.multimodal.Multimodal
+    // the LLM-pipeline ingest loop: media files land as parquet, a
+    // file-source stream hashes them perceptually and drops re-encoded
+    // duplicates before they reach the corpus. BMP originals arrive
+    // first; PNG RE-ENCODES OF THE SAME PIXELS arrive later under new
+    // ids — different bytes (content hash misses them), same decoded
+    // image (perceptual hash catches them)
+    val root = java.nio.file.Files.createTempDirectory("graft_pdedup").toString
+    def pngCopy(bmp: Array[Byte]): Array[Byte] = {
+      val (w, h, px) = Multimodal.decodeBmp(bmp)
+      Multimodal.pngFromBgr(w, h, px)
+    }
+    val originals = (0 until 4).map(i =>
+      (i.toLong, ts(i), Multimodal.bmpBytes(16 + i, 12 + i, i.toLong)))
+    val reEncodes = (0 until 4).map(i =>
+      (100L + i, ts(10 + i), pngCopy(originals(i)._3)))
+    val junk = Seq((200L, ts(20), "not an image".getBytes)) // null phash row
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema("media_id LONG, ts TIMESTAMP, content BINARY")
+        .parquet(s"$root/in")
+      val q = StreamVerbs.streamingSignatureDedup(
+          Multimodal.withPerceptualHash(stream), "phash", "ts",
+          lateness = "1 hour")
+        .select("media_id", "phash")
+        .writeStream.format("parquet")
+        .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .outputMode(OutputMode.Append()).start()
+      assert(q.awaitTermination(120000L), "AvailableNow drain did not finish in 120s")
+    }
+    // ingest happens in two real arrivals: originals land, the drain
+    // checkpoints its signature state, THEN the re-encodes arrive — a
+    // later drain on the same checkpoint must collapse every one of
+    // them against state it restored, not recomputed
+    (originals ++ junk).toDF("media_id", "ts", "content")
+      .write.mode("append").parquet(s"$root/in")
+    drain()
+    val afterFirst = spark.read.parquet(s"$root/out")
+      .collect().map(_.getLong(0)).toSet
+    assert(afterFirst == Set(0L, 1L, 2L, 3L, 200L), afterFirst.toString)
+    reEncodes.toDF("media_id", "ts", "content")
+      .write.mode("append").parquet(s"$root/in")
+    drain()
+    val kept = spark.read.parquet(s"$root/out")
+      .collect().map(_.getLong(0)).toSet
+    // every re-encode collapsed onto its original; the undecodable row
+    // survives (null signature passes through)
+    assert(kept == Set(0L, 1L, 2L, 3L, 200L), kept.toString)
+    // batch-identical keep-set: Dedup.exact on the same signature
+    // (min-id per phash = first-arrival here, since originals id- and
+    // time-precede their copies)
+    val batchKept = graft.ml.Dedup.exact(
+        Multimodal.withPerceptualHash(
+          (originals ++ reEncodes ++ junk).toDF("media_id", "ts", "content"))
+          .filter(col("phash").isNotNull),
+        "media_id", Seq(col("phash")))
+      .collect().map(_.getLong(0)).toSet + 200L
+    assert(kept == batchKept, s"stream $kept vs batch $batchKept")
+    // and the content-hash path would NOT have caught these: all nine
+    // byte payloads are distinct
+    val distinctBytes = (originals ++ reEncodes ++ junk)
+      .map(r => java.util.Arrays.hashCode(r._3)).distinct.size
+    assert(distinctBytes == 9, "fixture error: payload bytes must all differ")
+  }
+
   test("e2e on files: readEventStream → intervalJoin → parquet sink via AvailableNow") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
