@@ -146,6 +146,37 @@ class PlanQualitySpec extends GraftSpec {
     assert(joined.count() == li.count())
   }
 
+  test("audio transforms (scale / resample / fingerprint) stay map-only") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val media = Seq((1L, Multimodal.pcmWavBytes(16000, new Array[Short](4096))))
+      .toDF("media_id", "content")
+    for (df <- Seq(Multimodal.scaleAudioPcm(media, 1, 2),
+                   Multimodal.resampleAudioPcm(media, 8000),
+                   Multimodal.withAudioFingerprint(media))) {
+      val p = df.queryExecution.explainString(FormattedMode)
+      assert(!p.contains("Exchange"), p)
+      assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+    }
+  }
+
+  test("IVF kmeans|| seeding never shuffles the corpus (broadcast candidates only)") {
+    import org.apache.spark.sql.functions.col
+    import graft.ml.Similarity
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // the D2-scoring pass per seeding round: corpus vs broadcast
+    // candidate list — assert the shape on the assign pass, which uses
+    // the same crossJoin(broadcast(...)) skeleton the rounds do
+    val cents = Similarity.centroids(emb, "vec_id", "embedding", nLists = 4)
+    val p = Similarity.assignLists(emb.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", cents)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // the corpus side itself is never exchanged: the only exchange in
+    // the plan is the broadcast of the tiny centroid aggregate
+    assert(!"""\(\d+\) Exchange hashpartitioning""".r.findFirstIn(p).isDefined, p)
+  }
+
   test("take/takeLast compile to TakeOrderedAndProject, not a global window") {
     import graft.core.CrysFrame
     val li = CrysFrame(spark.read.parquet(s"$dir/lineitem.parquet"))
