@@ -18,6 +18,7 @@ object Bench {
     "q_dedup_minhash", "q_dedup_cc", "q_embed_dedup", "q_simhash_pairs",
     "q_token_stats", "q_repetition", "q_vocab", "q_pipeline", "q_ann_topk",
     "q_bm25", "q_decontaminate", "q_scrub_pii", "q_dup_passages",
+    "q_dup_removal",
     "q_hybrid_search", "q_quantize", "q_temperature_sample",
     "q_tfidf_keywords", "q_lm_score", "q_lm_bigram", "q_chunk", "q_rag_pipeline",
     "q_video_dedup",

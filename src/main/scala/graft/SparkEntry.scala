@@ -1029,6 +1029,17 @@ object SparkEntry {
           t(s, d, "documents"), "doc_id", "text", n = 13))
         .sortBy("doc_id").out),
 
+    // duplicated-passage REMOVAL (the transform twin of the profile):
+    // tokens covered by any >=2-doc 13-gram window are cut from every
+    // doc, documents rebuilt from the survivors. The oracle rebuilds
+    // via the same token/window joins on gram STRINGS and compares the
+    // full clean_text byte-for-byte — green proves window coverage,
+    // token reassembly order, and hash-collision freeness all at once
+    "q_dup_removal" -> ((s, d) =>
+      CrysFrame(graft.text.Decontaminate.removeDuplicatedPassages(
+          t(s, d, "documents"), "doc_id", "text", n = 13))
+        .sortBy("doc_id").out),
+
     // benchmark decontamination (text.Decontaminate): flag corpus docs
     // sharing 13-word-grams with an eval split (doc_id % 3 == 2 — the
     // split that crosses the corpus's planted near-dup pairs). Joins on
@@ -1965,6 +1976,40 @@ object SparkEntry {
         |  ELSE 0.0 END AS dup_fraction
         |FROM ng LEFT JOIN hits h ON ng.doc_id = h.doc_id
         |ORDER BY ng.doc_id""".stripMargin,
+
+    "q_dup_removal" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    t -> t <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest(range(1, len(toks) - 13 + 2)) AS start,
+        |    unnest(list_transform(range(1, len(toks) - 13 + 2),
+        |      i -> array_to_string(list_slice(toks, i, i + 12), ' '))) AS g
+        |  FROM d WHERE len(toks) >= 13),
+        |dup AS (
+        |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM w) u
+        |  GROUP BY g HAVING count(*) > 1),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, unnest(range(start, start + 13)) AS pos
+        |  FROM w WHERE g IN (SELECT g FROM dup)),
+        |t AS (
+        |  SELECT doc_id, unnest(toks) AS tok,
+        |    unnest(range(1, len(toks) + 1)) AS pos
+        |  FROM d),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM t
+        |  ANTI JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos),
+        |reb AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(d.toks) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(reb.clean_text, '') AS clean_text
+        |FROM d LEFT JOIN reb ON d.doc_id = reb.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_decontaminate" ->
       """WITH d AS (

@@ -111,6 +111,80 @@ object Decontaminate {
           .otherwise(lit(0.0)).as("dup_fraction"))
   }
 
+  /** Duplicated-passage REMOVAL — the transform counterpart of
+    * [[duplicatedPassageStats]] (Lee et al.-style): every token covered
+    * by a word n-gram window that occurs in MORE THAN ONE document is
+    * removed from ALL documents, and each document is rebuilt from its
+    * surviving tokens. Cross-document boilerplate (headers, footers,
+    * license blocks) disappears corpus-wide; text duplicated only
+    * WITHIN one document stays (that is repetition, not duplication —
+    * see `TextFunctions.repetitionStats`), and whole-document
+    * near-dups are [[graft.ml.Dedup.minhashDedupCC]]'s keep-one job,
+    * not this pass's remove-all.
+    *
+    * Output: (doc_id, n_tokens, n_removed, clean_text) for EVERY input
+    * row — clean_text is the surviving tokens re-joined with single
+    * spaces (the tokenizer's normalized form), "" when everything was
+    * duplicated or the document had no tokens.
+    *
+    * Scale shape: window hashes ride two 8-byte-key shuffles (the
+    * ≥2-doc dictionary, then the semi-join back); covered positions
+    * explode from DUPLICATED windows only (∝ duplicated text, not the
+    * corpus); the one corpus-volume shuffle is the per-document
+    * rebuild (posexplode → anti-join → collect_list) — unavoidable for
+    * a transform whose OUTPUT is the corpus, and keyed by doc_id so it
+    * partitions evenly. Determinism: exact token positions and counts,
+    * no floats anywhere. */
+  def removeDuplicatedPassages(docs: DataFrame, idCol: String, textCol: String,
+                               n: Int = 13): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2 (got $n)")
+    // one persisted projection carries the tokens AND the per-doc
+    // window-hash array: four consumers (dup dictionary, coverage,
+    // token explode, final counts) would otherwise re-run the
+    // tokenizer four times and the O(len × n) window kernel twice.
+    // The cache is corpus-shaped (tokens + 8 bytes/window) —
+    // MEMORY_AND_DISK like sigFrame, ages out by LRU; one-shot batch
+    // callers can clearCache after (the bench does)
+    val base = docs
+      .select(col(idCol).cast("long").as("doc_id"), toks(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        when(size(col("__toks")) >= n,
+          transform(sequence(lit(0), size(col("__toks")) - lit(n)),
+            i => xxhash64(array_join(slice(col("__toks"), i + lit(1), lit(n)), " "))))
+          .otherwise(array().cast("array<long>")).as("__whs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every window START (not distinct — coverage needs each position)
+    val wins = base
+      .select(col("doc_id"),
+        posexplode_outer(col("__whs")).as(Seq("__start", "__h")))
+      .filter(col("__h").isNotNull)
+    // grams present in >= 2 documents (per-doc distinct, then count)
+    val dupDict = wins.select(col("doc_id"), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") > 1)
+      .select(col("__h"))
+    val covered = wins.join(dupDict, Seq("__h"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("__start"), col("__start") + lit(n - 1))).as("__pos"))
+      .distinct()
+    // posexplode_outer keeps tokenless docs present as a (null, null) row
+    val kept = base
+      .select(col("doc_id"), posexplode_outer(col("__toks")).as(Seq("__pos", "__tok")))
+      .join(covered, Seq("doc_id", "__pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            when(col("__pos").isNotNull, struct(col("__pos"), col("__tok"))))),
+          x => x.getField("__tok")), " ").as("clean_text"),
+        coalesce(sum(when(col("__tok").isNotNull, 1L)), lit(0L)).as("__n_kept"))
+    base
+      .select(col("doc_id"), coalesce(size(col("__toks")), lit(0)).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Per-document overlap with the eval set:
     * (doc_id, n_ngrams, n_contaminated, contaminated) — the distinct
     * word-n-gram count, how many of them appear anywhere in `bench`,

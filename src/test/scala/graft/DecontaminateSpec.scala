@@ -79,6 +79,46 @@ class DecontaminateSpec extends GraftSpec {
     assert(out(4L) == ((0L, 0L, 0.0))) // gram-less doc covered with zeros
   }
 
+  test("removeDuplicatedPassages cuts cross-doc windows, keeps in-doc repeats") {
+    import spark.implicits._
+    // n = 3 keeps the expectations hand-checkable
+    val docs = Seq(
+      (1L, "aa bb SHARED1 SHARED2 SHARED3 cc dd"),   // shared run mid-doc
+      (2L, "SHARED1 SHARED2 SHARED3 xx yy zz ww"),   // shared run at head
+      (3L, "pp qq rr pp qq rr"),                     // repeated IN-DOC only
+      (4L, "one two"),                               // shorter than n
+      (5L, "")).toDF("doc_id", "text")               // tokenless
+    val out = Decontaminate.removeDuplicatedPassages(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // docs 1/2: exactly the one shared 3-token window removed (its 3
+    // tokens), neighbors intact — case is normalized by the tokenizer
+    assert(out(1L) == ((7L, 3L, "aa bb cc dd")), out(1L).toString)
+    assert(out(2L) == ((7L, 3L, "xx yy zz ww")), out(2L).toString)
+    // in-doc repetition is NOT cross-doc duplication: untouched
+    assert(out(3L) == ((6L, 0L, "pp qq rr pp qq rr")), out(3L).toString)
+    // short and empty docs survive whole
+    assert(out(4L) == ((2L, 0L, "one two")), out(4L).toString)
+    assert(out(5L) == ((0L, 0L, "")), out(5L).toString)
+    // overlapping shared windows: coverage is the UNION of windows.
+    // both docs share a 4-token run = two overlapping 3-windows -> all
+    // 4 tokens cut, not 6
+    val docs2 = Seq(
+      (1L, "aa R1 R2 R3 R4 bb"),
+      (2L, "R1 R2 R3 R4 cc dd")).toDF("doc_id", "text")
+    val out2 = Decontaminate.removeDuplicatedPassages(docs2, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out2(1L) == ((4L, "aa bb")), out2(1L).toString)
+    assert(out2(2L) == ((4L, "cc dd")), out2(2L).toString)
+    // a FULLY duplicated doc empties out (remove-all semantics: this
+    // pass is boilerplate removal, not keep-one dedup)
+    val docs3 = Seq(
+      (1L, "B1 B2 B3"), (2L, "B1 B2 B3")).toDF("doc_id", "text")
+    val out3 = Decontaminate.removeDuplicatedPassages(docs3, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out3 == Map(1L -> "", 2L -> ""), out3.toString)
+  }
+
   test("streaming: contaminated ids emit live and match the batch flags") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
