@@ -89,6 +89,10 @@ object Decontaminate {
   def duplicatedPassageStats(docs: DataFrame, idCol: String, textCol: String,
                              n: Int = 13): DataFrame = {
     require(n >= 2, s"n-gram order must be >= 2 (got $n)")
+    // persisted: the hash dictionary AND the join-back both consume
+    // this frame — uncached, the O(len × n) n-gram string transform
+    // runs twice per document (same reasoning as Dedup.sigFrame; the
+    // cache is (doc_id, 8-byte hash) rows, ages out by LRU)
     val grams = docs
       .select(col(idCol).cast("long").as("doc_id"), toks(col(textCol)).as("__toks"))
       .select(col("doc_id"), wordNgrams(col("__toks"), n).as("__ngs"))
@@ -96,6 +100,7 @@ object Decontaminate {
         explode_outer(col("__ngs")).as("__ng"))
       .select(col("doc_id"), col("n_ngrams"),
         when(col("__ng").isNotNull, xxhash64(col("__ng"))).as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // grams are distinct per doc, so count(*) per hash = distinct docs
     val docCounts = grams.filter(col("__h").isNotNull)
       .groupBy(col("__h")).agg(count(lit(1)).as("__docs"))
