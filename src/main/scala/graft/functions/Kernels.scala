@@ -71,6 +71,9 @@ object Kernels {
 
   def repetitionStats(norm: Column): Column =
     column(RepetitionStatsExpr(expression(norm)))
+
+  def wordNgramHashes(tokens: Column, n: Int): Column =
+    column(WordNgramHashExpr(expression(tokens), n))
 }
 
 /** MinHash signature over character shingles of an (already normalized)
@@ -483,6 +486,74 @@ case class CosineSimExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** 64-bit hashes of every word n-gram window (stride 1) of a token
+  * array: token t hashed once with XXH64 over its UTF-8 bytes, then
+  * window w combined as the degree-(n-1) polynomial
+  * Σ A^(n-1-j)·th(w+j) in natural 2^64 wraparound arithmetic and
+  * finalized with splitmix64. The polynomial form makes the update
+  * ROLLING — one multiply-subtract-add per step — so the whole array
+  * costs O(len) long ops with ZERO string building, where the HOF
+  * formulation (slice → array_join → xxhash64 per window) is
+  * interpreted and allocates an O(n)-char string per window. Output
+  * length max(0, len−n+1); equal token windows hash equal by
+  * construction, and the consumers (duplicate dictionaries,
+  * decontamination joins) only need self-consistency — their oracles
+  * mirror the JOIN SEMANTICS on gram strings, not these hash values. */
+case class WordNgramHashExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 2, s"n-gram order must be >= 2 (got $n)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_ngram_hashes expects array<string>, got ${other.sql}")
+    }
+
+  private val A = 0x9E3779B97F4A7C15L // odd → invertible mod 2^64
+
+  @transient private lazy val aPowN1: Long = { // A^(n-1) mod 2^64
+    var p = 1L
+    var i = 1
+    while (i < n) { p *= A; i += 1 }
+    p
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      // null elements hash to a fixed sentinel (wsTokens never emits
+      // them, but the kernel must not NPE on a hand-built array)
+      val t = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      th(i) = if (t == null) 0x5DEECE66DL
+        else org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      i += 1
+    }
+    val out = new Array[Long](len - n + 1)
+    var h = 0L
+    i = 0
+    while (i < n) { h = h * A + th(i); i += 1 } // first window
+    out(0) = Kernels.mix(h)
+    var w = 1
+    while (w <= len - n) {
+      h = (h - aPowN1 * th(w - 1)) * A + th(w + n - 1) // roll
+      out(w) = Kernels.mix(h)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Per-document repetition counters over an ALREADY-NORMALIZED string

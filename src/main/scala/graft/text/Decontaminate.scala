@@ -30,16 +30,23 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** Distinct word n-grams (space-joined) of an ALREADY-MATERIALIZED
-    * token-array column. `toks` must be a plain attribute — it is
-    * referenced both by the window count and per-element inside the
-    * lambda (see TextFunctions.shinglesFromNormalized scaladoc). */
-  private def wordNgrams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(toks) - lit(n)),
-        i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
+  /** Per-window 64-bit n-gram hashes (stride 1, start order) via the
+    * rolling-hash kernel — one O(len) JVM loop per document, no
+    * per-window string building (the HOF slice→join→hash formulation
+    * is interpreted and allocates an O(n)-char string per window).
+    * Every consumer in this object keys on these hashes only; the
+    * DuckDB oracles mirror the join SEMANTICS on gram strings, so the
+    * hash function needs self-consistency, not cross-engine equality
+    * (a collision would surface as an oracle mismatch — the green IS
+    * the collision check at each SF). */
+  private def winHashes(toks: Column, n: Int): Column =
+    graft.functions.Kernels.wordNgramHashes(toks, n)
+
+  /** Distinct window hashes — the per-document DISTINCT-gram set used
+    * by the profile/overlap counters (kernel output is empty for docs
+    * shorter than n, matching the old string formulation). */
+  private def distinctWinHashes(toks: Column, n: Int): Column =
+    array_distinct(winHashes(toks, n))
 
   private def toks(text: Column): Column = TextFunctions.wsTokens(text)
 
@@ -56,17 +63,15 @@ object Decontaminate {
                             n: Int = 13): DataFrame = {
     val benchDict = bench
       .select(toks(col(benchTextCol)).as("__toks"))
-      .select(wordNgrams(col("__toks"), n).as("__ngs"))
-      .select(explode_outer(col("__ngs")).as("__ng"))
-      .filter(col("__ng").isNotNull)
-      .select(xxhash64(col("__ng")).as("__h"))
+      .select(distinctWinHashes(col("__toks"), n).as("__hs"))
+      .select(explode_outer(col("__hs")).as("__h"))
+      .filter(col("__h").isNotNull)
       .distinct()
     docs
       .select(col(idCol).cast("long").as("doc_id"), toks(col(textCol)).as("__toks"))
-      .select(col("doc_id"), wordNgrams(col("__toks"), n).as("__ngs"))
-      .select(col("doc_id"), explode_outer(col("__ngs")).as("__ng"))
-      .filter(col("__ng").isNotNull)
-      .select(col("doc_id"), xxhash64(col("__ng")).as("__h"))
+      .select(col("doc_id"), distinctWinHashes(col("__toks"), n).as("__hs"))
+      .select(col("doc_id"), explode_outer(col("__hs")).as("__h"))
+      .filter(col("__h").isNotNull)
       .join(benchDict, Seq("__h"), "left_semi")
       .select(col("doc_id"))
       .dropDuplicates("doc_id")
@@ -95,11 +100,9 @@ object Decontaminate {
     // cache is (doc_id, 8-byte hash) rows, ages out by LRU)
     val grams = docs
       .select(col(idCol).cast("long").as("doc_id"), toks(col(textCol)).as("__toks"))
-      .select(col("doc_id"), wordNgrams(col("__toks"), n).as("__ngs"))
-      .select(col("doc_id"), size(col("__ngs")).cast("long").as("n_ngrams"),
-        explode_outer(col("__ngs")).as("__ng"))
-      .select(col("doc_id"), col("n_ngrams"),
-        when(col("__ng").isNotNull, xxhash64(col("__ng"))).as("__h"))
+      .select(col("doc_id"), distinctWinHashes(col("__toks"), n).as("__hs"))
+      .select(col("doc_id"), size(col("__hs")).cast("long").as("n_ngrams"),
+        explode_outer(col("__hs")).as("__h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // grams are distinct per doc, so count(*) per hash = distinct docs
     val docCounts = grams.filter(col("__h").isNotNull)
@@ -152,11 +155,7 @@ object Decontaminate {
     // callers can clearCache after (the bench does)
     val base = docs
       .select(col(idCol).cast("long").as("doc_id"), toks(col(textCol)).as("__toks"))
-      .select(col("doc_id"), col("__toks"),
-        when(size(col("__toks")) >= n,
-          transform(sequence(lit(0), size(col("__toks")) - lit(n)),
-            i => xxhash64(array_join(slice(col("__toks"), i + lit(1), lit(n)), " "))))
-          .otherwise(array().cast("array<long>")).as("__whs"))
+      .select(col("doc_id"), col("__toks"), winHashes(col("__toks"), n).as("__whs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // every window START (not distinct — coverage needs each position)
     val wins = base
@@ -204,20 +203,17 @@ object Decontaminate {
     // LangModel scaladoc note; measured 2x on the eval-side scan)
     val benchDict = bench
       .select(toks(col(benchTextCol)).as("__toks"))
-      .select(wordNgrams(col("__toks"), n).as("__ngs"))
-      .select(explode_outer(col("__ngs")).as("__ng"))
-      .filter(col("__ng").isNotNull)
-      .select(xxhash64(col("__ng")).as("__h"))
+      .select(distinctWinHashes(col("__toks"), n).as("__hs"))
+      .select(explode_outer(col("__hs")).as("__h"))
+      .filter(col("__h").isNotNull)
       .distinct()
       .withColumn("__hit", lit(1L))
 
     val corpusGrams = docs
       .select(col(idCol).cast("long").as("doc_id"), toks(col(textCol)).as("__toks"))
-      .select(col("doc_id"), wordNgrams(col("__toks"), n).as("__ngs"))
-      .select(col("doc_id"), size(col("__ngs")).cast("long").as("n_ngrams"),
-        explode_outer(col("__ngs")).as("__ng"))
-      .select(col("doc_id"), col("n_ngrams"),
-        when(col("__ng").isNotNull, xxhash64(col("__ng"))).as("__h"))
+      .select(col("doc_id"), distinctWinHashes(col("__toks"), n).as("__hs"))
+      .select(col("doc_id"), size(col("__hs")).cast("long").as("n_ngrams"),
+        explode_outer(col("__hs")).as("__h"))
 
     corpusGrams
       .join(benchDict, Seq("__h"), "left")

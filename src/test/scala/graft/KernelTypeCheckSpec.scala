@@ -84,6 +84,31 @@ class KernelTypeCheckSpec extends GraftSpec {
     assert(e.getMessage.contains("repetition_stats"))
   }
 
+  test("word_ngram_hashes: rolling hash is offset-independent and window-exact") {
+    import graft.functions.Kernels
+    def hashesOf(tokens: Seq[String], n: Int): Seq[Long] =
+      Seq(Tuple1(tokens)).toDF("toks")
+        .select(Kernels.wordNgramHashes(col("toks"), n).as("h"))
+        .collect()(0).getSeq[Long](0)
+    // the same 3-token window at DIFFERENT offsets must hash equal —
+    // this is exactly what a buggy rolling update would break
+    val a = hashesOf(Seq("p", "q", "x", "y", "z"), 3)
+    val b = hashesOf(Seq("u", "v", "w", "x", "y", "z"), 3)
+    assert(a.length == 3 && b.length == 4)
+    assert(a(2) == b(3), "shared window ('x','y','z') hashed differently by offset")
+    // every other window differs (no accidental equalities here)
+    assert((a.take(2) ++ b.take(3)).distinct.size == 5)
+    // order sensitivity: reversed window is a different gram
+    val c = hashesOf(Seq("z", "y", "x"), 3)
+    assert(c.length == 1 && c(0) != a(2))
+    // shorter than n -> empty, never null
+    assert(hashesOf(Seq("one", "two"), 3).isEmpty)
+    // type check: non-string array refused at analysis time
+    val e = analysisFailure(Seq(Tuple1(Seq(1, 2, 3))).toDF("toks")
+      .select(Kernels.wordNgramHashes(col("toks"), 3)).queryExecution.analyzed)
+    assert(e.getMessage.contains("word_ngram_hashes"))
+  }
+
   test("well-typed kernel calls still evaluate (no false rejections)") {
     val r = Seq(("hello world hello", Seq(1.0f, 0.0f)))
       .toDF("t", "v")
