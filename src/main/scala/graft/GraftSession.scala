@@ -20,6 +20,9 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // events.parquet-style TIMESTAMP(NANOS) columns
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // SQL surface for the custom kernels (minhash_sig, simhash64,
+      // cosine_sim, ...) — see GraftExtensions
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   def local(): SparkSession = {
