@@ -19,6 +19,7 @@ object Bench {
     "q_token_stats", "q_repetition", "q_vocab", "q_pipeline", "q_ann_topk",
     "q_bm25", "q_decontaminate", "q_scrub_pii", "q_dup_passages",
     "q_dup_removal",
+    "q_heavy_hitters", "q_bloom_prune",
     "q_hybrid_search", "q_quantize", "q_temperature_sample",
     "q_tfidf_keywords", "q_lm_score", "q_lm_bigram", "q_chunk", "q_rag_pipeline",
     "q_video_dedup",

@@ -1,8 +1,8 @@
 package graft
 
 import graft.core.{Agg, CrysFrame, sel}
-import graft.ml.{Dedup, Sampling, Similarity}
-import graft.operators.AsOfJoin
+import graft.ml.{Dedup, HeavyHitters, Sampling, Similarity}
+import graft.operators.{AsOfJoin, BloomPrune}
 import graft.sources.Readers
 import graft.text.{Search, TextFunctions}
 import graft.multimodal.Multimodal
@@ -1130,6 +1130,41 @@ object SparkEntry {
         .select(col("media_id"), col("pixel_digest"))
       CrysFrame(meta.join(feats, Seq("media_id")).join(resized, Seq("media_id")))
         .sortBy("media_id").out
+    }),
+
+    // exact top-k frequent word bigrams at bounded memory
+    // (ml.HeavyHitters): Misra–Gries sketch pass → broadcast recount →
+    // in-band exactness certificate. The oracle is the plain
+    // groupBy-count top-k — green PROVES the sketch path returns the
+    // exact answer (the whole point of the operator); a distribution
+    // too flat for the counter budget raises instead of approximating.
+    // Bigrams, not words: the corpus vocab (~31 words) is degenerate,
+    // bigrams (~900+ distinct) make candidate selection real
+    "q_heavy_hitters" -> ((s, d) => {
+      val bigrams = t(s, d, "documents")
+        .select(TextFunctions.wsTokens(col("text")).as("__ws"))
+        .select(explode_outer(when(size(col("__ws")) > 1, zip_with(
+            slice(col("__ws"), lit(1), size(col("__ws")) - 1),
+            slice(col("__ws"), lit(2), size(col("__ws")) - 1),
+            (a, b) => concat(a, lit(" "), b))))
+          .as("bigram"))
+      CrysFrame(HeavyHitters.topKExact(
+        bigrams, col("bigram"), k = 50, counters = 2048)).out
+    }),
+
+    // Bloom-pruned semi-join (operators.BloomPrune): prune the lineitem
+    // scan by a sketch of the urgent orders' keys before the exact
+    // semi-join. The oracle is the plain IN-subquery — green proves the
+    // runtime filter changed WHERE rows die, never WHICH rows survive
+    "q_bloom_prune" -> ((s, d) => {
+      val urgent = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      CrysFrame(BloomPrune.semiJoinPruned(
+          t(s, d, "lineitem"), "l_orderkey", urgent, "o_orderkey",
+          expectedItems = 1L << 20)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), F.sum(col("l_quantity")).as("sum_qty")))
+        .sortBy("l_returnflag").out
     })
   )
 
@@ -2200,6 +2235,32 @@ object SparkEntry {
         |  FROM embeddings c
         |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
         |  WHERE c.vec_id <> q.vec_id)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // heavy hitters: the oracle is the EXACT top-k — the sketch path
+    // must reproduce it bit-for-bit or the certificate raises
+    "q_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    x -> x <> '') AS words
+        |  FROM documents),
+        |b AS (
+        |  SELECT unnest(CASE WHEN len(words) > 1 THEN
+        |      list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+        |    ELSE [] END) AS key
+        |  FROM w)
+        |SELECT key, CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY key
+        |ORDER BY n DESC, key LIMIT 50""".stripMargin,
+
+    "q_bloom_prune" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }
