@@ -3,7 +3,7 @@ package graft
 import graft.core.{Agg, CrysFrame, sel}
 import graft.ml.{Dedup, HeavyHitters, Sampling, Similarity}
 import graft.operators.{AsOfJoin, BloomPrune}
-import graft.sources.Readers
+import graft.sources.{Readers, ZOrder}
 import graft.text.{Search, TextFunctions}
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1152,6 +1152,22 @@ object SparkEntry {
         bigrams, col("bigram"), k = 50, counters = 2048)).out
     }),
 
+    // Z-order layout (sources.ZOrder): re-cluster lineitem along the
+    // Morton curve of (l_partkey, l_suppkey), write, read back through
+    // a 2-D box filter. The oracle filters the ORIGINAL table — green
+    // proves the re-layout preserved the row set exactly (the skipping
+    // effectiveness itself is pinned in ZOrderSpec's file-ranges tests)
+    "q_zorder" -> ((s, d) => {
+      val path = s"/tmp/graft_zorder_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      ZOrder.writeZOrdered(t(s, d, "lineitem"), path,
+        Seq("l_partkey", "l_suppkey"), numFiles = 16)
+      CrysFrame(s.read.parquet(path)
+        .filter(col("l_partkey") <= 50 && col("l_suppkey") <= 5)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("l_quantity")))
+        .sortBy("l_orderkey", "l_linenumber").out
+    }),
+
     // Bloom-pruned semi-join (operators.BloomPrune): prune the lineitem
     // scan by a sketch of the urgent orders' keys before the exact
     // semi-join. The oracle is the plain IN-subquery — green proves the
@@ -2253,6 +2269,13 @@ object SparkEntry {
         |SELECT key, CAST(count(*) AS BIGINT) AS n
         |FROM b GROUP BY key
         |ORDER BY n DESC, key LIMIT 50""".stripMargin,
+
+    // the z-ordered copy must hold exactly the original row set
+    "q_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_partkey <= 50 AND l_suppkey <= 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_bloom_prune" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
