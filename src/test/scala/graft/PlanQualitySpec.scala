@@ -188,4 +188,32 @@ class PlanQualitySpec extends GraftSpec {
       assert(!p.contains("SinglePartition"), p)
     }
   }
+
+  test("heavy-hitter recount broadcasts candidates — no full-key exchange") {
+    import org.apache.spark.sql.functions.col
+    // the final plan must join the corpus to the candidate set via
+    // broadcast and aggregate partially; the only exchange key is the
+    // ≤counters candidate space, never the corpus's full key column
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val top = graft.ml.HeavyHitters.topKExact(
+      docs.select(col("lang").as("k")), col("k"), k = 2, counters = 64)
+    val p = top.queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("z-order layout is one range exchange, no extra shuffles") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val p = graft.sources.ZOrder.zOrderBy(
+        li, Seq("l_partkey", "l_suppkey"), numFiles = 8)
+      .queryExecution.explainString(FormattedMode)
+    // count node-detail headers ("(3) Exchange"), not tree-summary rows
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges == 1, s"expected exactly 1 exchange:\n$p")
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
 }
