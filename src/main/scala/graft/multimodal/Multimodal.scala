@@ -448,17 +448,91 @@ object Multimodal {
     (rate, out)
   }
 
-  /** One chunk walk, then dispatch on the fmt tag: PCM 16-bit or IMA
-    * ADPCM samples, null for anything else — the decoder the feature
-    * path calls, so a non-PCM row never pays the walk twice. */
+  /** ITU-T G.711 µ-law expansion (the CCITT reference decoder in code
+    * form): 8-bit companded code → linear sample. Exact by definition —
+    * the table IS the standard. 0xFF (µ-law silence) → 0. */
+  private[graft] def mulawToLinear(code: Int): Short = {
+    val c = ~code & 0xff
+    val t = (((c & 0x0f) << 3) + 0x84) << ((c & 0x70) >> 4)
+    (if ((c & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+  }
+
+  /** ITU-T G.711 A-law expansion. After the 0x55 toggle the sign bit
+    * SET means positive (the inverse convention to µ-law). 0x55
+    * (A-law silence) → −8. */
+  private[graft] def alawToLinear(code: Int): Short = {
+    val c = (code ^ 0x55) & 0xff
+    val seg = (c & 0x70) >> 4
+    var t = (c & 0x0f) << 4
+    if (seg == 0) t += 8 else { t += 0x108; t <<= seg - 1 }
+    (if ((c & 0x80) != 0) t else -t).toShort
+  }
+
+  /** General uncompressed-family WAV decode: PCM 8 (unsigned) / 16 /
+    * 24 / 32-bit, IEEE float32, G.711 A-law/µ-law — mono or
+    * multichannel (channels averaged to mono with half-up rounding, so
+    * a stereo file whose channels duplicate a mono master decodes to
+    * EXACTLY the master; averaging is the deterministic mixdown every
+    * downstream feature sees). Wider-than-16 samples keep their top 16
+    * bits; float clamps to [−1, 1] then scales by 32767. Returns
+    * (sampleRate, samples) or null on anything else. */
+  private def decodePcmFamily(b: Array[Byte], fmtOff: Int, fmtSz: Long,
+                              dataOff: Int, dataSz: Long): (Int, Array[Short]) = {
+    if (fmtOff < 0 || fmtSz < 16 || fmtOff + 16 > b.length || dataOff < 0)
+      return null
+    val tag = wavLe16(b, fmtOff)
+    val ch = wavLe16(b, fmtOff + 2)
+    val rate = wavLe32(b, fmtOff + 4).toInt
+    val bits = wavLe16(b, fmtOff + 14)
+    if (ch < 1 || ch > 64 || rate <= 0) return null
+    // one sample reader resolved OUTSIDE the hot loop
+    val read: Int => Int = (tag, bits) match {
+      case (1, 8)  => off => ((b(off) & 0xff) - 128) << 8
+      case (1, 16) => off => (b(off) & 0xff) | (b(off + 1) << 8)
+      case (1, 24) => off => (b(off + 1) & 0xff) | (b(off + 2) << 8)
+      case (1, 32) => off => (b(off + 2) & 0xff) | (b(off + 3) << 8)
+      case (3, 32) => off =>
+        val f = java.lang.Float.intBitsToFloat(
+          (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+            ((b(off + 2) & 0xff) << 16) | (b(off + 3) << 24))
+        val c = if (f.isNaN) 0f else math.max(-1f, math.min(1f, f))
+        math.round(c * 32767f)
+      case (6, 8)  => off => alawToLinear(b(off) & 0xff)
+      case (7, 8)  => off => mulawToLinear(b(off) & 0xff)
+      case _       => null
+    }
+    if (read == null) return null
+    val bytesPer = bits / 8
+    val frameBytes = bytesPer * ch
+    val avail = math.min(dataSz, (b.length - dataOff).toLong)
+    val nFrames = (math.max(avail, 0L) / frameBytes).toInt
+    val out = new Array[Short](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var sum = 0L
+      var c = 0
+      while (c < ch) {
+        sum += read(dataOff + f * frameBytes + c * bytesPer)
+        c += 1
+      }
+      out(f) = Math.floorDiv(sum + ch / 2, ch).toShort
+      f += 1
+    }
+    (rate, out)
+  }
+
+  /** One chunk walk, then dispatch on the fmt tag: the uncompressed
+    * family (PCM 8/16/24/32, float32, G.711 A-law/µ-law — mono or
+    * channel-averaged multichannel) or IMA-ADPCM samples, null for
+    * anything else — the decoder the feature path calls, so an
+    * unsupported row never pays the walk twice. */
   private[graft] def decodeWavSamples(b: Array[Byte]): (Int, Array[Short]) = {
     if (b == null || b.length < 44 || !isWave(b)) return null
     val (fmtOff, fmtSz, dataOff, dataSz, factSamples) = wavChunks(b)
     if (fmtOff < 0 || fmtSz < 2 || fmtOff + 2 > b.length) return null
     wavLe16(b, fmtOff) match {
-      case 0x0001 => decodePcm16Chunks(b, fmtOff, fmtSz, dataOff, dataSz)
       case 0x0011 => Adpcm.decodeWavIma(b, fmtOff, fmtSz, dataOff, dataSz, factSamples)
-      case _      => null
+      case _      => decodePcmFamily(b, fmtOff, fmtSz, dataOff, dataSz)
     }
   }
 
