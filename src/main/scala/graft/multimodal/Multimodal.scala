@@ -215,6 +215,97 @@ object Multimodal {
     * input (same contract as [[decodeBmp]]/[[decodePng]]). Animation
     * beyond the first frame and transparency are ignored: the consumer
     * is a feature extractor, not a renderer. */
+  /** LZW-decode `n` GIF pixel indices starting at `p0` (positioned at
+    * the min-code byte). Returns (indices, position after the data
+    * sub-blocks incl. their terminator) or null on corruption —
+    * prefix/suffix dictionary, LSB-first variable code width. */
+  private def gifLzwIndices(b: Array[Byte], p0: Int, n: Int): (Array[Byte], Int) = {
+    def u8(i: Int): Int = b(i) & 0xff
+    var p = p0
+    if (p >= b.length) return null
+    val minCode = u8(p); p += 1
+    if (minCode < 1 || minCode > 11) return null
+    // concatenate the LZW sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    var ok = true
+    while (ok && p < b.length && u8(p) != 0) {
+      val len = u8(p)
+      if (p + 1 + len > b.length) ok = false
+      else { data.write(b, p + 1, len); p += 1 + len }
+    }
+    if (!ok) return null
+    if (p < b.length && u8(p) == 0) p += 1 // block terminator
+    val bytes = data.toByteArray
+    val clear = 1 << minCode
+    val end = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    val indices = new Array[Byte](n)
+    var dictSize = end + 1
+    var codeSize = minCode + 1
+    var prev = -1
+    var bitPos = 0L
+    var out = 0
+    val totalBits = bytes.length.toLong * 8
+    var done = false
+    while (!done && out < n) {
+      if (bitPos + codeSize > totalBits) { done = true }
+      else {
+        // read `codeSize` bits LSB-first
+        var code = 0
+        var got = 0
+        while (got < codeSize) {
+          val byteIdx = (bitPos >> 3).toInt
+          val bit = (bytes(byteIdx) >> (bitPos & 7).toInt) & 1
+          code |= bit << got
+          bitPos += 1; got += 1
+        }
+        if (code == clear) {
+          dictSize = end + 1; codeSize = minCode + 1; prev = -1
+        } else if (code == end) done = true
+        else if (code > dictSize || (code == dictSize && prev < 0)) return null
+        else {
+          // expand `code` (or prev+firstOf(prev) for the just-created code)
+          var sp = 0
+          var c = if (code == dictSize) prev else code
+          if (code == dictSize) { stack(sp) = 0; sp += 1 } // placeholder, patched below
+          while (c >= clear + 2) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+          if (c >= clear) return null // chain must terminate at a root code
+          stack(sp) = c.toByte; sp += 1
+          val first = c.toByte
+          if (code == dictSize) stack(0) = first
+          // emit reversed
+          var i = sp - 1
+          while (i >= 0 && out < n) { indices(out) = stack(i); out += 1; i -= 1 }
+          if (prev >= 0 && dictSize < 4096) {
+            prefix(dictSize) = prev; suffix(dictSize) = first; dictSize += 1
+            if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+          }
+          prev = code
+        }
+      }
+    }
+    if (out < n) return null
+    (indices, p)
+  }
+
+  /** Storage-row → display-row map: interlaced GIFs store rows in four
+    * passes at strides 8,8,4,2 from rows 0,4,2,1. */
+  private def gifRowOrder(h: Int, interlaced: Boolean): Array[Int] = {
+    val rowOf = new Array[Int](h)
+    if (interlaced) {
+      var r = 0
+      for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)); y <- start until h by step) {
+        rowOf(r) = y; r += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) { rowOf(y) = y; y += 1 }
+    }
+    rowOf
+  }
+
   private[graft] def decodeGif(b: Array[Byte]): (Int, Int, Array[Byte]) = {
     if (b == null || b.length < 13 ||
         b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
@@ -251,82 +342,10 @@ object Multimodal {
       p += sz
     }
     if (table == null || p >= b.length) return null
-    val interlaced = (imgPacked & 0x40) != 0
-    val minCode = u8(p); p += 1
-    if (minCode < 1 || minCode > 11) return null
-    // concatenate the LZW sub-blocks
-    val data = new java.io.ByteArrayOutputStream()
-    var ok = true
-    while (ok && p < b.length && u8(p) != 0) {
-      val len = u8(p)
-      if (p + 1 + len > b.length) ok = false
-      else { data.write(b, p + 1, len); p += 1 + len }
-    }
-    if (!ok) return null
-    val bytes = data.toByteArray
-    // LZW decode: prefix/suffix dictionary, LSB-first variable width
-    val clear = 1 << minCode
-    val end = clear + 1
-    val prefix = new Array[Int](4096)
-    val suffix = new Array[Byte](4096)
-    val stack = new Array[Byte](4097)
-    val indices = new Array[Byte](w * h)
-    var dictSize = end + 1
-    var codeSize = minCode + 1
-    var prev = -1
-    var bitPos = 0L
-    var out = 0
-    val totalBits = bytes.length.toLong * 8
-    var done = false
-    while (!done && out < w * h) {
-      if (bitPos + codeSize > totalBits) { done = true }
-      else {
-        // read `codeSize` bits LSB-first
-        var code = 0
-        var got = 0
-        while (got < codeSize) {
-          val byteIdx = (bitPos >> 3).toInt
-          val bit = (bytes(byteIdx) >> (bitPos & 7).toInt) & 1
-          code |= bit << got
-          bitPos += 1; got += 1
-        }
-        if (code == clear) {
-          dictSize = end + 1; codeSize = minCode + 1; prev = -1
-        } else if (code == end) done = true
-        else if (code > dictSize || (code == dictSize && prev < 0)) return null
-        else {
-          // expand `code` (or prev+firstOf(prev) for the just-created code)
-          var sp = 0
-          var c = if (code == dictSize) prev else code
-          if (code == dictSize) { stack(sp) = 0; sp += 1 } // placeholder, patched below
-          while (c >= clear + 2) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
-          if (c >= clear) return null // chain must terminate at a root code
-          stack(sp) = c.toByte; sp += 1
-          val first = c.toByte
-          if (code == dictSize) stack(0) = first
-          // emit reversed
-          var i = sp - 1
-          while (i >= 0 && out < w * h) { indices(out) = stack(i); out += 1; i -= 1 }
-          if (prev >= 0 && dictSize < 4096) {
-            prefix(dictSize) = prev; suffix(dictSize) = first; dictSize += 1
-            if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
-          }
-          prev = code
-        }
-      }
-    }
-    if (out < w * h) return null
-    // de-interlace row order: passes at strides 8,8,4,2 from rows 0,4,2,1
-    val rowOf = new Array[Int](h)
-    if (interlaced) {
-      var r = 0
-      for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)); y <- start until h by step) {
-        rowOf(r) = y; r += 1
-      }
-    } else {
-      var y = 0
-      while (y < h) { rowOf(y) = y; y += 1 }
-    }
+    val lzw = gifLzwIndices(b, p, w * h)
+    if (lzw == null) return null
+    val indices = lzw._1
+    val rowOf = gifRowOrder(h, (imgPacked & 0x40) != 0)
     val maxIdx = table.length / 3
     val outPx = new Array[Byte](w * h * 3)
     var r = 0
@@ -345,6 +364,194 @@ object Multimodal {
       r += 1
     }
     (w, h, outPx)
+  }
+
+  /** ANIMATED GIF decode: every frame composed onto the logical-screen
+    * canvas with the GIF89a semantics a browser applies — sub-frame
+    * offsets, transparency holes showing the prior state, and the
+    * three disposal methods (leave / restore-to-background /
+    * restore-to-previous). Returns (screenW, screenH, frames) where
+    * each frame is (delayCs, full-canvas BGR) — the delay from its
+    * Graphic Control Extension in centiseconds — or null when the
+    * bytes are not a decodable GIF.
+    *
+    * Frame count is TRUNCATED, never rejected (the AVI MaxFrames
+    * lesson): `maxFrames` caps indexing, and a memory budget derived
+    * from the canvas size caps it further (composed frames are
+    * full-canvas copies — 256 MB total, the same ceiling the still
+    * decoders use). A GIF87a multi-image file composes too (no GCE:
+    * zero delays, leave-in-place disposal). */
+  private[graft] def decodeGifFrames(b: Array[Byte], maxFrames: Int = 10000):
+      (Int, Int, Array[(Int, Array[Byte])]) = {
+    if (b == null || b.length < 13 ||
+        b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
+        (b(4) != '7' && b(4) != '9') || b(5) != 'a') return null
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val sw = le16(6); val sh = le16(8)
+    val screenPacked = u8(10); val bgIndex = u8(11)
+    if (sw <= 0 || sh <= 0 || sw > 32767 || sh > 32767 ||
+        sw.toLong * sh * 3 > 256 * 1024 * 1024) return null
+    var p = 13
+    var globalTable: Array[Byte] = null
+    if ((screenPacked & 0x80) != 0) {
+      val sz = 3 * (1 << ((screenPacked & 7) + 1))
+      if (p + sz > b.length) return null
+      globalTable = java.util.Arrays.copyOfRange(b, p, p + sz)
+      p += sz
+    }
+    // background color: the screen descriptor's index into the global
+    // table; black when absent (transparent regions show this)
+    val (bgB, bgG, bgR) =
+      if (globalTable != null && bgIndex < globalTable.length / 3)
+        (globalTable(bgIndex * 3 + 2), globalTable(bgIndex * 3 + 1), globalTable(bgIndex * 3))
+      else (0.toByte, 0.toByte, 0.toByte)
+    def fillBg(px: Array[Byte], left: Int, top: Int, w: Int, h: Int): Unit = {
+      var y = math.max(top, 0)
+      val yEnd = math.min(top + h, sh)
+      while (y < yEnd) {
+        var x = math.max(left, 0)
+        val xEnd = math.min(left + w, sw)
+        while (x < xEnd) {
+          val o = (y * sw + x) * 3
+          px(o) = bgB; px(o + 1) = bgG; px(o + 2) = bgR
+          x += 1
+        }
+        y += 1
+      }
+    }
+    val canvas = new Array[Byte](sw * sh * 3)
+    fillBg(canvas, 0, 0, sw, sh)
+    // composed frames are full-canvas copies: budget the count by size
+    val budget = math.max(1, (256L * 1024 * 1024 / (sw.toLong * sh * 3)).toInt)
+    val cap = math.min(maxFrames, budget)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    var delay = 0; var disposal = 0; var transIdx = -1
+    var walk = true
+    while (walk && p < b.length && frames.length < cap) {
+      u8(p) match {
+        case 0x3B => walk = false // trailer
+        case 0x21 =>
+          // extension; parse the Graphic Control label, skip the rest
+          if (p + 7 < b.length && u8(p + 1) == 0xF9 && u8(p + 2) == 4) {
+            val packed = u8(p + 3)
+            disposal = (packed >> 2) & 7
+            delay = le16(p + 4)
+            transIdx = if ((packed & 1) != 0) u8(p + 6) else -1
+          }
+          p += 2
+          while (p < b.length && u8(p) != 0) p += 1 + u8(p)
+          p += 1
+        case 0x2C =>
+          if (p + 10 > b.length) return nullOrFrames(sw, sh, frames)
+          val left = le16(p + 1); val top = le16(p + 3)
+          val w = le16(p + 5); val h = le16(p + 7)
+          val imgPacked = u8(p + 9)
+          p += 10
+          if (w <= 0 || h <= 0 || w > 32767 || h > 32767 ||
+              w.toLong * h * 3 > 256 * 1024 * 1024)
+            return nullOrFrames(sw, sh, frames)
+          var table = globalTable
+          if ((imgPacked & 0x80) != 0) {
+            val sz = 3 * (1 << ((imgPacked & 7) + 1))
+            if (p + sz > b.length) return nullOrFrames(sw, sh, frames)
+            table = java.util.Arrays.copyOfRange(b, p, p + sz)
+            p += sz
+          }
+          if (table == null) return nullOrFrames(sw, sh, frames)
+          val lzw = gifLzwIndices(b, p, w * h)
+          if (lzw == null) return nullOrFrames(sw, sh, frames)
+          val indices = lzw._1
+          p = lzw._2
+          val rowOf = gifRowOrder(h, (imgPacked & 0x40) != 0)
+          val maxIdx = table.length / 3
+          val before = if (disposal == 3) canvas.clone() else null
+          var r = 0
+          while (r < h) {
+            val y = top + rowOf(r)
+            if (y >= 0 && y < sh) {
+              var x = 0
+              while (x < w) {
+                val idx = indices(r * w + x) & 0xff
+                if (idx != transIdx) {
+                  if (idx >= maxIdx) return nullOrFrames(sw, sh, frames)
+                  val cx = left + x
+                  if (cx < sw) {
+                    val o = (y * sw + cx) * 3
+                    canvas(o) = table(idx * 3 + 2)     // B
+                    canvas(o + 1) = table(idx * 3 + 1) // G
+                    canvas(o + 2) = table(idx * 3)     // R
+                  }
+                }
+                x += 1
+              }
+            }
+            r += 1
+          }
+          frames += ((delay, canvas.clone()))
+          disposal match {
+            case 2 => fillBg(canvas, left, top, w, h)
+            case 3 => System.arraycopy(before, 0, canvas, 0, canvas.length)
+            case _ => () // 0/1: leave in place
+          }
+          delay = 0; disposal = 0; transIdx = -1
+        case _ => walk = false // unknown block: stop, keep what decoded
+      }
+    }
+    if (frames.isEmpty) null else (sw, sh, frames.toArray)
+  }
+
+  /** Mid-file corruption keeps the frames already composed (truncate,
+    * don't reject) — null only when NOTHING decoded. */
+  private def nullOrFrames(sw: Int, sh: Int,
+      frames: scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])])
+      : (Int, Int, Array[(Int, Array[Byte])]) =
+    if (frames.isEmpty) null else (sw, sh, frames.toArray)
+
+  /** Cheap animation probe — image-descriptor count and total GCE
+    * delay (centiseconds) from a structural walk that SKIPS the LZW
+    * payload (no pixel work): the sniffer's duration source for
+    * animated GIFs. Returns (0, 0) on non-GIF bytes. */
+  private[graft] def gifAnimInfo(b: Array[Byte], maxFrames: Int = 10000): (Int, Long) = {
+    if (b == null || b.length < 13 ||
+        b(0) != 'G' || b(1) != 'I' || b(2) != 'F') return (0, 0L)
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    var p = 13
+    val screenPacked = u8(10)
+    if ((screenPacked & 0x80) != 0) {
+      val sz = 3 * (1 << ((screenPacked & 7) + 1))
+      if (p + sz > b.length) return (0, 0L)
+      p += sz
+    }
+    var nFrames = 0
+    var totalDelayCs = 0L
+    var pendingDelay = 0
+    var walk = true
+    while (walk && p < b.length && nFrames < maxFrames) {
+      u8(p) match {
+        case 0x3B => walk = false
+        case 0x21 =>
+          if (p + 7 < b.length && u8(p + 1) == 0xF9 && u8(p + 2) == 4)
+            pendingDelay = le16(p + 4)
+          p += 2
+          while (p < b.length && u8(p) != 0) p += 1 + u8(p)
+          p += 1
+        case 0x2C =>
+          if (p + 10 > b.length) return (nFrames, totalDelayCs)
+          val imgPacked = u8(p + 9)
+          p += 10
+          if ((imgPacked & 0x80) != 0) p += 3 * (1 << ((imgPacked & 7) + 1))
+          p += 1 // min-code byte
+          while (p < b.length && u8(p) != 0) p += 1 + u8(p) // data sub-blocks
+          p += 1
+          nFrames += 1
+          totalDelayCs += pendingDelay
+          pendingDelay = 0
+        case _ => walk = false
+      }
+    }
+    (nFrames, totalDelayCs)
   }
 
   /** Real feature for decodable images: per-quadrant mean B,G,R in
@@ -680,8 +887,13 @@ object Multimodal {
       }
       return ("image/jpeg", null, null, null)
     }
-    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
-      return ("image/gif", Integer.valueOf(le16(6)), Integer.valueOf(le16(8)), null)
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') {
+      // animated GIFs (≥2 image descriptors) report their play time —
+      // a structural walk, no pixel decode (see gifAnimInfo)
+      val (nf, delayCs) = gifAnimInfo(b)
+      val dur = if (nf >= 2) java.lang.Long.valueOf(delayCs * 10L) else null
+      return ("image/gif", Integer.valueOf(le16(6)), Integer.valueOf(le16(8)), dur)
+    }
     if (b.length >= 54 && b(0) == 'B' && b(1) == 'M')
       // biHeight < 0 is spec-legal (top-down row order) — report the
       // magnitude, not the sign convention
@@ -1088,13 +1300,16 @@ object Multimodal {
   }
 
   /** Sample every `everyK`-th stored video frame of each decodable
-    * AVI row into its own row (media_id, frame_index, content) — the
-    * frame-sampling stage of a video pipeline. For MJPEG the emitted
-    * content is a complete JPEG, so the sampled rows feed every image
-    * op directly (resize, features, [[withPerceptualHash]] → video
-    * near-dup via the same Hamming blocking). Non-AVI rows yield no
-    * frames. mapPartitions like the featurizer (decoder init once per
-    * task); the row multiplier is frames/everyK. */
+    * AVI or ANIMATED-GIF row into its own row (media_id, frame_index,
+    * content) — the frame-sampling stage of a video pipeline. For
+    * MJPEG the emitted content is the stored complete JPEG; for
+    * animated GIFs it is the COMPOSED canvas (disposal/transparency
+    * applied, see [[decodeGifFrames]]) re-encoded as PNG — either way
+    * the sampled rows feed every image op directly (resize, features,
+    * [[withPerceptualHash]] → video near-dup via the same Hamming
+    * blocking). Static GIFs and other non-video rows yield no frames.
+    * mapPartitions like the featurizer (decoder init once per task);
+    * the row multiplier is frames/everyK. */
   def sampleVideoFrames(media: DataFrame, everyK: Int = 1): DataFrame = {
     require(everyK >= 1, s"everyK must be >= 1 (got $everyK)")
     val schema = StructType(Seq(
@@ -1108,8 +1323,18 @@ object Multimodal {
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](contentIdx)
         val n = Avi.frameCount(bytes)
-        (0 until n by everyK).iterator.map(k =>
-          Row(r.getLong(idIdx), k.toLong, Avi.frame(bytes, k)))
+        if (n > 0) {
+          (0 until n by everyK).iterator.map(k =>
+            Row(r.getLong(idIdx), k.toLong, Avi.frame(bytes, k)))
+        } else {
+          val gif = decodeGifFrames(bytes)
+          if (gif == null || gif._3.length < 2) Iterator.empty
+          else {
+            val (sw, sh, frames) = gif
+            (0 until frames.length by everyK).iterator.map(k =>
+              Row(r.getLong(idIdx), k.toLong, pngFromBgr(sw, sh, frames(k)._2)))
+          }
+        }
       }
     }(enc)
   }
