@@ -185,4 +185,97 @@ class GifAnimSpec extends GraftSpec {
       .orderBy("frame_index").collect().map(_.getLong(1)).toSeq
     assert(strided == Seq(0L, 2L))
   }
+
+  /** Splice single-frame GIFs (whose palettes ImageIO preserves
+    * exactly) into one animated GIF with per-frame LOCAL color tables.
+    * The JDK SEQUENCE writer instead dithers frames through its
+    * default web-safe palette — i.e. it stores a visibly different
+    * clip — so cross-container fixtures must splice. Also exercises
+    * the decoder's local-table path. */
+  private def spliceAnimGif(singles: Seq[Array[Byte]], delayCs: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(singles.head, 6, 4) // screen w,h from the first frame
+    out.write(0x70); out.write(0); out.write(0) // no global table
+    for (g <- singles) {
+      val packed = u8(g, 10)
+      assert((packed & 0x80) != 0, "single-frame fixture must carry a palette")
+      val tableSz = 3 * (1 << ((packed & 7) + 1))
+      var p = 13 + tableSz
+      while (u8(g, p) == 0x21) { // skip extensions
+        p += 2
+        while (u8(g, p) != 0) p += 1 + u8(g, p)
+        p += 1
+      }
+      assert(u8(g, p) == 0x2C, "expected an image descriptor")
+      out.write(Array[Byte](0x21, 0xF9.toByte, 4, 0,
+        (delayCs & 0xff).toByte, ((delayCs >> 8) & 0xff).toByte, 0, 0))
+      out.write(g, p, 9) // descriptor up to the packed byte
+      out.write(0x80 | (packed & 7)) // local table, same size bits
+      out.write(g, 13, tableSz) // the single's global table, now local
+      p += 10
+      if ((u8(g, p - 1) & 0x80) != 0) { // single had a local table: copy it instead
+        throw new IllegalStateException("unexpected local table in fixture")
+      }
+      val dataStart = p
+      p += 1 // min-code byte
+      while (u8(g, p) != 0) p += 1 + u8(g, p)
+      p += 1
+      out.write(g, dataStart, p - dataStart)
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
+
+  test("the same clip as MJPEG-AVI and animated GIF collapses per frame") {
+    // cross-CONTAINER video near-dup: identical frames packaged as a
+    // JPEG-in-AVI (lossy DCT) and as an animated GIF (palette), both
+    // exploded by sampleVideoFrames, must land within the perceptual
+    // blocking window frame by frame — while distinct frames stay far
+    // smooth sinusoidal luminance on an exact 256-gray palette: every
+    // dHash neighbor comparison is signal-dominated (flat blocks would
+    // make in-block signs codec-noise coin flips — the same lesson as
+    // the audio fingerprint's stationary-tone failure mode), and the
+    // per-frame phase shift flips about half the signs between frames
+    def frameImg(phase: Double): BufferedImage = {
+      val grays = Array.tabulate[Byte](256)(_.toByte)
+      val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+      val img = new BufferedImage(40, 32, BufferedImage.TYPE_BYTE_INDEXED, icm)
+      for (y <- 0 until 32; x <- 0 until 40) {
+        val v = (128 + 90 * math.sin(2 * math.Pi * x / 20.0 + phase)).toInt
+        img.setRGB(x, y, new Color(v, v, v).getRGB)
+      }
+      img
+    }
+    val imgs = Seq(0.0, 2 * math.Pi / 3, 4 * math.Pi / 3).map(frameImg)
+    val jpegs = imgs.map { img =>
+      val o = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", o)
+      o.toByteArray
+    }
+    val avi = graft.multimodal.Avi.mjpegAvi(40, 32, 1, jpegs)
+    val gif = spliceAnimGif(imgs.map { img =>
+      val o = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "gif", o)
+      o.toByteArray
+    }, delayCs = 10)
+    val media = Seq((1L, avi), (2L, gif)).toDF("media_id", "content")
+    val frames = Multimodal.sampleVideoFrames(media).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Array[Byte]](2))).toMap
+    assert(frames.size == 6)
+    def d(a: java.lang.Long, b: java.lang.Long): Int =
+      java.lang.Long.bitCount(a ^ b)
+    for (k <- 0L to 2L) {
+      val dk = d(Multimodal.dHash64(frames((1L, k))), Multimodal.dHash64(frames((2L, k))))
+      info(s"frame $k: d(avi, gif) = $dk")
+      assert(dk <= 7, s"frame $k drifted outside the blocking window: $dk")
+    }
+    // discriminative: the first and last frames differ by the split
+    // moving half the canvas — far outside the window in BOTH containers
+    for (id <- 1L to 2L) {
+      val far = d(Multimodal.dHash64(frames((id, 0L))), Multimodal.dHash64(frames((id, 2L))))
+      assert(far > 7, s"container $id: distinct frames too close ($far)")
+    }
+  }
 }
