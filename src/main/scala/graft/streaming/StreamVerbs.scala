@@ -38,6 +38,34 @@ object StreamVerbs {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Streaming trending keys: a [[graft.ml.MisraGriesAgg]] sketch per
+    * tumbling event-time window — the frequent-items question ("what
+    * is trending this hour") at BOUNDED state, where an exact
+    * `groupBy(window, key).count` would hold one state row per
+    * distinct key per window (unbounded on an unbounded key domain).
+    * The sketch buffer caps per-window state at `counters` entries and
+    * merges associatively across micro-batches (Agarwal et al.'s
+    * mergeable-summaries bound composes), so late data within the
+    * watermark folds in exactly like batch partitions do.
+    *
+    * Emits one row per window: `window`, `n_total`, and the sketch's
+    * `counts` map (key → lower-bound count; every key with frequency
+    * > n_total/(counters+1) in the window is guaranteed present).
+    * Downstream can explode + rank, or hand candidates to the batch
+    * [[graft.ml.HeavyHitters.topKExact]] recount for exactness. */
+  def streamingTopK(rows: DataFrame, keyCol: String, tsCol: String,
+                    window_ : String = "1 hour", lateness: String = "2 hours",
+                    counters: Int = 1024): DataFrame = {
+    val mg = udaf(new graft.ml.MisraGriesAgg(counters),
+      org.apache.spark.sql.Encoders.STRING)
+    rows
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), window_))
+      .agg(count(lit(1)).as("n_total"),
+        mg(col(keyCol).cast("string")).as("sketch"))
+      .select(col("window"), col("n_total"), col("sketch.counts").as("counts"))
+  }
+
   /** Gap-based sessionization per user via flatMapGroupsWithState.
     * A session closes when a later event arrives past the gap;
     * `closeOnSilence=true` additionally arms a processing-time timeout

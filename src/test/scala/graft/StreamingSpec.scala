@@ -32,6 +32,45 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming trending keys: bounded sketch per window, merged across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    // counters=2 with 3 distinct keys per window: evictions are ON the
+    // path, and the guarantee (keys above n/(m+1) tracked, counts are
+    // lower bounds) must hold over state merged across micro-batches
+    val q = StreamVerbs.streamingTopK(in.toDF(), "event_type", "ts",
+        "10 minutes", "5 minutes", counters = 2)
+      .writeStream.format("memory").queryName("trending")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // window [0,10): click x4, view x2, misc x1 — two batches
+      in.addData(
+        Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "view", 1.0),
+        Event(3, ts(2), 1, "click", 1.0), Event(4, ts(3), 2, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(
+        Event(5, ts(4), 2, "misc", 1.0), Event(6, ts(5), 2, "view", 1.0),
+        Event(7, ts(6), 3, "click", 1.0),
+        // window [10,20): one heavy key only
+        Event(8, ts(12), 3, "buy", 1.0), Event(9, ts(13), 3, "buy", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("trending").collect()
+        .map(r => r.getAs[Long]("n_total") ->
+          r.getAs[Map[String, Long]]("counts")).sortBy(_._1)
+      assert(rows.length == 2)
+      val (n2, counts2) = rows.head // the buy window
+      assert(n2 == 2L && counts2 == Map("buy" -> 2L))
+      val (n1, counts1) = rows.last
+      assert(n1 == 7L)
+      assert(counts1.size <= 2, s"sketch exceeded its 2-counter budget: $counts1")
+      // click (freq 4) > 7/3: guaranteed tracked, count a lower bound
+      // undercounting by at most n/(m+1) = 2
+      assert(counts1.contains("click"), s"lost the heavy key: $counts1")
+      assert(counts1("click") <= 4L && counts1("click") >= 2L, counts1.toString)
+    } finally q.stop()
+  }
+
   test("gap-based sessionization closes sessions across the gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
