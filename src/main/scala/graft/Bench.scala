@@ -21,6 +21,8 @@ object Bench {
     "q_dup_removal",
     "q_heavy_hitters", "q_bloom_prune",
     "q_hybrid_search", "q_quantize", "q_temperature_sample",
+    "q_mixture_resample", "q_strip_html", "q_dedup_against",
+    "q_dedup_against_near",
     "q_tfidf_keywords", "q_lm_score", "q_lm_bigram", "q_chunk", "q_rag_pipeline",
     "q_video_dedup",
     // LAST deliberately: the distributed CC loop spawns dozens of
@@ -54,6 +56,18 @@ object Bench {
         numHashes = 64, bands = 16, threshold = 0.7, shingleSize = 4)
       graft.ml.Dedup.connectedComponents(
         pairs.select(col("id_a"), col("id_b")), localEdgeLimit = 0L)
+    }),
+    // q_dedup_against_near's verify query carries the brute-force
+    // equality certificate; the bench measures the user-facing call
+    // (banded anchor probe) with the same proven-equivalent parameters
+    "q_dedup_against_near" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val docs = SparkEntry.t(s, d, "documents")
+      graft.ml.Dedup.dedupAgainstNear(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.7, shingleSize = 4)
+        .select("doc_id")
     }))
 
   def main(args: Array[String]): Unit = {

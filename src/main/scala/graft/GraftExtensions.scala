@@ -100,5 +100,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           doubleLit(args(1), "cosine_bucket_dups", "threshold"),
           intLit(args(2), "cosine_bucket_dups", "roundDigits"))
       }))
+    // a composed codegen'd regexp chain, not a single kernel: the
+    // builder folds TextFunctions.stripHtmlSteps (the ONE definition
+    // the DataFrame verb uses) into raw RegExpReplace nodes — Column
+    // compositions can't pass through injectFunction directly, and a
+    // second hand-written chain here could drift from the verb
+    ext.injectFunction((FunctionIdentifier("strip_html"),
+      info("strip_html", "strip_html(html) - HTML to plain text: script/style/comment bodies removed, tags to spaces, named entities decoded, whitespace collapsed"),
+      (args: Seq[Expression]) => {
+        nArgs("strip_html", args, 1)
+        import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace, StringTrim}
+        StringTrim(graft.text.TextFunctions.stripHtmlSteps.foldLeft(args.head) {
+          case (e, (pat, rep)) => RegExpReplace(e, Literal(pat), Literal(rep))
+        })
+      }))
   }
 }

@@ -687,6 +687,53 @@ object SparkEntry {
       CrysFrame(Dedup.exactByContentHash(t(s, d, "documents"), "doc_id", "text")
         .select("doc_id", "lang", "n_chars")).sortBy("doc_id").out),
 
+    // incremental ingest dedup (ml.Dedup.dedupAgainstExact): the odd
+    // half of documents arrives as a "new crawl" and is deduped
+    // AGAINST the even half playing the standing corpus — the corpus
+    // side reduces to distinct 8-byte hashes before the anti-join
+    "q_dedup_against" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      CrysFrame(Dedup.dedupAgainstExact(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text")
+        .select("doc_id", "lang", "n_chars")).sortBy("doc_id").out
+    }),
+
+    // near variant of the ingest pattern, self-certifying: the banded
+    // anchor-probe keep-set is proven equal IN-QUERY to a brute-force
+    // probe of every corpus signature (one broadcast anchor array,
+    // compiled in-task loop) — any banding false-negative aborts the
+    // query via raise_error instead of shipping a wrong answer to a
+    // rows-only check. Hash family isn't SQL-portable → rows-only.
+    "q_dedup_against_near" -> ((s, d) => {
+      import graft.functions.Kernels
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val lshKeep = Dedup.dedupAgainstNear(batch, corpus, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.7, shingleSize = 4)
+        .select("doc_id")
+      def sigOf(df: DataFrame) = df.select(
+        col("doc_id").cast("long").as("id"),
+        Kernels.minhashSig(
+          graft.text.TextFunctions.normalizeText(col("text")), 64, 4).as("sig"))
+      val allAnchors = sigOf(corpus)
+        .agg(collect_list(struct(col("id"), col("sig"))).as("__anchors"))
+      val bfDrop = sigOf(batch).crossJoin(broadcast(allAnchors))
+        .filter(Kernels.minhashAnchorDrop(
+          lit(Long.MaxValue), col("sig"), col("__anchors"), 64, 0.7))
+        .select(col("id").as("doc_id"))
+      val bfKeep = batch.select(col("doc_id").cast("long").as("doc_id"))
+        .join(bfDrop, Seq("doc_id"), "left_anti")
+      val lshKeepL = lshKeep.select(col("doc_id").cast("long").as("doc_id"))
+      val mismatch = lshKeepL.join(bfKeep, Seq("doc_id"), "left_anti")
+        .union(bfKeep.join(lshKeepL, Seq("doc_id"), "left_anti"))
+        .select(raise_error(concat(
+          lit("dedupAgainstNear banded/brute-force keep-set mismatch at doc_id="),
+          col("doc_id").cast("string"))).cast("long").as("doc_id"))
+      CrysFrame(lshKeepL.union(mismatch)).sortBy("doc_id").out
+    }),
+
     "q_dedup_minhash" -> ((s, d) =>
       CrysFrame(Dedup.minhashDedup(t(s, d, "documents"), "doc_id", "text",
         numHashes = 64, bands = 16, threshold = 0.7, shingleSize = 4)
@@ -986,6 +1033,19 @@ object SparkEntry {
           .select(col("doc_id"), col("lang")))
         .sortBy("doc_id").out),
 
+    // explicit-target mixture (ml.Sampling.mixtureResample): "train on
+    // 40% en / 30% zh / ..." — per-lang keep rates from the requested
+    // shares, micro-quantized, map-only on the corpus side; the oracle
+    // reproduces every rate and draw in integer arithmetic
+    "q_mixture_resample" -> ((s, d) =>
+      CrysFrame(Sampling.mixtureResample(
+          t(s, d, "documents"), "lang", "doc_id",
+          weights = Map("en" -> 0.4, "zh" -> 0.3, "de" -> 0.15,
+            "fr" -> 0.1, "es" -> 0.05),
+          targetFraction = 0.5)
+          .select(col("doc_id"), col("lang")))
+        .sortBy("doc_id").out),
+
     // int8 embedding quantization (ml.Quantize): per-vector affine
     // codes with one fixed IEEE op order — the oracle reproduces every
     // code and the reconstruction error bound exactly (codes join to a
@@ -1017,6 +1077,26 @@ object SparkEntry {
       CrysFrame(graft.text.Scrub.redactPii(aug, "text")
           .select(col("doc_id"), col("n_emails"), col("n_ips"),
             col("n_phones"), col("text_redacted")))
+        .sortBy("doc_id").out
+    }),
+
+    // HTML boilerplate stripping (text.TextFunctions.stripHtml): each
+    // doc wrapped in a deterministic page frame exercising script/style
+    // bodies, comments, entity decode (incl. the double-escape case)
+    // and tag word-boundaries — byte-exact vs the oracle's identical
+    // RE2 chain. Map-only, codegen'd, no shuffle.
+    "q_strip_html" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><title>d</title><style type=\"text/css\">p { color: #333; }" +
+          "</style></head><body><h1 class=\"hd\">"), col("lang"),
+        lit("</h1><!-- note --><p>"), col("text"),
+        lit("</p><script>if (1 &lt; 2) { x = 1; }</script>" +
+          "<div>tail &amp;amp; &quot;q&quot;&nbsp;&#39;e&#39; &amp; &lt;b&gt;</div>" +
+          "</body></html>"))
+      CrysFrame(t(s, d, "documents")
+          .select(col("doc_id"), TextFunctions.stripHtml(html).as("text_plain"))
+          .select(col("doc_id"), col("text_plain"),
+            length(col("text_plain")).cast("long").as("n_plain")))
         .sortBy("doc_id").out
     }),
 
@@ -1621,6 +1701,17 @@ object SparkEntry {
         |    ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    // the Spark side anti-joins on xxhash64 of the normalized text;
+    // the oracle anti-joins on the normalized text itself — equivalent
+    // absent 64-bit collisions (same equivalence q_dedup_exact rests on)
+    "q_dedup_against" ->
+      """SELECT b.doc_id, b.lang, b.n_chars FROM documents b
+        |WHERE b.doc_id % 2 = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM documents c WHERE c.doc_id % 2 = 0 AND
+        |    regexp_replace(lower(trim(c.text)), '\s+', ' ', 'g') =
+        |    regexp_replace(lower(trim(b.text)), '\s+', ' ', 'g'))
+        |ORDER BY doc_id""".stripMargin,
+
     "q_token_count" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1966,6 +2057,24 @@ object SparkEntry {
         |      < pm * 4294967294
         |ORDER BY d.doc_id""".stripMargin,
 
+    // same integer-draw recipe as q_temperature_sample, with the
+    // shares EXPLICIT: micro-quantized weights (sum 1e6) instead of
+    // pow(n, alpha)-derived ones; IEEE op order mirrors mixtureResample
+    "q_mixture_resample" ->
+      """WITH w(lang, wm) AS (VALUES ('de', 150000), ('en', 400000),
+        |    ('es', 50000), ('fr', 100000), ('zh', 300000)),
+        |n AS (SELECT d.lang, count(*) AS ns FROM documents d
+        |      JOIN w USING (lang) WHERE d.lang IS NOT NULL GROUP BY d.lang),
+        |t AS (SELECT CAST(sum(ns) AS BIGINT) AS nn FROM n),
+        |p AS (SELECT n.lang, CAST(round(least(1.0,
+        |        0.5 * CAST(nn AS DOUBLE) * CAST(wm AS DOUBLE) /
+        |        (1000000.0 * CAST(ns AS DOUBLE))) * 1e6, 0) AS BIGINT) AS pm
+        |      FROM n JOIN w USING (lang) CROSS JOIN t)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN p USING (lang)
+        |WHERE ((d.doc_id * 2654435761 + 42) % 2147483647) * 2000000 + 1000000
+        |      < pm * 4294967294
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
@@ -2002,6 +2111,33 @@ object SparkEntry {
         |    '\b(?:[0-9]{1,3}\.)(?:[0-9]{1,3}\.)(?:[0-9]{1,3}\.)[0-9]{1,3}\b', '<IP>', 'g'),
         |    '\+[0-9]{7,15}', '<PHONE>', 'g') AS text_redacted
         |FROM aug ORDER BY doc_id""".stripMargin,
+
+    // the identical RE2 chain as stripHtml, in the same order: script/
+    // style/comment bodies out BEFORE tag-strip (so entities inside
+    // them never leak), entities decoded with &amp; LAST
+    "q_strip_html" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>d</title><style type="text/css">p { color: #333; }</style></head><body><h1 class="hd">'
+        |    || lang || '</h1><!-- note --><p>' || text ||
+        |    '</p><script>if (1 &lt; 2) { x = 1; }</script><div>tail &amp;amp; &quot;q&quot;&nbsp;&#39;e&#39; &amp; &lt;b&gt;</div></body></html>'
+        |    AS html
+        |  FROM documents),
+        |s AS (SELECT doc_id, trim(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    html,
+        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '<[^>]+>', ' ', 'g'),
+        |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |      '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+        |    '\s+', ' ', 'g')) AS text_plain
+        |  FROM h)
+        |SELECT doc_id, text_plain,
+        |  CAST(length(text_plain) AS BIGINT) AS n_plain
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_dup_passages" ->
       """WITH d AS (

@@ -31,6 +31,93 @@ object Dedup {
       idCol, Seq(col("__chash"))).drop("__chash")
 
   // -------------------------------------------------------------------
+  // Incremental dedup against an existing corpus (the ingest pattern)
+  // -------------------------------------------------------------------
+
+  /** Incremental ingest dedup, exact: drop `batch` rows whose
+    * normalized content already exists in `corpus`. The production
+    * pattern for a continuously-fed training corpus — each new crawl
+    * is deduped AGAINST what is already kept, without re-deduping the
+    * corpus itself (batch-internal duplicates are deliberately NOT
+    * removed here; compose with [[exactByContentHash]] for that).
+    *
+    * Scale shape: the corpus side reduces to DISTINCT 8-byte content
+    * hashes before the join (a partial-aggregating shuffle of hashes,
+    * never text); the anti-join then shuffles 8-byte keys — or none at
+    * all when the corpus hash set fits AQE's broadcast threshold. At
+    * 100 TB the corpus hash set is the thing to precompute and reuse
+    * across ingest batches (it is exactly `corpusContentHashes`). */
+  def dedupAgainstExact(batch: DataFrame, corpus: DataFrame,
+                        textCol: String): DataFrame = {
+    val ch = "__against_chash"
+    require(!batch.columns.contains(ch),
+      s"dedupAgainstExact uses internal column $ch — the batch already has it")
+    batch.withColumn(ch, TextFunctions.contentHash(col(textCol)))
+      .join(corpusContentHashes(corpus, textCol, ch), Seq(ch), "left_anti")
+      .drop(ch)
+  }
+
+  /** The reusable half of [[dedupAgainstExact]]: the corpus's distinct
+    * normalized content hashes under the given column name. Persist or
+    * write this once per corpus snapshot and feed every ingest batch. */
+  def corpusContentHashes(corpus: DataFrame, textCol: String,
+                          hashCol: String = "content_hash"): DataFrame =
+    corpus.select(TextFunctions.contentHash(col(textCol)).as(hashCol)).distinct()
+
+  /** Incremental ingest dedup, near: drop `batch` rows whose MinHash
+    * signature agrees with ANY corpus row at ≥ `threshold` among the
+    * corpus rows sharing one of its LSH band buckets. Same banding +
+    * anchor-probe machinery as [[minhashDedup]], pointed across two
+    * frames: corpus buckets fold to their `maxPartners` smallest-id
+    * members via the bounded [[MinKSigAgg]] (a boilerplate cluster of
+    * 10^6 corpus copies still costs k × sigBytes), batch rows probe the
+    * anchor arrays in-task. The probe passes `Long.MaxValue` as the
+    * probing id, so EVERY corpus anchor is compared (the kernel's
+    * `anchor.id < id` lower-id rule degenerates to "all") — corpus ids
+    * must therefore be below `Long.MaxValue`, which also keeps the
+    * sentinel from colliding with a real batch id in the kernel.
+    *
+    * Both id columns must be integral (cast to long internally); null
+    * batch ids survive untouched (no signature is computed for them),
+    * matching [[minhashDedup]]'s null-id semantics. */
+  def dedupAgainstNear(batch: DataFrame, corpus: DataFrame,
+                       idCol: String, textCol: String,
+                       numHashes: Int = 128, bands: Int = 32,
+                       threshold: Double = 0.8, shingleSize: Int = 5,
+                       maxPartners: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    require(maxPartners >= 1,
+      s"maxPartners must be >= 1 (got $maxPartners): 0 would disable the probe")
+    def longIds(df: DataFrame): DataFrame = {
+      df.schema(idCol).dataType match {
+        case LongType | IntegerType => ()
+        case other => throw new IllegalArgumentException(
+          s"dedupAgainstNear needs an integral id column, got $idCol: $other")
+      }
+      df.filter(col(idCol).isNotNull)
+        .select(col(idCol).cast("long").as(idCol), col(textCol))
+    }
+    val corpusBanded = sigFrame(longIds(corpus), idCol, textCol, numHashes, shingleSize)
+      .select(col("__id"), col("__sig"),
+        explode_outer(bandKeys(col("__sig"), numHashes, bands)).as("__bkey"))
+    val mk = F.udaf(new MinKSigAgg(maxPartners),
+      org.apache.spark.sql.Encoders.product[MinKSigItem])
+    val anchors = corpusBanded.groupBy(col("__bkey"))
+      .agg(mk(col("__id"), col("__sig")).as("__mk"))
+      .select(col("__bkey"), col("__mk").getField("items").as("__anchors"))
+    val batchBanded = sigFrame(longIds(batch), idCol, textCol, numHashes, shingleSize)
+      .select(col("__id"), col("__sig"),
+        explode_outer(bandKeys(col("__sig"), numHashes, bands)).as("__bkey"))
+    // inner join: a batch row in a bucket no corpus row occupies has no
+    // candidates — it survives via the left_anti below
+    val dups = batchBanded.join(anchors, Seq("__bkey"))
+      .filter(graft.functions.Kernels.minhashAnchorDrop(
+        lit(Long.MaxValue), col("__sig"), col("__anchors"), numHashes, threshold))
+      .select(col("__id").cast(batch.schema(idCol).dataType).as(idCol)).distinct()
+    batch.join(dups, Seq(idCol), "left_anti")
+  }
+
+  // -------------------------------------------------------------------
   // MinHash + LSH banding
   // -------------------------------------------------------------------
 

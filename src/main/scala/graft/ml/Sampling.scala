@@ -113,6 +113,61 @@ object Sampling {
       .drop("__pm")
   }
 
+  /** Resample to an EXPLICIT target mixture — the "train on 40% en,
+    * 30% zh, …" knob, complementing [[temperatureResample]] (which
+    * derives the mix from observed counts). Each listed source keeps
+    *   p_s = min(1, targetFraction · N · (w_s/Σw) / n_s)
+    * of its rows (N = rows across LISTED sources), so the output
+    * approaches `targetFraction · N` rows at the requested shares;
+    * an undersupplied source caps at 1 (takes everything it has) and
+    * the realized mixture shifts accordingly rather than upsampling —
+    * duplication policy belongs to the caller. Sources absent from
+    * `weights` (and null sources) are DROPPED: an explicit mixture is
+    * also an explicit exclusion list.
+    *
+    * Same determinism contract as the rest of this object: weights
+    * micro-quantized driver-side (integer Σw), rates micro-quantized
+    * with one fixed IEEE op order, the per-row draw compared in
+    * integer arithmetic — bit-reproducible by any SQL engine.
+    *
+    * Scale shape: one count aggregation over listed sources (sources
+    * ≪ corpus), rates broadcast back, map-only integer filter on the
+    * corpus side — no corpus shuffle at any size. */
+  def mixtureResample(df: DataFrame, srcCol: String, idCol: String,
+                      weights: Map[String, Double], targetFraction: Double,
+                      seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty, "mixtureResample needs at least one weight")
+    require(weights.values.forall(_ > 0),
+      "mixture weights must be positive — exclude a source by omitting it")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0,1], got $targetFraction")
+    // micro-quantize the weights on the driver: Σw is then an exact
+    // integer and every engine computes the identical shares
+    val wMicro = weights.toSeq.sortBy(_._1)
+      .map { case (k, v) => (k, math.round(v * 1e6)) }
+    require(wMicro.forall(_._2 > 0),
+      "mixture weights below 5e-7 quantize to zero micro-units")
+    val sw = wMicro.map(_._2).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDf = wMicro.toDF(srcCol, "__wm")
+    val stats = df.filter(col(srcCol).isNotNull)
+      .groupBy(col(srcCol)).agg(count(lit(1)).as("__n"))
+      .join(broadcast(wDf), Seq(srcCol))
+    val totals = stats.agg(sum(col("__n")).as("__tot"))
+    val rates = stats.crossJoin(broadcast(totals))
+      .select(col(srcCol),
+        round(least(lit(1.0),
+          lit(targetFraction) * col("__tot").cast("double") * col("__wm").cast("double") /
+            (lit(sw.toDouble) * col("__n").cast("double"))) * lit(1e6), 0)
+          .cast("long").as("__pm"))
+    val h = knuthHash(col(idCol), seed)
+    // inner join: unlisted sources have no rate and are excluded
+    df.join(broadcast(rates), Seq(srcCol))
+      .filter(h * lit(2000000L) + lit(1000000L) < col("__pm") * lit(2 * M))
+      .drop("__pm")
+  }
+
   /** Weighted sample WITHOUT replacement, k rows per key group:
     * exponential-clock priorities (Efraimidis–Spirakis via
     * `-ln(u)/w`), smallest k win — a row's selection probability is

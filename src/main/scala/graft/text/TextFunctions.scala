@@ -106,6 +106,43 @@ object TextFunctions {
   def normalizeText(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** HTML → plain text: the crawl-ingest boilerplate step. Removes
+    * `<script>`/`<style>` element bodies and comments, turns every
+    * remaining tag into a space (so `<p>a</p><p>b</p>` keeps its word
+    * boundary), decodes the five named entities plus `&#39;`
+    * (`&amp;` LAST, so a double-escaped `&amp;lt;` yields the literal
+    * `&lt;` rather than decoding twice), then collapses whitespace.
+    * Not a spec-grade HTML5 parser — malformed markup degrades to
+    * extra spaces, never to dropped text outside script/style/comment.
+    *
+    * Every pattern is RE2-compatible (inline flags + lazy repeats, no
+    * lookaround/backreferences), so an external engine reproduces the
+    * transform byte-for-byte — the driver oracle does. Pure codegen'd
+    * expression chain: map-only, no shuffle, at any corpus size. */
+  def stripHtml(html: Column): Column =
+    trim(stripHtmlSteps.foldLeft(html) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    })
+
+  /** The ordered (pattern, replacement) chain behind [[stripHtml]] —
+    * ONE definition shared by the Column verb above and the SQL
+    * registration in graft.GraftExtensions (which folds the same list
+    * into raw catalyst RegExpReplace nodes), so the two surfaces can
+    * never drift. Order is load-bearing: element bodies and comments
+    * go before tag-strip (entities inside them must not leak), and
+    * `&amp;` decodes LAST (a double-escaped `&amp;lt;` must yield the
+    * literal `&lt;`, not decode twice). Entity patterns and
+    * replacements are metacharacter-free in both Java regex and RE2,
+    * so the DuckDB oracle is the same chain verbatim. */
+  private[graft] val stripHtmlSteps: Seq[(String, String)] = Seq(
+    "(?is)<script[^>]*>.*?</script>" -> " ",
+    "(?is)<style[^>]*>.*?</style>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    "<[^>]+>" -> " ",
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&",
+    "\\s+" -> " ")
+
   /** THE pipeline tokenizer: [[normalizeText]] then a single-space
     * split, empties dropped. Every token-level operator (BM25, tf-idf,
     * decontamination, LM scoring, chunking) uses this one definition,

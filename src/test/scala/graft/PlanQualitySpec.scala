@@ -204,6 +204,46 @@ class PlanQualitySpec extends GraftSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_strip_html is a map-only regexp chain — no exchange, inside codegen") {
+    val p = plan("q_strip_html")
+    // the sortBy for the oracle dump is the only allowed exchange
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 1, p)
+    // the 11-step chain is evaluated ONCE, in a single Project — the
+    // n_plain length() reads the text_plain slot, not a second copy
+    assert("""\Q(?is)<script\E""".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("mapPartitions"), p)
+  }
+
+  test("mixtureResample's corpus side is a broadcast join + map-side filter") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ml.Sampling.mixtureResample(docs, "lang", "doc_id",
+        Map("en" -> 0.6, "de" -> 0.4), 0.5)
+      .queryExecution.explainString(FormattedMode)
+    // rates reach the corpus via broadcast — the corpus itself never
+    // shuffles; the only exchanges aggregate the tiny per-lang stats
+    assert(p.contains("BroadcastHashJoin"), p)
+    val corpusExchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning(lang")).size
+    assert(!p.contains("CartesianProduct"), p)
+    assert(corpusExchanges <= 1, p) // the stats groupBy only, never the corpus
+  }
+
+  test("dedupAgainstExact ships 8-byte hashes, not text, through the anti-join") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val q = graft.ml.Dedup.dedupAgainstExact(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text")
+    val p = q.queryExecution.explainString(FormattedMode)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus side reduces to distinct hashes BEFORE the join: a
+    // partial aggregate on the 8-byte key, so join keys are hashes
+    assert(p.contains("xxhash64"), p)
+    assert("""keys=\[__against_chash""".r.findFirstIn(p).isDefined ||
+      p.contains("__against_chash"), p)
+  }
+
   test("z-order layout is one range exchange, no extra shuffles") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_suppkey")

@@ -205,6 +205,30 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(got(3).getInt(1) == 4) // room 101 x 2 — letter↔digit splits
   }
 
+  test("stripHtml: tags, script/style bodies, comments, entities, double-escape") {
+    import spark.implicits._
+    def strip(s: String): String =
+      Seq(s).toDF("h").select(TextFunctions.stripHtml(col("h"))).head.getString(0)
+    // tags become word boundaries, never concatenation
+    assert(strip("<p>alpha</p><p>beta</p>") == "alpha beta")
+    // script/style BODIES are removed (entities inside them never leak),
+    // case-insensitive, attributes allowed, multiline
+    assert(strip("a<script type=\"x\">if (1 &lt; 2)\n{ y }</script>b") == "a b")
+    assert(strip("a<STYLE>p { color: red; }\nq { x }</STYLE>b") == "a b")
+    // two script blocks: lazy repeat must not swallow the text between
+    assert(strip("<script>x</script>keep<script>y</script>") == "keep")
+    assert(strip("a<!-- note\nacross lines -->b") == "a b")
+    // entity decode, &amp; last: double-escaped stays single-decoded
+    assert(strip("1 &lt; 2 &amp;&amp; 3 &gt; 2") == "1 < 2 && 3 > 2")
+    assert(strip("&amp;lt;") == "&lt;")
+    assert(strip("&quot;q&quot;&nbsp;&#39;e&#39;") == "\"q\" 'e'")
+    // malformed markup degrades to spaces, text outside blocks survives
+    assert(strip("a < b > c") == "a c") // unescaped <...> reads as a tag
+    assert(strip("broken <div") == "broken <div")
+    // whitespace collapsed, ends trimmed
+    assert(strip("  <div>\n  x\t y  </div>  ") == "x y")
+  }
+
   test("repetition kernel counts duplicate words and bigrams exactly") {
     import spark.implicits._
     val df = Seq(
@@ -303,6 +327,54 @@ class ReadersExtensionsSpec extends GraftSpec {
     val kept = Dedup.exactByContentHash(docs, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L, 3L, 4L))
+  }
+
+  test("dedupAgainstExact: corpus matches dropped, batch-internal dups kept") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "unrelated corpus document about databases")).toDF("doc_id", "text")
+    val batch = Seq(
+      // normalization-equal to corpus 10 (case + whitespace differ)
+      (1L, "  The QUICK brown fox jumps over the lazy dog near the river   bank today"),
+      (2L, "a genuinely new document"),
+      (3L, "a genuinely new document"), // batch-internal dup: deliberately KEPT
+      (4L, "another new one")).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstExact(batch, corpus, "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 3L, 4L))
+    // reusable corpus snapshot: distinct hashes, one per distinct content
+    assert(Dedup.corpusContentHashes(corpus, "text").count() == 2L)
+  }
+
+  test("dedupAgainstNear: near-dups of corpus rows dropped, distinct kept; null ids survive") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // whitespace/case variant of the corpus row: normalization-equal
+      // shingle set, so the signature agreement is 1.0 at any threshold
+      (java.lang.Long.valueOf(1L), "The quick  brown fox jumps over the lazy dog near the river bank today"),
+      (java.lang.Long.valueOf(2L), "completely different content about spark catalyst optimizer internals here"),
+      (null.asInstanceOf[java.lang.Long], "also different null-id content survives untouched"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstNear(batch, corpus, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.6, shingleSize = 4)
+      .select("doc_id").collect().map(r => Option(r.get(0)))
+    assert(!kept.contains(Some(1L)), "near-dup of a corpus row survived")
+    assert(kept.contains(Some(2L)) && kept.contains(None))
+    // determinism under repartitioning (content-stable, like the rest)
+    val again = Dedup.dedupAgainstNear(batch.repartition(7), corpus.repartition(3),
+      "doc_id", "text", numHashes = 64, bands = 16, threshold = 0.6, shingleSize = 4)
+      .select("doc_id").collect().map(r => Option(r.get(0)))
+    assert(kept.toSet == again.toSet)
+    // refuse-early: non-integral id column
+    val bad = batch.withColumn("doc_id", col("doc_id").cast("string"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstNear(bad, corpus, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("integral id column"))
   }
 
   test("minhash LSH dedup removes near-duplicates") {

@@ -37,6 +37,19 @@ class SqlFunctionsSpec extends GraftSpec {
     assert(viaSql.getStruct(5) == viaDsl.getStruct(5))
   }
 
+  test("strip_html is SQL-callable and equals the DSL verb byte-for-byte") {
+    Seq("<p>a &amp;&amp; b</p><script>x &lt; y</script><!-- c -->tail")
+      .toDF("h").createOrReplaceTempView("sqlh")
+    val viaSql = spark.sql("SELECT strip_html(h) FROM sqlh").head.getString(0)
+    val viaDsl = spark.table("sqlh")
+      .select(graft.text.TextFunctions.stripHtml(col("h"))).head.getString(0)
+    assert(viaSql == "a && b tail")
+    assert(viaSql == viaDsl)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("SELECT strip_html()") }
+    assert(e.getMessage.contains("expects 1 arguments"))
+  }
+
   test("SQL kernels validate config arguments and input types eagerly") {
     Seq(Tuple1("t")).toDF("text").createOrReplaceTempView("sqlk2")
     // non-literal config arg refused with the function named

@@ -340,6 +340,43 @@ class WindowJoinsSpec extends GraftSpec {
       .select("id").collect().map(_.getLong(0)).contains(1L))
   }
 
+  test("mixtureResample hits explicit target shares; caps, drops unlisted, deterministic") {
+    import spark.implicits._
+    import graft.ml.Sampling
+    // 2000 en / 1000 de / 500 fr / 300 unlisted
+    val docs = (1L to 3800L).map { i =>
+      (i, if (i <= 2000) "en" else if (i <= 3000) "de"
+          else if (i <= 3500) "fr" else "xx")
+    }.toDF("id", "src")
+    val w = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2)
+    val kept = Sampling.mixtureResample(docs, "src", "id", w, targetFraction = 0.4)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // listed N = 3500, target = 1400 → en 700 (rate .35), de 420 (.42), fr 280 (.56)
+    assert(!kept.contains("xx"), "unlisted source leaked through")
+    assert(math.abs(kept("en") - 700.0) / 700.0 < 0.1, kept.toString)
+    assert(math.abs(kept("de") - 420.0) / 420.0 < 0.1, kept.toString)
+    assert(math.abs(kept("fr") - 280.0) / 280.0 < 0.15, kept.toString)
+    // undersupplied source caps at keep-everything instead of upsampling:
+    // fr's share asks for 1400*0.9 = 1260 rows from a 500-row supply
+    val capped = Sampling.mixtureResample(docs, "src", "id",
+      Map("fr" -> 0.9, "de" -> 0.1), targetFraction = 0.4)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped("fr") == 500L, capped.toString)
+    // content-stable: same keep-set under repartitioning
+    val a = Sampling.mixtureResample(docs, "src", "id", w, 0.4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.mixtureResample(docs.repartition(13), "src", "id", w, 0.4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // refuse-early contracts
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureResample(docs, "src", "id", Map.empty, 0.5) }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureResample(docs, "src", "id", Map("en" -> -1.0), 0.5) }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureResample(docs, "src", "id", w, 1.5) }
+  }
+
   test("greedy packing: budget boundaries, oversize rows, per-key reset") {
     import spark.implicits._
     import graft.operators.Pack
