@@ -923,6 +923,35 @@ object SparkEntry {
       CrysFrame(TextFunctions.topWords(t(s, d, "documents"), col("text"), 100))
         .out),
 
+    // BPE tokenizer training statistics (text.Bpe): the first-round
+    // weighted adjacent-symbol pair counts over the word-frequency
+    // vocabulary — the ONE corpus-scale aggregation in BPE training;
+    // top-100 under the (cnt desc, a, b) total order the trainer uses
+    "q_bpe_pairs" -> ((s, d) => {
+      val vocab = graft.text.Bpe.wordFreqs(t(s, d, "documents"), "text")
+        .withColumn("syms", graft.text.Bpe.initialSymbols(col("word")))
+      CrysFrame(graft.text.Bpe.adjacentPairCounts(vocab)
+          .orderBy(desc("cnt"), asc("a"), asc("b")).limit(100))
+        .sortBy("a", "b").out
+    }),
+
+    // BPE train + encode, proven lossless IN-QUERY: a merge table is
+    // trained on the corpus (driver-looped argmax over vocab-sized
+    // aggregations — the corpus is scanned once), every doc is encoded
+    // with the BpeEncodeExpr kernel, and the subword stream is
+    // REASSEMBLED (concat, end-of-word → space). The oracle computes
+    // the normalized text directly — a hash match proves the trained
+    // tokenizer round-trips every document byte-exactly.
+    "q_bpe_roundtrip" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.text.Bpe.trainBpe(docs, "text", numMerges = 40)
+      CrysFrame(docs.select(col("doc_id"),
+          trim(regexp_replace(
+            array_join(graft.text.Bpe.encodeBpe(col("text"), merges), ""),
+            graft.text.Bpe.EndOfWord, " ")).as("text_rt")))
+        .sortBy("doc_id").out
+    }),
+
     // bigram LM conditional cross-entropy (text.LangModel.bigramXent):
     // same contract as q_lm_score one order up — pair counts join on
     // 8-byte hashes while the oracle joins pair STRINGS (collision
@@ -1097,6 +1126,26 @@ object SparkEntry {
           .select(col("doc_id"), TextFunctions.stripHtml(html).as("text_plain"))
           .select(col("doc_id"), col("text_plain"),
             length(col("text_plain")).cast("long").as("n_plain")))
+        .sortBy("doc_id").out
+    }),
+
+    // URL canonicalization (text.TextFunctions.canonicalizeUrl): the
+    // dedup key for crawl URLs — scheme/host case, default ports,
+    // fragments, tracking params. Deterministic URL frames per doc_id
+    // exercise every rule; engine-portable chain, byte-exact oracle.
+    "q_url_canon" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val url = when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("HTTP://Example.COM:80/Docs/"), id,
+            lit("?utm_source=feed&id="), id, lit("#sec")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("https://CDN.example.com:443/assets/"), id,
+            lit("?id="), id, lit("&fbclid=xyz&utm_medium=m")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          lit("http://example.com?utm_campaign=c"))
+        .otherwise(concat(lit("FTP://Files.example.org:21/pub/"), id))
+      CrysFrame(t(s, d, "documents")
+          .select(col("doc_id"), TextFunctions.canonicalizeUrl(url).as("url_canon")))
         .sortBy("doc_id").out
     }),
 
@@ -2139,6 +2188,38 @@ object SparkEntry {
         |  CAST(length(text_plain) AS BIGINT) AS n_plain
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // the identical extract/replace chain as canonicalizeUrl — group
+    // extracts + GLOBAL backreference-free replaces only, so Spark's
+    // $1-vs-\1 replacement-syntax split never comes up
+    "q_url_canon" ->
+      """WITH u0 AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'HTTP://Example.COM:80/Docs/' || CAST(doc_id AS VARCHAR) || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '#sec'
+        |       WHEN doc_id % 4 = 1 THEN 'https://CDN.example.com:443/assets/' || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR) || '&fbclid=xyz&utm_medium=m'
+        |       WHEN doc_id % 4 = 2 THEN 'http://example.com?utm_campaign=c'
+        |       ELSE 'FTP://Files.example.org:21/pub/' || CAST(doc_id AS VARCHAR) END AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, trim(url) AS u FROM u0),
+        |parts AS (SELECT doc_id, u,
+        |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        |  regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+        |  regexp_extract(u, '\?([^#]*)', 1) AS query
+        |  FROM c),
+        |norm AS (SELECT doc_id, u, scheme,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |       ELSE hostport END AS host,
+        |  CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+        |  regexp_replace(regexp_replace('&' || query,
+        |    '&(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid)=[^&]*', '', 'g'),
+        |    '^&', '') AS qc
+        |  FROM parts)
+        |SELECT doc_id,
+        |  CASE WHEN scheme = '' THEN u
+        |       ELSE scheme || '://' || host || path ||
+        |            CASE WHEN qc = '' THEN '' ELSE '?' || qc END END AS url_canon
+        |FROM norm ORDER BY doc_id""".stripMargin,
+
     "q_dup_passages" ->
       """WITH d AS (
         |  SELECT doc_id, list_filter(
@@ -2275,6 +2356,33 @@ object SparkEntry {
         |GROUP BY word
         |ORDER BY n DESC, word
         |LIMIT 100""".stripMargin,
+
+    // the same tokenizer as q_vocab, then per-word codepoint symbols +
+    // '</w>' and weighted adjacent pairs — the BPE round-1 statistic
+    "q_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> t <> '')) AS w
+        |  FROM documents),
+        |wf AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+        |syms AS (SELECT w, n,
+        |  list_append(list_transform(range(1, length(w) + 1),
+        |    i -> substring(w, CAST(i AS INT), 1)), '</w>') AS s
+        |  FROM wf),
+        |pairs AS (
+        |  SELECT s[CAST(i AS INT)] AS a, s[CAST(i AS INT) + 1] AS b, n
+        |  FROM syms, UNNEST(range(1, len(s))) AS t(i)),
+        |agg AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS cnt FROM pairs
+        |        GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 100)
+        |SELECT a, b, cnt FROM agg ORDER BY a, b""".stripMargin,
+
+    // the oracle is the NORMALIZED TEXT itself: a hash match proves
+    // the trained BPE merge table encodes and reassembles every doc
+    // losslessly (the round-trip is the Spark side's job)
+    "q_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS text_rt
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // bigrams join words with ' ' — injective, words cannot contain a
     // space post-normalization; ratios deliberately NOT rounded (raw

@@ -74,6 +74,10 @@ object Kernels {
 
   def wordNgramHashes(tokens: Column, n: Int): Column =
     column(WordNgramHashExpr(expression(tokens), n))
+
+  def bpeEncode(tokens: Column, merges: Seq[(String, String)],
+                endOfWord: String = "</w>"): Column =
+    column(BpeEncodeExpr(expression(tokens), merges, endOfWord))
 }
 
 /** MinHash signature over character shingles of an (already normalized)
@@ -610,6 +614,91 @@ case class RepetitionStatsExpr(child: Expression)
     }
     org.apache.spark.sql.catalyst.InternalRow(
       total, wordCounts.size(), totalBigrams, bigrams.size(), top)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** BPE inference over a token array with a learned merge table: each
+  * token decomposes to codepoint symbols + the end-of-word marker,
+  * then the LOWEST-RANK adjacent pair present in the table merges (all
+  * its occurrences, leftmost-first) until no listed pair remains — the
+  * standard encode loop (Sennrich et al., ACL '16). The merge table is
+  * part of the expression (it IS the model — broadcast-sized at
+  * production vocabularies), so encoding is row-local and map-only.
+  *
+  * Output: the concatenated subword stream across tokens (each word's
+  * last subword carries the end-of-word marker), `array<string>`. */
+case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)],
+                         endOfWord: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bpe_encode expects array<string> tokens, got ${other.sql}")
+  }
+
+  // pair → rank; the separator cannot occur inside symbols (symbols
+  // are substrings of real tokens, which the tokenizer split on
+  // whitespace — a NUL never survives text ingestion)
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.put(a + "\u0000" + b, i)
+    }
+    m
+  }
+
+  private def charSyms(word: String): Array[String] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[String](word.length + 1)
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      buf += word.substring(i, i + n)
+      i += n
+    }
+    buf += endOfWord
+    buf.toArray
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var t = 0
+    while (t < arr.numElements()) {
+      var syms = charSyms(arr.getUTF8String(t).toString)
+      var more = true
+      while (more) {
+        var bestRank = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = rank.get(syms(i) + "\u0000" + syms(i + 1))
+          if (r != null && r < bestRank) bestRank = r
+          i += 1
+        }
+        if (bestRank == Int.MaxValue) more = false
+        else {
+          val (a, b) = merges(bestRank)
+          val fused = a + b
+          val nb = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+              nb += fused; j += 2
+            } else { nb += syms(j); j += 1 }
+          }
+          syms = nb.toArray
+        }
+      }
+      syms.foreach(s => out += UTF8String.fromString(s))
+      t += 1
+    }
+    new GenericArrayData(out.toArray[Any])
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

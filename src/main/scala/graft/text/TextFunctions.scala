@@ -143,6 +143,45 @@ object TextFunctions {
     "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&",
     "\\s+" -> " ")
 
+  /** Crawl-pipeline URL canonicalization — the key under which URL
+    * dedup/frequency analysis should run. For any `scheme://` URL:
+    * scheme and host lowercase (path/query case PRESERVED — paths are
+    * case-sensitive per RFC 3986), default ports dropped (`:80` for
+    * http, `:443` for https), fragment dropped, tracking parameters
+    * removed (`utm_*`, `fbclid`, `gclid`, `msclkid`, `igshid`,
+    * `mc_cid`/`mc_eid`), empty path normalized to `/`. Scheme-less
+    * strings pass through trimmed (they are not URLs to normalize).
+    * Deliberately NOT done: query-param reordering and trailing-slash
+    * stripping — both change semantics on real servers.
+    *
+    * Engine-portable by construction: regexp_extract with group
+    * indexes + GLOBAL backreference-free regexp_replace only, so the
+    * DuckDB oracle runs the identical chain (Spark's `$1`-style vs
+    * RE2's `\1`-style replacement syntax never comes up). The query
+    * string is canonicalized by prefixing `&`, globally deleting
+    * `&param=value` tracking units, then stripping the anchored
+    * leading `&` — every step is a global replace that both engines
+    * execute identically, with no first-occurrence-only semantics.
+    * Map-only codegen'd expressions; no shuffle at any corpus size. */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+    val scheme = lower(regexp_extract(u, schemeRe, 1))
+    val hostport = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val path0 = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val q1 = regexp_replace(concat(lit("&"), query),
+      "&(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid)=[^&]*", "")
+    val qc = regexp_replace(q1, "^&", "")
+    when(scheme === "", u).otherwise(concat(
+      scheme, lit("://"), host, path,
+      when(qc === "", lit("")).otherwise(concat(lit("?"), qc))))
+  }
+
   /** THE pipeline tokenizer: [[normalizeText]] then a single-space
     * split, empties dropped. Every token-level operator (BM25, tf-idf,
     * decontamination, LM scoring, chunking) uses this one definition,

@@ -229,6 +229,25 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(strip("  <div>\n  x\t y  </div>  ") == "x y")
   }
 
+  test("canonicalizeUrl: case, default ports, fragments, tracking params, passthrough") {
+    import spark.implicits._
+    def canon(s: String): String =
+      Seq(s).toDF("u").select(TextFunctions.canonicalizeUrl(col("u"))).head.getString(0)
+    // scheme+host lowercase, PATH CASE PRESERVED, :80 dropped, fragment dropped
+    assert(canon("HTTP://Example.COM:80/A/b?x=1#frag") == "http://example.com/A/b?x=1")
+    // empty path -> '/', :443 dropped for https only
+    assert(canon("https://H.com:443") == "https://h.com/")
+    assert(canon("https://h.com:8443/p") == "https://h.com:8443/p")
+    assert(canon("ftp://H.com:80/p") == "ftp://h.com:80/p")
+    // tracking params removed wherever they sit; survivors keep order
+    assert(canon("http://h.com/?utm_source=a&q=1&utm_medium=b") == "http://h.com/?q=1")
+    assert(canon("http://h.com/p?fbclid=x&gclid=y") == "http://h.com/p")
+    assert(canon("http://h.com/p?a=1&b=2") == "http://h.com/p?a=1&b=2")
+    // dangling '?' drops; scheme-less strings pass through trimmed
+    assert(canon("http://h.com/p?") == "http://h.com/p")
+    assert(canon("  not a url  ") == "not a url")
+  }
+
   test("repetition kernel counts duplicate words and bigrams exactly") {
     import spark.implicits._
     val df = Seq(
