@@ -161,6 +161,24 @@ object StreamVerbs {
       .unionByName(wm.filter(col(sigCol).isNull))
   }
 
+  /** Streaming twin of [[graft.ml.Dedup.dedupAgainstExact]] — the
+    * production ingest loop end to end: a LIVE crawl stream deduped
+    * AGAINST the standing corpus's precomputed hash set
+    * ([[graft.ml.Dedup.corpusContentHashes]], the persist-once-per-
+    * snapshot artifact). Stream-static LEFT ANTI join on the 8-byte
+    * content hash: STATELESS on the streaming side (no watermark
+    * needed — the corpus side is static per micro-batch), so this
+    * composes freely with [[streamingContentDedup]] for intra-stream
+    * duplicates ahead of it. Corpus refreshes between restarts pick up
+    * the re-read static frame, the standard stream-static contract. */
+  def streamDedupAgainstCorpus(stream: DataFrame, corpusHashes: DataFrame,
+                               textCol: String,
+                               hashCol: String = "content_hash"): DataFrame =
+    stream
+      .withColumn(hashCol, graft.text.TextFunctions.contentHash(col(textCol)))
+      .join(corpusHashes, Seq(hashCol), "left_anti")
+      .drop(hashCol)
+
   /** Stream-static dimension enrichment: broadcast-join a (small,
     * slowly-changing) dimension onto the stream — map-side per
     * micro-batch, no streaming state at all. The everyday shape for

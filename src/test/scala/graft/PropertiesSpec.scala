@@ -107,6 +107,45 @@ class PropertiesSpec extends GraftSpec {
     }
   }
 
+  test("property: canonicalizeUrl is idempotent and BPE encode round-trips") {
+    import graft.text.{Bpe, TextFunctions}
+    // random-ish URLs assembled from canonical-and-not parts: a second
+    // canonicalization pass must be the identity (the output never
+    // contains a default port, tracking param, or fragment to re-fix)
+    val genUrl = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "ftp", "")
+      host <- Gen.oneOf("Example.com", "a.B.c", "h")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/A/b", "/x%20y")
+      qs <- Gen.oneOf("", "?a=1", "?utm_source=t", "?a=1&utm_x=2&b=3", "?utm_a=1&utm_b=2")
+      frag <- Gen.oneOf("", "#f", "#a/b?c")
+    } yield if (scheme == "") host + path + qs + frag
+      else s"$scheme://$host$port$path$qs$frag"
+    check("url idempotence")(Prop.forAll(Gen.listOfN(8, genUrl)) { urls =>
+      import spark.implicits._
+      val once = urls.toDF("u")
+        .select(TextFunctions.canonicalizeUrl(col("u")).as("c1"))
+      val twice = once.select(col("c1"),
+        TextFunctions.canonicalizeUrl(col("c1")).as("c2")).collect()
+      twice.forall(r => r.getString(0) == r.getString(1))
+    })
+    // arbitrary word soups: train a few merges, encode, reassemble —
+    // must equal the normalized text (losslessness is a property of
+    // the algorithm, not of friendly fixtures)
+    val genText = Gen.listOfN(6,
+      Gen.oneOf("low", "lower", "newest", "wide", "ab", "a", "xyzzy", "Ab"))
+      .map(_.mkString(" "))
+    check("bpe roundtrip", cases = 3)(Prop.forAll(Gen.listOfN(4, genText)) { texts =>
+      import spark.implicits._
+      val df = texts.toDF("text")
+      val merges = Bpe.trainBpe(df, "text", numMerges = 6, minCount = 1L)
+      df.select(TextFunctions.normalizeText(col("text")).as("n"),
+          trim(regexp_replace(array_join(Bpe.encodeBpe(col("text"), merges), ""),
+            Bpe.EndOfWord, " ")).as("rt")).collect()
+        .forall(r => r.getString(0) == r.getString(1))
+    })
+  }
+
   test("property: MP3 walk recovers frames/duration/bitrate of arbitrary VBR streams") {
     // pure-JVM property (no Spark jobs): serialize random VALID frame
     // sequences from the PUBLIC header tables (ISO/IEC 11172-3 —

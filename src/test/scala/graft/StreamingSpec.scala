@@ -129,6 +129,40 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("stream dedup against a standing corpus: the live ingest loop, batch-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "an existing corpus document")).toDF("doc_id", "text")
+    val hashes = graft.ml.Dedup.corpusContentHashes(corpus, "text", "content_hash")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamVerbs.streamDedupAgainstCorpus(docs, hashes, "text")
+      .writeStream.format("memory").queryName("cdedup_against")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        // normalization-equal to corpus 10: dropped
+        (1L, ts(0), "  The QUICK brown fox jumps over the lazy   dog"),
+        (2L, ts(1), "genuinely new content"))
+      q.processAllAvailable()
+      in.addData(
+        (3L, ts(2), "an existing corpus document"), // corpus 11: dropped
+        (4L, ts(3), "genuinely new content"))       // NOT intra-stream deduped
+      q.processAllAvailable()
+      val kept = spark.table("cdedup_against").collect().map(_.getLong(0)).sorted
+      assert(kept.toSeq == Seq(2L, 4L), kept.mkString(","))
+      // batch-identical keep-set via the batch twin on the same rows
+      val batch = Seq((1L, "  The QUICK brown fox jumps over the lazy   dog"),
+        (2L, "genuinely new content"), (3L, "an existing corpus document"),
+        (4L, "genuinely new content")).toDF("doc_id", "text")
+      val bk = graft.ml.Dedup.dedupAgainstExact(batch, corpus, "text")
+        .collect().map(_.getLong(0)).sorted
+      assert(bk.toSeq == kept.toSeq)
+    } finally q.stop()
+  }
+
   test("stream-static enrich broadcast-joins a dimension per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
