@@ -646,6 +646,15 @@ object SparkEntry {
         .select(col("lang"), col("doc_id")))
         .sortBy("lang", "doc_id").out),
 
+    // deterministic stratified sample (ml.Sampling.stratifiedSample):
+    // exactly 20 docs per lang in content-stable hash order — the
+    // oracle reproduces the identical draw in SQL integer arithmetic
+    "q_stratified_sample" -> ((s, d) =>
+      CrysFrame(Sampling.stratifiedSample(t(s, d, "documents"),
+        strataCols = Seq("lang"), idCol = "doc_id", n = 20)
+        .select(col("lang"), col("doc_id")))
+        .sortBy("lang", "doc_id").out),
+
     // binned range join (operators.RangeJoin): every event matched to
     // the session interval containing it — equi-join on (user, time
     // bin) + residual filter, never a nested-loop. Sessions of a user
@@ -1697,6 +1706,13 @@ object SparkEntry {
         |    ORDER BY -ln(((doc_id * 2654435761 + 42) % 2147483647 + 0.5) / 2147483647) / n_chars,
         |             doc_id) AS rn
         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY (doc_id * 2654435761 + 42) % 2147483647, doc_id) AS rn
+        |  FROM documents)
         |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
 
     "q_range_join" ->

@@ -168,6 +168,25 @@ object Sampling {
       .drop("__pm")
   }
 
+  /** Deterministic stratified sample: exactly min(n, |stratum|) rows
+    * per stratum, chosen by the content-stable Knuth-hash order (id
+    * tie-break) — "give me the SAME 1000 docs per language every run,
+    * on any cluster". The uniform counterpart of [[weightedSample]]:
+    * same one-shuffle per-stratum rank, hash priority instead of
+    * exponential clocks. Adding/removing rows can only shift the
+    * selection boundary, never reshuffle it (the hash order is a pure
+    * row function), and any SQL engine reproduces the draw. */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String], idCol: String,
+                       n: Int, seed: Long = 42L): DataFrame = {
+    require(strataCols.nonEmpty, "stratifiedSample needs at least one stratum column")
+    require(n > 0, s"n must be positive, got $n")
+    val rn = "__ss_rank"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(knuthHash(col(idCol), seed), col(idCol))
+    df.withColumn(rn, row_number().over(w)).filter(col(rn) <= n).drop(rn)
+  }
+
   /** Weighted sample WITHOUT replacement, k rows per key group:
     * exponential-clock priorities (Efraimidis–Spirakis via
     * `-ln(u)/w`), smallest k win — a row's selection probability is

@@ -377,6 +377,36 @@ class WindowJoinsSpec extends GraftSpec {
       Sampling.mixtureResample(docs, "src", "id", w, 1.5) }
   }
 
+  test("stratifiedSample: exact n per stratum, hash-stable, small strata take all") {
+    import spark.implicits._
+    import graft.ml.Sampling
+    val docs = (1L to 1000L).map(i => (i, if (i <= 900) "big" else "small"))
+      .toDF("id", "src")
+    val kept = Sampling.stratifiedSample(docs, Seq("src"), "id", n = 50)
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("big" -> 50L, "small" -> 50L), bySrc.toString)
+    // a stratum below n keeps everything
+    val tiny = Sampling.stratifiedSample(docs, Seq("src"), "id", n = 500)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tiny == Map("big" -> 500L, "small" -> 100L), tiny.toString)
+    // content-stable: same rows under repartitioning; boundary-only
+    // drift when rows are removed (survivors of a subset stay chosen)
+    val a = kept.select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratifiedSample(docs.repartition(13), Seq("src"), "id", 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    val subset = Sampling.stratifiedSample(
+      docs.filter(col("id") % 10 =!= 0), Seq("src"), "id", 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // removing rows only ADMITS new ids past the boundary: every
+    // previously-chosen survivor remains chosen
+    assert((a -- subset).forall(_ % 10 == 0), (a -- subset).toString)
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(docs, Seq(), "id", 5) }
+  }
+
   test("greedy packing: budget boundaries, oversize rows, per-key reset") {
     import spark.implicits._
     import graft.operators.Pack
