@@ -1212,6 +1212,28 @@ object SparkEntry {
     // Every aggregate is order-insensitive-exact (counts, int sums,
     // min/max of identical 4-dp doubles) so the composite stays
     // hash-stable; a mean would sum doubles in engine-dependent order
+    // END-TO-END INGEST COMPOSITE over the round-6 ops, one plan: the
+    // odd half of documents arrives as an HTML "crawl" and runs
+    // stripHtml → dedupAgainstExact vs the standing corpus (the even
+    // half, ingested through the SAME strip earlier) → quality gate →
+    // per-lang audit counts. Quality folds as micro-quantized integer
+    // sums so the composite stays hash-stable under any partitioning.
+    "q_ingest_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def stripped(half: Int) = docs
+        .filter(pmod(col("doc_id"), lit(2)) === half)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.stripHtml(concat(lit("<html><body><p>"), col("text"),
+            lit("</p><!-- note --></body></html>"))).as("text_plain"))
+      val kept = Dedup.dedupAgainstExact(stripped(1), stripped(0), "text_plain")
+        .withColumn("quality", TextFunctions.qualityScore(col("text_plain")))
+        .filter(col("quality") >= 0.5)
+      CrysFrame(kept.groupBy(col("lang"))
+          .agg(F.count(lit(1)).as("n_kept"),
+            F.sum(round(col("quality") * lit(1e4), 0).cast("long")).as("q_micro")))
+        .sortBy("lang").out
+    }),
+
     "q_pipeline" -> ((s, d) => {
       val scored = t(s, d, "documents")
         .withColumn("quality", TextFunctions.qualityScore(col("text")))
@@ -2429,6 +2451,53 @@ object SparkEntry {
         |      u -> len(list_filter(words, x -> x = u)))) AS DOUBLE) / total
         |       ELSE 0.0 END AS top_word_ratio
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the strip chain from q_strip_html + the normalized-text anti-join
+    // from q_dedup_against + the quality formula from q_quality,
+    // composed; quality folds as integer micro-units
+    "q_ingest_pipeline" ->
+      """WITH stripped AS (
+        |  SELECT doc_id, lang, doc_id % 2 AS half, trim(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    '<html><body><p>' || text || '</p><!-- note --></body></html>',
+        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '<[^>]+>', ' ', 'g'),
+        |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |      '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+        |    '\s+', ' ', 'g')) AS tp
+        |  FROM documents),
+        |kept AS (
+        |  SELECT b.doc_id, b.lang, b.tp FROM stripped b
+        |  WHERE b.half = 1 AND NOT EXISTS (
+        |    SELECT 1 FROM stripped c WHERE c.half = 0 AND
+        |      regexp_replace(lower(trim(c.tp)), '\s+', ' ', 'g') =
+        |      regexp_replace(lower(trim(b.tp)), '\s+', ' ', 'g'))),
+        |parts AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(tp) AS DOUBLE) AS nchars,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(tp), '[^\p{L}\p{N}'']+'),
+        |                         t -> len(t) > 0)) AS DOUBLE) AS ntok,
+        |    CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(tp), '[^\p{L}\p{N}'']+'),
+        |                                       t -> len(t) > 0))) AS DOUBLE) AS nuniq,
+        |    CAST(length(regexp_replace(tp, '[^\p{L}]', '', 'g')) AS DOUBLE) AS alpha,
+        |    CASE WHEN regexp_matches(tp, '[.!?]["'')\]]?\s*$') THEN 1.0 ELSE 0.0 END AS term
+        |  FROM kept),
+        |scored AS (
+        |  SELECT lang, round(((alpha / greatest(nchars, 1.0))
+        |       + (nuniq / greatest(ntok, 1.0))
+        |       + term
+        |       + (CASE WHEN ntok >= 5 AND ntok <= 100000 THEN 1.0 ELSE 0.0 END)
+        |       + (CASE WHEN alpha / greatest(ntok, 1.0) >= 2
+        |                AND alpha / greatest(ntok, 1.0) <= 12 THEN 1.0 ELSE 0.0 END)) / 5.0,
+        |        4) AS quality
+        |  FROM parts)
+        |SELECT lang, count(*) AS n_kept,
+        |  CAST(sum(CAST(round(quality * 1e4, 0) AS BIGINT)) AS BIGINT) AS q_micro
+        |FROM scored WHERE quality >= 0.5
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_quality" ->
       """WITH parts AS (
