@@ -171,20 +171,52 @@ object Sampling {
   /** Deterministic stratified sample: exactly min(n, |stratum|) rows
     * per stratum, chosen by the content-stable Knuth-hash order (id
     * tie-break) — "give me the SAME 1000 docs per language every run,
-    * on any cluster". The uniform counterpart of [[weightedSample]]:
-    * same one-shuffle per-stratum rank, hash priority instead of
-    * exponential clocks. Adding/removing rows can only shift the
-    * selection boundary, never reshuffle it (the hash order is a pure
-    * row function), and any SQL engine reproduces the draw. */
+    * on any cluster". The uniform counterpart of [[weightedSample]].
+    * Adding/removing rows can only shift the selection boundary, never
+    * reshuffle it (the hash order is a pure row function), and any SQL
+    * engine reproduces the draw. Rows with a null id are excluded (no
+    * draw is defined for them — same convention as weightedSample's
+    * null weights).
+    *
+    * Two physical paths, identical selected set (total order pri asc,
+    * id asc on both): integral ids take the BOUNDED-AGGREGATE path —
+    * each task folds its slice into a ≤n buffer per stratum
+    * ([[MinKByKeyAgg]]), only strata × tasks × n pairs shuffle, the
+    * picked ids (strata × n rows, broadcast-sized in practice) join
+    * back map-side — no stratum is ever sorted whole. Other id types
+    * fall back to a per-stratum `row_number` window, which exchanges
+    * and sorts the full input; at 100 TB prefer integral ids. */
   def stratifiedSample(df: DataFrame, strataCols: Seq[String], idCol: String,
                        n: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
     require(strataCols.nonEmpty, "stratifiedSample needs at least one stratum column")
     require(n > 0, s"n must be positive, got $n")
-    val rn = "__ss_rank"
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strataCols.map(col): _*)
-      .orderBy(knuthHash(col(idCol), seed), col(idCol))
-    df.withColumn(rn, row_number().over(w)).filter(col(rn) <= n).drop(rn)
+    val nn = df.filter(col(idCol).isNotNull)
+    df.schema(idCol).dataType match {
+      case LongType | IntegerType =>
+        // picked carries the STRATA alongside the id, so an id
+        // duplicated across strata can never leak a foreign stratum's
+        // rows through the semi-join; within a stratum, idCol is
+        // assumed unique (the contract of every id-hash operator here)
+        val mk = udaf(new MinKByKeyAgg(n),
+          org.apache.spark.sql.Encoders.product[MinKKeyItem])
+        val picked = nn
+          .groupBy(strataCols.map(col): _*)
+          .agg(mk(knuthHash(col(idCol), seed),
+            col(idCol).cast("long")).as("__mk"))
+          .select(strataCols.map(col) :+
+            explode(col("__mk").getField("items")).as("__it"): _*)
+          .select(strataCols.map(col) :+
+            col("__it").getField("id").cast(df.schema(idCol).dataType).as(idCol): _*)
+        // strata × n rows: AQE broadcasts when it fits, hash-joins above
+        nn.join(picked, strataCols :+ idCol, "left_semi")
+      case _ =>
+        val rn = "__ss_rank"
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(strataCols.map(col): _*)
+          .orderBy(knuthHash(col(idCol), seed), col(idCol))
+        nn.withColumn(rn, row_number().over(w)).filter(col(rn) <= n).drop(rn)
+    }
   }
 
   /** Weighted sample WITHOUT replacement, k rows per key group:

@@ -87,6 +87,44 @@ class MinKSigAgg(k: Int) extends Aggregator[MinKSigItem, MinKSigBuf, MinKSigBuf]
   override def outputEncoder = Encoders.product[MinKSigBuf]
 }
 
+/** One (priority, id) candidate for bounded smallest-k-by-priority
+  * selection. Top-level for Janino (see TopKItem). */
+case class MinKKeyItem(pri: Long, id: Long)
+
+/** Aggregation buffer: ascending by (pri, id), at most k items. */
+case class MinKKeyBuf(items: Seq[MinKKeyItem])
+
+/** Bounded "k smallest (priority, id) pairs per group" as a partial
+  * aggregate — the sort-free scale path for deterministic per-stratum
+  * sampling: each task folds its slice into a ≤k buffer, only
+  * strata × tasks × k pairs reach the shuffle, and no stratum is ever
+  * sorted whole (the `row_number` window formulation exchanges and
+  * sorts the full input). Total order (pri asc, id asc), so the
+  * selected set is identical to the window formulation's under any
+  * partitioning. */
+class MinKByKeyAgg(k: Int) extends Aggregator[MinKKeyItem, MinKKeyBuf, MinKKeyBuf] {
+
+  private def less(a: MinKKeyItem, b: MinKKeyItem): Boolean =
+    a.pri < b.pri || (a.pri == b.pri && a.id < b.id)
+
+  private def insert(items: Seq[MinKKeyItem], x: MinKKeyItem): Seq[MinKKeyItem] =
+    if (items.size >= k && less(items.last, x)) items // common case: no alloc
+    else {
+      val (pre, post) = items.span(less(_, x))
+      val merged = (pre :+ x) ++ post
+      if (merged.size > k) merged.take(k) else merged
+    }
+
+  override def zero: MinKKeyBuf = MinKKeyBuf(Vector.empty)
+  override def reduce(b: MinKKeyBuf, a: MinKKeyItem): MinKKeyBuf =
+    MinKKeyBuf(insert(b.items, a))
+  override def merge(b1: MinKKeyBuf, b2: MinKKeyBuf): MinKKeyBuf =
+    MinKKeyBuf(b2.items.foldLeft(b1.items)(insert))
+  override def finish(b: MinKKeyBuf): MinKKeyBuf = b
+  override def bufferEncoder = Encoders.product[MinKKeyBuf]
+  override def outputEncoder = Encoders.product[MinKKeyBuf]
+}
+
 /** One (score, term) candidate with a STRING payload — for top-k
   * rankings whose members are terms, not row ids (tf-idf keywords).
   * Top-level for Janino (see TopKItem). */

@@ -405,6 +405,22 @@ class WindowJoinsSpec extends GraftSpec {
     assert((a -- subset).forall(_ % 10 == 0), (a -- subset).toString)
     intercept[IllegalArgumentException] {
       Sampling.stratifiedSample(docs, Seq(), "id", 5) }
+    // the two physical paths select the SAME rows: string ids force
+    // the window fallback; the integral path must agree value-for-value
+    val viaWindow = Sampling.stratifiedSample(
+        docs.withColumn("id", col("id").cast("string")), Seq("src"), "id", 50)
+      .select("id").collect().map(_.getString(0).toLong).toSet
+    assert(viaWindow == a, (viaWindow -- a).toString)
+    // integral path is sort-free: bounded partial aggregate + semi-join,
+    // never a per-stratum Window sort of the whole input
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1200))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1200))
+    // null ids are excluded, not ranked first
+    val withNull = docs.withColumn("id",
+      when(col("id") === 1L, lit(null: java.lang.Long)).otherwise(col("id")))
+    assert(!Sampling.stratifiedSample(withNull, Seq("src"), "id", 50)
+      .collect().map(r => Option(r.get(0))).contains(None))
   }
 
   test("greedy packing: budget boundaries, oversize rows, per-key reset") {
