@@ -1207,11 +1207,6 @@ object SparkEntry {
         .sortBy("query_id", "rank").out
     }),
 
-    // end-to-end training-data pipeline in ONE plan: quality filter →
-    // exact dedup (min-id per content hash) → per-language stats.
-    // Every aggregate is order-insensitive-exact (counts, int sums,
-    // min/max of identical 4-dp doubles) so the composite stays
-    // hash-stable; a mean would sum doubles in engine-dependent order
     // END-TO-END INGEST COMPOSITE over the round-6 ops, one plan: the
     // odd half of documents arrives as an HTML "crawl" and runs
     // stripHtml → dedupAgainstExact vs the standing corpus (the even
@@ -1234,6 +1229,11 @@ object SparkEntry {
         .sortBy("lang").out
     }),
 
+    // end-to-end training-data pipeline in ONE plan: quality filter →
+    // exact dedup (min-id per content hash) → per-language stats.
+    // Every aggregate is order-insensitive-exact (counts, int sums,
+    // min/max of identical 4-dp doubles) so the composite stays
+    // hash-stable; a mean would sum doubles in engine-dependent order
     "q_pipeline" -> ((s, d) => {
       val scored = t(s, d, "documents")
         .withColumn("quality", TextFunctions.qualityScore(col("text")))
@@ -2241,7 +2241,7 @@ object SparkEntry {
         |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         |  lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
         |  regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
-        |  regexp_extract(u, '\?([^#]*)', 1) AS query
+        |  regexp_extract(regexp_replace(u, '(?s)#.*$', ''), '(?s)\?(.*)$', 1) AS query
         |  FROM c),
         |norm AS (SELECT doc_id, u, scheme,
         |  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')

@@ -643,13 +643,17 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)],
         s"bpe_encode expects array<string> tokens, got ${other.sql}")
   }
 
-  // pair → rank; the separator cannot occur inside symbols (symbols
-  // are substrings of real tokens, which the tokenizer split on
-  // whitespace — a NUL never survives text ingestion)
+  // pair → rank, FIRST occurrence winning: training can legitimately
+  // re-emit a pair whose adjacency a later merge recreates (a fused
+  // symbol can equal the left element of an earlier pair), and
+  // reference encoders resolve such duplicates to the EARLIEST rank —
+  // last-wins would reorder the greedy loop against training's replay.
+  // The NUL separator cannot occur inside symbols (substrings of real
+  // tokens — a NUL never survives text ingestion).
   @transient private lazy val rank: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
     merges.zipWithIndex.foreach { case ((a, b), i) =>
-      m.put(a + "\u0000" + b, i)
+      m.putIfAbsent(a + "\u0000" + b, i)
     }
     m
   }

@@ -52,17 +52,30 @@ object Dedup {
     val ch = "__against_chash"
     require(!batch.columns.contains(ch),
       s"dedupAgainstExact uses internal column $ch — the batch already has it")
-    batch.withColumn(ch, TextFunctions.contentHash(col(textCol)))
+    batch.withColumn(ch, againstHash(col(textCol)))
       .join(corpusContentHashes(corpus, textCol, ch), Seq(ch), "left_anti")
       .drop(ch)
   }
 
+  /** Null-text rows must SURVIVE ingest dedup (unhashable rows
+    * survive, the repo convention) — but `xxhash64(NULL)` returns the
+    * SEED, not null, so a raw contentHash would collide every
+    * null-text batch row with every null-text corpus row (and the
+    * NOT-EXISTS oracle, where NULL = NULL never matches, disagrees).
+    * A null hash key never matches in a left_anti join → survives. */
+  private[graft] def againstHash(text: Column): Column =
+    when(text.isNull, lit(null).cast("long"))
+      .otherwise(TextFunctions.contentHash(text))
+
   /** The reusable half of [[dedupAgainstExact]]: the corpus's distinct
-    * normalized content hashes under the given column name. Persist or
-    * write this once per corpus snapshot and feed every ingest batch. */
+    * normalized content hashes under the given column name (null-text
+    * corpus rows contribute nothing — they are not dedup keys).
+    * Persist or write this once per corpus snapshot and feed every
+    * ingest batch. */
   def corpusContentHashes(corpus: DataFrame, textCol: String,
                           hashCol: String = "content_hash"): DataFrame =
-    corpus.select(TextFunctions.contentHash(col(textCol)).as(hashCol)).distinct()
+    corpus.filter(col(textCol).isNotNull)
+      .select(TextFunctions.contentHash(col(textCol)).as(hashCol)).distinct()
 
   /** Incremental ingest dedup, near: drop `batch` rows whose MinHash
     * signature agrees with ANY corpus row at ≥ `threshold` among the
@@ -97,17 +110,10 @@ object Dedup {
       df.filter(col(idCol).isNotNull)
         .select(col(idCol).cast("long").as(idCol), col(textCol))
     }
-    val corpusBanded = sigFrame(longIds(corpus), idCol, textCol, numHashes, shingleSize)
-      .select(col("__id"), col("__sig"),
-        explode_outer(bandKeys(col("__sig"), numHashes, bands)).as("__bkey"))
-    val mk = F.udaf(new MinKSigAgg(maxPartners),
-      org.apache.spark.sql.Encoders.product[MinKSigItem])
-    val anchors = corpusBanded.groupBy(col("__bkey"))
-      .agg(mk(col("__id"), col("__sig")).as("__mk"))
-      .select(col("__bkey"), col("__mk").getField("items").as("__anchors"))
-    val batchBanded = sigFrame(longIds(batch), idCol, textCol, numHashes, shingleSize)
-      .select(col("__id"), col("__sig"),
-        explode_outer(bandKeys(col("__sig"), numHashes, bands)).as("__bkey"))
+    val (_, anchors) = bandedAnchors(longIds(corpus), idCol, textCol,
+      numHashes, bands, shingleSize, maxPartners)
+    val (batchBanded, _) = bandedAnchors(longIds(batch), idCol, textCol,
+      numHashes, bands, shingleSize, maxPartners)
     // inner join: a batch row in a bucket no corpus row occupies has no
     // candidates — it survives via the left_anti below
     val dups = batchBanded.join(anchors, Seq("__bkey"))
@@ -181,6 +187,31 @@ object Dedup {
         TextFunctions.normalizeText(col(textCol)), numHashes, shingleSize).as("__sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** The ONE banding + anchor-fold construction behind every
+    * anchor-probe dedup path (intra-corpus [[minhashDedup]] and
+    * cross-corpus [[dedupAgainstNear]]): `banded` is the (__id, __sig,
+    * __bkey) explode of `df`'s signatures (explode_outer — bandKeys is
+    * fixed-size and never empty, and a plain explode's inferred
+    * size-filter would evaluate it twice); `anchors` folds each bucket
+    * to its `maxPartners` SMALLEST (id, sig) members via the bounded
+    * [[MinKSigAgg]] partial aggregate, so a degenerate 10^6-copy
+    * bucket costs k × sigBytes, never |bucket|. Both frames are lazy —
+    * a caller using only one pays only for that one. `df` must carry a
+    * non-null long `idCol`. */
+  private def bandedAnchors(df: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int, bands: Int, shingleSize: Int,
+                            maxPartners: Int): (DataFrame, DataFrame) = {
+    val banded = sigFrame(df, idCol, textCol, numHashes, shingleSize)
+      .select(col("__id"), col("__sig"),
+        explode_outer(bandKeys(col("__sig"), numHashes, bands)).as("__bkey"))
+    val mk = F.udaf(new MinKSigAgg(maxPartners),
+      org.apache.spark.sql.Encoders.product[MinKSigItem])
+    val anchors = banded.groupBy(col("__bkey"))
+      .agg(mk(col("__id"), col("__sig")).as("__mk"))
+      .select(col("__bkey"), col("__mk").getField("items").as("__anchors"))
+    (banded, anchors)
+  }
+
   /** LSH band keys: signature split into `bands` bands of
     * numHashes/bands rows each, each band hashed to one long. */
   def bandKeys(sig: Column, numHashes: Int, bands: Int): Column = {
@@ -237,19 +268,10 @@ object Dedup {
         // candidates (the UDAF's product encoder would reject them);
         // they survive in the output via the left_anti below, the same
         // semantics the pair formulation gave them.
-        val sigs = sigFrame(
+        val (banded, anchors) = bandedAnchors(
           df.filter(col(idCol).isNotNull)
             .select(col(idCol).cast("long").as(idCol), col(textCol)),
-          idCol, textCol, numHashes, shingleSize)
-        // explode_outer: bandKeys is fixed-size (never empty), and a
-        // plain explode's inferred size-filter would evaluate it twice
-        val banded = sigs.select(col("__id"), col("__sig"),
-          explode_outer(bandKeys(col("__sig"), numHashes, bands)).as("__bkey"))
-        val mk = F.udaf(new MinKSigAgg(maxPartners),
-          org.apache.spark.sql.Encoders.product[MinKSigItem])
-        val anchors = banded.groupBy(col("__bkey"))
-          .agg(mk(col("__id"), col("__sig")).as("__mk"))
-          .select(col("__bkey"), col("__mk").getField("items").as("__anchors"))
+          idCol, textCol, numHashes, bands, shingleSize, maxPartners)
         banded.join(anchors, Seq("__bkey"))
           .filter(graft.functions.Kernels.minhashAnchorDrop(
             col("__id"), col("__sig"), col("__anchors"), numHashes, threshold))

@@ -204,12 +204,19 @@ object Sampling {
           .groupBy(strataCols.map(col): _*)
           .agg(mk(knuthHash(col(idCol), seed),
             col(idCol).cast("long")).as("__mk"))
-          .select(strataCols.map(col) :+
+          .select(strataCols.map(c => col(c).as(s"__ps_$c")) :+
             explode(col("__mk").getField("items")).as("__it"): _*)
-          .select(strataCols.map(col) :+
-            col("__it").getField("id").cast(df.schema(idCol).dataType).as(idCol): _*)
-        // strata × n rows: AQE broadcasts when it fits, hash-joins above
-        nn.join(picked, strataCols :+ idCol, "left_semi")
+          .select(strataCols.map(c => col(s"__ps_$c")) :+
+            col("__it").getField("id").cast(df.schema(idCol).dataType).as("__ps_id"): _*)
+        // NULL-SAFE equality on the strata: groupBy keeps a null
+        // stratum as a group, and a plain equi-join would then never
+        // match it back (NULL = NULL is not TRUE) — silently emptying
+        // that stratum while the window fallback samples it. <=> is
+        // still an equi-join key (hash join, AQE-broadcastable:
+        // strata × n rows on the build side). Ids are non-null here.
+        val cond = strataCols.map(c => col(c) <=> col(s"__ps_$c"))
+          .reduce(_ && _) && col(idCol) === col("__ps_id")
+        nn.join(picked, cond, "left_semi")
       case _ =>
         val rn = "__ss_rank"
         val w = org.apache.spark.sql.expressions.Window

@@ -60,6 +60,10 @@ object StreamVerbs {
       org.apache.spark.sql.Encoders.STRING)
     rows
       .withWatermark(tsCol, lateness)
+      // null keys are ignored, the batch HeavyHitters contract — fed
+      // through, they become null MAP KEYS in the sketch buffer, which
+      // Catalyst's map encoder rejects at serialization (query death)
+      .filter(col(keyCol).isNotNull)
       .groupBy(window(col(tsCol), window_))
       .agg(count(lit(1)).as("n_total"),
         mg(col(keyCol).cast("string")).as("sketch"))
@@ -173,11 +177,21 @@ object StreamVerbs {
     * the re-read static frame, the standard stream-static contract. */
   def streamDedupAgainstCorpus(stream: DataFrame, corpusHashes: DataFrame,
                                textCol: String,
-                               hashCol: String = "content_hash"): DataFrame =
+                               hashCol: String = "content_hash"): DataFrame = {
+    // refuse-early: withColumn would silently OVERWRITE (then drop) a
+    // pre-existing stream column of this name — and "content_hash" is
+    // exactly what corpusContentHashes emits, so pipelines that
+    // precomputed it are the likely victims
+    require(!stream.columns.contains(hashCol),
+      s"streamDedupAgainstCorpus computes internal column $hashCol — " +
+        "the stream already has one; pass a different hashCol")
     stream
-      .withColumn(hashCol, graft.text.TextFunctions.contentHash(col(textCol)))
+      // null-text hash is NULL (never matches the anti-join → the row
+      // survives), matching the batch twin's null semantics
+      .withColumn(hashCol, graft.ml.Dedup.againstHash(col(textCol)))
       .join(corpusHashes, Seq(hashCol), "left_anti")
       .drop(hashCol)
+  }
 
   /** Stream-static dimension enrichment: broadcast-join a (small,
     * slowly-changing) dimension onto the stream — map-side per

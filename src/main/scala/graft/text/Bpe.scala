@@ -117,6 +117,9 @@ object Bpe {
     * merges ship inside the expression (they are the model, a few
     * hundred KB at production vocabulary sizes — broadcast-sized). */
   def encodeBpe(text: Column, merges: Seq[(String, String)]): Column =
+    // EndOfWord passed EXPLICITLY: training appends this object's
+    // marker (initialSymbols); relying on the kernel's default string
+    // staying in sync would let the two silently diverge
     graft.functions.Kernels.bpeEncode(
-      TextFunctions.wsTokens(text), merges)
+      TextFunctions.wsTokens(text), merges, EndOfWord)
 }

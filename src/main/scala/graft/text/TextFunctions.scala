@@ -173,7 +173,11 @@ object TextFunctions {
       .otherwise(hostport)
     val path0 = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val path = when(path0 === "", lit("/")).otherwise(path0)
-    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    // fragment OFF FIRST, then extract the query: `\?([^#]*)` against
+    // the raw URL would match a '?' INSIDE the fragment (`/p#a?c`) and
+    // resurrect fragment text as a phantom query string
+    val noFrag = regexp_replace(u, "(?s)#.*$", "")
+    val query = regexp_extract(noFrag, "(?s)\\?(.*)$", 1)
     val q1 = regexp_replace(concat(lit("&"), query),
       "&(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid)=[^&]*", "")
     val qc = regexp_replace(q1, "^&", "")

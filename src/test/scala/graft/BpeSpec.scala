@@ -78,6 +78,15 @@ class BpeSpec extends GraftSpec {
       "u", "n", "k", "</w>"), enc.toString)
   }
 
+  test("encodeBpe duplicate pair in the merge table keeps its FIRST rank") {
+    // training can re-emit a pair whose adjacency a later merge
+    // recreates; last-wins ranking would apply (b,c) before (a,b) here
+    val merges = Seq(("a", "b"), ("b", "c"), ("a", "b"))
+    val enc = Seq("abc").toDF("text")
+      .select(Bpe.encodeBpe(col("text"), merges)).head.getSeq[String](0)
+    assert(enc == Seq("ab", "c", Bpe.EndOfWord), enc.toString)
+  }
+
   test("mergeAdjacent resolves overlaps leftmost: aaa under (a,a) -> [aa, a]") {
     val out = Seq(Tuple1(Seq("a", "a", "a"))).toDF("syms")
       .select(Bpe.mergeAdjacent(col("syms"), "a", "a")).head.getSeq[String](0)

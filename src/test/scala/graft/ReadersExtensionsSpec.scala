@@ -246,6 +246,9 @@ class ReadersExtensionsSpec extends GraftSpec {
     // dangling '?' drops; scheme-less strings pass through trimmed
     assert(canon("http://h.com/p?") == "http://h.com/p")
     assert(canon("  not a url  ") == "not a url")
+    // a '?' INSIDE the fragment must not resurrect as a query string
+    assert(canon("http://h.com/p#a/b?c") == "http://h.com/p")
+    assert(canon("http://h.com/p?x=1#frag?y=2") == "http://h.com/p?x=1")
   }
 
   test("repetition kernel counts duplicate words and bigrams exactly") {
@@ -364,6 +367,16 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(kept == Seq(2L, 3L, 4L))
     // reusable corpus snapshot: distinct hashes, one per distinct content
     assert(Dedup.corpusContentHashes(corpus, "text").count() == 2L)
+    // null-text rows SURVIVE even when the corpus also has null text
+    // (xxhash64(NULL) = seed would otherwise collide them all onto one
+    // phantom key); null corpus text contributes no dedup key
+    val corpusN = corpus.union(Seq((12L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val batchN = Seq((5L, null.asInstanceOf[String]),
+      (6L, "unrelated corpus document about databases")).toDF("doc_id", "text")
+    val keptN = Dedup.dedupAgainstExact(batchN, corpusN, "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptN == Seq(5L), keptN.toString)
+    assert(Dedup.corpusContentHashes(corpusN, "text").count() == 2L)
   }
 
   test("dedupAgainstNear: near-dups of corpus rows dropped, distinct kept; null ids survive") {

@@ -52,6 +52,9 @@ class StreamingSpec extends GraftSpec {
       in.addData(
         Event(5, ts(4), 2, "misc", 1.0), Event(6, ts(5), 2, "view", 1.0),
         Event(7, ts(6), 3, "click", 1.0),
+        // null key: IGNORED (batch HeavyHitters contract) — unfiltered
+        // it would become a null sketch-map key and kill the query
+        Event(10, ts(7), 3, null, 1.0),
         // window [10,20): one heavy key only
         Event(8, ts(12), 3, "buy", 1.0), Event(9, ts(13), 3, "buy", 1.0))
       q.processAllAvailable()
@@ -161,6 +164,14 @@ class StreamingSpec extends GraftSpec {
         .collect().map(_.getLong(0)).sorted
       assert(bk.toSeq == kept.toSeq)
     } finally q.stop()
+    // refuse-early: a stream already carrying the hash column must not
+    // be silently overwritten-and-dropped
+    val clash = in.toDF().toDF("doc_id", "ts", "text")
+      .withColumn("content_hash", org.apache.spark.sql.functions.lit(1L))
+    val e = intercept[IllegalArgumentException] {
+      StreamVerbs.streamDedupAgainstCorpus(clash, hashes, "text")
+    }
+    assert(e.getMessage.contains("content_hash"))
   }
 
   test("stream-static enrich broadcast-joins a dimension per micro-batch") {

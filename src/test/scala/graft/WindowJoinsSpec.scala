@@ -421,6 +421,19 @@ class WindowJoinsSpec extends GraftSpec {
       when(col("id") === 1L, lit(null: java.lang.Long)).otherwise(col("id")))
     assert(!Sampling.stratifiedSample(withNull, Seq("src"), "id", 50)
       .collect().map(r => Option(r.get(0))).contains(None))
+    // a NULL stratum is a real stratum: the aggregate path's semi-join
+    // must match it back null-safely, agreeing with the window path
+    val nullStratum = docs.withColumn("src",
+      when(col("id") <= 100L, lit(null: String)).otherwise(col("src")))
+    val aggNull = Sampling.stratifiedSample(nullStratum, Seq("src"), "id", 30)
+      .filter(col("src").isNull).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val winNull = Sampling.stratifiedSample(
+        nullStratum.withColumn("id", col("id").cast("string")), Seq("src"), "id", 30)
+      .filter(col("src").isNull).select("id")
+      .collect().map(_.getString(0).toLong).toSet
+    assert(aggNull.size == 30 && aggNull == winNull,
+      s"agg=${aggNull.size} win=${winNull.size}")
   }
 
   test("greedy packing: budget boundaries, oversize rows, per-key reset") {
