@@ -331,6 +331,45 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("e2e on files: the FULL ingest composite — strip → corpus dedup → quality gate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.text.TextFunctions
+    // the whole crawl loop as ONE streaming query: HTML pages land as
+    // parquet files, get boilerplate-stripped, deduped against the
+    // standing corpus hash set, quality-gated, and sunk to parquet
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val corpus = Seq("an existing corpus document that is long enough to score.")
+      .toDF("text")
+    val hashes = graft.ml.Dedup.corpusContentHashes(corpus, "text")
+    val goodText = "A genuinely new crawled page with enough words to pass the gate."
+    val pages = Seq(
+      // dup of the corpus doc, HTML-wrapped: dropped by the anti-join
+      (1L, ts(0), "<html><p>An existing CORPUS document that is long enough to score.</p></html>"),
+      // new and long enough: kept
+      (2L, ts(1), s"<html><!-- hdr --><p>$goodText</p><script>var x;</script></html>"),
+      // junk after stripping (no words at all): dropped by the gate
+      (3L, ts(2), "<html><p>?!? #@! ...</p></html>"))
+    pages.toDF("doc_id", "ts", "html").write.mode("append").parquet(s"$root/in")
+    val stream = spark.readStream
+      .schema("doc_id LONG, ts TIMESTAMP, html STRING")
+      .parquet(s"$root/in")
+      .withColumn("text", TextFunctions.stripHtml(col("html")))
+    val deduped = StreamVerbs.streamDedupAgainstCorpus(stream, hashes, "text")
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+      .select("doc_id", "text", "quality")
+    val q = deduped.writeStream.format("parquet")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Append()).start()
+    assert(q.awaitTermination(120000L), "AvailableNow drain did not finish in 120s")
+    val out = spark.read.parquet(s"$root/out").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L), out.mkString(","))
+    assert(out.head.getString(1) == goodText)
+  }
+
   test("e2e on files: perceptual near-dedup at ingest via AvailableNow, batch-identical keep-set") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
