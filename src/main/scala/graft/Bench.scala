@@ -23,7 +23,7 @@ object Bench {
     "q_hybrid_search", "q_quantize", "q_temperature_sample",
     "q_mixture_resample", "q_strip_html", "q_dedup_against",
     "q_dedup_against_near", "q_url_canon", "q_bpe_pairs",
-    "q_stratified_sample", "q_ingest_pipeline",
+    "q_stratified_sample", "q_mixture_exact", "q_ingest_pipeline",
     "q_tfidf_keywords", "q_lm_score", "q_lm_bigram", "q_chunk", "q_rag_pipeline",
     "q_video_dedup",
     // LAST deliberately: the distributed CC loop spawns dozens of

@@ -655,6 +655,19 @@ object SparkEntry {
         .select(col("lang"), col("doc_id")))
         .sortBy("lang", "doc_id").out),
 
+    // exact-count mixture (ml.Sampling.mixtureSampleExact): 200 docs
+    // at explicit shares → integer floor-apportioned targets en 80 /
+    // zh 60 / de 30 / fr 20 / es 10, drawn in hash order — the oracle
+    // carries the same targets as constants
+    "q_mixture_exact" -> ((s, d) =>
+      CrysFrame(Sampling.mixtureSampleExact(t(s, d, "documents"),
+        srcCol = "lang", idCol = "doc_id",
+        weights = Map("en" -> 0.4, "zh" -> 0.3, "de" -> 0.15,
+          "fr" -> 0.1, "es" -> 0.05),
+        totalN = 200L)
+        .select(col("lang"), col("doc_id")))
+        .sortBy("lang", "doc_id").out),
+
     // binned range join (operators.RangeJoin): every event matched to
     // the session interval containing it — equi-join on (user, time
     // bin) + residual filter, never a nested-loop. Sessions of a user
@@ -1736,6 +1749,17 @@ object SparkEntry {
         |    ORDER BY (doc_id * 2654435761 + 42) % 2147483647, doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+
+    // targets are data-independent integer constants:
+    // 200 * round(w*1e6) / 1_000_000, floor division
+    "q_mixture_exact" ->
+      """WITH w(lang, tgt) AS (VALUES ('de', 30), ('en', 80), ('es', 10),
+        |                             ('fr', 20), ('zh', 60))
+        |SELECT lang, doc_id FROM (
+        |  SELECT d.lang, d.doc_id, tgt, row_number() OVER (PARTITION BY d.lang
+        |    ORDER BY (d.doc_id * 2654435761 + 42) % 2147483647, d.doc_id) AS rn
+        |  FROM documents d JOIN w USING (lang))
+        |WHERE rn <= tgt ORDER BY lang, doc_id""".stripMargin,
 
     "q_range_join" ->
       """WITH flagged AS (

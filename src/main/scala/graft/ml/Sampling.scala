@@ -193,7 +193,11 @@ object Sampling {
     require(n > 0, s"n must be positive, got $n")
     val nn = df.filter(col(idCol).isNotNull)
     df.schema(idCol).dataType match {
-      case LongType | IntegerType =>
+      // the aggregate path buffers up to n (hash, id) pairs PER TASK
+      // per stratum — the right trade at sample sizes, the wrong one
+      // when n approaches stratum size (the buffers would dwarf the
+      // sort they avoid); past the cutoff the window sort is honest
+      case LongType | IntegerType if n <= 65536 =>
         // picked carries the STRATA alongside the id, so an id
         // duplicated across strata can never leak a foreign stratum's
         // rows through the semi-join; within a stratum, idCol is
@@ -224,6 +228,49 @@ object Sampling {
           .orderBy(knuthHash(col(idCol), seed), col(idCol))
         nn.withColumn(rn, row_number().over(w)).filter(col(rn) <= n).drop(rn)
     }
+  }
+
+  /** EXACT-COUNT mixture sample: floor-apportioned per-source targets
+    * from explicit weights — "give me exactly ~1M docs at 40% en /
+    * 30% zh / …", where [[mixtureResample]] (rate-based) only hits the
+    * mixture in expectation. Per source, target_s = ⌊totalN · w_s/Σw⌋
+    * computed in INTEGER arithmetic over the micro-quantized weights
+    * (data-independent, so any engine reproduces the targets as
+    * constants), and the source's min(target_s, supply) rows are taken
+    * in the same content-stable hash order as [[stratifiedSample]].
+    * An undersupplied source takes everything it has — no
+    * redistribution (the realized total shrinks; duplication policy
+    * belongs to the caller). Unlisted and null sources are dropped;
+    * null ids are excluded. One per-source rank shuffle (targets can
+    * be corpus-scale, so the bounded-buffer shortcut doesn't apply). */
+  def mixtureSampleExact(df: DataFrame, srcCol: String, idCol: String,
+                         weights: Map[String, Double], totalN: Long,
+                         seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty, "mixtureSampleExact needs at least one weight")
+    require(weights.values.forall(_ > 0),
+      "mixture weights must be positive — exclude a source by omitting it")
+    require(totalN > 0, s"totalN must be positive, got $totalN")
+    val wMicro = weights.toSeq.sortBy(_._1)
+      .map { case (k, v) => (k, math.round(v * 1e6)) }
+    require(wMicro.forall(_._2 > 0),
+      "mixture weights below 5e-7 quantize to zero micro-units")
+    val sw = wMicro.map(_._2).sum
+    val targets = wMicro.map { case (k, wm) => (k, totalN * wm / sw) }
+      .filter(_._2 > 0)
+    require(targets.nonEmpty,
+      s"totalN = $totalN floor-apportions every source to zero rows")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tDf = targets.toDF(srcCol, "__tgt")
+    val rn = "__mx_rank"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol))
+      .orderBy(knuthHash(col(idCol), seed), col(idCol))
+    df.filter(col(idCol).isNotNull)
+      .join(broadcast(tDf), Seq(srcCol))
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= col("__tgt"))
+      .drop(rn, "__tgt")
   }
 
   /** Weighted sample WITHOUT replacement, k rows per key group:

@@ -436,6 +436,43 @@ class WindowJoinsSpec extends GraftSpec {
       s"agg=${aggNull.size} win=${winNull.size}")
   }
 
+  test("mixtureSampleExact: floor-apportioned targets, caps, determinism") {
+    import spark.implicits._
+    import graft.ml.Sampling
+    val docs = (1L to 3800L).map { i =>
+      (i, if (i <= 2000) "en" else if (i <= 3000) "de"
+          else if (i <= 3500) "fr" else "xx")
+    }.toDF("id", "src")
+    val w = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2)
+    // targets: 1000*0.5=500, *0.3=300, *0.2=200 — exact, not expected
+    val kept = Sampling.mixtureSampleExact(docs, "src", "id", w, totalN = 1000L)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map("en" -> 500L, "de" -> 300L, "fr" -> 200L), kept.toString)
+    // undersupplied source caps at its supply (fr has 500 rows)
+    val capped = Sampling.mixtureSampleExact(docs, "src", "id",
+      Map("fr" -> 0.8, "de" -> 0.2), totalN = 1000L)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped == Map("fr" -> 500L, "de" -> 200L), capped.toString)
+    // deterministic under repartitioning; agrees with stratifiedSample
+    // on a uniform mixture (same hash order, same per-source take)
+    val a = Sampling.mixtureSampleExact(docs, "src", "id", w, 1000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.mixtureSampleExact(docs.repartition(13), "src", "id", w, 1000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    val uni = Sampling.mixtureSampleExact(docs, "src", "id",
+      Map("en" -> 1.0 / 3, "de" -> 1.0 / 3, "fr" -> 1.0 / 3), 300L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val strat = Sampling.stratifiedSample(
+        docs.filter(col("src") =!= "xx"), Seq("src"), "id", 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(uni == strat, s"uniform mixture != stratified: ${(uni -- strat).size}")
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSampleExact(docs, "src", "id", w, 0L) }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSampleExact(docs, "src", "id", Map("en" -> 1.0), -5L) }
+  }
+
   test("greedy packing: budget boundaries, oversize rows, per-key reset") {
     import spark.implicits._
     import graft.operators.Pack
