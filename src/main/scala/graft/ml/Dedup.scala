@@ -48,13 +48,29 @@ object Dedup {
     * 100 TB the corpus hash set is the thing to precompute and reuse
     * across ingest batches (it is exactly `corpusContentHashes`). */
   def dedupAgainstExact(batch: DataFrame, corpus: DataFrame,
-                        textCol: String): DataFrame = {
-    val ch = "__against_chash"
-    require(!batch.columns.contains(ch),
-      s"dedupAgainstExact uses internal column $ch — the batch already has it")
-    batch.withColumn(ch, againstHash(col(textCol)))
-      .join(corpusContentHashes(corpus, textCol, ch), Seq(ch), "left_anti")
-      .drop(ch)
+                        textCol: String): DataFrame =
+    dedupAgainstHashes(batch, textCol,
+      corpusContentHashes(corpus, textCol, "__against_chash"), "__against_chash")
+
+  /** [[dedupAgainstExact]] against a PRECOMPUTED hash set — the form
+    * every recurring ingest should use: build [[corpusContentHashes]]
+    * once per corpus snapshot (a full corpus scan), then each batch
+    * pays only its own scan plus the 8-byte anti-join. Works on batch
+    * AND streaming frames (the streaming twin
+    * `StreamVerbs.streamDedupAgainstCorpus` delegates here). `hashes`
+    * must expose the hash under `hashCol`. */
+  def dedupAgainstHashes(batch: DataFrame, textCol: String,
+                         hashes: DataFrame,
+                         hashCol: String = "content_hash"): DataFrame = {
+    require(!batch.columns.contains(hashCol),
+      s"dedupAgainstHashes computes internal column $hashCol — the batch " +
+        "already has one; pass a different hashCol")
+    require(hashes.columns.contains(hashCol),
+      s"the hash frame has no column $hashCol (columns: " +
+        s"${hashes.columns.mkString(", ")})")
+    batch.withColumn(hashCol, againstHash(col(textCol)))
+      .join(hashes, Seq(hashCol), "left_anti")
+      .drop(hashCol)
   }
 
   /** Null-text rows must SURVIVE ingest dedup (unhashable rows

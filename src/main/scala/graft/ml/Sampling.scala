@@ -40,6 +40,33 @@ object Sampling {
   private def hashU(id: Column, seed: Long): Column =
     (knuthHash(id, seed) + 0.5) / M.toDouble
 
+  /** The Knuth draw is integer arithmetic over the id — a string id
+    * would die mid-job on an ANSI cast (or, ANSI off, hash to NULL and
+    * silently bias the draw to plain id order). Refuse at the API
+    * instead, the repo's analysis-time convention. */
+  private def requireNumericId(df: DataFrame, idCol: String, op: String): Unit =
+    df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case other => throw new IllegalArgumentException(
+        s"$op draws from a Knuth hash of the id and needs a NUMERIC id " +
+          s"column, got $idCol: $other")
+    }
+
+  /** Micro-quantized weight table: (source, round(w·1e6)) sorted by
+    * source, plus the exact integer Σw — the ONE definition of the
+    * weight contract shared by every explicit-mixture operator. */
+  private def quantizeWeights(weights: Map[String, Double],
+                              op: String): (Seq[(String, Long)], Long) = {
+    require(weights.nonEmpty, s"$op needs at least one weight")
+    require(weights.values.forall(_ > 0),
+      "mixture weights must be positive — exclude a source by omitting it")
+    val wMicro = weights.toSeq.sortBy(_._1)
+      .map { case (k, v) => (k, math.round(v * 1e6)) }
+    require(wMicro.forall(_._2 > 0),
+      "mixture weights below 5e-7 quantize to zero micro-units")
+    (wMicro, wMicro.map(_._2).sum)
+  }
+
   /** Append a `split` column assigning each row to a named fraction —
     * deterministic train/val/test partitioning. `splits` are
     * (name, fraction) pairs summing to ~1; a row lands in the split
@@ -51,6 +78,7 @@ object Sampling {
     val total = splits.map(_._2).sum
     require(math.abs(total - 1.0) < 1e-9,
       s"split fractions must sum to 1, got $total")
+    requireNumericId(df, idCol, "hashSplit")
     require(!df.columns.contains("split"),
       "hashSplit appends 'split' — the input already has that column")
     val u = hashU(col(idCol), seed)
@@ -90,6 +118,7 @@ object Sampling {
     require(alpha >= 0 && alpha <= 1, s"alpha must be in [0, 1], got $alpha")
     require(targetFraction > 0 && targetFraction <= 1,
       s"targetFraction must be in (0,1], got $targetFraction")
+    requireNumericId(df, idCol, "temperatureResample")
     // per-source weights quantize to micro-units BEFORE the sum, so
     // Σ n^alpha is an order-independent INTEGER — like every other
     // micro-unit contract here, the rates are then bit-reproducible
@@ -136,18 +165,12 @@ object Sampling {
   def mixtureResample(df: DataFrame, srcCol: String, idCol: String,
                       weights: Map[String, Double], targetFraction: Double,
                       seed: Long = 42L): DataFrame = {
-    require(weights.nonEmpty, "mixtureResample needs at least one weight")
-    require(weights.values.forall(_ > 0),
-      "mixture weights must be positive — exclude a source by omitting it")
     require(targetFraction > 0 && targetFraction <= 1,
       s"targetFraction must be in (0,1], got $targetFraction")
+    requireNumericId(df, idCol, "mixtureResample")
     // micro-quantize the weights on the driver: Σw is then an exact
     // integer and every engine computes the identical shares
-    val wMicro = weights.toSeq.sortBy(_._1)
-      .map { case (k, v) => (k, math.round(v * 1e6)) }
-    require(wMicro.forall(_._2 > 0),
-      "mixture weights below 5e-7 quantize to zero micro-units")
-    val sw = wMicro.map(_._2).sum
+    val (wMicro, sw) = quantizeWeights(weights, "mixtureResample")
     val spark = df.sparkSession
     import spark.implicits._
     val wDf = wMicro.toDF(srcCol, "__wm")
@@ -183,14 +206,20 @@ object Sampling {
     * each task folds its slice into a ≤n buffer per stratum
     * ([[MinKByKeyAgg]]), only strata × tasks × n pairs shuffle, the
     * picked ids (strata × n rows, broadcast-sized in practice) join
-    * back map-side — no stratum is ever sorted whole. Other id types
-    * fall back to a per-stratum `row_number` window, which exchanges
-    * and sorts the full input; at 100 TB prefer integral ids. */
+    * back map-side — no stratum is ever sorted whole. The aggregate
+    * path applies for n ≤ 65536 (its per-task buffers hold n pairs
+    * per stratum — the right trade at sample sizes, the wrong one as
+    * n approaches stratum size); larger n, and non-integral numeric
+    * ids, take the per-stratum `row_number` window, which exchanges
+    * and sorts the full input. Ids must be numeric (the Knuth draw is
+    * integer arithmetic); at 100 TB prefer integral ids and sample-
+    * sized n. */
   def stratifiedSample(df: DataFrame, strataCols: Seq[String], idCol: String,
                        n: Int, seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     require(strataCols.nonEmpty, "stratifiedSample needs at least one stratum column")
     require(n > 0, s"n must be positive, got $n")
+    requireNumericId(df, idCol, "stratifiedSample")
     val nn = df.filter(col(idCol).isNotNull)
     df.schema(idCol).dataType match {
       // the aggregate path buffers up to n (hash, id) pairs PER TASK
@@ -246,31 +275,56 @@ object Sampling {
   def mixtureSampleExact(df: DataFrame, srcCol: String, idCol: String,
                          weights: Map[String, Double], totalN: Long,
                          seed: Long = 42L): DataFrame = {
-    require(weights.nonEmpty, "mixtureSampleExact needs at least one weight")
-    require(weights.values.forall(_ > 0),
-      "mixture weights must be positive — exclude a source by omitting it")
+    import org.apache.spark.sql.types.{IntegerType, LongType}
     require(totalN > 0, s"totalN must be positive, got $totalN")
-    val wMicro = weights.toSeq.sortBy(_._1)
-      .map { case (k, v) => (k, math.round(v * 1e6)) }
-    require(wMicro.forall(_._2 > 0),
-      "mixture weights below 5e-7 quantize to zero micro-units")
-    val sw = wMicro.map(_._2).sum
-    val targets = wMicro.map { case (k, wm) => (k, totalN * wm / sw) }
+    requireNumericId(df, idCol, "mixtureSampleExact")
+    val (wMicro, sw) = quantizeWeights(weights, "mixtureSampleExact")
+    // targets through BigInt: totalN × wm can pass 2^63 for
+    // arbitrary-scale weights (they are shares, not probabilities) —
+    // plain Long arithmetic would wrap silently on the driver
+    val targets = wMicro
+      .map { case (k, wm) => (k, (BigInt(totalN) * wm / sw).toLong) }
       .filter(_._2 > 0)
     require(targets.nonEmpty,
       s"totalN = $totalN floor-apportions every source to zero rows")
     val spark = df.sparkSession
     import spark.implicits._
     val tDf = targets.toDF(srcCol, "__tgt")
-    val rn = "__mx_rank"
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(srcCol))
-      .orderBy(knuthHash(col(idCol), seed), col(idCol))
-    df.filter(col(idCol).isNotNull)
-      .join(broadcast(tDf), Seq(srcCol))
-      .withColumn(rn, row_number().over(w))
-      .filter(col(rn) <= col("__tgt"))
-      .drop(rn, "__tgt")
+    val nn = df.filter(col(idCol).isNotNull)
+    val maxTgt = targets.map(_._2).max
+    val integral = df.schema(idCol).dataType match {
+      case LongType | IntegerType => true; case _ => false
+    }
+    if (integral && maxTgt <= 65536) {
+      // sort-free path, same machinery as stratifiedSample: fold each
+      // task's slice into a ≤maxTarget buffer per source, keep each
+      // source's first target_s positions of the merged ascending
+      // buffer, semi-join back. The window shape's partitionBy(src)
+      // would instead sort EACH source's entire slice in one task.
+      val mk = udaf(new MinKByKeyAgg(maxTgt.toInt),
+        org.apache.spark.sql.Encoders.product[MinKKeyItem])
+      val picked = nn.join(broadcast(tDf), Seq(srcCol))
+        .groupBy(col(srcCol), col("__tgt"))
+        .agg(mk(knuthHash(col(idCol), seed),
+          col(idCol).cast("long")).as("__mk"))
+        .select(col(srcCol).as("__mx_src"), col("__tgt"),
+          posexplode(col("__mk").getField("items")).as(Seq("__pos", "__it")))
+        .filter(col("__pos") < col("__tgt"))
+        .select(col("__mx_src"),
+          col("__it").getField("id").cast(df.schema(idCol).dataType).as("__mx_id"))
+      nn.join(picked,
+        col(srcCol) === col("__mx_src") && col(idCol) === col("__mx_id"),
+        "left_semi")
+    } else {
+      val rn = "__mx_rank"
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(srcCol))
+        .orderBy(knuthHash(col(idCol), seed), col(idCol))
+      nn.join(broadcast(tDf), Seq(srcCol))
+        .withColumn(rn, row_number().over(w))
+        .filter(col(rn) <= col("__tgt"))
+        .drop(rn, "__tgt")
+    }
   }
 
   /** Weighted sample WITHOUT replacement, k rows per key group:
@@ -283,6 +337,7 @@ object Sampling {
   def weightedSample(df: DataFrame, keyCols: Seq[String], idCol: String,
                      weightCol: String, k: Int, seed: Long = 42L): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    requireNumericId(df, idCol, "weightedSample")
     val pri = "__ws_priority"
     val rn = "__ws_rank"
     val w = org.apache.spark.sql.expressions.Window

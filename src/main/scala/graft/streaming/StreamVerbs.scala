@@ -177,21 +177,13 @@ object StreamVerbs {
     * the re-read static frame, the standard stream-static contract. */
   def streamDedupAgainstCorpus(stream: DataFrame, corpusHashes: DataFrame,
                                textCol: String,
-                               hashCol: String = "content_hash"): DataFrame = {
-    // refuse-early: withColumn would silently OVERWRITE (then drop) a
-    // pre-existing stream column of this name — and "content_hash" is
-    // exactly what corpusContentHashes emits, so pipelines that
-    // precomputed it are the likely victims
-    require(!stream.columns.contains(hashCol),
-      s"streamDedupAgainstCorpus computes internal column $hashCol — " +
-        "the stream already has one; pass a different hashCol")
-    stream
-      // null-text hash is NULL (never matches the anti-join → the row
-      // survives), matching the batch twin's null semantics
-      .withColumn(hashCol, graft.ml.Dedup.againstHash(col(textCol)))
-      .join(corpusHashes, Seq(hashCol), "left_anti")
-      .drop(hashCol)
-  }
+                               hashCol: String = "content_hash"): DataFrame =
+    // ONE implementation with the batch verb (same null-text survival,
+    // same refuse-early on a pre-existing hash column — "content_hash"
+    // is exactly what corpusContentHashes emits, so pipelines that
+    // precomputed it are the likely victims of a silent overwrite);
+    // Dataset ops compose unchanged on a streaming frame
+    graft.ml.Dedup.dedupAgainstHashes(stream, textCol, corpusHashes, hashCol)
 
   /** Stream-static dimension enrichment: broadcast-join a (small,
     * slowly-changing) dimension onto the stream — map-side per

@@ -405,12 +405,19 @@ class WindowJoinsSpec extends GraftSpec {
     assert((a -- subset).forall(_ % 10 == 0), (a -- subset).toString)
     intercept[IllegalArgumentException] {
       Sampling.stratifiedSample(docs, Seq(), "id", 5) }
-    // the two physical paths select the SAME rows: string ids force
-    // the window fallback; the integral path must agree value-for-value
+    // the two physical paths select the SAME rows: decimal ids (numeric
+    // but not integral) force the window fallback; the integral path
+    // must agree value-for-value. String ids refuse early — the Knuth
+    // draw is integer arithmetic and would die mid-job on an ANSI cast
     val viaWindow = Sampling.stratifiedSample(
-        docs.withColumn("id", col("id").cast("string")), Seq("src"), "id", 50)
-      .select("id").collect().map(_.getString(0).toLong).toSet
+        docs.withColumn("id", col("id").cast("decimal(20,0)")), Seq("src"), "id", 50)
+      .select("id").collect().map(_.getDecimal(0).longValueExact).toSet
     assert(viaWindow == a, (viaWindow -- a).toString)
+    val eNum = intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(
+        docs.withColumn("id", col("id").cast("string")), Seq("src"), "id", 5)
+    }
+    assert(eNum.getMessage.contains("NUMERIC id"))
     // integral path is sort-free: bounded partial aggregate + semi-join,
     // never a per-stratum Window sort of the whole input
     val plan = kept.queryExecution.executedPlan.toString
@@ -429,9 +436,9 @@ class WindowJoinsSpec extends GraftSpec {
       .filter(col("src").isNull).select("id")
       .collect().map(_.getLong(0)).toSet
     val winNull = Sampling.stratifiedSample(
-        nullStratum.withColumn("id", col("id").cast("string")), Seq("src"), "id", 30)
+        nullStratum.withColumn("id", col("id").cast("decimal(20,0)")), Seq("src"), "id", 30)
       .filter(col("src").isNull).select("id")
-      .collect().map(_.getString(0).toLong).toSet
+      .collect().map(_.getDecimal(0).longValueExact).toSet
     assert(aggNull.size == 30 && aggNull == winNull,
       s"agg=${aggNull.size} win=${winNull.size}")
   }
@@ -471,6 +478,20 @@ class WindowJoinsSpec extends GraftSpec {
       Sampling.mixtureSampleExact(docs, "src", "id", w, 0L) }
     intercept[IllegalArgumentException] {
       Sampling.mixtureSampleExact(docs, "src", "id", Map("en" -> 1.0), -5L) }
+    // arbitrary-scale weights (raw doc counts, the documented share
+    // contract): totalN × microweight passes 2^63 — BigInt targets
+    // must not wrap. Shares 0.5/0.3/0.2 at totalN 1M: every target
+    // exceeds its supply, so each source caps at keep-everything
+    val big = Sampling.mixtureSampleExact(docs, "src", "id",
+      Map("en" -> 2.0e9, "de" -> 1.2e9, "fr" -> 8.0e8), totalN = 1000000L)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(big == Map("en" -> 2000L, "de" -> 1000L, "fr" -> 500L), big.toString)
+    // decimal ids (numeric, non-integral) take the window path and
+    // must select the identical set as the bounded-aggregate path
+    val viaWin = Sampling.mixtureSampleExact(
+        docs.withColumn("id", col("id").cast("decimal(20,0)")), "src", "id", w, 1000L)
+      .select("id").collect().map(_.getDecimal(0).longValueExact).toSet
+    assert(viaWin == a)
   }
 
   test("greedy packing: budget boundaries, oversize rows, per-key reset") {
