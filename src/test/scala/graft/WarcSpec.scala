@@ -1,0 +1,127 @@
+package graft
+
+import graft.sources.Warc
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+
+/** WARC ingest (sources.Warc): record walk, gzip layouts, HTTP
+  * splitting, refusal behavior, and the crawl-pipeline composition
+  * down to dedup — fixtures are hand-built per the public ISO 28500
+  * framing, independent of the parser. */
+class WarcSpec extends GraftSpec {
+
+  private def record(wtype: String, uri: String, payload: Array[Byte],
+                     date: String = "2024-01-01T00:00:00Z"): Array[Byte] = {
+    val h = new StringBuilder()
+      .append("WARC/1.0\r\n")
+      .append(s"WARC-Type: $wtype\r\n")
+      .append(if (uri.nonEmpty) s"WARC-Target-URI: $uri\r\n" else "")
+      .append(s"WARC-Date: $date\r\n")
+      .append("Content-Type: application/http;msgtype=response\r\n")
+      .append(s"Content-Length: ${payload.length}\r\n")
+      .append("\r\n").toString.getBytes(ISO_8859_1)
+    h ++ payload ++ "\r\n\r\n".getBytes(ISO_8859_1)
+  }
+
+  private def httpHtml(html: String, status: Int = 200,
+                       ct: String = "text/html; charset=utf-8"): Array[Byte] = {
+    val body = html.getBytes(UTF_8)
+    (s"HTTP/1.1 $status OK\r\nContent-Type: $ct\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(ISO_8859_1) ++ body
+  }
+
+  private def gzip(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  private val page =
+    "<html><head><title>t</title></head><body><p>hello crawl world</p></body></html>"
+
+  private def fixture: Array[Byte] =
+    record("response", "http://EXAMPLE.com:80/a?utm_source=x", httpHtml(page)) ++
+      record("request", "http://example.com/a",
+        "GET /a HTTP/1.1\r\nHost: example.com\r\n\r\n".getBytes(ISO_8859_1)) ++
+      record("response", "http://example.com/png", httpHtml("nothtml",
+        ct = "image/png")) ++
+      record("response", "http://example.com/404", httpHtml("gone", status = 404)) ++
+      record("metadata", "", "k: v\r\n".getBytes(ISO_8859_1))
+
+  test("record walk: envelope fields, HTTP split, all three gzip layouts") {
+    for ((bytes, label) <- Seq(
+        (fixture, "plain"),
+        (gzip(fixture), "whole-file gzip"),
+        // Common Crawl layout: one gzip member PER RECORD, concatenated
+        (record("response", "http://EXAMPLE.com:80/a?utm_source=x", httpHtml(page))
+          .grouped(Int.MaxValue).toSeq.map(gzip).reduce(_ ++ _) ++
+          gzip(record("request", "http://example.com/a",
+            "GET /a HTTP/1.1\r\n\r\n".getBytes(ISO_8859_1))) ++
+          gzip(record("response", "http://example.com/png",
+            httpHtml("nothtml", ct = "image/png"))) ++
+          gzip(record("response", "http://example.com/404",
+            httpHtml("gone", status = 404))) ++
+          gzip(record("metadata", "", "k: v\r\n".getBytes(ISO_8859_1))),
+          "per-record gzip"))) {
+      val rs = Warc.parseWarc(bytes)
+      assert(rs.length == 5, s"$label: ${rs.length}")
+      val first = rs.head
+      assert(first.warcType == "response" &&
+        first.targetUri == "http://EXAMPLE.com:80/a?utm_source=x" &&
+        first.httpStatus == 200 &&
+        first.httpContentType.startsWith("text/html"), s"$label: $first")
+      assert(new String(first.body, UTF_8) == page, label)
+      assert(rs(1).warcType == "request" && rs(1).httpStatus == 0, label)
+      assert(rs(2).httpContentType == "image/png", label)
+      assert(rs(3).httpStatus == 404, label)
+      assert(rs(4).warcType == "metadata" && rs(4).targetUri.isEmpty, label)
+    }
+  }
+
+  test("hostile and truncated inputs parse the well-formed prefix, never throw") {
+    assert(Warc.parseWarc(Array.emptyByteArray).isEmpty)
+    assert(Warc.parseWarc("random junk\r\n\r\n".getBytes(ISO_8859_1)).isEmpty)
+    val rnd = new scala.util.Random(42)
+    val noise = Array.fill(4096)(rnd.nextInt.toByte)
+    assert(Warc.parseWarc(noise).length == 0 || true) // must not throw
+    // truncated second record: the first survives
+    val full = fixture
+    val cut = java.util.Arrays.copyOfRange(full, 0,
+      record("response", "http://EXAMPLE.com:80/a?utm_source=x",
+        httpHtml(page)).length + 40)
+    assert(Warc.parseWarc(cut).length == 1)
+    // truncated gzip tail: prefix records survive
+    val g = gzip(full)
+    val gCut = java.util.Arrays.copyOfRange(g, 0, g.length - 8)
+    assert(Warc.parseWarc(gCut).length >= 1)
+    // Content-Length lies beyond EOF: record rejected cleanly
+    val lying = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 99999\r\n\r\nshort").getBytes(ISO_8859_1)
+    assert(Warc.parseWarc(lying).isEmpty)
+  }
+
+  test("readWarc + htmlResponses: files to (url, html) rows, into the hygiene chain") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc")
+    java.nio.file.Files.write(dir.resolve("seg-0.warc"), fixture)
+    java.nio.file.Files.write(dir.resolve("seg-1.warc.gz"), gzip(
+      record("response", "http://example.com/b", httpHtml(page))))
+    val warc = Warc.readWarc(spark, dir.toString + "/*")
+    assert(warc.count() == 6) // 5 + 1
+    val html = Warc.htmlResponses(warc)
+      .withColumn("url", graft.text.TextFunctions.canonicalizeUrl(col("url")))
+      .withColumn("text", graft.text.TextFunctions.stripHtml(col("html")))
+    val rows = html.select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // only 2xx text/html survives; URL canonicalized; boilerplate off
+    assert(rows == Map(
+      "http://example.com/a" -> "t hello crawl world",
+      "http://example.com/b" -> "t hello crawl world"), rows.toString)
+    // and straight into corpus dedup: /b's text already in the corpus
+    val corpus = Seq("t hello crawl world").toDF("text")
+    val kept = graft.ml.Dedup.dedupAgainstExact(
+      html.withColumn("text", col("text")), corpus, "text")
+    assert(kept.count() == 0) // both pages are dups of the corpus doc
+  }
+}
