@@ -161,12 +161,22 @@ object Warc {
   /** The crawl-pipeline entry view: successful HTML responses as
     * (url, html) text rows — feed `TextFunctions.stripHtml` /
     * `canonicalizeUrl` / `Dedup.dedupAgainstHashes` directly. Bodies
-    * decode as UTF-8 with replacement (crawl charsets are dirty by
-    * nature; replacement keeps the row, the quality gate judges it). */
-  def htmlResponses(warc: DataFrame): DataFrame =
+    * decode as UTF-8 WITH REPLACEMENT via the JVM `String`
+    * constructor, not SQL `decode` — under ANSI (Spark 4 default)
+    * `decode` RAISES on malformed input, and crawl charsets are dirty
+    * by nature; replacement keeps the row and lets the quality gate
+    * judge it, and a corrupt body can never kill a task. */
+  def htmlResponses(warc: DataFrame): DataFrame = {
+    val spark = warc.sparkSession
+    import spark.implicits._
     warc.filter(col("warc_type") === "response" &&
         col("http_status") >= 200 && col("http_status") < 300 &&
         col("http_content_type").startsWith("text/html"))
-      .select(col("target_uri").as("url"),
-        decode(col("body"), "UTF-8").as("html"))
+      .select(col("target_uri"), col("body"))
+      .as[(String, Array[Byte])]
+      .map { case (url, body) =>
+        (url, new String(body, java.nio.charset.StandardCharsets.UTF_8))
+      }
+      .toDF("url", "html")
+  }
 }

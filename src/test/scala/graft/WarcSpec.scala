@@ -107,21 +107,35 @@ class WarcSpec extends GraftSpec {
     java.nio.file.Files.write(dir.resolve("seg-0.warc"), fixture)
     java.nio.file.Files.write(dir.resolve("seg-1.warc.gz"), gzip(
       record("response", "http://example.com/b", httpHtml(page))))
+    // a dirty body: invalid UTF-8 mid-page must decode with
+    // replacement, not raise (ANSI decode() would throw here)
+    val dirty = "<p>ok ".getBytes(UTF_8) ++ Array(0xC3.toByte, 0x28.toByte) ++
+      " end</p>".getBytes(UTF_8)
+    java.nio.file.Files.write(dir.resolve("seg-2.warc"),
+      record("response", "http://example.com/dirty",
+        (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n").getBytes(ISO_8859_1) ++ dirty))
     val warc = Warc.readWarc(spark, dir.toString + "/*")
-    assert(warc.count() == 6) // 5 + 1
+    assert(warc.count() == 7) // 5 + 1 + 1
     val html = Warc.htmlResponses(warc)
       .withColumn("url", graft.text.TextFunctions.canonicalizeUrl(col("url")))
       .withColumn("text", graft.text.TextFunctions.stripHtml(col("html")))
     val rows = html.select("url", "text").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    // only 2xx text/html survives; URL canonicalized; boilerplate off
-    assert(rows == Map(
-      "http://example.com/a" -> "t hello crawl world",
-      "http://example.com/b" -> "t hello crawl world"), rows.toString)
-    // and straight into corpus dedup: /b's text already in the corpus
+    // only 2xx text/html survives; URL canonicalized; boilerplate off;
+    // the dirty body arrives with U+FFFD replacements, not an error
+    assert(rows.keySet == Set("http://example.com/a", "http://example.com/b",
+      "http://example.com/dirty"), rows.keySet.toString)
+    assert(rows("http://example.com/a") == "t hello crawl world")
+    assert(rows("http://example.com/b") == "t hello crawl world")
+    assert(rows("http://example.com/dirty").startsWith("ok ") &&
+      rows("http://example.com/dirty").contains("�") &&
+      rows("http://example.com/dirty").endsWith(" end"), rows("http://example.com/dirty"))
+    // and straight into corpus dedup: /a and /b are dups of the
+    // corpus doc; only the dirty page is new content
     val corpus = Seq("t hello crawl world").toDF("text")
     val kept = graft.ml.Dedup.dedupAgainstExact(
       html.withColumn("text", col("text")), corpus, "text")
-    assert(kept.count() == 0) // both pages are dups of the corpus doc
+      .select("url").collect().map(_.getString(0))
+    assert(kept.toSeq == Seq("http://example.com/dirty"), kept.mkString(","))
   }
 }
