@@ -185,6 +185,36 @@ object StreamVerbs {
     // Dataset ops compose unchanged on a streaming frame
     graft.ml.Dedup.dedupAgainstHashes(stream, textCol, corpusHashes, hashCol)
 
+  /** Semantic blocklist at ingest — the EMBEDDING twin of n-gram
+    * decontamination: drop stream rows whose vector is within
+    * `threshold` cosine of ANY blocklist item (eval-set items,
+    * known-bad content). The blocklist is small BY NATURE (eval sets,
+    * not corpora), so the honest plan is a per-micro-batch broadcast
+    * nested-loop anti-join: STATELESS on the stream side (no
+    * watermark, no state store), |batch| × |blocklist| compiled
+    * cosine kernels per batch — the same work the batch
+    * decontamination pass would do, paid incrementally. Null or
+    * missing vectors survive (unhashable rows survive, the repo
+    * convention); blocklist refreshes apply on restart, the standard
+    * stream-static contract. For corpus-scale "against" sets use the
+    * banded batch path ([[graft.ml.Dedup.embeddingDedup]] machinery) —
+    * a broadcast of corpus-scale vectors is the wrong plan, which is
+    * why this verb names the SMALL-set use case. */
+  def streamSemanticBlocklist(stream: DataFrame, blocklist: DataFrame,
+                              vecCol: String, blockVecCol: String,
+                              threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    val probe = broadcast(blocklist
+      .filter(col(blockVecCol).isNotNull)
+      .select(col(blockVecCol).as("__bl_vec")))
+    stream.join(probe,
+      col(vecCol).isNotNull &&
+        graft.functions.Kernels.cosineSim(col(vecCol), col("__bl_vec"))
+          >= threshold,
+      "left_anti")
+  }
+
   /** Stream-static dimension enrichment: broadcast-join a (small,
     * slowly-changing) dimension onto the stream — map-side per
     * micro-batch, no streaming state at all. The everyday shape for

@@ -174,6 +174,33 @@ class StreamingSpec extends GraftSpec {
     assert(e.getMessage.contains("content_hash"))
   }
 
+  test("semantic blocklist drops near-eval vectors from a live stream, keeps nulls") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // blocklist direction (1,0); a scaled copy (cos=1) and a nearby
+    // vector (cos≈0.95) must drop; an orthogonal one must survive
+    val block = Seq(Tuple1(Seq(1.0f, 0.0f))).toDF("vec")
+    val in = MemoryStream[(Long, Seq[Float])]
+    val docs = in.toDF().toDF("doc_id", "emb")
+      .withColumn("emb", when(col("doc_id") === 4L,
+        lit(null).cast("array<float>")).otherwise(col("emb")))
+    val q = StreamVerbs.streamSemanticBlocklist(docs, block, "emb", "vec",
+        threshold = 0.9)
+      .writeStream.format("memory").queryName("semblock")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (1L, Seq(5.0f, 0.0f)),   // scaled copy of the blocked direction
+        (2L, Seq(1.0f, 0.33f)),  // cos ≈ 0.95: blocked
+        (3L, Seq(0.0f, 1.0f)),   // orthogonal: survives
+        (4L, Seq(9.0f, 9.0f)))   // vector nulled above: survives
+      q.processAllAvailable()
+      val kept = spark.table("semblock").collect().map(_.getLong(0)).sorted
+      assert(kept.toSeq == Seq(3L, 4L), kept.mkString(","))
+    } finally q.stop()
+  }
+
   test("stream-static enrich broadcast-joins a dimension per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
