@@ -38,17 +38,26 @@ object Warc {
 
   private val MaxRecords = 1000000 // runaway-input backstop per file
 
+  /** Inflation ceiling: JVM arrays cap at ~2 GB, and a gzip BOMB (or
+    * an over-sized segment) must truncate to its prefix, not throw an
+    * uncatchable allocation error mid-task. 1.5 GB leaves headroom
+    * for the output array copy. */
+  private val MaxInflatedBytes = 1500000000
+
   private def isGzip(b: Array[Byte]): Boolean =
     b.length >= 2 && (b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B
 
   private def inflate(b: Array[Byte]): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(b))
-    val out = new java.io.ByteArrayOutputStream(math.max(b.length * 4, 1 << 16))
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(math.max(b.length * 4, 1 << 16), 1 << 26))
     val buf = new Array[Byte](1 << 16)
     try {
       var n = in.read(buf)
-      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      while (n > 0 && out.size() < MaxInflatedBytes) {
+        out.write(buf, 0, n); n = in.read(buf)
+      }
     } catch { case _: java.io.IOException => () } // truncated tail: keep prefix
     out.toByteArray
   }
@@ -115,26 +124,100 @@ object Warc {
   }
 
   /** Split an HTTP response payload into (status, content-type, body).
-    * A payload that does not start with `HTTP/` passes through raw. */
+    * A payload that does not start with `HTTP/` passes through raw.
+    * The transfer layers a crawler records as-transmitted are undone
+    * here: `Transfer-Encoding: chunked` framing is stripped (hex
+    * chunk-size lines would otherwise interleave the html) and a
+    * `Content-Encoding: gzip|deflate` body is inflated — without
+    * these, the "body" column carries wire framing, not the document.
+    * Both undo steps fall back to the raw bytes on malformed input. */
   private def parseHttp(payload: Array[Byte]): (Int, String, Array[Byte]) = {
     val first = readLine(payload, 0)
     if (first == null || !first._1.startsWith("HTTP/")) return (0, "", payload)
-    val status = first._1.split(' ') match {
+    // split on any whitespace run: dirty status lines double up spaces
+    val status = first._1.trim.split("\\s+") match {
       case parts if parts.length >= 2 => parts(1).toIntOption.getOrElse(0)
       case _ => 0
     }
     var pos = first._2
     var ct = ""
+    var te = ""
+    var ce = ""
     var h = readLine(payload, pos)
     while (h != null && h._1.nonEmpty) {
       val idx = h._1.indexOf(':')
-      if (idx > 0 && h._1.substring(0, idx).trim.equalsIgnoreCase("content-type"))
-        ct = h._1.substring(idx + 1).trim
+      if (idx > 0) {
+        val name = h._1.substring(0, idx).trim
+        val value = h._1.substring(idx + 1).trim
+        if (name.equalsIgnoreCase("content-type")) ct = value
+        else if (name.equalsIgnoreCase("transfer-encoding")) te = value.toLowerCase
+        else if (name.equalsIgnoreCase("content-encoding")) ce = value.toLowerCase
+      }
       pos = h._2
       h = readLine(payload, pos)
     }
     val bodyStart = if (h == null) payload.length else h._2
-    (status, ct, java.util.Arrays.copyOfRange(payload, bodyStart, payload.length))
+    var body = java.util.Arrays.copyOfRange(payload, bodyStart, payload.length)
+    if (te.contains("chunked")) body = dechunk(body)
+    if (ce.contains("gzip") && isGzip(body)) body = inflate(body)
+    else if (ce.contains("deflate")) body = inflateZlib(body)
+    (status, ct, body)
+  }
+
+  /** Undo HTTP/1.1 chunked framing: hex-size line, that many bytes,
+    * CRLF, repeat until a 0-size chunk (trailers dropped). Malformed
+    * framing returns the bytes decoded so far, falling back to the
+    * raw payload when nothing decoded. */
+  private def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var pos = 0
+    var ok = true
+    var done = false
+    while (ok && !done) {
+      val line = readLine(b, pos)
+      if (line == null) ok = false
+      else {
+        // chunk extensions (";...") are legal; size is the hex prefix
+        val sizeStr = line._1.split(';')(0).trim
+        val size = try java.lang.Long.parseLong(sizeStr, 16).toInt
+          catch { case _: Exception => -1 }
+        if (size < 0 || line._2 + size > b.length) ok = false
+        else if (size == 0) done = true
+        else {
+          out.write(b, line._2, size)
+          pos = line._2 + size
+          // skip the CRLF after the chunk data
+          if (pos + 1 < b.length && b(pos) == '\r' && b(pos + 1) == '\n') pos += 2
+          else if (pos < b.length && b(pos) == '\n') pos += 1
+        }
+      }
+    }
+    if (out.size() == 0 && !done) b else out.toByteArray
+  }
+
+  /** Inflate a zlib-wrapped (or, per the widespread server bug, raw)
+    * deflate body; malformed input returns the original bytes. */
+  private def inflateZlib(b: Array[Byte]): Array[Byte] = {
+    def run(raw: Boolean): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(raw)
+      inf.setInput(b)
+      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 26))
+      val buf = new Array[Byte](1 << 16)
+      try {
+        var n = inf.inflate(buf)
+        while (n > 0 && out.size() < MaxInflatedBytes) {
+          out.write(buf, 0, n); n = inf.inflate(buf)
+        }
+        out.toByteArray
+      } catch { case _: java.util.zip.DataFormatException => null }
+      finally inf.end()
+    }
+    val zlib = run(raw = false)
+    if (zlib != null && zlib.nonEmpty) zlib
+    else {
+      val raw = run(raw = true)
+      if (raw != null && raw.nonEmpty) raw else b
+    }
   }
 
   /** Full parse of one (possibly gzipped) WARC file's bytes. */
@@ -160,22 +243,31 @@ object Warc {
 
   /** The crawl-pipeline entry view: successful HTML responses as
     * (url, html) text rows — feed `TextFunctions.stripHtml` /
-    * `canonicalizeUrl` / `Dedup.dedupAgainstHashes` directly. Bodies
-    * decode as UTF-8 WITH REPLACEMENT via the JVM `String`
-    * constructor, not SQL `decode` — under ANSI (Spark 4 default)
-    * `decode` RAISES on malformed input, and crawl charsets are dirty
-    * by nature; replacement keeps the row and lets the quality gate
-    * judge it, and a corrupt body can never kill a task. */
+    * `canonicalizeUrl` / `Dedup.dedupAgainstHashes` directly. The
+    * media-type match is case-insensitive (HTTP media types are; real
+    * servers emit `Text/HTML`). Bodies decode using the DECLARED
+    * `charset=` parameter when present and recognizable (a large
+    * crawl fraction is windows-125x/Shift_JIS/GBK — decoding those as
+    * UTF-8 would be systematic mojibake, garbling dedup and quality
+    * downstream), falling back to UTF-8; decoding goes through the
+    * JVM `String` constructor WITH REPLACEMENT, not SQL `decode` —
+    * under ANSI (Spark 4 default) `decode` RAISES on malformed input,
+    * and crawl bytes are dirty by nature. A corrupt body can never
+    * kill a task; the quality gate judges what replacement leaves. */
   def htmlResponses(warc: DataFrame): DataFrame = {
     val spark = warc.sparkSession
     import spark.implicits._
     warc.filter(col("warc_type") === "response" &&
         col("http_status") >= 200 && col("http_status") < 300 &&
-        col("http_content_type").startsWith("text/html"))
-      .select(col("target_uri"), col("body"))
-      .as[(String, Array[Byte])]
-      .map { case (url, body) =>
-        (url, new String(body, java.nio.charset.StandardCharsets.UTF_8))
+        lower(col("http_content_type")).startsWith("text/html"))
+      .select(col("target_uri"), col("http_content_type"), col("body"))
+      .as[(String, String, Array[Byte])]
+      .map { case (url, ct, body) =>
+        val declared = "(?i)charset=\"?([A-Za-z0-9_.:\\-]+)".r
+          .findFirstMatchIn(ct).map(_.group(1))
+          .flatMap(n => scala.util.Try(java.nio.charset.Charset.forName(n)).toOption)
+        val cs = declared.getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+        (url, new String(body, cs))
       }
       .toDF("url", "html")
   }

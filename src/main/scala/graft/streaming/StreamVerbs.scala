@@ -208,10 +208,17 @@ object StreamVerbs {
     val probe = broadcast(blocklist
       .filter(col(blockVecCol).isNotNull)
       .select(col(blockVecCol).as("__bl_vec")))
+    // nanvl: a zero-norm vector on EITHER side makes the cosine NaN,
+    // and Spark SQL orders NaN ABOVE every double — a bare
+    // `cosine >= threshold` would then be TRUE, so one zero blocklist
+    // vector would silently drop the entire stream. Mapping NaN to -2
+    // makes zero-norm pairs non-matches, agreeing with the batch
+    // kernel's JVM-side semantics (CosineBucketDupsExpr: NaN never
+    // passes a threshold).
     stream.join(probe,
       col(vecCol).isNotNull &&
-        graft.functions.Kernels.cosineSim(col(vecCol), col("__bl_vec"))
-          >= threshold,
+        nanvl(graft.functions.Kernels.cosineSim(col(vecCol), col("__bl_vec")),
+          lit(-2.0)) >= threshold,
       "left_anti")
   }
 

@@ -178,9 +178,12 @@ class StreamingSpec extends GraftSpec {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, when}
-    // blocklist direction (1,0); a scaled copy (cos=1) and a nearby
-    // vector (cos≈0.95) must drop; an orthogonal one must survive
-    val block = Seq(Tuple1(Seq(1.0f, 0.0f))).toDF("vec")
+    // blocklist direction (1,0) PLUS a zero vector: zero-norm cosines
+    // are NaN, and Spark orders NaN above every double — unguarded,
+    // `NaN >= t` is TRUE and the zero entry would drop the whole
+    // stream. A scaled copy (cos=1) and a nearby vector (cos≈0.95)
+    // must drop; an orthogonal one must survive.
+    val block = Seq(Tuple1(Seq(1.0f, 0.0f)), Tuple1(Seq(0.0f, 0.0f))).toDF("vec")
     val in = MemoryStream[(Long, Seq[Float])]
     val docs = in.toDF().toDF("doc_id", "emb")
       .withColumn("emb", when(col("doc_id") === 4L,

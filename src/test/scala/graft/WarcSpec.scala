@@ -54,8 +54,7 @@ class WarcSpec extends GraftSpec {
         (fixture, "plain"),
         (gzip(fixture), "whole-file gzip"),
         // Common Crawl layout: one gzip member PER RECORD, concatenated
-        (record("response", "http://EXAMPLE.com:80/a?utm_source=x", httpHtml(page))
-          .grouped(Int.MaxValue).toSeq.map(gzip).reduce(_ ++ _) ++
+        (gzip(record("response", "http://EXAMPLE.com:80/a?utm_source=x", httpHtml(page))) ++
           gzip(record("request", "http://example.com/a",
             "GET /a HTTP/1.1\r\n\r\n".getBytes(ISO_8859_1))) ++
           gzip(record("response", "http://example.com/png",
@@ -84,7 +83,9 @@ class WarcSpec extends GraftSpec {
     assert(Warc.parseWarc("random junk\r\n\r\n".getBytes(ISO_8859_1)).isEmpty)
     val rnd = new scala.util.Random(42)
     val noise = Array.fill(4096)(rnd.nextInt.toByte)
-    assert(Warc.parseWarc(noise).length == 0 || true) // must not throw
+    // random bytes cannot start a WARC/ header line: zero records AND
+    // no throw (the earlier `|| true` form asserted nothing)
+    assert(Warc.parseWarc(noise).isEmpty)
     // truncated second record: the first survives
     val full = fixture
     val cut = java.util.Arrays.copyOfRange(full, 0,
@@ -99,6 +100,38 @@ class WarcSpec extends GraftSpec {
     val lying = ("WARC/1.0\r\nWARC-Type: response\r\n" +
       "Content-Length: 99999\r\n\r\nshort").getBytes(ISO_8859_1)
     assert(Warc.parseWarc(lying).isEmpty)
+  }
+
+  test("transfer layers undone: chunked framing, content-encoding, charsets, dirty status") {
+    // chunked: the html split across two chunks, framing stripped
+    val html = "<p>chunked page body</p>"
+    val (c1, c2) = html.splitAt(10)
+    val chunked = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n" +
+      f"${c1.length}%x\r\n$c1\r\n${c2.length}%x\r\n$c2\r\n0\r\n\r\n").getBytes(ISO_8859_1)
+    val r1 = Warc.parseWarc(record("response", "http://h/c", chunked)).head
+    assert(new String(r1.body, UTF_8) == html, new String(r1.body, UTF_8))
+    // content-encoding gzip: body arrives inflated
+    val gzBody = gzip(html.getBytes(UTF_8))
+    val enc = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      s"Content-Encoding: gzip\r\nContent-Length: ${gzBody.length}\r\n\r\n")
+      .getBytes(ISO_8859_1) ++ gzBody
+    val r2 = Warc.parseWarc(record("response", "http://h/g", enc)).head
+    assert(new String(r2.body, UTF_8) == html)
+    // declared non-UTF-8 charset decodes correctly (not mojibake), and
+    // the media-type match is case-insensitive
+    val cyr = "<p>Привет мир</p>"
+    val cp1251 = cyr.getBytes(java.nio.charset.Charset.forName("windows-1251"))
+    val ruResp = (s"HTTP/1.1  200 OK\r\nContent-Type: Text/HTML; charset=windows-1251\r\n" +
+      s"Content-Length: ${cp1251.length}\r\n\r\n").getBytes(ISO_8859_1) ++ cp1251
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_enc")
+    java.nio.file.Files.write(dir.resolve("ru.warc"),
+      record("response", "http://h/ru", ruResp))
+    val rows = Warc.htmlResponses(Warc.readWarc(spark, dir.toString + "/*"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // the double-spaced status line still parses as 200; the page
+    // passes the Text/HTML filter and decodes via the declared charset
+    assert(rows == Map("http://h/ru" -> cyr), rows.toString)
   }
 
   test("readWarc + htmlResponses: files to (url, html) rows, into the hygiene chain") {
