@@ -118,6 +118,12 @@ class WarcSpec extends GraftSpec {
       .getBytes(ISO_8859_1) ++ gzBody
     val r2 = Warc.parseWarc(record("response", "http://h/g", enc)).head
     assert(new String(r2.body, UTF_8) == html)
+    // malformed chunk framing falls back to the raw payload bytes
+    // rather than dropping the body or throwing
+    val badChunk = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\nzz-not-hex\r\ngarbage").getBytes(ISO_8859_1)
+    val r3 = Warc.parseWarc(record("response", "http://h/bad", badChunk)).head
+    assert(new String(r3.body, UTF_8) == "zz-not-hex\r\ngarbage")
     // declared non-UTF-8 charset decodes correctly (not mojibake), and
     // the media-type match is case-insensitive
     val cyr = "<p>Привет мир</p>"
