@@ -244,6 +244,17 @@ class PlanQualitySpec extends GraftSpec {
       p.contains("__against_chash"), p)
   }
 
+  test("q_mixture_exact takes the sort-free path — no per-source Window sort") {
+    // partitionBy(source) would sort each source's ENTIRE slice in one
+    // task; with sample-sized targets the bounded aggregate + semi-join
+    // must be the plan (the window fallback only for huge targets or
+    // non-integral ids)
+    val p = plan("q_mixture_exact")
+    assert(!p.contains("Window"), p.take(1200))
+    assert(p.contains("ObjectHashAggregate"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("z-order layout is one range exchange, no extra shuffles") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_suppkey")
