@@ -146,6 +146,51 @@ class PropertiesSpec extends GraftSpec {
     })
   }
 
+  test("property: WARC walk round-trips arbitrary record sequences, any gzip layout") {
+    // pure-JVM property: serialize random record sequences per the
+    // ISO 28500 framing (independently of the parser), in all three
+    // compression layouts, and require the walk to recover every
+    // envelope field and payload byte-exactly
+    import graft.sources.Warc
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    def ser(recs: List[(String, String, Array[Byte])]): Array[Byte] =
+      recs.flatMap { case (t, uri, payload) =>
+        (s"WARC/1.0\r\nWARC-Type: $t\r\n" +
+          (if (uri.nonEmpty) s"WARC-Target-URI: $uri\r\n" else "") +
+          s"Content-Length: ${payload.length}\r\n\r\n").getBytes(ISO_8859_1) ++
+          payload ++ "\r\n\r\n".getBytes(ISO_8859_1)
+      }.toArray
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos); g.write(b); g.close()
+      bos.toByteArray
+    }
+    val genRec = for {
+      t <- Gen.oneOf("response", "request", "metadata", "resource")
+      uri <- Gen.oneOf("", "http://h/x", "https://a.b/c?d=1")
+      n <- Gen.choose(0, 300)
+      // arbitrary bytes INCLUDING CRLFs and fake "WARC/" strings — the
+      // length-prefixed framing must make payload content irrelevant
+      payload <- Gen.oneOf(
+        Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+        Gen.const(("\r\n\r\nWARC/1.0\r\nWARC-Type: fake\r\n" * 3).getBytes(ISO_8859_1)))
+    } yield (t, uri, payload)
+    check("warc roundtrip", cases = 24)(
+      Prop.forAll(Gen.listOfN(4, genRec).map(_.take(4))) { recs =>
+        val plain = ser(recs)
+        Seq(plain, gz(plain), recs.map(r => gz(ser(List(r))))
+            .foldLeft(Array.emptyByteArray)(_ ++ _))
+          .forall { bytes =>
+            val got = Warc.parseWarc(bytes)
+            got.length == recs.length && got.zip(recs).forall {
+              case (g, (t, uri, payload)) =>
+                g.warcType == t && g.targetUri == uri &&
+                  java.util.Arrays.equals(g.body, payload)
+            }
+          }
+      })
+  }
+
   test("property: MP3 walk recovers frames/duration/bitrate of arbitrary VBR streams") {
     // pure-JVM property (no Spark jobs): serialize random VALID frame
     // sequences from the PUBLIC header tables (ISO/IEC 11172-3 —
