@@ -553,14 +553,23 @@ object Dedup {
   }
 
   /** Rounds between lineage truncations in [[distributedCC]]: the
-    * per-round logical plan nests the previous round's, so without a
-    * checkpoint a high-diameter graph builds an O(rounds)-deep plan —
-    * analyzer cost grows per round and a lost cached partition would
-    * recompute through the entire history. Every k-th round the labels
-    * frame is `localCheckpoint`ed (plan collapses to a scanned RDD;
-    * on a real cluster swap for reliable `checkpoint` if executor loss
-    * matters more than the HDFS round-trip). */
-  private val CheckpointEvery = 4
+    * per-round logical plan nests the previous round's FOUR times
+    * (labels feeds stepped twice — directly and through the
+    * neighbor-min — and the pointer-jumping self-join reads stepped
+    * twice), so between truncations the DAG-expanded-to-tree plan that
+    * the analyzer walks and AQE stringifies per stage update grows
+    * ~4^k. Every k-th round the labels frame is `localCheckpoint`ed
+    * (plan collapses to a scanned RDD; on a real cluster swap for
+    * reliable `checkpoint` if executor loss matters more than the
+    * HDFS round-trip). k = 2 caps the expansion at 16x; measured on
+    * the two distributed-CC specs (120-node chain + persist path),
+    * k = 4 (256x) took 5m53s against 24s at k = 2 — driver-side
+    * analysis + explainString, not executor work, so the gap only
+    * widens on a real cluster where driver cycles are the scarce
+    * resource. k = 1 REGRESSES to 62s: the per-round truncation scan
+    * + extra job overhead costs more than the 4x-smaller plan saves.
+    * (All three measured on the same two specs, same JVM config.) */
+  private val CheckpointEvery = 2
 
   /** Edge count above which [[distributedCC]] persists the per-round
     * `stepped` frame. Both sides of the pointer-jumping self-join read
@@ -634,8 +643,21 @@ object Dedup {
       // just-materialized cache, so the extra job is one cheap
       // (id, label) pass. eager=true: a lazy checkpoint would silently
       // defer the truncation to a consumer's first action.
+      //
+      // The persist path truncates EVERY round, not every 4: persist
+      // does not shrink the logical plan, and each round references
+      // the previous round's frame 4x (labels twice into stepped,
+      // stepped twice into the self-join), so the DAG-expanded-to-tree
+      // plan that AQE stringifies on every stage update
+      // (onUpdatePlan -> explainString) grows ~4^rounds between
+      // truncations. With the persist path's EXTRA per-round execution
+      // (the materializing count) that stringification alone pegged a
+      // driver core for 10+ minutes on a 30-edge test graph. A
+      // per-round (id, label) checkpoint scan is noise next to the
+      // edge joins at any scale where persistStepped engages.
+      val cpInterval = if (persistStepped) 1 else CheckpointEvery
       labels =
-        if (!converged && it % CheckpointEvery == 0) {
+        if (!converged && it % cpInterval == 0) {
           val cp = next.localCheckpoint(eager = true)
           next.unpersist()
           cp
@@ -770,6 +792,79 @@ object Dedup {
           .filter(F.round(col("cos_sim"), roundDigits) >= threshold)
           .select(col("id_b").as(idCol)).distinct()
     }
+    df.join(dups, Seq(idCol), "left_anti")
+  }
+
+  /** SemDeDup-style semantic dedup: k-means-cluster the embedding
+    * space, then drop every row with a LOWER-id row at ≥ `threshold`
+    * cosine inside the SAME cluster (greedy min-id, the repo's
+    * standard first-pass keep rule). The published recipe for pruning
+    * semantically redundant training data (Abbas et al. 2023,
+    * arXiv:2303.09540): clustering bounds the candidate set, the
+    * within-cluster pass is EXACT — reuses [[embeddingDedup]]'s
+    * in-bucket verify kernel, so the keep-set inside a cluster is
+    * bit-identical to an all-pairs greedy over that cluster at
+    * `roundDigits` granularity. The approximation is only the cluster
+    * boundary: a near-dup pair split across clusters survives (miss
+    * rate falls as nLists shrinks or refineIters grows; for guaranteed
+    * recall at a radius use [[embeddingDedup]], which buckets by the
+    * pair geometry instead of global structure).
+    *
+    * Scale shape: centroids aggregate in one pass (k-means|| init +
+    * Lloyd refine, broadcast-only — [[Similarity.centroids]]); the
+    * assignment is map-only against broadcast centroids; the single
+    * shuffle groups (cluster, id, vec) by cluster id. No id is in two
+    * clusters, so no distinct over the drop set and no candidate-pair
+    * shuffle anywhere. A cluster must fit one aggregation row — the
+    * SAME sizing contract as embeddingDedup's buckets, ENFORCED here
+    * by an exact per-cluster count pre-pass (costs one extra map-only
+    * assignment scan + an 8-byte-key shuffle; k-means loads clusters
+    * ~corpus/nLists on mixing data, but a degenerate embedding column
+    * — all-equal vectors — collapses into ONE cluster, and that must
+    * raise before the collect_list OOMs, not after). Pass
+    * `clusterBudget = 0` to skip the guard on a pre-sized corpus. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double = 0.95, nLists: Int = 16,
+                    refineIters: Int = 1, seed: Long = 42L,
+                    roundDigits: Int = 6,
+                    clusterBudget: Long = 200L * 1000): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val idType = df.schema(idCol).dataType
+    idType match {
+      case LongType | IntegerType => ()
+      case other => throw new IllegalArgumentException(
+        s"semanticDedup needs an integral id column for the min-id keep " +
+          s"rule, got $idCol: $other")
+    }
+    // null ids sit out the whole pass — not centroid seeding either
+    // (k-means|| seeds BY id) — and survive via the left_anti
+    // (embeddingDedup's null rule)
+    val nonNull = df.filter(col(idCol).isNotNull)
+    val cents = Similarity.centroids(nonNull, idCol, vecCol, nLists,
+      refineIters, seed).cache()
+    def assigned = Similarity.assignLists(nonNull, idCol, vecCol, cents)
+    if (clusterBudget > 0) {
+      val maxRow = assigned.groupBy(col("list_id"))
+        .agg(F.count(lit(1)).as("__n"))
+        .agg(F.coalesce(F.max(col("__n")), lit(0L)).as("__m"))
+        .head()
+      val maxSz = maxRow.getLong(0)
+      if (maxSz > clusterBudget)
+        throw new IllegalArgumentException(
+          s"semanticDedup: the largest cluster holds $maxSz rows — over " +
+            s"clusterBudget=$clusterBudget and headed for a task OOM in the " +
+            s"in-cluster verify. Raise nLists (now $nLists) or refineIters " +
+            s"to split it, raise clusterBudget if tasks have the memory, " +
+            s"or clusterBudget=0 to skip this guard.")
+    }
+    val dups = assigned
+      .select(col("list_id"),
+        col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .groupBy(col("list_id"))
+      .agg(collect_list(struct(col("__id"), col("__v"))).as("__bucket"))
+      .select(explode(graft.functions.Kernels.cosineBucketDups(
+        col("__bucket"), threshold, roundDigits)).as("__dup"))
+      .select(col("__dup").cast(idType).as(idCol))
     df.join(dups, Seq(idCol), "left_anti")
   }
 
