@@ -35,9 +35,16 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
-    for name in names:
+    # union of written outputs and oracle keys: a query that ERRORED in
+    # Verify writes no directory, and enumerating only directories would
+    # silently drop it from the report (bitten once: a ts-type
+    # regression failed 2 queries and the summary still said 0 failing)
+    written = set(d for d in os.listdir(out_dir)
+                  if os.path.isdir(os.path.join(out_dir, d)))
+    names = sorted(written | set(oracle))
+    for name in sorted(set(oracle) - written):
+        results[name] = "NO_SPARK_OUTPUT (query errored in Verify?)"
+    for name in sorted(written):
         parts = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not parts:
             results[name] = "NO_SPARK_OUTPUT"

@@ -34,10 +34,18 @@ object SparkEntry {
     try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => }
     val df = s.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None    => df
+    // the driver has shipped events.ts as TIMESTAMP(NANOS) (long under
+    // nanosAsLong) in some rounds and timestamp[us] (TIMESTAMP_NTZ) in
+    // others — normalize both to a session-tz TIMESTAMP so downstream
+    // micro-exact ops (unix_micros in sessionize / range join) resolve.
+    // Sessions here run UTC, so the NTZ→LTZ cast is value-exact.
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
     }
   }
   private def cf(s: SparkSession, dir: String, name: String): CrysFrame =
@@ -850,6 +858,19 @@ object SparkEntry {
       CrysFrame(lshKeep.union(mismatch)).sortBy("vec_id").out
     }),
 
+    // SemDeDup cluster dedup (ml.Dedup.semanticDedup): k-means
+    // clusters + exact within-cluster greedy. Rows-only by design —
+    // the cluster boundary is the approximation and k-means is not
+    // SQL-expressible (q_dedup_cc precedent); within-cluster
+    // exactness and the keep rule are pinned by SemanticDedupSpec
+    "q_semantic_dedup" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      CrysFrame(Dedup.semanticDedup(e, "vec_id", "embedding",
+          threshold = 0.45, nLists = 8, refineIters = 2)
+          .select("vec_id"))
+        .sortBy("vec_id").out
+    }),
+
     // ---------------- extensions: similarity search ----------------
     "q_cosine_pairs" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -1031,6 +1052,17 @@ object SparkEntry {
       CrysFrame(graft.text.LangModel.unigramXent(
           docs, "doc_id", "text",
           docs.filter(col("lang") === "en"), "text"))
+        .sortBy("doc_id").out
+    }),
+
+    // model-based quality filter (text.Classifier): two-class
+    // multinomial Naive Bayes trained on lang='en' vs rest, scoring
+    // the whole corpus — per-token LLRs in micro-nats so sums are
+    // order-independent longs (q_lm_score exactness contract)
+    "q_nb_score" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      CrysFrame(graft.text.Classifier.nbScore(
+          docs, "doc_id", "text", docs, "text", col("lang") === "en"))
         .sortBy("doc_id").out
     }),
 
@@ -2057,6 +2089,51 @@ object SparkEntry {
         |    CAST(a.surprisal_micro AS DOUBLE) / 1e6 / CAST(a.n_tokens AS DOUBLE)
         |  ELSE 0.0 END AS xent
         |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_nb_score" ->
+      """WITH tr AS (
+        |  SELECT (lang = 'en') AS pos, list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    t -> t <> '') AS toks
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT term,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+        |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+        |  FROM (SELECT pos, unnest(toks) AS term FROM tr) GROUP BY term),
+        |tot AS (SELECT
+        |    CAST(coalesce(sum(c_pos), 0) AS BIGINT) AS tpos,
+        |    CAST(coalesce(sum(c_neg), 0) AS BIGINT) AS tneg,
+        |    CAST(count(*) AS BIGINT) AS v FROM vocab),
+        |pri AS (SELECT CAST(round(1e6 * (
+        |    ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)) -
+        |    ln(CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS DOUBLE))), 0)
+        |  AS BIGINT) AS prior FROM tr),
+        |d AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    t -> t <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS term FROM d),
+        |c AS (
+        |  SELECT g.doc_id, g.n_tokens,
+        |    CAST(round(1e6 * (
+        |      ln((coalesce(vocab.c_pos, 0) + 1.0) / (tot.tpos + tot.v)) -
+        |      ln((coalesce(vocab.c_neg, 0) + 1.0) / (tot.tneg + tot.v))), 0)
+        |      AS BIGINT) AS ci
+        |  FROM g LEFT JOIN vocab ON g.term = vocab.term CROSS JOIN tot),
+        |agg AS (
+        |  SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(sum(ci) AS BIGINT) AS llr_micro
+        |  FROM c GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(a.llr_micro, 0) AS BIGINT) AS llr_micro,
+        |  CAST(pri.prior + coalesce(a.llr_micro, 0) AS BIGINT) AS score_micro,
+        |  CAST(CASE WHEN pri.prior + coalesce(a.llr_micro, 0) > 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS pred
+        |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id CROSS JOIN pri
         |ORDER BY d.doc_id""".stripMargin,
 
     "q_tfidf_keywords" ->

@@ -1,0 +1,118 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based document classification: a multinomial Naive Bayes
+  * text classifier trained and applied entirely as dataframe
+  * aggregations — the distributed, oracle-exact stand-in for the
+  * fastText-style quality/language filters every large-scale corpus
+  * pipeline runs ("train on a trusted reference corpus, score the
+  * crawl, keep what looks in-domain"). (Extension beyond the
+  * reference surface — CrysDA has no model-based scoring.)
+  *
+  * Model: two-class multinomial NB with add-one smoothing over the
+  * shared vocabulary V (union of both classes' tokens):
+  *   p(t | c) = (count_c(t) + 1) / (total_c + V)
+  * A document's score is the log-odds
+  *   ln p(pos) − ln p(neg) + Σ_t [ln p(t|pos) − ln p(t|neg)]
+  * Per-token log-likelihood ratios quantize to integer micro-units
+  * (round once, AFTER the subtraction), so each document's LLR sum is
+  * an order-independent long and bit-reproducible cross-engine — the
+  * same exactness contract as BM25 / tf-idf / LM scoring. Tokens
+  * unseen in BOTH classes still carry signal
+  * (ln[(total_neg+V)/(total_pos+V)]) and are computed in the scoring
+  * join via coalesce, not looked up.
+  *
+  * Scale shape: training is one vocabulary-sized aggregation with
+  * map-side partials (vocabulary ≪ corpus) plus a two-long totals row;
+  * scoring joins the exploded corpus to the vocabulary on the term key
+  * (AQE broadcasts the model when it fits — it is |V| rows) and
+  * reduces per document. No window, no driver loop; the model frame
+  * can be persisted and reused across scoring runs.
+  */
+object Classifier {
+
+  private def toks(text: Column) = TextFunctions.wsTokens(text)
+
+  /** Per-term NB model: (term, c_pos, c_neg) occurrence counts by
+    * class, for inspection or reuse. `label` is any boolean Column
+    * over `train`'s rows; null labels train as negative (documented
+    * coalesce, matching SQL `WHERE`-style two-valued reads). */
+  def nbModel(train: DataFrame, textCol: String, label: Column): DataFrame = {
+    // explode_outer + post-filter, NOT plain explode: explode's
+    // inferred size-filter pushdown duplicates the tokenize expression
+    // below the projection (see LangModel.bigramXent — measured 2-10x)
+    train
+      .select(coalesce(label, lit(false)).as("__pos"),
+        toks(coalesce(col(textCol), lit(""))).as("__toks"))
+      .select(col("__pos"), explode_outer(col("__toks")).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("term"))
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("c_neg"))
+  }
+
+  /** Train on `train` (positive class = rows where `label`) and score
+    * every row of `docs`: (doc_id, n_tokens, llr_micro, score_micro,
+    * pred). `score_micro` = prior + token LLR sum in micro-nats;
+    * `pred` = score_micro > 0. Pass the same frame twice to
+    * self-score a labeled corpus. Raises at evaluation if either
+    * class has no documents — there is no model to score under
+    * (mirrors unigramXent's empty-corpus contract). */
+  def nbScore(docs: DataFrame, idCol: String, textCol: String,
+              train: DataFrame, trainTextCol: String,
+              label: Column): DataFrame = {
+    val model = nbModel(train, trainTextCol, label)
+    // totals: token mass + doc counts per class, vocab size, prior.
+    // One broadcast row; doc counts come from the un-exploded frame.
+    val mass = model.agg(
+      coalesce(sum(col("c_pos")), lit(0L)).as("__tpos"),
+      coalesce(sum(col("c_neg")), lit(0L)).as("__tneg"),
+      count(lit(1)).as("__v"))
+    val docCounts = train
+      .select(coalesce(label, lit(false)).as("__pos"))
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("__npos"),
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("__nneg"))
+    val totals = mass.crossJoin(docCounts)
+      .select(col("__tpos"), col("__tneg"), col("__v"),
+        when(col("__npos") > 0 && col("__nneg") > 0,
+          round(lit(1e6) *
+            (log(col("__npos").cast("double")) -
+              log(col("__nneg").cast("double"))), 0).cast("long"))
+          .otherwise(raise_error(lit(
+            "nbScore: a class has no training documents — two-class NB " +
+              "needs both (check the label expression)")))
+          .as("__prior"))
+
+    val grams = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        toks(coalesce(col(textCol), lit(""))).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
+        explode_outer(col("__toks")).as("term"))
+
+    grams
+      .join(model, Seq("term"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_tokens"), col("__prior"),
+        when(col("term").isNotNull,
+          // one rounding, after the subtraction — the quantity both
+          // engines reproduce; unseen-in-both terms take coalesce(0)
+          round(lit(1e6) * (
+            log((coalesce(col("c_pos"), lit(0L)) + lit(1.0)) /
+              (col("__tpos") + col("__v"))) -
+              log((coalesce(col("c_neg"), lit(0L)) + lit(1.0)) /
+                (col("__tneg") + col("__v")))), 0).cast("long"))
+          .otherwise(lit(0L)).as("__llr"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        sum(col("__llr")).as("llr_micro"),
+        first(col("__prior")).as("__prior"))
+      .select(col("doc_id"), col("n_tokens"), col("llr_micro"),
+        (col("__prior") + col("llr_micro")).as("score_micro"),
+        // 0/1 long, not boolean: the oracle hash compares raw values
+        // and integer renders identically across engines
+        when(col("__prior") + col("llr_micro") > 0, 1L).otherwise(0L)
+          .as("pred"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.Dedup
+
+/** SemDeDup-style cluster dedup: within-cluster exactness vs a naive
+  * greedy, min-id keep rule, cluster-boundary approximation, budget
+  * guard, null ids, determinism. */
+class SemanticDedupSpec extends GraftSpec {
+
+  // two well-separated directions in R^4 plus small perturbations:
+  // ids 0-3 near (1,0,0,0), ids 10-13 near (0,0,1,0). cos between the
+  // groups ~0, within groups > 0.999
+  private def clustered = {
+    import spark.implicits._
+    def jitter(base: Array[Float], eps: Float, at: Int) = {
+      val v = base.clone(); v(at) = v(at) + eps; v.toSeq
+    }
+    val a = Array(1f, 0f, 0f, 0f)
+    val b = Array(0f, 0f, 1f, 0f)
+    Seq(
+      (0L, a.toSeq), (1L, jitter(a, 0.01f, 1)), (2L, jitter(a, 0.02f, 3)),
+      (3L, jitter(a, -0.015f, 2)),
+      (10L, b.toSeq), (11L, jitter(b, 0.01f, 0)), (12L, jitter(b, 0.02f, 1)),
+      (13L, jitter(b, -0.01f, 3))).toDF("id", "vec")
+  }
+
+  test("keeps the min id of each within-cluster near-group; clusters are independent") {
+    val kept = Dedup.semanticDedup(clustered, "id", "vec",
+        threshold = 0.999, nLists = 2, refineIters = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // every jittered vector is > 0.999 cosine to its base → one
+    // survivor per cluster, the minimum id
+    assert(kept == Set(0L, 10L), kept.toString)
+  }
+
+  test("within-cluster keep-set equals a naive all-pairs greedy per cluster") {
+    val df = clustered
+    val kept = Dedup.semanticDedup(df, "id", "vec",
+        threshold = 0.9995, nLists = 2, refineIters = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // naive reference: exact cosine over each perfect cluster (ids
+    // <10 / >=10 — k-means with 2 lists on this geometry must find
+    // exactly this split or the first assertion would have failed),
+    // greedy drop-if-lower-id-partner at the same rounding
+    val rows = df.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).sortBy(_._1)
+    def cos(x: Array[Double], y: Array[Double]) = {
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(p => p * p).sum) * math.sqrt(y.map(p => p * p).sum))
+    }
+    val naive = rows.filter { case (id, v) =>
+      !rows.exists { case (oid, ov) =>
+        oid < id && (oid < 10L) == (id < 10L) &&
+          BigDecimal(cos(ov, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.9995
+      }
+    }.map(_._1).toSet
+    assert(kept == naive, s"kernel=$kept naive=$naive")
+  }
+
+  test("cross-cluster near-dups survive (the documented approximation)") {
+    import spark.implicits._
+    // two tight far-apart clusters pull the centroids; a near-identical
+    // pair straddling the decision boundary CAN land apart — here we
+    // just pin that rows in different clusters are never compared:
+    // identical vectors forced into different clusters by geometry
+    // is awkward to construct reliably, so assert the complement —
+    // nothing outside the same cluster is dropped even at threshold 0
+    val kept = Dedup.semanticDedup(clustered, "id", "vec",
+        threshold = 0.0, nLists = 2, refineIters = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // threshold 0 drops everything but the min id within each cluster;
+    // both cluster minima survive — proof the clusters stayed separate
+    assert(kept == Set(0L, 10L), kept.toString)
+  }
+
+  test("degenerate all-equal corpus trips the cluster budget guard") {
+    import spark.implicits._
+    val df = (0L until 50L).map(i => (i, Seq(1f, 0f))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(df, "id", "vec", nLists = 4, clusterBudget = 10L)
+    }
+    assert(e.getMessage.contains("nLists"), e.getMessage)
+    // budget 0 skips the guard and the answer is still exact: all 50
+    // identical vectors collapse to id 0
+    val kept = Dedup.semanticDedup(df, "id", "vec", nLists = 4,
+        clusterBudget = 0L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L), kept.toString)
+  }
+
+  test("null ids survive; non-integral ids refused at plan time") {
+    import spark.implicits._
+    val df = Seq((java.lang.Long.valueOf(1L), Seq(1f, 0f)),
+      (null.asInstanceOf[java.lang.Long], Seq(1f, 0f)),
+      (java.lang.Long.valueOf(3L), Seq(1f, 0f))).toDF("id", "vec")
+    val kept = Dedup.semanticDedup(df, "id", "vec", nLists = 1)
+      .select("id").collect().map(r => Option(r.get(0))).toSet
+    assert(kept == Set(Some(1L), None), kept.toString)
+    val bad = Seq(("a", Seq(1f, 0f))).toDF("id", "vec")
+    intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(bad, "id", "vec")
+    }
+  }
+
+  test("deterministic across runs at a fixed seed") {
+    val k1 = Dedup.semanticDedup(clustered, "id", "vec",
+        threshold = 0.999, nLists = 2, refineIters = 2, seed = 7L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val k2 = Dedup.semanticDedup(clustered, "id", "vec",
+        threshold = 0.999, nLists = 2, refineIters = 2, seed = 7L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(k1 == k2)
+  }
+}
