@@ -78,6 +78,10 @@ object Kernels {
   def bpeEncode(tokens: Column, merges: Seq[(String, String)],
                 endOfWord: String = "</w>"): Column =
     column(BpeEncodeExpr(expression(tokens), merges, endOfWord))
+
+  def nbScoreSum(tokens: Column, llrMicro: Map[String, Long],
+                 unseenLlrMicro: Long): Column =
+    column(NbScoreSumExpr(expression(tokens), llrMicro, unseenLlrMicro))
 }
 
 /** MinHash signature over character shingles of an (already normalized)
@@ -703,6 +707,57 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)],
       t += 1
     }
     new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Sum of per-token Naive Bayes log-likelihood ratios (integer
+  * micro-nats) under a DRIVER-COMPILED model that ships inside the
+  * expression — the map-only scoring path for
+  * [[graft.text.Classifier.nbScoreBroadcast]]. The model is a
+  * term → llr_micro table (vocabulary-sized, broadcast-class data like
+  * [[BpeEncodeExpr]]'s merge ranks); tokens absent from it add
+  * `unseenLlrMicro` (unseen-in-both-classes tokens still carry the
+  * token-mass asymmetry — see the Classifier scaladoc). One hash probe
+  * per token on zero-copy UTF8String keys, no per-row allocation, and
+  * the long sum is identical to the join path's SUM over identical
+  * per-token longs — order-independent by construction. */
+case class NbScoreSumExpr(child: Expression, llrMicro: Map[String, Long],
+                          unseenLlrMicro: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nb_score_sum expects array<string> tokens, got ${other.sql}")
+  }
+
+  @transient private lazy val table: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](llrMicro.size * 2)
+    llrMicro.foreach { case (t, v) =>
+      m.put(UTF8String.fromString(t), java.lang.Long.valueOf(v))
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var sum = 0L
+    var i = 0
+    while (i < arr.numElements()) {
+      // null elements score as unseen (wsTokens never emits them, but
+      // the expression contract shouldn't NPE on a hand-built array)
+      val t = arr.getUTF8String(i)
+      val v = if (t == null) null else table.get(t)
+      sum += (if (v != null) v.longValue() else unseenLlrMicro)
+      i += 1
+    }
+    sum
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -35,6 +35,14 @@ object Classifier {
 
   private def toks(text: Column) = TextFunctions.wsTokens(text)
 
+  /** A driver-compiled NB model: per-term LLRs plus the unseen-token
+    * LLR and the class prior, all in micro-nats. Small by nature
+    * (vocabulary-sized — the same broadcast class as BPE merge
+    * tables); produced by [[compileNb]], consumed by
+    * [[nbScoreBroadcast]], serializable for reuse across jobs. */
+  case class NbCompiledModel(llrMicro: Map[String, Long],
+                             unseenLlrMicro: Long, priorMicro: Long)
+
   /** Per-term NB model: (term, c_pos, c_neg) occurrence counts by
     * class, for inspection or reuse. `label` is any boolean Column
     * over `train`'s rows; null labels train as negative (documented
@@ -115,4 +123,78 @@ object Classifier {
         when(col("__prior") + col("llr_micro") > 0, 1L).otherwise(0L)
           .as("pred"))
   }
+
+  /** Compile the model to the driver for map-only scoring: per-term
+    * LLRs COMPUTED IN SPARK with the exact expression [[nbScore]]'s
+    * join path uses (same log, same single HALF_UP rounding), then
+    * collected — so the two paths sum identical per-token longs and
+    * agree bit-for-bit. `maxVocab` bounds the collect (a model is
+    * vocabulary-sized; a corpus-sized "vocabulary" means the text
+    * column is not tokenizable prose and scoring it this way is a
+    * bug, not a bigger driver). */
+  def compileNb(train: DataFrame, trainTextCol: String, label: Column,
+                maxVocab: Long = 2L * 1000 * 1000): NbCompiledModel = {
+    val model = nbModel(train, trainTextCol, label)
+    val mass = model.agg(
+      coalesce(sum(col("c_pos")), lit(0L)).as("__tpos"),
+      coalesce(sum(col("c_neg")), lit(0L)).as("__tneg"),
+      count(lit(1)).as("__v"))
+    val docCounts = train
+      .select(coalesce(label, lit(false)).as("__pos"))
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("__npos"),
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("__nneg"))
+    val totRow = mass.crossJoin(docCounts)
+      .select(
+        when(col("__npos") > 0 && col("__nneg") > 0,
+          round(lit(1e6) *
+            (log(col("__npos").cast("double")) -
+              log(col("__nneg").cast("double"))), 0).cast("long"))
+          .otherwise(raise_error(lit(
+            "compileNb: a class has no training documents — two-class NB " +
+              "needs both (check the label expression)")))
+          .as("__prior"),
+        round(lit(1e6) * (
+          log(lit(1.0) / (col("__tpos") + col("__v"))) -
+            log(lit(1.0) / (col("__tneg") + col("__v")))), 0).cast("long")
+          .as("__unseen"),
+        col("__tpos"), col("__tneg"), col("__v"))
+      .head()
+    val vocabSize = totRow.getLong(4)
+    require(vocabSize <= maxVocab,
+      s"compileNb: vocabulary has $vocabSize terms — over maxVocab=" +
+        s"$maxVocab. A model this size should score via the join path " +
+        s"(nbScore); raise maxVocab only if the driver genuinely has the " +
+        s"memory.")
+    val (tpos, tneg, v) = (totRow.getLong(2), totRow.getLong(3), vocabSize)
+    val llr = model
+      .select(col("term"),
+        round(lit(1e6) * (
+          log((col("c_pos") + lit(1.0)) / lit(tpos.toDouble + v)) -
+            log((col("c_neg") + lit(1.0)) / lit(tneg.toDouble + v))), 0)
+          .cast("long").as("llr"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    NbCompiledModel(llr, totRow.getLong(1), totRow.getLong(0))
+  }
+
+  /** Map-only scoring under a [[compileNb]] model: same output schema
+    * and bit-identical values to [[nbScore]], but zero shuffles — one
+    * hash probe per token inside a single projection
+    * ([[graft.functions.Kernels.nbScoreSum]]). The shape for scoring
+    * at INGEST: works unchanged on a streaming frame (no state, no
+    * watermark — it is a stateless projection), and on batch it
+    * trades [[nbScore]]'s term-key join for an expression-resident
+    * model, the right call whenever the model is reused across many
+    * batches. */
+  def nbScoreBroadcast(docs: DataFrame, idCol: String, textCol: String,
+                       model: NbCompiledModel): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        toks(coalesce(col(textCol), lit(""))).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
+        graft.functions.Kernels.nbScoreSum(col("__toks"),
+          model.llrMicro, model.unseenLlrMicro).as("llr_micro"))
+      .select(col("doc_id"), col("n_tokens"), col("llr_micro"),
+        (lit(model.priorMicro) + col("llr_micro")).as("score_micro"),
+        when(lit(model.priorMicro) + col("llr_micro") > 0, 1L).otherwise(0L)
+          .as("pred"))
 }

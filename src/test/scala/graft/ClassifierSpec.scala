@@ -102,4 +102,61 @@ class ClassifierSpec extends GraftSpec {
     assert(model("spark") == ((40L, 0L)) && model("butter") == ((0L, 40L)),
       model.toString)
   }
+
+  test("broadcast path scores bit-identically to the join path") {
+    import spark.implicits._
+    val train = ((1 to 30).map(i => (s"spark shuffle partition join t$i", true)) ++
+      (1 to 20).map(i => (s"recipe oven sugar butter r$i", false)))
+      .toDF("text", "lab")
+    val docs = Seq(
+      (1L, "spark join unseen0 words here"),
+      (2L, "sugar butter"), (3L, ""), (4L, null: String),
+      (5L, "completely novel vocabulary only")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val joined = rows(Classifier.nbScore(docs, "doc_id", "text",
+      train, "text", col("lab")))
+    val m = Classifier.compileNb(train, "text", col("lab"))
+    val bcast = rows(Classifier.nbScoreBroadcast(docs, "doc_id", "text", m))
+    assert(joined == bcast, s"join=$joined bcast=$bcast")
+    // and the scores are partition-count invariant (long sums)
+    val repart = rows(Classifier.nbScoreBroadcast(
+      docs.repartition(7), "doc_id", "text", m))
+    assert(repart == bcast)
+  }
+
+  test("compileNb refuses a corpus-sized vocabulary") {
+    import spark.implicits._
+    val train = Seq(("a b c d e f", true), ("g h i j", false)).toDF("text", "lab")
+    val e = intercept[IllegalArgumentException] {
+      Classifier.compileNb(train, "text", col("lab"), maxVocab = 3L)
+    }
+    assert(e.getMessage.contains("maxVocab"), e.getMessage)
+  }
+
+  test("broadcast scoring composes on a stream unchanged (stateless projection)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val train = ((1 to 20).map(i => (s"spark shuffle join t$i", true)) ++
+      (1 to 20).map(i => (s"oven sugar butter r$i", false))).toDF("text", "lab")
+    val m = Classifier.compileNb(train, "text", col("lab"))
+    val batchDocs = Seq((1L, "spark shuffle"), (2L, "sugar oven"), (3L, ""))
+      .toDF("doc_id", "text")
+    val expect = Classifier.nbScoreBroadcast(batchDocs, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val scored = Classifier.nbScoreBroadcast(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", m)
+    val q = scored.writeStream.format("memory").queryName("nb_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "spark shuffle"), (2L, "sugar oven"), (3L, ""))
+      q.processAllAvailable()
+      val got = spark.table("nb_stream")
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got == expect, s"stream=$got batch=$expect")
+    } finally q.stop()
+  }
 }

@@ -84,6 +84,13 @@ class KernelTypeCheckSpec extends GraftSpec {
     assert(e.getMessage.contains("repetition_stats"))
   }
 
+  test("nb_score_sum rejects a non-array child at analysis time") {
+    val e = analysisFailure(ints.select(
+        Kernels.nbScoreSum(col("n"), Map("a" -> 1L), 0L))
+      .queryExecution.analyzed)
+    assert(e.getMessage.contains("nb_score_sum"))
+  }
+
   test("word_ngram_hashes: rolling hash is offset-independent and window-exact") {
     import graft.functions.Kernels
     def hashesOf(tokens: Seq[String], n: Int): Seq[Long] =
