@@ -114,21 +114,37 @@ object Dedup {
                        numHashes: Int = 128, bands: Int = 32,
                        threshold: Double = 0.8, shingleSize: Int = 5,
                        maxPartners: Int = 64): DataFrame = {
-    import org.apache.spark.sql.types.{IntegerType, LongType}
     require(maxPartners >= 1,
       s"maxPartners must be >= 1 (got $maxPartners): 0 would disable the probe")
-    def longIds(df: DataFrame): DataFrame = {
-      df.schema(idCol).dataType match {
-        case LongType | IntegerType => ()
-        case other => throw new IllegalArgumentException(
-          s"dedupAgainstNear needs an integral id column, got $idCol: $other")
-      }
-      df.filter(col(idCol).isNotNull)
-        .select(col(idCol).cast("long").as(idCol), col(textCol))
-    }
-    val (_, anchors) = bandedAnchors(longIds(corpus), idCol, textCol,
+    val (_, anchors) = bandedAnchors(
+      longIds(corpus, idCol, textCol, "dedupAgainstNear"), idCol, textCol,
       numHashes, bands, shingleSize, maxPartners)
-    val (batchBanded, _) = bandedAnchors(longIds(batch), idCol, textCol,
+    probeAnchors(batch, anchors, idCol, textCol,
+      numHashes, bands, threshold, shingleSize, maxPartners)
+  }
+
+  private def longIds(df: DataFrame, idCol: String, textCol: String,
+                      caller: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    df.schema(idCol).dataType match {
+      case LongType | IntegerType => ()
+      case other => throw new IllegalArgumentException(
+        s"$caller needs an integral id column, got $idCol: $other")
+    }
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as(idCol), col(textCol))
+  }
+
+  /** The probe half of [[dedupAgainstNear]]: band the batch, join the
+    * (precomputed) corpus anchors on the band key, kernel-verify, drop.
+    * Factored out so a persisted index ([[buildNearDupIndex]]) probes
+    * through the IDENTICAL plan as the inline path. */
+  private def probeAnchors(batch: DataFrame, anchors: DataFrame,
+                           idCol: String, textCol: String,
+                           numHashes: Int, bands: Int, threshold: Double,
+                           shingleSize: Int, maxPartners: Int): DataFrame = {
+    val (batchBanded, _) = bandedAnchors(
+      longIds(batch, idCol, textCol, "dedupAgainstNear"), idCol, textCol,
       numHashes, bands, shingleSize, maxPartners)
     // inner join: a batch row in a bucket no corpus row occupies has no
     // candidates — it survives via the left_anti below
@@ -137,6 +153,52 @@ object Dedup {
         lit(Long.MaxValue), col("__sig"), col("__anchors"), numHashes, threshold))
       .select(col("__id").cast(batch.schema(idCol).dataType).as(idCol)).distinct()
     batch.join(dups, Seq(idCol), "left_anti")
+  }
+
+  /** Build and persist the corpus side of [[dedupAgainstNear]] — the
+    * recurring-ingest form. Signature computation over the corpus is
+    * the expensive half (a full text scan + the banding shuffle), and
+    * it does not change between batches: persist it ONCE per corpus
+    * snapshot, then each batch pays only its own scan + an 8-byte
+    * band-key join against the index ([[dedupAgainstNearIndexed]]).
+    * The banding PARAMETERS are persisted WITH the index (a one-row
+    * params table) and read back at probe time — a probe with
+    * mismatched banding silently loses recall, so the parameters are
+    * not trusted to the caller twice. Layout: `path/anchors` (band
+    * key → bounded anchor array, the [[MinKSigAgg]] fold) +
+    * `path/params`. Same recall contract as the inline path;
+    * `threshold` stays a PROBE-time knob. */
+  def buildNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        path: String, numHashes: Int = 128, bands: Int = 32,
+                        shingleSize: Int = 5, maxPartners: Int = 64): Unit = {
+    require(maxPartners >= 1,
+      s"maxPartners must be >= 1 (got $maxPartners): 0 would disable the probe")
+    val (_, anchors) = bandedAnchors(
+      longIds(corpus, idCol, textCol, "buildNearDupIndex"), idCol, textCol,
+      numHashes, bands, shingleSize, maxPartners)
+    anchors.write.mode("overwrite").parquet(s"$path/anchors")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((numHashes, bands, shingleSize, maxPartners))
+      .toDF("num_hashes", "bands", "shingle_size", "max_partners")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Probe a [[buildNearDupIndex]] index: drop `batch` rows whose
+    * signature agrees at ≥ `threshold` with any indexed corpus row
+    * sharing a band bucket. Banding parameters come from the index
+    * itself; the plan is identical to [[dedupAgainstNear]]'s probe
+    * half, minus the corpus scan it exists to avoid. */
+  def dedupAgainstNearIndexed(batch: DataFrame, path: String,
+                              idCol: String, textCol: String,
+                              threshold: Double = 0.8): DataFrame = {
+    val spark = batch.sparkSession
+    val p = spark.read.parquet(s"$path/params").head()
+    val anchors = spark.read.parquet(s"$path/anchors")
+    probeAnchors(batch, anchors, idCol, textCol,
+      numHashes = p.getAs[Int]("num_hashes"), bands = p.getAs[Int]("bands"),
+      threshold = threshold, shingleSize = p.getAs[Int]("shingle_size"),
+      maxPartners = p.getAs[Int]("max_partners"))
   }
 
   // -------------------------------------------------------------------

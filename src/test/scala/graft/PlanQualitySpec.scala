@@ -267,4 +267,35 @@ class PlanQualitySpec extends GraftSpec {
     assert(p.contains("rangepartitioning"), p)
     assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
   }
+
+  test("nbScoreBroadcast is one shuffle-free projection") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val train = Seq(("spark join", true), ("sugar oven", false))
+      .toDF("text", "lab")
+    val m = graft.text.Classifier.compileNb(train, "text", col("lab"))
+    val docs = Seq((1L, "spark sugar")).toDF("doc_id", "text")
+    val p = graft.text.Classifier.nbScoreBroadcast(docs, "doc_id", "text", m)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("semanticDedup shuffles only on the cluster key — no pair join, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    val e = SparkEntry.t(spark, dir, "embeddings")
+    val p = graft.ml.Dedup.semanticDedup(e, "vec_id", "embedding",
+        threshold = 0.45, nLists = 4, refineIters = 1,
+        clusterBudget = 0L) // guard off: its count pass is a separate job
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"), p)
+    // the dup-set side: one hash-aggregate exchange keyed by list_id
+    // carries the vectors to their clusters; everything upstream of it
+    // is broadcast (centroids) — no shuffle of candidate PAIRS exists
+    // because no join on pair keys exists (the kernel verifies inside
+    // the aggregation row). The final keep is an 8-byte-key anti-join.
+    assert(p.contains("list_id"), p)
+    assert(!p.contains("SortMergeJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
 }
