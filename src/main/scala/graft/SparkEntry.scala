@@ -1066,6 +1066,34 @@ object SparkEntry {
         .sortBy("doc_id").out
     }),
 
+    // deflate compressibility signal (text.TextFunctions
+    // .compressionRatio): rows-only by design — the ratio is a JVM
+    // zlib computation with no SQL equivalent; exactness is
+    // spec-pinned against java.util.zip in-process
+    // (CompressionSignalSpec)
+    "q_compress_signal" -> ((s, d) =>
+      CrysFrame(t(s, d, "documents")
+          .select(col("doc_id"),
+            round(graft.text.TextFunctions.compressionRatio(col("text")), 6)
+              .as("compress_ratio")))
+        .sortBy("doc_id").out),
+
+    // curation composite: the NB filter driving corpus curation —
+    // keep docs the model calls in-domain, then per-source kept-doc /
+    // token tallies (what a mixture rebalance consumes). Every stage
+    // is integer-exact, so the composite hash-matches end to end
+    "q_curation" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = graft.text.Classifier.nbScore(
+        docs, "doc_id", "text", docs, "text", col("lang") === "en")
+      CrysFrame(docs.select(col("doc_id"), col("source"))
+          .join(scored.filter(col("pred") === 1), Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("kept_tokens")))
+        .sortBy("source").out
+    }),
+
     // per-doc tf-idf keywords (text.Search): micro-unit scores, ties
     // by term string (binary collation both engines — q_vocab
     // precedent); restricted to doc_id < 50 to keep the compare small
@@ -2135,6 +2163,52 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END AS BIGINT) AS pred
         |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id CROSS JOIN pri
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_curation" ->
+      """WITH tr AS (
+        |  SELECT (lang = 'en') AS pos, list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    t -> t <> '') AS toks
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT term,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+        |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+        |  FROM (SELECT pos, unnest(toks) AS term FROM tr) GROUP BY term),
+        |tot AS (SELECT
+        |    CAST(coalesce(sum(c_pos), 0) AS BIGINT) AS tpos,
+        |    CAST(coalesce(sum(c_neg), 0) AS BIGINT) AS tneg,
+        |    CAST(count(*) AS BIGINT) AS v FROM vocab),
+        |pri AS (SELECT CAST(round(1e6 * (
+        |    ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)) -
+        |    ln(CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS DOUBLE))), 0)
+        |  AS BIGINT) AS prior FROM tr),
+        |d AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    t -> t <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS term FROM d),
+        |c AS (
+        |  SELECT g.doc_id, g.n_tokens,
+        |    CAST(round(1e6 * (
+        |      ln((coalesce(vocab.c_pos, 0) + 1.0) / (tot.tpos + tot.v)) -
+        |      ln((coalesce(vocab.c_neg, 0) + 1.0) / (tot.tneg + tot.v))), 0)
+        |      AS BIGINT) AS ci
+        |  FROM g LEFT JOIN vocab ON g.term = vocab.term CROSS JOIN tot),
+        |agg AS (
+        |  SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(sum(ci) AS BIGINT) AS llr_micro
+        |  FROM c GROUP BY doc_id),
+        |scored AS (
+        |  SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens
+        |  FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id CROSS JOIN pri
+        |  WHERE pri.prior + coalesce(a.llr_micro, 0) > 0)
+        |SELECT doc.source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(s.n_tokens) AS BIGINT) AS kept_tokens
+        |FROM scored s JOIN documents doc ON s.doc_id = doc.doc_id
+        |GROUP BY doc.source ORDER BY doc.source""".stripMargin,
 
     "q_tfidf_keywords" ->
       """WITH d AS (

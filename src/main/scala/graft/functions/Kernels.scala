@@ -82,6 +82,9 @@ object Kernels {
   def nbScoreSum(tokens: Column, llrMicro: Map[String, Long],
                  unseenLlrMicro: Long): Column =
     column(NbScoreSumExpr(expression(tokens), llrMicro, unseenLlrMicro))
+
+  def deflateRatio(text: Column): Column =
+    column(DeflateRatioExpr(expression(text)))
 }
 
 /** MinHash signature over character shingles of an (already normalized)
@@ -762,4 +765,46 @@ case class NbScoreSumExpr(child: Expression, llrMicro: Map[String, Long],
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Raw-deflate compression ratio of the UTF-8 text: compressed bytes /
+  * raw bytes at level 6, no zlib framing (nowrap — a 6-byte header
+  * would dominate short strings). The Gopher/RefinedWeb
+  * compressibility signal: boilerplate and template spam compress far
+  * below prose. Row-local and map-only; the Deflater is THREAD-LOCAL
+  * and reset per row — a per-row Deflater would pay JNI setup and
+  * native allocation per document, a per-partition one would race
+  * under whole-stage codegen's row batching. Deterministic for a
+  * given JVM's zlib (goldens in the spec compute expected values
+  * through java.util.zip in-process, so they can never drift from
+  * the runtime). */
+case class DeflateRatioExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() =
+    Kernels.requireString("deflate_ratio", child.dataType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    if (bytes.length == 0) return java.lang.Double.valueOf(1.0)
+    val d = DeflateRatioExpr.local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    var total = 0L
+    val buf = DeflateRatioExpr.buf.get()
+    while (!d.finished()) total += d.deflate(buf)
+    java.lang.Double.valueOf(total.toDouble / bytes.length)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DeflateRatioExpr {
+  private val local: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() => new java.util.zip.Deflater(6, true))
+  private val buf: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](64 * 1024))
 }

@@ -101,6 +101,16 @@ object TextFunctions {
   def contentHash(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Deflate compressibility quality signal (the Gopher/RefinedWeb
+    * filter): compressed/raw UTF-8 bytes at level 6, raw stream.
+    * Boilerplate, templates and keyword spam compress far below
+    * prose — filter LOW ratios. Null and empty text score the neutral
+    * 1.0. Row-local kernel ([[graft.functions.Kernels.deflateRatio]]),
+    * map-only; JVM-side by nature, so no SQL oracle — the contract is
+    * spec-pinned against java.util.zip directly. */
+  def compressionRatio(text: Column): Column =
+    coalesce(graft.functions.Kernels.deflateRatio(text), lit(1.0))
+
   /** Lowercase, whitespace-collapsed text — materialize this as its own
     * column before shingling (see `shinglesFromNormalized`). */
   def normalizeText(text: Column): Column =

@@ -84,6 +84,12 @@ class KernelTypeCheckSpec extends GraftSpec {
     assert(e.getMessage.contains("repetition_stats"))
   }
 
+  test("deflate_ratio rejects a non-string child at analysis time") {
+    val e = analysisFailure(ints.select(Kernels.deflateRatio(col("n")))
+      .queryExecution.analyzed)
+    assert(e.getMessage.contains("deflate_ratio"))
+  }
+
   test("nb_score_sum rejects a non-array child at analysis time") {
     val e = analysisFailure(ints.select(
         Kernels.nbScoreSum(col("n"), Map("a" -> 1L), 0L))
