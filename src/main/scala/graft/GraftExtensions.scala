@@ -65,6 +65,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         nArgs("simhash64", args, 1)
         SimHash64Expr(args.head)
       }))
+    ext.injectFunction((FunctionIdentifier("deflate_ratio"),
+      info("deflate_ratio",
+        "deflate_ratio(text) - deflate compressibility signal: compressed/raw UTF-8 bytes (level 6, raw stream)"),
+      (args: Seq[Expression]) => {
+        nArgs("deflate_ratio", args, 1)
+        DeflateRatioExpr(args.head)
+      }))
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of numeric arrays"),
       (args: Seq[Expression]) => {

@@ -222,6 +222,27 @@ object StreamVerbs {
       "left_anti")
   }
 
+  /** Model-based quality filtering at ingest: score each streaming
+    * document under a batch-trained, driver-compiled Naive Bayes
+    * model and keep rows the model calls in-domain
+    * (`score_micro > 0`). STATELESS — the compiled model rides inside
+    * one projection ([[graft.text.Classifier.withNbScore]]), so
+    * there is no state store, no watermark, and the kept set is
+    * bit-identical to scoring the same rows in batch (spec-pinned).
+    * Train with `Classifier.compileNb` on the trusted corpus offline;
+    * model refreshes apply on restart, the standard stream-static
+    * contract. Returns the stream's original columns. */
+  def streamQualityFilter(stream: DataFrame, textCol: String,
+                          model: graft.text.Classifier.NbCompiledModel): DataFrame =
+    // column-append scoring, NOT score-then-self-join: a streaming
+    // self-join would plan as a STATEFUL stream-stream join (the
+    // planner cannot know both sides are one micro-batch) — the
+    // append form stays a single stateless projection
+    graft.text.Classifier
+      .withNbScore(stream, textCol, model, "__nb_score", "__nb_pred")
+      .filter(col("__nb_pred") === 1L)
+      .drop("__nb_score", "__nb_pred")
+
   /** Stream-static dimension enrichment: broadcast-join a (small,
     * slowly-changing) dimension onto the stream — map-side per
     * micro-batch, no streaming state at all. The everyday shape for

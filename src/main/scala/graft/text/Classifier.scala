@@ -185,6 +185,25 @@ object Classifier {
     * trades [[nbScore]]'s term-key join for an expression-resident
     * model, the right call whenever the model is reused across many
     * batches. */
+  /** [[nbScoreBroadcast]] as a column APPEND: keeps every input
+    * column and adds `score_micro` + `pred` (0/1 long) — no id
+    * column needed, no projection of the caller's row. The form
+    * filters compose on (batch or stream — still one stateless
+    * projection): `withNbScore(df, "text", m).filter($"pred" === 1)`. */
+  def withNbScore(docs: DataFrame, textCol: String, model: NbCompiledModel,
+                  scoreCol: String = "score_micro",
+                  predCol: String = "pred"): DataFrame = {
+    require(!docs.columns.contains(scoreCol) && !docs.columns.contains(predCol),
+      s"withNbScore appends $scoreCol/$predCol — the frame already has one " +
+        "(pass different names)")
+    docs
+      .withColumn(scoreCol,
+        lit(model.priorMicro) + graft.functions.Kernels.nbScoreSum(
+          toks(coalesce(col(textCol), lit(""))),
+          model.llrMicro, model.unseenLlrMicro))
+      .withColumn(predCol, when(col(scoreCol) > 0, 1L).otherwise(0L))
+  }
+
   def nbScoreBroadcast(docs: DataFrame, idCol: String, textCol: String,
                        model: NbCompiledModel): DataFrame =
     docs

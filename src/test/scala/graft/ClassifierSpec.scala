@@ -159,4 +159,44 @@ class ClassifierSpec extends GraftSpec {
       assert(got == expect, s"stream=$got batch=$expect")
     } finally q.stop()
   }
+
+  test("streamQualityFilter keeps the batch keep-set with original columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val train = ((1 to 20).map(i => (s"spark shuffle join t$i", true)) ++
+      (1 to 20).map(i => (s"oven sugar butter r$i", false))).toDF("text", "lab")
+    val m = Classifier.compileNb(train, "text", col("lab"))
+    val rows = Seq((1L, "spark shuffle join", "a"), (2L, "sugar oven", "b"),
+      (3L, "spark", "c"))
+    val batchKeep = Classifier.withNbScore(
+        rows.toDF("doc_id", "text", "tag"), "text", m)
+      .filter(col("pred") === 1L).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val filtered = graft.streaming.StreamVerbs.streamQualityFilter(
+      in.toDF().toDF("doc_id", "text", "tag"), "text", m)
+    val q = filtered.writeStream.format("memory").queryName("nb_filter")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("nb_filter").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(got.map(_._1) == batchKeep, s"stream=$got batch=$batchKeep")
+      // original columns (tag) survive the verb
+      assert(got.forall { case (id, tag) => rows.exists(r => r._1 == id && r._3 == tag) })
+    } finally q.stop()
+  }
+
+  test("withNbScore refuses a column clash") {
+    import spark.implicits._
+    val train = Seq(("a", true), ("b", false)).toDF("text", "lab")
+    val m = Classifier.compileNb(train, "text", col("lab"))
+    val docs = Seq(("x", 1L)).toDF("text", "pred")
+    val e = intercept[IllegalArgumentException] {
+      Classifier.withNbScore(docs, "text", m)
+    }
+    assert(e.getMessage.contains("pred"), e.getMessage)
+  }
 }

@@ -20,7 +20,8 @@ class SqlFunctionsSpec extends GraftSpec {
         |  cosine_sim(va, vb) AS cos,
         |  cosine_lsh_bands(va, 2, 4, 42L) AS bands,
         |  word_ngram_hashes(split(text, ' '), 2) AS whs,
-        |  repetition_stats(text) AS rep
+        |  repetition_stats(text) AS rep,
+        |  deflate_ratio(text) AS dr
         |FROM sqlk""".stripMargin).collect()(0)
     val viaDsl = spark.table("sqlk").select(
       Kernels.minhashSig(col("text"), 16, 4).as("sig"),
@@ -28,13 +29,15 @@ class SqlFunctionsSpec extends GraftSpec {
       Kernels.cosineSim(col("va"), col("vb")).as("cos"),
       Kernels.cosineLshBands(col("va"), 2, 4, 42L).as("bands"),
       Kernels.wordNgramHashes(split(col("text"), " "), 2).as("whs"),
-      Kernels.repetitionStats(col("text")).as("rep")).collect()(0)
+      Kernels.repetitionStats(col("text")).as("rep"),
+      Kernels.deflateRatio(col("text")).as("dr")).collect()(0)
     assert(viaSql.getSeq[Long](0) == viaDsl.getSeq[Long](0))
     assert(viaSql.getLong(1) == viaDsl.getLong(1))
     assert(viaSql.getDouble(2) == viaDsl.getDouble(2))
     assert(viaSql.getSeq[Long](3) == viaDsl.getSeq[Long](3))
     assert(viaSql.getSeq[Long](4) == viaDsl.getSeq[Long](4))
     assert(viaSql.getStruct(5) == viaDsl.getStruct(5))
+    assert(viaSql.getDouble(6) == viaDsl.getDouble(6))
   }
 
   test("strip_html is SQL-callable and equals the DSL verb byte-for-byte") {
