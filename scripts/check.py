@@ -35,14 +35,20 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
-    # union of written outputs and oracle keys: a query that ERRORED in
-    # Verify writes no directory, and enumerating only directories would
-    # silently drop it from the report (bitten once: a ts-type
-    # regression failed 2 queries and the summary still said 0 failing)
+    # union of written outputs, oracle keys, AND the full declared query
+    # list: a query that ERRORED in Verify writes no directory, and
+    # enumerating only directories would silently drop it from the
+    # report (bitten once: a ts-type regression failed 2 queries and
+    # the summary still said 0 failing). query_names.json covers the
+    # rows-only queries the oracle map cannot.
     written = set(d for d in os.listdir(out_dir)
                   if os.path.isdir(os.path.join(out_dir, d)))
-    names = sorted(written | set(oracle))
-    for name in sorted(set(oracle) - written):
+    declared = set(oracle)
+    qn_path = os.path.join(out_dir, "query_names.json")
+    if os.path.exists(qn_path):
+        declared |= set(json.load(open(qn_path)))
+    names = sorted(written | declared)
+    for name in sorted(declared - written):
         results[name] = "NO_SPARK_OUTPUT (query errored in Verify?)"
     for name in sorted(written):
         parts = glob.glob(os.path.join(out_dir, name, "*.parquet"))

@@ -142,9 +142,10 @@ object Dedup {
   private def probeAnchors(batch: DataFrame, anchors: DataFrame,
                            idCol: String, textCol: String,
                            numHashes: Int, bands: Int, threshold: Double,
-                           shingleSize: Int, maxPartners: Int): DataFrame = {
+                           shingleSize: Int, maxPartners: Int,
+                           caller: String = "dedupAgainstNear"): DataFrame = {
     val (batchBanded, _) = bandedAnchors(
-      longIds(batch, idCol, textCol, "dedupAgainstNear"), idCol, textCol,
+      longIds(batch, idCol, textCol, caller), idCol, textCol,
       numHashes, bands, shingleSize, maxPartners)
     // inner join: a batch row in a bucket no corpus row occupies has no
     // candidates — it survives via the left_anti below
@@ -161,13 +162,15 @@ object Dedup {
     * it does not change between batches: persist it ONCE per corpus
     * snapshot, then each batch pays only its own scan + an 8-byte
     * band-key join against the index ([[dedupAgainstNearIndexed]]).
-    * The banding PARAMETERS are persisted WITH the index (a one-row
-    * params table) and read back at probe time — a probe with
-    * mismatched banding silently loses recall, so the parameters are
-    * not trusted to the caller twice. Layout: `path/anchors` (band
-    * key → bounded anchor array, the [[MinKSigAgg]] fold) +
-    * `path/params`. Same recall contract as the inline path;
-    * `threshold` stays a PROBE-time knob. */
+    * The banding PARAMETERS ride INSIDE the anchors table as constant
+    * columns (RLE-compressed to nothing by parquet) and are read back
+    * at probe time — a probe with mismatched banding silently loses
+    * recall, so the parameters are not trusted to the caller twice,
+    * and a single atomic overwrite means an interrupted rebuild can
+    * never pair new anchors with stale parameters (two files could).
+    * Layout: `path/anchors` (band key → bounded anchor array, the
+    * [[MinKSigAgg]] fold, + the params columns). Same recall contract
+    * as the inline path; `threshold` stays a PROBE-time knob. */
   def buildNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
                         path: String, numHashes: Int = 128, bands: Int = 32,
                         shingleSize: Int = 5, maxPartners: Int = 64): Unit = {
@@ -176,29 +179,36 @@ object Dedup {
     val (_, anchors) = bandedAnchors(
       longIds(corpus, idCol, textCol, "buildNearDupIndex"), idCol, textCol,
       numHashes, bands, shingleSize, maxPartners)
-    anchors.write.mode("overwrite").parquet(s"$path/anchors")
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    Seq((numHashes, bands, shingleSize, maxPartners))
-      .toDF("num_hashes", "bands", "shingle_size", "max_partners")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    anchors
+      .withColumn("num_hashes", lit(numHashes))
+      .withColumn("bands", lit(bands))
+      .withColumn("shingle_size", lit(shingleSize))
+      .withColumn("max_partners", lit(maxPartners))
+      .write.mode("overwrite").parquet(s"$path/anchors")
   }
 
   /** Probe a [[buildNearDupIndex]] index: drop `batch` rows whose
     * signature agrees at ≥ `threshold` with any indexed corpus row
     * sharing a band bucket. Banding parameters come from the index
     * itself; the plan is identical to [[dedupAgainstNear]]'s probe
-    * half, minus the corpus scan it exists to avoid. */
+    * half, minus the corpus scan it exists to avoid. An EMPTY index
+    * (corpus had no indexable rows) keeps the whole batch — there is
+    * nothing to collide with, and no parameter row to band by. */
   def dedupAgainstNearIndexed(batch: DataFrame, path: String,
                               idCol: String, textCol: String,
                               threshold: Double = 0.8): DataFrame = {
     val spark = batch.sparkSession
-    val p = spark.read.parquet(s"$path/params").head()
-    val anchors = spark.read.parquet(s"$path/anchors")
-    probeAnchors(batch, anchors, idCol, textCol,
-      numHashes = p.getAs[Int]("num_hashes"), bands = p.getAs[Int]("bands"),
-      threshold = threshold, shingleSize = p.getAs[Int]("shingle_size"),
-      maxPartners = p.getAs[Int]("max_partners"))
+    val stored = spark.read.parquet(s"$path/anchors")
+    stored.select(col("num_hashes"), col("bands"), col("shingle_size"),
+        col("max_partners")).head(1) match {
+      case Array(p) =>
+        probeAnchors(batch,
+          stored.select(col("__bkey"), col("__anchors")), idCol, textCol,
+          numHashes = p.getInt(0), bands = p.getInt(1),
+          threshold = threshold, shingleSize = p.getInt(2),
+          maxPartners = p.getInt(3), caller = "dedupAgainstNearIndexed")
+      case _ => batch
+    }
   }
 
   // -------------------------------------------------------------------
@@ -898,12 +908,26 @@ object Dedup {
         s"semanticDedup needs an integral id column for the min-id keep " +
           s"rule, got $idCol: $other")
     }
-    // null ids sit out the whole pass — not centroid seeding either
-    // (k-means|| seeds BY id) — and survive via the left_anti
-    // (embeddingDedup's null rule)
-    val nonNull = df.filter(col(idCol).isNotNull)
-    val cents = Similarity.centroids(nonNull, idCol, vecCol, nLists,
-      refineIters, seed).cache()
+    // null ids AND null vectors sit out the whole pass — neither can
+    // participate in min-id dedup (a null vector would reach the
+    // in-cluster kernel as a null array and NPE; embeddingDedup drops
+    // them at the banding projection instead) — and both survive via
+    // the left_anti, the repo's unhashable-rows-survive rule.
+    val nonNull = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+    // centroids are nLists rows — collect them once and rebuild a
+    // local frame, instead of cache(): a cached plan would either leak
+    // (no handle to unpersist after the lazy result materializes) or
+    // recompute per action; the guard's count pass and the dedup plan
+    // both read the literal rows
+    val centRows = Similarity.centroids(nonNull, idCol, vecCol, nLists,
+      refineIters, seed)
+    val cents = {
+      val collected = centRows.collect().toSeq
+      df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(collected).asJava),
+        centRows.schema)
+    }
     def assigned = Similarity.assignLists(nonNull, idCol, vecCol, cents)
     if (clusterBudget > 0) {
       val maxRow = assigned.groupBy(col("list_id"))

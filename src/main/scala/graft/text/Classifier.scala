@@ -134,7 +134,16 @@ object Classifier {
     * bug, not a bigger driver). */
   def compileNb(train: DataFrame, trainTextCol: String, label: Column,
                 maxVocab: Long = 2L * 1000 * 1000): NbCompiledModel = {
-    val model = nbModel(train, trainTextCol, label)
+    // persisted across the two actions below (totals head + llr
+    // collect) — without it the whole tokenize/explode/count
+    // aggregation over the training corpus runs twice
+    val model = nbModel(train, trainTextCol, label).persist()
+    try compileFrom(model, train, label, maxVocab)
+    finally model.unpersist()
+  }
+
+  private def compileFrom(model: DataFrame, train: DataFrame, label: Column,
+                          maxVocab: Long): NbCompiledModel = {
     val mass = model.agg(
       coalesce(sum(col("c_pos")), lit(0L)).as("__tpos"),
       coalesce(sum(col("c_neg")), lit(0L)).as("__tneg"),
@@ -176,15 +185,6 @@ object Classifier {
     NbCompiledModel(llr, totRow.getLong(1), totRow.getLong(0))
   }
 
-  /** Map-only scoring under a [[compileNb]] model: same output schema
-    * and bit-identical values to [[nbScore]], but zero shuffles — one
-    * hash probe per token inside a single projection
-    * ([[graft.functions.Kernels.nbScoreSum]]). The shape for scoring
-    * at INGEST: works unchanged on a streaming frame (no state, no
-    * watermark — it is a stateless projection), and on batch it
-    * trades [[nbScore]]'s term-key join for an expression-resident
-    * model, the right call whenever the model is reused across many
-    * batches. */
   /** [[nbScoreBroadcast]] as a column APPEND: keeps every input
     * column and adds `score_micro` + `pred` (0/1 long) — no id
     * column needed, no projection of the caller's row. The form
@@ -204,6 +204,15 @@ object Classifier {
       .withColumn(predCol, when(col(scoreCol) > 0, 1L).otherwise(0L))
   }
 
+  /** Map-only scoring under a [[compileNb]] model: same output schema
+    * and bit-identical values to [[nbScore]], but zero shuffles — one
+    * hash probe per token inside a single projection
+    * ([[graft.functions.Kernels.nbScoreSum]]). The shape for scoring
+    * at INGEST: works unchanged on a streaming frame (no state, no
+    * watermark — it is a stateless projection), and on batch it
+    * trades [[nbScore]]'s term-key join for an expression-resident
+    * model, the right call whenever the model is reused across many
+    * batches. */
   def nbScoreBroadcast(docs: DataFrame, idCol: String, textCol: String,
                        model: NbCompiledModel): DataFrame =
     docs

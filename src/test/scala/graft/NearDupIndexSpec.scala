@@ -57,17 +57,32 @@ class NearDupIndexSpec extends GraftSpec {
     assert(strict > loose && strict <= 20L, s"strict=$strict loose=$loose")
   }
 
-  test("banding params ride the index — a probe cannot desync them") {
+  test("banding params ride INSIDE the anchors table — one atomic write, no desync") {
     val dir = java.nio.file.Files.createTempDirectory("ndidx").toString
     Dedup.buildNearDupIndex(corpus, "doc_id", "text", dir,
       numHashes = 32, bands = 8, shingleSize = 3, maxPartners = 7)
-    val p = spark.read.parquet(s"$dir/params").collect().head
+    // single artifact: params are constant columns of the anchor rows
+    // (an interrupted rebuild can never pair new anchors with stale
+    // params), and there is no separate params file to drift
+    assert(!new java.io.File(s"$dir/params").exists())
+    val p = spark.read.parquet(s"$dir/anchors").collect().head
     assert(p.getAs[Int]("num_hashes") == 32 && p.getAs[Int]("bands") == 8 &&
       p.getAs[Int]("shingle_size") == 3 && p.getAs[Int]("max_partners") == 7)
     // and the probe runs green against the non-default banding
     val kept = Dedup.dedupAgainstNearIndexed(batch, dir, "doc_id", "text",
       threshold = 0.7).count()
     assert(kept == 10L, kept.toString)
+  }
+
+  test("an empty index keeps the whole batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ndidx").toString
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    Dedup.buildNearDupIndex(empty, "doc_id", "text", dir,
+      numHashes = 64, bands = 16, shingleSize = 4)
+    val kept = Dedup.dedupAgainstNearIndexed(batch, dir, "doc_id", "text",
+      threshold = 0.7).count()
+    assert(kept == 20L, kept.toString)
   }
 
   test("null batch ids survive the indexed probe") {

@@ -291,11 +291,15 @@ class PlanQualitySpec extends GraftSpec {
     assert(!p.contains("CartesianProduct"), p)
     // the dup-set side: one hash-aggregate exchange keyed by list_id
     // carries the vectors to their clusters; everything upstream of it
-    // is broadcast (centroids) — no shuffle of candidate PAIRS exists
-    // because no join on pair keys exists (the kernel verifies inside
-    // the aggregation row). The final keep is an 8-byte-key anti-join.
+    // is broadcast (centroids, now a collected literal) — no shuffle
+    // of candidate PAIRS exists because no join on pair keys exists
+    // (the kernel verifies inside the aggregation row). The final keep
+    // is an 8-byte-key anti-join, broadcast at this scale — assert NO
+    // sort-merge join appears anywhere, so a degraded anti-join (or a
+    // sneaked-in pair join) fails the test outright.
     assert(p.contains("list_id"), p)
-    assert(!p.contains("SortMergeJoin") ||
-      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("LeftAnti")), p)
   }
 }

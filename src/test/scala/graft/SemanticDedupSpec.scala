@@ -89,7 +89,7 @@ class SemanticDedupSpec extends GraftSpec {
     assert(kept == Set(0L), kept.toString)
   }
 
-  test("null ids survive; non-integral ids refused at plan time") {
+  test("null ids AND null vectors survive; non-integral ids refused at plan time") {
     import spark.implicits._
     val df = Seq((java.lang.Long.valueOf(1L), Seq(1f, 0f)),
       (null.asInstanceOf[java.lang.Long], Seq(1f, 0f)),
@@ -97,6 +97,14 @@ class SemanticDedupSpec extends GraftSpec {
     val kept = Dedup.semanticDedup(df, "id", "vec", nLists = 1)
       .select("id").collect().map(r => Option(r.get(0))).toSet
     assert(kept == Set(Some(1L), None), kept.toString)
+    // a null VECTOR must survive too (not NPE the in-cluster kernel):
+    // id 7 has no embedding, id 8 duplicates id 1
+    val withNullVec = Seq(
+      (1L, Some(Seq(1f, 0f))), (7L, None), (8L, Some(Seq(1f, 0f))))
+      .toDF("id", "vec")
+    val kept2 = Dedup.semanticDedup(withNullVec, "id", "vec", nLists = 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(1L, 7L), kept2.toString)
     val bad = Seq(("a", Seq(1f, 0f))).toDF("id", "vec")
     intercept[IllegalArgumentException] {
       Dedup.semanticDedup(bad, "id", "vec")
