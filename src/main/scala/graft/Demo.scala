@@ -65,9 +65,9 @@ object Demo {
 
     println("=== streaming: tumbling counts over the events table (one batch) ===")
     val evDir = java.nio.file.Files.createTempDirectory("graft_demo_ev").toString
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    // SparkEntry.t normalizes the driver's ts encodings (long nanos OR
+    // timestamp[us]/NTZ — both have shipped; see the t scaladoc)
+    SparkEntry.t(spark, "/root/testdata/sf0.001", "events")
       .limit(500).write.mode("overwrite").parquet(evDir)
     val stream = graft.streaming.StreamVerbs.tumblingCounts(
       graft.streaming.StreamVerbs.readEventStream(spark, evDir), "6 hours", "1 hour")
