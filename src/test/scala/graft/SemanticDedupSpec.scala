@@ -109,6 +109,11 @@ class SemanticDedupSpec extends GraftSpec {
     intercept[IllegalArgumentException] {
       Dedup.semanticDedup(bad, "id", "vec")
     }
+    // a corpus with NO indexable rows (every vector null) has nothing
+    // to cluster — the whole frame survives, no empty-kmeans crash
+    val allNull = Seq((1L, None: Option[Seq[Float]]), (2L, None))
+      .toDF("id", "vec")
+    assert(Dedup.semanticDedup(allNull, "id", "vec").count() == 2L)
   }
 
   test("deterministic across runs at a fixed seed") {
