@@ -743,6 +743,22 @@ object Multimodal {
     }
   }
 
+  /** CODEC-GENERAL audio sample decode — the dispatch every
+    * downstream audio consumer (fingerprint, featurizer, gain/rate
+    * transforms) calls: RIFF/WAVE family (PCM 8/16/24/32, float32,
+    * G.711, IMA-ADPCM) or FLAC ([[Flac.decode]] — all subframe
+    * types, Rice residuals, stereo decorrelation, CRC-verified).
+    * FLAC being LOSSLESS, the same master decodes to IDENTICAL
+    * samples from either container, so [[audioFingerprint64]] is
+    * bit-equal across the WAV↔FLAC re-encode — the cross-codec
+    * near-dup case an archival audio corpus actually hits. Returns
+    * (sampleRate, monoSamples) or null for undecodable bytes. */
+  private[graft] def decodeAudioSamples(b: Array[Byte]): (Int, Array[Short]) = {
+    if (b == null || b.length < 42) return null
+    if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') Flac.decode(b)
+    else decodeWavSamples(b)
+  }
+
   /** REAL sample decode for mono IMA-ADPCM WAV (format tag 0x0011) —
     * a genuinely compressed audio codec, decoded pure-JVM (see
     * [[Adpcm]]). Returns (sampleRate, samples) or null when the
@@ -834,7 +850,7 @@ object Multimodal {
             else {
               decodeImage(bytes) match {
                 case (w, h, px) => bmpQuadrantMeans(w, h, px, dim).toSeq
-                case null => decodeWavSamples(bytes) match {
+                case null => decodeAudioSamples(bytes) match {
                   case (_, samples) => wavQuarterFeatures(samples, dim).toSeq
                   case null =>
                     // REAL video-frame features for MJPEG AVI: frame 0
@@ -911,6 +927,10 @@ object Multimodal {
         else null
       return ("audio/wav", null, null, dur)
     }
+    // FLAC: 4-byte magic + mandatory STREAMINFO (duration from its
+    // total-samples field) — see Flac.sniff
+    val flac = Flac.sniff(b)
+    if (flac != null) return flac
     // RIFF AVI (checked after RIFF/WAVE — both share the RIFF magic):
     // geometry/timing from avih, REAL for MJPEG payloads
     val avi = Avi.sniff(b)
@@ -1116,7 +1136,8 @@ object Multimodal {
     out
   }
 
-  /** 64-bit audio fingerprint of a decodable (PCM / IMA-ADPCM) WAV:
+  /** 64-bit audio fingerprint of decodable audio (the WAV family,
+    * IMA-ADPCM, or FLAC — [[decodeAudioSamples]]):
     * samples canonicalized to [[CanonicalFpRate]], then 17 equal
     * sample frames × 5 Goertzel band powers, one bit per
     * adjacent-band double-difference across consecutive frames
@@ -1137,7 +1158,7 @@ object Multimodal {
     * — out of scope, spec-pinned gradient). Null for undecodable
     * bytes or clips shorter than ~8 canonical samples per frame. */
   private[graft] def audioFingerprint64(bytes: Array[Byte]): java.lang.Long = {
-    val dec = decodeWavSamples(bytes)
+    val dec = decodeAudioSamples(bytes)
     if (dec == null) return null
     val samples = resampleLinear(dec._2, dec._1, CanonicalFpRate)
     val nf = 17
@@ -1249,7 +1270,7 @@ object Multimodal {
     val contentIdx = media.schema.fieldIndex("content")
     media.mapPartitions { rows =>
       rows.map { r =>
-        val dec = decodeWavSamples(r.getAs[Array[Byte]](contentIdx))
+        val dec = decodeAudioSamples(r.getAs[Array[Byte]](contentIdx))
         val scaled: Array[Byte] = if (dec == null) null else {
           val (rate, samples) = dec
           val out = new Array[Short](samples.length)
@@ -1282,7 +1303,7 @@ object Multimodal {
     val contentIdx = media.schema.fieldIndex("content")
     media.mapPartitions { rows =>
       rows.map { r =>
-        val dec = decodeWavSamples(r.getAs[Array[Byte]](contentIdx))
+        val dec = decodeAudioSamples(r.getAs[Array[Byte]](contentIdx))
         val out: Array[Byte] = if (dec == null) null else {
           val res = resampleLinear(dec._2, dec._1, targetRate)
           val shorts = new Array[Short](res.length)
