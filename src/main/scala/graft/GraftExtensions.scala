@@ -93,6 +93,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         nArgs("word_ngram_hashes", args, 2)
         WordNgramHashExpr(args.head, intLit(args(1), "word_ngram_hashes", "n"))
       }))
+    ext.injectFunction((FunctionIdentifier("char_ngram_hashes"),
+      info("char_ngram_hashes", "char_ngram_hashes(text, n) - rolling 64-bit hashes of every n-char window"),
+      (args: Seq[Expression]) => {
+        nArgs("char_ngram_hashes", args, 2)
+        CharNgramHashExpr(args.head, intLit(args(1), "char_ngram_hashes", "n"))
+      }))
+    ext.injectFunction((FunctionIdentifier("cut_spans"),
+      info("cut_spans", "cut_spans(text, starts, n) - remove merged n-char spans; returns struct(clean_text, dup_spans, removed_chars)"),
+      (args: Seq[Expression]) => {
+        nArgs("cut_spans", args, 3)
+        CutSpansExpr(args.head, args(1), intLit(args(2), "cut_spans", "n"))
+      }))
     ext.injectFunction((FunctionIdentifier("repetition_stats"),
       info("repetition_stats", "repetition_stats(normText) - word/bigram repetition counters"),
       (args: Seq[Expression]) => {

@@ -1251,6 +1251,22 @@ object SparkEntry {
           t(s, d, "documents"), "doc_id", "text", n = 13))
         .sortBy("doc_id").out),
 
+    // CHAR-level exact-substring dedup (Lee et al. 2022's ExactSubstr,
+    // re-expressed as hash grouping instead of a suffix array): every
+    // maximal span whose 40-char windows all occur >= 2 times in the
+    // corpus is cut, preserving the surrounding text byte-exactly
+    // (unlike the token-rebuild above, which renormalizes whitespace).
+    // The oracle re-derives the islands from gram STRINGS with a
+    // lag-window SQL formulation and rebuilds clean_text via substr
+    // segments — byte-for-byte equality proves window coverage, the
+    // island merge (incl. the adjacent-windows rule), the cut
+    // arithmetic, and hash-collision freeness in one green
+    "q_exact_substr" -> ((s, d) =>
+      CrysFrame(graft.text.ExactSubstr.dedup(
+          t(s, d, "documents").select("doc_id", "text"), "doc_id", "text", minLen = 40))
+        .reject("text")
+        .sortBy("doc_id").out),
+
     // benchmark decontamination (text.Decontaminate): flag corpus docs
     // sharing 13-word-grams with an eval split (doc_id % 3 == 2 — the
     // split that crosses the corpus's planted near-dup pairs). Joins on
@@ -2490,6 +2506,52 @@ object SparkEntry {
         |  CAST(len(d.toks) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed,
         |  coalesce(reb.clean_text, '') AS clean_text
         |FROM d LEFT JOIN reb ON d.doc_id = reb.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_exact_substr" ->
+      """WITH pos AS (
+        |  SELECT doc_id, p::INT AS p, substr(text, p::INT, 40) AS g
+        |  FROM documents
+        |       CROSS JOIN unnest(range(1, greatest(length(text) - 38, 1))) AS t(p)),
+        |cov AS (
+        |  SELECT doc_id, p FROM (
+        |    SELECT doc_id, p, count(*) OVER (PARTITION BY g) AS cnt FROM pos)
+        |  WHERE cnt >= 2),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p > coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p),
+        |                           -100000) + 40 THEN 1 ELSE 0 END AS brk
+        |  FROM cov),
+        |isl2 AS (
+        |  SELECT doc_id, p, sum(brk) OVER (
+        |    PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, island, min(p) AS s, max(p) + 40 AS e
+        |  FROM isl2 GROUP BY doc_id, island),
+        |segs AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS st,
+        |    s AS en
+        |  FROM spans
+        |  UNION ALL
+        |  SELECT doc_id, max(e), NULL FROM spans GROUP BY doc_id),
+        |rebuilt AS (
+        |  SELECT segs.doc_id,
+        |    string_agg(CASE WHEN en IS NULL THEN substr(d.text, st::INT)
+        |                    ELSE substr(d.text, st::INT, (en - st)::INT) END,
+        |               '' ORDER BY st) AS clean_text
+        |  FROM segs JOIN documents d USING (doc_id) GROUP BY segs.doc_id),
+        |stats AS (
+        |  SELECT doc_id, count(*) AS dup_spans, sum(e - s) AS removed_chars
+        |  FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(r.clean_text, d.text) AS clean_text,
+        |  CAST(coalesce(st.dup_spans, 0) AS INT) AS dup_spans,
+        |  CAST(coalesce(st.removed_chars, 0) AS INT) AS removed_chars
+        |FROM documents d
+        |LEFT JOIN rebuilt r USING (doc_id)
+        |LEFT JOIN stats st USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
     "q_decontaminate" ->

@@ -85,6 +85,12 @@ object Kernels {
 
   def deflateRatio(text: Column): Column =
     column(DeflateRatioExpr(expression(text)))
+
+  def charNgramHashes(text: Column, n: Int): Column =
+    column(CharNgramHashExpr(expression(text), n))
+
+  def cutSpans(text: Column, starts: Column, n: Int): Column =
+    column(CutSpansExpr(expression(text), expression(starts), n))
 }
 
 /** MinHash signature over character shingles of an (already normalized)
@@ -807,4 +813,136 @@ object DeflateRatioExpr {
     ThreadLocal.withInitial(() => new java.util.zip.Deflater(6, true))
   private val buf: ThreadLocal[Array[Byte]] =
     ThreadLocal.withInitial(() => new Array[Byte](64 * 1024))
+}
+
+/** Rolling 64-bit polynomial hashes of every CHARACTER n-gram of a
+  * string — the position index for exact-substring dedup (Lee et al.
+  * 2022's ExactSubstr, re-expressed as a hash-join problem instead of
+  * a monolithic suffix array): output(i) hashes chars [i, i+n), one
+  * tight O(len) loop per row. Equal windows always hash equal;
+  * distinct windows collide with probability ~2^-64 per pair (the
+  * splitmix finalizer decorrelates the weak polynomial tail), so a
+  * corpus-level dedup over ~10^9 grams carries ~10^-1 expected…
+  * rather: pairwise 2^-64 → even 10^10 grams keep the expected
+  * collision count far below one. Offsets are UTF-16 code units —
+  * identical to codepoint offsets for BMP text (the documents corpus
+  * is ASCII); supplementary-plane text would need byte-offset
+  * semantics instead. */
+case class CharNgramHashExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 2, s"n-gram length must be >= 2 (got $n)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    Kernels.requireString("char_ngram_hashes", child.dataType)
+
+  private val A = 0x9E3779B97F4A7C15L // odd → invertible mod 2^64
+
+  @transient private lazy val aPowN1: Long = { // A^(n-1) mod 2^64
+    var p = 1L
+    var i = 1
+    while (i < n) { p *= A; i += 1 }
+    p
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val len = s.length
+    if (len < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](len - n + 1)
+    var h = 0L
+    var i = 0
+    while (i < n) { h = h * A + s.charAt(i); i += 1 }
+    out(0) = Kernels.mix(h)
+    var w = 1
+    while (w <= len - n) {
+      h = (h - aPowN1 * s.charAt(w - 1)) * A + s.charAt(w + n - 1)
+      out(w) = Kernels.mix(h)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Cut fixed-width duplicated spans out of a string: `starts` holds
+  * the 0-based offsets whose n-char windows were found duplicated;
+  * overlapping and ADJACENT windows merge into maximal spans (the
+  * same islands a lag-based SQL formulation produces), which are then
+  * removed. Returns struct(clean_text, dup_spans, removed_chars) —
+  * (text, 0, 0) when starts is null/empty, null for null text. One
+  * O(k log k + len) pass per row; starts is defensively re-sorted so
+  * the kernel does not depend on upstream sort_array staying in the
+  * plan. */
+case class CutSpansExpr(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(n >= 1, s"span width must be >= 1 (got $n)")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = true),
+    StructField("dup_spans", IntegerType, nullable = false),
+    StructField("removed_chars", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(IntegerType | LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cut_spans expects (string, array<int|long>), got (${l.sql}, ${r.sql})")
+    }
+
+  // null starts means "no duplicated spans", so only null TEXT nulls
+  // the row — eval overrides the default both-null-safe behavior
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = left.eval(input)
+    if (t == null) return null
+    val s = t.asInstanceOf[UTF8String].toString
+    val st = right.eval(input)
+    val starts: Array[Int] =
+      if (st == null) Array.empty
+      else {
+        val arr = st.asInstanceOf[ArrayData]
+        val k = arr.numElements()
+        val a = new Array[Int](k)
+        var i = 0
+        val isLong = right.dataType.asInstanceOf[ArrayType].elementType == LongType
+        while (i < k) {
+          a(i) = if (arr.isNullAt(i)) 0
+            else if (isLong) arr.getLong(i).toInt else arr.getInt(i)
+          i += 1
+        }
+        java.util.Arrays.sort(a)
+        a
+      }
+    val len = s.length
+    if (starts.isEmpty)
+      return org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(s), 0, 0)
+    val sb = new java.lang.StringBuilder(len)
+    var spans = 0
+    var removed = 0
+    var kept = 0 // next char not yet emitted
+    var curS = math.max(starts(0), 0)
+    var curE = math.min(curS + n, len)
+    var i = 1
+    while (i <= starts.length) {
+      val p = if (i < starts.length) starts(i) else Int.MaxValue
+      if (p > curE) { // flush the current maximal span
+        sb.append(s, kept, curS)
+        kept = curE
+        spans += 1
+        removed += curE - curS
+        if (i < starts.length) { curS = p; curE = math.min(p + n, len) }
+      } else curE = math.min(math.max(curE, p + n), len)
+      i += 1
+    }
+    sb.append(s, kept, len)
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(sb.toString), spans, removed)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+import graft.functions.Kernels
+import graft.text.ExactSubstr
+
+/** text.ExactSubstr — char-level exact-substring dedup (the Lee et
+  * al. 2022 ExactSubstr cut as hash grouping). The kernel contracts
+  * (rolling-hash window equality, island merge incl. the
+  * adjacent-window rule, end-of-string clamping) are pinned locally;
+  * the full operator is pinned on planted corpora; the plan shape is
+  * asserted (no cartesian, bounded exchanges). The driver-side
+  * DuckDB oracle (q_exact_substr) re-derives clean_text from gram
+  * STRINGS, so the hash path is cross-checked end to end there. */
+class ExactSubstrSpec extends GraftSpec {
+
+  import spark.implicits._
+
+  // ---- kernel: charNgramHashes
+
+  test("equal windows hash equal, shifted/distinct windows differ, short strings empty") {
+    val df = Seq(
+      ("abcdefgh-abcdefgh", 1L),
+      ("abc", 2L)).toDF("t", "id")
+    val out = df.select(col("id"), Kernels.charNgramHashes(col("t"), 8).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val h = out(1L)
+    assert(h.length == 17 - 8 + 1)
+    assert(h(0) == h(9), "same 8-char window must hash equal")
+    assert(h(0) != h(1), "shifted window must differ")
+    assert(out(2L).isEmpty, "len < n yields no windows")
+  }
+
+  test("char_ngram_hashes rejects a non-string child at analysis time") {
+    val e = intercept[AnalysisException](
+      Seq(1).toDF("n").select(Kernels.charNgramHashes(col("n"), 4)).queryExecution.analyzed)
+    assert(e.getMessage.contains("char_ngram_hashes"))
+  }
+
+  // ---- kernel: cutSpans
+
+  private def cut(text: String, starts: Seq[Int], n: Int): (String, Int, Int) = {
+    val r = Seq((text, starts)).toDF("t", "s")
+      .select(Kernels.cutSpans(col("t"), col("s"), n).as("c"))
+      .select("c.*").collect()(0)
+    (r.getString(0), r.getInt(1), r.getInt(2))
+  }
+
+  test("cutSpans merges overlapping AND adjacent windows into maximal spans") {
+    // windows of 4 at 2 and 4 overlap -> one span [2,8); at 10 adjacent
+    // to nothing -> own span [10,14)
+    assert(cut("0123456789ABCDEF", Seq(2, 4, 10), 4) == ("0189EF", 2, 10))
+    // adjacent: starts 2 and 6 touch ([2,6) + [6,10)) -> ONE span [2,10)
+    assert(cut("0123456789ABCDEF", Seq(2, 6), 4) == ("01ABCDEF", 1, 8))
+    // gap of one char keeps two spans and the char between them
+    assert(cut("0123456789ABCDEF", Seq(2, 7), 4) == ("016BCDEF", 2, 8))
+  }
+
+  test("cutSpans clamps at end of string, handles full-coverage and empty starts") {
+    assert(cut("0123456789", Seq(8), 4) == ("01234567", 1, 2))
+    assert(cut("0123456789", Seq(0, 4, 8), 4) == ("", 1, 10))
+    assert(cut("0123456789", Seq(), 4) == ("0123456789", 0, 0))
+    // unsorted input is re-sorted defensively
+    assert(cut("0123456789ABCDEF", Seq(10, 2, 4), 4) == ("0189EF", 2, 10))
+  }
+
+  test("cutSpans: null starts passes text through; null text nulls the row") {
+    val df = Seq(("keepme", false), (null: String, true)).toDF("t", "isNull")
+      .withColumn("s", when(lit(false), array(lit(1))).otherwise(lit(null)))
+    val rows = df.select(col("isNull"), Kernels.cutSpans(col("t"), col("s"), 4).as("c"))
+      .collect()
+    val byNull = rows.map(r => r.getBoolean(0) -> r).toMap
+    assert(byNull(false).getStruct(1).getString(0) == "keepme")
+    assert(byNull(false).getStruct(1).getInt(1) == 0)
+    assert(byNull(true).isNullAt(1))
+  }
+
+  test("cut_spans rejects wrong input types at analysis time") {
+    val e = intercept[AnalysisException](
+      Seq((1, Seq(1))).toDF("t", "s")
+        .select(Kernels.cutSpans(col("t"), col("s"), 4)).queryExecution.analyzed)
+    assert(e.getMessage.contains("cut_spans"))
+  }
+
+  // ---- operator
+
+  private val passage = "the quick brown fox jumps over the lazy dog again and again"
+
+  test("a passage planted in two docs is cut from BOTH; unique text survives untouched") {
+    val docs = Seq(
+      (1L, s"unique preamble one. $passage trailing A"),
+      (2L, s"different lead-in text, $passage trailing B"),
+      (3L, "no duplication in this document at all, nothing shared")).toDF("doc_id", "text")
+    val out = ExactSubstr.dedup(docs, "doc_id", "text", minLen = 40)
+      .select("doc_id", "clean_text", "dup_spans", "removed_chars")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out(3L) == ("no duplication in this document at all, nothing shared", 0, 0))
+    for (id <- Seq(1L, 2L)) {
+      val (clean, spans, removed) = out(id)
+      assert(spans == 1, s"doc $id")
+      assert(!clean.contains("quick brown fox"), s"doc $id: $clean")
+      assert(removed >= passage.length, s"doc $id removed only $removed")
+    }
+    // the non-duplicated fringes survive
+    assert(out(1L)._1.startsWith("unique preamble one."))
+    assert(out(2L)._1.startsWith("different lead-in text,"))
+  }
+
+  test("a WITHIN-doc repeat is duplicated content too (both occurrences cut)") {
+    val docs = Seq(
+      (1L, s"$passage and between them $passage"),
+      (2L, "completely unrelated second document to keep the corpus honest")).toDF("doc_id", "text")
+    val out = ExactSubstr.dedup(docs, "doc_id", "text", minLen = 40)
+      .where(col("doc_id") === 1L).select("clean_text", "dup_spans").collect()(0)
+    assert(!out.getString(0).contains("quick brown fox"))
+    assert(out.getInt(1) == 2)
+  }
+
+  test("duplicatedSpans profiles the maximal span text") {
+    val docs = Seq(
+      (1L, s"A $passage Z"),
+      (2L, s"B $passage Y")).toDF("doc_id", "text")
+    val spans = ExactSubstr.duplicatedSpans(docs, "doc_id", "text", minLen = 40)
+      .collect()
+    assert(spans.length == 2)
+    for (r <- spans) {
+      // the MAXIMAL shared span includes the spaces around the passage
+      // ("A <p> Z" and "B <p> Y" share " <p> ", not just "<p>")
+      val txt = r.getAs[String]("span_text")
+      assert(txt == s" $passage ", txt)
+      assert(r.getAs[Int]("span_start") == 1)
+    }
+  }
+
+  test("plan: no cartesian product, one full-width shuffle on the gram hash") {
+    val docs = Seq((1L, "x" * 100), (2L, "y" * 100)).toDF("doc_id", "text")
+    val p = ExactSubstr.dedup(docs, "doc_id", "text", minLen = 40)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // gram-hash window + per-doc span grouping + docs join: <= 4 exchanges
+    assert("Exchange".r.findAllIn(p).size <= 4, p)
+  }
+}

@@ -40,6 +40,20 @@ class SqlFunctionsSpec extends GraftSpec {
     assert(viaSql.getDouble(6) == viaDsl.getDouble(6))
   }
 
+  test("char_ngram_hashes and cut_spans are SQL-callable and equal their DSL twins") {
+    Seq(("abcdefgh-abcdefgh", Seq(2, 4)))
+      .toDF("text", "starts").createOrReplaceTempView("sqlcs")
+    val viaSql = spark.sql(
+      """SELECT char_ngram_hashes(text, 8) AS h,
+        |  cut_spans(text, starts, 4) AS c
+        |FROM sqlcs""".stripMargin).collect()(0)
+    val viaDsl = spark.table("sqlcs").select(
+      Kernels.charNgramHashes(col("text"), 8).as("h"),
+      Kernels.cutSpans(col("text"), col("starts"), 4).as("c")).collect()(0)
+    assert(viaSql.getSeq[Long](0) == viaDsl.getSeq[Long](0))
+    assert(viaSql.getStruct(1) == viaDsl.getStruct(1))
+  }
+
   test("strip_html is SQL-callable and equals the DSL verb byte-for-byte") {
     Seq("<p>a &amp;&amp; b</p><script>x &lt; y</script><!-- c -->tail")
       .toDF("h").createOrReplaceTempView("sqlh")
