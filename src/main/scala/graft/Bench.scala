@@ -18,7 +18,7 @@ object Bench {
     "q_dedup_minhash", "q_dedup_cc", "q_embed_dedup", "q_simhash_pairs",
     "q_token_stats", "q_repetition", "q_vocab", "q_pipeline", "q_ann_topk",
     "q_bm25", "q_decontaminate", "q_scrub_pii", "q_dup_passages",
-    "q_dup_removal", "q_exact_substr",
+    "q_dup_removal", "q_exact_substr", "q_decontaminate_cut",
     "q_heavy_hitters", "q_bloom_prune",
     "q_hybrid_search", "q_quantize", "q_temperature_sample",
     "q_mixture_resample", "q_strip_html", "q_dedup_against",

@@ -1281,6 +1281,21 @@ object SparkEntry {
         .sortBy("doc_id").out
     }),
 
+    // SURGICAL decontamination (text.ExactSubstr.cutAgainst): instead
+    // of flagging/dropping whole documents that overlap the eval split
+    // (q_decontaminate), cut exactly the shared >= 40-char spans and
+    // keep the rest of each document. Same eval split (doc_id % 3 == 2)
+    // so the two decontamination modes are directly comparable; the
+    // oracle rebuilds clean_text from gram STRINGS (byte-for-byte)
+    "q_decontaminate_cut" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      CrysFrame(graft.text.ExactSubstr.cutAgainst(
+          docs.filter(col("doc_id") % 3 =!= 2).select("doc_id", "text"), "doc_id", "text",
+          docs.filter(col("doc_id") % 3 === 2), "text", minLen = 40))
+        .reject("text")
+        .sortBy("doc_id").out
+    }),
+
     // BM25 full-text top-k per query (text.Search): contributions are
     // quantized to integer micro-units before the distributed sum, so
     // the score is an order-independent exact long any engine
@@ -2550,6 +2565,55 @@ object SparkEntry {
         |  CAST(coalesce(st.dup_spans, 0) AS INT) AS dup_spans,
         |  CAST(coalesce(st.removed_chars, 0) AS INT) AS removed_chars
         |FROM documents d
+        |LEFT JOIN rebuilt r USING (doc_id)
+        |LEFT JOIN stats st USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_decontaminate_cut" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 2),
+        |pos AS (
+        |  SELECT doc_id, p::INT AS p, substr(text, p::INT, 40) AS g
+        |  FROM corpus
+        |       CROSS JOIN unnest(range(1, greatest(length(text) - 38, 1))) AS t(p)),
+        |rg AS (
+        |  SELECT DISTINCT substr(text, p::INT, 40) AS g
+        |  FROM documents
+        |       CROSS JOIN unnest(range(1, greatest(length(text) - 38, 1))) AS t(p)
+        |  WHERE doc_id % 3 = 2),
+        |cov AS (SELECT doc_id, p FROM pos WHERE g IN (SELECT g FROM rg)),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p > coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p),
+        |                           -100000) + 40 THEN 1 ELSE 0 END AS brk
+        |  FROM cov),
+        |isl2 AS (
+        |  SELECT doc_id, p, sum(brk) OVER (
+        |    PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, island, min(p) AS s, max(p) + 40 AS e
+        |  FROM isl2 GROUP BY doc_id, island),
+        |segs AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS st,
+        |    s AS en
+        |  FROM spans
+        |  UNION ALL
+        |  SELECT doc_id, max(e), NULL FROM spans GROUP BY doc_id),
+        |rebuilt AS (
+        |  SELECT segs.doc_id,
+        |    string_agg(CASE WHEN en IS NULL THEN substr(d.text, st::INT)
+        |                    ELSE substr(d.text, st::INT, (en - st)::INT) END,
+        |               '' ORDER BY st) AS clean_text
+        |  FROM segs JOIN corpus d USING (doc_id) GROUP BY segs.doc_id),
+        |stats AS (
+        |  SELECT doc_id, count(*) AS dup_spans, sum(e - s) AS removed_chars
+        |  FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(r.clean_text, d.text) AS clean_text,
+        |  CAST(coalesce(st.dup_spans, 0) AS INT) AS dup_spans,
+        |  CAST(coalesce(st.removed_chars, 0) AS INT) AS removed_chars
+        |FROM corpus d
         |LEFT JOIN rebuilt r USING (doc_id)
         |LEFT JOIN stats st USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,

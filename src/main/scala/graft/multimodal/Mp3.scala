@@ -2,7 +2,24 @@ package graft.multimodal
 
 /** MPEG audio (MP3) frame-header walk — container METADATA only, no
   * sample decode (perceptual-audio synthesis is explicitly scoped out;
-  * see [[Multimodal.fakeDecodeFeature]]'s contract). Pure JVM byte
+  * see [[Multimodal.fakeDecodeFeature]]'s contract).
+  *
+  * WHY the scope-out is permanent under this library's constraints,
+  * not a deferred TODO: a conforming Layer I–III decoder requires the
+  * ISO 11172-3 CONSTANT TABLES — the 512-coefficient synthesis-window
+  * D, 34 Huffman code tables (~1,400 codeword/length pairs), and the
+  * per-rate scalefactor-band boundaries — none of which are derivable
+  * from a formula the way FLAC's whole bitstream layer is
+  * ([[Flac]] gets a full decoder precisely because every constant it
+  * needs IS formulaic and CRC-cross-checkable). Embedding
+  * reconstructed-from-memory tables that no reference data can
+  * validate would risk silently wrong samples; the library's
+  * refuse-early contract treats "decodes to noise" as strictly worse
+  * than "declares no decode". A swap-in codec binding changes only
+  * feature VALUES (see fakeDecodeFeature), so the scope-out costs no
+  * pipeline shape.
+  *
+  * Pure JVM byte
   * arithmetic over the public ISO/IEC 11172-3 / 13818-3 header layout:
   * 11-bit sync, version/layer ids, bitrate + sample-rate table indexes,
   * padding bit. The walk chains frame to frame using each header's own

@@ -51,12 +51,48 @@ object ExactSubstr {
             minLen: Int = 40, minCount: Int = 2): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
-    val grams = docs.select(
-      col(idCol),
-      posexplode(Kernels.charNgramHashes(col(textCol), minLen)).as(Seq("pos", "h")))
+    val grams = positionHashes(docs, idCol, textCol, minLen)
     val covered = grams
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("cnt") >= minCount)
+    applyCut(docs, idCol, textCol, covered, minLen)
+  }
+
+  /** Cross-corpus surgical decontamination: cut from `docs` every
+    * maximal span of length ≥ `minLen` that ALSO appears in
+    * `reference` (an eval benchmark, a blocklist corpus) — the
+    * span-level twin of drop-the-whole-document decontamination
+    * ([[Decontaminate.ngramOverlap]]): a 10k-char document that
+    * quotes one 60-char benchmark answer loses the quote, not the
+    * document. Same plan economics as [[dedup]], except the
+    * duplicate test is a LEFT SEMI join of corpus grams against the
+    * reference gram hashes — reference grams dedup to 8-byte keys
+    * before the join, and AQE broadcasts them when the reference is
+    * benchmark-sized (the common case), making the whole test
+    * map-side. */
+  def cutAgainst(docs: DataFrame, idCol: String, textCol: String,
+                 reference: DataFrame, refTextCol: String,
+                 minLen: Int = 40): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val refGrams = reference
+      .select(explode(Kernels.charNgramHashes(col(refTextCol), minLen)).as("h"))
+      .distinct()
+    val covered = positionHashes(docs, idCol, textCol, minLen)
+      .join(refGrams, Seq("h"), "left_semi")
+    applyCut(docs, idCol, textCol, covered, minLen)
+  }
+
+  /** One row per character position: (id, pos, h) with h the 64-bit
+    * rolling hash of the `minLen`-char window at pos. */
+  private def positionHashes(docs: DataFrame, idCol: String, textCol: String,
+                             minLen: Int): DataFrame =
+    docs.select(
+      col(idCol),
+      posexplode(Kernels.charNgramHashes(col(textCol), minLen)).as(Seq("pos", "h")))
+
+  /** Merge covered positions into per-doc sorted span lists and cut. */
+  private def applyCut(docs: DataFrame, idCol: String, textCol: String,
+                       covered: DataFrame, minLen: Int): DataFrame = {
     val spans = covered.groupBy(idCol)
       .agg(sort_array(collect_list(col("pos"))).as("__starts"))
     val cut = Kernels.cutSpans(col(textCol), col("__starts"), minLen).as("__cut")
@@ -76,10 +112,7 @@ object ExactSubstr {
                       minLen: Int = 40, minCount: Int = 2): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
-    val grams = docs.select(
-      col(idCol),
-      posexplode(Kernels.charNgramHashes(col(textCol), minLen)).as(Seq("pos", "h")))
-    val covered = grams
+    val covered = positionHashes(docs, idCol, textCol, minLen)
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("cnt") >= minCount)
       .select(col(idCol), col("pos"))

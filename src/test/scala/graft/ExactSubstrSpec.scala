@@ -133,6 +133,21 @@ class ExactSubstrSpec extends GraftSpec {
     }
   }
 
+  test("cutAgainst cuts only reference-shared spans; reference-free docs pass through") {
+    val corpus = Seq(
+      (1L, s"my own intro then $passage and my own outro"),
+      (2L, "entirely original writing with no benchmark overlap at all")).toDF("doc_id", "text")
+    val reference = Seq(s"QUESTION: $passage ANSWER: 42").toDF("text")
+    val out = ExactSubstr.cutAgainst(corpus, "doc_id", "text", reference, "text", minLen = 40)
+      .select("doc_id", "clean_text", "dup_spans")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(2L) == ("entirely original writing with no benchmark overlap at all", 0))
+    val (clean1, spans1) = out(1L)
+    assert(spans1 == 1)
+    assert(!clean1.contains("quick brown fox"))
+    assert(clean1.startsWith("my own intro then") && clean1.endsWith("and my own outro"))
+  }
+
   test("plan: no cartesian product, one full-width shuffle on the gram hash") {
     val docs = Seq((1L, "x" * 100), (2L, "y" * 100)).toDF("doc_id", "text")
     val p = ExactSubstr.dedup(docs, "doc_id", "text", minLen = 40)
