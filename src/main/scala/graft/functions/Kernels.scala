@@ -91,6 +91,20 @@ object Kernels {
 
   def cutSpans(text: Column, starts: Column, n: Int): Column =
     column(CutSpansExpr(expression(text), expression(starts), n))
+
+  /** `refHashes` is defensively copied + sorted; pass the output of
+    * `ExactSubstr.compileReference` (already sorted) or any gram-hash
+    * set produced by [[charNgramHashes]] with the same n. */
+  def cutSharedSpans(text: Column, refHashes: Array[Long], n: Int): Column = {
+    val sorted = refHashes.clone()
+    java.util.Arrays.sort(sorted)
+    column(CutSharedSpansExpr(expression(text), sorted, n))
+  }
+
+  /** Rolling-hash base shared by [[CharNgramHashExpr]] and
+    * [[CutSharedSpansExpr]] — the two MUST agree or the compiled cut
+    * path would silently diverge from the join path. */
+  private[functions] val RollA = 0x9E3779B97F4A7C15L // odd → invertible mod 2^64
 }
 
 /** MinHash signature over character shingles of an (already normalized)
@@ -836,7 +850,7 @@ case class CharNgramHashExpr(child: Expression, n: Int)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     Kernels.requireString("char_ngram_hashes", child.dataType)
 
-  private val A = 0x9E3779B97F4A7C15L // odd → invertible mod 2^64
+  private val A = Kernels.RollA
 
   @transient private lazy val aPowN1: Long = { // A^(n-1) mod 2^64
     var p = 1L
@@ -945,4 +959,79 @@ case class CutSpansExpr(left: Expression, right: Expression, n: Int)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** The COMPILED form of the cross-corpus span cut: the reference
+  * corpus's distinct gram hashes ship inside the expression (sorted
+  * array, binary-searched), so covered-window detection, island
+  * merge, and cut all happen in ONE row-local pass — no explode, no
+  * shuffle, nothing stateful. This is what makes surgical
+  * decontamination a map-only projection for benchmark-sized
+  * references, and therefore directly composable onto a stream
+  * (same pattern as the compiled NB scorer, NbScoreSumExpr). The
+  * rolling hash and finalizer are byte-identical to
+  * [[CharNgramHashExpr]]'s ([[Kernels.RollA]] + [[Kernels.mix]]), so
+  * this path and the join path cut the same spans — spec-pinned.
+  * Island merging is ONLINE (positions arrive in ascending order):
+  * O(len) time, O(1) state beyond the output builder. */
+case class CutSharedSpansExpr(child: Expression, refHashes: Array[Long], n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 2, s"span width must be >= 2 (got $n)")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = true),
+    StructField("dup_spans", IntegerType, nullable = false),
+    StructField("removed_chars", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    Kernels.requireString("cut_shared_spans", child.dataType)
+
+  @transient private lazy val aPowN1: Long = {
+    var p = 1L
+    var i = 1
+    while (i < n) { p *= Kernels.RollA; i += 1 }
+    p
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val len = s.length
+    if (len < n || refHashes.length == 0)
+      return org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(s), 0, 0)
+    val A = Kernels.RollA
+    val sb = new java.lang.StringBuilder(len)
+    var spans = 0
+    var removed = 0
+    var kept = 0
+    var curS = -1
+    var curE = -1
+    def flush(): Unit = if (curS >= 0) {
+      sb.append(s, kept, curS)
+      kept = curE
+      spans += 1
+      removed += curE - curS
+      curS = -1
+    }
+    var h = 0L
+    var i = 0
+    while (i < n) { h = h * A + s.charAt(i); i += 1 }
+    var w = 0
+    while (w <= len - n) {
+      if (w > 0) h = (h - aPowN1 * s.charAt(w - 1)) * A + s.charAt(w + n - 1)
+      if (java.util.Arrays.binarySearch(refHashes, Kernels.mix(h)) >= 0) {
+        if (curS < 0) { curS = w; curE = math.min(w + n, len) }
+        else if (w > curE) { flush(); curS = w; curE = math.min(w + n, len) }
+        else curE = math.min(w + n, len)
+      }
+      w += 1
+    }
+    flush()
+    sb.append(s, kept, len)
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(sb.toString), spans, removed)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -243,6 +243,24 @@ object StreamVerbs {
       .filter(col("__nb_pred") === 1L)
       .drop("__nb_score", "__nb_pred")
 
+  /** SURGICAL decontamination at ingest: cut from every streamed
+    * document exactly the ≥ `minLen`-char spans it shares with a
+    * static reference corpus (eval benchmark, blocklist), keeping
+    * the document — the span-level complement of dropping flagged
+    * rows. The reference compiles ONCE to a sorted gram-hash array
+    * ([[graft.text.ExactSubstr.compileReference]], size-guarded)
+    * that rides inside a single expression, so each micro-batch pays
+    * one stateless projection: no explode, no shuffle, no streaming
+    * state, batch-identical output (the compiled path is spec-pinned
+    * bit-equal to the batch join path). Appends `clean_text`,
+    * `dup_spans`, `removed_chars`. */
+  def streamCutAgainst(stream: DataFrame, textCol: String,
+                       reference: DataFrame, refTextCol: String,
+                       minLen: Int = 40, maxGrams: Int = 2000000): DataFrame =
+    graft.text.ExactSubstr.cutAgainstCompiled(stream, textCol,
+      graft.text.ExactSubstr.compileReference(reference, refTextCol, minLen, maxGrams),
+      minLen)
+
   /** Stream-static dimension enrichment: broadcast-join a (small,
     * slowly-changing) dimension onto the stream — map-side per
     * micro-batch, no streaming state at all. The everyday shape for

@@ -82,6 +82,49 @@ object ExactSubstr {
     applyCut(docs, idCol, textCol, covered, minLen)
   }
 
+  /** Compile a reference corpus into its sorted distinct gram-hash
+    * array for the map-only cut path ([[cutAgainstCompiled]] /
+    * streaming). Size-guarded: a reference with more than `maxGrams`
+    * distinct windows raises — at that size the broadcast-array
+    * pattern is the wrong tool and [[cutAgainst]]'s join path is the
+    * right one (same refuse-early contract as the compiled NB
+    * scorer's vocabulary budget). The hashes are computed by the
+    * SAME Spark expression the join path uses, so the two paths
+    * cannot desync. ~8 MB per million grams. */
+  def compileReference(reference: DataFrame, refTextCol: String,
+                       minLen: Int = 40, maxGrams: Int = 2000000): Array[Long] = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(maxGrams >= 1, s"maxGrams must be >= 1, got $maxGrams")
+    val arr = reference
+      .select(explode(Kernels.charNgramHashes(col(refTextCol), minLen)).as("h"))
+      .distinct()
+      .limit(maxGrams + 1) // detects overflow without counting everything
+      .collect().map(_.getLong(0))
+    require(arr.length <= maxGrams,
+      s"compileReference: reference exceeds maxGrams=$maxGrams distinct " +
+        s"$minLen-char windows — use cutAgainst (the join path) for " +
+        "corpus-scale references, or raise the budget deliberately")
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
+  /** Map-only twin of [[cutAgainst]]: the compiled reference rides
+    * inside one [[Kernels.cutSharedSpans]] expression, so the whole
+    * decontamination cut is a single stateless projection — no
+    * explode, no shuffle. Bit-identical output to the join path
+    * (spec-pinned), and because it is stateless it composes onto a
+    * STREAM unchanged ([[graft.streaming.StreamVerbs.streamCutAgainst]]). */
+  def cutAgainstCompiled(docs: DataFrame, textCol: String,
+                         compiledRef: Array[Long], minLen: Int = 40): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val cut = Kernels.cutSharedSpans(col(textCol), compiledRef, minLen).as("__cut")
+    docs.withColumn("__cut", cut)
+      .select(docs.columns.map(col) :+
+        col("__cut.clean_text") :+
+        col("__cut.dup_spans") :+
+        col("__cut.removed_chars"): _*)
+  }
+
   /** One row per character position: (id, pos, h) with h the 64-bit
     * rolling hash of the `minLen`-char window at pos. */
   private def positionHashes(docs: DataFrame, idCol: String, textCol: String,

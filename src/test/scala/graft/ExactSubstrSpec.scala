@@ -87,6 +87,11 @@ class ExactSubstrSpec extends GraftSpec {
 
   private val passage = "the quick brown fox jumps over the lazy dog again and again"
 
+  private def rng(seed: Long): () => Long = {
+    var h = seed * 0x9E3779B97F4A7C15L
+    () => { h ^= h << 13; h ^= h >>> 7; h ^= h << 17; h }
+  }
+
   test("a passage planted in two docs is cut from BOTH; unique text survives untouched") {
     val docs = Seq(
       (1L, s"unique preamble one. $passage trailing A"),
@@ -146,6 +151,43 @@ class ExactSubstrSpec extends GraftSpec {
     assert(spans1 == 1)
     assert(!clean1.contains("quick brown fox"))
     assert(clean1.startsWith("my own intro then") && clean1.endsWith("and my own outro"))
+  }
+
+  test("compiled cut path is bit-identical to the join path, on every column") {
+    val r = rng(23)
+    // 40 docs, a third of them quoting one of two reference passages
+    // at random offsets inside otherwise-unique filler
+    def filler(n: Int) = Array.fill(60)("w" + (r() & 0x3ff)).mkString(" ").take(n)
+    val passages = Seq(passage, "zero one two three four five six seven eight nine ten eleven")
+    val corpus = (1L to 40L).map { id =>
+      val body =
+        if (id % 3 == 0) s"${filler(30 + (id % 50).toInt)} ${passages((id % 2).toInt)} ${filler(40)}"
+        else filler(120)
+      (id, body)
+    }.toDF("doc_id", "text")
+    val reference = passages.map(p => s"frame $p frame").toDF("text")
+    val joined = ExactSubstr.cutAgainst(corpus, "doc_id", "text", reference, "text", minLen = 40)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getInt(3), r.getInt(4))).toSet
+    val compiled = ExactSubstr.cutAgainstCompiled(corpus, "text",
+      ExactSubstr.compileReference(reference, "text", minLen = 40), minLen = 40)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getInt(3), r.getInt(4))).toSet
+    assert(compiled == joined)
+    assert(compiled.exists(_._3 > 0), "the planted quotes must actually be cut")
+  }
+
+  test("compiled cut is one map-only projection (no Exchange, no Generate)") {
+    val docs = Seq((1L, "some document text here")).toDF("doc_id", "text")
+    val p = ExactSubstr.cutAgainstCompiled(docs, "text", Array(1L, 2L, 3L), minLen = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Generate"), p)
+  }
+
+  test("compileReference refuses an over-budget reference instead of broadcasting it") {
+    val big = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      ExactSubstr.compileReference(big, "text", minLen = 4, maxGrams = 10))
+    assert(e.getMessage.contains("maxGrams"))
   }
 
   test("plan: no cartesian product, one full-width shuffle on the gram hash") {

@@ -132,6 +132,43 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming surgical decontamination cuts shared spans, batch-identical, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog again and again"
+    val reference = Seq(s"QUESTION: $passage ANSWER: 42").toDF("text")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamVerbs.streamCutAgainst(docs, "text", reference, "text", minLen = 40)
+      .writeStream.format("memory").queryName("cut_against")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (1L, ts(0), s"my own intro then $passage and my own outro"),
+        (2L, ts(1), "entirely original writing with no benchmark overlap"))
+      q.processAllAvailable()
+      in.addData((3L, ts(2), s"second batch quoting $passage too"))
+      q.processAllAvailable()
+      val out = spark.table("cut_against").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("clean_text"), r.getAs[Int]("dup_spans"))).toMap
+      assert(out(2L)._2 == 0)
+      assert(out(1L)._2 == 1 && !out(1L)._1.contains("quick brown fox"))
+      assert(out(3L)._2 == 1 && !out(3L)._1.contains("quick brown fox"))
+      // batch-identical via the join path on the same rows
+      val batch = Seq(
+        (1L, s"my own intro then $passage and my own outro"),
+        (2L, "entirely original writing with no benchmark overlap"),
+        (3L, s"second batch quoting $passage too")).toDF("doc_id", "text")
+      val bk = graft.text.ExactSubstr
+        .cutAgainst(batch, "doc_id", "text", reference, "text", minLen = 40)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("clean_text"), r.getAs[Int]("dup_spans"))).toMap
+      assert(bk == out)
+    } finally q.stop()
+  }
+
   test("stream dedup against a standing corpus: the live ingest loop, batch-identical") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
