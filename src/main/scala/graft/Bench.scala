@@ -17,6 +17,7 @@ object Bench {
     "q_asof_join", "q_dedup_exact",
     "q_dedup_minhash", "q_dedup_cc", "q_embed_dedup", "q_simhash_pairs",
     "q_token_stats", "q_repetition", "q_vocab", "q_pipeline", "q_ann_topk",
+    "q_ann_pq",
     "q_bm25", "q_decontaminate", "q_scrub_pii", "q_dup_passages",
     "q_dup_removal", "q_exact_substr", "q_decontaminate_cut",
     "q_heavy_hitters", "q_bloom_prune",

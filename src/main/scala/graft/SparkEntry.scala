@@ -905,6 +905,23 @@ object SparkEntry {
         .sortBy("query_id", "rank").out
     }),
 
+    // IVF-PQ with exact re-rank (ml.Pq): inverted lists bound WHICH
+    // candidates are touched, 16-byte PQ codes bound the bytes per
+    // candidate (16x compression of the 64-float vectors), and the
+    // top-50 ADC survivors re-score against true vectors — recall
+    // recovers the plain-IVF ceiling at the same nProbe (PqSpec pins
+    // the gradient). rows-only: approximate by design, like q_ann_ivf
+    "q_ann_pq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+      CrysFrame(graft.ml.Pq.ivfPqTopK(e, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, m = 16, pqK = 64,
+        nLists = 16, nProbe = 8, iters = 1, rerank = 50)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("nn_id"),
+          round(col("cos_sim"), 6).as("cos_sim")))
+        .sortBy("query_id", "rank").out
+    }),
+
     // ---------------- extensions: text analysis ----------------
     "q_token_count" -> ((s, d) =>
       CrysFrame(t(s, d, "documents")

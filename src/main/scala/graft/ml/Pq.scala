@@ -1,0 +1,198 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.PqKernels
+
+/** Product quantization for similarity search at memory-bound scale
+  * (Jégou et al., TPAMI 2011 — the standard billion-vector ANN
+  * compression): a D-float embedding becomes `m` bytes (e.g. 64
+  * floats = 256 B → 8 B, 32×), and query scoring becomes `m` table
+  * lookups per candidate instead of D multiplies (asymmetric
+  * distance: the query side stays exact, only the corpus is
+  * quantized). Composed with the existing IVF pruning
+  * ([[Similarity]]) this is IVF-PQ — the architecture a 100-TB
+  * embedding corpus actually ships: inverted lists bound the
+  * candidates, PQ codes bound the bytes per candidate, an optional
+  * exact re-rank of the short list restores precision.
+  *
+  * Spark-first shape:
+  *  - [[train]]: deterministic hash-ordered seed sample, then Lloyd
+  *    rounds where assignment is the row-local [[PqKernels.pqCodes]]
+  *    kernel (the codebook broadcasts inside the expression) and the
+  *    update is ONE per-(subspace, code, dim) mean aggregation —
+  *    each round moves N×D values through one exchange, the same IO
+  *    as any corpus pass. Train on a sample at real scale; the
+  *    model is data, not plan.
+  *  - [[encode]]: map-only projection (codes + true norm). The norm
+  *    is kept EXACT so the only cosine error is the quantized
+  *    direction, and gain-scaled duplicates still rank identically.
+  *  - [[adcTopK]] / [[ivfPqTopK]]: per-query m×k table once, then
+  *    lookups; candidates fold into the bounded [[TopK]] partial
+  *    aggregate — queries × tasks × k rows to the shuffle, never the
+  *    corpus.
+  *
+  * Cosine scores are approximate by construction (recall/precision
+  * spec-pinned, like IVF); exactness-critical paths should re-rank
+  * (`rerank` > 0) or use the exact kernels. */
+object Pq {
+
+  /** Trained model: flat codebook laid out [sub][centroid][dim]. */
+  case class PqModel(m: Int, k: Int, subDim: Int, codebook: Array[Double]) {
+    def dim: Int = m * subDim
+  }
+
+  /** Train per-subspace codebooks. `k ≤ 256` (byte codes); `dim`
+    * must divide evenly into `m` subspaces. The corpus must hold at
+    * least `k` non-null vectors (seed sample = first k in
+    * deterministic xxhash64(id) order — content-stable on any
+    * partitioning). `iters` Lloyd rounds refine; empty cells keep
+    * their previous centroid (standard practice, deterministic). */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+            m: Int = 8, k: Int = 256, iters: Int = 2,
+            seed: Long = 42L): PqModel = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(k >= 1 && k <= 256, s"k must be in [1, 256] (byte codes), got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val vecs = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull)
+    if (iters > 0) vecs.persist() // read once per Lloyd round + the seed scan
+    // deterministic seed sample: first k vectors in hash order
+    val sample = vecs
+      .orderBy(xxhash64(col("__id"), lit(seed)), col("__id"))
+      .limit(k)
+      .select(col("__v").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length == k,
+      s"Pq.train: corpus holds only ${sample.length} non-null vectors — " +
+        s"k=$k needs at least k; lower k or widen the corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(sample.forall(_.length == dim),
+      "Pq.train: seed sample contains ragged vector lengths")
+    val subDim = dim / m
+    var codebook = new Array[Double](m * k * subDim)
+    var mi = 0
+    while (mi < m) {
+      var j = 0
+      while (j < k) {
+        System.arraycopy(sample(j), mi * subDim, codebook,
+          (mi * k + j) * subDim, subDim)
+        j += 1
+      }
+      mi += 1
+    }
+    var it = 0
+    while (it < iters) {
+      // assign (row-local kernel) → per-(sub, code, dim) means
+      val assigned = vecs.select(
+        posexplode(PqKernels.pqCodes(col("__v"), codebook, m, k, subDim,
+          asInts = true)).as(Seq("__mi", "__code")),
+        col("__v"))
+        .select(col("__mi"), col("__code"),
+          posexplode(slice(col("__v"), col("__mi") * subDim + 1,
+            lit(subDim))).as(Seq("__d", "__x")))
+      val means = assigned
+        .groupBy(col("__mi"), col("__code"), col("__d"))
+        .agg(avg(col("__x").cast("double")).as("__mean"))
+        .collect()
+      val next = codebook.clone() // empty cells keep previous centroids
+      means.foreach { r =>
+        val mi2 = r.getInt(0); val c = r.getInt(1); val d = r.getInt(2)
+        next((mi2 * k + c) * subDim + d) = r.getDouble(3)
+      }
+      codebook = next
+      it += 1
+    }
+    if (iters > 0) vecs.unpersist()
+    PqModel(m, k, subDim, codebook)
+  }
+
+  /** Append `codesCol` (m bytes) and `normCol` (exact ‖v‖) — the
+    * compressed index rows. Map-only; null/ragged vectors yield null
+    * codes (auditable, never dropped silently). */
+  def encode(corpus: DataFrame, vecCol: String, model: PqModel,
+             codesCol: String = "pq_codes", normCol: String = "pq_norm"): DataFrame =
+    corpus
+      .withColumn(codesCol, PqKernels.pqCodes(col(vecCol), model.codebook,
+        model.m, model.k, model.subDim))
+      .withColumn(normCol, sqrt(Similarity.dot(col(vecCol), col(vecCol))))
+
+  /** Full-scan ADC top-k over an [[encode]]d corpus: approximate
+    * cosine = (Σ table lookups) / (‖v‖·‖q‖). The corpus pays m
+    * lookups + one divide per candidate — no vector math. */
+  def adcTopK(encoded: DataFrame, idCol: String,
+              queries: DataFrame, qidCol: String, qvecCol: String,
+              model: PqModel, k: Int = 10, excludeSelf: Boolean = true,
+              codesCol: String = "pq_codes", normCol: String = "pq_norm"): DataFrame = {
+    val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__q"))
+      .withColumn("__table", PqKernels.pqTable(col("__q"), model.codebook,
+        model.m, model.k, model.subDim))
+      .withColumn("__qn", sqrt(Similarity.dot(col("__q"), col("__q"))))
+    val paired = encoded
+      .select(col(idCol).as("nn_id"), col(codesCol).as("__c"), col(normCol).as("__n"))
+      .filter(col("__c").isNotNull)
+      .crossJoin(broadcast(q))
+    val scored = (if (excludeSelf) paired.filter(col("nn_id") =!= col("query_id"))
+      else paired)
+      .select(col("query_id"), col("nn_id"),
+        when(col("__n") > 0 && col("__qn") > 0,
+          PqKernels.pqAdcScore(col("__c"), col("__table"), model.k) /
+            (col("__n") * col("__qn")))
+          .otherwise(lit(0.0)).as("cos_sim"))
+    TopK.perQuery(scored, k)
+  }
+
+  /** IVF-PQ with optional exact re-rank: IVF centroids bound WHICH
+    * candidates are touched (nProbe/nLists of the corpus), PQ codes
+    * bound the BYTES per candidate, and `rerank > 0` re-scores the
+    * top-`rerank` ADC survivors with exact cosine against the true
+    * vectors (a queries×rerank-row join back — negligible next to
+    * the scan it replaces). rerank ≥ k restores bruteForce ordering
+    * whenever ADC's top-rerank contains the true top-k. */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, qidCol: String, qvecCol: String,
+                k: Int = 10, m: Int = 8, pqK: Int = 256,
+                nLists: Int = 16, nProbe: Int = 4,
+                iters: Int = 2, seed: Long = 42L,
+                rerank: Int = 0): DataFrame = {
+    val model = train(corpus, idCol, vecCol, m, pqK, iters, seed)
+    val cents = Similarity.centroids(corpus, idCol, vecCol, nLists,
+      refineIters = 1, seed = seed).cache()
+    val assigned = Similarity.assignLists(corpus, idCol, vecCol, cents)
+    val encoded = encode(assigned, vecCol, model)
+    val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__q"))
+      .withColumn("__table", PqKernels.pqTable(col("__q"), model.codebook,
+        model.m, model.k, model.subDim))
+      .withColumn("__qn", sqrt(Similarity.dot(col("__q"), col("__q"))))
+    val qLists = q.crossJoin(broadcast(cents))
+      .withColumn("__sim", Similarity.cosine(col("__q"), col("cvec")))
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("__sim").desc, col("list_id"))))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_id"), col("__table"), col("__qn"), col("list_id"))
+    val cand = encoded
+      .select(col(idCol).as("nn_id"), col("pq_codes").as("__c"),
+        col("pq_norm").as("__n"), col("list_id"))
+      .filter(col("__c").isNotNull)
+      .join(broadcast(qLists), Seq("list_id"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        when(col("__n") > 0 && col("__qn") > 0,
+          PqKernels.pqAdcScore(col("__c"), col("__table"), model.k) /
+            (col("__n") * col("__qn")))
+          .otherwise(lit(0.0)).as("cos_sim"))
+    if (rerank <= 0) TopK.perQuery(cand, k)
+    else {
+      val shortList = TopK.perQuery(cand, math.max(rerank, k))
+        .select(col("query_id"), col("nn_id"))
+      val withVecs = shortList
+        .join(corpus.select(col(idCol).as("nn_id"), col(vecCol).as("__v")), Seq("nn_id"))
+        .join(queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__q")), Seq("query_id"))
+        .select(col("query_id"), col("nn_id"),
+          Similarity.cosine(col("__v"), col("__q")).as("cos_sim"))
+      TopK.perQuery(withVecs, k)
+    }
+  }
+}

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.{Pq, Similarity}
+import graft.functions.PqKernels
+
+/** ml.Pq — product quantization. Exactness where exactness is
+  * defined (codes on planted centroids, ADC arithmetic vs spec-local
+  * math, determinism); measured recall where the operator is
+  * approximate by design (ADC full scan and IVF-PQ vs the exact
+  * brute force, with re-rank restoring precision). */
+class PqSpec extends GraftSpec {
+
+  import spark.implicits._
+
+  private lazy val dir = "/root/testdata/sf0.01"
+
+  private def rng(seed: Long): () => Long = {
+    var h = seed * 0x9E3779B97F4A7C15L
+    () => { h ^= h << 13; h ^= h >>> 7; h ^= h << 17; h }
+  }
+
+  private def randVec(r: () => Long, dim: Int): Seq[Float] =
+    Seq.fill(dim)(((r() & 0xffff) / 65535.0f) - 0.5f)
+
+  test("geometry refusals: non-dividing dim, k out of byte range, corpus smaller than k") {
+    val df = (1L to 8L).map(i => (i, Seq.fill(6)(i.toFloat))).toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException](Pq.train(df, "id", "v", m = 4, k = 4))
+    assert(e1.getMessage.contains("divide"))
+    val e2 = intercept[IllegalArgumentException](Pq.train(df, "id", "v", m = 2, k = 300))
+    assert(e2.getMessage.contains("256"))
+    val e3 = intercept[IllegalArgumentException](Pq.train(df, "id", "v", m = 2, k = 16))
+    assert(e3.getMessage.contains("at least k"))
+  }
+
+  test("codes recover planted centroids exactly; ADC equals the exact dot on them") {
+    // corpus whose subvectors ARE centroid vectors: with iters=0 the
+    // seed sample IS the codebook, so every row must code to itself
+    val r = rng(3)
+    val corpus = (1L to 16L).map(i => (i, randVec(r, 8))).toDF("id", "v")
+    val model = Pq.train(corpus, "id", "v", m = 4, k = 16, iters = 0)
+    val encoded = Pq.encode(corpus, "v", model)
+    // every vector must reconstruct exactly: ADC(q, x) == <q, x> when
+    // x sits exactly on its codebook cell in every subspace
+    val q = randVec(r, 8)
+    val got = encoded
+      .withColumn("__adc", PqKernels.pqAdcScore(col("pq_codes"),
+        PqKernels.pqTable(typedLit(q), model.codebook, model.m, model.k, model.subDim),
+        model.k))
+      .withColumn("__exact", Similarity.dot(col("v"), typedLit(q)))
+      .select(abs(col("__adc") - col("__exact")).as("err"))
+      .collect().map(_.getDouble(0))
+    assert(got.nonEmpty && got.forall(_ < 1e-9), got.max.toString)
+  }
+
+  test("ADC score equals spec-local table math on arbitrary vectors") {
+    val r = rng(7)
+    val corpus = (1L to 64L).map(i => (i, randVec(r, 12))).toDF("id", "v")
+    val model = Pq.train(corpus, "id", "v", m = 3, k = 8, iters = 1)
+    val q = randVec(r, 12).toArray
+    val rows = Pq.encode(corpus, "v", model)
+      .withColumn("__adc", PqKernels.pqAdcScore(col("pq_codes"),
+        PqKernels.pqTable(typedLit(q.toSeq), model.codebook, model.m, model.k, model.subDim),
+        model.k))
+      .select(col("pq_codes"), col("__adc")).collect()
+    rows.foreach { row =>
+      val codes = row.getAs[Array[Byte]](0)
+      var want = 0.0
+      for (mi <- 0 until model.m) {
+        val code = codes(mi) & 0xff
+        val base = (mi * model.k + code) * model.subDim
+        for (d <- 0 until model.subDim)
+          want += q(mi * model.subDim + d) * model.codebook(base + d)
+      }
+      assert(math.abs(row.getDouble(1) - want) < 1e-12)
+    }
+  }
+
+  test("training and encoding are deterministic (content-stable across repartitioning)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val m1 = Pq.train(emb, "vec_id", "embedding", m = 8, k = 32, iters = 1)
+    val m2 = Pq.train(emb.repartition(7), "vec_id", "embedding", m = 8, k = 32, iters = 1)
+    assert(m1.codebook.toSeq == m2.codebook.toSeq)
+    val c1 = Pq.encode(emb, "embedding", m1)
+      .select("vec_id", "pq_codes").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val c2 = Pq.encode(emb.repartition(5), "embedding", m2)
+      .select("vec_id", "pq_codes").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(c1 == c2)
+    assert(c1.values.forall(_.length == 8), "64 floats compress to 8 bytes")
+  }
+
+  test("null and ragged vectors yield null codes, never a crash or a silent drop") {
+    val df = Seq(
+      (1L, Seq(1f, 2f, 3f, 4f)),
+      (2L, null.asInstanceOf[Seq[Float]]),
+      (3L, Seq(1f, 2f))).toDF("id", "v")
+    val model = Pq.PqModel(2, 1, 2, Array(0.0, 0.0, 0.0, 0.0))
+    val out = Pq.encode(df, "v", model)
+      .select(col("id"), col("pq_codes").isNull.as("n")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true))
+  }
+
+  test("ADC full scan and IVF-PQ recall the exact top-k; re-rank restores precision") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    def topSets(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "nn_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = topSets(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10))
+    // recall and reconstruction quality must IMPROVE monotonically
+    // with quantization resolution (bits per dim) — the gradient that
+    // caught a Set-collapsed mean during development
+    val gradient = Seq((8, 64), (16, 64), (16, 256), (32, 256)).map { case (m, kk) =>
+      val mm = Pq.train(emb, "vec_id", "embedding", m = m, k = kk, iters = 2)
+      val a = topSets(Pq.adcTopK(Pq.encode(emb, "embedding", mm), "vec_id",
+        queries, "vec_id", "embedding", mm, k = 10))
+      val rr = exact.keys.toSeq.map(q =>
+        (exact(q) intersect a(q)).size.toDouble / exact(q).size).sum / exact.size
+      info(f"m=$m k=$kk adc recall=$rr%.2f")
+      rr
+    }
+    assert(gradient.sliding(2).forall(p => p(1) >= p(0) - 0.05),
+      s"recall must track quantization resolution: $gradient")
+    val model = Pq.train(emb, "vec_id", "embedding", m = 16, k = 256, iters = 2)
+    val adc = topSets(Pq.adcTopK(Pq.encode(emb, "embedding", model), "vec_id",
+      queries, "vec_id", "embedding", model, k = 10))
+    val ivfExact = topSets(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10, nLists = 16, nProbe = 8))
+    val ivfPq = topSets(Pq.ivfPqTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10, m = 16, pqK = 256,
+      nLists = 16, nProbe = 8))
+    val reranked = topSets(Pq.ivfPqTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10, m = 16, pqK = 256,
+      nLists = 16, nProbe = 8, rerank = 50))
+    // NOTE: .keys.toSeq, not .keys — mapping a key SET to recall
+    // values collapses equal recalls and silently skews the mean
+    def recall(a: Map[Long, Set[Long]]) =
+      exact.keys.toSeq.map(q => (exact(q) intersect a(q)).size.toDouble / exact(q).size)
+        .sum / exact.size
+    val (rAdc, rIvfEx, rIvf, rRe) =
+      (recall(adc), recall(ivfExact), recall(ivfPq), recall(reranked))
+    info(f"recall@10: adc=$rAdc%.2f ivfExact=$rIvfEx%.2f ivfpq=$rIvf%.2f reranked=$rRe%.2f")
+    assert(rAdc >= 0.7, s"ADC full-scan recall $rAdc")
+    assert(rIvf >= 0.5, s"IVF-PQ recall $rIvf")
+    assert(rRe >= rIvf - 1e-9, "re-rank must not lose recall")
+    // re-rank recovers the IVF pruning ceiling: what's lost vs plain
+    // IVF at the same nProbe is PQ error on the short list only
+    assert(rRe >= rIvfEx - 0.1, s"re-ranked $rRe vs exact-IVF ceiling $rIvfEx")
+  }
+}

@@ -55,7 +55,10 @@ class QuantizeSpec extends GraftSpec {
         deq(queries), "vec_id", "embedding", k = 10)
       .select("query_id", "nn_id").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val recalls = exact.keys.map(q =>
+    // .keys.toSeq, not .keys: mapping the key SET to recall values
+    // would collapse equal recalls and skew the mean (caught via the
+    // same pattern in PqSpec)
+    val recalls = exact.keys.toSeq.map(q =>
       (exact(q) intersect approx(q)).size.toDouble / exact(q).size)
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.9, s"mean recall@10 $mean")
