@@ -143,6 +143,94 @@ object Pq {
     TopK.perQuery(scored, k)
   }
 
+  /** Persist an IVF-PQ index: codebook + geometry (one model row —
+    * the parameters live IN the index and are read back at probe
+    * time, so build and probe cannot desync; the NearDupIndex
+    * contract), IVF centroids, and the encoded corpus partitioned by
+    * list id (16-byte codes + norm per row — the 100-TB layout: a
+    * probe opens only the probed list partitions, and each holds
+    * bytes, not vectors). Vectors are NOT stored — that is the point
+    * of PQ; exact re-rank at probe time joins back to whatever
+    * source-of-truth table holds them. */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      path: String, m: Int = 16, pqK: Int = 256,
+                      nLists: Int = 16, iters: Int = 2,
+                      seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    val model = train(corpus, idCol, vecCol, m, pqK, iters, seed)
+    import spark.implicits._
+    Seq((model.m, model.k, model.subDim, model.codebook.toSeq))
+      .toDF("m", "k", "sub_dim", "codebook")
+      .write.mode("overwrite").parquet(s"$path/model")
+    val cents = Similarity.centroids(corpus, idCol, vecCol, nLists,
+      refineIters = 1, seed = seed)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    val assigned = Similarity.assignLists(
+      corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
+    encode(assigned, vecCol, model)
+      .select(col(idCol), col("pq_codes"), col("pq_norm"), col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+  }
+
+  /** Probe a persisted IVF-PQ index: rank lists against the tiny
+    * centroid table, scan ONLY the probed list partitions (the
+    * `isin` literal prunes at file listing), score by ADC lookups,
+    * optionally re-rank the short list with exact cosine against
+    * `rerankFrom` (the vector source of truth — `(idCol, vecCol)`
+    * columns). Geometry and codebook come from the index itself. */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, qidCol: String, qvecCol: String,
+                       k: Int = 10, nProbe: Int = 4, rerank: Int = 0,
+                       rerankFrom: DataFrame = null,
+                       rerankIdCol: String = null, rerankVecCol: String = null): DataFrame = {
+    require(rerank <= 0 || rerankFrom != null,
+      "ivfPqTopKIndexed: rerank > 0 needs rerankFrom (the index stores codes, not vectors)")
+    val mrow = spark.read.parquet(s"$path/model").collect()(0)
+    val model = PqModel(mrow.getAs[Int]("m"), mrow.getAs[Int]("k"),
+      mrow.getAs[Int]("sub_dim"), mrow.getAs[Seq[Double]]("codebook").toArray)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__q"))
+      .withColumn("__table", PqKernels.pqTable(col("__q"), model.codebook,
+        model.m, model.k, model.subDim))
+      .withColumn("__qn", sqrt(Similarity.dot(col("__q"), col("__q"))))
+    val qLists = q.crossJoin(broadcast(cents))
+      .withColumn("__sim", Similarity.cosine(col("__q"), col("cvec")))
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("__sim").desc, col("list_id"))))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_id"), col("__table"), col("__qn"), col("list_id"))
+    val probed = qLists.select(col("list_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("list_id").isin(probed: _*))
+    val idCol = lists.columns
+      .filterNot(c => c == "list_id" || c == "pq_codes" || c == "pq_norm").head
+    val cand = lists.select(col(idCol).as("nn_id"), col("pq_codes").as("__c"),
+        col("pq_norm").as("__n"), col("list_id"))
+      .filter(col("__c").isNotNull)
+      .join(broadcast(qLists), Seq("list_id"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        when(col("__n") > 0 && col("__qn") > 0,
+          PqKernels.pqAdcScore(col("__c"), col("__table"), model.k) /
+            (col("__n") * col("__qn")))
+          .otherwise(lit(0.0)).as("cos_sim"))
+    if (rerank <= 0) TopK.perQuery(cand, k)
+    else {
+      val shortList = TopK.perQuery(cand, math.max(rerank, k))
+        .select(col("query_id"), col("nn_id"))
+      val withVecs = shortList
+        .join(rerankFrom.select(col(rerankIdCol).as("nn_id"),
+          col(rerankVecCol).as("__v")), Seq("nn_id"))
+        .join(queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__q")),
+          Seq("query_id"))
+        .select(col("query_id"), col("nn_id"),
+          Similarity.cosine(col("__v"), col("__q")).as("cos_sim"))
+      TopK.perQuery(withVecs, k)
+    }
+  }
+
   /** IVF-PQ with optional exact re-rank: IVF centroids bound WHICH
     * candidates are touched (nProbe/nLists of the corpus), PQ codes
     * bound the BYTES per candidate, and `rerank > 0` re-scores the

@@ -103,6 +103,36 @@ class PqSpec extends GraftSpec {
     assert(out == Map(1L -> false, 2L -> true, 3L -> true))
   }
 
+  test("persisted IVF-PQ index: prunes to probed lists, answers like the direct path, re-ranks from source vectors") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val path = "/tmp/graft-test-ivfpq"
+    Pq.buildIvfPqIndex(emb, "vec_id", "embedding", path,
+      m = 16, pqK = 64, nLists = 8, iters = 1)
+    val queries = emb.filter(col("vec_id") < 3)
+    val res = Pq.ivfPqTopKIndexed(spark, path, queries, "vec_id", "embedding",
+      k = 5, nProbe = 2)
+    val p = res.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // unprobed list partitions are pruned at file listing — a probe
+    // reads nProbe/nLists of an index that holds BYTES, not vectors
+    val scanLine = p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(scanLine.contains("list_id"), p)
+    val direct = Pq.ivfPqTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 5, m = 16, pqK = 64, nLists = 8, nProbe = 2, iters = 1)
+      .select("query_id", "rank", "nn_id").collect().map(_.toSeq).toSet
+    val indexed = res.select("query_id", "rank", "nn_id").collect().map(_.toSeq).toSet
+    assert(indexed == direct)
+    // re-rank pulls true vectors from the source-of-truth table
+    val rr = Pq.ivfPqTopKIndexed(spark, path, queries, "vec_id", "embedding",
+      k = 5, nProbe = 2, rerank = 20,
+      rerankFrom = emb, rerankIdCol = "vec_id", rerankVecCol = "embedding")
+    assert(rr.count() == 15)
+    val e = intercept[IllegalArgumentException](
+      Pq.ivfPqTopKIndexed(spark, path, queries, "vec_id", "embedding",
+        k = 5, nProbe = 2, rerank = 20))
+    assert(e.getMessage.contains("rerankFrom"))
+  }
+
   test("ADC full scan and IVF-PQ recall the exact top-k; re-rank restores precision") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
