@@ -615,10 +615,11 @@ object SparkEntry {
     // (AudioFingerprintSpec: exact gain invariance, separation,
     // ADPCM-drift honesty, refusals)
     "q_audio_dedup" -> ((s, d) => {
-      // two re-ingest shapes of every decodable clip: a half-gain edit
-      // and an 8 kHz rate conversion — both must collapse onto the
-      // original via the canonicalized fingerprint (AudioFingerprintSpec
-      // and AudioCrossCodecSpec pin the per-row distances)
+      // three re-ingest shapes of every decodable clip: a half-gain
+      // edit, an 8 kHz rate conversion, and a lossless FLAC transcode
+      // — all must collapse onto the original via the canonicalized
+      // fingerprint (AudioFingerprintSpec and AudioCrossCodecSpec pin
+      // the per-row distances; FLAC collapses at distance 0 exactly)
       val aud = Multimodal.syntheticMedia(s, 90).filter(col("kind") === "audio")
       val gainCopies = Multimodal.scaleAudioPcm(aud, 1, 2)
         .filter(col("scaled").isNotNull)
@@ -626,9 +627,14 @@ object SparkEntry {
       val rateCopies = Multimodal.resampleAudioPcm(aud, 8000)
         .filter(col("resampled").isNotNull)
         .select((col("media_id") + 20000L).as("media_id"), col("resampled").as("content"))
+      // third shape: the ARCHIVAL transcode — same clip re-wrapped as
+      // FLAC (lossless, so it must collapse at Hamming distance 0)
+      val flacCopies = Multimodal.transcodeAudioFlac(aud)
+        .filter(col("flac").isNotNull)
+        .select((col("media_id") + 30000L).as("media_id"), col("flac").as("content"))
       val hashed = Multimodal.withAudioFingerprint(
           aud.select(col("media_id"), col("content"))
-            .unionByName(gainCopies).unionByName(rateCopies))
+            .unionByName(gainCopies).unionByName(rateCopies).unionByName(flacCopies))
         .filter(col("audio_fp").isNotNull)
       val dups = Dedup.hammingPairs(hashed, "media_id", "audio_fp", maxDist = 2)
         .select(col("id_b").as("media_id")).distinct()

@@ -1287,6 +1287,29 @@ object Multimodal {
     }(enc)
   }
 
+  /** Re-encode decodable audio as FLAC ([[Flac.flacBytes]]) — the
+    * archival-format transcode stage. FLAC being lossless, the
+    * transcoded clip decodes to the IDENTICAL samples, so its
+    * [[audioFingerprint64]] is bit-equal to the source's and a
+    * WAV-vs-FLAC re-ingest of one master collapses at Hamming
+    * distance 0. Appends a `flac` binary column (null when the
+    * content isn't decodable audio). Same mapPartitions shape as the
+    * other audio transforms — per-row codec work, map-only. */
+  def transcodeAudioFlac(media: DataFrame): DataFrame = {
+    val schema = StructType(media.schema.fields :+
+      StructField("flac", org.apache.spark.sql.types.BinaryType, nullable = true))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val dec = decodeAudioSamples(r.getAs[Array[Byte]](contentIdx))
+        val out: Array[Byte] =
+          if (dec == null) null else Flac.flacBytes(dec._1, dec._2)
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
   /** Resample decodable WAV audio to `targetRate` and re-encode as
     * mono 16-bit PCM — the rate-normalization stage of an audio ingest
     * pipeline (every clip onto one time base before fingerprinting or

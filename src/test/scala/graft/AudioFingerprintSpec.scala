@@ -89,6 +89,27 @@ class AudioFingerprintSpec extends GraftSpec {
     assert(checked >= 20, s"only $checked decodable audio rows — scenario too thin")
   }
 
+  test("q_audio_dedup scenario pinned: EVERY audio row fingerprints IDENTICALLY to its FLAC transcode") {
+    import org.apache.spark.sql.functions._
+    // lossless transcode ⇒ exact distance 0, not a tolerance band
+    val aud = Multimodal.syntheticMedia(spark, 90).filter(col("kind") === "audio")
+    val rows = Multimodal.transcodeAudioFlac(aud)
+      .select(col("media_id"), col("content"), col("flac")).collect()
+    var checked = 0
+    rows.foreach { r =>
+      val orig = Multimodal.audioFingerprint64(r.getAs[Array[Byte]]("content"))
+      val copy =
+        if (r.isNullAt(2)) null
+        else Multimodal.audioFingerprint64(r.getAs[Array[Byte]]("flac"))
+      assert((orig == null) == (copy == null), s"id ${r.getLong(0)}")
+      if (orig != null) {
+        assert(orig == copy, s"id ${r.getLong(0)}: FLAC transcode drifted the fingerprint")
+        checked += 1
+      }
+    }
+    assert(checked >= 20, s"only $checked decodable audio rows — scenario too thin")
+  }
+
   test("e2e: gain-edited re-ingest dedups via withAudioFingerprint + hammingPairs") {
     import spark.implicits._
     val rows = Seq(
