@@ -271,4 +271,134 @@ object Warc {
       }
       .toDF("url", "html")
   }
+
+  // ------------------------------------------------------------- robots
+
+  /** Robots-exclusion rules (RFC 9309) recovered from the crawl
+    * ITSELF: a WARC segment that archived a host's pages archived its
+    * `/robots.txt` too, so exclusion filtering needs no live fetch.
+    * Returns one row per `User-agent: *` Allow/Disallow rule:
+    * (host, allow, pattern, rx, plen) — `rx` is the RFC match
+    * pattern compiled to an anchored regex (`*` → `.*`, trailing `$`
+    * → end anchor, everything else literal), `plen` the pattern
+    * octet length that drives longest-match precedence. Duplicate
+    * fetches of one robots.txt dedup; parse errors and non-2xx
+    * robots responses contribute no rules (crawl-archive reality:
+    * absent robots means allowed). */
+  def robotsRules(warc: DataFrame): DataFrame = {
+    val spark = warc.sparkSession
+    import spark.implicits._
+    warc.filter(col("warc_type") === "response" &&
+        col("http_status") >= 200 && col("http_status") < 300 &&
+        col("target_uri").rlike("(?i)^[a-z][a-z0-9+.-]*://[^/?#]+/robots\\.txt$"))
+      .select(col("target_uri"), col("body")).as[(String, Array[Byte])]
+      .flatMap { case (uri, body) =>
+        val host = hostOf(uri)
+        if (host.isEmpty || body == null) Iterator.empty
+        else parseRobotsTxt(new String(body,
+            java.nio.charset.StandardCharsets.UTF_8)) // replacement decode
+          .iterator.map { case (allow, pattern) =>
+            (host, allow, pattern, repToRegex(pattern), pattern.length)
+          }
+      }
+      .toDF("host", "allow", "pattern", "rx", "plen")
+      .distinct()
+  }
+
+  /** Lowercased authority (host[:port]) of a URL, "" when unparseable. */
+  private[graft] def hostOf(url: String): String = {
+    val m = "(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)".r.findFirstMatchIn(url)
+    m.map(_.group(1).toLowerCase(java.util.Locale.ROOT)).getOrElse("")
+  }
+
+  /** `User-agent: *` groups of a robots.txt body → (allow, pattern)
+    * rules. Group semantics per RFC 9309: consecutive User-agent
+    * lines open a group; rules attach to every named agent;
+    * encountering User-agent after rules starts a NEW group. Empty
+    * patterns carry no restriction and emit nothing. Comments (`#`)
+    * strip; unknown directives are ignored (Crawl-delay, Sitemap). */
+  private[graft] def parseRobotsTxt(text: String): Vector[(Boolean, String)] = {
+    val out = Vector.newBuilder[(Boolean, String)]
+    var uas = Set.empty[String]
+    var sawRule = false
+    text.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val colonAt = line.indexOf(':')
+      if (colonAt > 0) {
+        val key = line.substring(0, colonAt).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colonAt + 1).trim
+        key match {
+          case "user-agent" =>
+            if (sawRule) { uas = Set.empty; sawRule = false }
+            uas += value.toLowerCase(java.util.Locale.ROOT)
+          case "allow" | "disallow" =>
+            sawRule = true
+            if (uas.contains("*") && value.nonEmpty)
+              out += ((key == "allow", value))
+          case _ => () // Sitemap, Crawl-delay, extensions: ignored
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** RFC 9309 match pattern → anchored Java/RE2 regex: `*` matches
+    * any run, a TRAILING `$` anchors the end, all else is literal
+    * (prefix semantics — the regex is start-anchored and unanchored
+    * at the end unless `$`). */
+  private[graft] def repToRegex(p: String): String = {
+    val endAnchor = p.endsWith("$")
+    val core = if (endAnchor) p.dropRight(1) else p
+    val sb = new StringBuilder("^")
+    core.foreach {
+      case '*' => sb.append(".*")
+      case c if "\\.[]{}()<>+-=!?^$|".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    if (endAnchor) sb.append('$')
+    sb.toString
+  }
+
+  /** Filter `pages` (any frame with a URL column) down to rows the
+    * crawl's own robots rules ALLOW, RFC 9309 precedence: among the
+    * host's rules matching the URL path, the LONGEST pattern wins,
+    * allow winning length ties; no matching rule (or no rules for
+    * the host at all) means allowed. Plan: rules broadcast (a
+    * crawl's robots corpus is ≪ its page corpus), per-(page, rule)
+    * regex test on the joined candidates only, one URL-keyed
+    * aggregation for the longest-match verdict, then a broadcast
+    * semi/anti join back — the page frame itself never shuffles. */
+  def filterRobotsAllowed(pages: DataFrame, urlCol: String,
+                          rules: DataFrame): DataFrame = {
+    val hostEx = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+    val pathEx = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)"
+    val urls = pages.select(col(urlCol).as("__url")).distinct()
+      .withColumn("host", lower(regexp_extract(col("__url"), hostEx, 1)))
+      .withColumn("__path",
+        when(regexp_extract(col("__url"), pathEx, 1) === "", "/")
+          .otherwise(regexp_extract(col("__url"), pathEx, 1)))
+    val verdicts = urls
+      .join(broadcast(rules), Seq("host"))
+      .filter(expr("__path rlike rx"))
+      .groupBy(col("__url"))
+      // longest pattern wins; allow beats disallow on equal length
+      // (struct max orders by plen, then allow: false < true)
+      .agg(max(struct(col("plen"), col("allow"))).as("__best"))
+      .filter(!col("__best").getField("allow"))
+      .select(col("__url"))
+    pages.join(broadcast(verdicts),
+      pages(urlCol) === verdicts("__url"), "left_anti")
+  }
+
+  /** Drop pages whose OWN markup opts out of indexing/ML use: a
+    * `<meta name="robots">` (or the common `content`-first attribute
+    * order) carrying `noindex`. Case-insensitive, lookaround-free
+    * regex (RE2-portable like the scrub/strip chains) — map-only. */
+  def dropNoindex(pages: DataFrame, htmlCol: String): DataFrame = {
+    val nameFirst =
+      "(?is)<meta[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*content\\s*=\\s*[\"'][^\"']*noindex"
+    val contentFirst =
+      "(?is)<meta[^>]*content\\s*=\\s*[\"'][^\"']*noindex[^\"']*[\"'][^>]*name\\s*=\\s*[\"']?robots"
+    pages.filter(!col(htmlCol).rlike(nameFirst) && !col(htmlCol).rlike(contentFirst))
+  }
 }

@@ -177,4 +177,88 @@ class WarcSpec extends GraftSpec {
       .select("url").collect().map(_.getString(0))
     assert(kept.toSeq == Seq("http://example.com/dirty"), kept.mkString(","))
   }
+
+  // ------------------------------------------------------------- robots
+
+  test("parseRobotsTxt: star groups, comments, empty patterns, group boundaries") {
+    val txt =
+      """# corpus etiquette
+        |User-agent: fancybot
+        |Disallow: /private/
+        |
+        |User-agent: *
+        |User-agent: otherbot
+        |Disallow: /tmp/   # trailing comment
+        |Allow: /tmp/ok
+        |Disallow:
+        |Crawl-delay: 10
+        |
+        |User-agent: *
+        |Disallow: /drafts*$
+        |""".stripMargin
+    val rules = Warc.parseRobotsTxt(txt)
+    // fancybot's group must contribute nothing; empty Disallow emits
+    // nothing; BOTH star groups contribute
+    assert(rules == Vector(
+      (false, "/tmp/"), (true, "/tmp/ok"), (false, "/drafts*$")))
+    // rules end a group: a User-agent line AFTER rules starts fresh
+    val regrouped = Warc.parseRobotsTxt(
+      "User-agent: *\nDisallow: /a\nUser-agent: bot\nDisallow: /b\n")
+    assert(regrouped == Vector((false, "/a")))
+  }
+
+  test("repToRegex: literal escaping, * wildcard, trailing $ anchor") {
+    assert("/x/y.html".matches(Warc.repToRegex("/x/") + ".*") ||
+      "/x/y.html".matches(Warc.repToRegex("/x/"))) // start-anchored prefix
+    assert(java.util.regex.Pattern.compile(Warc.repToRegex("/a*.php"))
+      .matcher("/a/deep/run.php").find())
+    val anchored = Warc.repToRegex("/exact$")
+    assert(java.util.regex.Pattern.compile(anchored).matcher("/exact").find())
+    assert(!java.util.regex.Pattern.compile(anchored).matcher("/exact/more").find())
+    // regex metachars in paths stay literal
+    assert(!java.util.regex.Pattern.compile(Warc.repToRegex("/a.b"))
+      .matcher("/aXb").find())
+  }
+
+  test("e2e: crawl-archived robots.txt + noindex meta gate the page frame") {
+    val robots =
+      """User-agent: *
+        |Disallow: /private/
+        |Allow: /private/pub
+        |Disallow: /tmp$
+        |""".stripMargin
+    val robotsPayload = {
+      val b = robots.getBytes(UTF_8)
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+        s"Content-Length: ${b.length}\r\n\r\n").getBytes(ISO_8859_1) ++ b
+    }
+    val noindexPage =
+      "<html><head><META CONTENT=\"noindex, nofollow\" NAME=robots></head><body>secret</body></html>"
+    val bytes =
+      record("response", "http://Example.com/robots.txt", robotsPayload) ++
+        record("response", "http://example.com/open", httpHtml(page)) ++
+        record("response", "http://example.com/private/x", httpHtml(page)) ++
+        // allow outranks disallow by LENGTH on this path
+        record("response", "http://example.com/private/pub/ok", httpHtml(page)) ++
+        record("response", "http://example.com/tmp", httpHtml(page)) ++
+        // $-anchored rule must NOT catch the longer path
+        record("response", "http://example.com/tmpextra", httpHtml(page)) ++
+        // different host entirely: no rules -> allowed
+        record("response", "http://other.org/private/x", httpHtml(page)) ++
+        record("response", "http://example.com/meta", httpHtml(noindexPage))
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-robots")
+    java.nio.file.Files.write(dir.resolve("seg.warc"), bytes)
+    val warc = Warc.readWarc(spark, dir.toString + "/*")
+    val rules = Warc.robotsRules(warc)
+    assert(rules.count() == 3)
+    val pages = Warc.htmlResponses(warc)
+    val allowed = Warc.filterRobotsAllowed(pages, "url", rules)
+    val clean = Warc.dropNoindex(allowed, "html")
+      .select("url").collect().map(_.getString(0)).sorted
+    assert(clean.toSeq == Seq(
+      "http://example.com/open",
+      "http://example.com/private/pub/ok",
+      "http://example.com/tmpextra",
+      "http://other.org/private/x"), clean.mkString(","))
+  }
 }
