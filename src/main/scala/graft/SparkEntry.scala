@@ -703,6 +703,30 @@ object SparkEntry {
         .sortBy("event_id").out
     }),
 
+    // interval-OVERLAP join (operators.RangeJoin.intervalOverlap):
+    // which sessions of even-id users ran CONCURRENTLY with sessions
+    // of odd-id users — the range×range temporal join Spark lacks
+    // natively. Both sides bin; each pair is kept only in its
+    // intersection's first bin, so no dedup shuffle exists in the plan
+    "q_interval_join" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+      val sess = graft.operators.Sessionize.sessionStats(ev,
+          keyCols = Seq("user_id"), tsCol = "ts", gapMs = 30L * 60 * 1000,
+          valueCol = "value", tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("session_index"),
+          col("start_s"), col("end_s"))
+      val a = sess.filter(col("user_id") % 2 === 0)
+        .select(col("user_id").as("a_user"), col("session_index").as("a_session"),
+          col("start_s").as("a_start"), col("end_s").as("a_end"))
+      val b = sess.filter(col("user_id") % 2 === 1)
+        .select(col("user_id").as("b_user"), col("session_index").as("b_session"),
+          col("start_s").as("b_start"), col("end_s").as("b_end"))
+      CrysFrame(graft.operators.RangeJoin.intervalOverlap(a, "a_start", "a_end",
+          b, "b_start", "b_end", by = Seq(), binWidth = 3600L)
+        .select(col("a_user"), col("a_session"), col("b_user"), col("b_session")))
+        .sortBy("a_user", "a_session", "b_user", "b_session").out
+    }),
+
     // greedy sequence packing (operators.Pack): fit documents into
     // 2048-token bins per language, walked in doc_id order — the
     // pre-training batching step. The walk is strictly sequential per
@@ -1901,6 +1925,31 @@ object SparkEntry {
         |  ON p.user_id = s.user_id
         | AND p.ts_s >= s.start_s AND p.ts_s <= s.end_s
         |ORDER BY p.event_id""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |labeled AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_index
+        |  FROM flagged),
+        |sessions AS (
+        |  SELECT user_id, CAST(session_index AS BIGINT) AS session_index,
+        |    epoch_us(min(ts)) // 1000000 AS start_s,
+        |    epoch_us(max(ts)) // 1000000 AS end_s
+        |  FROM labeled GROUP BY user_id, session_index)
+        |SELECT a.user_id AS a_user, a.session_index AS a_session,
+        |  b.user_id AS b_user, b.session_index AS b_session
+        |FROM sessions a JOIN sessions b
+        |  ON (a.user_id % 2) = 0 AND (b.user_id % 2) = 1
+        | AND a.start_s <= b.end_s AND b.start_s <= a.end_s
+        |ORDER BY a_user, a_session, b_user, b_session""".stripMargin,
 
     "q_pack" ->
       """WITH RECURSIVE toks AS (

@@ -65,4 +65,55 @@ object RangeJoin {
       else col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol)
     l.join(r, (by :+ bin).toSeq, "inner").filter(residual).drop(bin)
   }
+
+  /** Interval-OVERLAP join (range × range — concurrency analysis,
+    * schedule conflicts, co-occurring sessions): rows of `left` paired
+    * with every `right` row of the same keys whose interval intersects
+    * (`[lo, hi]` closed when `inclusiveEnds`, else `[lo, hi)`
+    * half-open). BOTH sides explode to their overlapped bins; a
+    * qualifying pair shares every bin its intersection covers, so the
+    * match is kept ONLY in the intersection's FIRST bin —
+    * `bin == max(floor(l.lo/w), floor(r.lo/w))`, which floor-monotony
+    * makes exactly `floor(max(lo,lo)/w)`, a bin both sides always
+    * explode — and no distinct/dedup shuffle is ever needed. Cost:
+    * one shuffle of each side on (keys, bin), explode factor ~span/w
+    * per row, the same span guard as [[pointInInterval]] on BOTH
+    * sides. Null or inverted intervals match nothing. */
+  def intervalOverlap(left: DataFrame, lLoCol: String, lHiCol: String,
+                      right: DataFrame, rLoCol: String, rHiCol: String,
+                      by: Seq[String], binWidth: Long,
+                      inclusiveEnds: Boolean = true,
+                      maxBinsPerInterval: Long = 100000L): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val shared = left.columns.toSet.intersect(right.columns.toSet) -- by
+    require(shared.isEmpty,
+      s"intervalOverlap requires disjoint non-key column names; shared: ${shared.mkString(", ")}")
+    val bin = "__range_bin"
+    def floorDiv(c: Column): Column =
+      ((c - pmod(c, lit(binWidth))) / lit(binWidth)).cast("long")
+    def binned(df: DataFrame, loCol: String, hiCol: String): DataFrame = {
+      val loBin = floorDiv(col(loCol))
+      val hiBin = floorDiv(col(hiCol))
+      df.filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+          col(loCol) <= col(hiCol))
+        .withColumn(bin, explode(
+          when(hiBin - loBin >= maxBinsPerInterval,
+            raise_error(concat(
+              lit(s"intervalOverlap: an interval spans more than " +
+                s"$maxBinsPerInterval bins at binWidth=$binWidth — the " +
+                "explode would flood the shuffle. Raise binWidth toward " +
+                "the typical interval span: interval=["),
+              col(loCol).cast("string"), lit(","), col(hiCol).cast("string"),
+              lit("]"))).cast("array<bigint>"))
+            .otherwise(sequence(loBin, hiBin))))
+    }
+    val overlap =
+      if (inclusiveEnds) col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol)
+      else col(lLoCol) < col(rHiCol) && col(rLoCol) < col(lHiCol)
+    val firstBin = col(bin) === greatest(floorDiv(col(lLoCol)), floorDiv(col(rLoCol)))
+    binned(left, lLoCol, lHiCol)
+      .join(binned(right, rLoCol, rHiCol), (by :+ bin).toSeq, "inner")
+      .filter(overlap && firstBin)
+      .drop(bin)
+  }
 }

@@ -236,6 +236,42 @@ class WindowJoinsSpec extends GraftSpec {
       by = Seq("k"), binWidth = 100L).count() == 0)
   }
 
+  test("interval-overlap join: exactly-once pairs, boundary semantics, guard") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    val l = Seq((1L, "a", 0L, 250L), (2L, "a", 300L, 310L), (3L, "b", 0L, 10L))
+      .toDF("lid", "k", "llo", "lhi")
+    val r = Seq((10L, "a", 240L, 400L), (11L, "a", 260L, 290L), (12L, "b", 10L, 20L),
+      (13L, "a", 500L, 600L)).toDF("rid", "k", "rlo", "rhi")
+    val j = RangeJoin.intervalOverlap(l, "llo", "lhi", r, "rlo", "rhi",
+      by = Seq("k"), binWidth = 100L)
+    val got = j.select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+    // lid 1 [0,250] overlaps rid 10 [240,400] (spans MANY shared bins —
+    // must pair exactly once); lid 2 [300,310] ⊂ [240,400]; lid 3
+    // touches rid 12 at 10 (closed ends); nothing meets rid 11 or 13
+    assert(got.sorted.toSeq == Seq((1L, 10L), (2L, 10L), (3L, 12L)), got.mkString(","))
+    // half-open: the touching pair disappears, overlapping ones stay
+    val open = RangeJoin.intervalOverlap(l, "llo", "lhi", r, "rlo", "rhi",
+      by = Seq("k"), binWidth = 100L, inclusiveEnds = false)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(open == Set((1L, 10L), (2L, 10L)), open.mkString(","))
+    // plan: equi-join on (key, bin), no dedup aggregation, no nested loop
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(1500))
+    // the span guard fires on either side
+    val huge = Seq((20L, "a", 0L, 100L * 1000000000L)).toDF("rid", "k", "rlo", "rhi")
+    val e = intercept[Exception](RangeJoin.intervalOverlap(l, "llo", "lhi",
+      huge, "rlo", "rhi", by = Seq("k"), binWidth = 100L).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("Raise binWidth")), msgs(e).mkString(" | "))
+    // inverted/null intervals match nothing
+    val bad = Seq((30L, "a", 200L, 100L)).toDF("rid", "k", "rlo", "rhi")
+    assert(RangeJoin.intervalOverlap(l, "llo", "lhi", bad, "rlo", "rhi",
+      by = Seq("k"), binWidth = 100L).count() == 0)
+  }
+
   test("deterministic sampling: stable hash splits and weight-proportional draws") {
     import spark.implicits._
     import graft.ml.Sampling
