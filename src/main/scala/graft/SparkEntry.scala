@@ -524,6 +524,21 @@ object SparkEntry {
           F.sum(dec2(col("value"))).cast("decimal(28,2)").cast("double").as("sum_value")))
         .sortBy("hour", "event_type").out),
 
+    // HOPPING event-time windows (native `window(ts, 1h, 15m)` — the
+    // sliding-aggregation shape streaming dashboards use, declared so
+    // Catalyst plans the 4-window explode itself); decimal-exact sums
+    // like q_time_window. The oracle derives each event's 4 candidate
+    // window starts arithmetically
+    "q_hopping_window" -> ((s, d) =>
+      CrysFrame(t(s, d, "events")
+        .filter(col("ts").isNotNull)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(F.count(lit(1)).as("n"),
+          F.sum(dec2(col("value"))).cast("decimal(28,2)").cast("double").as("sum_value"))
+        .select(col("window.start").cast("long").as("win_start"), col("event_type"),
+          col("n"), col("sum_value")))
+        .sortBy("win_start", "event_type").out),
+
     // batch gap sessionization (operators.Sessionize): integer-micros
     // gap arithmetic + decimal-exact value sums keep every column
     // hash-stable against the SQL lag→flag→running-sum oracle;
@@ -1840,6 +1855,18 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour, event_type, count(*) AS n,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_hopping_window" ->
+      """WITH hopped AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v,
+        |    CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - k * 900 AS win_start
+        |  FROM events CROSS JOIN unnest(range(0, 4)) AS t(k)
+        |  WHERE ts IS NOT NULL)
+        |SELECT CAST(win_start AS BIGINT) AS win_start, event_type,
+        |  count(*) AS n,
+        |  CAST(CAST(sum(v) AS DECIMAL(28,2)) AS DOUBLE) AS sum_value
+        |FROM hopped GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin,
 
     "q_sessionize" ->
       """WITH flagged AS (
