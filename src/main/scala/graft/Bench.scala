@@ -21,7 +21,7 @@ object Bench {
     "q_ann_pq",
     "q_bm25", "q_decontaminate", "q_scrub_pii", "q_dup_passages",
     "q_dup_removal", "q_exact_substr", "q_decontaminate_cut",
-    "q_heavy_hitters", "q_bloom_prune",
+    "q_heavy_hitters", "q_bloom_prune", "q_topk_rows",
     "q_hybrid_search", "q_quantize", "q_temperature_sample",
     "q_mixture_resample", "q_strip_html", "q_dedup_against",
     "q_dedup_against_near", "q_url_canon", "q_bpe_pairs",

@@ -539,6 +539,18 @@ object SparkEntry {
           col("n"), col("sum_value")))
         .sortBy("win_start", "event_type").out),
 
+    // bounded top-k ROWS per group (ml.TopK.rowsPerGroup): the best 5
+    // events per type by value, via per-task ≤k buffers + a semi-join
+    // back — no group is ever sorted whole (the window formulation
+    // exchanges and sorts the full input). Ties break to the lower id,
+    // so the picked SET is engine-reproducible
+    "q_topk_rows" -> ((s, d) =>
+      CrysFrame(graft.ml.TopK.rowsPerGroup(
+          t(s, d, "events").select(col("event_id"), col("event_type"), col("value")),
+          Seq("event_type"), "event_id", "value", k = 5)
+        .select(col("event_type"), col("event_id"), col("value")))
+        .sortBy("event_type", "event_id").out),
+
     // batch gap sessionization (operators.Sessionize): integer-micros
     // gap arithmetic + decimal-exact value sums keep every column
     // hash-stable against the SQL lag→flag→running-sum oracle;
@@ -1867,6 +1879,14 @@ object SparkEntry {
         |  CAST(CAST(sum(v) AS DECIMAL(28,2)) AS DOUBLE) AS sum_value
         |FROM hopped GROUP BY 1, 2
         |ORDER BY win_start, event_type""".stripMargin,
+
+    "q_topk_rows" ->
+      """SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL) t
+        |WHERE rn <= 5 ORDER BY event_type, event_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH flagged AS (

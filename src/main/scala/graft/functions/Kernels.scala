@@ -101,6 +101,9 @@ object Kernels {
     column(CutSharedSpansExpr(expression(text), sorted, n))
   }
 
+  def sortableDoubleBits(value: Column): Column =
+    column(SortableDoubleBitsExpr(expression(value)))
+
   /** Rolling-hash base shared by [[CharNgramHashExpr]] and
     * [[CutSharedSpansExpr]] — the two MUST agree or the compiled cut
     * path would silently diverge from the join path. */
@@ -1030,6 +1033,39 @@ case class CutSharedSpansExpr(child: Expression, refHashes: Array[Long], n: Int)
     sb.append(s, kept, len)
     org.apache.spark.sql.catalyst.InternalRow(
       UTF8String.fromString(sb.toString), spans, removed)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Order-preserving LONG encoding of a DOUBLE (IEEE-754 total-order
+  * trick for SIGNED comparison: positives keep their bits, negatives
+  * flip their low 63 bits so sign-magnitude becomes two's-complement)
+  * — lets double-valued priorities ride the repo's bounded
+  * long-keyed top-k aggregates (MinKByKeyAgg) instead of a full-sort
+  * Window. Signed-long comparison of the outputs equals double
+  * comparison of the inputs; NaN (canonical bits) sorts ABOVE every
+  * number, −0.0 immediately below +0.0 — both documented, neither
+  * occurs in ordinary metric columns. (The better-known
+  * `bits ^ (MIN | (bits>>63))` variant is UNSIGNED-comparable and
+  * inverts the positive/negative bands under signed compare — the
+  * property suite caught exactly that on negative values.) */
+case class SortableDoubleBitsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case DoubleType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sortable_double_bits expects double, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bits = java.lang.Double.doubleToLongBits(input.asInstanceOf[Double])
+    // (bits >> 63) >>> 1 = 0x7FFF… for negatives, 0 for positives
+    bits ^ ((bits >> 63) >>> 1)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -177,6 +177,55 @@ class TopKStrAgg(k: Int) extends Aggregator[TopKStrItem, TopKStrBuf, TopKStrBuf]
 }
 
 object TopK {
+
+  /** The GENERAL bounded top-k: the best `k` ROWS of `df` per group
+    * by `valueCol` (desc by default; ties break to the LOWER id),
+    * WITHOUT a window — each task folds its slice into a ≤k buffer
+    * per group ([[MinKByKeyAgg]]), only groups × tasks × k (priority,
+    * id) pairs reach the shuffle, and the picked ids semi-join the
+    * full rows back (AQE-broadcastable). A `row_number` window
+    * formulation exchanges and SORTS the entire input per group —
+    * this shape never sorts a group at all, which is the difference
+    * between "top 100 docs per language by quality score" costing a
+    * bounded aggregate and costing a corpus sort at 100 TB.
+    *
+    * `groupCols` may be empty (global top-k). Double values order by
+    * IEEE total order via an order-preserving long encoding
+    * ([[graft.functions.Kernels.sortableDoubleBits]] — NaN sorts as
+    * the LARGEST value); integral values compare exactly. Ids must be
+    * numeric and unique within a group (the repo-wide id contract);
+    * null values/ids are excluded. k ≤ 65536 — the buffer-per-task
+    * bound, same cutoff as stratifiedSample's aggregate path. */
+  def rowsPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+                   valueCol: String, k: Int,
+                   descending: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(k >= 1 && k <= 65536, s"k must be in [1, 65536], got $k")
+    val nn = df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+    val priAsc: Column = df.schema(valueCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => col(valueCol).cast("long")
+      case FloatType | DoubleType =>
+        graft.functions.Kernels.sortableDoubleBits(col(valueCol).cast("double"))
+      case other => throw new IllegalArgumentException(
+        s"rowsPerGroup orders by numeric values, got ${other.sql} for $valueCol")
+    }
+    val pri = if (descending) F.bitwise_not(priAsc) else priAsc
+    val mk = F.udaf(new MinKByKeyAgg(k), Encoders.product[MinKKeyItem])
+    val grouped =
+      if (groupCols.isEmpty) nn.groupBy()
+      else nn.groupBy(groupCols.map(col): _*)
+    val picked = grouped
+      .agg(mk(pri, col(idCol).cast("long")).as("__mk"))
+      .select(groupCols.map(c => col(c).as(s"__tk_$c")) :+
+        explode(col("__mk").getField("items")).as("__it"): _*)
+      .select(groupCols.map(c => col(s"__tk_$c")) :+
+        col("__it").getField("id").cast(df.schema(idCol).dataType).as("__tk_id"): _*)
+    // null-safe group equality: a null group key is a real group
+    val cond = (groupCols.map(c => col(c) <=> col(s"__tk_$c")) :+
+      (col(idCol) === col("__tk_id"))).reduce(_ && _)
+    nn.join(picked, cond, "left_semi")
+  }
+
   /** Best k rows per query from a `(query_id, nn_id, cos_sim)` candidate
     * frame, ranked 1..k by (cos_sim desc, nn_id asc). One partial+final
     * aggregation, no window. */

@@ -50,6 +50,21 @@ class PlanQualitySpec extends GraftSpec {
     assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 1, p)
   }
 
+  test("q_interval_join plans a binned equi-join — no nested loop, no dedup aggregate") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the overlap pairs come from a JOIN on the bin key, and the
+    // exactly-once first-bin filter means no distinct anywhere after it
+    assert(p.contains("Join"), p)
+  }
+
+  test("q_hopping_window partial-aggregates under the window explode") {
+    val p = plan("q_hopping_window")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    // one shuffle for the aggregation, one for the output ordering
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2, p)
+  }
+
   test("q_repetition evaluates the kernel once in a map-only pass") {
     val p = plan("q_repetition")
     val kernelMentions = "repetitionstatsexpr".r.findAllIn(p.toLowerCase).size

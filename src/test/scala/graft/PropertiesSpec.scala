@@ -146,6 +146,42 @@ class PropertiesSpec extends GraftSpec {
     })
   }
 
+  test("property: rowsPerGroup equals the window formulation on hostile values") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    var h = 0xC0FFEEL
+    def r(): Long = { h ^= h << 13; h ^= h >>> 7; h ^= h << 17; h }
+    // hostile values: negatives, exact ties, duplicated magnitudes
+    val rows = (1L to 400L).map { id =>
+      val g = s"g${math.floorMod(r(), 7)}"
+      val v = (math.floorMod(r(), 19) - 9) * 1.5 // ties guaranteed
+      (id, g, v)
+    }
+    val df = rows.toDF("id", "g", "v").repartition(13)
+    for (desc <- Seq(true, false); k <- Seq(3, 50)) {
+      val got = graft.ml.TopK.rowsPerGroup(df, Seq("g"), "id", "v", k, desc)
+        .select("g", "id").collect().map(x => (x.getString(0), x.getLong(1))).toSet
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+        .orderBy(if (desc) col("v").desc else col("v").asc, col("id").asc)
+      val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("g", "id").collect().map(x => (x.getString(0), x.getLong(1))).toSet
+      assert(got == want, s"desc=$desc k=$k")
+    }
+    // global top-k (no group columns) and integral values
+    val ints = rows.map { case (id, g, v) => (id, g, (v * 2).toLong) }
+      .toDF("id", "g", "v").repartition(5)
+    val gotGlobal = graft.ml.TopK.rowsPerGroup(ints, Seq(), "id", "v", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val wantGlobal = ints.orderBy(col("v").desc, col("id").asc).limit(10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gotGlobal == wantGlobal)
+    // plan shape: no Window anywhere, bounded aggregate in its place
+    val p = graft.ml.TopK.rowsPerGroup(df, Seq("g"), "id", "v", 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(1200))
+    assert(p.toLowerCase.contains("minkbykeyagg"), p.take(1200))
+  }
+
   test("property: WARC walk round-trips arbitrary record sequences, any gzip layout") {
     // pure-JVM property: serialize random record sequences per the
     // ISO 28500 framing (independently of the parser), in all three
