@@ -539,6 +539,23 @@ object SparkEntry {
           col("n"), col("sum_value")))
         .sortBy("win_start", "event_type").out),
 
+    // ONE-PASS pipeline accounting (operators.Audit): three gates run
+    // as a single noop-write job; every (rows_in, rows_out) pair is an
+    // Observation riding that job — the naive audit would re-scan the
+    // chain once per gate. The RESULT is the metrics table itself, so
+    // the oracle recomputes the same counts from plain SQL gates
+    "q_pipeline_audit" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val audit = new graft.operators.Audit.Pipeline()
+      val g1 = audit.gate(docs, "g1_chars", col("n_chars") >= 200)
+      val g2 = audit.gate(g1, "g2_english", col("lang") === "en")
+      val g3 = audit.gate(g2, "g3_tokens",
+        TextFunctions.tokenCountWs(col("text")) >= 30)
+      CrysFrame(audit.reportFrame(s,
+          g3.write.format("noop").mode("overwrite").save()))
+        .sortBy("gate").out
+    }),
+
     // bounded top-k ROWS per group (ml.TopK.rowsPerGroup): the best 5
     // events per type by value, via per-task ≤k buffers + a semi-join
     // back — no group is ever sorted whole (the window formulation
@@ -1879,6 +1896,20 @@ object SparkEntry {
         |  CAST(CAST(sum(v) AS DECIMAL(28,2)) AS DOUBLE) AS sum_value
         |FROM hopped GROUP BY 1, 2
         |ORDER BY win_start, event_type""".stripMargin,
+
+    "q_pipeline_audit" ->
+      """WITH g1 AS (SELECT * FROM documents WHERE n_chars >= 200),
+        |g2 AS (SELECT * FROM g1 WHERE lang = 'en'),
+        |g3 AS (SELECT * FROM g2 WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END) >= 30)
+        |SELECT 'g1_chars' AS gate,
+        |  (SELECT count(*) FROM documents) AS rows_in,
+        |  (SELECT count(*) FROM g1) AS rows_out
+        |UNION ALL SELECT 'g2_english',
+        |  (SELECT count(*) FROM g1), (SELECT count(*) FROM g2)
+        |UNION ALL SELECT 'g3_tokens',
+        |  (SELECT count(*) FROM g2), (SELECT count(*) FROM g3)
+        |ORDER BY gate""".stripMargin,
 
     "q_topk_rows" ->
       """SELECT event_type, event_id, value FROM (

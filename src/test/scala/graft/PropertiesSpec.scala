@@ -182,6 +182,39 @@ class PropertiesSpec extends GraftSpec {
     assert(p.toLowerCase.contains("minkbykeyagg"), p.take(1200))
   }
 
+  test("property: FLAC round-trips arbitrary PCM bit-exactly at arbitrary lengths and rates") {
+    import graft.multimodal.Flac
+    var h = 0xF1ACL
+    def r(): Long = { h ^= h << 13; h ^= h >>> 7; h ^= h << 17; h }
+    for (trial <- 0 until 12) {
+      val n = 1 + math.floorMod(r(), 9000).toInt // crosses the 4096 block edge
+      val rate = Seq(8000, 11025, 16000, 22050, 44100)(math.floorMod(r(), 5).toInt)
+      val stereo = (r() & 1) == 0
+      // mixture of noise, silence runs, ramps and full-scale extremes
+      def gen(): Array[Short] = Array.tabulate[Short](n) { i =>
+        math.floorMod(r(), 7) match {
+          case 0 => 0
+          case 1 => Short.MinValue
+          case 2 => Short.MaxValue
+          case 3 => (i * 37 % 5000).toShort
+          case _ => (r() & 0xffff).toShort
+        }
+      }
+      if (stereo) {
+        val l = gen(); val rt = gen()
+        val (gotRate, got) = Flac.decode(Flac.flacBytes(rate, l, rt))
+        assert(gotRate == rate, s"trial $trial")
+        val want = Array.tabulate[Short](n)(i => Math.floorDiv(l(i) + rt(i) + 1, 2).toShort)
+        assert(got.toSeq == want.toSeq, s"trial $trial stereo n=$n rate=$rate")
+      } else {
+        val xs = gen()
+        val (gotRate, got) = Flac.decode(Flac.flacBytes(rate, xs))
+        assert(gotRate == rate, s"trial $trial")
+        assert(got.toSeq == xs.toSeq, s"trial $trial mono n=$n rate=$rate")
+      }
+    }
+  }
+
   test("property: WARC walk round-trips arbitrary record sequences, any gzip layout") {
     // pure-JVM property: serialize random record sequences per the
     // ISO 28500 framing (independently of the parser), in all three
