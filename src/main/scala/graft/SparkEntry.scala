@@ -539,6 +539,23 @@ object SparkEntry {
           col("n"), col("sum_value")))
         .sortBy("win_start", "event_type").out),
 
+    // corpus snapshot DIFF (operators.SnapshotDiff): what a simulated
+    // next ingest cycle added / removed / changed — both sides reduce
+    // to (id, 8-byte hash) before the full-outer join, document text
+    // never shuffles, unchanged rows (the bulk) drop right after the
+    // join. The oracle compares the TEXT itself, so green doubles as
+    // a hash-collision check
+    "q_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val newC = docs.filter(col("doc_id") % 17 =!= 3)
+        .withColumn("text", when(col("doc_id") % 11 === 5,
+          concat(col("text"), lit(" [edited]"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      CrysFrame(graft.operators.SnapshotDiff.diff(docs, newC, "doc_id", "text"))
+        .sortBy("doc_id").out
+    }),
+
     // ONE-PASS pipeline accounting (operators.Audit): three gates run
     // as a single noop-write job; every (rows_in, rows_out) pair is an
     // Observation riding that job — the naive audit would re-scan the
@@ -1896,6 +1913,23 @@ object SparkEntry {
         |  CAST(CAST(sum(v) AS DECIMAL(28,2)) AS DOUBLE) AS sum_value
         |FROM hopped GROUP BY 1, 2
         |ORDER BY win_start, event_type""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH oldc AS (SELECT doc_id, text FROM documents),
+        |newc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 5 THEN text || ' [edited]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 13 = 0),
+        |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |  FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, status FROM j WHERE status <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
 
     "q_pipeline_audit" ->
       """WITH g1 AS (SELECT * FROM documents WHERE n_chars >= 200),

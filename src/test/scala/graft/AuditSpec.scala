@@ -41,6 +41,28 @@ class AuditSpec extends GraftSpec {
       s"audit must not add jobs: audited=$audited baseline=$baseline")
   }
 
+  test("snapshotDiff: statuses, null-text semantics, delta-only default, summary") {
+    import graft.operators.SnapshotDiff
+    val oldC = Seq(
+      (1L, "same"), (2L, "will change"), (3L, "will be removed"),
+      (4L, null.asInstanceOf[String]), (5L, "goes null")).toDF("id", "text")
+    val newC = Seq(
+      (1L, "same"), (2L, "changed!"), (6L, "brand new"),
+      (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val d = SnapshotDiff.diff(oldC, newC, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // id 1 unchanged (absent); 4 null→null unchanged (absent)
+    assert(d == Map(2L -> "changed", 3L -> "removed", 5L -> "changed", 6L -> "added"))
+    val full = SnapshotDiff.diff(oldC, newC, "id", "text", includeUnchanged = true)
+    assert(full.count() == 6)
+    val s = SnapshotDiff.summary(oldC, newC, "id", "text").collect()(0)
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)) == ((1L, 1L, 2L, 2L)))
+    // the only corpus-wide movement is (id, hash): no text in the shuffle
+    val p = SnapshotDiff.diff(oldC, newC, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("duplicate gate names are refused; reportFrame materializes the metrics table") {
     val docs = Seq((1L, 10), (2L, 300)).toDF("id", "n")
     val audit = new Audit.Pipeline()
