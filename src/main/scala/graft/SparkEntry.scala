@@ -539,6 +539,17 @@ object SparkEntry {
           col("n"), col("sum_value")))
         .sortBy("win_start", "event_type").out),
 
+    // corpus DATASHEET (text.Datasheet): the publishable one-row
+    // profile (size, exact length percentiles, normalized dup rate) —
+    // every number cross-engine exact, so the sheet regenerates
+    // identically anywhere. Plus the per-language breakdown
+    "q_datasheet" -> ((s, d) =>
+      CrysFrame(graft.text.Datasheet.describe(t(s, d, "documents"), "text")).out),
+
+    "q_datasheet_lang" -> ((s, d) =>
+      CrysFrame(graft.text.Datasheet.byLang(t(s, d, "documents"), "text", "lang"))
+        .sortBy("lang").out),
+
     // corpus snapshot DIFF (operators.SnapshotDiff): what a simulated
     // next ingest cycle added / removed / changed — both sides reduce
     // to (id, 8-byte hash) before the full-outer join, document text
@@ -1913,6 +1924,29 @@ object SparkEntry {
         |  CAST(CAST(sum(v) AS DECIMAL(28,2)) AS DOUBLE) AS sum_value
         |FROM hopped GROUP BY 1, 2
         |ORDER BY win_start, event_type""".stripMargin,
+
+    "q_datasheet" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_chars,
+        |  CAST(sum(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END)
+        |    AS BIGINT) AS total_tokens,
+        |  round(quantile_cont(CAST(coalesce(length(text), 0) AS BIGINT), 0.5), 6) AS p50_chars,
+        |  round(quantile_cont(CAST(coalesce(length(text), 0) AS BIGINT), 0.95), 6) AS p95_chars,
+        |  CAST(count(DISTINCT regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'))
+        |    AS BIGINT) AS distinct_docs,
+        |  round(CAST(count(*) - count(DISTINCT regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'))
+        |    AS DOUBLE) / greatest(count(*), 1), 6) AS dup_fraction
+        |FROM documents""".stripMargin,
+
+    "q_datasheet_lang" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END)
+        |    AS BIGINT) AS total_tokens,
+        |  round(CAST(count(*) AS DOUBLE) /
+        |    greatest((SELECT count(*) FROM documents), 1), 6) AS share
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH oldc AS (SELECT doc_id, text FROM documents),
