@@ -1734,4 +1734,29 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(m64.count(_._2 == 0L) == 61 || m64.count(_._2 == 0L) == 62, m64.toString)
   }
 
+  test("sharded export writes JSONL for the tokenizer-handoff path (format=json)") {
+    import graft.sources.Export
+    import spark.implicits._
+    // Spark's json writer IS line-delimited JSON — the interchange
+    // format training dataloaders consume; same identity sharding
+    val df = (1L to 60L).map(i => (i, s"doc $i body", s"l${i % 3}"))
+      .toDF("id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val manifest = Export.writeShards(df, "id", nShards = 4, dir, format = "json")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(manifest.values.sum == 60L)
+    // each shard is one .json file of newline-delimited objects
+    val shard0 = new java.io.File(s"$dir/shard=0").listFiles()
+      .filter(_.getName.endsWith(".json"))
+    assert(shard0.length == 1)
+    val lines = java.nio.file.Files.readAllLines(shard0(0).toPath)
+    assert(lines.size.toLong == manifest(0L))
+    assert(lines.get(0).startsWith("{") && lines.get(0).contains("\"text\""))
+    // and it round-trips through the json reader with the rows intact
+    val back = spark.read.json(dir)
+    assert(back.count() == 60)
+    assert(back.select("id", "text", "lang").collect().map(_.getLong(0)).sorted
+      .toSeq == (1L to 60L))
+  }
+
 }
