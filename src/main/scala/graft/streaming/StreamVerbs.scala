@@ -38,6 +38,20 @@ object StreamVerbs {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** HOPPING (sliding) event-time window counts — the dashboard shape
+    * (`q_hopping_window`'s streaming twin): each event lands in
+    * window÷slide overlapping windows, all maintained in the same
+    * bounded watermarked state. State rows = windows overlapping the
+    * watermark horizon × observed event types — the slide ratio
+    * multiplies state, not correctness. */
+  def hoppingCounts(events: DataFrame, window_ : String = "1 hour",
+                    slide: String = "15 minutes",
+                    lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
   /** Streaming trending keys: a [[graft.ml.MisraGriesAgg]] sketch per
     * tumbling event-time window — the frequent-items question ("what
     * is trending this hour") at BOUNDED state, where an exact

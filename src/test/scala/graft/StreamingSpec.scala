@@ -5,6 +5,7 @@ import graft.streaming.{Event, Session}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.col
 
 /** Structured Streaming verbs driven through MemoryStream + memory sink. */
 class StreamingSpec extends GraftSpec {
@@ -29,6 +30,61 @@ class StreamingSpec extends GraftSpec {
       val clicks = rows.find(_.getAs[String]("event_type") == "click").get
       assert(clicks.getAs[Long]("n") == 2L)
       assert(clicks.getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("hopping window counts: each event lands in window/slide overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = StreamVerbs.hoppingCounts(in.toDF(), "20 minutes", "5 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("hopping")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(Event(1, ts(7), 1, "click", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("hopping")
+        .select(col("window.start").cast("long").as("s"), col("n"), col("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // 20m/5m = 4 windows contain minute 7; each counts the event once
+      assert(rows.length == 4, rows.mkString(","))
+      assert(rows.forall(r => r._2 == 1L && r._3 == 2.0))
+      val starts = rows.map(_._1).sorted
+      assert(starts.sliding(2).forall(p => p(1) - p(0) == 300), starts.mkString(","))
+    } finally q.stop()
+  }
+
+  test("cross-codec audio dedup AT INGEST: a FLAC transcode collapses onto its WAV original") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    // broadband clip (the fingerprint's home turf), as WAV then FLAC
+    val pcm = Array.tabulate[Short](16000) { j =>
+      val t = j / 16000.0
+      var s = 0.0
+      for (h <- 1 to 10)
+        s += (4500.0 / h) * (0.5 + 0.5 * math.sin(2 * math.Pi * (0.7 + 0.13 * h) * t)) *
+          math.sin(2 * math.Pi * 350.0 * h * t)
+      math.max(Short.MinValue, math.min(Short.MaxValue, math.rint(s).toLong)).toShort
+    }
+    val wav = Multimodal.pcmWavBytes(16000, pcm)
+    val flac = graft.multimodal.Flac.flacBytes(16000, pcm)
+    val distinct = Multimodal.pcmWavBytes(8000, Array.tabulate[Short](9000)(i =>
+      (6000 * math.sin(i / 3.0) + 2000 * math.sin(i / 17.0)).toShort))
+    val in = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val docs = in.toDF().toDF("media_id", "ts", "content")
+    val q = StreamVerbs.streamingSignatureDedup(
+        Multimodal.withAudioFingerprint(docs), "audio_fp", "ts", lateness = "1 hour")
+      .select("media_id")
+      .writeStream.format("memory").queryName("flac_ingest")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, ts(0), wav), (2L, ts(1), distinct))
+      q.processAllAvailable()
+      in.addData((100L, ts(10), flac)) // the archival re-encode arrives later
+      q.processAllAvailable()
+      val kept = spark.table("flac_ingest").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L), kept.toString) // FLAC copy collapsed exactly
     } finally q.stop()
   }
 
