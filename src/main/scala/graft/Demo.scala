@@ -63,6 +63,11 @@ object Demo {
       graft.multimodal.Multimodal.syntheticMedia(spark, 6))
       .orderBy("media_id").show(6, truncate = false)
 
+    println("=== corpus datasheet: the publishable one-row profile ===")
+    graft.text.Datasheet.describe(
+      SparkEntry.t(spark, "/root/testdata/sf0.001", "documents"), "text")
+      .show(truncate = false)
+
     println("=== streaming: tumbling counts over the events table (one batch) ===")
     val evDir = java.nio.file.Files.createTempDirectory("graft_demo_ev").toString
     // SparkEntry.t normalizes the driver's ts encodings (long nanos OR
