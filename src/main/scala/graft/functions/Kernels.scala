@@ -911,11 +911,16 @@ case class CutSpansExpr(left: Expression, right: Expression, n: Int)
     }
 
   // null starts means "no duplicated spans", so only null TEXT nulls
-  // the row — eval overrides the default both-null-safe behavior
+  // the row — eval overrides the default both-null-safe behavior.
+  // Hand-built SQL input is hostile by assumption (cut_spans is a
+  // registered function): null ELEMENTS and out-of-range offsets
+  // (negative, past the text, long overflow) identify no window and
+  // are IGNORED — they must neither crash the task nor cut text.
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val t = left.eval(input)
     if (t == null) return null
     val s = t.asInstanceOf[UTF8String].toString
+    val len = s.length
     val st = right.eval(input)
     val starts: Array[Int] =
       if (st == null) Array.empty
@@ -923,17 +928,20 @@ case class CutSpansExpr(left: Expression, right: Expression, n: Int)
         val arr = st.asInstanceOf[ArrayData]
         val k = arr.numElements()
         val a = new Array[Int](k)
+        var kept = 0
         var i = 0
         val isLong = right.dataType.asInstanceOf[ArrayType].elementType == LongType
         while (i < k) {
-          a(i) = if (arr.isNullAt(i)) 0
-            else if (isLong) arr.getLong(i).toInt else arr.getInt(i)
+          if (!arr.isNullAt(i)) {
+            val v: Long = if (isLong) arr.getLong(i) else arr.getInt(i).toLong
+            if (v >= 0L && v < len) { a(kept) = v.toInt; kept += 1 }
+          }
           i += 1
         }
-        java.util.Arrays.sort(a)
-        a
+        val trimmed = java.util.Arrays.copyOf(a, kept)
+        java.util.Arrays.sort(trimmed)
+        trimmed
       }
-    val len = s.length
     if (starts.isEmpty)
       return org.apache.spark.sql.catalyst.InternalRow(
         UTF8String.fromString(s), 0, 0)
@@ -941,7 +949,7 @@ case class CutSpansExpr(left: Expression, right: Expression, n: Int)
     var spans = 0
     var removed = 0
     var kept = 0 // next char not yet emitted
-    var curS = math.max(starts(0), 0)
+    var curS = starts(0)
     var curE = math.min(curS + n, len)
     var i = 1
     while (i <= starts.length) {

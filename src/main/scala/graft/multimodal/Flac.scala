@@ -219,13 +219,16 @@ object Flac {
     if (chInfo < 1 || chInfo > 8 || bpsInfo < 4) return null
     val out = new java.util.ArrayList[Array[Short]]()
     var pos = firstFrame
-    var ok = true
     var n = 0L
     try {
-      while (ok && pos + 2 <= b.length &&
-        (totalSamples <= 0 || n < totalSamples)) {
+      while (pos + 2 <= b.length && (totalSamples <= 0 || n < totalSamples)) {
         decodeFrame(b, pos, rate, chInfo, bpsInfo) match {
-          case null => ok = false
+          case null =>
+            // a structurally complete but CRC-failing / malformed frame
+            // ABORTS the whole decode (the object-header contract: bad
+            // bits never become samples) — only a TORN TRAILING frame
+            // (the catch below) ends the stream cleanly
+            return null
           case (samples, nextPos) =>
             out.add(samples)
             n += samples.length
@@ -234,7 +237,8 @@ object Flac {
       }
     } catch {
       case _: ArrayIndexOutOfBoundsException =>
-        // torn trailing frame: keep what fully decoded, unless nothing did
+        // torn trailing frame (clipped download): keep what fully
+        // decoded, unless nothing did
         if (out.isEmpty) return null
     }
     if (out.isEmpty) return null
@@ -551,18 +555,32 @@ object Flac {
 
   private def crc8immutable(b: Array[Byte]): Int = crc8(b, 0, b.length)
 
-  /** Frame/sample number in the header's UTF-8-shaped coding. */
-  private def writeUtf8Number(w: BitWriter, v: Int): Unit = {
-    if (v < 0x80) w.writeBits(v, 8)
-    else if (v < 0x800) {
-      w.writeBits(0xc0 | (v >> 6), 8)
-      w.writeBits(0x80 | (v & 0x3f), 8)
-    } else {
-      w.writeBits(0xe0 | (v >> 12), 8)
-      w.writeBits(0x80 | ((v >> 6) & 0x3f), 8)
-      w.writeBits(0x80 | (v & 0x3f), 8)
+  /** Frame/sample number in the header's UTF-8-shaped coding, all
+    * widths up to the 31-bit frame-number ceiling (a 2-byte prefix
+    * on a ≥ 0x10000 value would desync the whole header parse —
+    * caught in review, pinned in FlacSpec via [[utf8NumberBytes]]). */
+  private[graft] def utf8NumberBytes(v: Int): Array[Byte] = {
+    require(v >= 0, s"frame number must be non-negative, got $v")
+    if (v < 0x80) Array(v.toByte)
+    else {
+      // n continuation bytes carry 6 bits each; the lead byte carries
+      // (6 - n) bits under an (n+1)-one-bits prefix
+      var nCont = 1
+      while (nCont < 6 && (v >>> (6 * nCont)) >= (1 << (6 - nCont))) nCont += 1
+      val out = new Array[Byte](nCont + 1)
+      val leadPrefix = (0xff << (7 - nCont)) & 0xff
+      out(0) = (leadPrefix | (v >>> (6 * nCont))).toByte
+      var i = 1
+      while (i <= nCont) {
+        out(i) = (0x80 | ((v >>> (6 * (nCont - i))) & 0x3f)).toByte
+        i += 1
+      }
+      out
     }
   }
+
+  private def writeUtf8Number(w: BitWriter, v: Int): Unit =
+    utf8NumberBytes(v).foreach(b => w.writeBits(b & 0xff, 8))
 
   /** Best-of subframe encode: CONSTANT when flat, else the cheaper of
     * FIXED order 0/1/2 with a single-partition Rice residual and

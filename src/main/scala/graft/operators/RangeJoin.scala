@@ -38,32 +38,51 @@ object RangeJoin {
                       inclusiveHi: Boolean = true,
                       maxBinsPerInterval: Long = 100000L): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    requireDisjoint(left, right, by, "rangeJoin")
+    val l = left.withColumn(bin, floorDiv(col(pointCol), binWidth))
+    val r = explodeBins(right, loCol, hiCol, binWidth, maxBinsPerInterval,
+      "rangeJoin", strictBounds = false)
+    val residual =
+      if (inclusiveHi) col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol)
+      else col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol)
+    l.join(r, (by :+ bin).toSeq, "inner").filter(residual).drop(bin)
+  }
+
+  private val bin = "__range_bin"
+
+  /** Floor-division bin id — exact for |value| < 2^53. */
+  private def floorDiv(c: Column, binWidth: Long): Column =
+    ((c - pmod(c, lit(binWidth))) / lit(binWidth)).cast("long")
+
+  private def requireDisjoint(left: DataFrame, right: DataFrame,
+                              by: Seq[String], op: String): Unit = {
     val shared = left.columns.toSet.intersect(right.columns.toSet) -- by
     require(shared.isEmpty,
-      s"rangeJoin requires disjoint non-key column names; shared: ${shared.mkString(", ")}")
-    val bin = "__range_bin"
-    def floorDiv(c: Column): Column =
-      ((c - pmod(c, lit(binWidth))) / lit(binWidth)).cast("long")
-    val l = left.withColumn(bin, floorDiv(col(pointCol)))
-    val loBin = floorDiv(col(loCol))
-    val hiBin = floorDiv(col(hiCol))
-    val r = right
-      .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
-        col(loCol) <= col(hiCol))
+      s"$op requires disjoint non-key column names; shared: ${shared.mkString(", ")}")
+  }
+
+  /** Explode each interval to its overlapped bins, with the span
+    * guard (shared by both joins — ONE copy of the bin math).
+    * `strictBounds` drops lo == hi rows — the EMPTY interval under
+    * half-open semantics, which overlaps nothing. */
+  private def explodeBins(df: DataFrame, loCol: String, hiCol: String,
+                          binWidth: Long, maxBinsPerInterval: Long,
+                          op: String, strictBounds: Boolean): DataFrame = {
+    val loBin = floorDiv(col(loCol), binWidth)
+    val hiBin = floorDiv(col(hiCol), binWidth)
+    val bounds =
+      if (strictBounds) col(loCol) < col(hiCol) else col(loCol) <= col(hiCol)
+    df.filter(col(loCol).isNotNull && col(hiCol).isNotNull && bounds)
       .withColumn(bin, explode(
         when(hiBin - loBin >= maxBinsPerInterval,
           raise_error(concat(
-            lit(s"rangeJoin: an interval spans more than $maxBinsPerInterval " +
+            lit(s"$op: an interval spans more than $maxBinsPerInterval " +
               s"bins at binWidth=$binWidth — the explode would flood the " +
               "shuffle. Raise binWidth toward the typical interval span " +
               "(or maxBinsPerInterval if the skew is intended): interval=["),
             col(loCol).cast("string"), lit(","), col(hiCol).cast("string"),
             lit("]"))).cast("array<bigint>"))
           .otherwise(sequence(loBin, hiBin))))
-    val residual =
-      if (inclusiveHi) col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol)
-      else col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol)
-    l.join(r, (by :+ bin).toSeq, "inner").filter(residual).drop(bin)
   }
 
   /** Interval-OVERLAP join (range × range — concurrency analysis,
@@ -78,41 +97,26 @@ object RangeJoin {
     * explode — and no distinct/dedup shuffle is ever needed. Cost:
     * one shuffle of each side on (keys, bin), explode factor ~span/w
     * per row, the same span guard as [[pointInInterval]] on BOTH
-    * sides. Null or inverted intervals match nothing. */
+    * sides. Null or inverted intervals match nothing; under
+    * half-open semantics a ZERO-LENGTH interval (lo == hi) is empty
+    * and matches nothing either. */
   def intervalOverlap(left: DataFrame, lLoCol: String, lHiCol: String,
                       right: DataFrame, rLoCol: String, rHiCol: String,
                       by: Seq[String], binWidth: Long,
                       inclusiveEnds: Boolean = true,
                       maxBinsPerInterval: Long = 100000L): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    val shared = left.columns.toSet.intersect(right.columns.toSet) -- by
-    require(shared.isEmpty,
-      s"intervalOverlap requires disjoint non-key column names; shared: ${shared.mkString(", ")}")
-    val bin = "__range_bin"
-    def floorDiv(c: Column): Column =
-      ((c - pmod(c, lit(binWidth))) / lit(binWidth)).cast("long")
-    def binned(df: DataFrame, loCol: String, hiCol: String): DataFrame = {
-      val loBin = floorDiv(col(loCol))
-      val hiBin = floorDiv(col(hiCol))
-      df.filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
-          col(loCol) <= col(hiCol))
-        .withColumn(bin, explode(
-          when(hiBin - loBin >= maxBinsPerInterval,
-            raise_error(concat(
-              lit(s"intervalOverlap: an interval spans more than " +
-                s"$maxBinsPerInterval bins at binWidth=$binWidth — the " +
-                "explode would flood the shuffle. Raise binWidth toward " +
-                "the typical interval span: interval=["),
-              col(loCol).cast("string"), lit(","), col(hiCol).cast("string"),
-              lit("]"))).cast("array<bigint>"))
-            .otherwise(sequence(loBin, hiBin))))
-    }
+    requireDisjoint(left, right, by, "intervalOverlap")
     val overlap =
       if (inclusiveEnds) col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol)
       else col(lLoCol) < col(rHiCol) && col(rLoCol) < col(lHiCol)
-    val firstBin = col(bin) === greatest(floorDiv(col(lLoCol)), floorDiv(col(rLoCol)))
-    binned(left, lLoCol, lHiCol)
-      .join(binned(right, rLoCol, rHiCol), (by :+ bin).toSeq, "inner")
+    val firstBin = col(bin) ===
+      greatest(floorDiv(col(lLoCol), binWidth), floorDiv(col(rLoCol), binWidth))
+    val strict = !inclusiveEnds // [x, x) is empty: it overlaps nothing
+    explodeBins(left, lLoCol, lHiCol, binWidth, maxBinsPerInterval,
+        "intervalOverlap", strictBounds = strict)
+      .join(explodeBins(right, rLoCol, rHiCol, binWidth, maxBinsPerInterval,
+        "intervalOverlap", strictBounds = strict), (by :+ bin).toSeq, "inner")
       .filter(overlap && firstBin)
       .drop(bin)
   }

@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   * the result is delta-sized; pass `includeUnchanged = true` for the
   * full accounting. Content equality is hash equality (xxhash64 —
   * ~2^-64 per-pair false-unchanged odds, the same budget every hash
-  * join here runs on). Null text hashes to a sentinel, so
-  * null → text and text → null both surface as `changed`. */
+  * join here runs on). Spark's `xxhash64` is non-nullable — NULL
+  * text hashes to the seed constant — so null↔null compares
+  * `unchanged` and null↔text `changed`, while missing ROWS (the
+  * added/removed cases) are detected by the join's genuinely-null
+  * sides, never by content hashing. */
 object SnapshotDiff {
 
   /** One row per differing id: (id, status) with status ∈
@@ -27,8 +30,7 @@ object SnapshotDiff {
            idCol: String, contentCol: String,
            includeUnchanged: Boolean = false): DataFrame = {
     def hashed(df: DataFrame, side: String) = df
-      .select(col(idCol),
-        coalesce(xxhash64(col(contentCol)), lit(Long.MinValue)).as(s"__h_$side"))
+      .select(col(idCol), xxhash64(col(contentCol)).as(s"__h_$side"))
     val joined = hashed(oldCorpus, "old")
       .join(hashed(newCorpus, "new"), Seq(idCol), "full_outer")
       .select(col(idCol),

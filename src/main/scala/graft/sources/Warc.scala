@@ -399,6 +399,9 @@ object Warc {
       "(?is)<meta[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*content\\s*=\\s*[\"'][^\"']*noindex"
     val contentFirst =
       "(?is)<meta[^>]*content\\s*=\\s*[\"'][^\"']*noindex[^\"']*[\"'][^>]*name\\s*=\\s*[\"']?robots"
-    pages.filter(!col(htmlCol).rlike(nameFirst) && !col(htmlCol).rlike(contentFirst))
+    // a NULL html column carries no noindex marker: it must pass
+    // through (three-valued rlike would silently drop it)
+    pages.filter(col(htmlCol).isNull ||
+      (!col(htmlCol).rlike(nameFirst) && !col(htmlCol).rlike(contentFirst)))
   }
 }

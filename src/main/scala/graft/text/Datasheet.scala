@@ -36,24 +36,28 @@ object Datasheet {
       count(lit(1)).as("n_docs"),
       sum(len).as("total_chars"),
       sum(toks).as("total_tokens"),
-      round(expr(s"percentile(${lenExpr(textCol)}, 0.5)"), 6).as("p50_chars"),
-      round(expr(s"percentile(${lenExpr(textCol)}, 0.95)"), 6).as("p95_chars"),
+      round(percentile(len, lit(0.5)), 6).as("p50_chars"),
+      round(percentile(len, lit(0.95)), 6).as("p95_chars"),
       countDistinct(normHash).as("distinct_docs"))
       .withColumn("dup_fraction",
         round((col("n_docs") - col("distinct_docs")).cast("double") /
           greatest(col("n_docs"), lit(1L)), 6))
   }
 
-  private def lenExpr(textCol: String): String =
-    s"CAST(coalesce(length($textCol), 0) AS LONG)"
-
-  /** Per-language breakdown: (lang, n_docs, total_tokens, share). */
+  /** Per-language breakdown: (lang, n_docs, total_tokens, share). The
+    * share denominator comes from a window over the (tiny,
+    * language-cardinality) aggregated frame — the corpus scans ONCE,
+    * not once for the groupBy plus once for a count(). */
   def byLang(docs: DataFrame, textCol: String, langCol: String): DataFrame = {
     val toks = TextFunctions.tokenCountWs(coalesce(col(textCol), lit(""))).cast("long")
-    val total = docs.count()
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy() // one partition of ≤ |languages| rows
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     docs.groupBy(col(langCol))
       .agg(count(lit(1)).as("n_docs"), sum(toks).as("total_tokens"))
       .withColumn("share",
-        round(col("n_docs").cast("double") / math.max(total, 1L), 6))
+        round(col("n_docs").cast("double") /
+          greatest(sum(col("n_docs")).over(all), lit(1L)), 6))
   }
 }

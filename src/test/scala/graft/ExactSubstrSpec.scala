@@ -65,6 +65,21 @@ class ExactSubstrSpec extends GraftSpec {
     assert(cut("0123456789ABCDEF", Seq(10, 2, 4), 4) == ("0189EF", 2, 10))
   }
 
+  test("cutSpans ignores hostile offsets: out-of-range, null elements, long overflow") {
+    // past-the-end and negative offsets identify no window — they must
+    // neither crash nor cut; null elements likewise (review findings)
+    assert(cut("0123456789", Seq(15), 4) == ("0123456789", 0, 0))
+    assert(cut("0123456789", Seq(-3), 4) == ("0123456789", 0, 0))
+    assert(cut("0123456789", Seq(-3, 2, 15), 4) == ("016789", 1, 4))
+    val viaSql = Seq(("0123456789", Seq(java.lang.Long.valueOf(2L), null,
+        java.lang.Long.valueOf(1L + Int.MaxValue))))
+      .toDF("t", "s")
+      .select(Kernels.cutSpans(col("t"), col("s"), 4).as("c"))
+      .select("c.*").collect()(0)
+    assert((viaSql.getString(0), viaSql.getInt(1), viaSql.getInt(2)) ==
+      ("016789", 1, 4))
+  }
+
   test("cutSpans: null starts passes text through; null text nulls the row") {
     val df = Seq(("keepme", false), (null: String, true)).toDF("t", "isNull")
       .withColumn("s", when(lit(false), array(lit(1))).otherwise(lit(null)))

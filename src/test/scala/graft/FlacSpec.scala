@@ -205,6 +205,43 @@ class FlacSpec extends GraftSpec {
     assert(Flac.decode(bad) == null)
   }
 
+  test("MID-STREAM corruption nulls the WHOLE decode — never a silently shorter clip") {
+    // 3 frames; corrupt the SECOND so frame 1 already decoded cleanly
+    val xs = Array.tabulate[Short](4096 * 3)(i => (2500 * math.sin(i / 13.0)).toShort)
+    val good = Flac.flacBytes(8000, xs)
+    assert(Flac.decode(good)._2.length == xs.length)
+    val bad = good.clone()
+    bad(good.length / 2) = (bad(good.length / 2) ^ 0x10).toByte
+    assert(Flac.decode(bad) == null,
+      "a corrupted middle frame must abort, not truncate")
+    // a TORN TRAILING frame (clipped download) still keeps the clean prefix
+    val torn = good.take(good.length - 200)
+    val dec = Flac.decode(torn)
+    assert(dec != null && dec._2.length == 4096 * 2, "clean frames survive a torn tail")
+  }
+
+  test("frame-number coding stays decodable at every width (the >=0x10000 desync guard)") {
+    // spec-local decoder mirroring the frame parser's reader
+    def roundTrip(v: Int): Int = {
+      val bs = Flac.utf8NumberBytes(v)
+      val first = bs(0) & 0xff
+      var extra = 0
+      var m = first
+      while ((m & 0x80) != 0) { extra += 1; m = (m << 1) & 0xff }
+      assert(extra != 1 && extra <= 7, s"v=$v bad lead ${first.toHexString}")
+      assert(bs.length == math.max(extra, 1), s"v=$v length ${bs.length} vs extra $extra")
+      var out = if (extra == 0) first else first & (0x7f >> extra)
+      for (i <- 1 until bs.length) {
+        assert((bs(i) & 0xc0) == 0x80, s"v=$v continuation ${bs(i).toHexString}")
+        out = (out << 6) | (bs(i) & 0x3f)
+      }
+      out
+    }
+    for (v <- Seq(0, 1, 0x7f, 0x80, 0x7ff, 0x800, 0xffff, 0x10000, 0x200000,
+        0x4000000, Int.MaxValue))
+      assert(roundTrip(v) == v, s"v=$v")
+  }
+
   test("non-FLAC and truncated-below-STREAMINFO bytes decode to null") {
     assert(Flac.decode(null) == null)
     assert(Flac.decode(Array[Byte](1, 2, 3)) == null)

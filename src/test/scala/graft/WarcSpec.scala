@@ -253,6 +253,15 @@ class WarcSpec extends GraftSpec {
     assert(rules.count() == 3)
     val pages = Warc.htmlResponses(warc)
     val allowed = Warc.filterRobotsAllowed(pages, "url", rules)
+    // a null-html row (outer-join product) carries no noindex marker
+    // and must pass through, not vanish into three-valued logic
+    val withNull = allowed.unionByName(
+      spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row("http://x.org/nullhtml", null)),
+        allowed.schema))
+    val clean0 = Warc.dropNoindex(withNull, "html")
+      .select("url").collect().map(_.getString(0)).sorted
+    assert(clean0.contains("http://x.org/nullhtml"), clean0.mkString(","))
     val clean = Warc.dropNoindex(allowed, "html")
       .select("url").collect().map(_.getString(0)).sorted
     assert(clean.toSeq == Seq(

@@ -270,6 +270,14 @@ class WindowJoinsSpec extends GraftSpec {
     val bad = Seq((30L, "a", 200L, 100L)).toDF("rid", "k", "rlo", "rhi")
     assert(RangeJoin.intervalOverlap(l, "llo", "lhi", bad, "rlo", "rhi",
       by = Seq("k"), binWidth = 100L).count() == 0)
+    // an EMPTY half-open interval [x, x) overlaps nothing (review
+    // finding: the overlap predicate alone would have matched it)
+    val empty = Seq((40L, "a", 100L, 100L)).toDF("rid", "k", "rlo", "rhi")
+    assert(RangeJoin.intervalOverlap(l, "llo", "lhi", empty, "rlo", "rhi",
+      by = Seq("k"), binWidth = 100L, inclusiveEnds = false).count() == 0)
+    // …but under CLOSED ends [x, x] is a point and does match
+    assert(RangeJoin.intervalOverlap(l, "llo", "lhi", empty, "rlo", "rhi",
+      by = Seq("k"), binWidth = 100L, inclusiveEnds = true).count() == 1)
   }
 
   test("deterministic sampling: stable hash splits and weight-proportional draws") {
