@@ -182,6 +182,41 @@ class PropertiesSpec extends GraftSpec {
     assert(p.toLowerCase.contains("minkbykeyagg"), p.take(1200))
   }
 
+  test("property: intervalOverlap equals the naive quadratic join on random intervals") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    var h = 0x1A7EBEEFL
+    def r(): Long = { h ^= h << 13; h ^= h >>> 7; h ^= h << 17; h }
+    // random intervals ACROSS bin boundaries, incl. zero-length and
+    // bin-aligned endpoints — the edges the first-bin argument must survive
+    def mk(nId: Int) = (1 to 60).map { i =>
+      val lo = math.floorMod(r(), 1000)
+      val span = math.floorMod(r(), 4) match {
+        case 0 => 0L // zero-length
+        case 1 => math.floorMod(r(), 30)
+        case _ => math.floorMod(r(), 400) // spans many bins at width 100
+      }
+      (nId * 1000L + i, s"k${math.floorMod(r(), 3)}", lo, lo + span)
+    }
+    val l = mk(1).toDF("lid", "k", "llo", "lhi")
+    val rt = mk(2).toDF("rid", "k", "rlo", "rhi")
+    for (inclusive <- Seq(true, false); width <- Seq(7L, 100L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(l, "llo", "lhi", rt, "rlo", "rhi",
+          by = Seq("k"), binWidth = width, inclusiveEnds = inclusive)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val pred =
+        if (inclusive) col("llo") <= col("rhi") && col("rlo") <= col("lhi")
+        else col("llo") < col("rhi") && col("rlo") < col("lhi") &&
+          col("llo") < col("lhi") && col("rlo") < col("rhi") // non-empty sides
+      val want = l.join(rt, Seq("k")).filter(pred)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == want, s"inclusive=$inclusive width=$width " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      assert(want.nonEmpty, "degenerate fixture")
+    }
+  }
+
   test("property: FLAC round-trips arbitrary PCM bit-exactly at arbitrary lengths and rates") {
     import graft.multimodal.Flac
     var h = 0xF1ACL
