@@ -183,8 +183,10 @@ object Pq {
                        k: Int = 10, nProbe: Int = 4, rerank: Int = 0,
                        rerankFrom: DataFrame = null,
                        rerankIdCol: String = null, rerankVecCol: String = null): DataFrame = {
-    require(rerank <= 0 || rerankFrom != null,
-      "ivfPqTopKIndexed: rerank > 0 needs rerankFrom (the index stores codes, not vectors)")
+    require(rerank <= 0 ||
+        (rerankFrom != null && rerankIdCol != null && rerankVecCol != null),
+      "ivfPqTopKIndexed: rerank > 0 needs rerankFrom + rerankIdCol + " +
+        "rerankVecCol (the index stores codes, not vectors)")
     val mrow = spark.read.parquet(s"$path/model").collect()(0)
     val model = PqModel(mrow.getAs[Int]("m"), mrow.getAs[Int]("k"),
       mrow.getAs[Int]("sub_dim"), mrow.getAs[Seq[Double]]("codebook").toArray)
@@ -200,6 +202,9 @@ object Pq {
           .partitionBy(col("query_id")).orderBy(col("__sim").desc, col("list_id"))))
       .filter(col("__r") <= nProbe)
       .select(col("query_id"), col("__table"), col("__qn"), col("list_id"))
+      // referenced twice (pruning literal + candidate join): cache so
+      // the per-query ADC tables and centroid ranking compute once
+      .cache()
     val probed = qLists.select(col("list_id")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val lists = spark.read.parquet(s"$path/lists")

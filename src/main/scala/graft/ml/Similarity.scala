@@ -358,6 +358,9 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("__sim").desc)))
       .filter(col("__r") <= nProbe)
       .select(col("query_id"), col("__q"), col("list_id"))
+      // referenced twice (pruning literal + candidate join): cache so
+      // the centroid cross-ranking computes once
+      .cache()
     // probed list ids are tiny (queries × nProbe): collect for a
     // partition-pruning literal filter, then bucket-join candidates
     val probed = qLists.select(col("list_id")).distinct()

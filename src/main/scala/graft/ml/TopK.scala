@@ -201,6 +201,13 @@ object TopK {
                    descending: Boolean = true): DataFrame = {
     import org.apache.spark.sql.types._
     require(k >= 1 && k <= 65536, s"k must be in [1, 65536], got $k")
+    // ids travel through the aggregate as longs and join back by
+    // equality — a fractional id would silently collapse/drop rows
+    df.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"rowsPerGroup needs an integral id column, got ${other.sql} for $idCol")
+    }
     val nn = df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)
     val priAsc: Column = df.schema(valueCol).dataType match {
       case LongType | IntegerType | ShortType | ByteType => col(valueCol).cast("long")

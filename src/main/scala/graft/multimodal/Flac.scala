@@ -14,8 +14,11 @@ package graft.multimodal
   * FIXED orders 0–4, LPC orders 1–32), both residual coding methods
   * (4-bit and 5-bit Rice parameters) including escaped raw-bit
   * partitions, all stereo decorrelations (independent, left/side,
-  * right/side, mid/side), wasted-bits shifting, 8/12/16/20/24/32-bit
-  * sample sizes, and every block-size / sample-rate header code.
+  * right/side, mid/side), wasted-bits shifting, 8/12/16/20/24-bit
+  * sample sizes (and 32-bit with INDEPENDENT channels — a
+  * decorrelated 32-bit side channel needs 33-bit samples, beyond the
+  * Int decode path: such rare files null out rather than misdecode),
+  * and every block-size / sample-rate header code.
   * Frame-header CRC-8 and whole-frame CRC-16 are VERIFIED — a
   * mismatch aborts the decode (returns null) rather than emitting
   * noise; the CRCs double as an independent check that the decoder's
@@ -382,6 +385,7 @@ object Flac {
         true
       case t if t >= 8 && t <= 12 => // FIXED, order = t − 8
         val order = t - 8
+        if (order > blockSize) return null // malformed: warm-up > block
         var i = 0
         while (i < order) { x(i) = r.readSigned(bps); i += 1 }
         if (!decodeResidual(r, blockSize, order, x)) false

@@ -1303,8 +1303,12 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val dec = decodeAudioSamples(r.getAs[Array[Byte]](contentIdx))
+        // FLAC's STREAMINFO rate field is 20 bits; a decodable WAV can
+        // declare more — such a row NULLS (the module contract: hostile
+        // rows never kill the job), it must not throw in flacBytes
         val out: Array[Byte] =
-          if (dec == null) null else Flac.flacBytes(dec._1, dec._2)
+          if (dec == null || dec._1 >= (1 << 20)) null
+          else Flac.flacBytes(dec._1, dec._2)
         Row.fromSeq(r.toSeq :+ out)
       }
     }(enc)

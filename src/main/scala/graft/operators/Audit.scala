@@ -37,9 +37,20 @@ object Audit {
       scala.collection.mutable.ArrayBuffer.empty[(String, Observation)]
 
     /** Filter `df` by `keep`, observing (rows_in, rows_out) in the
-      * enclosing job. Gate names must be unique per Pipeline. */
+      * enclosing job. Gate names must be unique per Pipeline, and the
+      * predicate must be DETERMINISTIC — it evaluates once in the
+      * observation and once in the filter, so a rand()-style gate
+      * would report counts for a different subset than it passes
+      * (refused at build time rather than corrupting the report). */
     def gate(df: DataFrame, name: String, keep: Column): DataFrame = {
       require(!gates.exists(_._1 == name), s"duplicate gate name: $name")
+      // the Column holds an UNRESOLVED tree (deterministic defaults
+      // true there) — analyze a throwaway projection to see the real
+      // expression; analysis plans nothing and runs no job
+      require(df.select(keep).queryExecution.analyzed.expressions
+          .forall(_.deterministic),
+        s"gate '$name': nondeterministic predicate — the observation and " +
+          "the filter would evaluate it independently and disagree")
       val o = new Observation(s"graft_audit_$name")
       gates += ((name, o))
       df.observe(o,

@@ -374,9 +374,14 @@ object Warc {
     val pathEx = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)"
     val urls = pages.select(col(urlCol).as("__url")).distinct()
       .withColumn("host", lower(regexp_extract(col("__url"), hostEx, 1)))
+      // RFC 9309: an empty path is "/" — which must also hold for a
+      // URL whose capture STARTS with the query ("http://h?x=1" →
+      // "/?x=1"), or "Disallow: /" would never match it
+      .withColumn("__raw", regexp_extract(col("__url"), pathEx, 1))
       .withColumn("__path",
-        when(regexp_extract(col("__url"), pathEx, 1) === "", "/")
-          .otherwise(regexp_extract(col("__url"), pathEx, 1)))
+        when(col("__raw").startsWith("/"), col("__raw"))
+          .otherwise(concat(lit("/"), col("__raw"))))
+      .drop("__raw")
     val verdicts = urls
       .join(broadcast(rules), Seq("host"))
       .filter(expr("__path rlike rx"))

@@ -110,6 +110,18 @@ class AudioFingerprintSpec extends GraftSpec {
     assert(checked >= 20, s"only $checked decodable audio rows — scenario too thin")
   }
 
+  test("transcodeAudioFlac nulls a WAV whose rate exceeds FLAC's 20-bit field, never throws") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val hostile = Multimodal.pcmWavBytes(2000000, Array.fill[Short](100)(5))
+    val ok = Multimodal.pcmWavBytes(16000, Array.fill[Short](100)(5))
+    val out = graft.multimodal.Multimodal.transcodeAudioFlac(
+        Seq((1L, hostile), (2L, ok)).toDF("media_id", "content"))
+      .select(col("media_id"), col("flac").isNull.as("n")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> true, 2L -> false))
+  }
+
   test("e2e: gain-edited re-ingest dedups via withAudioFingerprint + hammingPairs") {
     import spark.implicits._
     val rows = Seq(

@@ -70,6 +70,11 @@ class AuditSpec extends GraftSpec {
     val e = intercept[IllegalArgumentException](
       audit.gate(g, "size", col("n") >= 300))
     assert(e.getMessage.contains("duplicate"))
+    // a nondeterministic gate would make the observation and the
+    // filter disagree — refused at build time
+    val e2 = intercept[IllegalArgumentException](
+      audit.gate(g, "sampled", rand(42) < 0.5))
+    assert(e2.getMessage.contains("nondeterministic"))
     val frame = audit.reportFrame(spark,
       g.write.format("noop").mode("overwrite").save())
     val rows = frame.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

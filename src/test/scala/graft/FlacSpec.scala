@@ -242,6 +242,22 @@ class FlacSpec extends GraftSpec {
       assert(roundTrip(v) == v, s"v=$v")
   }
 
+  test("a FIXED subframe whose warm-up exceeds the block aborts to null, not a truncated clip") {
+    // frame 1 valid (blockSize 8, constant); frame 2 malformed:
+    // blockSize 2 with FIXED order 4 — the warm-up alone overruns
+    val w1 = new BitW
+    w1.bit(0); w1.bits(0, 6); w1.bit(0) // CONSTANT
+    w1.bits(7, 16)
+    val f1 = withCrc16(frameHeader(0, 8) ++ w1.bytes)
+    val w2 = new BitW
+    w2.bit(0); w2.bits(12, 6); w2.bit(0) // FIXED order 4
+    for (_ <- 0 until 4) w2.bits(1, 16)  // warm-up "samples"
+    w2.bits(0, 2); w2.bits(0, 4); w2.bits(0, 4)
+    val f2 = withCrc16(frameHeader(0, 2) ++ w2.bytes)
+    assert(Flac.decode(flacFile(8000, 1, 16, 10, f1 ++ f2)) == null,
+      "mid-stream malformed FIXED frame must abort, not truncate")
+  }
+
   test("non-FLAC and truncated-below-STREAMINFO bytes decode to null") {
     assert(Flac.decode(null) == null)
     assert(Flac.decode(Array[Byte](1, 2, 3)) == null)

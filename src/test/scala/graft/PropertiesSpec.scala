@@ -180,6 +180,12 @@ class PropertiesSpec extends GraftSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Window"), p.take(1200))
     assert(p.toLowerCase.contains("minkbykeyagg"), p.take(1200))
+    // fractional ids would collapse through the long-keyed aggregate:
+    // refused at build time (review finding)
+    val fracIds = rows.map { case (id, g, v) => (id + 0.5, g, v) }.toDF("id", "g", "v")
+    val e = intercept[IllegalArgumentException](
+      graft.ml.TopK.rowsPerGroup(fracIds, Seq("g"), "id", "v", 3))
+    assert(e.getMessage.contains("integral id"))
   }
 
   test("property: intervalOverlap equals the naive quadratic join on random intervals") {

@@ -220,6 +220,19 @@ class WarcSpec extends GraftSpec {
       .matcher("/aXb").find())
   }
 
+  test("a path-less URL with a query is '/' for rule matching (Disallow: / catches it)") {
+    import spark.implicits._
+    val rules = Seq(("example.com", false, "/", "^/", 1))
+      .toDF("host", "allow", "pattern", "rx", "plen")
+    val pages = Seq(
+      ("http://example.com?sid=1", "x"), // no path, query only
+      ("http://example.com", "x"),       // no path at all
+      ("http://other.org?sid=1", "x")).toDF("url", "html")
+    val kept = Warc.filterRobotsAllowed(pages, "url", rules)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(kept == Set("http://other.org?sid=1"), kept.mkString(","))
+  }
+
   test("e2e: crawl-archived robots.txt + noindex meta gate the page frame") {
     val robots =
       """User-agent: *
