@@ -179,6 +179,37 @@ class FlacSpec extends GraftSpec {
     assert(got.toSeq == Seq[Short](8, -16, 24, -32, 40, -48, 56, -64))
   }
 
+  test("24-bit samples keep their top 16 bits; a zero-width escape partition is all zeros") {
+    // frame: blockSize 4, ss code 6 (24-bit), VERBATIM samples chosen
+    // so the >>8 conversion is visible (0x123456 -> 0x1234)
+    val w = new BitW
+    w.bit(0); w.bits(1, 6); w.bit(0) // VERBATIM
+    for (v <- Seq(0x123456, -0x123456, 0x7FFFFF, -0x800000))
+      w.bits(v.toLong & 0xffffff, 24)
+    val hdr = {
+      val h = new BitW
+      h.bits(0xfff8, 16)
+      h.bits(6, 4); h.bits(0, 4)
+      h.bits(0, 4); h.bits(6, 3); h.bit(0) // mono, 24-bit
+      h.bits(0, 8); h.bits(3, 8)           // frame 0, blockSize-1 = 3
+      val b = h.bytes
+      b :+ crc8(b).toByte
+    }
+    val frame = withCrc16(hdr ++ w.bytes)
+    val (_, got) = Flac.decode(flacFile(8000, 1, 24, 4, frame))
+    // arithmetic >>8: -0x123456 >> 8 = floor(-1193046 / 256) = -4661
+    assert(got.toSeq == Seq[Short](0x1234, -4661, 0x7FFF, -0x8000),
+      got.toSeq.toString)
+    // zero-width escaped partition: FIXED order 0, escape, raw width 0
+    val w2 = new BitW
+    w2.bit(0); w2.bits(8, 6); w2.bit(0)
+    w2.bits(0, 2); w2.bits(0, 4)
+    w2.bits(15, 4); w2.bits(0, 5) // escape, raw = 0 → all-zero residual
+    val f2 = withCrc16(frameHeader(0, 8) ++ w2.bytes)
+    val (_, z) = Flac.decode(flacFile(8000, 1, 16, 8, f2))
+    assert(z.toSeq == Seq.fill[Short](8)(0))
+  }
+
   test("left/side decorrelation: side channel carries the extra bit") {
     // blockSize 4, left = [1000, -1000, 500, 0], side = left − right
     // with right = [900, -1100, 480, -40] → side = [100, 100, 20, 40]
