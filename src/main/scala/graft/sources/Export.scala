@@ -75,4 +75,113 @@ object Export {
       .select(col("shard"), coalesce(col("n_rows"), lit(0L)).as("n_rows"))
       .orderBy(col("shard"))
   }
+
+  /** Masked CRC32C per the public TFRecord framing:
+    * `rotr15(crc32c(bytes)) + 0xa282ead8` (mod 2^32). */
+  private[sources] def maskedCrc32c(bytes: Array[Byte], len: Int): Int = {
+    val c = new java.util.zip.CRC32C()
+    c.update(bytes, 0, len)
+    val crc = c.getValue.toInt // low 32 bits
+    val rot = (crc >>> 15) | (crc << 17)
+    rot + 0xa282ead8
+  }
+
+  /** One framed TFRecord: u64le length, u32le masked-crc(length),
+    * payload, u32le masked-crc(payload). */
+  private[sources] def tfrecordFrame(payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](8 + 4 + payload.length + 4)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(payload.length.toLong)
+    bb.putInt(maskedCrc32c(out, 8)) // crc of the 8 length bytes
+    bb.put(payload)
+    bb.putInt(maskedCrc32c(payload, payload.length))
+    out
+  }
+
+  /** Sharded TFRECORD export — the training-dataloader container
+    * (TensorFlow's framed record format: u64le length + masked
+    * CRC32C of length, payload bytes, masked CRC32C of payload; the
+    * CRCs come from `java.util.zip.CRC32C`, no codec library). The
+    * PAYLOAD is whatever the caller serialized into `payloadCol`
+    * (UTF-8 JSON, a pre-built tf.Example, raw text) — the container
+    * framing is real and reader-verifiable, the payload encoding is
+    * deliberately not this library's business.
+    *
+    * Same identity shard→task layout as [[writeShards]]: one
+    * `shard-NNNNN.tfrecord` file per non-empty shard, written
+    * through the Hadoop FileSystem API (works on any Spark-reachable
+    * filesystem), rows inside a shard in content-stable
+    * (knuthHash(id), id) order so re-exports are byte-identical.
+    * NULL payloads fail fast — a training export must never silently
+    * drop or write empty records. Returns the same
+    * every-shard-included manifest as [[writeShards]]. */
+  def writeShardsTfrecord(df: DataFrame, idCol: String, payloadCol: String,
+                          nShards: Int, dir: String,
+                          seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    require(df.schema(payloadCol).dataType ==
+        org.apache.spark.sql.types.BinaryType,
+      s"writeShardsTfrecord: $payloadCol must be binary (serialize first)")
+    val sharded = shardAssign(
+      df.select(col(idCol), col(payloadCol)), idCol, nShards, seed)
+      .withColumn("__ord", graft.ml.Sampling.knuthHash(col(idCol), seed))
+    val schema = sharded.schema
+    val shardIdx = schema.fieldIndex("shard")
+    val idIdx = schema.fieldIndex(idCol)
+    val payIdx = schema.fieldIndex(payloadCol)
+    val ordIdx = schema.fieldIndex("__ord")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    // clear any previous export (overwrite semantics, like writeShards)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fsRoot = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsRoot.exists(dirPath)) fsRoot.delete(dirPath, true)
+    fsRoot.mkdirs(dirPath)
+    val counts = sharded.rdd
+      .map { r =>
+        if (r.isNullAt(shardIdx) || r.isNullAt(idIdx))
+          throw new IllegalArgumentException(
+            s"writeShardsTfrecord: null $idCol — shard assignment needs non-null ids")
+        (r.getLong(shardIdx), r)
+      }
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nShards
+        override def getPartition(key: Any): Int = key.asInstanceOf[Long].toInt
+      })
+      .mapPartitionsWithIndex { (shard, rows) =>
+        val buf = rows.map(_._2).toArray
+        if (buf.isEmpty) Iterator.empty
+        else {
+          // content-stable in-shard order: (knuthHash(id), id)
+          java.util.Arrays.sort(buf, (a: org.apache.spark.sql.Row,
+                                      b: org.apache.spark.sql.Row) => {
+            val c = java.lang.Long.compare(a.getLong(ordIdx), b.getLong(ordIdx))
+            if (c != 0) c
+            else java.lang.Long.compare(a.getAs[Number](idIdx).longValue(),
+              b.getAs[Number](idIdx).longValue())
+          })
+          val path = new org.apache.hadoop.fs.Path(
+            dir, f"shard-$shard%05d.tfrecord")
+          val fs = path.getFileSystem(conf.value)
+          val out = fs.create(path, true)
+          var n = 0L
+          try buf.foreach { r =>
+            if (r.isNullAt(payIdx))
+              throw new IllegalArgumentException(
+                "writeShardsTfrecord: null payload — a training export " +
+                  "must not silently drop or write empty records")
+            val frame = tfrecordFrame(r.getAs[Array[Byte]](payIdx))
+            out.write(frame)
+            n += 1
+          } finally out.close()
+          Iterator((shard.toLong, n))
+        }
+      }
+    import spark.implicits._
+    val written = counts.toDF("shard", "n_rows")
+    spark.range(nShards).select(col("id").as("shard"))
+      .join(written, Seq("shard"), "left")
+      .select(col("shard"), coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+      .orderBy(col("shard"))
+  }
 }

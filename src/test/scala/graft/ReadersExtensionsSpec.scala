@@ -1734,6 +1734,77 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(m64.count(_._2 == 0L) == 61 || m64.count(_._2 == 0L) == 62, m64.toString)
   }
 
+  test("TFRecord sharded export: framing verifies against an independent reader, stable bytes") {
+    import graft.sources.Export
+    import spark.implicits._
+    // spec-local TFRecord reader — its own CRC math, so agreement
+    // genuinely cross-checks the writer's framing
+    def readTfrecords(f: java.io.File): Seq[Array[Byte]] = {
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def mcrc(b: Array[Byte], off: Int, len: Int): Int = {
+        val c = new java.util.zip.CRC32C()
+        c.update(b, off, len)
+        val crc = c.getValue.toInt
+        ((crc >>> 15) | (crc << 17)) + 0xa282ead8
+      }
+      val out = Seq.newBuilder[Array[Byte]]
+      while (bb.remaining() > 0) {
+        val lenPos = bb.position()
+        val len = bb.getLong.toInt
+        assert(bb.getInt == mcrc(bytes, lenPos, 8), "length CRC")
+        val payload = new Array[Byte](len)
+        val payPos = bb.position()
+        bb.get(payload)
+        assert(bb.getInt == mcrc(bytes, payPos, len), "payload CRC")
+        out += payload
+      }
+      out.result()
+    }
+    val df = (1L to 80L).map(i => (i, s"""{"id":$i,"text":"doc $i"}""".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfrec").toString
+    val manifest = Export.writeShardsTfrecord(df, "id", "payload", nShards = 4, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(manifest.values.sum == 80L && manifest.size == 4)
+    val payloads = (0 until 4).flatMap { s =>
+      val f = new java.io.File(f"$dir/shard-$s%05d.tfrecord")
+      if (manifest(s.toLong) == 0) { assert(!f.exists()); Seq.empty }
+      else {
+        val recs = readTfrecords(f)
+        assert(recs.size.toLong == manifest(s.toLong))
+        recs
+      }
+    }
+    val ids = payloads.map(p => new String(p, "UTF-8")).map(s =>
+      s.split(",")(0).split(":")(1).toLong).sorted
+    assert(ids == (1L to 80L))
+    // re-export is byte-identical (content-stable in-shard order)
+    val before = java.nio.file.Files.readAllBytes(
+      new java.io.File(f"$dir/shard-00000.tfrecord").toPath)
+    Export.writeShardsTfrecord(df.repartition(7), "id", "payload", 4, dir).collect()
+    val after = java.nio.file.Files.readAllBytes(
+      new java.io.File(f"$dir/shard-00000.tfrecord").toPath)
+    assert(java.util.Arrays.equals(before, after), "re-export must be byte-stable")
+    // a corrupted byte is DETECTED by the reader's CRC (mask math real)
+    val f0 = new java.io.File(f"$dir/shard-00000.tfrecord")
+    val corrupt = java.nio.file.Files.readAllBytes(f0.toPath)
+    corrupt(20) = (corrupt(20) ^ 0x40).toByte
+    val cf = java.io.File.createTempFile("graft_tfrec_bad", ".tfrecord")
+    java.nio.file.Files.write(cf.toPath, corrupt)
+    intercept[Throwable](readTfrecords(cf))
+    // null payloads are refused, not silently dropped
+    val bad = Seq((1L, "ok".getBytes("UTF-8")), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val e = intercept[Exception](
+      Export.writeShardsTfrecord(bad, "id", "payload", 2,
+        java.nio.file.Files.createTempDirectory("graft_tfrec2").toString).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("null payload")), msgs(e).take(3).mkString(" | "))
+  }
+
   test("sharded export writes JSONL for the tokenizer-handoff path (format=json)") {
     import graft.sources.Export
     import spark.implicits._
