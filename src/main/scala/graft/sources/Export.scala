@@ -184,4 +184,70 @@ object Export {
       .select(col("shard"), coalesce(col("n_rows"), lit(0L)).as("n_rows"))
       .orderBy(col("shard"))
   }
+
+  /** Parse one TFRecord stream: payloads of every VERIFIED frame. A
+    * CRC mismatch or malformed length ends the walk at the last good
+    * record (`strict = false`, the crawl-ingest posture: a torn tail
+    * yields the clean prefix) or throws (`strict = true`, the
+    * training-data posture: corruption must not silently shrink a
+    * dataset). */
+  private[graft] def parseTfrecords(bytes: Array[Byte],
+                                    strict: Boolean): Vector[Array[Byte]] = {
+    val out = Vector.newBuilder[Array[Byte]]
+    var pos = 0
+    var walk = true
+    while (walk && pos + 12 <= bytes.length) {
+      val bb = java.nio.ByteBuffer.wrap(bytes, pos, 12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val len = bb.getLong
+      val lenCrc = bb.getInt
+      val ok = len >= 0 && len <= Int.MaxValue - 16 &&
+        pos + 12 + len + 4 <= bytes.length &&
+        lenCrc == maskedCrc32c(java.util.Arrays.copyOfRange(bytes, pos, pos + 8), 8)
+      if (!ok) {
+        if (strict) throw new IllegalArgumentException(
+          s"parseTfrecords: malformed length frame at byte $pos")
+        walk = false
+      } else {
+        val payload = java.util.Arrays.copyOfRange(
+          bytes, pos + 12, pos + 12 + len.toInt)
+        val payCrc = java.nio.ByteBuffer
+          .wrap(bytes, pos + 12 + len.toInt, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        if (payCrc != maskedCrc32c(payload, payload.length)) {
+          if (strict) throw new IllegalArgumentException(
+            s"parseTfrecords: payload CRC mismatch at byte $pos")
+          walk = false
+        } else {
+          out += payload
+          pos += 12 + len.toInt + 4
+        }
+      }
+    }
+    if (strict && pos != bytes.length) throw new IllegalArgumentException(
+      s"parseTfrecords: ${bytes.length - pos} trailing bytes are not a record")
+    out.result()
+  }
+
+  /** Read TFRecord files as (path, record_index, payload) rows — the
+    * ingest twin of [[writeShardsTfrecord]], over Spark's binaryFile
+    * source (same glob-pushdown / one-task-per-file shape as the WARC
+    * reader; TFRecord is not splittable, and training shards are
+    * sized for exactly this unit of work). Every frame's masked
+    * CRC32C is VERIFIED; `strict` picks the posture — throw on
+    * corruption (default: a training set must not silently shrink)
+    * or keep each file's clean prefix (crawl tolerance). */
+  def readTfrecords(spark: org.apache.spark.sql.SparkSession,
+                    pathGlob: String, strict: Boolean = true): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, bytes) =>
+        parseTfrecords(bytes, strict).iterator.zipWithIndex.map {
+          case (payload, i) => (path, i.toLong, payload)
+        }
+      })
+      .toDF("path", "record_index", "payload")
+  }
 }

@@ -1805,6 +1805,36 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(msgs(e).exists(_.contains("null payload")), msgs(e).take(3).mkString(" | "))
   }
 
+  test("TFRecord ingest: write -> readTfrecords round-trip; strict vs prefix posture") {
+    import graft.sources.Export
+    import spark.implicits._
+    val df = (1L to 40L).map(i => (i, s"payload-$i".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfread").toString
+    Export.writeShardsTfrecord(df, "id", "payload", nShards = 3, dir).collect()
+    val back = Export.readTfrecords(spark, s"$dir/*.tfrecord")
+      .select("payload").collect()
+      .map(r => new String(r.getAs[Array[Byte]](0), "UTF-8")).sorted
+    assert(back.toSeq == (1L to 40L).map(i => s"payload-$i").sorted)
+    // corrupt one byte mid-file: strict throws, tolerant keeps the prefix
+    val f0 = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tfrecord")).minBy(_.getName)
+    val bytes = java.nio.file.Files.readAllBytes(f0.toPath)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x20).toByte
+    val badDir = java.nio.file.Files.createTempDirectory("graft_tfbad").toString
+    java.nio.file.Files.write(new java.io.File(badDir, "bad.tfrecord").toPath, bytes)
+    val e = intercept[Exception](
+      Export.readTfrecords(spark, s"$badDir/*.tfrecord").count())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("CRC") || m.contains("malformed")),
+      msgs(e).take(3).mkString(" | "))
+    val prefix = Export.readTfrecords(spark, s"$badDir/*.tfrecord", strict = false)
+    val nGood = prefix.count()
+    assert(nGood > 0 && nGood < Export.readTfrecords(spark,
+      s"$dir/${f0.getName}").count() + 1, s"prefix kept $nGood")
+  }
+
   test("sharded export writes JSONL for the tokenizer-handoff path (format=json)") {
     import graft.sources.Export
     import spark.implicits._
