@@ -1,0 +1,212 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WebDataset-style tar shards — the multimodal training container
+  * (a sample is a GROUP of files sharing a basename key:
+  * `000017.jpg` + `000017.json` + `000017.txt`; trainers stream the
+  * tar sequentially, so sample locality is the layout). Pure-JVM
+  * USTAR framing (the public POSIX.1-1988 format: 512-byte headers,
+  * octal sizes, space-initialized checksum, two zero blocks at end)
+  * — no tar library exists in the JDK, so both sides are hand-rolled
+  * and the spec verifies them against each other AND against
+  * hand-built archive bytes.
+  *
+  * Writer layout mirrors [[Export.writeShardsTfrecord]]: identity
+  * shard→task, content-stable in-shard sample order, byte-identical
+  * re-exports, null entries refused. Reader mirrors the WARC/TFRecord
+  * ingest: binaryFile source, one task per shard file, strict or
+  * clean-prefix parse posture. */
+object TarShards {
+
+  private val Block = 512
+
+  /** One USTAR header + padded payload appended to `out`. */
+  private[graft] def writeTarEntry(out: java.io.ByteArrayOutputStream,
+                                   name: String, data: Array[Byte]): Unit = {
+    require(name.getBytes("UTF-8").length <= 100,
+      s"tar entry name over 100 bytes: $name")
+    require(data.length < (1L << 33), s"tar entry over 8 GB: $name")
+    val h = new Array[Byte](Block)
+    def put(s: String, off: Int, len: Int): Unit = {
+      val b = s.getBytes("UTF-8")
+      System.arraycopy(b, 0, h, off, math.min(b.length, len))
+    }
+    put(name, 0, 100)
+    put("0000644", 100, 8)             // mode
+    put("0000000", 108, 8); put("0000000", 116, 8) // uid/gid
+    put(f"${data.length}%011o", 124, 12)           // size, octal
+    put("00000000000", 136, 12)        // mtime 0: byte-stable exports
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum = spaces first
+    h(156) = '0'                       // regular file
+    put("ustar", 257, 6)               // magic (NUL-terminated by zero fill)
+    put("00", 263, 2)                  // version
+    var sum = 0
+    var i = 0
+    while (i < Block) { sum += h(i) & 0xff; i += 1 }
+    put(f"$sum%06o", 148, 7)           // 6 octal digits + NUL, then space
+    h(155) = ' '
+    out.write(h)
+    out.write(data)
+    val pad = (Block - data.length % Block) % Block
+    out.write(new Array[Byte](pad))
+  }
+
+  private[graft] def tarFooter: Array[Byte] = new Array[Byte](2 * Block)
+
+  /** Parse a USTAR stream to (name, payload) entries. Checksums are
+    * VERIFIED; `strict` throws on corruption, else the walk ends at
+    * the last good entry (clean-prefix posture). */
+  private[graft] def parseTar(bytes: Array[Byte],
+                              strict: Boolean): Vector[(String, Array[Byte])] = {
+    val out = Vector.newBuilder[(String, Array[Byte])]
+    var pos = 0
+    var walk = true
+    def fail(msg: String): Unit =
+      if (strict) throw new IllegalArgumentException(s"parseTar: $msg at byte $pos")
+      else walk = false
+    while (walk && pos + Block <= bytes.length) {
+      if (bytes.slice(pos, pos + Block).forall(_ == 0)) walk = false // end marker
+      else {
+        var sum = 0
+        var i = 0
+        while (i < Block) {
+          sum += (if (i >= 148 && i < 156) ' '.toInt else bytes(pos + i) & 0xff)
+          i += 1
+        }
+        def field(off: Int, len: Int): String = {
+          val end = (off until off + len)
+            .find(j => bytes(pos + j) == 0 || bytes(pos + j) == ' ')
+            .getOrElse(off + len)
+          new String(bytes, pos + off, end - off, "UTF-8")
+        }
+        val declared = scala.util.Try(
+          java.lang.Long.parseLong(field(148, 8).trim, 8)).getOrElse(-1L)
+        val size = scala.util.Try(
+          java.lang.Long.parseLong(field(124, 12).trim, 8)).getOrElse(-1L)
+        if (declared != sum) fail(s"header checksum $declared != $sum")
+        else if (size < 0 || pos + Block + size > bytes.length)
+          fail(s"bad entry size $size")
+        else {
+          val name = field(0, 100)
+          val data = java.util.Arrays.copyOfRange(
+            bytes, pos + Block, pos + Block + size.toInt)
+          // only regular files carry sample data; other types skip
+          if (bytes(pos + 156) == '0' || bytes(pos + 156) == 0)
+            out += ((name, data))
+          val padded = Block + ((size + Block - 1) / Block) * Block
+          pos += padded.toInt
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Export samples as WebDataset tar shards: `entriesCol` is
+    * `array<struct<name: string, content: binary>>` — each element
+    * becomes the file `<zero-padded id>.<name>` inside the sample's
+    * shard, elements in array order, samples in content-stable
+    * (knuthHash(id), id) order. One `shard-NNNNN.tar` per non-empty
+    * shard; returns the every-shard manifest (samples, not files). */
+  def writeShardsTar(df: DataFrame, idCol: String, entriesCol: String,
+                     nShards: Int, dir: String, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    val sharded = Export.shardAssign(
+      df.select(col(idCol), col(entriesCol)), idCol, nShards, seed)
+      .withColumn("__ord", graft.ml.Sampling.knuthHash(col(idCol), seed))
+    val schema = sharded.schema
+    val shardIdx = schema.fieldIndex("shard")
+    val idIdx = schema.fieldIndex(idCol)
+    val entIdx = schema.fieldIndex(entriesCol)
+    val ordIdx = schema.fieldIndex("__ord")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fsRoot = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsRoot.exists(dirPath)) fsRoot.delete(dirPath, true)
+    fsRoot.mkdirs(dirPath)
+    val counts = sharded.rdd
+      .map { r =>
+        if (r.isNullAt(shardIdx) || r.isNullAt(idIdx))
+          throw new IllegalArgumentException(
+            s"writeShardsTar: null $idCol — shard assignment needs non-null ids")
+        (r.getLong(shardIdx), r)
+      }
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nShards
+        override def getPartition(key: Any): Int = key.asInstanceOf[Long].toInt
+      })
+      .mapPartitionsWithIndex { (shard, rows) =>
+        val buf = rows.map(_._2).toArray
+        if (buf.isEmpty) Iterator.empty
+        else {
+          java.util.Arrays.sort(buf, (a: org.apache.spark.sql.Row,
+                                      b: org.apache.spark.sql.Row) => {
+            val c = java.lang.Long.compare(a.getLong(ordIdx), b.getLong(ordIdx))
+            if (c != 0) c
+            else java.lang.Long.compare(a.getAs[Number](idIdx).longValue(),
+              b.getAs[Number](idIdx).longValue())
+          })
+          val bos = new java.io.ByteArrayOutputStream(1 << 20)
+          buf.foreach { r =>
+            val key = f"${r.getAs[Number](idIdx).longValue()}%012d"
+            val entries = r.getSeq[org.apache.spark.sql.Row](entIdx)
+            if (entries == null)
+              throw new IllegalArgumentException(
+                "writeShardsTar: null entries — a training export must not " +
+                  "silently drop samples")
+            entries.foreach { e =>
+              val nm = e.getAs[String]("name")
+              val bytes = e.getAs[Array[Byte]]("content")
+              if (nm == null || bytes == null)
+                throw new IllegalArgumentException(
+                  "writeShardsTar: null entry name/content in sample " + key)
+              writeTarEntry(bos, s"$key.$nm", bytes)
+            }
+          }
+          bos.write(tarFooter)
+          val path = new org.apache.hadoop.fs.Path(dir, f"shard-$shard%05d.tar")
+          val fs = path.getFileSystem(conf.value)
+          val outS = fs.create(path, true)
+          try outS.write(bos.toByteArray) finally outS.close()
+          Iterator((shard.toLong, buf.length.toLong))
+        }
+      }
+    import spark.implicits._
+    val written = counts.toDF("shard", "n_samples")
+    spark.range(nShards).select(col("id").as("shard"))
+      .join(written, Seq("shard"), "left")
+      .select(col("shard"), coalesce(col("n_samples"), lit(0L)).as("n_samples"))
+      .orderBy(col("shard"))
+  }
+
+  /** Read WebDataset tar shards back as SAMPLE rows: (path, key,
+    * entries map name→bytes) — consecutive files sharing a basename
+    * key regroup into one sample, the WebDataset convention. File
+    * rows (path, full name, content) are available via
+    * [[readTarFiles]] when the grouping is not wanted. */
+  def readTarSamples(spark: SparkSession, pathGlob: String,
+                     strict: Boolean = true): DataFrame = {
+    import spark.implicits._
+    readTarFiles(spark, pathGlob, strict)
+      .withColumn("key", regexp_extract(col("name"), "^([^.]*)\\.", 1))
+      .withColumn("suffix", expr("substring(name, length(key) + 2)"))
+      .groupBy(col("path"), col("key"))
+      .agg(map_from_entries(collect_list(struct(col("suffix"), col("content"))))
+        .as("entries"))
+  }
+
+  /** Flat file rows of tar shards: (path, name, content). */
+  def readTarFiles(spark: SparkSession, pathGlob: String,
+                   strict: Boolean = true): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, bytes) =>
+        parseTar(bytes, strict).iterator.map { case (nm, data) => (path, nm, data) }
+      })
+      .toDF("path", "name", "content")
+  }
+}

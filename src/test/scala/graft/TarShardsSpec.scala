@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.TarShards
+
+/** sources.TarShards — WebDataset-style tar shards. The USTAR framing
+  * is pinned three ways: writer→reader round-trip, a HAND-BUILT
+  * archive (independent of the writer) through the reader, and the
+  * writer's bytes against hand-computed header fields. */
+class TarShardsSpec extends GraftSpec {
+
+  import spark.implicits._
+
+  private def sample(i: Long) = (i, Seq(
+    ("json", s"""{"id":$i}""".getBytes("UTF-8")),
+    ("txt", s"document $i text".getBytes("UTF-8"))))
+
+  test("write -> read round-trip: samples regroup by key, entries byte-exact, manifest counts") {
+    val df = (1L to 30L).map(sample).toDF("id", "entries")
+      .withColumn("entries", expr(
+        "transform(entries, e -> named_struct('name', e._1, 'content', e._2))"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tar").toString
+    val manifest = TarShards.writeShardsTar(df, "id", "entries", nShards = 3, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(manifest.values.sum == 30L && manifest.size == 3)
+    val samples = TarShards.readTarSamples(spark, s"$dir/*.tar").collect()
+    assert(samples.length == 30)
+    samples.foreach { r =>
+      val key = r.getAs[String]("key").toLong
+      val entries = r.getAs[Map[String, Array[Byte]]]("entries")
+      assert(entries.keySet == Set("json", "txt"), entries.keySet.toString)
+      assert(new String(entries("json"), "UTF-8") == s"""{"id":$key}""")
+      assert(new String(entries("txt"), "UTF-8") == s"document $key text")
+    }
+    // byte-stable re-export under different partitioning
+    val f0 = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tar"))
+      .minBy(_.getName)
+    val before = java.nio.file.Files.readAllBytes(f0.toPath)
+    TarShards.writeShardsTar(df.repartition(7), "id", "entries", 3, dir).collect()
+    val after = java.nio.file.Files.readAllBytes(f0.toPath)
+    assert(java.util.Arrays.equals(before, after))
+  }
+
+  test("GNU tar (a genuinely independent implementation) lists the written shards") {
+    assume(new java.io.File("/usr/bin/tar").exists() ||
+      new java.io.File("/bin/tar").exists(), "no system tar")
+    val df = (1L to 6L).map(sample).toDF("id", "entries")
+      .withColumn("entries", expr(
+        "transform(entries, e -> named_struct('name', e._1, 'content', e._2))"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tar_gnu").toString
+    TarShards.writeShardsTar(df, "id", "entries", nShards = 1, dir).collect()
+    val shard = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar")).head
+    val p = new ProcessBuilder("tar", "-tf", shard.getAbsolutePath)
+      .redirectErrorStream(true).start()
+    val listed = scala.io.Source.fromInputStream(p.getInputStream).getLines().toVector
+    assert(p.waitFor() == 0, listed.mkString("\n"))
+    assert(listed.size == 12, listed.mkString(","))  // 6 samples × 2 files
+    assert(listed.forall(n => n.endsWith(".json") || n.endsWith(".txt")), listed.head)
+  }
+
+  test("the writer's bytes ARE valid USTAR: hand-checked header fields") {
+    val bos = new java.io.ByteArrayOutputStream()
+    TarShards.writeTarEntry(bos, "000000000007.txt", "hello".getBytes("UTF-8"))
+    val b = bos.toByteArray
+    assert(b.length == 512 + 512) // header + one padded data block
+    assert(new String(b, 0, 16, "UTF-8") == "000000000007.txt")
+    assert(new String(b, 124, 11, "UTF-8") == "00000000005") // size 5 octal
+    assert(new String(b, 257, 5, "UTF-8") == "ustar")
+    assert(b(156) == '0')
+    // checksum: recompute with the checksum field as spaces
+    var sum = 0
+    for (i <- 0 until 512) sum += (if (i >= 148 && i < 156) ' '.toInt else b(i) & 0xff)
+    assert(Integer.parseInt(new String(b, 148, 6, "UTF-8"), 8) == sum)
+    assert(new String(b, 512, 5, "UTF-8") == "hello")
+    assert(b.slice(517, 1024).forall(_ == 0)) // zero padding to the block edge
+  }
+
+  test("a hand-built archive (independent bytes) parses; corruption obeys the posture") {
+    // build an archive with the SPEC'S OWN header code, not the writer's
+    def hdr(name: String, size: Int): Array[Byte] = {
+      val h = new Array[Byte](512)
+      def put(s: String, off: Int): Unit = {
+        val bs = s.getBytes("UTF-8"); System.arraycopy(bs, 0, h, off, bs.length)
+      }
+      put(name, 0); put("0000644", 100); put("0000000", 108); put("0000000", 116)
+      put(f"$size%011o", 124); put("00000000000", 136)
+      for (i <- 148 until 156) h(i) = ' '
+      h(156) = '0'; put("ustar", 257); put("00", 263)
+      var s = 0; for (i <- 0 until 512) s += h(i) & 0xff
+      put(f"$s%06o", 148); h(155) = ' '
+      h
+    }
+    val data = "independent".getBytes("UTF-8")
+    val pad = new Array[Byte](512 - data.length)
+    val arch = hdr("k.txt", data.length) ++ data ++ pad ++ new Array[Byte](1024)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tar_hand").toString
+    java.nio.file.Files.write(new java.io.File(dir, "h.tar").toPath, arch)
+    val rows = TarShards.readTarFiles(spark, s"$dir/*.tar").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("name") == "k.txt")
+    assert(new String(rows(0).getAs[Array[Byte]]("content"), "UTF-8") == "independent")
+    // corrupt the header: strict throws, tolerant yields the clean prefix (none)
+    val bad = arch.clone(); bad(30) = 'X'
+    val badDir = java.nio.file.Files.createTempDirectory("graft_tar_bad").toString
+    java.nio.file.Files.write(new java.io.File(badDir, "b.tar").toPath, bad)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception](
+      TarShards.readTarFiles(spark, s"$badDir/*.tar").count())
+    assert(msgs(e).exists(_.contains("checksum")), msgs(e).take(3).mkString(" | "))
+    assert(TarShards.readTarFiles(spark, s"$badDir/*.tar", strict = false).count() == 0)
+  }
+
+  test("null samples and oversized names are refused, not silently dropped") {
+    val ok = Seq((1L, Seq(("txt", "x".getBytes("UTF-8"))))).toDF("id", "entries")
+      .withColumn("entries", expr(
+        "transform(entries, e -> named_struct('name', e._1, 'content', e._2))"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tar_null").toString
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val nullEntries = Seq((1L, null.asInstanceOf[Seq[(String, Array[Byte])]]))
+      .toDF("id", "entries")
+      .withColumn("entries", expr(
+        "transform(entries, e -> named_struct('name', e._1, 'content', e._2))"))
+    val e = intercept[Exception](
+      TarShards.writeShardsTar(nullEntries, "id", "entries", 2, dir).collect())
+    assert(msgs(e).exists(_.contains("null entries")), msgs(e).take(3).mkString(" | "))
+    val e2 = intercept[Exception](TarShards.writeShardsTar(
+      Seq((1L, Seq(("y" * 120, "x".getBytes("UTF-8"))))).toDF("id", "entries")
+        .withColumn("entries", expr(
+          "transform(entries, e -> named_struct('name', e._1, 'content', e._2))")),
+      "id", "entries", 2, dir).collect())
+    assert(msgs(e2).exists(_.contains("100 bytes")), msgs(e2).take(3).mkString(" | "))
+    // and the happy path still writes
+    assert(TarShards.writeShardsTar(ok, "id", "entries", 2, dir)
+      .collect().map(_.getLong(1)).sum == 1L)
+  }
+}
