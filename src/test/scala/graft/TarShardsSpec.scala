@@ -112,6 +112,39 @@ class TarShardsSpec extends GraftSpec {
     assert(TarShards.readTarFiles(spark, s"$badDir/*.tar", strict = false).count() == 0)
   }
 
+  test("e2e: WebDataset image shards -> sniff -> perceptual dedup across shards") {
+    import graft.multimodal.Multimodal
+    // samples: BMP image + JSON sidecar; half the corpus is PNG
+    // RE-ENCODES of the other half's pixels under new ids (the
+    // cross-container near-dup the perceptual hash exists to catch)
+    val bmps = (0L until 6L).map(i => i -> Multimodal.bmpBytes(16, 12, i))
+    def pngCopy(b: Array[Byte]): Array[Byte] = {
+      val (w, h, px) = Multimodal.decodeBmp(b)
+      Multimodal.pngFromBgr(w, h, px)
+    }
+    val rows = bmps.map { case (i, b) =>
+      (i, Seq(("img", b), ("json", s"""{"id":$i}""".getBytes("UTF-8"))))
+    } ++ bmps.map { case (i, b) =>
+      (100L + i, Seq(("img", pngCopy(b)), ("json", s"""{"id":${100 + i}}""".getBytes("UTF-8"))))
+    }
+    val df = rows.toDF("id", "entries").withColumn("entries", expr(
+      "transform(entries, e -> named_struct('name', e._1, 'content', e._2))"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_wds").toString
+    TarShards.writeShardsTar(df, "id", "entries", nShards = 4, dir).collect()
+    // ingest: samples -> media frame -> perceptual hash -> dedup
+    val media = TarShards.readTarSamples(spark, s"$dir/*.tar")
+      .select(col("key").cast("long").as("media_id"),
+        col("entries")("img").as("content"))
+    val hashed = Multimodal.withPerceptualHash(
+      media.withColumn("kind", lit("image")))
+    val dups = graft.ml.Dedup.hammingPairs(hashed, "media_id", "phash", maxDist = 0)
+      .select(col("id_b").as("media_id")).distinct()
+    val kept = hashed.join(dups, Seq("media_id"), "left_anti")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 6L).toSet,
+      s"every PNG re-encode must collapse onto its BMP original: $kept")
+  }
+
   test("null samples and oversized names are refused, not silently dropped") {
     val ok = Seq((1L, Seq(("txt", "x".getBytes("UTF-8"))))).toDF("id", "entries")
       .withColumn("entries", expr(
