@@ -117,7 +117,7 @@ object Export {
     * every-shard-included manifest as [[writeShards]]. */
   def writeShardsTfrecord(df: DataFrame, idCol: String, payloadCol: String,
                           nShards: Int, dir: String,
-                          seed: Long = 42L): DataFrame = {
+                          seed: Long = 42L, gzip: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     require(df.schema(payloadCol).dataType ==
         org.apache.spark.sql.types.BinaryType,
@@ -160,10 +160,14 @@ object Export {
             else java.lang.Long.compare(a.getAs[Number](idIdx).longValue(),
               b.getAs[Number](idIdx).longValue())
           })
-          val path = new org.apache.hadoop.fs.Path(
-            dir, f"shard-$shard%05d.tfrecord")
+          val path = new org.apache.hadoop.fs.Path(dir,
+            f"shard-$shard%05d.tfrecord" + (if (gzip) ".gz" else ""))
           val fs = path.getFileSystem(conf.value)
-          val out = fs.create(path, true)
+          val raw = fs.create(path, true)
+          // GZIP is tf.data's standard TFRecord compression; the
+          // whole stream compresses as one member
+          val out: java.io.OutputStream =
+            if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
           var n = 0L
           try buf.foreach { r =>
             if (r.isNullAt(payIdx))
@@ -243,11 +247,32 @@ object Export {
     spark.read.format("binaryFile").load(pathGlob)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (path, bytes) =>
+      .mapPartitions(_.flatMap { case (path, raw) =>
+        // gzip-compressed shards (.tfrecord.gz) sniff by magic and
+        // inflate whole (multi-member streams included)
+        val bytes =
+          if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
+            gunzipAll(raw)
+          else raw
         parseTfrecords(bytes, strict).iterator.zipWithIndex.map {
           case (payload, i) => (path, i.toLong, payload)
         }
       })
       .toDF("path", "record_index", "payload")
+  }
+
+  /** Inflate a (possibly multi-member) gzip stream whole; a torn tail
+    * keeps the inflated prefix (the parse posture decides strictness
+    * downstream). */
+  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b))
+    val out = new java.io.ByteArrayOutputStream(math.max(b.length * 4, 1 << 16))
+    val buf = new Array[Byte](1 << 16)
+    try {
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } catch { case _: java.io.IOException => () }
+    out.toByteArray
   }
 }

@@ -1805,6 +1805,27 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(msgs(e).exists(_.contains("null payload")), msgs(e).take(3).mkString(" | "))
   }
 
+  test("gzip TFRecord shards round-trip (tf.data's standard compression)") {
+    import graft.sources.Export
+    import spark.implicits._
+    val df = (1L to 25L).map(i => (i, s"gz-$i".getBytes("UTF-8"))).toDF("id", "payload")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfgz").toString
+    val manifest = Export.writeShardsTfrecord(df, "id", "payload", 2, dir, gzip = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(manifest.values.sum == 25L)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted // Hadoop local-FS .crc sidecars
+    assert(files.forall(_.endsWith(".tfrecord.gz")), files.mkString(","))
+    // the file really is gzip (magic), and the reader sniffs + inflates
+    val head = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, files.head).toPath).take(2)
+    assert((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b)
+    val back = Export.readTfrecords(spark, s"$dir/*.tfrecord.gz")
+      .select("payload").collect()
+      .map(r => new String(r.getAs[Array[Byte]](0), "UTF-8")).sorted
+    assert(back.toSeq == (1L to 25L).map(i => s"gz-$i").sorted)
+  }
+
   test("TFRecord ingest: write -> readTfrecords round-trip; strict vs prefix posture") {
     import graft.sources.Export
     import spark.implicits._
