@@ -252,7 +252,7 @@ object Export {
         // inflate whole (multi-member streams included)
         val bytes =
           if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
-            gunzipAll(raw)
+            gunzipAll(raw, strict)
           else raw
         parseTfrecords(bytes, strict).iterator.zipWithIndex.map {
           case (payload, i) => (path, i.toLong, payload)
@@ -261,10 +261,14 @@ object Export {
       .toDF("path", "record_index", "payload")
   }
 
-  /** Inflate a (possibly multi-member) gzip stream whole; a torn tail
-    * keeps the inflated prefix (the parse posture decides strictness
-    * downstream). */
-  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
+  /** Inflate a (possibly multi-member) gzip stream whole. `strict`
+    * decides the truncation posture HERE, not just in the frame walk:
+    * a torn gzip member can end exactly on a TFRecord frame boundary,
+    * so if truncation were always swallowed, strict mode would accept
+    * a silently-shrunk dataset — the precise failure the training
+    * posture exists to refuse. Non-strict keeps the inflated prefix
+    * (crawl tolerance). */
+  private def gunzipAll(b: Array[Byte], strict: Boolean): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(b))
     val out = new java.io.ByteArrayOutputStream(math.max(b.length * 4, 1 << 16))
@@ -272,7 +276,11 @@ object Export {
     try {
       var n = in.read(buf)
       while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-    } catch { case _: java.io.IOException => () }
+    } catch {
+      case e: java.io.IOException =>
+        if (strict) throw new IllegalArgumentException(
+          "readTfrecords: truncated/corrupt gzip stream (strict mode)", e)
+    }
     out.toByteArray
   }
 }

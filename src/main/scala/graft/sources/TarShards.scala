@@ -23,7 +23,7 @@ object TarShards {
   private val Block = 512
 
   /** One USTAR header + padded payload appended to `out`. */
-  private[graft] def writeTarEntry(out: java.io.ByteArrayOutputStream,
+  private[graft] def writeTarEntry(out: java.io.OutputStream,
                                    name: String, data: Array[Byte]): Unit = {
     require(name.getBytes("UTF-8").length <= 100,
       s"tar entry name over 100 bytes: $name")
@@ -148,7 +148,11 @@ object TarShards {
             else java.lang.Long.compare(a.getAs[Number](idIdx).longValue(),
               b.getAs[Number](idIdx).longValue())
           })
-          val bos = new java.io.ByteArrayOutputStream(1 << 20)
+          // validate BEFORE opening the file (no torn partial shard on
+          // a data error), then STREAM entries — never the whole tar in
+          // memory: a ByteArrayOutputStream would double the shard's
+          // footprint and hard-cap it at 2 GB, while shards are sized
+          // by the caller's corpus/nShards, not by a JVM array limit
           buf.foreach { r =>
             val key = f"${r.getAs[Number](idIdx).longValue()}%012d"
             val entries = r.getSeq[org.apache.spark.sql.Row](entIdx)
@@ -157,19 +161,25 @@ object TarShards {
                 "writeShardsTar: null entries — a training export must not " +
                   "silently drop samples")
             entries.foreach { e =>
-              val nm = e.getAs[String]("name")
-              val bytes = e.getAs[Array[Byte]]("content")
-              if (nm == null || bytes == null)
+              if (e.getAs[String]("name") == null ||
+                  e.getAs[Array[Byte]]("content") == null)
                 throw new IllegalArgumentException(
                   "writeShardsTar: null entry name/content in sample " + key)
-              writeTarEntry(bos, s"$key.$nm", bytes)
             }
           }
-          bos.write(tarFooter)
           val path = new org.apache.hadoop.fs.Path(dir, f"shard-$shard%05d.tar")
           val fs = path.getFileSystem(conf.value)
-          val outS = fs.create(path, true)
-          try outS.write(bos.toByteArray) finally outS.close()
+          val outS = new java.io.BufferedOutputStream(fs.create(path, true), 1 << 16)
+          try {
+            buf.foreach { r =>
+              val key = f"${r.getAs[Number](idIdx).longValue()}%012d"
+              r.getSeq[org.apache.spark.sql.Row](entIdx).foreach { e =>
+                writeTarEntry(outS, s"$key.${e.getAs[String]("name")}",
+                  e.getAs[Array[Byte]]("content"))
+              }
+            }
+            outS.write(tarFooter)
+          } finally outS.close()
           Iterator((shard.toLong, buf.length.toLong))
         }
       }
@@ -182,19 +192,47 @@ object TarShards {
   }
 
   /** Read WebDataset tar shards back as SAMPLE rows: (path, key,
-    * entries map name→bytes) — consecutive files sharing a basename
-    * key regroup into one sample, the WebDataset convention. File
-    * rows (path, full name, content) are available via
-    * [[readTarFiles]] when the grouping is not wanted. */
+    * entries map name→bytes) — CONSECUTIVE files sharing a basename
+    * key regroup into one sample, the WebDataset convention (the
+    * format's whole point is that a sample's files are adjacent in
+    * the stream, so trainers — and this reader — never need a
+    * shuffle: grouping is a run-length walk inside the per-file
+    * parse task, map-only; a `groupBy(key)` would instead move every
+    * media byte through an exchange). Two same-key runs separated by
+    * another key are two samples, exactly as a sequential trainer
+    * would see them. A duplicate suffix within one sample refuses
+    * (the map would silently drop a file). File rows (path, full
+    * name, content) are available via [[readTarFiles]] when the
+    * grouping is not wanted. */
   def readTarSamples(spark: SparkSession, pathGlob: String,
                      strict: Boolean = true): DataFrame = {
     import spark.implicits._
-    readTarFiles(spark, pathGlob, strict)
-      .withColumn("key", regexp_extract(col("name"), "^([^.]*)\\.", 1))
-      .withColumn("suffix", expr("substring(name, length(key) + 2)"))
-      .groupBy(col("path"), col("key"))
-      .agg(map_from_entries(collect_list(struct(col("suffix"), col("content"))))
-        .as("entries"))
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, bytes) =>
+        val files = parseTar(bytes, strict)
+        val out = Vector.newBuilder[(String, String, Map[String, Array[Byte]])]
+        var curKey: String = null
+        var cur = Vector.empty[(String, Array[Byte])]
+        def flush(): Unit = if (curKey != null) {
+          val m = cur.toMap
+          require(m.size == cur.size,
+            s"readTarSamples: duplicate suffix within sample '$curKey' in $path")
+          out += ((path, curKey, m))
+          cur = Vector.empty
+        }
+        files.foreach { case (nm, data) =>
+          val dot = nm.indexOf('.')
+          val key = if (dot < 0) nm else nm.substring(0, dot)
+          val suffix = if (dot < 0) "" else nm.substring(dot + 1)
+          if (key != curKey) { flush(); curKey = key }
+          cur = cur :+ (suffix -> data)
+        }
+        flush()
+        out.result().iterator
+      })
+      .toDF("path", "key", "entries")
   }
 
   /** Flat file rows of tar shards: (path, name, content). */

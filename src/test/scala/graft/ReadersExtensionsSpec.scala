@@ -1824,6 +1824,23 @@ class ReadersExtensionsSpec extends GraftSpec {
       .select("payload").collect()
       .map(r => new String(r.getAs[Array[Byte]](0), "UTF-8")).sorted
     assert(back.toSeq == (1L to 25L).map(i => s"gz-$i").sorted)
+    // a TORN gzip member must refuse under strict — even when the
+    // inflated prefix happens to end on a clean frame boundary, the
+    // dataset silently shrinking is the exact failure strict refuses
+    val full = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, files.head).toPath)
+    val tornDir = java.nio.file.Files.createTempDirectory("graft_tfgz_torn").toString
+    java.nio.file.Files.write(new java.io.File(tornDir, "t.tfrecord.gz").toPath,
+      full.take(full.length - 8)) // cut the gzip trailer
+    def msgs2(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs2(t.getCause)
+    val eg = intercept[Exception](
+      Export.readTfrecords(spark, s"$tornDir/*.tfrecord.gz").count())
+    assert(msgs2(eg).exists(_.contains("gzip")), msgs2(eg).take(3).mkString(" | "))
+    // non-strict: the inflated prefix's clean records survive
+    val n = Export.readTfrecords(spark, s"$tornDir/*.tfrecord.gz",
+      strict = false).count()
+    assert(n >= 0L && n < 25L)
   }
 
   test("TFRecord ingest: write -> readTfrecords round-trip; strict vs prefix posture") {

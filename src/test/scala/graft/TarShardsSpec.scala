@@ -145,6 +145,50 @@ class TarShardsSpec extends GraftSpec {
       s"every PNG re-encode must collapse onto its BMP original: $kept")
   }
 
+  test("sample ingest is MAP-ONLY: no Exchange — grouping rides tar adjacency") {
+    val df = (1L to 4L).map(sample).toDF("id", "entries")
+      .withColumn("entries", expr(
+        "transform(entries, e -> named_struct('name', e._1, 'content', e._2))"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tar_plan").toString
+    TarShards.writeShardsTar(df, "id", "entries", nShards = 1, dir).collect()
+    val p = TarShards.readTarSamples(spark, s"$dir/*.tar")
+      .queryExecution.executedPlan.toString
+    // WebDataset's layout contract (a sample's files are consecutive)
+    // means regrouping never needs a shuffle of the media bytes
+    assert(!p.contains("Exchange"), p)
+    // two same-key runs separated by another key are two samples —
+    // the sequential-trainer view, pinned against regressions toward
+    // a global groupBy
+    val split = java.io.File.createTempFile("graft_split", ".tar",
+      new java.io.File(dir))
+    val bos = new java.io.ByteArrayOutputStream()
+    TarShards.writeTarEntry(bos, "a.txt", "first".getBytes("UTF-8"))
+    TarShards.writeTarEntry(bos, "b.txt", "mid".getBytes("UTF-8"))
+    TarShards.writeTarEntry(bos, "a.json", "second-run".getBytes("UTF-8"))
+    bos.write(TarShards.tarFooter)
+    java.nio.file.Files.write(split.toPath, bos.toByteArray)
+    val runs = TarShards.readTarSamples(spark, split.getAbsolutePath).collect()
+    assert(runs.length == 3, runs.mkString(","))
+    assert(runs.count(_.getAs[String]("key") == "a") == 2)
+  }
+
+  test("a duplicate suffix within one sample refuses (a map would drop a file)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tar_dup").toString
+    val bos = new java.io.ByteArrayOutputStream()
+    TarShards.writeTarEntry(bos, "k.txt", "one".getBytes("UTF-8"))
+    TarShards.writeTarEntry(bos, "k.txt", "two".getBytes("UTF-8"))
+    bos.write(TarShards.tarFooter)
+    java.nio.file.Files.write(new java.io.File(dir, "d.tar").toPath, bos.toByteArray)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception](
+      TarShards.readTarSamples(spark, s"$dir/*.tar").count())
+    assert(msgs(e).exists(_.contains("duplicate suffix")),
+      msgs(e).take(3).mkString(" | "))
+    // the flat file view is the duplicate-tolerant escape hatch
+    assert(TarShards.readTarFiles(spark, s"$dir/*.tar").count() == 2L)
+  }
+
   test("null samples and oversized names are refused, not silently dropped") {
     val ok = Seq((1L, Seq(("txt", "x".getBytes("UTF-8"))))).toDF("id", "entries")
       .withColumn("entries", expr(
