@@ -932,6 +932,31 @@ object SparkEntry {
         .sortBy("doc_id").out
     }),
 
+    // quality-aware cluster representatives ORACLE-CHECKED: same
+    // SQL-expressible pair graph as q_cc_labels, score = normalized
+    // length (the "keep the longest capture" production heuristic,
+    // SQL-mirrorable to the character); DuckDB recomputes labels with
+    // the recursive CTE then takes max-score/min-id per cluster —
+    // singletons (docs outside the pair graph) keep themselves
+    "q_cc_best" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), TextFunctions.normalizeText(col("text")).as("__norm"))
+      val sh = docs
+        .select(col("doc_id"), TextFunctions.shinglesFromNormalized(col("__norm"), 5).as("__sh"))
+      val a = sh.select(col("doc_id").as("id_a"), col("__sh").as("__sha"))
+      val b = sh.select(col("doc_id").as("id_b"), col("__sh").as("__shb"))
+      val inter = size(array_intersect(col("__sha"), col("__shb"))).cast("double")
+      val uni = size(array_union(col("__sha"), col("__shb"))).cast("double")
+      val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .filter(when(uni === 0, lit(0.0)).otherwise(inter / uni) >= 0.25)
+        .select(col("id_a"), col("id_b"))
+      val labels = Dedup.connectedComponents(pairs)
+      val scored = docs.select(col("doc_id"),
+        length(col("__norm")).cast("long").as("score"))
+      CrysFrame(Dedup.keepBestPerCluster(scored, "doc_id", "score", labels))
+        .sortBy("label").out
+    }),
+
     // embedding-cosine near-dedup: the RESULT is the 100-TB path —
     // Dedup.embeddingDedup's banded hyperplane-LSH keep-set (bucket
     // join + rounded-cosine verify, no CartesianProduct) — proven
@@ -3088,6 +3113,45 @@ object SparkEntry {
         |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach)
         |SELECT id AS doc_id, min(reach) AS label
         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // quality-aware representatives: labels via the same recursive
+    // closure, then highest score (normalized length) per cluster,
+    // ties to the smallest doc_id; singletons self-label
+    "q_cc_best" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents WHERE doc_id < 200),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(length(norm) - 5, 0) + 2),
+        |      i -> substring(norm, CAST(i AS INTEGER), 5))) AS sh
+        |  FROM docs),
+        |scored AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS inter,
+        |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM scored
+        |  WHERE CAST(inter AS DOUBLE) / uni >= 0.25),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM pairs),
+        |walk(id, reach) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+        |labels AS (SELECT id, min(reach) AS label FROM walk GROUP BY id),
+        |lab AS (
+        |  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS label,
+        |    CAST(length(d.norm) AS BIGINT) AS score
+        |  FROM docs d LEFT JOIN labels l ON l.id = d.doc_id),
+        |best AS (SELECT label, max(score) AS best FROM lab GROUP BY label)
+        |SELECT l.label, min(l.doc_id) AS doc_id, l.score
+        |FROM lab l JOIN best b ON l.label = b.label AND l.score = b.best
+        |GROUP BY l.label, l.score ORDER BY l.label""".stripMargin,
 
     "q_ann_topk" ->
       """SELECT query_id, rank, nn_id, cos_sim FROM (

@@ -999,4 +999,53 @@ object Dedup {
         when(uni === 0, lit(0.0)).otherwise(inter / uni).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** QUALITY-AWARE cluster representative selection: keep the
+    * best-scoring member of each near-dup cluster, not the min-id one.
+    * Production pipelines pick the cleanest capture of a boilerplate
+    * cluster (highest quality score, longest text, freshest crawl) —
+    * min-id keep is only the right default when members are
+    * interchangeable.
+    *
+    * `labels` is a `(id, label)` frame as produced by
+    * [[connectedComponents]]; rows of `df` absent from it are
+    * singletons and keep themselves (the pair graph only carries
+    * nodes with at least one edge). Returns one row per cluster with
+    * `df`'s columns plus `label`. The keep rule is deterministic:
+    * highest `scoreCol`, ties to the SMALLEST id (any orderable id
+    * type — the tie-break uses `min`, not a struct trick that would
+    * need numeric negation). A cluster whose scores are all null
+    * keeps its smallest id. Null ids refuse — silently pooling them
+    * under one null label would merge unrelated rows into one
+    * "cluster" and drop all but one.
+    *
+    * Scale shape: every exchange after the `labels` join is keyed on
+    * `label` over the CLUSTER-scale table (which, like the pair
+    * graph, scales with the duplicates, not the corpus), and the
+    * three label-keyed hops (best-score agg, tie-break agg, member
+    * join-back) co-partition, so AQE reuses the partitioning. The
+    * corpus-scale work is one join against the (small) labels frame
+    * and one against the (cluster-count-sized) representative ids. */
+  def keepBestPerCluster(df: DataFrame, idCol: String, scoreCol: String,
+                         labels: DataFrame): DataFrame = {
+    require(!df.columns.contains("label") && !df.columns.contains("__best"),
+      "keepBestPerCluster appends 'label' (and uses '__best' internally) — " +
+        "rename the input's clashing column first")
+    val idType = df.schema(idCol).dataType
+    val guarded = df.withColumn(idCol,
+      when(col(idCol).isNull, raise_error(
+        lit(s"keepBestPerCluster: null $idCol — labels cannot address it"))
+        .cast(idType))
+        .otherwise(col(idCol)))
+    val lab = labels.select(col("id").as(idCol), col("label"))
+    val withLab = guarded.join(lab, Seq(idCol), "left")
+      .withColumn("label", coalesce(col("label"), col(idCol)))
+    val best = withLab.groupBy(col("label"))
+      .agg(max(col(scoreCol)).as("__best"))
+    val repIds = withLab.join(best, Seq("label"))
+      .filter(col(scoreCol) <=> col("__best"))
+      .groupBy(col("label")).agg(min(col(idCol)).as(idCol))
+    repIds.join(withLab.drop("label"), Seq(idCol))
+      .select(col("label") +: df.columns.map(col): _*)
+  }
 }
