@@ -472,10 +472,14 @@ object Dedup {
       col("blk"), col("key"))
     val r = banded.select(col("__id").as("id_b"), col("__sh").as("sh_b"),
       col("blk"), col("key"))
+    // filter BEFORE the dedup: a pair failing maxDist must not pay the
+    // distinct's exchange — at scale most block collisions fail, so
+    // this is the difference between shuffling collisions and
+    // shuffling verified near-dups
     l.join(r, Seq("blk", "key")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   // -------------------------------------------------------------------
@@ -750,19 +754,34 @@ object Dedup {
     * ONE cluster keeping only A, where the greedy pass would keep A and
     * B. The standard choice for fuzzy-dedup pipelines; costs
     * O(diameter) extra join rounds over the pair graph, which is tiny
-    * relative to the corpus (|pairs| ≈ duplicates, not rows). */
+    * relative to the corpus (|pairs| ≈ duplicates, not rows).
+    *
+    * `keepBestBy`: None (default) keeps each cluster's minimum id;
+    * `Some(scoreCol)` keeps the BEST-scoring member instead
+    * ([[keepBestPerCluster]] — highest score, ties to smallest id),
+    * the production rule when cluster members are not interchangeable
+    * (keep the cleanest capture, the longest text). Either way the
+    * returned frame has exactly `df`'s columns. */
   def minhashDedupCC(df: DataFrame, idCol: String, textCol: String,
                      numHashes: Int = 128, bands: Int = 32,
                      threshold: Double = 0.8, shingleSize: Int = 5,
                      maxIters: Int = 20, maxPartners: Int = 64,
-                     localEdgeLimit: Long = 500L * 1000): DataFrame = {
+                     localEdgeLimit: Long = 500L * 1000,
+                     keepBestBy: Option[String] = None): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, numHashes, bands,
       threshold, shingleSize, maxPartners)
-    val dups = connectedComponents(pairs.select(col("id_a"), col("id_b")),
-        maxIters, localEdgeLimit)
-      .filter(col("label") =!= col("id"))
-      .select(col("id").as(idCol))
-    df.join(dups, Seq(idCol), "left_anti")
+    keepBestBy match {
+      case None =>
+        val dups = connectedComponents(pairs.select(col("id_a"), col("id_b")),
+            maxIters, localEdgeLimit)
+          .filter(col("label") =!= col("id"))
+          .select(col("id").as(idCol))
+        df.join(dups, Seq(idCol), "left_anti")
+      case Some(scoreCol) =>
+        val labels = connectedComponents(pairs.select(col("id_a"), col("id_b")),
+          maxIters, localEdgeLimit)
+        keepBestPerCluster(df, idCol, scoreCol, labels).drop("label")
+    }
   }
 
   // -------------------------------------------------------------------

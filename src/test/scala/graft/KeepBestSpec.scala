@@ -63,6 +63,27 @@ class KeepBestSpec extends GraftSpec {
     assert(e2.getMessage.contains("label"))
   }
 
+  test("minhashDedupCC keepBestBy keeps the best-scoring cluster member, default keeps min id") {
+    // three exact copies of one text + one distinct doc; copy id 7
+    // carries the top quality score
+    val df = Seq(
+      (5L, "the quick brown fox jumps over the lazy dog again and again", 0.2),
+      (6L, "the quick brown fox jumps over the lazy dog again and again", 0.4),
+      (7L, "the quick brown fox jumps over the lazy dog again and again", 0.9),
+      (30L, "a completely different document about distributed dataframes", 0.1)
+    ).toDF("doc_id", "text", "quality")
+    val byScore = Dedup.minhashDedupCC(df, "doc_id", "text",
+        keepBestBy = Some("quality"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byScore == Set(7L, 30L), byScore.toString)
+    val byMin = Dedup.minhashDedupCC(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byMin == Set(5L, 30L), byMin.toString)
+    // both variants return exactly df's columns
+    assert(Dedup.minhashDedupCC(df, "doc_id", "text",
+      keepBestBy = Some("quality")).columns.toSeq == df.columns.toSeq)
+  }
+
   test("matches a driver-side reference on a random instance (deterministic)") {
     val rnd = new scala.util.Random(7)
     val edges = (0 until 60).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
