@@ -3150,7 +3150,8 @@ object SparkEntry {
         |  FROM docs d LEFT JOIN labels l ON l.id = d.doc_id),
         |best AS (SELECT label, max(score) AS best FROM lab GROUP BY label)
         |SELECT l.label, min(l.doc_id) AS doc_id, l.score
-        |FROM lab l JOIN best b ON l.label = b.label AND l.score = b.best
+        |FROM lab l JOIN best b ON l.label = b.label
+        |  AND l.score IS NOT DISTINCT FROM b.best
         |GROUP BY l.label, l.score ORDER BY l.label""".stripMargin,
 
     "q_ann_topk" ->

@@ -1038,13 +1038,18 @@ object Dedup {
     * under one null label would merge unrelated rows into one
     * "cluster" and drop all but one.
     *
-    * Scale shape: every exchange after the `labels` join is keyed on
-    * `label` over the CLUSTER-scale table (which, like the pair
-    * graph, scales with the duplicates, not the corpus), and the
-    * three label-keyed hops (best-score agg, tie-break agg, member
-    * join-back) co-partition, so AQE reuses the partitioning. The
-    * corpus-scale work is one join against the (small) labels frame
-    * and one against the (cluster-count-sized) representative ids. */
+    * Scale shape: singletons NEVER enter an exchange. The argmax runs
+    * over cluster MEMBERS only (the inner join with `labels` — a
+    * table that, like the pair graph, scales with the duplicates, not
+    * the corpus), so the best-score agg, the tie-break agg, and the
+    * loser set are all duplicate-scale; the corpus pays exactly one
+    * anti-join against the (duplicate-scale, broadcast-able) loser
+    * ids and one left join against `labels` for the output label
+    * column. Routing the whole corpus through the label aggregates
+    * instead would shuffle every row on a near-unique key for
+    * nothing — singletons always keep themselves. The members
+    * projection is persisted (three consumers; duplicate-scale rows,
+    * LRU-evicted). */
   def keepBestPerCluster(df: DataFrame, idCol: String, scoreCol: String,
                          labels: DataFrame): DataFrame = {
     require(!df.columns.contains("label") && !df.columns.contains("__best"),
@@ -1057,14 +1062,19 @@ object Dedup {
         .cast(idType))
         .otherwise(col(idCol)))
     val lab = labels.select(col("id").as(idCol), col("label"))
-    val withLab = guarded.join(lab, Seq(idCol), "left")
-      .withColumn("label", coalesce(col("label"), col(idCol)))
-    val best = withLab.groupBy(col("label"))
+    val members = guarded.select(col(idCol), col(scoreCol))
+      .join(lab, Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val best = members.groupBy(col("label"))
       .agg(max(col(scoreCol)).as("__best"))
-    val repIds = withLab.join(best, Seq("label"))
+    val repIds = members.join(best, Seq("label"))
       .filter(col(scoreCol) <=> col("__best"))
       .groupBy(col("label")).agg(min(col(idCol)).as(idCol))
-    repIds.join(withLab.drop("label"), Seq(idCol))
+    val losers = members.select(col(idCol))
+      .join(repIds.select(col(idCol)), Seq(idCol), "left_anti")
+    guarded.join(losers, Seq(idCol), "left_anti")
+      .join(lab, Seq(idCol), "left")
+      .withColumn("label", coalesce(col("label"), col(idCol)))
       .select(col("label") +: df.columns.map(col): _*)
   }
 }

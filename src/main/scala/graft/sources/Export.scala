@@ -76,6 +76,77 @@ object Export {
       .orderBy(col("shard"))
   }
 
+  /** Shared scaffolding for the STREAMING shard writers (TFRecord,
+    * WebDataset tar): shard assignment + content-stable (knuthHash,
+    * id) in-shard order, null-id fail-fast, IDENTITY shard→task
+    * partitioner (same reasoning as [[writeShards]]), a VALIDATE pass
+    * over the whole shard BEFORE the file opens (no torn partial
+    * shard on a data error), then one streamed file per non-empty
+    * shard. The write job is materialized HERE, exactly once (the
+    * per-shard counts collapse to ≤ nShards driver-side rows): the
+    * returned manifest is a plain local frame, so dropping it cannot
+    * skip the write and re-reading it cannot re-run the job — the
+    * failure mode a lazy side-effecting RDD would invite after the
+    * eager directory clear. */
+  private[sources] def shardedStreamWrite(
+      df: DataFrame, idCol: String, nShards: Int, dir: String, seed: Long,
+      countCol: String,
+      fileName: Long => String,
+      validate: (Array[org.apache.spark.sql.Row],
+                 org.apache.spark.sql.types.StructType) => Unit,
+      write: (java.io.OutputStream, Array[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType) => Long): DataFrame = {
+    val spark = df.sparkSession
+    val sharded = shardAssign(df, idCol, nShards, seed)
+      .withColumn("__ord", graft.ml.Sampling.knuthHash(col(idCol), seed))
+    val schema = sharded.schema
+    val shardIdx = schema.fieldIndex("shard")
+    val idIdx = schema.fieldIndex(idCol)
+    val ordIdx = schema.fieldIndex("__ord")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    // clear any previous export (overwrite semantics, like writeShards)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fsRoot = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsRoot.exists(dirPath)) fsRoot.delete(dirPath, true)
+    fsRoot.mkdirs(dirPath)
+    val counts = sharded.rdd
+      .map { r =>
+        if (r.isNullAt(shardIdx) || r.isNullAt(idIdx))
+          throw new IllegalArgumentException(
+            s"sharded export: null $idCol — shard assignment needs non-null ids")
+        (r.getLong(shardIdx), r)
+      }
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nShards
+        override def getPartition(key: Any): Int = key.asInstanceOf[Long].toInt
+      })
+      .mapPartitionsWithIndex { (shard, rows) =>
+        val buf = rows.map(_._2).toArray
+        if (buf.isEmpty) Iterator.empty
+        else {
+          // content-stable in-shard order: (knuthHash(id), id)
+          java.util.Arrays.sort(buf, (a: org.apache.spark.sql.Row,
+                                      b: org.apache.spark.sql.Row) => {
+            val c = java.lang.Long.compare(a.getLong(ordIdx), b.getLong(ordIdx))
+            if (c != 0) c
+            else java.lang.Long.compare(a.getAs[Number](idIdx).longValue(),
+              b.getAs[Number](idIdx).longValue())
+          })
+          validate(buf, schema)
+          val path = new org.apache.hadoop.fs.Path(dir, fileName(shard.toLong))
+          val fs = path.getFileSystem(conf.value)
+          val outS = new java.io.BufferedOutputStream(fs.create(path, true), 1 << 16)
+          val n = try write(outS, buf, schema) finally outS.close()
+          Iterator((shard.toLong, n))
+        }
+      }
+      .collect().toMap // ≤ nShards tuples — the eager write action
+    import spark.implicits._
+    (0L until nShards.toLong).map(s => (s, counts.getOrElse(s, 0L)))
+      .toDF("shard", countCol)
+  }
+
   /** Masked CRC32C per the public TFRecord framing:
     * `rotr15(crc32c(bytes)) + 0xa282ead8` (mod 2^32). */
   private[sources] def maskedCrc32c(bytes: Array[Byte], len: Int): Int = {
@@ -88,7 +159,7 @@ object Export {
 
   /** One framed TFRecord: u64le length, u32le masked-crc(length),
     * payload, u32le masked-crc(payload). */
-  private[sources] def tfrecordFrame(payload: Array[Byte]): Array[Byte] = {
+  private[graft] def tfrecordFrame(payload: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](8 + 4 + payload.length + 4)
     val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.putLong(payload.length.toLong)
@@ -112,81 +183,43 @@ object Export {
     * through the Hadoop FileSystem API (works on any Spark-reachable
     * filesystem), rows inside a shard in content-stable
     * (knuthHash(id), id) order so re-exports are byte-identical.
-    * NULL payloads fail fast — a training export must never silently
-    * drop or write empty records. Returns the same
-    * every-shard-included manifest as [[writeShards]]. */
+    * NULL payloads fail fast BEFORE the shard file opens — a
+    * training export must never silently drop records or leave a
+    * torn partial shard. The write is MATERIALIZED before this
+    * returns (see [[shardedStreamWrite]]); the returned manifest is
+    * the same every-shard-included shape as [[writeShards]]. */
   def writeShardsTfrecord(df: DataFrame, idCol: String, payloadCol: String,
                           nShards: Int, dir: String,
                           seed: Long = 42L, gzip: Boolean = false): DataFrame = {
-    val spark = df.sparkSession
     require(df.schema(payloadCol).dataType ==
         org.apache.spark.sql.types.BinaryType,
       s"writeShardsTfrecord: $payloadCol must be binary (serialize first)")
-    val sharded = shardAssign(
-      df.select(col(idCol), col(payloadCol)), idCol, nShards, seed)
-      .withColumn("__ord", graft.ml.Sampling.knuthHash(col(idCol), seed))
-    val schema = sharded.schema
-    val shardIdx = schema.fieldIndex("shard")
-    val idIdx = schema.fieldIndex(idCol)
-    val payIdx = schema.fieldIndex(payloadCol)
-    val ordIdx = schema.fieldIndex("__ord")
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    // clear any previous export (overwrite semantics, like writeShards)
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val fsRoot = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fsRoot.exists(dirPath)) fsRoot.delete(dirPath, true)
-    fsRoot.mkdirs(dirPath)
-    val counts = sharded.rdd
-      .map { r =>
-        if (r.isNullAt(shardIdx) || r.isNullAt(idIdx))
-          throw new IllegalArgumentException(
-            s"writeShardsTfrecord: null $idCol — shard assignment needs non-null ids")
-        (r.getLong(shardIdx), r)
-      }
-      .partitionBy(new org.apache.spark.Partitioner {
-        override def numPartitions: Int = nShards
-        override def getPartition(key: Any): Int = key.asInstanceOf[Long].toInt
-      })
-      .mapPartitionsWithIndex { (shard, rows) =>
-        val buf = rows.map(_._2).toArray
-        if (buf.isEmpty) Iterator.empty
-        else {
-          // content-stable in-shard order: (knuthHash(id), id)
-          java.util.Arrays.sort(buf, (a: org.apache.spark.sql.Row,
-                                      b: org.apache.spark.sql.Row) => {
-            val c = java.lang.Long.compare(a.getLong(ordIdx), b.getLong(ordIdx))
-            if (c != 0) c
-            else java.lang.Long.compare(a.getAs[Number](idIdx).longValue(),
-              b.getAs[Number](idIdx).longValue())
-          })
-          val path = new org.apache.hadoop.fs.Path(dir,
-            f"shard-$shard%05d.tfrecord" + (if (gzip) ".gz" else ""))
-          val fs = path.getFileSystem(conf.value)
-          val raw = fs.create(path, true)
-          // GZIP is tf.data's standard TFRecord compression; the
-          // whole stream compresses as one member
-          val out: java.io.OutputStream =
-            if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
-          var n = 0L
-          try buf.foreach { r =>
-            if (r.isNullAt(payIdx))
-              throw new IllegalArgumentException(
-                "writeShardsTfrecord: null payload — a training export " +
-                  "must not silently drop or write empty records")
-            val frame = tfrecordFrame(r.getAs[Array[Byte]](payIdx))
-            out.write(frame)
-            n += 1
-          } finally out.close()
-          Iterator((shard.toLong, n))
+    shardedStreamWrite(
+      df.select(col(idCol), col(payloadCol)), idCol, nShards, dir, seed,
+      countCol = "n_rows",
+      fileName = s => f"shard-$s%05d.tfrecord" + (if (gzip) ".gz" else ""),
+      validate = (buf, schema) => {
+        val payIdx = schema.fieldIndex(payloadCol)
+        buf.foreach { r =>
+          if (r.isNullAt(payIdx))
+            throw new IllegalArgumentException(
+              "writeShardsTfrecord: null payload — a training export " +
+                "must not silently drop or write empty records")
         }
-      }
-    import spark.implicits._
-    val written = counts.toDF("shard", "n_rows")
-    spark.range(nShards).select(col("id").as("shard"))
-      .join(written, Seq("shard"), "left")
-      .select(col("shard"), coalesce(col("n_rows"), lit(0L)).as("n_rows"))
-      .orderBy(col("shard"))
+      },
+      write = (raw, buf, schema) => {
+        val payIdx = schema.fieldIndex(payloadCol)
+        // GZIP is tf.data's standard TFRecord compression; the whole
+        // stream compresses as one member
+        val out: java.io.OutputStream =
+          if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
+        var n = 0L
+        try buf.foreach { r =>
+          out.write(tfrecordFrame(r.getAs[Array[Byte]](payIdx)))
+          n += 1
+        } finally out.close()
+        n
+      })
   }
 
   /** Parse one TFRecord stream: payloads of every VERIFIED frame. A
@@ -248,10 +281,15 @@ object Export {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (path, raw) =>
-        // gzip-compressed shards (.tfrecord.gz) sniff by magic and
-        // inflate whole (multi-member streams included)
+        // gzip-compressed shards dispatch on the .gz/.gzip EXTENSION
+        // (which the writer controls), never on content magic: a
+        // valid uncompressed file whose first record length is
+        // 0x...8b1f (a 35615-byte payload, realistic) starts with
+        // the gzip magic bytes by coincidence — a content sniff
+        // would route it to the inflater and fail a perfectly good
+        // shard in both postures
         val bytes =
-          if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
+          if (path.endsWith(".gz") || path.endsWith(".gzip"))
             gunzipAll(raw, strict)
           else raw
         parseTfrecords(bytes, strict).iterator.zipWithIndex.map {
@@ -269,11 +307,14 @@ object Export {
     * posture exists to refuse. Non-strict keeps the inflated prefix
     * (crawl tolerance). */
   private def gunzipAll(b: Array[Byte], strict: Boolean): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(b))
     val out = new java.io.ByteArrayOutputStream(math.max(b.length * 4, 1 << 16))
     val buf = new Array[Byte](1 << 16)
     try {
+      // the ctor itself validates the 10-byte gzip header — it must
+      // sit INSIDE the try or header-level corruption would crash the
+      // non-strict clean-prefix posture
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
       var n = in.read(buf)
       while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
     } catch {

@@ -57,17 +57,24 @@ object TarShards {
 
   /** Parse a USTAR stream to (name, payload) entries. Checksums are
     * VERIFIED; `strict` throws on corruption, else the walk ends at
-    * the last good entry (clean-prefix posture). */
+    * the last good entry (clean-prefix posture). Strict additionally
+    * requires the end-of-archive marker and zero-only bytes after it
+    * (a shard truncated at an entry boundary loses its tail WITHOUT
+    * corrupting any surviving header — only the missing footer
+    * betrays it, and a training-data read must not silently shrink). */
   private[graft] def parseTar(bytes: Array[Byte],
                               strict: Boolean): Vector[(String, Array[Byte])] = {
     val out = Vector.newBuilder[(String, Array[Byte])]
     var pos = 0
     var walk = true
+    var sawEnd = false
     def fail(msg: String): Unit =
       if (strict) throw new IllegalArgumentException(s"parseTar: $msg at byte $pos")
       else walk = false
     while (walk && pos + Block <= bytes.length) {
-      if (bytes.slice(pos, pos + Block).forall(_ == 0)) walk = false // end marker
+      if (bytes.slice(pos, pos + Block).forall(_ == 0)) { // end marker
+        sawEnd = true; walk = false
+      }
       else {
         var sum = 0
         var i = 0
@@ -100,6 +107,20 @@ object TarShards {
         }
       }
     }
+    if (strict && walk && !sawEnd)
+      // loop exhausted the bytes without an end marker: truncation at
+      // an entry boundary, or a trailing partial block
+      throw new IllegalArgumentException(
+        s"parseTar: missing end-of-archive marker (truncated?) at byte $pos " +
+          s"of ${bytes.length}")
+    if (strict && sawEnd) {
+      var i = pos
+      while (i < bytes.length) {
+        if (bytes(i) != 0) throw new IllegalArgumentException(
+          s"parseTar: non-zero trailing bytes after end-of-archive marker at byte $i")
+        i += 1
+      }
+    }
     out.result()
   }
 
@@ -108,88 +129,64 @@ object TarShards {
     * becomes the file `<zero-padded id>.<name>` inside the sample's
     * shard, elements in array order, samples in content-stable
     * (knuthHash(id), id) order. One `shard-NNNNN.tar` per non-empty
-    * shard; returns the every-shard manifest (samples, not files). */
+    * shard; returns the every-shard manifest (samples, not files).
+    *
+    * Shares [[Export.shardedStreamWrite]]'s scaffolding: the write is
+    * MATERIALIZED before this returns, and the whole shard is
+    * validated BEFORE its file opens — null entries/names/content,
+    * names over the 100-byte USTAR limit, and DUPLICATE names within
+    * one sample all refuse without leaving a torn partial shard (a
+    * duplicate-name sample would export "successfully" but then be
+    * permanently unreadable by [[readTarSamples]]'s refuse-on-dup
+    * contract — the writer must reject what its paired reader
+    * rejects). Entries stream straight to the filesystem — never the
+    * whole tar in memory, so shard size is bounded by the caller's
+    * corpus/nShards, not a JVM array limit. */
   def writeShardsTar(df: DataFrame, idCol: String, entriesCol: String,
-                     nShards: Int, dir: String, seed: Long = 42L): DataFrame = {
-    val spark = df.sparkSession
-    val sharded = Export.shardAssign(
-      df.select(col(idCol), col(entriesCol)), idCol, nShards, seed)
-      .withColumn("__ord", graft.ml.Sampling.knuthHash(col(idCol), seed))
-    val schema = sharded.schema
-    val shardIdx = schema.fieldIndex("shard")
-    val idIdx = schema.fieldIndex(idCol)
-    val entIdx = schema.fieldIndex(entriesCol)
-    val ordIdx = schema.fieldIndex("__ord")
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val fsRoot = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fsRoot.exists(dirPath)) fsRoot.delete(dirPath, true)
-    fsRoot.mkdirs(dirPath)
-    val counts = sharded.rdd
-      .map { r =>
-        if (r.isNullAt(shardIdx) || r.isNullAt(idIdx))
-          throw new IllegalArgumentException(
-            s"writeShardsTar: null $idCol — shard assignment needs non-null ids")
-        (r.getLong(shardIdx), r)
-      }
-      .partitionBy(new org.apache.spark.Partitioner {
-        override def numPartitions: Int = nShards
-        override def getPartition(key: Any): Int = key.asInstanceOf[Long].toInt
-      })
-      .mapPartitionsWithIndex { (shard, rows) =>
-        val buf = rows.map(_._2).toArray
-        if (buf.isEmpty) Iterator.empty
-        else {
-          java.util.Arrays.sort(buf, (a: org.apache.spark.sql.Row,
-                                      b: org.apache.spark.sql.Row) => {
-            val c = java.lang.Long.compare(a.getLong(ordIdx), b.getLong(ordIdx))
-            if (c != 0) c
-            else java.lang.Long.compare(a.getAs[Number](idIdx).longValue(),
-              b.getAs[Number](idIdx).longValue())
-          })
-          // validate BEFORE opening the file (no torn partial shard on
-          // a data error), then STREAM entries — never the whole tar in
-          // memory: a ByteArrayOutputStream would double the shard's
-          // footprint and hard-cap it at 2 GB, while shards are sized
-          // by the caller's corpus/nShards, not by a JVM array limit
-          buf.foreach { r =>
-            val key = f"${r.getAs[Number](idIdx).longValue()}%012d"
-            val entries = r.getSeq[org.apache.spark.sql.Row](entIdx)
-            if (entries == null)
+                     nShards: Int, dir: String, seed: Long = 42L): DataFrame =
+    Export.shardedStreamWrite(
+      df.select(col(idCol), col(entriesCol)), idCol, nShards, dir, seed,
+      countCol = "n_samples",
+      fileName = s => f"shard-$s%05d.tar",
+      validate = (buf, schema) => {
+        val idIdx = schema.fieldIndex(idCol)
+        val entIdx = schema.fieldIndex(entriesCol)
+        buf.foreach { r =>
+          val key = f"${r.getAs[Number](idIdx).longValue()}%012d"
+          val entries = r.getSeq[org.apache.spark.sql.Row](entIdx)
+          if (entries == null)
+            throw new IllegalArgumentException(
+              "writeShardsTar: null entries — a training export must not " +
+                "silently drop samples")
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          entries.foreach { e =>
+            val nm = e.getAs[String]("name")
+            if (nm == null || e.getAs[Array[Byte]]("content") == null)
               throw new IllegalArgumentException(
-                "writeShardsTar: null entries — a training export must not " +
-                  "silently drop samples")
-            entries.foreach { e =>
-              if (e.getAs[String]("name") == null ||
-                  e.getAs[Array[Byte]]("content") == null)
-                throw new IllegalArgumentException(
-                  "writeShardsTar: null entry name/content in sample " + key)
-            }
+                "writeShardsTar: null entry name/content in sample " + key)
+            if (!seen.add(nm))
+              throw new IllegalArgumentException(
+                s"writeShardsTar: duplicate entry name '$nm' in sample $key — " +
+                  "readTarSamples would refuse the shard")
+            if (s"$key.$nm".getBytes("UTF-8").length > 100)
+              throw new IllegalArgumentException(
+                s"writeShardsTar: tar entry name over 100 bytes: $key.$nm")
           }
-          val path = new org.apache.hadoop.fs.Path(dir, f"shard-$shard%05d.tar")
-          val fs = path.getFileSystem(conf.value)
-          val outS = new java.io.BufferedOutputStream(fs.create(path, true), 1 << 16)
-          try {
-            buf.foreach { r =>
-              val key = f"${r.getAs[Number](idIdx).longValue()}%012d"
-              r.getSeq[org.apache.spark.sql.Row](entIdx).foreach { e =>
-                writeTarEntry(outS, s"$key.${e.getAs[String]("name")}",
-                  e.getAs[Array[Byte]]("content"))
-              }
-            }
-            outS.write(tarFooter)
-          } finally outS.close()
-          Iterator((shard.toLong, buf.length.toLong))
         }
-      }
-    import spark.implicits._
-    val written = counts.toDF("shard", "n_samples")
-    spark.range(nShards).select(col("id").as("shard"))
-      .join(written, Seq("shard"), "left")
-      .select(col("shard"), coalesce(col("n_samples"), lit(0L)).as("n_samples"))
-      .orderBy(col("shard"))
-  }
+      },
+      write = (outS, buf, schema) => {
+        val idIdx = schema.fieldIndex(idCol)
+        val entIdx = schema.fieldIndex(entriesCol)
+        buf.foreach { r =>
+          val key = f"${r.getAs[Number](idIdx).longValue()}%012d"
+          r.getSeq[org.apache.spark.sql.Row](entIdx).foreach { e =>
+            writeTarEntry(outS, s"$key.${e.getAs[String]("name")}",
+              e.getAs[Array[Byte]]("content"))
+          }
+        }
+        outS.write(tarFooter)
+        buf.length.toLong
+      })
 
   /** Read WebDataset tar shards back as SAMPLE rows: (path, key,
     * entries map name→bytes) — CONSECUTIVE files sharing a basename

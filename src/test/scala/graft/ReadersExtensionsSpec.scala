@@ -1841,6 +1841,31 @@ class ReadersExtensionsSpec extends GraftSpec {
     val n = Export.readTfrecords(spark, s"$tornDir/*.tfrecord.gz",
       strict = false).count()
     assert(n >= 0L && n < 25L)
+    // gzip dispatch is by EXTENSION, not content magic: a valid
+    // uncompressed shard whose first record length is 0x8b1f
+    // (35615-byte payload) starts with the gzip magic bytes by pure
+    // coincidence and must still read as TFRecords
+    val coincidence = Export.tfrecordFrame(new Array[Byte](0x8b1f)) ++
+      Export.tfrecordFrame("after".getBytes("UTF-8"))
+    assert((coincidence(0) & 0xff) == 0x1f && (coincidence(1) & 0xff) == 0x8b)
+    val coDir = java.nio.file.Files.createTempDirectory("graft_tf_magic").toString
+    java.nio.file.Files.write(
+      new java.io.File(coDir, "c.tfrecord").toPath, coincidence)
+    val co = Export.readTfrecords(spark, s"$coDir/*.tfrecord")
+      .select("payload").collect().map(_.getAs[Array[Byte]](0))
+    assert(co.length == 2 && co(0).length == 0x8b1f &&
+      new String(co(1), "UTF-8") == "after")
+    // and a .gz-named file that is NOT gzip refuses in strict,
+    // yields zero records in the tolerant posture
+    val lieDir = java.nio.file.Files.createTempDirectory("graft_tf_lie").toString
+    java.nio.file.Files.write(
+      new java.io.File(lieDir, "l.tfrecord.gz").toPath,
+      Export.tfrecordFrame("plain".getBytes("UTF-8")))
+    val el = intercept[Exception](
+      Export.readTfrecords(spark, s"$lieDir/*.tfrecord.gz").count())
+    assert(msgs2(el).exists(_.contains("gzip")), msgs2(el).take(3).mkString(" | "))
+    assert(Export.readTfrecords(spark, s"$lieDir/*.tfrecord.gz",
+      strict = false).count() == 0L)
   }
 
   test("TFRecord ingest: write -> readTfrecords round-trip; strict vs prefix posture") {

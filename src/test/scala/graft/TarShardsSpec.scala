@@ -189,6 +189,61 @@ class TarShardsSpec extends GraftSpec {
     assert(TarShards.readTarFiles(spark, s"$dir/*.tar").count() == 2L)
   }
 
+  test("the write is EAGER and exactly-once: files land even if the manifest is dropped") {
+    val df = (1L to 5L).map(sample).toDF("id", "entries")
+      .withColumn("entries", expr(
+        "transform(entries, e -> named_struct('name', e._1, 'content', e._2))"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tar_eager").toString
+    TarShards.writeShardsTar(df, "id", "entries", nShards = 2, dir) // manifest DROPPED
+    val tars = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tar"))
+    assert(tars.nonEmpty, "dropping the manifest must not skip the write")
+    assert(TarShards.readTarSamples(spark, s"$dir/*.tar").count() == 5L)
+  }
+
+  test("a data error refuses BEFORE any shard file opens — no torn partial export") {
+    def entriesDf(rows: Seq[(Long, Seq[(String, Array[Byte])])]) =
+      rows.toDF("id", "entries").withColumn("entries", expr(
+        "transform(entries, e -> named_struct('name', e._1, 'content', e._2))"))
+    // duplicate entry name within one sample: the writer must reject
+    // what readTarSamples rejects — an export that "succeeds" but can
+    // never be read back is worse than a failure
+    val dupDir = java.nio.file.Files.createTempDirectory("graft_tar_dupw").toString
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception](TarShards.writeShardsTar(
+      entriesDf(Seq((1L, Seq(("txt", "a".getBytes("UTF-8")),
+        ("txt", "b".getBytes("UTF-8")))))), "id", "entries", 1, dupDir))
+    assert(msgs(e).exists(_.contains("duplicate entry name")),
+      msgs(e).take(3).mkString(" | "))
+    assert(new java.io.File(dupDir).listFiles().forall(!_.getName.endsWith(".tar")),
+      "no torn shard may survive a validation failure")
+    // oversized name: same contract — caught in the validate pass, not
+    // mid-stream after hundreds of samples already hit the file
+    val bigDir = java.nio.file.Files.createTempDirectory("graft_tar_bigw").toString
+    val e2 = intercept[Exception](TarShards.writeShardsTar(
+      entriesDf(Seq((1L, Seq(("ok", "a".getBytes("UTF-8")))),
+        (2L, Seq(("y" * 120, "b".getBytes("UTF-8")))))), "id", "entries", 1, bigDir))
+    assert(msgs(e2).exists(_.contains("100 bytes")), msgs(e2).take(3).mkString(" | "))
+    assert(new java.io.File(bigDir).listFiles().forall(!_.getName.endsWith(".tar")))
+  }
+
+  test("strict refuses a shard truncated at an entry boundary (missing footer)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    TarShards.writeTarEntry(bos, "a.txt", "one".getBytes("UTF-8"))
+    TarShards.writeTarEntry(bos, "b.txt", "two".getBytes("UTF-8"))
+    val noFooter = bos.toByteArray // valid entries, footer never written
+    val dir = java.nio.file.Files.createTempDirectory("graft_tar_trunc").toString
+    java.nio.file.Files.write(new java.io.File(dir, "t.tar").toPath, noFooter)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception](
+      TarShards.readTarFiles(spark, s"$dir/*.tar").count())
+    assert(msgs(e).exists(_.contains("end-of-archive")),
+      msgs(e).take(3).mkString(" | "))
+    // non-strict: the clean prefix survives (both entries parsed fine)
+    assert(TarShards.readTarFiles(spark, s"$dir/*.tar", strict = false).count() == 2L)
+  }
+
   test("null samples and oversized names are refused, not silently dropped") {
     val ok = Seq((1L, Seq(("txt", "x".getBytes("UTF-8"))))).toDF("id", "entries")
       .withColumn("entries", expr(
