@@ -362,4 +362,89 @@ class PropertiesSpec extends GraftSpec {
       }
     }
   }
+
+  test("property: TFRecord framing round-trips; corruption obeys both postures") {
+    // pure-JVM (no Spark jobs): arbitrary payload sequences frame,
+    // concatenate, and parse back byte-exactly; flipping ONE byte
+    // anywhere must (a) never crash the tolerant posture — the result
+    // is a clean PREFIX of the original payloads — and (b) throw under
+    // strict UNLESS the flip lands beyond every surviving frame's
+    // bytes (impossible here: every byte of the stream belongs to a
+    // length/crc/payload region, so strict always refuses)
+    import graft.sources.Export
+    val genPayloads = for {
+      n <- Gen.choose(1, 8)
+      ps <- Gen.listOfN(n, for {
+        len <- Gen.choose(0, 40)
+        seed <- Gen.choose(0, 255)
+      } yield Array.tabulate(len)(i => ((seed + i * 31) & 0xff).toByte))
+    } yield ps
+    check("tfrecord.roundtrip", cases = 30) {
+      Prop.forAll(genPayloads) { ps =>
+        val bytes = ps.map(Export.tfrecordFrame).reduce(_ ++ _)
+        val back = Export.parseTfrecords(bytes, strict = true)
+        back.size == ps.size &&
+          back.zip(ps).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+      }
+    }
+    check("tfrecord.corruption", cases = 30) {
+      val gen = for { ps <- genPayloads; at <- Gen.choose(0, Int.MaxValue) } yield (ps, at)
+      Prop.forAll(gen) { case (ps, at0) =>
+        val bytes = ps.map(Export.tfrecordFrame).reduce(_ ++ _)
+        val at = at0 % bytes.length
+        bytes(at) = (bytes(at) ^ 0x40).toByte
+        val tolerant = Export.parseTfrecords(bytes, strict = false) // must not throw
+        val prefixOk = tolerant.size <= ps.size &&
+          tolerant.zip(ps).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+        val strictThrew =
+          try { Export.parseTfrecords(bytes, strict = true); false }
+          catch { case _: IllegalArgumentException => true }
+        prefixOk && strictThrew
+      }
+    }
+  }
+
+  test("property: USTAR framing round-trips; corruption keeps a clean name-prefix") {
+    // pure-JVM: arbitrary (name, payload) entry sequences through the
+    // writer+footer, back through strict parseTar byte-exactly. A
+    // one-byte flip: the tolerant posture never crashes and the
+    // surviving NAMES are a prefix of the originals (tar carries no
+    // payload CRC — a flip inside a payload region is invisible by
+    // design, but it can never invent, reorder, or rename entries,
+    // because structure comes only from checksummed headers)
+    import graft.sources.TarShards
+    val genEntries = for {
+      n <- Gen.choose(1, 6)
+      es <- Gen.listOfN(n, for {
+        nm <- Gen.identifier.map(_.take(20))
+        ext <- Gen.oneOf("txt", "json", "bin")
+        len <- Gen.choose(0, 600) // spans the one-block boundary
+        seed <- Gen.choose(0, 255)
+      } yield (s"$nm.$ext", Array.tabulate(len)(i => ((seed + i * 7) & 0xff).toByte)))
+    } yield es.zipWithIndex.map { case ((nm, d), i) => (s"$i-$nm", d) } // unique names
+    def archive(es: List[(String, Array[Byte])]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      es.foreach { case (nm, d) => TarShards.writeTarEntry(bos, nm, d) }
+      bos.write(TarShards.tarFooter)
+      bos.toByteArray
+    }
+    check("tar.roundtrip", cases = 30) {
+      Prop.forAll(genEntries) { es =>
+        val back = TarShards.parseTar(archive(es), strict = true)
+        back.size == es.size && back.zip(es).forall { case ((n1, d1), (n2, d2)) =>
+          n1 == n2 && java.util.Arrays.equals(d1, d2)
+        }
+      }
+    }
+    check("tar.corruption", cases = 30) {
+      val gen = for { es <- genEntries; at <- Gen.choose(0, Int.MaxValue) } yield (es, at)
+      Prop.forAll(gen) { case (es, at0) =>
+        val bytes = archive(es)
+        val at = at0 % bytes.length
+        bytes(at) = (bytes(at) ^ 0x40).toByte
+        val names = TarShards.parseTar(bytes, strict = false).map(_._1) // no throw
+        names == es.map(_._1).take(names.size)
+      }
+    }
+  }
 }
