@@ -1255,6 +1255,18 @@ object SparkEntry {
           t(s, d, "documents").select(col("doc_id")), "doc_id", nShards = 8))
         .sortBy("doc_id").out),
 
+    // curriculum shard assignment (sources.Export): shard k = the
+    // k-th contiguous band in (score, id) order, exact rank
+    // arithmetic — the oracle recomputes the identical layout with a
+    // window rank, proving the easy→hard banding is engine-portable.
+    // Score = raw text length (the classic length curriculum)
+    "q_curriculum" -> ((s, d) =>
+      CrysFrame(graft.sources.Export.curriculumAssign(
+          t(s, d, "documents")
+            .select(col("doc_id"), length(col("text")).cast("long").as("score")),
+          "doc_id", "score", nShards = 4))
+        .sortBy("doc_id").out),
+
     // hybrid retrieval (text.Search): BM25 + cosine fused by
     // reciprocal-rank fusion over integer micro-unit terms — both
     // rankers' ranks are already oracle-exact (q_bm25 / q_ann_topk
@@ -2511,6 +2523,19 @@ object SparkEntry {
       """SELECT doc_id,
         |  ((doc_id * 2654435761 + 42) % 2147483647) % 8 AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // curriculum banding: 0-based rank under (score, id), shard =
+    // rank * nShards // n — integer floor, same arithmetic any engine
+    "q_curriculum" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS score FROM documents),
+        |r AS (
+        |  SELECT doc_id, score,
+        |    CAST(row_number() OVER (ORDER BY score, doc_id) - 1 AS BIGINT) AS rk,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM s)
+        |SELECT doc_id, score, (rk * 4) // n AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // composes the PROVEN q_bm25 and q_ann_topk oracle machinery
     // (restricted to the docs ⋈ embeddings corpus), then fuses with

@@ -76,6 +76,58 @@ object Export {
       .orderBy(col("shard"))
   }
 
+  /** CURRICULUM shard assignment: shard k is the k-th contiguous band
+    * of the corpus in ascending `(scoreCol, idCol)` order — shard 0
+    * the lowest-scored band, shard nShards−1 the highest. The
+    * training-order complement of [[shardAssign]]'s hash layout: a
+    * curriculum loader walks shards in order for easy→hard
+    * progression, and quality-bucketed ablations read one band.
+    *
+    * The assignment is EXACT rank arithmetic — `shard = rank ·
+    * nShards / n` (0-based rank under the (score, id) total order; id
+    * breaks ties so the layout is deterministic) — which any engine
+    * can recompute with a window rank, the same auditability contract
+    * as the Knuth-hash layout (the driver oracle does exactly that).
+    * Band sizes differ by at most one row.
+    *
+    * Scale shape: one RANGE exchange (Spark's distributed sort) and
+    * an RDD `zipWithIndex` — never a single-partition window, which
+    * is how a naive `row_number() OVER (ORDER BY score)` would
+    * execute. The sorted RDD is persisted because zipWithIndex runs
+    * one extra partition-counting job before the data pass. Null
+    * scores or ids refuse: Spark orders nulls first, SQL engines
+    * default to nulls last — a silent cross-engine layout divergence
+    * otherwise. */
+  def curriculumAssign(df: DataFrame, idCol: String, scoreCol: String,
+                       nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(!df.columns.contains("shard"),
+      "curriculumAssign appends 'shard' — the input already has that column")
+    val spark = df.sparkSession
+    val scoreType = df.schema(scoreCol).dataType
+    val guarded = df.withColumn(scoreCol,
+      when(col(scoreCol).isNull || col(idCol).isNull, raise_error(
+        lit(s"curriculumAssign: null $scoreCol/$idCol — the rank order " +
+          "would diverge across engines")).cast(scoreType))
+        .otherwise(col(scoreCol)))
+    val sorted = guarded.sort(col(scoreCol).asc, col(idCol).asc)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "shard", org.apache.spark.sql.types.LongType, nullable = false))
+    val srdd = sorted.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = srdd.count()
+    if (n == 0)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      val k = nShards.toLong
+      val rows = srdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i * k / n)
+      }
+      spark.createDataFrame(rows, schema)
+    }
+  }
+
   /** Shared scaffolding for the STREAMING shard writers (TFRecord,
     * WebDataset tar): shard assignment + content-stable (knuthHash,
     * id) in-shard order, null-id fail-fast, IDENTITY shard→task

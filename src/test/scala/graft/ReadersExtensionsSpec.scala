@@ -1734,6 +1734,42 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(m64.count(_._2 == 0L) == 61 || m64.count(_._2 == 0L) == 62, m64.toString)
   }
 
+  test("curriculum assignment: contiguous score bands, ±1 balance, deterministic, nulls refuse") {
+    import graft.sources.Export
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (1L to 103L).map(i => (i, rnd.nextInt(20).toLong)).toDF("id", "score")
+    val got = Export.curriculumAssign(df, "id", "score", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 103)
+    // bands are contiguous in (score, id) order and sized within one row
+    val byShard = got.groupBy(_._3).view.mapValues(_.map(t => (t._2, t._1)).sorted).toMap
+    assert(byShard.keySet == Set(0L, 1L, 2L, 3L))
+    assert(byShard.values.map(_.size).toSet.subsetOf(Set(25, 26)),
+      byShard.view.mapValues(_.size).toMap.toString)
+    for (k <- 0L to 2L)
+      assert(Ordering[(Long, Long)].lteq(byShard(k).last, byShard(k + 1).head),
+        s"band $k overlaps band ${k + 1}")
+    // exact rank arithmetic: matches the driver-side reference
+    val ranked = got.map(t => (t._2, t._1)).sorted.zipWithIndex
+      .map { case ((s, id), rk) => (id, rk.toLong * 4 / 103) }.toMap
+    assert(got.forall { case (id, _, sh) => ranked(id) == sh })
+    // deterministic under input partitioning
+    val re = Export.curriculumAssign(df.repartition(7), "id", "score", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.forall { case (id, _, sh) => re(id) == sh })
+    // nulls refuse (cross-engine null ordering would diverge)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val withNull = Seq((1L, Some(3L)), (2L, None)).toDF("id", "score")
+    val e = intercept[Exception](
+      Export.curriculumAssign(withNull, "id", "score", 2).collect())
+    assert(msgs(e).exists(_.contains("null")), msgs(e).take(3).mkString(" | "))
+    // empty input: empty result, schema intact
+    val empty = Export.curriculumAssign(df.filter(col("id") < 0), "id", "score", 4)
+    assert(empty.columns.toSeq == Seq("id", "score", "shard") && empty.count() == 0)
+  }
+
   test("TFRecord sharded export: framing verifies against an independent reader, stable bytes") {
     import graft.sources.Export
     import spark.implicits._
