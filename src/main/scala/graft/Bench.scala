@@ -27,7 +27,7 @@ object Bench {
     "q_dedup_against_near", "q_url_canon", "q_bpe_pairs",
     "q_stratified_sample", "q_mixture_exact", "q_ingest_pipeline",
     "q_tfidf_keywords", "q_lm_score", "q_lm_bigram", "q_chunk", "q_rag_pipeline",
-    "q_video_dedup", "q_nb_score", "q_semantic_dedup",
+    "q_video_dedup", "q_nb_score", "q_semantic_dedup", "q_curriculum",
     // LAST deliberately: the distributed CC loop spawns dozens of
     // short stages and its async unpersist/shuffle cleanup bleeds into
     // whatever runs next (measured +4s on the following query when it

@@ -102,7 +102,7 @@ private[core] object Binds {
   def withIdx(df: DataFrame): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField(CrysFrame.IDX, LongType, false))
     df.sparkSession.createDataFrame(
-      df.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ i) },
+      df.rdd.zipWithIndex().map { case (row, i) => Row.fromSeq(row.toSeq :+ i) },
       schema)
   }
 

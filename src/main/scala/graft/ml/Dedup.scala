@@ -1075,6 +1075,6 @@ object Dedup {
     guarded.join(losers, Seq(idCol), "left_anti")
       .join(lab, Seq(idCol), "left")
       .withColumn("label", coalesce(col("label"), col(idCol)))
-      .select(col("label") +: df.columns.map(col): _*)
+      .select((col("label") +: df.columns.map(col)).toIndexedSeq: _*)
   }
 }

@@ -121,7 +121,7 @@ object Export {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
       val k = nShards.toLong
-      val rows = srdd.zipWithIndex.map { case (r, i) =>
+      val rows = srdd.zipWithIndex().map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i * k / n)
       }
       spark.createDataFrame(rows, schema)

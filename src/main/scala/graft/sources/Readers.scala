@@ -114,7 +114,7 @@ object Readers {
         import spark.implicits._
         val raw0 = spark.read.text(localPath).as[String].rdd
         val afterBlanks = if (skipBlankLines) raw0.filter(_.nonEmpty) else raw0
-        val afterSkip = afterBlanks.zipWithIndex.filter(_._2 >= effSkip).map(_._1)
+        val afterSkip = afterBlanks.zipWithIndex().filter(_._2 >= effSkip).map(_._1)
         val lines = if (skipBlankLines) afterSkip
           else afterSkip.map(l => if (l.isEmpty) naValue else l)
         reader.csv(spark.createDataset(lines))
@@ -235,7 +235,7 @@ object Readers {
             count(when(qc.isNotNull &&
               !qc.isin(boolVocab.map(x => x: Any): _*), 1)).as(s"__bb_$c"))
         }
-        val row = raw.agg(counters.head, counters.tail: _*).collect()(0)
+        val row = raw.agg(counters.head, counters.tail.toIndexedSeq: _*).collect()(0)
         val ladder = Seq[DataType](IntegerType, LongType, DoubleType, BooleanType, StringType)
         candidates.map { case (c, cand) =>
           if (cand == StringType) c -> cand

@@ -119,10 +119,10 @@ object ExactSubstr {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     val cut = Kernels.cutSharedSpans(col(textCol), compiledRef, minLen).as("__cut")
     docs.withColumn("__cut", cut)
-      .select(docs.columns.map(col) :+
+      .select((docs.columns.map(col) :+
         col("__cut.clean_text") :+
         col("__cut.dup_spans") :+
-        col("__cut.removed_chars"): _*)
+        col("__cut.removed_chars")).toIndexedSeq: _*)
   }
 
   /** One row per character position: (id, pos, h) with h the 64-bit
@@ -141,10 +141,10 @@ object ExactSubstr {
     val cut = Kernels.cutSpans(col(textCol), col("__starts"), minLen).as("__cut")
     docs.join(spans, Seq(idCol), "left")
       .withColumn("__cut", cut)
-      .select(docs.columns.map(col) :+
+      .select((docs.columns.map(col) :+
         col("__cut.clean_text") :+
         col("__cut.dup_spans") :+
-        col("__cut.removed_chars"): _*)
+        col("__cut.removed_chars")).toIndexedSeq: _*)
   }
 
   /** Profile variant: the maximal duplicated spans themselves —
