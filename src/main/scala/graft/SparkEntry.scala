@@ -726,6 +726,29 @@ object SparkEntry {
         .select(col("doc_id"), col("split")))
         .sortBy("doc_id").out),
 
+    // LEAKAGE-SAFE split ORACLE-CHECKED: the draw hashes the
+    // connected-component label (same SQL-expressible pair graph as
+    // q_cc_labels), so near-dup cluster members provably share a
+    // split; the oracle recomputes labels with the recursive CTE and
+    // the identical Knuth CASE arithmetic on the label
+    "q_split_leakage" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), TextFunctions.normalizeText(col("text")).as("__norm"))
+      val sh = docs
+        .select(col("doc_id"), TextFunctions.shinglesFromNormalized(col("__norm"), 5).as("__sh"))
+      val a = sh.select(col("doc_id").as("id_a"), col("__sh").as("__sha"))
+      val b = sh.select(col("doc_id").as("id_b"), col("__sh").as("__shb"))
+      val inter = size(array_intersect(col("__sha"), col("__shb"))).cast("double")
+      val uni = size(array_union(col("__sha"), col("__shb"))).cast("double")
+      val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .filter(when(uni === 0, lit(0.0)).otherwise(inter / uni) >= 0.25)
+        .select(col("id_a"), col("id_b"))
+      val labels = Dedup.connectedComponents(pairs)
+      CrysFrame(Sampling.splitByCluster(docs.select("doc_id"), "doc_id", labels,
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)))
+        .sortBy("doc_id").out
+    }),
+
     "q_weighted_sample" -> ((s, d) =>
       CrysFrame(Sampling.weightedSample(t(s, d, "documents"),
         keyCols = Seq("lang"), idCol = "doc_id", weightCol = "n_chars", k = 20)
@@ -2055,6 +2078,44 @@ object SparkEntry {
         |       WHEN ((doc_id * 2654435761 + 42) % 2147483647 + 0.5) / 2147483647 < 0.95 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // leakage-safe split: labels via the q_cc_labels recursive
+    // closure, then the q_hash_split CASE arithmetic on the LABEL
+    "q_split_leakage" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents WHERE doc_id < 200),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(length(norm) - 5, 0) + 2),
+        |      i -> substring(norm, CAST(i AS INTEGER), 5))) AS sh
+        |  FROM docs),
+        |scored AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS inter,
+        |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM scored
+        |  WHERE CAST(inter AS DOUBLE) / uni >= 0.25),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM pairs),
+        |walk(id, reach) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+        |labels AS (SELECT id, min(reach) AS label FROM walk GROUP BY id),
+        |lab AS (
+        |  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS label
+        |  FROM docs d LEFT JOIN labels l ON l.id = d.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN ((label * 2654435761 + 42) % 2147483647 + 0.5) / 2147483647 < 0.9 THEN 'train'
+        |       WHEN ((label * 2654435761 + 42) % 2147483647 + 0.5) / 2147483647 < 0.95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM lab ORDER BY doc_id""".stripMargin,
 
     "q_weighted_sample" ->
       """SELECT lang, doc_id FROM (

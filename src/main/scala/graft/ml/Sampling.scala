@@ -92,6 +92,31 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** LEAKAGE-SAFE train/val/test split: every member of a near-dup
+    * cluster lands in the SAME split. The draw hashes the CLUSTER
+    * label (the component's min id, from
+    * [[graft.ml.Dedup.connectedComponents]]) instead of the row id,
+    * so near-duplicate pairs can never straddle the train/test
+    * boundary — the contamination a row-wise [[hashSplit]] silently
+    * permits whenever dedup kept both members (or ran after
+    * splitting). Rows absent from `labels` are their own singleton
+    * cluster and draw on their id, so on a duplicate-free corpus
+    * this IS hashSplit. Same content-stable Knuth arithmetic, splits
+    * contract, and appended `split` column as [[hashSplit]].
+    *
+    * Scale shape: hashSplit's map-only draw plus ONE left join
+    * against the duplicate-scale (broadcast-able) labels frame. */
+  def splitByCluster(df: DataFrame, idCol: String, labels: DataFrame,
+                     splits: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
+    requireNumericId(df, idCol, "splitByCluster")
+    require(!df.columns.contains("__graft_skey"),
+      "splitByCluster uses '__graft_skey' internally — rename that column")
+    val lab = labels.select(col("id").as(idCol), col("label").as("__graft_skey"))
+    val keyed = df.join(lab, Seq(idCol), "left")
+      .withColumn("__graft_skey", coalesce(col("__graft_skey"), col(idCol)))
+    hashSplit(keyed, "__graft_skey", splits, seed).drop("__graft_skey")
+  }
+
   /** Temperature resampling across sources — the multilingual-mixing
     * primitive: keep a `targetFraction` of the corpus with per-source
     * rates proportional to `n_s^alpha` (alpha < 1 flattens the mix

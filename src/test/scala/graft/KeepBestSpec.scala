@@ -84,6 +84,27 @@ class KeepBestSpec extends GraftSpec {
       keepBestBy = Some("quality")).columns.toSeq == df.columns.toSeq)
   }
 
+  test("splitByCluster: cluster members share a split; singletons match plain hashSplit") {
+    import graft.ml.Sampling
+    val ids = ((1L to 3L) ++ Seq(10L, 11L) ++ (20L to 80L)).toSeq
+    val df = ids.map(Tuple1(_)).toDF("doc_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.splitByCluster(df, "doc_id", labels, splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == ids.toSet)
+    // whole clusters move together — the leakage-safety contract
+    assert(Set(got(1L), got(2L), got(3L)).size == 1)
+    assert(got(10L) == got(11L))
+    // cluster members draw on the LABEL's hash (ids 2,3 land where 1 does)
+    val plain = Sampling.hashSplit(df, "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(2L) == plain(1L) && got(11L) == plain(10L))
+    // singletons are exactly hashSplit
+    (20L to 80L).foreach(i => assert(got(i) == plain(i), s"singleton $i moved"))
+    // with enough singletons, all three splits are populated
+    assert(got.values.toSet == Set("train", "val", "test"), got.values.toSet.toString)
+  }
+
   test("matches a driver-side reference on a random instance (deterministic)") {
     val rnd = new scala.util.Random(7)
     val edges = (0 until 60).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
