@@ -56,6 +56,21 @@ object Demo {
         numHashes = 64, bands = 16, threshold = 0.6, shingleSize = 4)
       println(s"greedy keeps: ${greedy.select("doc_id").collect().map(_.getLong(0)).sorted.mkString(",")}; " +
         s"clusters keep: ${cc.select("doc_id").collect().map(_.getLong(0)).sorted.mkString(",")}")
+      // quality-aware keep: the cluster's BEST-scoring member survives
+      val scored = docs.withColumn("quality",
+        org.apache.spark.sql.functions.col("doc_id").cast("double"))
+      val best = graft.ml.Dedup.minhashDedupCC(scored, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.6, shingleSize = 4,
+        keepBestBy = Some("quality"))
+      println(s"best-quality keep: ${best.select("doc_id").collect().map(_.getLong(0)).sorted.mkString(",")}")
+      // leakage-safe split: the whole near-dup cluster shares one split
+      val pairs = graft.ml.Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.6, shingleSize = 4)
+        .select("id_a", "id_b")
+      val labels = graft.ml.Dedup.connectedComponents(pairs)
+      graft.ml.Sampling.splitByCluster(docs.select("doc_id"), "doc_id", labels,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id").show(4, truncate = false)
     }
 
     println("=== multimodal: real container-header sniffing ===")
