@@ -57,6 +57,30 @@ object SparkEntry {
     * decimal→double conversion sees is 10⁴× smaller at scale 2 than at
     * scale 6, keeping it under 2^53 (where every engine's conversion is
     * exactly the same correctly-rounded double) up to ~10¹³ money sums. */
+  /** The SQL-expressible near-dup pair graph that the three
+    * CC-family oracle queries share (q_cc_labels / q_cc_best /
+    * q_split_leakage): exact 5-gram Jaccard >= 0.25 over the
+    * doc_id < 200 slice. Returns (docs(doc_id, __norm), pairs) —
+    * the bounded cross join is a PROOF harness (DuckDB recomputes it
+    * in a CTE), not a production candidate path (that is the banded
+    * LSH). A threshold/shingle change here must be mirrored in all
+    * three oracles' CTEs. */
+  private def ccDocsAndPairs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        graft.text.TextFunctions.normalizeText(col("text")).as("__norm"))
+    val sh = docs.select(col("doc_id"),
+      graft.text.TextFunctions.shinglesFromNormalized(col("__norm"), 5).as("__sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("__sh").as("__sha"))
+    val b = sh.select(col("doc_id").as("id_b"), col("__sh").as("__shb"))
+    val inter = size(array_intersect(col("__sha"), col("__shb"))).cast("double")
+    val uni = size(array_union(col("__sha"), col("__shb"))).cast("double")
+    val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(when(uni === 0, lit(0.0)).otherwise(inter / uni) >= 0.25)
+      .select(col("id_a"), col("id_b"))
+    (docs, pairs)
+  }
+
   private def moneySum(c: Column): Column =
     F.sum(c.cast("decimal(18,6)")).cast("decimal(28,2)")
 
@@ -732,17 +756,7 @@ object SparkEntry {
     // split; the oracle recomputes labels with the recursive CTE and
     // the identical Knuth CASE arithmetic on the label
     "q_split_leakage" -> ((s, d) => {
-      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
-        .select(col("doc_id"), TextFunctions.normalizeText(col("text")).as("__norm"))
-      val sh = docs
-        .select(col("doc_id"), TextFunctions.shinglesFromNormalized(col("__norm"), 5).as("__sh"))
-      val a = sh.select(col("doc_id").as("id_a"), col("__sh").as("__sha"))
-      val b = sh.select(col("doc_id").as("id_b"), col("__sh").as("__shb"))
-      val inter = size(array_intersect(col("__sha"), col("__shb"))).cast("double")
-      val uni = size(array_union(col("__sha"), col("__shb"))).cast("double")
-      val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .filter(when(uni === 0, lit(0.0)).otherwise(inter / uni) >= 0.25)
-        .select(col("id_a"), col("id_b"))
+      val (docs, pairs) = ccDocsAndPairs(s, d)
       val labels = Dedup.connectedComponents(pairs)
       CrysFrame(Sampling.splitByCluster(docs.select("doc_id"), "doc_id", labels,
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)))
@@ -940,16 +954,7 @@ object SparkEntry {
     // min-label loop — the 100-TB path — under the oracle; the local
     // union-find path is pinned equal to it in ReadersExtensionsSpec.
     "q_cc_labels" -> ((s, d) => {
-      val sh = t(s, d, "documents").filter(col("doc_id") < 200)
-        .select(col("doc_id"), TextFunctions.normalizeText(col("text")).as("__norm"))
-        .select(col("doc_id"), TextFunctions.shinglesFromNormalized(col("__norm"), 5).as("__sh"))
-      val a = sh.select(col("doc_id").as("id_a"), col("__sh").as("__sha"))
-      val b = sh.select(col("doc_id").as("id_b"), col("__sh").as("__shb"))
-      val inter = size(array_intersect(col("__sha"), col("__shb"))).cast("double")
-      val uni = size(array_union(col("__sha"), col("__shb"))).cast("double")
-      val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .filter(when(uni === 0, lit(0.0)).otherwise(inter / uni) >= 0.25)
-        .select(col("id_a"), col("id_b"))
+      val (_, pairs) = ccDocsAndPairs(s, d)
       CrysFrame(Dedup.connectedComponents(pairs, localEdgeLimit = 0L)
         .withColumnRenamed("id", "doc_id"))
         .sortBy("doc_id").out
@@ -962,17 +967,7 @@ object SparkEntry {
     // the recursive CTE then takes max-score/min-id per cluster —
     // singletons (docs outside the pair graph) keep themselves
     "q_cc_best" -> ((s, d) => {
-      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
-        .select(col("doc_id"), TextFunctions.normalizeText(col("text")).as("__norm"))
-      val sh = docs
-        .select(col("doc_id"), TextFunctions.shinglesFromNormalized(col("__norm"), 5).as("__sh"))
-      val a = sh.select(col("doc_id").as("id_a"), col("__sh").as("__sha"))
-      val b = sh.select(col("doc_id").as("id_b"), col("__sh").as("__shb"))
-      val inter = size(array_intersect(col("__sha"), col("__shb"))).cast("double")
-      val uni = size(array_union(col("__sha"), col("__shb"))).cast("double")
-      val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .filter(when(uni === 0, lit(0.0)).otherwise(inter / uni) >= 0.25)
-        .select(col("id_a"), col("id_b"))
+      val (docs, pairs) = ccDocsAndPairs(s, d)
       val labels = Dedup.connectedComponents(pairs)
       val scored = docs.select(col("doc_id"),
         length(col("__norm")).cast("long").as("score"))

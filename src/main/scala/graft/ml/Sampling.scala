@@ -44,7 +44,7 @@ object Sampling {
     * would die mid-job on an ANSI cast (or, ANSI off, hash to NULL and
     * silently bias the draw to plain id order). Refuse at the API
     * instead, the repo's analysis-time convention. */
-  private def requireNumericId(df: DataFrame, idCol: String, op: String): Unit =
+  private[graft] def requireNumericId(df: DataFrame, idCol: String, op: String): Unit =
     df.schema(idCol).dataType match {
       case _: org.apache.spark.sql.types.NumericType => ()
       case other => throw new IllegalArgumentException(
@@ -114,7 +114,10 @@ object Sampling {
     val lab = labels.select(col("id").as(idCol), col("label").as("__graft_skey"))
     val keyed = df.join(lab, Seq(idCol), "left")
       .withColumn("__graft_skey", coalesce(col("__graft_skey"), col(idCol)))
-    hashSplit(keyed, "__graft_skey", splits, seed).drop("__graft_skey")
+    // the using-column join hoists idCol first — restore df's column
+    // order so this really is a drop-in hashSplit replacement
+    hashSplit(keyed, "__graft_skey", splits, seed)
+      .select((df.columns.map(col) :+ col("split")).toIndexedSeq: _*)
   }
 
   /** Temperature resampling across sources — the multilingual-mixing

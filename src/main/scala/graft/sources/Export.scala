@@ -24,6 +24,7 @@ object Export {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     require(!df.columns.contains("shard"),
       "shardAssign appends 'shard' — the input already has that column")
+    graft.ml.Sampling.requireNumericId(df, idCol, "shardAssign")
     df.withColumn("shard",
       pmod(graft.ml.Sampling.knuthHash(col(idCol), seed), lit(nShards.toLong)))
   }
@@ -325,25 +326,33 @@ object Export {
     * sized for exactly this unit of work). Every frame's masked
     * CRC32C is VERIFIED; `strict` picks the posture — throw on
     * corruption (default: a training set must not silently shrink)
-    * or keep each file's clean prefix (crawl tolerance). */
+    * or keep each file's clean prefix (crawl tolerance).
+    *
+    * `compression`: "auto" (default) inflates files named `.gz` /
+    * `.gzip` and reads everything else raw — by EXTENSION, never by
+    * content magic, because a valid uncompressed file whose first
+    * record length is 0x...8b1f (a 35615-byte payload, realistic)
+    * starts with the gzip magic bytes by coincidence and a sniff
+    * would fail it in both postures. "gzip" forces inflation
+    * regardless of name (tf.data's `compression_type='GZIP'`
+    * compresses without renaming — extension-less gzip shards need
+    * this override); "none" forces raw. */
   def readTfrecords(spark: org.apache.spark.sql.SparkSession,
-                    pathGlob: String, strict: Boolean = true): DataFrame = {
+                    pathGlob: String, strict: Boolean = true,
+                    compression: String = "auto"): DataFrame = {
+    require(Set("auto", "gzip", "none")(compression),
+      s"compression must be auto/gzip/none, got $compression")
     import spark.implicits._
     spark.read.format("binaryFile").load(pathGlob)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (path, raw) =>
-        // gzip-compressed shards dispatch on the .gz/.gzip EXTENSION
-        // (which the writer controls), never on content magic: a
-        // valid uncompressed file whose first record length is
-        // 0x...8b1f (a 35615-byte payload, realistic) starts with
-        // the gzip magic bytes by coincidence — a content sniff
-        // would route it to the inflater and fail a perfectly good
-        // shard in both postures
-        val bytes =
-          if (path.endsWith(".gz") || path.endsWith(".gzip"))
-            gunzipAll(raw, strict)
-          else raw
+        val gz = compression match {
+          case "gzip" => true
+          case "none" => false
+          case _      => path.endsWith(".gz") || path.endsWith(".gzip")
+        }
+        val bytes = if (gz) gunzipAll(raw, strict) else raw
         parseTfrecords(bytes, strict).iterator.zipWithIndex.map {
           case (payload, i) => (path, i.toLong, payload)
         }

@@ -82,21 +82,27 @@ object TarShards {
           sum += (if (i >= 148 && i < 156) ' '.toInt else bytes(pos + i) & 0xff)
           i += 1
         }
-        def field(off: Int, len: Int): String = {
+        // octal fields terminate at NUL OR space (POSIX allows both);
+        // the NAME field terminates at NUL ONLY — a space is a legal
+        // filename byte ('cover image.jpg'), and space-terminating it
+        // would silently truncate round-tripped names
+        def octal(off: Int, len: Int): String = {
           val end = (off until off + len)
             .find(j => bytes(pos + j) == 0 || bytes(pos + j) == ' ')
             .getOrElse(off + len)
           new String(bytes, pos + off, end - off, "UTF-8")
         }
         val declared = scala.util.Try(
-          java.lang.Long.parseLong(field(148, 8).trim, 8)).getOrElse(-1L)
+          java.lang.Long.parseLong(octal(148, 8).trim, 8)).getOrElse(-1L)
         val size = scala.util.Try(
-          java.lang.Long.parseLong(field(124, 12).trim, 8)).getOrElse(-1L)
+          java.lang.Long.parseLong(octal(124, 12).trim, 8)).getOrElse(-1L)
         if (declared != sum) fail(s"header checksum $declared != $sum")
         else if (size < 0 || pos + Block + size > bytes.length)
           fail(s"bad entry size $size")
         else {
-          val name = field(0, 100)
+          val nameEnd = (0 until 100)
+            .find(j => bytes(pos + j) == 0).getOrElse(100)
+          val name = new String(bytes, pos, nameEnd, "UTF-8")
           val data = java.util.Arrays.copyOfRange(
             bytes, pos + Block, pos + Block + size.toInt)
           // only regular files carry sample data; other types skip

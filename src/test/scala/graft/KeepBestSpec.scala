@@ -103,6 +103,11 @@ class KeepBestSpec extends GraftSpec {
     (20L to 80L).foreach(i => assert(got(i) == plain(i), s"singleton $i moved"))
     // with enough singletons, all three splits are populated
     assert(got.values.toSet == Set("train", "val", "test"), got.values.toSet.toString)
+    // drop-in hashSplit replacement: df's column ORDER is preserved
+    // (the using-column join would otherwise hoist the id first)
+    val wide = ids.map(i => (s"t$i", i)).toDF("text", "doc_id")
+    assert(Sampling.splitByCluster(wide, "doc_id", labels, splits)
+      .columns.toSeq == Seq("text", "doc_id", "split"))
   }
 
   test("matches a driver-side reference on a random instance (deterministic)") {

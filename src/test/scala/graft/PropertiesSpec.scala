@@ -416,11 +416,12 @@ class PropertiesSpec extends GraftSpec {
     val genEntries = for {
       n <- Gen.choose(1, 6)
       es <- Gen.listOfN(n, for {
-        nm <- Gen.identifier.map(_.take(20))
+        nm <- Gen.identifier.map(_.take(10))
+        mid <- Gen.oneOf("", " ", " x ") // spaces are LEGAL filename bytes
         ext <- Gen.oneOf("txt", "json", "bin")
         len <- Gen.choose(0, 600) // spans the one-block boundary
         seed <- Gen.choose(0, 255)
-      } yield (s"$nm.$ext", Array.tabulate(len)(i => ((seed + i * 7) & 0xff).toByte)))
+      } yield (s"$nm$mid$nm.$ext", Array.tabulate(len)(i => ((seed + i * 7) & 0xff).toByte)))
     } yield es.zipWithIndex.map { case ((nm, d), i) => (s"$i-$nm", d) } // unique names
     def archive(es: List[(String, Array[Byte])]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()

@@ -1902,6 +1902,16 @@ class ReadersExtensionsSpec extends GraftSpec {
     assert(msgs2(el).exists(_.contains("gzip")), msgs2(el).take(3).mkString(" | "))
     assert(Export.readTfrecords(spark, s"$lieDir/*.tfrecord.gz",
       strict = false).count() == 0L)
+    // extension-LESS gzip shards (tf.data compresses without renaming):
+    // compression="gzip" forces inflation where "auto" would mis-read
+    val bare = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_tf_bare").toFile, "x.tfrecord")
+    java.nio.file.Files.copy(new java.io.File(dir, files.head).toPath, bare.toPath)
+    val forced = Export.readTfrecords(spark, bare.getAbsolutePath,
+      compression = "gzip").count()
+    assert(forced > 0L, "forced gzip must read the renamed shard")
+    assert(Export.readTfrecords(spark, bare.getAbsolutePath,
+      strict = false).count() == 0L, "auto on a bare gzip file reads nothing")
   }
 
   test("TFRecord ingest: write -> readTfrecords round-trip; strict vs prefix posture") {

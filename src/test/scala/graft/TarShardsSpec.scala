@@ -172,6 +172,29 @@ class TarShardsSpec extends GraftSpec {
     assert(runs.count(_.getAs[String]("key") == "a") == 2)
   }
 
+  test("a space is a legal filename byte: names round-trip untruncated") {
+    // POSIX terminates the NAME field at NUL only; space-terminating
+    // (correct for the octal fields) would silently truncate
+    // 'cover image.jpg' — pin the full round trip, reader and writer
+    val dir = java.nio.file.Files.createTempDirectory("graft_tar_space").toString
+    val bos = new java.io.ByteArrayOutputStream()
+    TarShards.writeTarEntry(bos, "cover image.jpg", "px".getBytes("UTF-8"))
+    bos.write(TarShards.tarFooter)
+    java.nio.file.Files.write(new java.io.File(dir, "s.tar").toPath, bos.toByteArray)
+    val names = TarShards.readTarFiles(spark, s"$dir/*.tar")
+      .collect().map(_.getAs[String]("name"))
+    assert(names.toSeq == Seq("cover image.jpg"), names.mkString(","))
+    // and through the sample writer/reader pair
+    val df = Seq((7L, Seq(("cover image.jpg", "px".getBytes("UTF-8")))))
+      .toDF("id", "entries").withColumn("entries", expr(
+        "transform(entries, e -> named_struct('name', e._1, 'content', e._2))"))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_tar_space2").toString
+    TarShards.writeShardsTar(df, "id", "entries", 1, dir2)
+    val entries = TarShards.readTarSamples(spark, s"$dir2/*.tar")
+      .collect().head.getAs[Map[String, Array[Byte]]]("entries")
+    assert(entries.keySet == Set("cover image.jpg"), entries.keySet.toString)
+  }
+
   test("a duplicate suffix within one sample refuses (a map would drop a file)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tar_dup").toString
     val bos = new java.io.ByteArrayOutputStream()
