@@ -360,6 +360,57 @@ object Export {
       .toDF("path", "record_index", "payload")
   }
 
+  /** Post-export INTEGRITY AUDIT: re-derive every shard's row count
+    * from the files themselves and join it against the manifest the
+    * writer returned — the operational check after replication, a
+    * partial outage, or a suspect filesystem, before a training run
+    * is allowed to start on the shard set. Returns one row per shard:
+    * `(shard, n_manifest, n_actual, ok)`, `ok = false` on ANY
+    * divergence — a missing file reports 0 actual rows, a torn file
+    * reports its clean-prefix count (the readers run NON-strict here
+    * precisely so corruption is REPORTED as a shortfall row instead
+    * of killing the audit job; TFRecord counts are CRC-verified by
+    * construction). Zero-row manifest shards materialize no file by
+    * design and audit ok.
+    *
+    * `format`: "tfrecord" ([[writeShardsTfrecord]] layout, gzip or
+    * not), "tar" ([[graft.sources.TarShards.writeShardsTar]] — counts
+    * SAMPLES, matching its manifest), or "parquet" ([[writeShards]]'s
+    * hash-addressed directories). Scale: the data pass is the
+    * existing one-task-per-shard readers; everything after is
+    * nShards-sized. */
+  def auditShards(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  manifest: DataFrame,
+                  format: String = "tfrecord"): DataFrame = {
+    val actual = format match {
+      case "tfrecord" =>
+        readTfrecords(spark, s"$dir/*.tfrecord*", strict = false)
+          .groupBy(col("path")).agg(count(lit(1)).as("n_actual"))
+          .select(regexp_extract(col("path"), "shard-(\\d+)", 1)
+            .cast("long").as("shard"), col("n_actual"))
+      case "tar" =>
+        TarShards.readTarSamples(spark, s"$dir/*.tar", strict = false)
+          .groupBy(col("path")).agg(count(lit(1)).as("n_actual"))
+          .select(regexp_extract(col("path"), "shard-(\\d+)", 1)
+            .cast("long").as("shard"), col("n_actual"))
+      case "parquet" =>
+        spark.read.parquet(dir)
+          .groupBy(col("shard").cast("long").as("shard"))
+          .agg(count(lit(1)).as("n_actual"))
+      case other => throw new IllegalArgumentException(
+        s"auditShards: format must be tfrecord/tar/parquet, got $other")
+    }
+    manifest
+      .select(col(manifest.columns(0)).cast("long").as("shard"),
+        col(manifest.columns(1)).cast("long").as("n_manifest"))
+      .join(actual, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("n_manifest"), lit(0L)).as("n_manifest"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"))
+      .withColumn("ok", col("n_manifest") === col("n_actual"))
+      .orderBy(col("shard"))
+  }
+
   /** Inflate a (possibly multi-member) gzip stream whole. `strict`
     * decides the truncation posture HERE, not just in the frame walk:
     * a torn gzip member can end exactly on a TFRecord frame boundary,

@@ -1914,6 +1914,44 @@ class ReadersExtensionsSpec extends GraftSpec {
       strict = false).count() == 0L, "auto on a bare gzip file reads nothing")
   }
 
+  test("shard audit: clean export passes; missing and torn shards report, never crash") {
+    import graft.sources.Export
+    import spark.implicits._
+    val df = (1L to 40L).map(i => (i, s"rec-$i".getBytes("UTF-8"))).toDF("id", "payload")
+    val dir = java.nio.file.Files.createTempDirectory("graft_audit").toString
+    val manifest = Export.writeShardsTfrecord(df, "id", "payload", 4, dir)
+    // clean export: every shard ok, counts equal
+    val clean = Export.auditShards(spark, dir, manifest).collect()
+    assert(clean.length == 4 && clean.forall(_.getAs[Boolean]("ok")),
+      clean.mkString(","))
+    assert(clean.map(_.getAs[Long]("n_actual")).sum == 40L)
+    // a DELETED shard file reports 0 actual rows, ok = false
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tfrecord")).sortBy(_.getName)
+    val victim = files.head
+    val victimShard = victim.getName.filter(_.isDigit).toLong
+    assert(victim.delete())
+    val afterDelete = Export.auditShards(spark, dir, manifest)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("ok")).toMap
+    assert(!afterDelete(victimShard), afterDelete.toString)
+    assert(afterDelete.count(!_._2) == 1, "only the deleted shard may fail")
+    // a TORN shard file (truncated mid-frame) reports a shortfall,
+    // not an exception — the audit's whole job is to report
+    val torn = files(1)
+    val bytes = java.nio.file.Files.readAllBytes(torn.toPath)
+    java.nio.file.Files.write(torn.toPath, bytes.take(bytes.length - 3))
+    // drop Hadoop's local-FS checksum sidecars: the torn-BYTES path is
+    // what's under test, not the sidecar mismatch it would mask it with
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".crc"))
+      .foreach(_.delete())
+    val afterTear = Export.auditShards(spark, dir, manifest).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getAs[Boolean]("ok"))))
+      .toMap
+    val tornShard = torn.getName.filter(_.isDigit).toLong
+    val (exp, act, ok) = afterTear(tornShard)
+    assert(!ok && act < exp, s"torn shard must shortfall: $exp vs $act")
+  }
+
   test("TFRecord ingest: write -> readTfrecords round-trip; strict vs prefix posture") {
     import graft.sources.Export
     import spark.implicits._
