@@ -164,6 +164,11 @@ object TarShards {
             throw new IllegalArgumentException(
               "writeShardsTar: null entries — a training export must not " +
                 "silently drop samples")
+          if (entries.isEmpty)
+            throw new IllegalArgumentException(
+              s"writeShardsTar: EMPTY entries in sample $key — a zero-file " +
+                "sample writes nothing, so the manifest would count a sample " +
+                "the reader (and the shard audit) can never see")
           val seen = scala.collection.mutable.HashSet.empty[String]
           entries.foreach { e =>
             val nm = e.getAs[String]("name")

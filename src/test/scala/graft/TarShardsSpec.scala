@@ -240,6 +240,14 @@ class TarShardsSpec extends GraftSpec {
       msgs(e).take(3).mkString(" | "))
     assert(new java.io.File(dupDir).listFiles().forall(!_.getName.endsWith(".tar")),
       "no torn shard may survive a validation failure")
+    // an EMPTY entries array refuses: a zero-file sample would be
+    // counted by the manifest but invisible to the reader and audit
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft_tar_empty").toString
+    val e3 = intercept[Exception](TarShards.writeShardsTar(
+      entriesDf(Seq((1L, Seq.empty[(String, Array[Byte])]))), "id", "entries",
+      1, emptyDir))
+    assert(msgs(e3).exists(_.contains("EMPTY entries")),
+      msgs(e3).take(3).mkString(" | "))
     // oversized name: same contract — caught in the validate pass, not
     // mid-stream after hundreds of samples already hit the file
     val bigDir = java.nio.file.Files.createTempDirectory("graft_tar_bigw").toString
