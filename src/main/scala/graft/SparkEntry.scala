@@ -51,12 +51,6 @@ object SparkEntry {
   private def cf(s: SparkSession, dir: String, name: String): CrysFrame =
     CrysFrame(t(s, dir, name))
 
-  /** Exact money aggregation: per-term decimal cast, exact decimal sum,
-    * final scale-2 decimal. The final scale is the SOURCE scale (money
-    * values are 2-decimal), not the working scale: the scaled integer a
-    * decimal→double conversion sees is 10⁴× smaller at scale 2 than at
-    * scale 6, keeping it under 2^53 (where every engine's conversion is
-    * exactly the same correctly-rounded double) up to ~10¹³ money sums. */
   /** The SQL-expressible near-dup pair graph that the three
     * CC-family oracle queries share (q_cc_labels / q_cc_best /
     * q_split_leakage): exact 5-gram Jaccard >= 0.25 over the
@@ -81,6 +75,12 @@ object SparkEntry {
     (docs, pairs)
   }
 
+  /** Exact money aggregation: per-term decimal cast, exact decimal sum,
+    * final scale-2 decimal. The final scale is the SOURCE scale (money
+    * values are 2-decimal), not the working scale: the scaled integer a
+    * decimal→double conversion sees is 10⁴× smaller at scale 2 than at
+    * scale 6, keeping it under 2^53 (where every engine's conversion is
+    * exactly the same correctly-rounded double) up to ~10¹³ money sums. */
   private def moneySum(c: Column): Column =
     F.sum(c.cast("decimal(18,6)")).cast("decimal(28,2)")
 

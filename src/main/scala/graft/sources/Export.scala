@@ -365,38 +365,110 @@ object Export {
     * writer returned — the operational check after replication, a
     * partial outage, or a suspect filesystem, before a training run
     * is allowed to start on the shard set. Returns one row per shard:
-    * `(shard, n_manifest, n_actual, ok)`, `ok = false` on ANY
+    * `(shard, n_manifest, n_actual, clean, ok)`, `ok = false` on ANY
     * divergence — a missing file reports 0 actual rows, a torn file
-    * reports its clean-prefix count (the readers run NON-strict here
-    * precisely so corruption is REPORTED as a shortfall row instead
-    * of killing the audit job; TFRecord counts are CRC-verified by
-    * construction). Zero-row manifest shards materialize no file by
-    * design and audit ok.
+    * reports its clean-prefix count (the parses run NON-strict here
+    * precisely so corruption is REPORTED instead of killing the audit
+    * job; TFRecord counts are CRC-verified by construction), and
+    * `clean` is a per-file STRICT re-parse verdict that catches tears
+    * the count alone cannot: a tar cut at a file boundary inside a
+    * multi-file sample keeps the sample count intact and only the
+    * missing end-of-archive marker betrays it. Zero-row manifest
+    * shards materialize no file by design and audit ok; an empty or
+    * vanished export directory reports every manifest shard rather
+    * than throwing on the empty glob.
     *
     * `format`: "tfrecord" ([[writeShardsTfrecord]] layout, gzip or
-    * not), "tar" ([[graft.sources.TarShards.writeShardsTar]] — counts
-    * SAMPLES, matching its manifest), or "parquet" ([[writeShards]]'s
-    * hash-addressed directories). Scale: the data pass is the
-    * existing one-task-per-shard readers; everything after is
+    * not; a tear at an exact frame boundary of an UNCOMPRESSED shard
+    * is undetectable — the format has no footer — while gzip shards
+    * catch it via the gzip trailer), "tar"
+    * ([[graft.sources.TarShards.writeShardsTar]] — counts SAMPLES,
+    * matching its manifest), or "parquet" ([[writeShards]]'s
+    * hash-addressed directories, read with ignoreCorruptFiles so a
+    * torn file surfaces as a shortfall). Caveat: on a bare-local
+    * ChecksumFileSystem (`file://`), a file torn AFTER its `.crc`
+    * sidecar was written fails the read with a ChecksumException
+    * before any parser runs — production stores (HDFS/S3A/ABFS)
+    * carry no client-side sidecars and report normally. Scale: the
+    * data pass is one task per shard file; everything after is
     * nShards-sized. */
   def auditShards(spark: org.apache.spark.sql.SparkSession, dir: String,
                   manifest: DataFrame,
                   format: String = "tfrecord"): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def globNonEmpty(pattern: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(pattern)
+      val st = p.getFileSystem(hconf).globStatus(p)
+      st != null && st.nonEmpty
+    }
+    // per-file (shard, count, structurally-clean) — a full outage or
+    // an all-zero-row export matches nothing, which must REPORT (every
+    // manifest shard ok=false resp. ok=true), never throw the
+    // path-does-not-exist error an empty binaryFile glob raises. The
+    // shard regex anchors on the FILE name (digits + the format
+    // extension), so a directory component like 'shard-3-retry' in
+    // `dir` cannot hijack the extraction.
+    def fileAudit(glob: String, fileRe: String,
+                  one: (String, Array[Byte]) => (Long, Boolean)): DataFrame =
+      if (!globNonEmpty(glob))
+        Seq.empty[(Long, Long, Boolean)].toDF("shard", "n_actual", "clean")
+      else
+        spark.read.format("binaryFile").load(glob)
+          .select(col("path"), col("content")).as[(String, Array[Byte])]
+          .map { case (p, b) => val (n, c) = one(p, b); (p, n, c) }
+          .toDF("path", "n_actual", "clean")
+          .select(regexp_extract(col("path"), fileRe, 1).cast("long").as("shard"),
+            col("n_actual"), col("clean"))
     val actual = format match {
       case "tfrecord" =>
-        readTfrecords(spark, s"$dir/*.tfrecord*", strict = false)
-          .groupBy(col("path")).agg(count(lit(1)).as("n_actual"))
-          .select(regexp_extract(col("path"), "shard-(\\d+)", 1)
-            .cast("long").as("shard"), col("n_actual"))
+        fileAudit(s"$dir/*.tfrecord*", "shard-(\\d+)\\.tfrecord",
+          (path, raw) => {
+            val gz = path.endsWith(".gz") || path.endsWith(".gzip")
+            val bytes = if (gz) gunzipAll(raw, strict = false) else raw
+            val n = parseTfrecords(bytes, strict = false).size.toLong
+            // clean = the strict walk accepts every byte (a tear at an
+            // exact frame boundary of an UNcompressed shard is
+            // undetectable — the format carries no footer; gzip shards
+            // catch it via the gzip trailer)
+            val clean =
+              try {
+                parseTfrecords(
+                  if (gz) gunzipAll(raw, strict = true) else raw, strict = true)
+                true
+              } catch { case _: IllegalArgumentException => false }
+            (n, clean)
+          })
       case "tar" =>
-        TarShards.readTarSamples(spark, s"$dir/*.tar", strict = false)
-          .groupBy(col("path")).agg(count(lit(1)).as("n_actual"))
-          .select(regexp_extract(col("path"), "shard-(\\d+)", 1)
-            .cast("long").as("shard"), col("n_actual"))
+        fileAudit(s"$dir/*.tar", "shard-(\\d+)\\.tar",
+          (_, bytes) => {
+            // count SAMPLES (consecutive key runs) to match the
+            // manifest; `clean` catches the tear that loses FILES
+            // without losing a whole sample — a prefix cut at a file
+            // boundary keeps the sample count intact, and only the
+            // missing end-of-archive marker betrays it
+            var n = 0L
+            var cur: String = null
+            TarShards.parseTar(bytes, strict = false).foreach { case (nm, _) =>
+              val d = nm.indexOf('.')
+              val key = if (d < 0) nm else nm.substring(0, d)
+              if (key != cur) { n += 1; cur = key }
+            }
+            val clean =
+              try { TarShards.parseTar(bytes, strict = true); true }
+              catch { case _: IllegalArgumentException => false }
+            (n, clean)
+          })
       case "parquet" =>
-        spark.read.parquet(dir)
-          .groupBy(col("shard").cast("long").as("shard"))
-          .agg(count(lit(1)).as("n_actual"))
+        // ignoreCorruptFiles gives parquet the same report-don't-die
+        // posture: a torn file is skipped and surfaces as a shortfall
+        if (!globNonEmpty(s"$dir/shard=*"))
+          Seq.empty[(Long, Long, Boolean)].toDF("shard", "n_actual", "clean")
+        else
+          spark.read.option("ignoreCorruptFiles", "true").parquet(dir)
+            .groupBy(col("shard").cast("long").as("shard"))
+            .agg(count(lit(1)).as("n_actual"))
+            .withColumn("clean", lit(true))
       case other => throw new IllegalArgumentException(
         s"auditShards: format must be tfrecord/tar/parquet, got $other")
     }
@@ -406,8 +478,9 @@ object Export {
       .join(actual, Seq("shard"), "full_outer")
       .select(col("shard"),
         coalesce(col("n_manifest"), lit(0L)).as("n_manifest"),
-        coalesce(col("n_actual"), lit(0L)).as("n_actual"))
-      .withColumn("ok", col("n_manifest") === col("n_actual"))
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("clean"), lit(true)).as("clean"))
+      .withColumn("ok", col("n_manifest") === col("n_actual") && col("clean"))
       .orderBy(col("shard"))
   }
 

@@ -157,8 +157,20 @@ object TarShards {
       validate = (buf, schema) => {
         val idIdx = schema.fieldIndex(idCol)
         val entIdx = schema.fieldIndex(entriesCol)
+        // buf arrives sorted by (knuthHash(id), id): duplicate ids are
+        // ADJACENT, and two same-id samples would write consecutive
+        // same-key files the reader merges — then refuses as duplicate
+        // suffixes; refuse at the source instead
+        var prevId = 0L
+        var firstRow = true
         buf.foreach { r =>
-          val key = f"${r.getAs[Number](idIdx).longValue()}%012d"
+          val idv = r.getAs[Number](idIdx).longValue()
+          if (!firstRow && idv == prevId)
+            throw new IllegalArgumentException(
+              s"writeShardsTar: duplicate sample id $idv — two samples would " +
+                "merge into one unreadable key on read")
+          prevId = idv; firstRow = false
+          val key = f"$idv%012d"
           val entries = r.getSeq[org.apache.spark.sql.Row](entIdx)
           if (entries == null)
             throw new IllegalArgumentException(

@@ -1950,6 +1950,44 @@ class ReadersExtensionsSpec extends GraftSpec {
     val tornShard = torn.getName.filter(_.isDigit).toLong
     val (exp, act, ok) = afterTear(tornShard)
     assert(!ok && act < exp, s"torn shard must shortfall: $exp vs $act")
+    // a VANISHED export (full outage) reports every shard, no crash
+    files.drop(2).foreach(_.delete())
+    new java.io.File(dir).listFiles().foreach(_.delete())
+    val gone = Export.auditShards(spark, dir, manifest).collect()
+    assert(gone.length == 4 && gone.forall(!_.getAs[Boolean]("ok")),
+      gone.mkString(","))
+  }
+
+  test("tar audit: a boundary tear that keeps the sample count is caught by the strict verdict") {
+    import graft.sources.{Export, TarShards}
+    import spark.implicits._
+    val df = (1L to 6L).map(i => (i, Seq(
+        ("json", s"""{"i":$i}""".getBytes("UTF-8")),
+        ("txt", s"text $i".getBytes("UTF-8")))))
+      .toDF("id", "entries").withColumn("entries", expr(
+        "transform(entries, e -> named_struct('name', e._1, 'content', e._2))"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_audit_tar").toString
+    val manifest = TarShards.writeShardsTar(df, "id", "entries", 2, dir)
+    val clean = Export.auditShards(spark, dir, manifest, format = "tar").collect()
+    assert(clean.length == 2 && clean.forall(_.getAs[Boolean]("ok")),
+      clean.mkString(","))
+    // cut ONE 512-byte block off the end: the footer (and possibly the
+    // tail of the last sample's last FILE) is gone, but every sample
+    // still shows at least one file — the count matches, only `clean`
+    // catches it
+    val victim = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar")).minBy(_.getName)
+    val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+    java.nio.file.Files.write(victim.toPath, bytes.take(bytes.length - 1024))
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".crc"))
+      .foreach(_.delete())
+    val shard = victim.getName.filter(_.isDigit).toLong
+    val after = Export.auditShards(spark, dir, manifest, format = "tar")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[Boolean]("clean"),
+          r.getAs[Boolean]("ok")))).toMap
+    val (_, _, cleanFlag, okFlag) = after(shard)
+    assert(!cleanFlag && !okFlag, after.toString)
   }
 
   test("TFRecord ingest: write -> readTfrecords round-trip; strict vs prefix posture") {

@@ -248,6 +248,16 @@ class TarShardsSpec extends GraftSpec {
       1, emptyDir))
     assert(msgs(e3).exists(_.contains("EMPTY entries")),
       msgs(e3).take(3).mkString(" | "))
+    // a DUPLICATE sample id refuses: two same-id samples would write
+    // consecutive same-key files the reader merges — then refuses
+    val dupIdDir = java.nio.file.Files.createTempDirectory("graft_tar_dupid").toString
+    val e4 = intercept[Exception](TarShards.writeShardsTar(
+      entriesDf(Seq(
+        (5L, Seq(("txt", "a".getBytes("UTF-8")))),
+        (5L, Seq(("json", "b".getBytes("UTF-8")))))), "id", "entries",
+      1, dupIdDir))
+    assert(msgs(e4).exists(_.contains("duplicate sample id")),
+      msgs(e4).take(3).mkString(" | "))
     // oversized name: same contract — caught in the validate pass, not
     // mid-stream after hundreds of samples already hit the file
     val bigDir = java.nio.file.Files.createTempDirectory("graft_tar_bigw").toString
