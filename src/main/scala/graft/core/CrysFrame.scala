@@ -183,11 +183,13 @@ final class CrysFrame private (
   def transmute(exprs: (String, Ctx => Column)*): CrysFrame =
     addColumns(exprs: _*).select(exprs.map(_._1): _*)
 
-  /** Prepend a 1-based row-number column (reference: src/crysda/dataframe.cr:100-102). */
+  /** Prepend a 1-based row-number column (reference: src/crysda/dataframe.cr:100-102).
+    * Scale-safe: range sort on the frame's ordering + RDD zipWithIndex
+    * (`Binds.withRowNumber`) — never a partition-less `Window.orderBy`,
+    * which would funnel every row through a single task. */
   def addRowNumber(name: String = "row_number"): CrysFrame = {
     val c = ordered
-    val numbered = c.df.withColumn(name,
-      F.row_number().over(Window.orderBy(c.ords.map(_.key): _*)))
+    val numbered = Binds.withRowNumber(c.df.orderBy(c.ords.map(_.key): _*), name)
     new CrysFrame(numbered, groupedBy, c.ords).moveLeft(name)
   }
 
@@ -239,11 +241,18 @@ final class CrysFrame private (
 
   private def sliceWhere(cond: Column => Column): CrysFrame = {
     val c = ordered
-    val w =
-      if (groupedBy.nonEmpty)
-        Window.partitionBy(groupedBy.map(qcol): _*).orderBy(c.ords.map(_.key): _*)
-      else Window.orderBy(c.ords.map(_.key): _*)
-    val tagged = c.df.withColumn(RN, F.row_number().over(w))
+    val tagged =
+      if (groupedBy.nonEmpty) {
+        // per-group ordinal: the window is PARTITIONED on the keys, so
+        // each group's rows stay on one task — scale-safe as long as no
+        // single group is executor-sized
+        val w = Window.partitionBy(groupedBy.map(qcol): _*)
+          .orderBy(c.ords.map(_.key): _*)
+        c.df.withColumn(RN, F.row_number().over(w))
+      } else
+        // ungrouped global ordinal: range sort + RDD zipWithIndex — a
+        // partition-less Window.orderBy would collapse to one task
+        Binds.withRowNumber(c.df.orderBy(c.ords.map(_.key): _*), RN)
     new CrysFrame(c.restoreOrder(tagged.filter(cond(col(RN))).drop(RN)),
       groupedBy, c.ords)
   }

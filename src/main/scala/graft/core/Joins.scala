@@ -94,7 +94,7 @@ private[core] object Joins {
 /** bind_cols helpers (reference: src/crysda/dataframe.cr:162-182). */
 private[core] object Binds {
   import org.apache.spark.sql.Row
-  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+  import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
   /** Stable 0-based row index via RDD zipWithIndex — one extra job to
     * count partition sizes, but no single-partition shuffle (scales,
@@ -104,6 +104,22 @@ private[core] object Binds {
     df.sparkSession.createDataFrame(
       df.rdd.zipWithIndex().map { case (row, i) => Row.fromSeq(row.toSeq :+ i) },
       schema)
+  }
+
+  /** 1-based Int row number in the df's CURRENT physical order — the
+    * same zipWithIndex pattern as [[withIdx]] (range-sort upstream,
+    * then a narrow per-partition map), never a partition-less
+    * `Window.orderBy` that funnels every row through one task.
+    * Int to match the reference's Int32 ordinal; raises rather than
+    * silently wrapping past 2^31-1 rows. */
+  def withRowNumber(df: DataFrame, name: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(name, IntegerType, false))
+    df.sparkSession.createDataFrame(
+      df.rdd.zipWithIndex().map { case (row, i) =>
+        if (i >= Int.MaxValue)
+          throw new ArithmeticException(s"$name overflows Int32 at row ${i + 1}")
+        Row.fromSeq(row.toSeq :+ (i + 1).toInt)
+      }, schema)
   }
 
   /** Union by name with the reference's conflicting-type re-inference

@@ -192,6 +192,21 @@ class PlanQualitySpec extends GraftSpec {
     assert(!"""\(\d+\) Exchange hashpartitioning""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("ungrouped addRowNumber/slice never plan a partition-less window") {
+    import graft.core.CrysFrame
+    val li = CrysFrame(spark.read.parquet(s"$dir/lineitem.parquet"))
+    for (f <- Seq(
+        li.sortBy("l_orderkey", "l_linenumber").addRowNumber("rn"),
+        li.sortBy("l_orderkey", "l_linenumber").slice(1 to 100))) {
+      // the ordinal comes from a range sort + RDD zipWithIndex: the
+      // visible plan is an RDD scan with the sort in its lineage — no
+      // Window operator, no single-partition Exchange anywhere
+      val p = f.df.queryExecution.explainString(FormattedMode)
+      assert(!p.contains("Window"), p)
+      assert(!p.contains("SinglePartition"), p)
+    }
+  }
+
   test("take/takeLast compile to TakeOrderedAndProject, not a global window") {
     import graft.core.CrysFrame
     val li = CrysFrame(spark.read.parquet(s"$dir/lineitem.parquet"))
