@@ -47,13 +47,22 @@ object Pq {
     * least `k` non-null vectors (seed sample = first k in
     * deterministic xxhash64(id) order — content-stable on any
     * partitioning). `iters` Lloyd rounds refine; empty cells keep
-    * their previous centroid (standard practice, deterministic). */
+    * their previous centroid (standard practice). Only the iters=0
+    * codebook is BIT-reproducible: Lloyd means come from a
+    * distributed double avg whose value depends on accumulation
+    * order (deterministic up to float round-off). */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             m: Int = 8, k: Int = 256, iters: Int = 2,
             seed: Long = 42L): PqModel = {
     require(m >= 1, s"m must be >= 1, got $m")
     require(k >= 1 && k <= 256, s"k must be in [1, 256] (byte codes), got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    // Determinism note: the SEED SAMPLE is bit-reproducible on any
+    // partitioning (hash-ordered limit), so iters=0 codebooks are
+    // bit-identical across runs. Lloyd rounds aggregate centroid means
+    // with a distributed avg over doubles, whose result depends on
+    // partition-level accumulation order — refined codebooks are
+    // deterministic up to float round-off, not bit-identical.
     val vecs = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .filter(col("__v").isNotNull)
     if (iters > 0) vecs.persist() // read once per Lloyd round + the seed scan
@@ -118,6 +127,89 @@ object Pq {
         model.m, model.k, model.subDim))
       .withColumn(normCol, sqrt(Similarity.dot(col(vecCol), col(vecCol))))
 
+  // -------------------------------------------------------------------
+  // shared ADC plumbing (one code path for adcTopK / ivfPqTopK /
+  // ivfPqTopKIndexed — the next ADC change lands once)
+  // -------------------------------------------------------------------
+
+  /** Collect a tiny frame into a driver-local relation. Small frames
+    * referenced more than once (centroid tables, probe sets) become
+    * LocalRelations instead of persisted plans — every consumer reads
+    * them for free and nothing accumulates in the session cache
+    * across repeated calls in a long-lived session. */
+  private def localize(df: DataFrame): (DataFrame, Array[org.apache.spark.sql.Row]) = {
+    val rows = df.collect()
+    (df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema),
+      rows)
+  }
+
+  /** Query side of an ADC probe: per-query m×k lookup table + EXACT
+    * query norm (the only approximation stays in the corpus codes). */
+  private def adcQuerySide(queries: DataFrame, qidCol: String, qvecCol: String,
+                           model: PqModel): DataFrame =
+    queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__q"))
+      .withColumn("__table", PqKernels.pqTable(col("__q"), model.codebook,
+        model.m, model.k, model.subDim))
+      .withColumn("__qn", sqrt(Similarity.dot(col("__q"), col("__q"))))
+
+  /** ADC cosine for a candidate row carrying codes `__c`, norm `__n`
+    * and the query side's `__table`/`__qn`. */
+  private def adcCos(pqK: Int): org.apache.spark.sql.Column =
+    when(col("__n") > 0 && col("__qn") > 0,
+      PqKernels.pqAdcScore(col("__c"), col("__table"), pqK) /
+        (col("__n") * col("__qn")))
+      .otherwise(lit(0.0)).as("cos_sim")
+
+  /** Rank IVF lists per query against the (tiny) centroid table, keep
+    * the top `nProbe` — the probe set. Returned as a driver-local
+    * relation (queries × nProbe rows; the query side is
+    * broadcast-small by contract) because it is consumed two ways —
+    * partition-pruning literal and broadcast candidate join — and a
+    * LocalRelation serves both without a persist leaking into the
+    * session cache. Also returns the distinct probed list ids. */
+  private def probeSet(q: DataFrame, cents: DataFrame, nProbe: Int)
+      : (DataFrame, Seq[Long]) = {
+    val qLists = q.crossJoin(broadcast(cents))
+      .withColumn("__sim", Similarity.cosine(col("__q"), col("cvec")))
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("__sim").desc, col("list_id"))))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_id"), col("__table"), col("__qn"), col("list_id"))
+    val (local, rows) = localize(qLists)
+    (local, rows.map(_.getAs[Long]("list_id")).distinct.toSeq)
+  }
+
+  /** Shared candidate scoring + bounded top-k + optional exact
+    * re-rank. `cands` carries (nn_id, __c, __n, list_id); the probe
+    * side joins in by list id via broadcast. `rerank > 0` re-scores
+    * the top-max(rerank, k) ADC survivors with exact cosine against
+    * `vecSource` (`srcIdCol`, `srcVecCol`) — a queries×rerank-row
+    * join back, negligible next to the scan it replaces. */
+  private def adcScoreTopK(cands: DataFrame, qProbe: DataFrame, pqK: Int,
+                           k: Int, rerank: Int,
+                           vecSource: DataFrame, srcIdCol: String, srcVecCol: String,
+                           queries: DataFrame, qidCol: String, qvecCol: String): DataFrame = {
+    val cand = cands
+      .filter(col("__c").isNotNull)
+      .join(broadcast(qProbe), Seq("list_id"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"), adcCos(pqK))
+    if (rerank <= 0) TopK.perQuery(cand, k)
+    else {
+      val shortList = TopK.perQuery(cand, math.max(rerank, k))
+        .select(col("query_id"), col("nn_id"))
+      val withVecs = shortList
+        .join(vecSource.select(col(srcIdCol).as("nn_id"),
+          col(srcVecCol).as("__v")), Seq("nn_id"))
+        .join(queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__q")),
+          Seq("query_id"))
+        .select(col("query_id"), col("nn_id"),
+          Similarity.cosine(col("__v"), col("__q")).as("cos_sim"))
+      TopK.perQuery(withVecs, k)
+    }
+  }
+
   /** Full-scan ADC top-k over an [[encode]]d corpus: approximate
     * cosine = (Σ table lookups) / (‖v‖·‖q‖). The corpus pays m
     * lookups + one divide per candidate — no vector math. */
@@ -125,21 +217,14 @@ object Pq {
               queries: DataFrame, qidCol: String, qvecCol: String,
               model: PqModel, k: Int = 10, excludeSelf: Boolean = true,
               codesCol: String = "pq_codes", normCol: String = "pq_norm"): DataFrame = {
-    val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__q"))
-      .withColumn("__table", PqKernels.pqTable(col("__q"), model.codebook,
-        model.m, model.k, model.subDim))
-      .withColumn("__qn", sqrt(Similarity.dot(col("__q"), col("__q"))))
+    val q = adcQuerySide(queries, qidCol, qvecCol, model)
     val paired = encoded
       .select(col(idCol).as("nn_id"), col(codesCol).as("__c"), col(normCol).as("__n"))
       .filter(col("__c").isNotNull)
       .crossJoin(broadcast(q))
     val scored = (if (excludeSelf) paired.filter(col("nn_id") =!= col("query_id"))
       else paired)
-      .select(col("query_id"), col("nn_id"),
-        when(col("__n") > 0 && col("__qn") > 0,
-          PqKernels.pqAdcScore(col("__c"), col("__table"), model.k) /
-            (col("__n") * col("__qn")))
-          .otherwise(lit(0.0)).as("cos_sim"))
+      .select(col("query_id"), col("nn_id"), adcCos(model.k))
     TopK.perQuery(scored, k)
   }
 
@@ -191,49 +276,16 @@ object Pq {
     val model = PqModel(mrow.getAs[Int]("m"), mrow.getAs[Int]("k"),
       mrow.getAs[Int]("sub_dim"), mrow.getAs[Seq[Double]]("codebook").toArray)
     val cents = spark.read.parquet(s"$path/centroids")
-    val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__q"))
-      .withColumn("__table", PqKernels.pqTable(col("__q"), model.codebook,
-        model.m, model.k, model.subDim))
-      .withColumn("__qn", sqrt(Similarity.dot(col("__q"), col("__q"))))
-    val qLists = q.crossJoin(broadcast(cents))
-      .withColumn("__sim", Similarity.cosine(col("__q"), col("cvec")))
-      .withColumn("__r", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id")).orderBy(col("__sim").desc, col("list_id"))))
-      .filter(col("__r") <= nProbe)
-      .select(col("query_id"), col("__table"), col("__qn"), col("list_id"))
-      // referenced twice (pruning literal + candidate join): cache so
-      // the per-query ADC tables and centroid ranking compute once
-      .cache()
-    val probed = qLists.select(col("list_id")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    val q = adcQuerySide(queries, qidCol, qvecCol, model)
+    val (qProbe, probed) = probeSet(q, cents, nProbe)
     val lists = spark.read.parquet(s"$path/lists")
       .filter(col("list_id").isin(probed: _*))
     val idCol = lists.columns
       .filterNot(c => c == "list_id" || c == "pq_codes" || c == "pq_norm").head
-    val cand = lists.select(col(idCol).as("nn_id"), col("pq_codes").as("__c"),
-        col("pq_norm").as("__n"), col("list_id"))
-      .filter(col("__c").isNotNull)
-      .join(broadcast(qLists), Seq("list_id"))
-      .filter(col("nn_id") =!= col("query_id"))
-      .select(col("query_id"), col("nn_id"),
-        when(col("__n") > 0 && col("__qn") > 0,
-          PqKernels.pqAdcScore(col("__c"), col("__table"), model.k) /
-            (col("__n") * col("__qn")))
-          .otherwise(lit(0.0)).as("cos_sim"))
-    if (rerank <= 0) TopK.perQuery(cand, k)
-    else {
-      val shortList = TopK.perQuery(cand, math.max(rerank, k))
-        .select(col("query_id"), col("nn_id"))
-      val withVecs = shortList
-        .join(rerankFrom.select(col(rerankIdCol).as("nn_id"),
-          col(rerankVecCol).as("__v")), Seq("nn_id"))
-        .join(queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__q")),
-          Seq("query_id"))
-        .select(col("query_id"), col("nn_id"),
-          Similarity.cosine(col("__v"), col("__q")).as("cos_sim"))
-      TopK.perQuery(withVecs, k)
-    }
+    val cands = lists.select(col(idCol).as("nn_id"), col("pq_codes").as("__c"),
+      col("pq_norm").as("__n"), col("list_id"))
+    adcScoreTopK(cands, qProbe, model.k, k, rerank,
+      rerankFrom, rerankIdCol, rerankVecCol, queries, qidCol, qvecCol)
   }
 
   /** IVF-PQ with optional exact re-rank: IVF centroids bound WHICH
@@ -250,42 +302,18 @@ object Pq {
                 iters: Int = 2, seed: Long = 42L,
                 rerank: Int = 0): DataFrame = {
     val model = train(corpus, idCol, vecCol, m, pqK, iters, seed)
-    val cents = Similarity.centroids(corpus, idCol, vecCol, nLists,
-      refineIters = 1, seed = seed).cache()
+    // nLists rows: a driver-local relation lets both consumers (list
+    // assignment + probe ranking) read the heavy centroid aggregation
+    // once, with nothing persisted into the session cache
+    val (cents, _) = localize(Similarity.centroids(corpus, idCol, vecCol,
+      nLists, refineIters = 1, seed = seed))
     val assigned = Similarity.assignLists(corpus, idCol, vecCol, cents)
     val encoded = encode(assigned, vecCol, model)
-    val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__q"))
-      .withColumn("__table", PqKernels.pqTable(col("__q"), model.codebook,
-        model.m, model.k, model.subDim))
-      .withColumn("__qn", sqrt(Similarity.dot(col("__q"), col("__q"))))
-    val qLists = q.crossJoin(broadcast(cents))
-      .withColumn("__sim", Similarity.cosine(col("__q"), col("cvec")))
-      .withColumn("__r", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id")).orderBy(col("__sim").desc, col("list_id"))))
-      .filter(col("__r") <= nProbe)
-      .select(col("query_id"), col("__table"), col("__qn"), col("list_id"))
-    val cand = encoded
-      .select(col(idCol).as("nn_id"), col("pq_codes").as("__c"),
-        col("pq_norm").as("__n"), col("list_id"))
-      .filter(col("__c").isNotNull)
-      .join(broadcast(qLists), Seq("list_id"))
-      .filter(col("nn_id") =!= col("query_id"))
-      .select(col("query_id"), col("nn_id"),
-        when(col("__n") > 0 && col("__qn") > 0,
-          PqKernels.pqAdcScore(col("__c"), col("__table"), model.k) /
-            (col("__n") * col("__qn")))
-          .otherwise(lit(0.0)).as("cos_sim"))
-    if (rerank <= 0) TopK.perQuery(cand, k)
-    else {
-      val shortList = TopK.perQuery(cand, math.max(rerank, k))
-        .select(col("query_id"), col("nn_id"))
-      val withVecs = shortList
-        .join(corpus.select(col(idCol).as("nn_id"), col(vecCol).as("__v")), Seq("nn_id"))
-        .join(queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__q")), Seq("query_id"))
-        .select(col("query_id"), col("nn_id"),
-          Similarity.cosine(col("__v"), col("__q")).as("cos_sim"))
-      TopK.perQuery(withVecs, k)
-    }
+    val q = adcQuerySide(queries, qidCol, qvecCol, model)
+    val (qProbe, _) = probeSet(q, cents, nProbe)
+    val cands = encoded.select(col(idCol).as("nn_id"), col("pq_codes").as("__c"),
+      col("pq_norm").as("__n"), col("list_id"))
+    adcScoreTopK(cands, qProbe, model.k, k, rerank,
+      corpus, idCol, vecCol, queries, qidCol, qvecCol)
   }
 }

@@ -95,7 +95,10 @@ object Export {
     * an RDD `zipWithIndex` — never a single-partition window, which
     * is how a naive `row_number() OVER (ORDER BY score)` would
     * execute. The sorted RDD is persisted because zipWithIndex runs
-    * one extra partition-counting job before the data pass. Null
+    * one extra partition-counting job before the data pass; the
+    * returned frame stays lazy, so the persist is released by LRU
+    * eviction (same contract as keepBestPerCluster), not an eager
+    * unpersist that would force a recompute on first read. Null
     * scores or ids refuse: Spark orders nulls first, SQL engines
     * default to nulls last — a silent cross-engine layout divergence
     * otherwise. */

@@ -45,7 +45,8 @@ object TarShards {
     var sum = 0
     var i = 0
     while (i < Block) { sum += h(i) & 0xff; i += 1 }
-    put(f"$sum%06o", 148, 7)           // 6 octal digits + NUL, then space
+    put(f"$sum%06o", 148, 7)           // 6 octal digits…
+    h(154) = 0                         // …then NUL, then space (POSIX layout)
     h(155) = ' '
     out.write(h)
     out.write(data)

@@ -297,12 +297,40 @@ object Warc {
         if (host.isEmpty || body == null) Iterator.empty
         else parseRobotsTxt(new String(body,
             java.nio.charset.StandardCharsets.UTF_8)) // replacement decode
-          .iterator.map { case (allow, pattern) =>
-            (host, allow, pattern, repToRegex(pattern), pattern.length)
+          .iterator.flatMap { case (allow, pattern) =>
+            // precedence length is OCTETS (RFC 9309 §2.2.2), not UTF-16
+            // code units — a non-ASCII pattern tie-breaks by bytes
+            val plen = pattern.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+            cappedPattern(allow, pattern).map(p =>
+              (host, allow, pattern, repToRegex(p), plen))
           }
       }
       .toDF("host", "allow", "pattern", "rx", "plen")
       .distinct()
+  }
+
+  /** Robots patterns are CRAWL-CONTROLLED content compiled into a
+    * regex evaluated per page — a pattern with many `*` wildcards
+    * makes the backtracking match pathologically slow. Bound the
+    * cost: collapse `*` runs (semantics-free), then cap the star
+    * count at [[MaxStarsPerPattern]]. Both cap fallbacks err toward
+    * EXCLUDING content (the safe direction for robots etiquette): an
+    * over-budget Disallow truncates to an open prefix right after
+    * the cap-th star (matches a superset → blocks more), an
+    * over-budget Allow drops entirely (allows less). */
+  private[graft] val MaxStarsPerPattern = 10
+  private[graft] def cappedPattern(allow: Boolean, pattern: String): Option[String] = {
+    val collapsed = pattern.replaceAll("\\*+", "*")
+    if (collapsed.count(_ == '*') <= MaxStarsPerPattern) Some(collapsed)
+    else if (allow) None
+    else {
+      var stars = 0; var i = 0
+      while (stars < MaxStarsPerPattern) {
+        if (collapsed.charAt(i) == '*') stars += 1
+        i += 1
+      }
+      Some(collapsed.substring(0, i))
+    }
   }
 
   /** Lowercased authority (host[:port]) of a URL, "" when unparseable. */

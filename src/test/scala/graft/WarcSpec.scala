@@ -220,6 +220,22 @@ class WarcSpec extends GraftSpec {
       .matcher("/aXb").find())
   }
 
+  test("robots patterns: octet-length precedence, star collapse, star-budget cap") {
+    // precedence length is octets, not UTF-16 chars: "/é" is 3 bytes
+    val bytes = "/é".getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    assert(bytes == 3 && "/é".length == 2)
+    // collapse is semantics-free and under-budget patterns survive
+    assert(Warc.cappedPattern(allow = false, "/a***b") == Some("/a*b"))
+    // over-budget Disallow truncates to an open prefix after the
+    // cap-th star (blocks MORE — the safe direction)...
+    val wild = "/x" + "*a" * (Warc.MaxStarsPerPattern + 3)
+    val capped = Warc.cappedPattern(allow = false, wild).get
+    assert(capped.count(_ == '*') == Warc.MaxStarsPerPattern, capped)
+    assert(capped.endsWith("*") && wild.startsWith(capped), capped)
+    // ...while an over-budget Allow drops entirely (allows LESS)
+    assert(Warc.cappedPattern(allow = true, wild).isEmpty)
+  }
+
   test("a path-less URL with a query is '/' for rule matching (Disallow: / catches it)") {
     import spark.implicits._
     val rules = Seq(("example.com", false, "/", "^/", 1))
