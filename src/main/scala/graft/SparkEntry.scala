@@ -3,7 +3,7 @@ package graft
 import graft.core.{Agg, CrysFrame, sel}
 import graft.ml.{Dedup, HeavyHitters, Sampling, Similarity}
 import graft.operators.{AsOfJoin, BloomPrune}
-import graft.sources.{Readers, ZOrder}
+import graft.sources.{Readers, Warc, ZOrder}
 import graft.text.{Search, TextFunctions}
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -522,6 +522,89 @@ object SparkEntry {
       cf(s, d, "nation").out.write.mode("overwrite").json(path)
       Readers.readJson(s, path, multiLine = false)
         .select("n_nationkey", "n_name", "n_regionkey").sortBy("n_nationkey").out
+    }),
+
+    // WARC crawl ingest e2e (sources.Warc): deterministic crawl
+    // segments are written from the documents table (one per
+    // partition plus a robots.txt segment — ISO 28500 framing via
+    // Warc.fixtureRecord), then the REAL pipeline runs: readWarc →
+    // htmlResponses (status/content-type gate, declared-charset
+    // decode) → robots gate from the crawl's OWN robots.txt →
+    // noindex drop → stripHtml + canonicalizeUrl. Url classes by
+    // doc_id % 4:
+    //   0 → /private/<id>      robots-blocked (Disallow: /private/)
+    //   1 → /private/pub/<id>  kept — the LONGER Allow outranks it
+    //   2 → upper-case host, :80, utm + fragment — kept, canon work
+    //   3 → <meta robots noindex> page — dropped by dropNoindex
+    // Request/404/image records salt every segment and must vanish at
+    // htmlResponses. The oracle rebuilds the kept classes in SQL: the
+    // canonical-url literals + q_strip_html's strip-chain mirror.
+    "q_warc_ingest" -> ((s, d) => {
+      val dir = s"/tmp/graft_warc_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create(dir), s.sparkContext.hadoopConfiguration)
+      val root = new org.apache.hadoop.fs.Path(dir)
+      fs.delete(root, true); fs.mkdirs(root)
+      val robots = "User-agent: *\nDisallow: /private/\nAllow: /private/pub\n"
+      val ro = fs.create(new org.apache.hadoop.fs.Path(s"$dir/robots.warc"), true)
+      ro.write(Warc.fixtureRecord("response", "http://example.com/robots.txt",
+        Warc.fixtureHttp(robots.getBytes("UTF-8"), ct = "text/plain")))
+      ro.close()
+      // segment writer runs ON THE EXECUTORS (one file per partition,
+      // content deterministic by repartition key + in-partition sort,
+      // so a task retry rewrites identical bytes)
+      t(s, d, "documents").filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select("doc_id", "lang", "text")
+        .repartition(4, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          if (it.hasNext) {
+            val out = new java.io.ByteArrayOutputStream()
+            // noise the pipeline must drop: request record, 404, non-html
+            out.write(Warc.fixtureRecord("request", "http://example.com/a",
+              "GET /a HTTP/1.1\r\n\r\n".getBytes("ISO-8859-1")))
+            out.write(Warc.fixtureRecord("response", "http://example.com/gone",
+              Warc.fixtureHttp("gone".getBytes("UTF-8"), status = 404)))
+            out.write(Warc.fixtureRecord("response", "http://example.com/img",
+              Warc.fixtureHttp(Array[Byte](1, 2, 3), ct = "image/png")))
+            it.foreach { r =>
+              val id = r.getLong(0)
+              val uri = (id % 4) match {
+                case 0 => s"http://example.com/private/$id"
+                case 1 => s"http://example.com/private/pub/$id"
+                case 2 => s"HTTP://Example.COM:80/Docs/$id?utm_source=feed&id=$id#sec"
+                case _ => s"http://example.com/meta/$id"
+              }
+              val html =
+                if (id % 4 == 3)
+                  "<html><head><meta name=\"robots\" content=\"noindex\"></head>" +
+                    "<body>secret</body></html>"
+                else // the q_strip_html wrapper VERBATIM (shared oracle mirror)
+                  "<html><head><title>d</title><style type=\"text/css\">p { color: #333; }" +
+                    "</style></head><body><h1 class=\"hd\">" + r.getString(1) +
+                    "</h1><!-- note --><p>" + r.getString(2) +
+                    "</p><script>if (1 &lt; 2) { x = 1; }</script>" +
+                    "<div>tail &amp;amp; &quot;q&quot;&nbsp;&#39;e&#39; &amp; &lt;b&gt;</div>" +
+                    "</body></html>"
+              out.write(Warc.fixtureRecord("response", uri,
+                Warc.fixtureHttp(html.getBytes("UTF-8"))))
+            }
+            val pfs = org.apache.hadoop.fs.FileSystem.get(
+              java.net.URI.create(dir), new org.apache.hadoop.conf.Configuration())
+            val f = pfs.create(new org.apache.hadoop.fs.Path(
+              f"$dir/part-${org.apache.spark.TaskContext.getPartitionId()}%05d.warc"), true)
+            f.write(out.toByteArray); f.close()
+          }
+        }
+      val warc = Warc.readWarc(s, s"$dir/*.warc")
+      val pages = Warc.htmlResponses(warc)
+      val gated = Warc.dropNoindex(
+        Warc.filterRobotsAllowed(pages, "url", Warc.robotsRules(warc)), "html")
+      CrysFrame(gated.select(
+          TextFunctions.canonicalizeUrl(col("url")).as("url_canon"),
+          TextFunctions.stripHtml(col("html")).as("text_plain"))
+        .withColumn("n_plain", length(col("text_plain")).cast("long")))
+        .sortBy("url_canon").out
     }),
 
     // ---------------- extensions: as-of / windows over time ----------------
@@ -1954,6 +2037,42 @@ object SparkEntry {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // kept classes only (doc_id % 4 IN (1, 2) of the % 5 = 0 slice):
+    // class 0 is robots-blocked, class 3 is a noindex page; the
+    // canonical urls are written as LITERALS (the expected output of
+    // canonicalizeUrl on the fixture urls) and the text goes through
+    // q_strip_html's strip-chain mirror on the identical wrapper
+    "q_warc_ingest" ->
+      """WITH sub AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id % 4 IN (1, 2)),
+        |h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 1
+        |         THEN 'http://example.com/private/pub/' || CAST(doc_id AS VARCHAR)
+        |         ELSE 'http://example.com/Docs/' || CAST(doc_id AS VARCHAR)
+        |              || '?id=' || CAST(doc_id AS VARCHAR) END AS url_canon,
+        |    '<html><head><title>d</title><style type="text/css">p { color: #333; }</style></head><body><h1 class="hd">'
+        |    || lang || '</h1><!-- note --><p>' || text ||
+        |    '</p><script>if (1 &lt; 2) { x = 1; }</script><div>tail &amp;amp; &quot;q&quot;&nbsp;&#39;e&#39; &amp; &lt;b&gt;</div></body></html>'
+        |    AS html
+        |  FROM sub),
+        |s AS (SELECT url_canon, trim(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    html,
+        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '<[^>]+>', ' ', 'g'),
+        |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |      '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+        |    '\s+', ' ', 'g')) AS text_plain
+        |  FROM h)
+        |SELECT url_canon, text_plain,
+        |  CAST(length(text_plain) AS BIGINT) AS n_plain
+        |FROM s ORDER BY url_canon""".stripMargin,
 
     "q_asof_join" ->
       """SELECT a.event_id, a.user_id, a.value, b.value AS last_purchase_value

@@ -224,6 +224,35 @@ object Warc {
   def parseWarc(bytes: Array[Byte]): Vector[WarcRecord] =
     parseRecords(if (isGzip(bytes)) inflate(bytes) else bytes)
 
+  // ------------------------------------------------- fixture builders
+
+  /** Deterministic WARC record bytes for fixtures (ISO 28500 framing)
+    * — the q_warc_ingest driver query writes its synthetic crawl
+    * segments with these. (WarcSpec keeps its OWN generators so the
+    * parser is still tested against independently hand-built bytes.) */
+  private[graft] def fixtureRecord(wtype: String, uri: String, payload: Array[Byte],
+                                   date: String = "2024-01-01T00:00:00Z"): Array[Byte] = {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val h = new StringBuilder()
+      .append("WARC/1.0\r\n")
+      .append(s"WARC-Type: $wtype\r\n")
+      .append(if (uri.nonEmpty) s"WARC-Target-URI: $uri\r\n" else "")
+      .append(s"WARC-Date: $date\r\n")
+      .append("Content-Type: application/http;msgtype=response\r\n")
+      .append(s"Content-Length: ${payload.length}\r\n")
+      .append("\r\n").toString.getBytes(iso)
+    h ++ payload ++ "\r\n\r\n".getBytes(iso)
+  }
+
+  /** HTTP response payload for [[fixtureRecord]]: status line +
+    * Content-Type/-Length headers + body. */
+  private[graft] def fixtureHttp(body: Array[Byte], status: Int = 200,
+                                 ct: String = "text/html; charset=utf-8"): Array[Byte] = {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    (s"HTTP/1.1 $status OK\r\nContent-Type: $ct\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(iso) ++ body
+  }
+
   /** Distributed WARC ingest: one row per record with the envelope
     * fields, HTTP status/type, and the payload body as binary.
     * `pathGlob` rides `binaryFile`'s glob pushdown (distributed file
