@@ -986,10 +986,30 @@ object SparkEntry {
       CrysFrame(lshKeepL.union(mismatch)).sortBy("doc_id").out
     }),
 
-    "q_dedup_minhash" -> ((s, d) =>
-      CrysFrame(Dedup.minhashDedup(t(s, d, "documents"), "doc_id", "text",
+    "q_dedup_minhash" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val keep = Dedup.minhashDedup(docs, "doc_id", "text",
         numHashes = 64, bands = 16, threshold = 0.7, shingleSize = 4)
-        .select("doc_id")).sortBy("doc_id").out),
+        .select("doc_id")
+      // in-query certificate: the SCALE path (bounded MinK anchor
+      // aggregate + probe kernel) must produce the same keep-set as
+      // the independent pair-join formulation of the identical
+      // contract (window-capped bucket self-join + signature verify).
+      // Exhaustive-Jaccard equality is NOT asserted — the band
+      // structure is part of the operator's definition — but the two
+      // implementations must agree row-for-row; divergence raises
+      // in-band instead of shipping a wrong keep-set.
+      val dups = Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.7, shingleSize = 4)
+        .select(col("id_b").as("doc_id")).distinct()
+      val pairKeep = docs.select("doc_id").join(dups, Seq("doc_id"), "left_anti")
+      val mismatch = keep.join(pairKeep, Seq("doc_id"), "left_anti")
+        .union(pairKeep.join(keep, Seq("doc_id"), "left_anti"))
+        .select(raise_error(concat(
+          lit("minhash anchor/pair keep-set mismatch at doc_id="),
+          col("doc_id").cast("string"))).cast("long").as("doc_id"))
+      CrysFrame(keep.union(mismatch)).sortBy("doc_id").out
+    }),
 
     // duplicate-CLUSTER dedup (connected components over the verified
     // candidate graph) — deterministic kept set; hash family not
@@ -1002,10 +1022,33 @@ object SparkEntry {
 
     // maxDist = 3: the 4-block pigeonhole scheme's guaranteed-recall
     // bound (larger distances would silently under-recall)
-    "q_simhash_pairs" -> ((s, d) =>
-      CrysFrame(Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxDist = 3)
-        .withColumn("hamming", col("hamming").cast("int")))
-        .sortBy("id_a", "id_b").out),
+    "q_simhash_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val blocked = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+        .withColumn("hamming", col("hamming").cast("int"))
+        .select("id_a", "id_b", "hamming")
+      // in-query certificate: pigeonhole blocking GUARANTEES recall
+      // at maxDist ≤ 3, so the blocked pairs must EQUAL the
+      // exhaustive all-pairs Hamming probe exactly — any divergence
+      // (lost pair, phantom pair, wrong distance) raises in-band.
+      // The probe is the certificate's cost: |docs|² bit_counts, no
+      // strings or signatures in the cross join.
+      val hashes = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("__sh"))
+      val a = hashes.select(col("doc_id").as("id_a"), col("__sh").as("__ha"))
+      val b = hashes.select(col("doc_id").as("id_b"), col("__sh").as("__hb"))
+      val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Dedup.hamming(col("__ha"), col("__hb")).cast("int").as("hamming"))
+        .filter(col("hamming") <= 3)
+      val mismatch = blocked.join(exact, Seq("id_a", "id_b", "hamming"), "left_anti")
+        .union(exact.join(blocked, Seq("id_a", "id_b", "hamming"), "left_anti"))
+        .select(
+          raise_error(concat(lit("simhash blocked/exhaustive pair mismatch at ("),
+            col("id_a").cast("string"), lit(","), col("id_b").cast("string"),
+            lit(")"))).cast("long").as("id_a"),
+          col("id_b"), col("hamming"))
+      CrysFrame(blocked.union(mismatch)).sortBy("id_a", "id_b").out
+    }),
 
     // exact n-gram Jaccard over a bounded slice (the verify kernel of the
     // candidate→verify dedup, oracle-checked); the LSH candidate path is
