@@ -56,80 +56,143 @@ object TarShards {
 
   private[graft] def tarFooter: Array[Byte] = new Array[Byte](2 * Block)
 
-  /** Parse a USTAR stream to (name, payload) entries. Checksums are
-    * VERIFIED; `strict` throws on corruption, else the walk ends at
-    * the last good entry (clean-prefix posture). Strict additionally
-    * requires the end-of-archive marker and zero-only bytes after it
-    * (a shard truncated at an entry boundary loses its tail WITHOUT
-    * corrupting any surviving header — only the missing footer
-    * betrays it, and a training-data read must not silently shrink). */
+  /** Parse a whole in-memory USTAR archive — thin eager wrapper over
+    * [[parseTarStream]] (one verification code path) for callers that
+    * already hold the bytes (the shard audit, specs). */
   private[graft] def parseTar(bytes: Array[Byte],
-                              strict: Boolean): Vector[(String, Array[Byte])] = {
-    val out = Vector.newBuilder[(String, Array[Byte])]
-    var pos = 0
-    var walk = true
-    var sawEnd = false
-    def fail(msg: String): Unit =
-      if (strict) throw new IllegalArgumentException(s"parseTar: $msg at byte $pos")
-      else walk = false
-    while (walk && pos + Block <= bytes.length) {
-      if (bytes.slice(pos, pos + Block).forall(_ == 0)) { // end marker
-        sawEnd = true; walk = false
+                              strict: Boolean): Vector[(String, Array[Byte])] =
+    parseTarStream(new java.io.ByteArrayInputStream(bytes), strict).toVector
+
+  /** INCREMENTAL USTAR walk: one 512-byte header, then that entry's
+    * payload (the peak allocation — entry-sized, never shard-sized),
+    * then padding, per step. Checksums are VERIFIED; `strict` throws
+    * on corruption, else the walk ends at the last good entry
+    * (clean-prefix posture). Strict additionally requires the
+    * end-of-archive marker and zero-only bytes after it (a shard
+    * truncated at an entry boundary loses its tail WITHOUT corrupting
+    * any surviving header — only the missing footer betrays it, and a
+    * training-data read must not silently shrink). The caller owns
+    * the stream; exhausting the iterator reads to the relevant end
+    * but does NOT close it. */
+  private[graft] def parseTarStream(in: java.io.InputStream, strict: Boolean)
+      : Iterator[(String, Array[Byte])] =
+    new scala.collection.AbstractIterator[(String, Array[Byte])] {
+      private var pos = 0L          // offset of the CURRENT header
+      private var done = false
+      private var pending: (String, Array[Byte]) = null
+      private var advanced = false
+      private val h = new Array[Byte](Block)
+
+      private def fail(msg: String): Unit = {
+        done = true
+        if (strict) throw new IllegalArgumentException(s"parseTar: $msg at byte $pos")
       }
-      else {
-        var sum = 0
-        var i = 0
-        while (i < Block) {
-          sum += (if (i >= 148 && i < 156) ' '.toInt else bytes(pos + i) & 0xff)
-          i += 1
+
+      /** Read exactly n bytes into buf; returns the count actually
+        * read (< n only at EOF). */
+      private def readFully(buf: Array[Byte], n: Int): Int = {
+        var off = 0
+        var r = 0
+        while (off < n && { r = in.read(buf, off, n - off); r >= 0 }) off += r
+        off
+      }
+
+      private def advance(): Unit = {
+        pending = null
+        while (pending == null && !done) {
+          val got = readFully(h, Block)
+          if (got == 0) {
+            // clean EOF at a block boundary without the end marker:
+            // truncation at an entry boundary
+            done = true
+            if (strict) throw new IllegalArgumentException(
+              s"parseTar: missing end-of-archive marker (truncated?) at byte $pos " +
+                s"of $pos")
+          } else if (got < Block) {
+            // trailing partial block
+            done = true
+            if (strict) throw new IllegalArgumentException(
+              s"parseTar: missing end-of-archive marker (truncated?) at byte $pos " +
+                s"of ${pos + got}")
+          } else if (h.forall(_ == 0)) { // end marker
+            done = true
+            if (strict) {
+              var at = pos + Block
+              val chunk = new Array[Byte](8192)
+              var r = in.read(chunk)
+              while (r > 0) {
+                var i = 0
+                while (i < r) {
+                  if (chunk(i) != 0) throw new IllegalArgumentException(
+                    "parseTar: non-zero trailing bytes after end-of-archive " +
+                      s"marker at byte ${at + i}")
+                  i += 1
+                }
+                at += r
+                r = in.read(chunk)
+              }
+            }
+          } else {
+            var sum = 0
+            var i = 0
+            while (i < Block) {
+              sum += (if (i >= 148 && i < 156) ' '.toInt else h(i) & 0xff)
+              i += 1
+            }
+            // octal fields terminate at NUL OR space (POSIX allows
+            // both); the NAME field terminates at NUL ONLY — a space
+            // is a legal filename byte ('cover image.jpg'), and
+            // space-terminating it would silently truncate
+            // round-tripped names
+            def octal(off: Int, len: Int): String = {
+              val end = (off until off + len)
+                .find(j => h(j) == 0 || h(j) == ' ')
+                .getOrElse(off + len)
+              new String(h, off, end - off, "UTF-8")
+            }
+            val declared = scala.util.Try(
+              java.lang.Long.parseLong(octal(148, 8).trim, 8)).getOrElse(-1L)
+            val size = scala.util.Try(
+              java.lang.Long.parseLong(octal(124, 12).trim, 8)).getOrElse(-1L)
+            if (declared != sum) fail(s"header checksum $declared != $sum")
+            else if (size < 0) fail(s"bad entry size $size")
+            else if (size > Int.MaxValue - 16)
+              // a JVM byte[] caps one ENTRY at 2 GB; shards themselves
+              // are unbounded now that the walk streams
+              fail(s"tar entry over 2 GB ($size bytes)")
+            else {
+              val data = new Array[Byte](size.toInt)
+              val pad = ((Block - size % Block) % Block).toInt
+              if (readFully(data, size.toInt) < size.toInt)
+                fail(s"bad entry size $size")
+              else if (pad > 0 && {
+                  val pb = new Array[Byte](pad); readFully(pb, pad) < pad })
+                fail(s"bad entry size $size")
+              else {
+                val nameEnd = (0 until 100).find(h(_) == 0).getOrElse(100)
+                val name = new String(h, 0, nameEnd, "UTF-8")
+                val isFile = h(156) == '0' || h(156) == 0
+                pos += Block + size + pad
+                // only regular files carry sample data; other types skip
+                if (isFile) pending = (name, data)
+              }
+            }
+          }
         }
-        // octal fields terminate at NUL OR space (POSIX allows both);
-        // the NAME field terminates at NUL ONLY — a space is a legal
-        // filename byte ('cover image.jpg'), and space-terminating it
-        // would silently truncate round-tripped names
-        def octal(off: Int, len: Int): String = {
-          val end = (off until off + len)
-            .find(j => bytes(pos + j) == 0 || bytes(pos + j) == ' ')
-            .getOrElse(off + len)
-          new String(bytes, pos + off, end - off, "UTF-8")
-        }
-        val declared = scala.util.Try(
-          java.lang.Long.parseLong(octal(148, 8).trim, 8)).getOrElse(-1L)
-        val size = scala.util.Try(
-          java.lang.Long.parseLong(octal(124, 12).trim, 8)).getOrElse(-1L)
-        if (declared != sum) fail(s"header checksum $declared != $sum")
-        else if (size < 0 || pos + Block + size > bytes.length)
-          fail(s"bad entry size $size")
-        else {
-          val nameEnd = (0 until 100)
-            .find(j => bytes(pos + j) == 0).getOrElse(100)
-          val name = new String(bytes, pos, nameEnd, "UTF-8")
-          val data = java.util.Arrays.copyOfRange(
-            bytes, pos + Block, pos + Block + size.toInt)
-          // only regular files carry sample data; other types skip
-          if (bytes(pos + 156) == '0' || bytes(pos + 156) == 0)
-            out += ((name, data))
-          val padded = Block + ((size + Block - 1) / Block) * Block
-          pos += padded.toInt
-        }
+      }
+
+      override def hasNext: Boolean = {
+        if (!advanced && !done) { advance(); advanced = true }
+        pending != null
+      }
+      override def next(): (String, Array[Byte]) = {
+        if (!hasNext) throw new NoSuchElementException("parseTarStream")
+        advanced = false
+        val e = pending
+        pending = null
+        e
       }
     }
-    if (strict && walk && !sawEnd)
-      // loop exhausted the bytes without an end marker: truncation at
-      // an entry boundary, or a trailing partial block
-      throw new IllegalArgumentException(
-        s"parseTar: missing end-of-archive marker (truncated?) at byte $pos " +
-          s"of ${bytes.length}")
-    if (strict && sawEnd) {
-      var i = pos
-      while (i < bytes.length) {
-        if (bytes(i) != 0) throw new IllegalArgumentException(
-          s"parseTar: non-zero trailing bytes after end-of-archive marker at byte $i")
-        i += 1
-      }
-    }
-    out.result()
-  }
 
   /** Export samples as WebDataset tar shards: `entriesCol` is
     * `array<struct<name: string, content: binary>>` — each element
@@ -228,44 +291,90 @@ object TarShards {
   def readTarSamples(spark: SparkSession, pathGlob: String,
                      strict: Boolean = true): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(pathGlob)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (path, bytes) =>
-        val files = parseTar(bytes, strict)
-        val out = Vector.newBuilder[(String, String, Map[String, Array[Byte]])]
-        var curKey: String = null
-        var cur = Vector.empty[(String, Array[Byte])]
-        def flush(): Unit = if (curKey != null) {
+    val rdd = shardStreams(spark, pathGlob) { (path, files) =>
+      // run-length sample grouping, ONE sample buffered at a time —
+      // peak task memory is the largest sample, not the shard
+      new scala.collection.AbstractIterator[(String, String, Map[String, Array[Byte]])] {
+        private val buf = files.buffered
+        private def keyOf(nm: String): String = {
+          val dot = nm.indexOf('.')
+          if (dot < 0) nm else nm.substring(0, dot)
+        }
+        override def hasNext: Boolean = buf.hasNext
+        override def next(): (String, String, Map[String, Array[Byte]]) = {
+          val key = keyOf(buf.head._1)
+          var cur = Vector.empty[(String, Array[Byte])]
+          while (buf.hasNext && keyOf(buf.head._1) == key) {
+            val (nm, data) = buf.next()
+            val dot = nm.indexOf('.')
+            val suffix = if (dot < 0) "" else nm.substring(dot + 1)
+            cur = cur :+ (suffix -> data)
+          }
           val m = cur.toMap
           require(m.size == cur.size,
-            s"readTarSamples: duplicate suffix within sample '$curKey' in $path")
-          out += ((path, curKey, m))
-          cur = Vector.empty
+            s"readTarSamples: duplicate suffix within sample '$key' in $path")
+          (path, key, m)
         }
-        files.foreach { case (nm, data) =>
-          val dot = nm.indexOf('.')
-          val key = if (dot < 0) nm else nm.substring(0, dot)
-          val suffix = if (dot < 0) "" else nm.substring(dot + 1)
-          if (key != curKey) { flush(); curKey = key }
-          cur = cur :+ (suffix -> data)
-        }
-        flush()
-        out.result().iterator
-      })
-      .toDF("path", "key", "entries")
+      }
+    }(strict)
+    spark.createDataset(rdd).toDF("path", "key", "entries")
   }
 
   /** Flat file rows of tar shards: (path, name, content). */
   def readTarFiles(spark: SparkSession, pathGlob: String,
                    strict: Boolean = true): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(pathGlob)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (path, bytes) =>
-        parseTar(bytes, strict).iterator.map { case (nm, data) => (path, nm, data) }
-      })
-      .toDF("path", "name", "content")
+    val rdd = shardStreams(spark, pathGlob) { (path, files) =>
+      files.map { case (nm, data) => (path, nm, data) }
+    }(strict)
+    spark.createDataset(rdd).toDF("path", "name", "content")
+  }
+
+  /** Shared streaming scaffold for the shard readers: driver-side
+    * glob listing (the same listing binaryFile performed), ONE task
+    * per shard file, and a per-task incremental [[parseTarStream]]
+    * walk over a Hadoop FS input stream — peak task memory is
+    * bounded by the largest ENTRY, not the shard, and the old
+    * binaryFile 2 GB whole-shard ceiling is gone. The stream closes
+    * at task completion (and eagerly when a transform exhausts it). */
+  private def shardStreams[T: scala.reflect.ClassTag](
+      spark: SparkSession, pathGlob: String)(
+      f: (String, Iterator[(String, Array[Byte])]) => Iterator[T])(
+      strict: Boolean): org.apache.spark.rdd.RDD[T] = {
+    val glob = new org.apache.hadoop.fs.Path(pathGlob)
+    val fs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(glob)).map(_.toSeq).getOrElse(Seq.empty)
+    val paths = matched
+      .flatMap(st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+        else Seq(st))
+      .map(_.getPath.toString).sorted
+    // a typo'd path must fail loudly (as binaryFile did), not read an
+    // empty corpus into a training run
+    if (paths.isEmpty)
+      throw new IllegalArgumentException(s"readTar*: no files match $pathGlob")
+    val bc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    spark.sparkContext
+      .parallelize(paths, math.max(1, paths.size))
+      .flatMap { path =>
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val in = new java.io.BufferedInputStream(
+          hp.getFileSystem(bc.value.value).open(hp), 1 << 16)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null)
+          tc.addTaskCompletionListener[Unit](_ =>
+            try in.close() catch { case _: Throwable => () })
+        val out = f(path, parseTarStream(in, strict))
+        new scala.collection.AbstractIterator[T] {
+          override def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h) { try in.close() catch { case _: Throwable => () } }
+            h
+          }
+          override def next(): T = out.next()
+        }
+      }
   }
 }

@@ -145,6 +145,27 @@ class TarShardsSpec extends GraftSpec {
       s"every PNG re-encode must collapse onto its BMP original: $kept")
   }
 
+  test("tar walk is INCREMENTAL: first entry pulled consumes one entry, not the shard") {
+    val bos = new java.io.ByteArrayOutputStream()
+    for (i <- 0 until 100)
+      TarShards.writeTarEntry(bos, f"$i%06d.bin", Array.fill(10000)(i.toByte))
+    bos.write(TarShards.tarFooter)
+    val bytes = bos.toByteArray
+    class CountingIn(b: Array[Byte]) extends java.io.ByteArrayInputStream(b) {
+      def consumed: Int = pos
+    }
+    val cin = new CountingIn(bytes)
+    val it = TarShards.parseTarStream(cin, strict = true)
+    val (nm, data) = it.next()
+    assert(nm == "000000.bin" && data.length == 10000)
+    // peak consumption after one pull: one header + one padded payload
+    // (+ one lookahead header) — the other 99 entries are untouched,
+    // so task memory is bounded by the ENTRY, not the shard
+    assert(cin.consumed <= 2 * 512 + 10240,
+      s"consumed=${cin.consumed} of ${bytes.length}")
+    assert(it.size == 99)
+  }
+
   test("sample ingest is MAP-ONLY: no Exchange — grouping rides tar adjacency") {
     val df = (1L to 4L).map(sample).toDF("id", "entries")
       .withColumn("entries", expr(
