@@ -73,21 +73,83 @@ object Bench {
         .select("doc_id")
     }))
 
+  /** Export/IO group: the write paths BENCH previously never saw — a
+    * regression there (e.g. losing the identity shard→task
+    * partitioner) was invisible. Self-contained Unit actions writing
+    * under /tmp; the audit reuses the tfrecord export's directory and
+    * manifest (written by the preceding entry — list order matters). */
+  private val exportHeadline = Seq(
+    "x_write_shards", "x_write_tfrecord", "x_write_tar",
+    "x_zorder_write", "x_audit_shards")
+
+  private var tfManifest: DataFrame = null
+
+  private def exportDir(kind: String, sfDir: String): String =
+    s"/tmp/graft_bench_${kind}_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+
+  private val exportBench: Map[String, (SparkSession, String) => Unit] = Map(
+    "x_write_shards" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.sources.Export.writeShards(
+        SparkEntry.t(s, d, "orders"), "o_orderkey", nShards = 16,
+        exportDir("shards", d)).collect()
+      ()
+    }),
+    "x_write_tfrecord" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      tfManifest = graft.sources.Export.writeShardsTfrecord(
+        SparkEntry.t(s, d, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload", nShards = 8, exportDir("tfrecord", d))
+      tfManifest.collect()
+      ()
+    }),
+    "x_write_tar" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{array, col, lit, struct}
+      graft.sources.TarShards.writeShardsTar(
+        SparkEntry.t(s, d, "documents").select(col("doc_id"),
+          array(
+            struct(lit("txt").as("name"), col("text").cast("binary").as("content")),
+            struct(lit("lang").as("name"), col("lang").cast("binary").as("content")))
+            .as("entries")),
+        "doc_id", "entries", nShards = 8, exportDir("tar", d)).collect()
+      ()
+    }),
+    "x_zorder_write" -> ((s, d) =>
+      graft.sources.ZOrder.writeZOrdered(
+        SparkEntry.t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice"),
+        exportDir("zorder", d), Seq("l_orderkey", "l_partkey"), numFiles = 16)),
+    "x_audit_shards" -> ((s, d) => {
+      // times the AUDIT only: the shards + manifest come from
+      // x_write_tfrecord's most recent run
+      require(tfManifest != null, "x_audit_shards needs x_write_tfrecord first")
+      graft.sources.Export.auditShards(s, exportDir("tfrecord", d), tfManifest)
+        .collect()
+      ()
+    }))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // optional args: bench only the named queries (suite order kept) —
     // fast single-query iteration, same protocol as the full run
+    val all = headline ++ exportHeadline
     val selected =
-      if (args.isEmpty) headline else headline.filter(args.toSet)
+      if (args.isEmpty) all else all.filter(args.toSet)
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def run(name: String): Double = {
       val t0 = System.nanoTime()
       try {
-        benchVariant.getOrElse(name, SparkEntry.queries(name))(spark, sfDir).write
-          .format("noop").mode("overwrite").save()
+        exportBench.get(name) match {
+          case Some(action) => action(spark, sfDir)
+          case None =>
+            benchVariant.getOrElse(name, SparkEntry.queries(name))(spark, sfDir).write
+              .format("noop").mode("overwrite").save()
+        }
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -129,15 +191,27 @@ object Bench {
       .withDefaultValue(3)
     selected.foreach(run)
     reset()
-    val results = selected.map { n =>
-      val r = n -> (1 to trials(n)).map(_ => run(n)).min
+    // per-trial times ride along in the JSON (and on stderr for the
+    // extra-trial CC pair): a drifted min is then attributable — all
+    // trials slow means the query regressed, one quiet trial among
+    // noisy ones means host contention (the r6 verdict's open
+    // question on q_cc_distributed needed exactly this)
+    val perTrial = selected.map { n =>
+      val ts = (1 to trials(n)).map(_ => run(n))
       reset()
-      r
+      if (trials(n) > 3)
+        System.err.println(f"[bench] $n trials: " +
+          ts.map(t => f"$t%.3f").mkString(", "))
+      n -> ts
     }
+    val results = perTrial.map { case (n, ts) => n -> ts.min }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val tr = perTrial.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"trials":$tr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
