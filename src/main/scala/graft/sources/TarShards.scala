@@ -88,14 +88,8 @@ object TarShards {
         if (strict) throw new IllegalArgumentException(s"parseTar: $msg at byte $pos")
       }
 
-      /** Read exactly n bytes into buf; returns the count actually
-        * read (< n only at EOF). */
-      private def readFully(buf: Array[Byte], n: Int): Int = {
-        var off = 0
-        var r = 0
-        while (off < n && { r = in.read(buf, off, n - off); r >= 0 }) off += r
-        off
-      }
+      private def readFully(buf: Array[Byte], n: Int): Int =
+        FileStreams.readFully(in, buf, n)
 
       private def advance(): Unit = {
         pending = null
@@ -330,51 +324,15 @@ object TarShards {
     spark.createDataset(rdd).toDF("path", "name", "content")
   }
 
-  /** Shared streaming scaffold for the shard readers: driver-side
-    * glob listing (the same listing binaryFile performed), ONE task
-    * per shard file, and a per-task incremental [[parseTarStream]]
-    * walk over a Hadoop FS input stream — peak task memory is
-    * bounded by the largest ENTRY, not the shard, and the old
-    * binaryFile 2 GB whole-shard ceiling is gone. The stream closes
-    * at task completion (and eagerly when a transform exhausts it). */
+  /** Streaming scaffold for the shard readers ([[FileStreams.perFile]]
+    * + the incremental [[parseTarStream]] walk): one task per shard
+    * file, peak task memory bounded by the largest ENTRY, no
+    * binaryFile 2 GB whole-shard ceiling. */
   private def shardStreams[T: scala.reflect.ClassTag](
       spark: SparkSession, pathGlob: String)(
       f: (String, Iterator[(String, Array[Byte])]) => Iterator[T])(
-      strict: Boolean): org.apache.spark.rdd.RDD[T] = {
-    val glob = new org.apache.hadoop.fs.Path(pathGlob)
-    val fs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val matched = Option(fs.globStatus(glob)).map(_.toSeq).getOrElse(Seq.empty)
-    val paths = matched
-      .flatMap(st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
-        else Seq(st))
-      .map(_.getPath.toString).sorted
-    // a typo'd path must fail loudly (as binaryFile did), not read an
-    // empty corpus into a training run
-    if (paths.isEmpty)
-      throw new IllegalArgumentException(s"readTar*: no files match $pathGlob")
-    val bc = spark.sparkContext.broadcast(
-      new org.apache.spark.util.SerializableConfiguration(
-        spark.sparkContext.hadoopConfiguration))
-    spark.sparkContext
-      .parallelize(paths, math.max(1, paths.size))
-      .flatMap { path =>
-        val hp = new org.apache.hadoop.fs.Path(path)
-        val in = new java.io.BufferedInputStream(
-          hp.getFileSystem(bc.value.value).open(hp), 1 << 16)
-        val tc = org.apache.spark.TaskContext.get()
-        if (tc != null)
-          tc.addTaskCompletionListener[Unit](_ =>
-            try in.close() catch { case _: Throwable => () })
-        val out = f(path, parseTarStream(in, strict))
-        new scala.collection.AbstractIterator[T] {
-          override def hasNext: Boolean = {
-            val h = out.hasNext
-            if (!h) { try in.close() catch { case _: Throwable => () } }
-            h
-          }
-          override def next(): T = out.next()
-        }
-      }
-  }
+      strict: Boolean): org.apache.spark.rdd.RDD[T] =
+    FileStreams.perFile(spark, pathGlob, "readTar*") { (path, in) =>
+      f(path, parseTarStream(in, strict))
+    }
 }

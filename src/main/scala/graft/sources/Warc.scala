@@ -17,14 +17,15 @@ import org.apache.spark.sql.functions._
   * per-record and whole-file compression layouts, and plain WARC is
   * sniffed by magic bytes.
   *
-  * Scale shape: files load whole via Spark's `binaryFile` source (one
-  * task per file — crawl WARCs are sized ~1 GB for exactly this kind
-  * of unit-of-work processing; gzip is not splittable anyway), the
-  * record walk is a per-partition JVM loop (the correct tool — byte
-  * protocol parsing has no Catalyst equivalent), and everything after
-  * the parse is ordinary columnar text. Hostile or truncated bytes
-  * end the walk at the last well-formed record instead of throwing —
-  * a corrupt crawl segment can never kill a task.
+  * Scale shape: one task per file (crawl WARCs are sized ~1 GB for
+  * exactly this kind of unit-of-work processing; gzip is not
+  * splittable anyway), each STREAMING its segment through an
+  * incremental per-task JVM record walk (the correct tool — byte
+  * protocol parsing has no Catalyst equivalent) so peak task memory
+  * is one record, not the segment; everything after the parse is
+  * ordinary columnar text. Hostile or truncated bytes end the walk
+  * at the last well-formed record instead of throwing — a corrupt
+  * crawl segment can never kill a task.
   */
 object Warc {
 
@@ -73,54 +74,107 @@ object Warc {
     (new String(b, from, end - from, java.nio.charset.StandardCharsets.ISO_8859_1), i + 1)
   }
 
-  /** Parse one uncompressed WARC stream into records. Malformed input
-    * truncates the iterator, never throws. */
-  private[sources] def parseRecords(bytes: Array[Byte]): Vector[WarcRecord] = {
-    val out = Vector.newBuilder[WarcRecord]
-    var pos = 0
-    var n = 0
-    var ok = true
-    while (ok && n < MaxRecords && pos < bytes.length) {
+  /** ASCII line from a stream up to LF (CR stripped); null at EOF
+    * before a terminator (dropping a trailing partial line, matching
+    * the in-memory walk) or on a hostile unterminated >64 KB line. */
+  private def readLineStream(in: java.io.InputStream): String = {
+    val sb = new java.lang.StringBuilder(64)
+    var c = in.read()
+    if (c < 0) return null
+    while (c >= 0 && c != '\n' && sb.length() <= 65536) {
+      sb.append(c.toChar); c = in.read()
+    }
+    if (c != '\n') return null
+    val len = sb.length()
+    if (len > 0 && sb.charAt(len - 1) == '\r') sb.setLength(len - 1)
+    sb.toString
+  }
+
+  /** INCREMENTAL record walk over an (already decompressed) WARC
+    * stream: headers line by line, then exactly Content-Length
+    * payload bytes — peak allocation is one RECORD, never the
+    * segment, so a segment's size is unbounded (the old whole-byte[]
+    * walk capped at the 2 GB JVM array limit). Malformed input or a
+    * record over [[MaxInflatedBytes]] ends the iterator at the last
+    * well-formed record, never throws — a corrupt crawl segment
+    * cannot kill a task. */
+  private[graft] def parseRecordsStream(in: java.io.InputStream)
+      : Iterator[WarcRecord] = new scala.collection.AbstractIterator[WarcRecord] {
+    private var n = 0
+    private var done = false
+    private var pending: WarcRecord = null
+    private var advanced = false
+
+    private def advance(): Unit = {
+      pending = null
+      if (n >= MaxRecords) { done = true; return }
       // skip inter-record blank lines
-      var line = readLine(bytes, pos)
-      while (line != null && line._1.isEmpty) { pos = line._2; line = readLine(bytes, pos) }
-      if (line == null || !line._1.startsWith("WARC/")) ok = false
-      else {
-        pos = line._2
-        // envelope headers
-        var headers = Map.empty[String, String]
-        var h = readLine(bytes, pos)
-        while (h != null && h._1.nonEmpty) {
-          val idx = h._1.indexOf(':')
-          if (idx > 0) headers += (h._1.substring(0, idx).trim.toLowerCase ->
-            h._1.substring(idx + 1).trim)
-          pos = h._2
-          h = readLine(bytes, pos)
-        }
-        if (h == null) ok = false
-        else {
-          pos = h._2 // past the blank line
-          val len = headers.get("content-length").flatMap(_.toLongOption)
-          len match {
-            case Some(l) if l >= 0 && pos + l <= bytes.length =>
-              val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + l.toInt)
-              pos += l.toInt
-              val wtype = headers.getOrElse("warc-type", "")
-              val (status, httpCt, body) =
-                if (wtype == "response" || wtype == "revisit") parseHttp(payload)
-                else (0, "", payload)
-              out += WarcRecord(wtype,
-                headers.getOrElse("warc-target-uri", ""),
-                headers.getOrElse("warc-date", ""),
-                headers.getOrElse("content-type", ""),
-                status, httpCt, body)
-              n += 1
-            case _ => ok = false // missing/bad length or truncated payload
+      var line = readLineStream(in)
+      while (line != null && line.isEmpty) line = readLineStream(in)
+      if (line == null || !line.startsWith("WARC/")) { done = true; return }
+      var headers = Map.empty[String, String]
+      var h = readLineStream(in)
+      while (h != null && h.nonEmpty) {
+        val idx = h.indexOf(':')
+        if (idx > 0) headers += (h.substring(0, idx).trim.toLowerCase ->
+          h.substring(idx + 1).trim)
+        h = readLineStream(in)
+      }
+      if (h == null) { done = true; return }
+      headers.get("content-length").flatMap(_.toLongOption) match {
+        case Some(l) if l >= 0 && l <= MaxInflatedBytes =>
+          val payload = new Array[Byte](l.toInt)
+          if (FileStreams.readFully(in, payload, l.toInt) < l.toInt) {
+            done = true // truncated payload: keep the records before it
+          } else {
+            val wtype = headers.getOrElse("warc-type", "")
+            val (status, httpCt, body) =
+              if (wtype == "response" || wtype == "revisit") parseHttp(payload)
+              else (0, "", payload)
+            pending = WarcRecord(wtype,
+              headers.getOrElse("warc-target-uri", ""),
+              headers.getOrElse("warc-date", ""),
+              headers.getOrElse("content-type", ""),
+              status, httpCt, body)
+            n += 1
           }
-        }
+        case _ => done = true // missing/bad/oversized length
       }
     }
-    out.result()
+
+    override def hasNext: Boolean = {
+      if (!advanced && !done) { advance(); advanced = true }
+      pending != null
+    }
+    override def next(): WarcRecord = {
+      if (!hasNext) throw new NoSuchElementException("parseRecordsStream")
+      advanced = false
+      val r = pending
+      pending = null
+      r
+    }
+  }
+
+  /** Gzip-sniff a stream: a `1F 8B` magic becomes a multi-member
+    * GZIPInputStream (per-record members and whole-file gzip both
+    * decode in one pass) wrapped in [[FileStreams.PrefixStream]], so
+    * a truncated or corrupt compressed TAIL yields the records before
+    * it (clean-prefix posture — the same contract the whole-buffer
+    * inflate gave). Plain streams pass through unwrapped: a genuine
+    * storage error on uncompressed bytes still fails the task. A
+    * corrupt gzip HEADER right after the magic yields zero records. */
+  private[graft] def maybeGunzip(in0: java.io.InputStream): java.io.InputStream = {
+    val pb = new java.io.PushbackInputStream(in0, 2)
+    val b0 = pb.read()
+    val b1 = pb.read()
+    if (b1 >= 0) pb.unread(b1)
+    if (b0 >= 0) pb.unread(b0)
+    if (b0 == 0x1F && b1 == 0x8B)
+      try new FileStreams.PrefixStream(
+        new java.util.zip.GZIPInputStream(pb, 1 << 16))
+      catch { case _: java.io.IOException =>
+        new java.io.ByteArrayInputStream(Array.emptyByteArray) }
+    else pb
   }
 
   /** Split an HTTP response payload into (status, content-type, body).
@@ -220,9 +274,11 @@ object Warc {
     }
   }
 
-  /** Full parse of one (possibly gzipped) WARC file's bytes. */
+  /** Full parse of one (possibly gzipped) WARC file's bytes — eager
+    * wrapper over [[parseRecordsStream]] (one walk code path). */
   def parseWarc(bytes: Array[Byte]): Vector[WarcRecord] =
-    parseRecords(if (isGzip(bytes)) inflate(bytes) else bytes)
+    parseRecordsStream(maybeGunzip(
+      new java.io.ByteArrayInputStream(bytes))).toVector
 
   // ------------------------------------------------- fixture builders
 
@@ -254,18 +310,19 @@ object Warc {
   }
 
   /** Distributed WARC ingest: one row per record with the envelope
-    * fields, HTTP status/type, and the payload body as binary.
-    * `pathGlob` rides `binaryFile`'s glob pushdown (distributed file
-    * listing, one task per file). */
+    * fields, HTTP status/type, and the payload body as binary. One
+    * task per matched file ([[FileStreams.perFile]]), each walking
+    * its segment INCREMENTALLY through [[parseRecordsStream]] — peak
+    * task memory is one record, not the segment, so segments are no
+    * longer capped by binaryFile's 2 GB whole-file byte[]. */
   def readWarc(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(pathGlob)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (path, bytes) =>
-        parseWarc(bytes).iterator.map(r => (path, r.warcType, r.targetUri,
-          r.date, r.contentType, r.httpStatus, r.httpContentType, r.body))
-      })
+    val rdd = FileStreams.perFile(spark, pathGlob, "readWarc") { (path, in) =>
+      parseRecordsStream(maybeGunzip(in)).map(r => (path, r.warcType,
+        r.targetUri, r.date, r.contentType, r.httpStatus,
+        r.httpContentType, r.body))
+    }
+    spark.createDataset(rdd)
       .toDF("path", "warc_type", "target_uri", "warc_date",
         "warc_content_type", "http_status", "http_content_type", "body")
   }

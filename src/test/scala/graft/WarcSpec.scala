@@ -78,6 +78,23 @@ class WarcSpec extends GraftSpec {
     }
   }
 
+  test("record walk is INCREMENTAL: first record pulled consumes one record, not the file") {
+    val one = record("response", "http://example.com/a", httpHtml(page))
+    val bytes = Array.fill(50)(one).reduce(_ ++ _)
+    class CountingIn(b: Array[Byte]) extends java.io.ByteArrayInputStream(b) {
+      def consumed: Int = pos
+    }
+    val cin = new CountingIn(bytes)
+    val it = graft.sources.Warc.parseRecordsStream(cin)
+    val first = it.next()
+    assert(first.targetUri == "http://example.com/a")
+    // one record (+ the next record's skipped blank-line/lookahead
+    // sliver) — the other 49 stay unread until pulled
+    assert(cin.consumed <= one.length + 8,
+      s"consumed=${cin.consumed} of ${bytes.length}")
+    assert(it.size == 49)
+  }
+
   test("hostile and truncated inputs parse the well-formed prefix, never throw") {
     assert(Warc.parseWarc(Array.emptyByteArray).isEmpty)
     assert(Warc.parseWarc("random junk\r\n\r\n".getBytes(ISO_8859_1)).isEmpty)
