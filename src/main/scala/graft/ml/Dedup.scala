@@ -570,7 +570,7 @@ object Dedup {
       lastCCStats = (0, 0)
       labels
     } else {
-      val labels = distributedCC(p, maxIters, nEdges >= persistSteppedEdges)
+      val labels = distributedCC(p, maxIters, nEdges >= persistSteppedEdges, nEdges)
       if (ownCache) p.unpersist()
       labels
     }
@@ -669,7 +669,33 @@ object Dedup {
     * edge total (the [[PersistSteppedEdges]] tradeoff) — never
     * recounted here. */
   private def distributedCC(p: DataFrame, maxIters: Int,
-                            persistStepped: Boolean): DataFrame = {
+                            persistStepped: Boolean, nEdges: Long): DataFrame = {
+    // EDGE-COUNT-SIZED shuffling for the loop: every round runs 3-4
+    // shuffling joins/aggs over the pair graph, and on a small graph
+    // (thousands of edges — every sub-1M-edge corpus) each one at the
+    // session's shuffle.partitions is almost pure task dispatch — the
+    // measured ~5.5 s sf0.1 floor was rounds × empty-task scheduling,
+    // not data. Size partitions to ~100k edges each (a few MB of
+    // (id, label) rows — far under any spill threshold), clamped to
+    // the session value so a billion-edge graph keeps its full
+    // parallelism. The conf is set around the loop only: every round
+    // materializes internally (the observe count), and the returned
+    // labels frame is a cached/checkpointed RDD, so nothing lazy
+    // escapes carrying the small setting.
+    val sess = p.sparkSession
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = sess.conf.get(spKey)
+    val loopSp = math.max(1L, math.min(prevSp.toLong, nEdges / 100000 + 1)).toString
+    if (loopSp != prevSp) sess.conf.set(spKey, loopSp)
+    try {
+      distributedCCLoop(p, maxIters, persistStepped)
+    } finally {
+      if (loopSp != prevSp) sess.conf.set(spKey, prevSp)
+    }
+  }
+
+  private def distributedCCLoop(p: DataFrame, maxIters: Int,
+                                persistStepped: Boolean): DataFrame = {
     val sym = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
