@@ -301,6 +301,48 @@ class PropertiesSpec extends GraftSpec {
       })
   }
 
+  test("property: WARC walk truncated at ANY byte keeps a clean record-prefix, never throws") {
+    // the streaming walk's posture contract: cutting a segment at an
+    // arbitrary byte — mid-header, mid-payload, mid-gzip-member —
+    // yields a record-wise PREFIX of the full parse in every layout
+    import graft.sources.Warc
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    def ser(recs: List[(String, Array[Byte])]): Array[Byte] =
+      recs.flatMap { case (t, payload) =>
+        (s"WARC/1.0\r\nWARC-Type: $t\r\nWARC-Target-URI: http://h/$t\r\n" +
+          s"Content-Length: ${payload.length}\r\n\r\n").getBytes(ISO_8859_1) ++
+          payload ++ "\r\n\r\n".getBytes(ISO_8859_1)
+      }.toArray
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos); g.write(b); g.close()
+      bos.toByteArray
+    }
+    val genRecs = Gen.listOfN(3, for {
+      t <- Gen.oneOf("response", "metadata")
+      n <- Gen.choose(0, 200)
+      payload <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    } yield (t, payload))
+    check("warc truncation-prefix", cases = 30) {
+      val gen = for { rs <- genRecs; cut <- Gen.choose(0, Int.MaxValue) } yield (rs, cut)
+      Prop.forAll(gen) { case (recs, cut0) =>
+        val plain = ser(recs)
+        val layouts = Seq(plain, gz(plain),
+          recs.map(r => gz(ser(List(r)))).foldLeft(Array.emptyByteArray)(_ ++ _))
+        val full = layouts.map(Warc.parseWarc)
+        layouts.zip(full).forall { case (bytes, whole) =>
+          val cut = cut0 % (bytes.length + 1)
+          val got = Warc.parseWarc(bytes.take(cut)) // must not throw
+          got.length <= whole.length &&
+            got.zip(whole).forall { case (g, w) =>
+              g.warcType == w.warcType && g.targetUri == w.targetUri &&
+                java.util.Arrays.equals(g.body, w.body)
+            }
+        }
+      }
+    }
+  }
+
   test("property: MP3 walk recovers frames/duration/bitrate of arbitrary VBR streams") {
     // pure-JVM property (no Spark jobs): serialize random VALID frame
     // sequences from the PUBLIC header tables (ISO/IEC 11172-3 —
