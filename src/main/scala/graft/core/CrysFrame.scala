@@ -321,9 +321,9 @@ final class CrysFrame private (
     * ties-to-even, hence `bround`), NOT Bernoulli row-flipping. A
     * fraction whose rounded target exceeds a group raises the
     * over-sample error like the reference's sample_n. The grouped form
-    * is partition-parallel; ungrouped it is a global window (the same
-    * deliberate bottleneck as any exact global operation — use
-    * `sampleFracApprox` for scan-speed sampling). */
+    * is partition-parallel; ungrouped it pays a count job plus a
+    * range sort on rand (exact global sampling is count-shaped by
+    * nature — use `sampleFracApprox` for scan-speed sampling). */
   def sampleFrac(frac: Double, seed: Long = 42L, replace: Boolean = false): CrysFrame = {
     if (frac < 0)
       throw new CrysdaException(s"fraction must be greater equal than 0 but was $frac")
@@ -339,16 +339,33 @@ final class CrysFrame private (
     * rows per group in random order. Like the reference, the sampled
     * frame's prior ordering is DISCARDED — sample_n materializes rows
     * in shuffled order (simpledf via shuf_idx, dataframe.cr:430-439),
-    * the same contract as `shuffle()`. */
+    * the same contract as `shuffle()`.
+    *
+    * Grouped: a window PARTITIONED on the keys (each group on one
+    * task). Ungrouped: a partition-less window would funnel the whole
+    * frame through a single task, so the global ordinal comes from a
+    * range sort on rand + RDD zipWithIndex instead, with the target
+    * count evaluated once from a count job (exact sampling pays
+    * counts by contract — `sampleFracApprox` is the scan-speed
+    * variant). */
   private def sampleWhere(targetOf: Column => Column, seed: Long = 42L): CrysFrame = {
-    val part =
-      if (groupedBy.nonEmpty) Window.partitionBy(groupedBy.map(qcol): _*)
-      else Window.partitionBy()
-    new CrysFrame(df
-      .withColumn(RN, F.row_number().over(part.orderBy(rand(seed))))
-      .withColumn(CNT, targetOf(F.count(lit(1)).over(part)))
-      .filter(col(RN) <= col(CNT))
-      .drop(RN, CNT), groupedBy, Nil)
+    if (groupedBy.nonEmpty) {
+      val part = Window.partitionBy(groupedBy.map(qcol): _*)
+      new CrysFrame(df
+        .withColumn(RN, F.row_number().over(part.orderBy(rand(seed))))
+        .withColumn(CNT, targetOf(F.count(lit(1)).over(part)))
+        .filter(col(RN) <= col(CNT))
+        .drop(RN, CNT), groupedBy, Nil)
+    } else {
+      val n = df.count()
+      // one-row evaluation of the target expression — raise_error
+      // guards (over-sample refusal) fire HERE, eagerly
+      val target = spark.range(1)
+        .select(targetOf(lit(n)).cast("long").as("__t")).collect()(0).getLong(0)
+      val kept = Binds.withRowNumber(df.orderBy(rand(seed)), RN)
+        .filter(col(RN) <= target).drop(RN)
+      new CrysFrame(kept, groupedBy, Nil)
+    }
   }
 
   /** With-replacement machinery: `targetOf(groupSize)` uniform draws per
@@ -356,20 +373,34 @@ final class CrysFrame private (
     * driver-side state (reference: src/crysda/dataframe.cr:414-440). */
   private def sampleWithReplacement(targetOf: Column => Column, seed: Long): CrysFrame = {
     val keys = groupedBy
-    val w =
-      if (keys.nonEmpty) Window.partitionBy(keys.map(qcol): _*).orderBy(rand(seed + 1))
-      else Window.orderBy(rand(seed + 1))
-    val numbered = df.withColumn(RN, F.row_number().over(w))
-    val sizes = numbered.groupBy(keys.map(qcol): _*).agg(F.max(col(RN)).as("__m"))
-    val target = targetOf(col("__m")).cast("int")
-    val draws = sizes
-      // sequence(1, 0) would DESCEND to [1, 0]; a zero/negative target
-      // must contribute no draws at all
-      .withColumn("__draw", explode(when(target >= 1, sequence(lit(1), target))
-        .otherwise(array().cast("array<int>"))))
-      .withColumn(RN, (floor(rand(seed) * col("__m")) + 1).cast("int"))
-      .drop("__m", "__draw")
-    new CrysFrame(numbered.join(draws, keys :+ RN).drop(RN), groupedBy, Nil)
+    if (keys.nonEmpty) {
+      val numbered = df.withColumn(RN, F.row_number().over(
+        Window.partitionBy(keys.map(qcol): _*).orderBy(rand(seed + 1))))
+      val sizes = numbered.groupBy(keys.map(qcol): _*).agg(F.max(col(RN)).as("__m"))
+      val target = targetOf(col("__m")).cast("int")
+      val draws = sizes
+        // sequence(1, 0) would DESCEND to [1, 0]; a zero/negative target
+        // must contribute no draws at all
+        .withColumn("__draw", explode(when(target >= 1, sequence(lit(1), target))
+          .otherwise(array().cast("array<int>"))))
+        .withColumn(RN, (floor(rand(seed) * col("__m")) + 1).cast("int"))
+        .drop("__m", "__draw")
+      new CrysFrame(numbered.join(draws, keys :+ RN).drop(RN), groupedBy, Nil)
+    } else {
+      // ungrouped: no partition-less window for the ordinal (range
+      // sort + zipWithIndex), no global max-aggregate for the size
+      // (one count job), and the draws come from spark.range — a
+      // DISTRIBUTED sequence, so a billion-draw resample never
+      // generates all its draws on one task the per-group explode
+      // would use
+      val m = df.count()
+      val target = spark.range(1)
+        .select(targetOf(lit(m)).cast("long").as("__t")).collect()(0).getLong(0)
+      val numbered = Binds.withRowNumber(df.orderBy(rand(seed + 1)), RN)
+      val draws = spark.range(math.max(0L, target))
+        .select((floor(rand(seed) * m) + 1).cast("int").as(RN))
+      new CrysFrame(numbered.join(draws, Seq(RN)).drop(RN), groupedBy, Nil)
+    }
   }
 
   /** Bernoulli per-row sampling — approximate cardinality, map-only,

@@ -207,6 +207,17 @@ class PlanQualitySpec extends GraftSpec {
     }
   }
 
+  test("ungrouped exact sampling never plans a partition-less window") {
+    import graft.core.CrysFrame
+    val li = CrysFrame(spark.read.parquet(s"$dir/lineitem.parquet"))
+    for (f <- Seq(li.sampleN(50), li.sampleFrac(0.01),
+                  li.sampleN(50, replace = true))) {
+      val p = f.df.queryExecution.explainString(FormattedMode)
+      assert(!p.contains("Window"), p)
+      assert(!p.contains("SinglePartition"), p)
+    }
+  }
+
   test("take/takeLast compile to TakeOrderedAndProject, not a global window") {
     import graft.core.CrysFrame
     val li = CrysFrame(spark.read.parquet(s"$dir/lineitem.parquet"))
