@@ -169,8 +169,24 @@ final class CrysFrame private (
   /** Add or replace a column. Scalars broadcast via `lit`; group-relative
     * expressions (ctx.cumsum, ctx.lead, ...) window over the grouping
     * keys automatically (reference: src/crysda/groupdf.cr:77-79). */
-  def addColumn(name: String)(expr: Ctx => Column): CrysFrame =
-    new CrysFrame(df.withColumn(name, expr(ctx)), groupedBy, ords)
+  def addColumn(name: String)(expr: Ctx => Column): CrysFrame = {
+    val cx = ctx
+    val c = expr(cx)
+    new CrysFrame(withGlobalWindows(cx)(_.withColumn(name, c)), groupedBy, ords)
+  }
+
+  /** Materialize any scale-safe global-window helpers the closure's
+    * Ctx registered (ungrouped cumsum/lead/lag/rank/... — see
+    * [[GlobalWindows]]), apply `body` while the helper columns are in
+    * scope, then drop them. No registered calls → `body(df)` as-is. */
+  private def withGlobalWindows(cx: Ctx)(body: DataFrame => DataFrame): DataFrame = {
+    val calls = cx.globalCalls
+    if (calls.isEmpty) body(df)
+    else {
+      val (aug, temps) = GlobalWindows.materialize(df, cx.ordCols, calls)
+      body(aug).drop(temps: _*)
+    }
+  }
 
   /** Capture the current physical row order as the frame's explicit
     * ordering (the reference's implicit row order, materialized). */
@@ -200,8 +216,11 @@ final class CrysFrame private (
   /** Boolean-mask filter; in the reference a null comparison filters the
     * row out — identical to Catalyst 3VL filter semantics
     * (reference: src/crysda/simpledf.cr:80-105). */
-  def filter(pred: Ctx => Column): CrysFrame =
-    new CrysFrame(df.filter(pred(ctx)), groupedBy, ords)
+  def filter(pred: Ctx => Column): CrysFrame = {
+    val cx = ctx
+    val c = pred(cx)
+    new CrysFrame(withGlobalWindows(cx)(_.filter(c)), groupedBy, ords)
+  }
 
   /** Row-wise lambda filter (reference: src/crysda/dataframe.cr:252-274).
     * Not codegen'd — prefer `filter` with Column predicates. */

@@ -26,43 +26,81 @@ final class Ctx private[core] (
   def apply(name: String): Column = graft.core.qcol(name)
 
   // ---- window plumbing -------------------------------------------------
-  private def base: WindowSpec =
-    if (groupedBy.nonEmpty) Window.partitionBy(groupedBy.map(graft.core.qcol): _*)
-    else Window.partitionBy()
+  private def grouped: Boolean = groupedBy.nonEmpty
+  private def base: WindowSpec = Window.partitionBy(groupedBy.map(graft.core.qcol): _*)
 
   private[core] def wOrdered: WindowSpec = {
-    require(ordCols.nonEmpty,
-      "order-sensitive expression needs an ordered frame " +
-        "(sortBy first, or ingest through CrysFrame which captures row order)")
+    requireOrd()
     base.orderBy(ordCols: _*)
   }
   private def wRunning: WindowSpec =
     wOrdered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  private def requireOrd(): Unit =
+    require(ordCols.nonEmpty,
+      "order-sensitive expression needs an ordered frame " +
+        "(sortBy first, or ingest through CrysFrame which captures row order)")
+
+  // Ungrouped order-sensitive verbs REGISTER their semantics here and
+  // return references to helper columns; the frame verb that owns this
+  // Ctx (addColumn / filter) materializes them through the scale-safe
+  // GlobalWindows machinery — a partition-less window would funnel the
+  // whole frame through one task.
+  private val gwCalls = scala.collection.mutable.ListBuffer.empty[GlobalWindows.Call]
+  private var gwN = 0
+  private[core] def globalCalls: Seq[GlobalWindows.Call] = gwCalls.toList
+  private def reg(mk: String => GlobalWindows.Call): Column = {
+    gwN += 1
+    val c = mk(s"__gw_$gwN")
+    gwCalls += c
+    graft.core.qcol(c.name)
+  }
 
   // ---- order-sensitive vector fns (reference: src/crysda/columns.cr) ---
 
   /** reference: src/crysda/columns.cr:326-356 */
   def lead(c: Column, n: Int = 1, default: Any = null): Column =
-    F.lead(c, n, default).over(wOrdered)
+    if (grouped) F.lead(c, n, default).over(wOrdered)
+    else {
+      requireOrd()
+      val h = reg(GlobalWindows.Shift(_, c, n))
+      // struct-null = row absent (edge) → default; present-but-null stays null
+      when(h.isNull, lit(default)).otherwise(h.getField("v"))
+    }
 
   def lag(c: Column, n: Int = 1, default: Any = null): Column =
-    F.lag(c, n, default).over(wOrdered)
+    if (grouped) F.lag(c, n, default).over(wOrdered)
+    else {
+      requireOrd()
+      val h = reg(GlobalWindows.Shift(_, c, -n))
+      when(h.isNull, lit(default)).otherwise(h.getField("v"))
+    }
 
   /** Running sum with the reference's NA-poisoning: one null poisons the
     * rest of the vector (reference: src/crysda/columns.cr:298-318).
     * Spark's window `sum` skips nulls, so we mask with a running
     * has-null flag. */
   def cumsum(c: Column): Column =
-    when(max(when(c.isNull, 1).otherwise(0)).over(wRunning) === 1, lit(null))
-      .otherwise(sum(c).over(wRunning))
+    if (grouped)
+      when(max(when(c.isNull, 1).otherwise(0)).over(wRunning) === 1, lit(null))
+        .otherwise(sum(c).over(wRunning))
+    else {
+      requireOrd()
+      val flag = reg(GlobalWindows.RunningAgg(_, when(c.isNull, 1).otherwise(0), "max"))
+      val run = reg(GlobalWindows.RunningAgg(_, c, "sum"))
+      when(flag === 1, lit(null)).otherwise(run)
+    }
 
   /** `(x / lag(x)) - 1` (reference: src/crysda/columns.cr:320-324) */
-  def pctChange(c: Column): Column = c / F.lag(c, 1).over(wOrdered) - 1
+  def pctChange(c: Column): Column = c / lag(c, 1) - 1
 
   /** 1-based (reference: src/crysda/dataframe.cr:401-403) */
-  def rowNumber: Column = F.row_number().over(wOrdered)
+  def rowNumber: Column =
+    if (grouped) F.row_number().over(wOrdered)
+    else { requireOrd(); reg(GlobalWindows.RowNum(_)) }
 
-  def rank(c: Column): Column = F.rank().over(base.orderBy(c))
+  def rank(c: Column): Column =
+    if (grouped) F.rank().over(base.orderBy(c))
+    else reg(GlobalWindows.Rank(_, c))
 
   // ---- vectorized helpers (reference: src/crysda/context.cr) -----------
 
@@ -97,23 +135,31 @@ final class Ctx private[core] (
   /** Rolling window aggregate over the trailing `width` rows (inclusive)
     * in the frame's explicit order — capability upgrade beyond the
     * reference (its only frames are implicit whole-prefix ones). */
-  def rollingSum(c: Column, width: Int): Column =
-    F.sum(c).over(wOrdered.rowsBetween(-(width - 1).toLong, Window.currentRow))
+  def rollingSum(c: Column, width: Int): Column = rolling(c, "sum", width)
+  def rollingMean(c: Column, width: Int): Column = rolling(c, "avg", width)
+  def rollingMin(c: Column, width: Int): Column = rolling(c, "min", width)
+  def rollingMax(c: Column, width: Int): Column = rolling(c, "max", width)
 
-  def rollingMean(c: Column, width: Int): Column =
-    avg(c).over(wOrdered.rowsBetween(-(width - 1).toLong, Window.currentRow))
-
-  def rollingMin(c: Column, width: Int): Column =
-    F.min(c).over(wOrdered.rowsBetween(-(width - 1).toLong, Window.currentRow))
-
-  def rollingMax(c: Column, width: Int): Column =
-    F.max(c).over(wOrdered.rowsBetween(-(width - 1).toLong, Window.currentRow))
+  private def rolling(c: Column, fn: String, width: Int): Column =
+    if (grouped) {
+      val w = wOrdered.rowsBetween(-(width - 1).toLong, Window.currentRow)
+      fn match {
+        case "sum" => F.sum(c).over(w)
+        case "avg" => avg(c).over(w)
+        case "min" => F.min(c).over(w)
+        case "max" => F.max(c).over(w)
+      }
+    } else {
+      requireOrd()
+      reg(GlobalWindows.Rolling(_, c, fn, width))
+    }
 
   /** Index permutation of a column's sort order, 1-based — the
     * reference's `order` (reference: src/crysda/columns.cr:144-158). */
-  def order(c: Column): Column = F.row_number().over(
-    (if (groupedBy.nonEmpty) Window.partitionBy(groupedBy.map(graft.core.qcol): _*)
-     else Window.partitionBy()).orderBy(c.asc_nulls_last))
+  def order(c: Column): Column =
+    if (grouped)
+      F.row_number().over(base.orderBy(c.asc_nulls_last))
+    else reg(GlobalWindows.OrderIdx(_, c.asc_nulls_last))
 }
 
 /** Strict-NA aggregate helpers, the Spark counterpart of the reference's

@@ -1,0 +1,165 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftkit.Bridge
+
+/** Scale-safe GLOBAL window machinery — the ungrouped counterpart of
+  * `Ctx`'s order-sensitive verbs (cumsum / lead / lag / rowNumber /
+  * rank / order / rolling*).
+  *
+  * A partition-less `Window.orderBy(...)` funnels the whole frame
+  * through ONE task; this module computes the same values with only
+  * scale-shaped pieces:
+  *
+  *  - ordinal: range sort + RDD `zipWithIndex` ([[Binds.withIdx]]) —
+  *    the pattern addRowNumber/slice/sampling already use;
+  *  - running aggregates (cumsum's sum + null-poison max): the
+  *    classic two-level prefix scan, in pure Spark SQL — a window
+  *    PARTITIONED on the physical partition id for the
+  *    within-partition prefix, plus per-partition offsets combined
+  *    through a window over ≤ #partitions rows (metadata-scale — the
+  *    one place a partition-less window is fine) and broadcast back;
+  *  - lead/lag: an IDX±n self equi-join (the shifted value rides in a
+  *    struct so "row absent → default" and "row present with null →
+  *    null" stay distinct, exactly the window semantics);
+  *  - rank: distinct sort-keys with counts, EXCLUSIVE prefix-sum of
+  *    the counts over the key order (the same two-level scan — the
+  *    key frame can be corpus-sized for near-unique keys), null-safe
+  *    join back: ties share the first peer's position;
+  *  - order (row_number by an arbitrary key): a second sort + zip,
+  *    joined back by row identity;
+  *  - rolling width-w aggregates: each row's value exploded to the w
+  *    ordinals it contributes to, one groupBy — w×N small rows
+  *    through one shuffle, any aggregate, exact edge semantics.
+  *
+  * The sorted+indexed base is persisted (MEMORY_AND_DISK, released by
+  * LRU like the dedup signature frames): every helper and the final
+  * join read it, and the row-identity ordinals must be CONSISTENT
+  * across those reads. */
+private[core] object GlobalWindows {
+
+  sealed trait Call { def name: String }
+  /** Running aggregate over the frame order (ROWS unbounded..current). */
+  final case class RunningAgg(name: String, value: Column, fn: String) extends Call
+  /** value of the row at ordinal+offset (lead>0, lag<0), in a struct. */
+  final case class Shift(name: String, value: Column, offset: Int) extends Call
+  /** 1-based position in the frame order. */
+  final case class RowNum(name: String) extends Call
+  /** SQL rank() by an arbitrary (possibly desc) key. */
+  final case class Rank(name: String, sort: Column) extends Call
+  /** row_number() by an arbitrary key (ties broken arbitrarily). */
+  final case class OrderIdx(name: String, sort: Column) extends Call
+  /** Trailing width-row aggregate over the frame order. */
+  final case class Rolling(name: String, value: Column, fn: String, width: Int) extends Call
+
+  private def aggOf(fn: String, c: Column): Column = fn match {
+    case "sum" => F.sum(c)
+    case "max" => F.max(c)
+    case "min" => F.min(c)
+    case "avg" => F.avg(c)
+    case other => throw new IllegalArgumentException(s"GlobalWindows agg: $other")
+  }
+
+  /** Combine a prior-partitions offset with a within-partition running
+    * value under window null semantics (nothing aggregated yet → null). */
+  private def combine(fn: String, off: Column, run: Column): Column = fn match {
+    case "sum" => when(off.isNull, run).when(run.isNull, off).otherwise(off + run)
+    case "max" => when(off.isNull, run).when(run.isNull, off).otherwise(greatest(off, run))
+    case "min" => when(off.isNull, run).when(run.isNull, off).otherwise(least(off, run))
+    case other => throw new IllegalArgumentException(s"GlobalWindows combine: $other")
+  }
+
+  private val IDX = CrysFrame.IDX
+  private val PID = "__gw_pid"
+
+  /** Two-level prefix scan over `frame` (which carries a 0-based
+    * contiguous `IDX` in its physical order): appends, for each
+    * (outName, value, fn), the running aggregate over rows [0, idx]
+    * (`exclusive` → [0, idx-1]). Only partition-ID-partitioned
+    * windows touch the full frame; the cross-partition offsets flow
+    * through a ≤ #partitions-row frame. */
+  private def runningScan(frame: DataFrame,
+                          aggs: Seq[(String, Column, String)],
+                          exclusive: Boolean): DataFrame = {
+    val withPid = frame.withColumn(PID, F.spark_partition_id())
+    val partAgg = withPid.groupBy(col(PID))
+      .agg(aggs.head match { case (n, v, f) => aggOf(f, v).as(s"${n}_p") },
+        aggs.tail.map { case (n, v, f) => aggOf(f, v).as(s"${n}_p") }: _*)
+    // metadata-scale: ≤ #input-partitions rows through this window
+    val wOff = Window.orderBy(col(PID))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = partAgg.select(
+      (col(PID) +: aggs.map { case (n, _, f) =>
+        aggOf(f, col(s"${n}_p")).over(wOff).as(s"${n}_off") }): _*)
+    val joined = withPid.join(broadcast(offs), Seq(PID))
+    val wRun = Window.partitionBy(col(PID)).orderBy(col(IDX))
+      .rowsBetween(Window.unboundedPreceding, if (exclusive) -1 else 0)
+    aggs.foldLeft(joined) { case (d, (n, v, f)) =>
+      d.withColumn(n, combine(f, col(s"${n}_off"), aggOf(f, v).over(wRun)))
+    }.drop((PID +: aggs.map { case (n, _, _) => s"${n}_off" }): _*)
+  }
+
+  /** Augment `df` with one helper column per call. Returns the
+    * augmented frame plus every temporary column to drop once the
+    * caller's expression has been applied. */
+  def materialize(df: DataFrame, ordCols: Seq[Column],
+                  calls: Seq[Call]): (DataFrame, Seq[String]) = {
+    val needsOrd = calls.exists {
+      case _: Rank | _: OrderIdx => false
+      case _ => true
+    }
+    val base = if (needsOrd) df.orderBy(ordCols: _*) else df
+    val s = Binds.withIdx(base)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var r = s
+
+    val runs = calls.collect { case c: RunningAgg => c }
+    if (runs.nonEmpty)
+      r = runningScan(r, runs.map(c => (c.name, c.value, c.fn)), exclusive = false)
+
+    calls.foreach {
+      case _: RunningAgg => ()
+      case RowNum(n) =>
+        r = r.withColumn(n, (col(IDX) + 1).cast("int"))
+      case Shift(n, v, off) =>
+        val shifted = s.select((col(IDX) - off).as(IDX), struct(v.as("v")).as(n))
+        r = r.join(shifted, Seq(IDX), "left")
+      case Rolling(n, v, fn, width) =>
+        val contrib = s.select(col(IDX), v.as("__gw_v"))
+          .withColumn("__gw_off", explode(sequence(lit(0), lit(width - 1))))
+          .select((col(IDX) + col("__gw_off")).as(IDX), col("__gw_v"))
+        val rolled = contrib.groupBy(col(IDX)).agg(aggOf(fn, col("__gw_v")).as(n))
+        r = r.join(rolled, Seq(IDX), "left")
+      case Rank(n, sort) =>
+        val (key, dir) = Bridge.sortSpec(sort)
+        val kCol = s"${n}_k"
+        val counts = s.select(key.as(kCol)).groupBy(col(kCol))
+          .agg(F.count(lit(1)).as(s"${n}_cnt"))
+        // persisted like the base: the scan reads it more than once and
+        // the ordinals must be consistent across reads
+        val sorted = Binds.withIdx(counts.orderBy(dir(col(kCol))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ranked = runningScan(sorted,
+          Seq((s"${n}_pre", col(s"${n}_cnt"), "sum")), exclusive = true)
+          .select(col(kCol),
+            (coalesce(col(s"${n}_pre"), lit(0L)) + 1).cast("int").as(n))
+        r = r.withColumn(kCol, key)
+        r = r.join(ranked, r(kCol) <=> ranked(kCol), "left")
+          .drop(ranked(kCol))
+      case OrderIdx(n, sort) =>
+        val (key, dir) = Bridge.sortSpec(sort)
+        val rid = s"${n}_rid"
+        val t = Binds.withIdx(
+          s.select(col(IDX).as(rid), key.as(s"${n}_k")).orderBy(dir(col(s"${n}_k"))))
+        r = r.join(
+          t.select(col(rid).as(IDX), (col(IDX) + 1).cast("int").as(n)),
+          Seq(IDX), "left")
+    }
+
+    val temps = IDX +: calls.collect { case Rank(n, _) => s"${n}_k" }
+    (r, temps ++ calls.map(_.name))
+  }
+}

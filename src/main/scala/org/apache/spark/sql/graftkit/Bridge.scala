@@ -11,4 +11,23 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Decompose a possibly-sort-ordered Column (`col("x").desc`) into
+    * its VALUE column and a function that re-applies the same
+    * direction/null-ordering to another column. A plain column gets
+    * Spark's window default (ascending, nulls first). Used by the
+    * scale-safe global-window machinery, which must both sort by the
+    * user's key and group/join on its value. */
+  def sortSpec(c: Column): (Column, Column => Column) = c.node match {
+    case so: org.apache.spark.sql.internal.SortOrder =>
+      import org.apache.spark.sql.internal.SortOrder._
+      val re: Column => Column = (so.sortDirection, so.nullOrdering) match {
+        case (Ascending, NullsFirst)  => _.asc_nulls_first
+        case (Ascending, NullsLast)   => _.asc_nulls_last
+        case (Descending, NullsFirst) => _.desc_nulls_first
+        case (Descending, NullsLast)  => _.desc_nulls_last
+      }
+      (Column(so.child), re)
+    case _ => (c, _.asc_nulls_first)
+  }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import graft.core.CrysFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Scale-safe global windows (core.GlobalWindows): the ungrouped
+  * Ctx verbs must return exactly what the partition-less window
+  * formulation returns — computed here over a deliberately
+  * multi-partition frame with nulls, ties and negatives — while the
+  * plan never funnels the DATA through a partition-less window (only
+  * the ≤ #partitions offsets frame may). */
+class GlobalWindowsSpec extends GraftSpec {
+
+  import spark.implicits._
+
+  // ids unique (total order); values: nulls, ties, negatives
+  private lazy val raw = (0 until 199).map { i =>
+    val v: java.lang.Long =
+      if (i % 13 == 0) null else java.lang.Long.valueOf((i % 7) - 3)
+    (i.toLong, v)
+  }.toDF("id", "v").repartition(7)
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("id").collect().toSeq
+
+  test("cumsum / lead / lag / rowNumber / rolling match the window formulation") {
+    val f = CrysFrame(raw).sortBy("id")
+    val got = f
+      .addColumn("cs")(c => c.cumsum(col("v")))
+      .addColumn("ld")(c => c.lead(col("v"), 2, -1L))
+      .addColumn("lg")(c => c.lag(col("v")))
+      .addColumn("rn")(c => c.rowNumber)
+      .addColumn("rs")(c => c.rollingSum(col("v"), 3))
+      .addColumn("rx")(c => c.rollingMax(col("v"), 3))
+      // a positive column: ANSI raises on ANY zero divisor, so
+      // pctChange over a domain with zeros is an error by contract
+      .addColumn("pc")(c => c.pctChange(col("id") + 1))
+      .out
+
+    val w = Window.orderBy("id")
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w3 = w.rowsBetween(-2, Window.currentRow)
+    val expected = raw
+      .withColumn("cs",
+        when(F.max(when(col("v").isNull, 1).otherwise(0)).over(wr) === 1, lit(null))
+          .otherwise(F.sum(col("v")).over(wr)))
+      .withColumn("ld", F.lead(col("v"), 2, -1L).over(w))
+      .withColumn("lg", F.lag(col("v"), 1).over(w))
+      .withColumn("rn", F.row_number().over(w))
+      .withColumn("rs", F.sum(col("v")).over(w3))
+      .withColumn("rx", F.max(col("v")).over(w3))
+      .withColumn("pc", (col("id") + 1) / F.lag(col("id") + 1, 1).over(w) - 1)
+
+    assert(got.columns.toSeq ==
+      Seq("id", "v", "cs", "ld", "lg", "rn", "rs", "rx", "pc"))
+    assert(sortedRows(got) == sortedRows(expected.select(got.columns.map(col): _*)))
+  }
+
+  test("rank and order match the window formulation on a desc key with ties and nulls") {
+    val f = CrysFrame(raw)
+    val gotRank = f.addColumn("rk")(c => c.rank(col("v").desc)).out
+    val expRank = raw.withColumn("rk", F.rank().over(Window.orderBy(col("v").desc)))
+    assert(sortedRows(gotRank.select("id", "rk")) ==
+      sortedRows(expRank.select("id", "rk")))
+
+    // order() breaks ties arbitrarily — assert it is a permutation
+    // that sorts the key (nulls last, like the windowed formulation)
+    val gotOrd = f.addColumn("o")(c => c.order(col("v"))).out
+      .select("o", "v").collect()
+    assert(gotOrd.map(_.getInt(0)).sorted.toSeq == (1 to 199))
+    val byO = gotOrd.sortBy(_.getInt(0)).map(r =>
+      if (r.isNullAt(1)) Long.MaxValue else r.getLong(1))
+    assert(byO.toSeq == byO.sorted.toSeq)
+  }
+
+  test("ctx window verbs compose in filter; grouped paths are untouched") {
+    val f = CrysFrame(raw).sortBy("id")
+    val kept = f.filter(c => c.rowNumber <= 5).out.orderBy("id")
+      .select("id").collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("the data never flows through a partition-less window") {
+    val f = CrysFrame(raw).sortBy("id")
+    val plan = f.addColumn("cs")(c => c.cumsum(col("v")))
+      .addColumn("rk")(c => c.rank(col("v").desc))
+      .df.queryExecution.explainString(FormattedMode)
+    // every full-frame window is partitioned on the physical
+    // partition id; the only permissible partition-less windows are
+    // the metadata-scale per-partition offset scans
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty)
+    assert(specs.forall(s => s.contains("__gw_pid") || s.contains("_p#") ||
+      s.contains("_pid")), specs.mkString(" | "))
+  }
+}
