@@ -13,7 +13,8 @@ object Bench {
   private val headline = Seq(
     "q1_agg", "q_filter", "q_sort", "q_join_inner", "q_join_left",
     "q_join_semi", "q_spread", "q_spread_fill", "q_rank", "q_lead_lag",
-    "q_cumsum", "q_time_window", "q_hopping_window", "q_sessionize", "q_range_join",
+    "q_cumsum", "q_window_global", "q_time_window", "q_hopping_window",
+    "q_sessionize", "q_range_join",
     "q_interval_join", "q_pack",
     "q_asof_join", "q_dedup_exact",
     "q_dedup_minhash", "q_dedup_cc", "q_embed_dedup", "q_simhash_pairs",

@@ -362,6 +362,27 @@ object SparkEntry {
         .select("event_id", "user_id", "rn")
         .ungroup.sortBy("event_id").out),
 
+    // UNGROUPED (global) window verbs — the scale-safe
+    // core.GlobalWindows path (range sort + zipWithIndex ordinals,
+    // two-level prefix scans, shift joins, distinct-key rank): every
+    // helper oracle-checked against DuckDB's partition-less windows.
+    // Decimal accumulation for the running/rolling sums (exact in
+    // both engines regardless of combine order), final double cast.
+    "q_window_global" -> ((s, d) =>
+      cf(s, d, "events").filter(_ => col("user_id") < 30)
+        .sortBy("ts", "event_id")
+        .addColumns(
+          "running" -> (c =>
+            c.cumsum(col("value").cast("decimal(18,6)")).cast("double")),
+          "prev_value" -> (c => c.lag(col("value"))),
+          "next2" -> (c => c.lead(col("value"), 2, -1.0)),
+          "rn" -> (c => c.rowNumber.cast("long")),
+          "roll3" -> (c =>
+            c.rollingSum(col("value").cast("decimal(18,6)"), 3).cast("double")),
+          "rk" -> (c => c.rank(col("value").desc).cast("long")))
+        .select("event_id", "running", "prev_value", "next2", "rn", "roll3", "rk")
+        .sortBy("event_id").out),
+
     // ---------------- §2.7 joins ----------------
     "q_join_inner" -> ((s, d) => {
       val li = cf(s, d, "lineitem")
@@ -1933,6 +1954,22 @@ object SparkEntry {
       """SELECT event_id, user_id,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
         |FROM events WHERE user_id < 50 ORDER BY event_id""".stripMargin,
+
+    "q_window_global" ->
+      """WITH e AS (SELECT event_id, ts, value FROM events WHERE user_id < 30)
+        |SELECT event_id,
+        |  CASE WHEN max(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+        |         OVER (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |       THEN NULL
+        |       ELSE CAST(sum(CAST(value AS DECIMAL(18,6)))
+        |         OVER (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) END AS running,
+        |  lag(value, 1) OVER (ORDER BY ts, event_id) AS prev_value,
+        |  lead(value, 2, -1.0) OVER (ORDER BY ts, event_id) AS next2,
+        |  CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS rn,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6)))
+        |    OVER (ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll3,
+        |  CAST(rank() OVER (ORDER BY value DESC NULLS LAST) AS BIGINT) AS rk
+        |FROM e ORDER BY event_id""".stripMargin,
 
     "q_join_inner" ->
       """SELECT n_name,

@@ -192,8 +192,16 @@ final class CrysFrame private (
     * ordering (the reference's implicit row order, materialized). */
   def withRowOrder: CrysFrame = ordered
 
-  def addColumns(exprs: (String, Ctx => Column)*): CrysFrame =
-    exprs.foldLeft(this) { case (f, (n, e)) => f.addColumn(n)(e) }
+  def addColumns(exprs: (String, Ctx => Column)*): CrysFrame = {
+    // ONE shared Ctx: every column's global-window helpers materialize
+    // in a single GlobalWindows pass (one sort + index), instead of
+    // once per column
+    val cx = ctx
+    val cols = exprs.map { case (n, e) => n -> e(cx) }
+    new CrysFrame(withGlobalWindows(cx)(d =>
+      cols.foldLeft(d) { case (dd, (n, c)) => dd.withColumn(n, c) }),
+      groupedBy, ords)
+  }
 
   /** addColumns then keep only those (reference: src/crysda/dataframe.cr:594-596). */
   def transmute(exprs: (String, Ctx => Column)*): CrysFrame =
