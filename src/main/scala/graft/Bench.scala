@@ -61,6 +61,24 @@ object Bench {
       graft.ml.Dedup.connectedComponents(
         pairs.select(col("id_a"), col("id_b")), localEdgeLimit = 0L)
     }),
+    // q_dedup_minhash's verify query runs the operator PLUS an
+    // independent pair-join formulation PLUS two anti-joins purely to
+    // PROVE the keep-sets equal; the bench measures what a user calls
+    // — Dedup.minhashDedup with the certificate-pinned parameters
+    "q_dedup_minhash" -> ((s, d) =>
+      graft.ml.Dedup.minhashDedup(SparkEntry.t(s, d, "documents"),
+        "doc_id", "text", numHashes = 64, bands = 16, threshold = 0.7,
+        shingleSize = 4).select("doc_id")),
+    // q_simhash_pairs' verify query anti-joins the blocked pairs
+    // against an |docs|² exhaustive Hamming probe (the recall
+    // certificate); the bench measures the pigeonhole-blocked
+    // operator alone, with the same proven-exact maxDist
+    "q_simhash_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.ml.Dedup.simhashPairs(SparkEntry.t(s, d, "documents"),
+        "doc_id", "text", maxDist = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+    }),
     // q_dedup_against_near's verify query carries the brute-force
     // equality certificate; the bench measures the user-facing call
     // (banded anchor probe) with the same proven-equivalent parameters
@@ -81,7 +99,13 @@ object Bench {
     * manifest (written by the preceding entry — list order matters). */
   private val exportHeadline = Seq(
     "x_write_shards", "x_write_tfrecord", "x_write_tar",
-    "x_zorder_write", "x_audit_shards")
+    "x_zorder_write", "x_audit_shards",
+    // the WARC ingest path (robots precedence + noindex + strip_html +
+    // url canon over executor-written fixture segments) — the query is
+    // self-contained (rewrites its /tmp fixtures each trial, fixture
+    // write is a deterministic few hundred KB), so the reading tracks
+    // the crawl-ingest engine path, the newest oracle-checked source
+    "q_warc_ingest")
 
   private var tfManifest: DataFrame = null
 
@@ -132,6 +156,11 @@ object Bench {
     }))
 
   def main(args: Array[String]): Unit = {
+    // All numeric JSON below is built with f"" interpolators, which are
+    // locale-sensitive: a comma-decimal default locale would emit
+    // invalid JSON ("value":1,234). Pin the JVM default to ROOT first —
+    // this is a standalone bench main, nothing else owns the locale.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // optional args: bench only the named queries (suite order kept) —
@@ -212,7 +241,13 @@ object Bench {
       "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"trials":$tr,"sf":"$sfDir"}""")
+    // The per-trial map goes to STDERR: round 7's single stdout line
+    // with 67 inline trial arrays outgrew the driver's ~2 KB tail
+    // capture and the whole round lost its perf record. The canonical
+    // stdout line stays compact (mins only) and is printed LAST so a
+    // tail capture always sees it whole.
+    System.err.println(f"""{"metric":"trials","trials":$tr,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
