@@ -169,7 +169,7 @@ object Bench {
     val selected =
       if (args.isEmpty) all else all.filter(args.toSet)
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.setLogLevel(spark, "WARN")
 
     def run(name: String): Double = {
       val t0 = System.nanoTime()

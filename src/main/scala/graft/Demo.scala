@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
 object Demo {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[4]", 4).getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    GraftSession.setLogLevel(spark, "ERROR")
 
     println("=== flagship entry() on sf0.001 ===")
     val e = SparkEntry.entry(spark)

@@ -16,7 +16,7 @@ object PlanAudit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    GraftSession.setLogLevel(spark, "ERROR")
     val dir = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_agg", "q_filter", "q_join_inner", "q_spread", "q_lead_lag")

@@ -22,7 +22,10 @@ import org.apache.spark.sql.graftkit.Bridge
   *    within-partition prefix, plus per-partition offsets combined
   *    through a window over ≤ #partitions rows (metadata-scale — the
   *    one place a partition-less window is fine) and broadcast back;
-  *  - lead/lag: an IDX±n self equi-join (the shifted value rides in a
+  *  - lead/lag: an in-partition window over the IDX-contiguous
+  *    layout (partitionBy physical-partition id) plus a broadcast
+  *    patch of the ≤ 2·maxOffset·#partitions partition-edge rows —
+  *    one exchange serves every offset (the shifted value rides in a
   *    struct so "row absent → default" and "row present with null →
   *    null" stay distinct, exactly the window semantics);
   *  - rank: distinct sort-keys with counts, EXCLUSIVE prefix-sum of
@@ -83,8 +86,17 @@ private[core] object GlobalWindows {
     * through a ≤ #partitions-row frame. */
   private def runningScan(frame: DataFrame,
                           aggs: Seq[(String, Column, String)],
-                          exclusive: Boolean): DataFrame = {
-    val withPid = frame.withColumn(PID, F.spark_partition_id())
+                          exclusive: Boolean,
+                          pidPrecomputed: Boolean = false): DataFrame = {
+    // `pidPrecomputed`: the caller already stamped PID on the
+    // IDX-contiguous layout (so the shift window's hash(PID) exchange
+    // is reused here instead of re-deriving ids on a moved layout —
+    // wOff's PID-ascending accumulation is only correct when PID order
+    // matches IDX order, i.e. when ids come from the zipWithIndex
+    // layout)
+    val withPid =
+      if (pidPrecomputed) frame
+      else frame.withColumn(PID, F.spark_partition_id())
     val partAgg = withPid.groupBy(col(PID))
       .agg(aggs.head match { case (n, v, f) => aggOf(f, v).as(s"${n}_p") },
         aggs.tail.map { case (n, v, f) => aggOf(f, v).as(s"${n}_p") }: _*)
@@ -99,7 +111,8 @@ private[core] object GlobalWindows {
       .rowsBetween(Window.unboundedPreceding, if (exclusive) -1 else 0)
     aggs.foldLeft(joined) { case (d, (n, v, f)) =>
       d.withColumn(n, combine(f, col(s"${n}_off"), aggOf(f, v).over(wRun)))
-    }.drop((PID +: aggs.map { case (n, _, _) => s"${n}_off" }): _*)
+    }.drop(((if (pidPrecomputed) Nil else Seq(PID)) ++
+      aggs.map { case (n, _, _) => s"${n}_off" }): _*)
   }
 
   /** Augment `df` with one helper column per call. Returns the
@@ -112,21 +125,109 @@ private[core] object GlobalWindows {
       case _ => true
     }
     val base = if (needsOrd) df.orderBy(ordCols: _*) else df
+    // No library-side action ever consumes the returned frame, so there
+    // is no point to pair an unpersist with — released by LRU eviction,
+    // the same contract keepBestPerCluster/curriculumAssign document.
     val s = Binds.withIdx(base)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var r = s
 
     val runs = calls.collect { case c: RunningAgg => c }
+    val shifts = calls.collect { case c: Shift => c }
+    // PID is stamped ONCE, on the IDX-contiguous zipWithIndex layout —
+    // both the shift window and the running scan key on it, so Spark
+    // plans a single hash(PID) exchange that serves every call below
+    val needsPid = runs.nonEmpty || shifts.nonEmpty
+    if (needsPid) r = r.withColumn(PID, F.spark_partition_id())
+    val sP = r
+
+    // lead/lag WITHOUT a per-call self-join (r6 shipped one sort-merge
+    // join per call; q_window_global carried two): the PID groups are
+    // IDX-contiguous, so an in-partition lead/lag over
+    // partitionBy(PID).orderBy(IDX) resolves every row except those
+    // within |offset| of a partition edge. For an edge-missed target t
+    // the source row t+o sits < maxAbs rows from ITS OWN partition's
+    // edge (distance from own pmin ≤ o − rows-after-t − 1 < maxAbs, and
+    // symmetrically for lag), so a boundary frame of rows within maxAbs
+    // of any partition edge — ≤ 2·maxAbs·#partitions rows,
+    // metadata-scale for the small offsets lead/lag take — patches
+    // every miss through ONE broadcast join carrying every offset's
+    // struct (typed-null via when(false, v) for the frames of other
+    // offsets). The struct operand keeps "row absent → null struct →
+    // caller default" distinct from "row present, value null".
+    if (shifts.nonEmpty) {
+      val wPid = Window.partitionBy(col(PID)).orderBy(col(IDX))
+      val maxAbs = shifts.map(c => math.abs(c.offset)).max
+      val offsets = shifts.map(_.offset).distinct
+      def bundles(src: DataFrame, suffix: String): Seq[DataFrame] =
+        offsets.map { o =>
+          src.select((col(IDX) - o).as(IDX) +:
+            shifts.map { c =>
+              val v = struct(c.value.as("v"))
+              (if (c.offset == o) v else when(lit(false), v))
+                .as(s"${c.name}$suffix")
+            }: _*)
+        }
+      // an offset rivaling the rows-per-partition count would make the
+      // "boundary" frame the whole corpus — fall back to one shuffled
+      // join per distinct offset (same-offset calls still share one)
+      val patchRows = 2L * maxAbs * s.rdd.getNumPartitions
+      if (patchRows > (4L << 20)) {
+        bundles(s, "").foreach { b => r = r.join(b, Seq(IDX), "left") }
+      } else {
+        // boundary rows extracted in ONE narrow pass over the cached
+        // base (first/last maxAbs rows per partition) — a per-partition
+        // imperative edge-grab is the rare mapPartitions that beats any
+        // declarative formulation (an agg + broadcast-join derivation
+        // costs three extra stages on a frame this module often sees at
+        // metadata scale)
+        val m = maxAbs
+        val bndRdd = s.rdd.mapPartitions { it =>
+          val head = new scala.collection.mutable.ArrayBuffer[
+            org.apache.spark.sql.Row](m)
+          val tail = new java.util.ArrayDeque[org.apache.spark.sql.Row](m + 1)
+          var n = 0L
+          while (it.hasNext) {
+            val row = it.next()
+            if (n < m) head += row
+            else {
+              if (tail.size == m) tail.pollFirst()
+              tail.addLast(row)
+            }
+            n += 1
+          }
+          import scala.jdk.CollectionConverters._
+          head.iterator ++ tail.iterator.asScala
+        }
+        val bnd = s.sparkSession.createDataFrame(bndRdd, s.schema)
+        val contrib = bundles(bnd, "__b").reduce(_ union _)
+        val patch =
+          if (offsets.size == 1) contrib
+          else contrib.groupBy(col(IDX)).agg(
+            F.first(col(s"${shifts.head.name}__b"), ignoreNulls = true)
+              .as(s"${shifts.head.name}__b"),
+            shifts.tail.map(c => F.first(col(s"${c.name}__b"), ignoreNulls = true)
+              .as(s"${c.name}__b")): _*)
+        r = shifts.foldLeft(r) { (d, c) =>
+          val w = if (c.offset > 0) F.lead(struct(c.value.as("v")), c.offset)
+                  else F.lag(struct(c.value.as("v")), -c.offset)
+          d.withColumn(c.name, w.over(wPid))
+        }
+        r = r.join(broadcast(patch), Seq(IDX), "left")
+        r = shifts.foldLeft(r) { (d, c) =>
+          d.withColumn(c.name, coalesce(col(c.name), col(s"${c.name}__b")))
+        }.drop(shifts.map(c => s"${c.name}__b"): _*)
+      }
+    }
+
     if (runs.nonEmpty)
-      r = runningScan(r, runs.map(c => (c.name, c.value, c.fn)), exclusive = false)
+      r = runningScan(r, runs.map(c => (c.name, c.value, c.fn)),
+        exclusive = false, pidPrecomputed = true)
 
     calls.foreach {
-      case _: RunningAgg => ()
+      case _: RunningAgg | _: Shift => ()
       case RowNum(n) =>
         r = r.withColumn(n, (col(IDX) + 1).cast("int"))
-      case Shift(n, v, off) =>
-        val shifted = s.select((col(IDX) - off).as(IDX), struct(v.as("v")).as(n))
-        r = r.join(shifted, Seq(IDX), "left")
       case Rolling(n, v, fn, width) =>
         val contrib = s.select(col(IDX), v.as("__gw_v"))
           .withColumn("__gw_off", explode(sequence(lit(0), lit(width - 1))))
@@ -139,7 +240,8 @@ private[core] object GlobalWindows {
         val counts = s.select(key.as(kCol)).groupBy(col(kCol))
           .agg(F.count(lit(1)).as(s"${n}_cnt"))
         // persisted like the base: the scan reads it more than once and
-        // the ordinals must be consistent across reads
+        // the ordinals must be consistent across reads (and, like the
+        // base, no in-library action to unpersist after — LRU-released)
         val sorted = Binds.withIdx(counts.orderBy(dir(col(kCol))))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ranked = runningScan(sorted,
@@ -159,7 +261,8 @@ private[core] object GlobalWindows {
           Seq(IDX), "left")
     }
 
-    val temps = IDX +: calls.collect { case Rank(n, _) => s"${n}_k" }
+    val temps = (IDX +: (if (needsPid) Seq(PID) else Nil)) ++
+      calls.collect { case Rank(n, _) => s"${n}_k" }
     (r, temps ++ calls.map(_.name))
   }
 }
