@@ -276,9 +276,11 @@ object Warc {
 
   /** Full parse of one (possibly gzipped) WARC file's bytes — eager
     * wrapper over [[parseRecordsStream]] (one walk code path). */
-  def parseWarc(bytes: Array[Byte]): Vector[WarcRecord] =
-    parseRecordsStream(maybeGunzip(
-      new java.io.ByteArrayInputStream(bytes))).toVector
+  def parseWarc(bytes: Array[Byte]): Vector[WarcRecord] = {
+    val in = maybeGunzip(new java.io.ByteArrayInputStream(bytes))
+    try parseRecordsStream(in).toVector
+    finally in.close() // releases the gzip inflater's native buffers
+  }
 
   // ------------------------------------------------- fixture builders
 
@@ -317,8 +319,12 @@ object Warc {
     * longer capped by binaryFile's 2 GB whole-file byte[]. */
   def readWarc(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
-    val rdd = FileStreams.perFile(spark, pathGlob, "readWarc") { (path, in) =>
-      parseRecordsStream(maybeGunzip(in)).map(r => (path, r.warcType,
+    // gunzip as the scaffold's decorator (not wrapped inside f): the
+    // scaffold closes the OUTERMOST stream, so the inflater's native
+    // buffers release at exhaustion instead of waiting on finalization
+    val rdd = FileStreams.perFile(spark, pathGlob, "readWarc",
+      decorate = maybeGunzip) { (path, in) =>
+      parseRecordsStream(in).map(r => (path, r.warcType,
         r.targetUri, r.date, r.contentType, r.httpStatus,
         r.httpContentType, r.body))
     }
