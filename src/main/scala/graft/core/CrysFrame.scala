@@ -195,12 +195,33 @@ final class CrysFrame private (
   def addColumns(exprs: (String, Ctx => Column)*): CrysFrame = {
     // ONE shared Ctx: every column's global-window helpers materialize
     // in a single GlobalWindows pass (one sort + index), instead of
-    // once per column
+    // once per column. Exception: a global call whose expression reads
+    // a sibling column introduced (or replaced) EARLIER in this same
+    // call can't resolve against the pre-addColumns frame the shared
+    // pass uses — those fall back to the chained per-column form, which
+    // matches the reference's sequential add_column semantics (one
+    // GlobalWindows pass per dependent column: correctness over the
+    // single-pass economy; closures must be pure, they re-evaluate).
     val cx = ctx
-    val cols = exprs.map { case (n, e) => n -> e(cx) }
-    new CrysFrame(withGlobalWindows(cx)(d =>
-      cols.foldLeft(d) { case (dd, (n, c)) => dd.withColumn(n, c) }),
-      groupedBy, ords)
+    var seen = 0
+    val introduced = scala.collection.mutable.HashSet.empty[String]
+    var sequential = false
+    val cols = exprs.map { case (n, e) =>
+      val c = e(cx)
+      val newCalls = cx.globalCalls.drop(seen)
+      seen += newCalls.size
+      if (!sequential && newCalls.exists(
+            GlobalWindows.callRefs(_).exists(introduced.contains)))
+        sequential = true
+      introduced += n
+      n -> c
+    }
+    if (sequential)
+      exprs.foldLeft(this) { case (f, (n, e)) => f.addColumn(n)(e) }
+    else
+      new CrysFrame(withGlobalWindows(cx)(d =>
+        cols.foldLeft(d) { case (dd, (n, c)) => dd.withColumn(n, c) }),
+        groupedBy, ords)
   }
 
   /** addColumns then keep only those (reference: src/crysda/dataframe.cr:594-596). */
@@ -497,15 +518,23 @@ final class CrysFrame private (
   /** Sort by fully-specified orderings (caller supplies direction, e.g.
     * `c("x").desc` — the reference's `desc(col)` sort helper,
     * reference: src/crysda/context.cr:177-193). */
-  def sortByOrder(exprs: (Ctx => Column)*): CrysFrame =
-    new CrysFrame(df, groupedBy, stabilized(exprs.map(e => ordOf(e(ctx)))))
+  def sortByOrder(exprs: (Ctx => Column)*): CrysFrame = {
+    val cx = ctx
+    val ords2 = exprs.map(e => ordOf(e(cx)))
+    cx.assertNoGlobalCalls("sortByOrder")
+    new CrysFrame(df, groupedBy, stabilized(ords2))
+  }
 
   /** Sort by computed expressions (reference: src/crysda/dataframe.cr:530-547). */
-  def sortByExpr(exprs: (Ctx => Column)*): CrysFrame =
-    new CrysFrame(df, groupedBy, stabilized(exprs.map { e =>
-      val c = e(ctx)
+  def sortByExpr(exprs: (Ctx => Column)*): CrysFrame = {
+    val cx = ctx
+    val ords2 = exprs.map { e =>
+      val c = e(cx)
       Ord(c.asc_nulls_last, c.desc_nulls_first, refsOf(c))
-    }))
+    }
+    cx.assertNoGlobalCalls("sortByExpr")
+    new CrysFrame(df, groupedBy, stabilized(ords2))
+  }
 
   // ---------------------------------------------------------------------
   // grouping & aggregation (reference: src/crysda/groupdf.cr, simpledf.cr:107-125)
@@ -549,6 +578,7 @@ final class CrysFrame private (
   def summarize(rules: (String, Ctx => Column)*): CrysFrame = {
     val c = new Ctx(groupedBy, Nil)
     val aggs = rules.map { case (n, e) => e(c).as(n) }
+    c.assertNoGlobalCalls("summarize")
     val res =
       try {
         if (groupedBy.isEmpty) out.agg(aggs.head, aggs.tail: _*)
@@ -576,6 +606,7 @@ final class CrysFrame private (
     requireCols(cols)
     val c = new Ctx(Nil, Nil)
     val aggs = rules.map { case (n, e) => e(c).as(n) }
+    c.assertNoGlobalCalls("summarizeCube")
     CrysFrame(out.cube(cols.map(qcol): _*).agg(aggs.head, aggs.tail: _*))
   }
 
@@ -584,6 +615,7 @@ final class CrysFrame private (
     requireCols(cols)
     val c = new Ctx(Nil, Nil)
     val aggs = rules.map { case (n, e) => e(c).as(n) }
+    c.assertNoGlobalCalls("summarizeRollup")
     CrysFrame(out.rollup(cols.map(qcol): _*).agg(aggs.head, aggs.tail: _*))
   }
 
@@ -896,14 +928,15 @@ object CrysFrame {
 
   private[core] def ingestOrd: Ord = Ord(col(ORD), col(ORD).desc, Seq(ORD))
 
-  /** Source column names referenced by a sort key (unresolved attributes
-    * are what `qcol`/user expressions produce; resolved ones appear when
-    * a caller passes `df("name")`). */
-  private[core] def refsOf(c: Column): Seq[String] =
-    Bridge.expression(c).collect {
-      case ua: UnresolvedAttribute => ua.nameParts.mkString(".")
-      case ar: AttributeReference  => ar.name
-    }.distinct
+  /** Source column names referenced by a column expression (unresolved
+    * attributes are what `qcol`/user expressions produce; resolved ones
+    * appear when a caller passes `df("name")`). Spark 4 Columns carry a
+    * ColumnNode tree whose catalyst conversion happens at ANALYSIS —
+    * `Bridge.expression(c).collect` sees only an opaque
+    * ColumnNodeExpression leaf and finds nothing inside a composite
+    * column — so this walks the NODE tree, descending into embedded
+    * catalyst expressions (and back into nodes those may wrap). */
+  private[core] def refsOf(c: Column): Seq[String] = Bridge.refs(c)
 
   /** Reverse a (possibly direction-carrying) sort key, flipping both the
     * direction and the null ordering. */

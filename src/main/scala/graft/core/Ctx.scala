@@ -48,6 +48,18 @@ final class Ctx private[core] (
   private val gwCalls = scala.collection.mutable.ListBuffer.empty[GlobalWindows.Call]
   private var gwN = 0
   private[core] def globalCalls: Seq[GlobalWindows.Call] = gwCalls.toList
+
+  /** Verbs that never materialize global-window helpers (sortByExpr /
+    * sortByOrder / summarize*) call this after evaluating their
+    * closures: a registered-but-discarded call would otherwise surface
+    * as an unresolved `__gw_N` column far from the cause. */
+  private[core] def assertNoGlobalCalls(verb: String): Unit =
+    if (gwCalls.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$verb cannot evaluate ungrouped order-sensitive expressions (" +
+          gwCalls.map(_.getClass.getSimpleName).distinct.mkString(", ") +
+          "): materialize them into a column first with addColumn/" +
+          s"addColumns, then $verb the result")
   private def reg(mk: String => GlobalWindows.Call): Column = {
     gwN += 1
     val c = mk(s"__gw_$gwN")

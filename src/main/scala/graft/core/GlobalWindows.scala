@@ -58,6 +58,19 @@ private[core] object GlobalWindows {
   /** Trailing width-row aggregate over the frame order. */
   final case class Rolling(name: String, value: Column, fn: String, width: Int) extends Call
 
+  /** Source column names a call's expression references — lets
+    * addColumns detect a call that reads a sibling column introduced
+    * earlier in the same verb (which the shared single-pass
+    * materialization, resolved against the pre-verb frame, can't see). */
+  private[core] def callRefs(c: Call): Seq[String] = c match {
+    case RunningAgg(_, v, _) => CrysFrame.refsOf(v)
+    case Shift(_, v, _)      => CrysFrame.refsOf(v)
+    case Rolling(_, v, _, _) => CrysFrame.refsOf(v)
+    case Rank(_, k)          => CrysFrame.refsOf(k)
+    case OrderIdx(_, k)      => CrysFrame.refsOf(k)
+    case RowNum(_)           => Nil
+  }
+
   private def aggOf(fn: String, c: Column): Column = fn match {
     case "sum" => F.sum(c)
     case "max" => F.max(c)

@@ -678,19 +678,24 @@ object Dedup {
     // not data. Size partitions to ~100k edges each (a few MB of
     // (id, label) rows — far under any spill threshold), clamped to
     // the session value so a billion-edge graph keeps its full
-    // parallelism. The conf is set around the loop only: every round
-    // materializes internally (the observe count), and the returned
-    // labels frame is a cached/checkpointed RDD, so nothing lazy
-    // escapes carrying the small setting.
+    // parallelism. The small setting lives on a CLONED session (own
+    // SQLConf; SparkContext, cache manager and RDDs are shared), so a
+    // query analyzed concurrently on the caller's session can never
+    // inherit it — the previous set/restore around the loop was a
+    // session-global mutation visible to every thread. Frames bridge
+    // through the shared RDD layer in both directions: `p` keeps its
+    // full-parallelism upstream plan (compiled before the bridge), and
+    // the returned labels re-home to the caller's session.
     val sess = p.sparkSession
-    val spKey = "spark.sql.shuffle.partitions"
-    val prevSp = sess.conf.get(spKey)
+    val prevSp = sess.conf.get("spark.sql.shuffle.partitions")
     val loopSp = math.max(1L, math.min(prevSp.toLong, nEdges / 100000 + 1)).toString
-    if (loopSp != prevSp) sess.conf.set(spKey, loopSp)
-    try {
-      distributedCCLoop(p, maxIters, persistStepped)
-    } finally {
-      if (loopSp != prevSp) sess.conf.set(spKey, prevSp)
+    if (loopSp == prevSp) distributedCCLoop(p, maxIters, persistStepped)
+    else {
+      val loopSess = sess.newSession()
+      loopSess.conf.set("spark.sql.shuffle.partitions", loopSp)
+      val res = distributedCCLoop(
+        loopSess.createDataFrame(p.rdd, p.schema), maxIters, persistStepped)
+      sess.createDataFrame(res.rdd, res.schema)
     }
   }
 

@@ -12,6 +12,34 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Source column names referenced anywhere in a Column. Spark 4
+    * Columns carry a ColumnNode tree whose catalyst conversion happens
+    * at ANALYSIS — collecting over `expression(c)` sees only an opaque
+    * ColumnNodeExpression leaf — so this walks the NODE tree,
+    * descending into embedded catalyst expressions (df("name") →
+    * AttributeReference) and back into any nodes those wrap. */
+  def refs(c: Column): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def fromExpr(e: Expression): Unit =
+      e.foreach {
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          out += ua.nameParts.mkString(".")
+        case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          out += ar.name
+        case _ => ()
+      }
+    def fromNode(n: org.apache.spark.sql.internal.ColumnNode): Unit =
+      n.foreach {
+        case ua: org.apache.spark.sql.internal.UnresolvedAttribute =>
+          out += ua.nameParts.mkString(".")
+        case en: org.apache.spark.sql.classic.ExpressionColumnNode =>
+          fromExpr(en.expression)
+        case _ => ()
+      }
+    fromNode(c.node)
+    out.distinct.toSeq
+  }
+
   /** Decompose a possibly-sort-ordered Column (`col("x").desc`) into
     * its VALUE column and a function that re-applies the same
     * direction/null-ordering to another column. A plain column gets

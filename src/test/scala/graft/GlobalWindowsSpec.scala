@@ -97,4 +97,35 @@ class GlobalWindowsSpec extends GraftSpec {
     assert(specs.forall(s => s.contains("__gw_pid") || s.contains("_p#") ||
       s.contains("_pid")), specs.mkString(" | "))
   }
+
+  test("verbs that never materialize global calls refuse them with a targeted error") {
+    val f = CrysFrame(raw).sortBy("id")
+    val e1 = intercept[IllegalArgumentException] {
+      f.sortByExpr(c => c.cumsum(col("v")))
+    }
+    assert(e1.getMessage.contains("sortByExpr") &&
+      e1.getMessage.contains("addColumn"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      f.summarize("r" -> (c => c.rank(col("v").desc)))
+    }
+    assert(e2.getMessage.contains("summarize"), e2.getMessage)
+  }
+
+  test("addColumns: a global call over a sibling column added in the same verb " +
+    "matches the chained addColumn form") {
+    val f = CrysFrame(raw).sortBy("id")
+    val both = f.addColumns(
+      "dbl" -> (_ => col("id") * 2),
+      "cs" -> (c => c.cumsum(col("dbl"))))
+    val chained = f
+      .addColumn("dbl")(_ => col("id") * 2)
+      .addColumn("cs")(c => c.cumsum(col("dbl")))
+    assert(sortedRows(both.out) == sortedRows(chained.out))
+    // the independent-columns fast path is untouched: no dependency,
+    // same one-pass answer
+    val indep = f.addColumns(
+      "cs" -> (c => c.cumsum(col("v"))),
+      "rn" -> (c => c.rowNumber))
+    assert(indep.out.count() == 199)
+  }
 }
