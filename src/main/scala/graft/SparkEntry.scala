@@ -1186,15 +1186,37 @@ object SparkEntry {
         .sortBy("query_id", "rank").out
     }),
 
-    // IVF recall vs brute force — no SQL oracle (approximate by design)
+    // IVF top-k — no SQL oracle (approximate by design), but carries
+    // an IN-BAND recall certificate: the IVF neighbors are overlapped
+    // against a brute-force ground truth over the same queries and the
+    // query raises if fewer than 35 of the 50 (query, nn) pairs agree.
+    // The floor sits well under the measured deterministic recall at
+    // every driver SF (0.82-0.88 at nProbe=8, seeded k-means) while
+    // still refuting a probe-routing or list-assignment regression
+    // in-band instead of shipping silently-bad neighbors. The probe
+    // costs about one q_ann_topk (10 queries x corpus, broadcast side).
     "q_ann_ivf" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val queries = e.filter(col("vec_id") < 10)
-      CrysFrame(Similarity.ivfTopK(e, "vec_id", "embedding",
-        queries, "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)
+      val ivf = Similarity.ivfTopK(e, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, nLists = 16, nProbe = 8)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("nn_id"),
-          round(col("cos_sim"), 6).as("cos_sim")))
-        .sortBy("query_id", "rank").out
+          round(col("cos_sim"), 6).as("cos_sim"))
+      val bf = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("nn_id"))
+      val hits = ivf.select(col("query_id"), col("nn_id"))
+        .join(bf, Seq("query_id", "nn_id"))
+        .agg(count(lit(1)).as("__h"))
+      val idType = e.schema("vec_id").dataType
+      val bad = hits.filter(col("__h") < 35)
+        .select(
+          raise_error(concat(lit("ivfTopK recall certificate failed: "),
+            col("__h").cast("string"), lit("/50 overlap < 35/50")))
+            .cast(idType).as("query_id"),
+          lit(0L).as("rank"), lit(null).cast(idType).as("nn_id"),
+          lit(0.0).as("cos_sim"))
+      CrysFrame(ivf.union(bad)).sortBy("query_id", "rank").out
     }),
 
     // IVF-PQ with exact re-rank (ml.Pq): inverted lists bound WHICH
