@@ -322,14 +322,93 @@ object Export {
     out.result()
   }
 
+  /** Streaming twin of [[parseTfrecords]] — identical postures, but
+    * peak allocation is ONE record: a multi-GB shard never
+    * materializes as a byte[]. Strict mode refuses a partial header,
+    * short payload/CRC tail, malformed length frame, or CRC mismatch;
+    * non-strict ends the walk at the last verified record. */
+  private[graft] def parseTfrecordStream(in: java.io.InputStream,
+                                         strict: Boolean): Iterator[Array[Byte]] =
+    new scala.collection.AbstractIterator[Array[Byte]] {
+      private var pos = 0L
+      private var pending: Array[Byte] = null
+      private var done = false
+      private val hdr = new Array[Byte](12)
+      private def advance(): Unit = {
+        if (pending != null || done) return
+        val got = FileStreams.readFully(in, hdr, 12)
+        if (got == 0) { done = true; return }
+        def truncated(extra: Long): Unit = {
+          if (strict) throw new IllegalArgumentException(
+            s"parseTfrecords: $extra trailing bytes at byte $pos are not a record")
+          done = true
+        }
+        if (got < 12) { truncated(got.toLong); return }
+        val bb = java.nio.ByteBuffer.wrap(hdr)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val len = bb.getLong
+        val lenCrc = bb.getInt
+        if (!(len >= 0 && len <= Int.MaxValue - 16 &&
+              lenCrc == maskedCrc32c(hdr, 8))) {
+          if (strict) throw new IllegalArgumentException(
+            s"parseTfrecords: malformed length frame at byte $pos")
+          done = true
+          return
+        }
+        val payload = new Array[Byte](len.toInt)
+        val pGot = FileStreams.readFully(in, payload, len.toInt)
+        val tail = new Array[Byte](4)
+        val tGot = if (pGot == len.toInt) FileStreams.readFully(in, tail, 4) else 0
+        if (pGot < len.toInt || tGot < 4) { truncated(12L + pGot + tGot); return }
+        val payCrc = java.nio.ByteBuffer.wrap(tail)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        if (payCrc != maskedCrc32c(payload, payload.length)) {
+          if (strict) throw new IllegalArgumentException(
+            s"parseTfrecords: payload CRC mismatch at byte $pos")
+          done = true
+          return
+        }
+        pending = payload
+        pos += 12L + len + 4L
+      }
+      override def hasNext: Boolean = { advance(); pending != null }
+      override def next(): Array[Byte] = {
+        advance()
+        if (pending == null)
+          throw new NoSuchElementException("parseTfrecordStream")
+        val r = pending
+        pending = null
+        r
+      }
+    }
+
+  /** Converts decoder-layer IOExceptions (truncated member, bad
+    * trailer, not-actually-gzip) into the strict-mode refusal — the
+    * message must name gzip so the failure reads as the data defect
+    * it is, not a storage error. */
+  private final class GzStrictStream(in: java.io.InputStream)
+      extends java.io.InputStream {
+    private def refuse(e: java.io.IOException): Nothing =
+      throw new IllegalArgumentException(
+        "readTfrecords: truncated/corrupt gzip stream (strict mode)", e)
+    override def read(): Int =
+      try in.read() catch { case e: java.io.IOException => refuse(e) }
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      try in.read(b, off, len) catch { case e: java.io.IOException => refuse(e) }
+    override def close(): Unit = in.close()
+  }
+
   /** Read TFRecord files as (path, record_index, payload) rows — the
-    * ingest twin of [[writeShardsTfrecord]], over Spark's binaryFile
-    * source (same glob-pushdown / one-task-per-file shape as the WARC
-    * reader; TFRecord is not splittable, and training shards are
-    * sized for exactly this unit of work). Every frame's masked
-    * CRC32C is VERIFIED; `strict` picks the posture — throw on
-    * corruption (default: a training set must not silently shrink)
-    * or keep each file's clean prefix (crawl tolerance).
+    * ingest twin of [[writeShardsTfrecord]], over the shared
+    * [[FileStreams.perFile]] scaffold (same shape as the WARC/tar
+    * readers: size-weighted task packing, incremental per-record walk
+    * — peak task memory is ONE record, not the shard, so the old
+    * binaryFile whole-file byte[] and its 2 GB ceiling are gone;
+    * TFRecord is not splittable, so a file is still the atom of
+    * work). Every frame's masked CRC32C is VERIFIED; `strict` picks
+    * the posture — throw on corruption (default: a training set must
+    * not silently shrink) or keep each file's clean prefix (crawl
+    * tolerance).
     *
     * `compression`: "auto" (default) inflates files named `.gz` /
     * `.gzip` and reads everything else raw — by EXTENSION, never by
@@ -346,21 +425,37 @@ object Export {
     require(Set("auto", "gzip", "none")(compression),
       s"compression must be auto/gzip/none, got $compression")
     import spark.implicits._
-    spark.read.format("binaryFile").load(pathGlob)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (path, raw) =>
-        val gz = compression match {
+    val comp = compression
+    val rdd = FileStreams.perFile(spark, pathGlob, "readTfrecords",
+      decorate = (path, in) => {
+        val gz = comp match {
           case "gzip" => true
           case "none" => false
           case _      => path.endsWith(".gz") || path.endsWith(".gzip")
         }
-        val bytes = if (gz) gunzipAll(raw, strict) else raw
-        parseTfrecords(bytes, strict).iterator.zipWithIndex.map {
-          case (payload, i) => (path, i.toLong, payload)
-        }
-      })
-      .toDF("path", "record_index", "payload")
+        if (!gz) in
+        else if (strict)
+          // header validation happens in the ctor; read-time truncation
+          // surfaces through GzStrictStream — both refuse with the
+          // gzip-naming message (a torn member can end exactly on a
+          // frame boundary, so the frame walk alone cannot catch it)
+          try new GzStrictStream(new java.util.zip.GZIPInputStream(in, 1 << 16))
+          catch { case e: java.io.IOException =>
+            throw new IllegalArgumentException(
+              "readTfrecords: truncated/corrupt gzip stream (strict mode)", e) }
+        else
+          // clean-prefix posture: corrupt header → zero records,
+          // read-time corruption → EOF at the inflated prefix
+          try new FileStreams.PrefixStream(
+            new java.util.zip.GZIPInputStream(in, 1 << 16))
+          catch { case _: java.io.IOException =>
+            new java.io.ByteArrayInputStream(Array.emptyByteArray) }
+      }) { (path, in) =>
+      parseTfrecordStream(in, strict).zipWithIndex.map {
+        case (payload, i) => (path, i.toLong, payload)
+      }
+    }
+    spark.createDataset(rdd).toDF("path", "record_index", "payload")
   }
 
   /** Post-export INTEGRITY AUDIT: re-derive every shard's row count

@@ -84,7 +84,8 @@ private[graft] object FileStreams {
     * empty corpus into a training run. */
   def perFile[T: scala.reflect.ClassTag](
       spark: SparkSession, pathGlob: String, what: String,
-      decorate: java.io.InputStream => java.io.InputStream = identity,
+      decorate: (String, java.io.InputStream) => java.io.InputStream =
+        (_, in) => in,
       targetTaskBytes: Long = 1L << 30,
       maxTasks: Int = 10000)(
       f: (String, java.io.InputStream) => Iterator[T])
@@ -125,7 +126,7 @@ private[graft] object FileStreams {
           val raw = new java.io.BufferedInputStream(
             hp.getFileSystem(bc.value.value).open(hp), 1 << 16)
           val in =
-            try decorate(raw)
+            try decorate(path, raw)
             catch { case e: Throwable => raw.close(); throw e }
           // decoder first, raw second: maybeGunzip's corrupt-header
           // branch returns a stream NOT wired to raw, so closing only

@@ -323,7 +323,7 @@ object Warc {
     // scaffold closes the OUTERMOST stream, so the inflater's native
     // buffers release at exhaustion instead of waiting on finalization
     val rdd = FileStreams.perFile(spark, pathGlob, "readWarc",
-      decorate = maybeGunzip) { (path, in) =>
+      decorate = (_, in) => maybeGunzip(in)) { (path, in) =>
       parseRecordsStream(in).map(r => (path, r.warcType,
         r.targetUri, r.date, r.contentType, r.httpStatus,
         r.httpContentType, r.body))
