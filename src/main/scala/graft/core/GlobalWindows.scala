@@ -128,6 +128,35 @@ private[core] object GlobalWindows {
       aggs.map { case (n, _, _) => s"${n}_off" }): _*)
   }
 
+  /** First/last `m` rows of every partition of the cached base, in one
+    * narrow mapPartitions pass (≤ 2·m·#partitions rows) — the rare
+    * imperative grab that beats any declarative derivation (an agg +
+    * broadcast-join formulation costs three extra stages on a frame
+    * this module often sees at metadata scale). */
+  private def edgeRows(s: DataFrame, m: Int): DataFrame = {
+    if (m <= 0)
+      return s.sparkSession.createDataFrame(
+        s.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+    val rdd = s.rdd.mapPartitions { it =>
+      val head = new scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.Row](m)
+      val tail = new java.util.ArrayDeque[org.apache.spark.sql.Row](m + 1)
+      var n = 0L
+      while (it.hasNext) {
+        val row = it.next()
+        if (n < m) head += row
+        else {
+          if (tail.size == m) tail.pollFirst()
+          tail.addLast(row)
+        }
+        n += 1
+      }
+      import scala.jdk.CollectionConverters._
+      head.iterator ++ tail.iterator.asScala
+    }
+    s.sparkSession.createDataFrame(rdd, s.schema)
+  }
+
   /** Augment `df` with one helper column per call. Returns the
     * augmented frame plus every temporary column to drop once the
     * caller's expression has been applied. */
@@ -147,89 +176,104 @@ private[core] object GlobalWindows {
 
     val runs = calls.collect { case c: RunningAgg => c }
     val shifts = calls.collect { case c: Shift => c }
+    val rolls = calls.collect { case c: Rolling => c }
     // PID is stamped ONCE, on the IDX-contiguous zipWithIndex layout —
-    // both the shift window and the running scan key on it, so Spark
-    // plans a single hash(PID) exchange that serves every call below
-    val needsPid = runs.nonEmpty || shifts.nonEmpty
+    // the shift/rolling windows and the running scan all key on it, so
+    // Spark plans a single hash(PID) exchange serving every call below
+    val needsPid = runs.nonEmpty || shifts.nonEmpty || rolls.nonEmpty
     if (needsPid) r = r.withColumn(PID, F.spark_partition_id())
-    val sP = r
 
-    // lead/lag WITHOUT a per-call self-join (r6 shipped one sort-merge
-    // join per call; q_window_global carried two): the PID groups are
-    // IDX-contiguous, so an in-partition lead/lag over
-    // partitionBy(PID).orderBy(IDX) resolves every row except those
-    // within |offset| of a partition edge. For an edge-missed target t
-    // the source row t+o sits < maxAbs rows from ITS OWN partition's
-    // edge (distance from own pmin ≤ o − rows-after-t − 1 < maxAbs, and
-    // symmetrically for lag), so a boundary frame of rows within maxAbs
-    // of any partition edge — ≤ 2·maxAbs·#partitions rows,
-    // metadata-scale for the small offsets lead/lag take — patches
-    // every miss through ONE broadcast join carrying every offset's
-    // struct (typed-null via when(false, v) for the frames of other
-    // offsets). The struct operand keeps "row absent → null struct →
-    // caller default" distinct from "row present, value null".
-    if (shifts.nonEmpty) {
-      val wPid = Window.partitionBy(col(PID)).orderBy(col(IDX))
-      val maxAbs = shifts.map(c => math.abs(c.offset)).max
-      val offsets = shifts.map(_.offset).distinct
-      def bundles(src: DataFrame, suffix: String): Seq[DataFrame] =
-        offsets.map { o =>
-          src.select((col(IDX) - o).as(IDX) +:
-            shifts.map { c =>
-              val v = struct(c.value.as("v"))
-              (if (c.offset == o) v else when(lit(false), v))
-                .as(s"${c.name}$suffix")
-            }: _*)
-        }
-      // an offset rivaling the rows-per-partition count would make the
-      // "boundary" frame the whole corpus — fall back to one shuffled
-      // join per distinct offset (same-offset calls still share one)
-      val patchRows = 2L * maxAbs * s.rdd.getNumPartitions
-      if (patchRows > (4L << 20)) {
-        bundles(s, "").foreach { b => r = r.join(b, Seq(IDX), "left") }
-      } else {
-        // boundary rows extracted in ONE narrow pass over the cached
-        // base (first/last maxAbs rows per partition) — a per-partition
-        // imperative edge-grab is the rare mapPartitions that beats any
-        // declarative formulation (an agg + broadcast-join derivation
-        // costs three extra stages on a frame this module often sees at
-        // metadata scale)
-        val m = maxAbs
-        val bndRdd = s.rdd.mapPartitions { it =>
-          val head = new scala.collection.mutable.ArrayBuffer[
-            org.apache.spark.sql.Row](m)
-          val tail = new java.util.ArrayDeque[org.apache.spark.sql.Row](m + 1)
-          var n = 0L
-          while (it.hasNext) {
-            val row = it.next()
-            if (n < m) head += row
-            else {
-              if (tail.size == m) tail.pollFirst()
-              tail.addLast(row)
-            }
-            n += 1
-          }
-          import scala.jdk.CollectionConverters._
-          head.iterator ++ tail.iterator.asScala
-        }
-        val bnd = s.sparkSession.createDataFrame(bndRdd, s.schema)
-        val contrib = bundles(bnd, "__b").reduce(_ union _)
-        val patch =
-          if (offsets.size == 1) contrib
-          else contrib.groupBy(col(IDX)).agg(
-            F.first(col(s"${shifts.head.name}__b"), ignoreNulls = true)
-              .as(s"${shifts.head.name}__b"),
-            shifts.tail.map(c => F.first(col(s"${c.name}__b"), ignoreNulls = true)
-              .as(s"${c.name}__b")): _*)
-        r = shifts.foldLeft(r) { (d, c) =>
-          val w = if (c.offset > 0) F.lead(struct(c.value.as("v")), c.offset)
-                  else F.lag(struct(c.value.as("v")), -c.offset)
-          d.withColumn(c.name, w.over(wPid))
-        }
-        r = r.join(broadcast(patch), Seq(IDX), "left")
-        r = shifts.foldLeft(r) { (d, c) =>
-          d.withColumn(c.name, coalesce(col(c.name), col(s"${c.name}__b")))
-        }.drop(shifts.map(c => s"${c.name}__b"): _*)
+    // lead/lag and trailing-window rolling WITHOUT data-scale
+    // self-joins: the PID groups are IDX-contiguous, so an
+    // in-partition window over partitionBy(PID).orderBy(IDX) resolves
+    // every row except those near a partition edge — for a shift,
+    // targets within |offset| of the END (the source row then sits
+    // < mEdge rows from ITS OWN partition's edge: distance from own
+    // pmin ≤ o − rows-after-t − 1 < mEdge, symmetric for lag); for a
+    // width-w rolling agg, targets within w−1 of the START (whose
+    // ENTIRE trailing window provably lies within mEdge of some
+    // partition edge). One boundary frame of the first/last mEdge rows
+    // per partition — ≤ 2·mEdge·#partitions rows, metadata-scale for
+    // the offsets/widths these verbs take — feeds ONE broadcast patch
+    // carrying every shift offset's struct and every roll's
+    // recomputed-from-edges aggregate (typed-null via when(false, v)
+    // in the frames of other calls). Shift structs keep "row absent →
+    // null struct → caller default" distinct from "row present, value
+    // null"; rolling routes by in-partition row_number (< width →
+    // patch), never coalesce, so legitimately-null window aggregates
+    // survive.
+    val wPid = Window.partitionBy(col(PID)).orderBy(col(IDX))
+    val mEdge = (shifts.map(c => math.abs(c.offset)) ++
+      rolls.map(_.width - 1)).foldLeft(0)(math.max)
+    val fuse = (shifts.nonEmpty || rolls.nonEmpty) &&
+      2L * mEdge * s.rdd.getNumPartitions <= (4L << 20)
+
+    if (fuse) {
+      val bnd = edgeRows(s, mEdge)
+      // contribution frames share one schema: IDX + a __b column per
+      // call; each frame fills only its own call's column
+      def contribFrame(src: DataFrame, reKey: Column,
+                       fillS: Shift => Boolean,
+                       fillR: Rolling => Boolean): DataFrame =
+        src.select((reKey.as(IDX) +:
+          (shifts.map { c =>
+            val v = struct(c.value.as("v"))
+            (if (fillS(c)) v else when(lit(false), v)).as(s"${c.name}__b")
+          } ++ rolls.map { c =>
+            (if (fillR(c)) c.value else when(lit(false), c.value))
+              .as(s"${c.name}__b")
+          })): _*)
+      val shiftFrames = shifts.map(_.offset).distinct.map { o =>
+        contribFrame(bnd, col(IDX) - o, _.offset == o, _ => false)
+      }
+      val rollFrames = rolls.map { c =>
+        contribFrame(
+          bnd.withColumn("__gw_off", explode(sequence(lit(0), lit(c.width - 1)))),
+          col(IDX) + col("__gw_off"), _ => false, _ eq c)
+      }
+      val contrib = (shiftFrames ++ rollFrames).reduce(_ union _)
+      val aggs =
+        shifts.map(c => F.first(col(s"${c.name}__b"), ignoreNulls = true)
+          .as(s"${c.name}__b")) ++
+        rolls.map(c => aggOf(c.fn, col(s"${c.name}__b")).as(s"${c.name}__b"))
+      val patch = contrib.groupBy(col(IDX)).agg(aggs.head, aggs.tail: _*)
+      val rnCol = "__gw_iprn"
+      if (rolls.nonEmpty) r = r.withColumn(rnCol, F.row_number().over(wPid))
+      r = shifts.foldLeft(r) { (d, c) =>
+        val w = if (c.offset > 0) F.lead(struct(c.value.as("v")), c.offset)
+                else F.lag(struct(c.value.as("v")), -c.offset)
+        d.withColumn(c.name, w.over(wPid))
+      }
+      r = rolls.foldLeft(r) { (d, c) =>
+        d.withColumn(c.name, aggOf(c.fn, c.value)
+          .over(wPid.rowsBetween(-(c.width - 1).toLong, Window.currentRow)))
+      }
+      r = r.join(broadcast(patch), Seq(IDX), "left")
+      r = shifts.foldLeft(r) { (d, c) =>
+        d.withColumn(c.name, coalesce(col(c.name), col(s"${c.name}__b")))
+      }
+      r = rolls.foldLeft(r) { (d, c) =>
+        d.withColumn(c.name,
+          when(col(rnCol) < c.width, col(s"${c.name}__b")).otherwise(col(c.name)))
+      }
+      r = r.drop((shifts ++ rolls).map(c => s"${c.name}__b"): _*)
+      if (rolls.nonEmpty) r = r.drop(rnCol)
+    } else if (shifts.nonEmpty || rolls.nonEmpty) {
+      // offsets/widths rivaling the rows-per-partition count would make
+      // the boundary frame corpus-sized — fall back to one shuffled
+      // join per distinct offset (same-offset shifts share one) and the
+      // contribution explode + groupBy per roll
+      shifts.groupBy(_.offset).toSeq.sortBy(_._1).foreach { case (o, cs) =>
+        val b = s.select((col(IDX) - o).as(IDX) +:
+          cs.map(c => struct(c.value.as("v")).as(c.name)): _*)
+        r = r.join(b, Seq(IDX), "left")
+      }
+      rolls.foreach { case Rolling(n, v, fn, width) =>
+        val contrib = s.select(col(IDX), v.as("__gw_v"))
+          .withColumn("__gw_off", explode(sequence(lit(0), lit(width - 1))))
+          .select((col(IDX) + col("__gw_off")).as(IDX), col("__gw_v"))
+        val rolled = contrib.groupBy(col(IDX)).agg(aggOf(fn, col("__gw_v")).as(n))
+        r = r.join(rolled, Seq(IDX), "left")
       }
     }
 
@@ -238,15 +282,9 @@ private[core] object GlobalWindows {
         exclusive = false, pidPrecomputed = true)
 
     calls.foreach {
-      case _: RunningAgg | _: Shift => ()
+      case _: RunningAgg | _: Shift | _: Rolling => ()
       case RowNum(n) =>
         r = r.withColumn(n, (col(IDX) + 1).cast("int"))
-      case Rolling(n, v, fn, width) =>
-        val contrib = s.select(col(IDX), v.as("__gw_v"))
-          .withColumn("__gw_off", explode(sequence(lit(0), lit(width - 1))))
-          .select((col(IDX) + col("__gw_off")).as(IDX), col("__gw_v"))
-        val rolled = contrib.groupBy(col(IDX)).agg(aggOf(fn, col("__gw_v")).as(n))
-        r = r.join(rolled, Seq(IDX), "left")
       case Rank(n, sort) =>
         val (key, dir) = Bridge.sortSpec(sort)
         val kCol = s"${n}_k"

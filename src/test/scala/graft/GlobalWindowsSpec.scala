@@ -98,6 +98,20 @@ class GlobalWindowsSpec extends GraftSpec {
       s.contains("_pid")), specs.mkString(" | "))
   }
 
+  test("rolling windows wider than a partition still match (every row is an edge row)") {
+    // 199 rows over 7 partitions ≈ 28 rows each; width 50 spans 2+
+    // partitions, so the in-partition window is wrong for EVERY row and
+    // the whole answer must come from the boundary patch
+    val f = CrysFrame(raw).sortBy("id")
+    val got = f.addColumn("rs")(c => c.rollingSum(col("v"), 50))
+      .addColumn("ra")(c => c.rollingMean(col("v"), 50)).out
+    val w50 = Window.orderBy("id").rowsBetween(-49, Window.currentRow)
+    val expected = raw
+      .withColumn("rs", F.sum(col("v")).over(w50))
+      .withColumn("ra", F.avg(col("v")).over(w50))
+    assert(sortedRows(got) == sortedRows(expected))
+  }
+
   test("verbs that never materialize global calls refuse them with a targeted error") {
     val f = CrysFrame(raw).sortBy("id")
     val e1 = intercept[IllegalArgumentException] {

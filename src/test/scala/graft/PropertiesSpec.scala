@@ -444,6 +444,41 @@ class PropertiesSpec extends GraftSpec {
         prefixOk && strictThrew
       }
     }
+    // the STREAMING walk (what readTfrecords actually runs) must agree
+    // with the byte[] parser on every input, clean or corrupted, in
+    // both postures — including arbitrary truncation, where the stream
+    // sees a mid-frame EOF instead of a bounds check
+    check("tfrecord.streamEquivalence", cases = 40) {
+      val gen = for {
+        ps <- genPayloads
+        mutate <- Gen.oneOf(0, 1, 2) // 0 clean, 1 byte flip, 2 truncate
+        at <- Gen.choose(0, Int.MaxValue)
+      } yield (ps, mutate, at)
+      Prop.forAll(gen) { case (ps, mutate, at0) =>
+        val base = ps.map(Export.tfrecordFrame).reduce(_ ++ _)
+        val bytes = mutate match {
+          case 1 => val b = base.clone()
+            b(at0 % b.length) = (b(at0 % b.length) ^ 0x40).toByte; b
+          case 2 => base.take(1 + at0 % base.length)
+          case _ => base
+        }
+        def stream(strict: Boolean): Either[String, Seq[Array[Byte]]] =
+          try Right(Export.parseTfrecordStream(
+            new java.io.ByteArrayInputStream(bytes), strict).toVector)
+          catch { case e: IllegalArgumentException => Left("refused") }
+        def whole(strict: Boolean): Either[String, Seq[Array[Byte]]] =
+          try Right(Export.parseTfrecords(bytes, strict))
+          catch { case e: IllegalArgumentException => Left("refused") }
+        Seq(true, false).forall { strict =>
+          (stream(strict), whole(strict)) match {
+            case (Right(a), Right(b)) => a.size == b.size &&
+              a.zip(b).forall { case (x, y) => java.util.Arrays.equals(x, y) }
+            case (Left(_), Left(_)) => true
+            case _ => false
+          }
+        }
+      }
+    }
   }
 
   test("property: USTAR framing round-trips; corruption keeps a clean name-prefix") {
