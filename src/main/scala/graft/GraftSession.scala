@@ -6,31 +6,20 @@ import org.apache.spark.sql.SparkSession
   * Local mode for tests/bench; the same conf set is what a cluster
   * submit should carry (minus master). */
 object GraftSession {
-  /** The only partition-less windows this engine ever plans are the
-    * metadata-scale cross-partition offset frames in
-    * core/GlobalWindows.runningScan — ≤ #input-partitions rows by
-    * construction, and PlanQualitySpec asserts no data-scale frame
-    * hits one. WindowExecBase still logs its "Moving all data to a
-    * single partition" WARN for each (128× per bench run), which reads
-    * like the defect class the plan specs exist to prevent. Raise that
-    * package's logger to ERROR: real window misuse is caught by the
-    * specs, not the log line. */
-  private def quietIntentionalWindowWarn(): Unit =
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window",
-      org.apache.logging.log4j.Level.ERROR)
-
-  /** Use INSTEAD of `sparkContext.setLogLevel`: that call runs log4j's
-    * `setAllLevels`, which clobbers every per-logger override — the
-    * window-WARN suppression must be re-applied after it. */
-  def setLogLevel(s: SparkSession, level: String): Unit = {
+  /** One place for the log level so every main agrees. NOTE: no
+    * window-WARN suppression lives here — the library's one
+    * intentionally-single-partition window (the metadata-scale offsets
+    * frame in core/GlobalWindows.runningScan) carries a constant
+    * non-foldable partition key precisely so WindowExec's "Moving all
+    * data to a single partition" WARN stays meaningful: if that line
+    * ever appears, it is a USER-authored partition-less window over a
+    * data-scale frame — the defect class PlanQualitySpec pins the
+    * library against. */
+  def setLogLevel(s: SparkSession, level: String): Unit =
     s.sparkContext.setLogLevel(level)
-    quietIntentionalWindowWarn()
-  }
 
   def builder(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
-              shufflePartitions: Int = 32): SparkSession.Builder = {
-    quietIntentionalWindowWarn()
+              shufflePartitions: Int = 32): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -47,7 +36,6 @@ object GraftSession {
       // cosine_sim, ...) — see GraftExtensions
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-  }
 
   def local(): SparkSession = {
     val s = builder().getOrCreate()

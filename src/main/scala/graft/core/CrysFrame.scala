@@ -204,16 +204,22 @@ final class CrysFrame private (
     // single-pass economy; closures must be pure, they re-evaluate).
     val cx = ctx
     var seen = 0
+    // lowercase on both sides: Spark resolution is case-insensitive by
+    // default, so `col("DBL")` DOES read a sibling introduced as "dbl"
     val introduced = scala.collection.mutable.HashSet.empty[String]
     var sequential = false
     val cols = exprs.map { case (n, e) =>
       val c = e(cx)
       val newCalls = cx.globalCalls.drop(seen)
       seen += newCalls.size
-      if (!sequential && newCalls.exists(
-            GlobalWindows.callRefs(_).exists(introduced.contains)))
+      if (!sequential && introduced.nonEmpty && newCalls.exists { call =>
+            val (refs, opaque) = GlobalWindows.callRefs(call)
+            // opaque (expr("..."), star) → references unknowable
+            // without a session → assume the worst and go sequential
+            opaque || refs.exists(r => introduced.contains(r.toLowerCase))
+          })
         sequential = true
-      introduced += n
+      introduced += n.toLowerCase
       n -> c
     }
     if (sequential)

@@ -58,17 +58,20 @@ private[core] object GlobalWindows {
   /** Trailing width-row aggregate over the frame order. */
   final case class Rolling(name: String, value: Column, fn: String, width: Int) extends Call
 
-  /** Source column names a call's expression references — lets
-    * addColumns detect a call that reads a sibling column introduced
-    * earlier in the same verb (which the shared single-pass
-    * materialization, resolved against the pre-verb frame, can't see). */
-  private[core] def callRefs(c: Call): Seq[String] = c match {
-    case RunningAgg(_, v, _) => CrysFrame.refsOf(v)
-    case Shift(_, v, _)      => CrysFrame.refsOf(v)
-    case Rolling(_, v, _, _) => CrysFrame.refsOf(v)
-    case Rank(_, k)          => CrysFrame.refsOf(k)
-    case OrderIdx(_, k)      => CrysFrame.refsOf(k)
-    case RowNum(_)           => Nil
+  /** Source column names a call's expression references, plus an
+    * opacity flag (a raw-SQL `expr("...")` or a star cannot be
+    * enumerated without a session) — lets addColumns detect a call
+    * that reads a sibling column introduced earlier in the same verb
+    * (which the shared single-pass materialization, resolved against
+    * the pre-verb frame, can't see). Opaque trees must be treated as
+    * referencing anything. */
+  private[core] def callRefs(c: Call): (Seq[String], Boolean) = c match {
+    case RunningAgg(_, v, _) => Bridge.refsOpaque(v)
+    case Shift(_, v, _)      => Bridge.refsOpaque(v)
+    case Rolling(_, v, _, _) => Bridge.refsOpaque(v)
+    case Rank(_, k)          => Bridge.refsOpaque(k)
+    case OrderIdx(_, k)      => Bridge.refsOpaque(k)
+    case RowNum(_)           => (Nil, false)
   }
 
   private def aggOf(fn: String, c: Column): Column = fn match {
@@ -113,8 +116,16 @@ private[core] object GlobalWindows {
     val partAgg = withPid.groupBy(col(PID))
       .agg(aggs.head match { case (n, v, f) => aggOf(f, v).as(s"${n}_p") },
         aggs.tail.map { case (n, v, f) => aggOf(f, v).as(s"${n}_p") }: _*)
-    // metadata-scale: ≤ #input-partitions rows through this window
-    val wOff = Window.orderBy(col(PID))
+    // metadata-scale: ≤ #input-partitions rows through this window. The
+    // constant (but non-foldable — a literal would be optimized away)
+    // partition key keeps the plan single-partition WITHOUT tripping
+    // WindowExec's "Moving all data to a single partition" WARN: that
+    // warning must stay alive for USER-authored partition-less windows
+    // over data-scale frames — exactly the defect class this module
+    // exists to avoid — so the library cannot justify muting the
+    // logger JVM-wide for its own intentional metadata-scale windows.
+    val wOff = Window.partitionBy(pmod(col(PID), lit(1)))
+      .orderBy(col(PID))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = partAgg.select(
       (col(PID) +: aggs.map { case (n, _, f) =>
@@ -205,8 +216,16 @@ private[core] object GlobalWindows {
     val wPid = Window.partitionBy(col(PID)).orderBy(col(IDX))
     val mEdge = (shifts.map(c => math.abs(c.offset)) ++
       rolls.map(_.width - 1)).foldLeft(0)(math.max)
+    // two gates: the edge frame itself (broadcast + per-task buffer of
+    // 2·mEdge rows), AND the total contribution volume the patch
+    // groupBy sees — each roll explodes the edge frame by its width,
+    // so a wide-window roll can blow up the contributions while the
+    // edge frame stays small
+    val bndRows = 2L * mEdge * s.rdd.getNumPartitions
+    val contribRows = bndRows * (shifts.map(_.offset).distinct.size +
+      rolls.map(_.width.toLong).sum)
     val fuse = (shifts.nonEmpty || rolls.nonEmpty) &&
-      2L * mEdge * s.rdd.getNumPartitions <= (4L << 20)
+      bndRows <= (1L << 20) && contribRows <= (8L << 20)
 
     if (fuse) {
       val bnd = edgeRows(s, mEdge)

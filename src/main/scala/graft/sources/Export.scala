@@ -285,42 +285,13 @@ object Export {
     * training-data posture: corruption must not silently shrink a
     * dataset). */
   private[graft] def parseTfrecords(bytes: Array[Byte],
-                                    strict: Boolean): Vector[Array[Byte]] = {
-    val out = Vector.newBuilder[Array[Byte]]
-    var pos = 0
-    var walk = true
-    while (walk && pos + 12 <= bytes.length) {
-      val bb = java.nio.ByteBuffer.wrap(bytes, pos, 12)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      val len = bb.getLong
-      val lenCrc = bb.getInt
-      val ok = len >= 0 && len <= Int.MaxValue - 16 &&
-        pos + 12 + len + 4 <= bytes.length &&
-        lenCrc == maskedCrc32c(java.util.Arrays.copyOfRange(bytes, pos, pos + 8), 8)
-      if (!ok) {
-        if (strict) throw new IllegalArgumentException(
-          s"parseTfrecords: malformed length frame at byte $pos")
-        walk = false
-      } else {
-        val payload = java.util.Arrays.copyOfRange(
-          bytes, pos + 12, pos + 12 + len.toInt)
-        val payCrc = java.nio.ByteBuffer
-          .wrap(bytes, pos + 12 + len.toInt, 4)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-        if (payCrc != maskedCrc32c(payload, payload.length)) {
-          if (strict) throw new IllegalArgumentException(
-            s"parseTfrecords: payload CRC mismatch at byte $pos")
-          walk = false
-        } else {
-          out += payload
-          pos += 12 + len.toInt + 4
-        }
-      }
-    }
-    if (strict && pos != bytes.length) throw new IllegalArgumentException(
-      s"parseTfrecords: ${bytes.length - pos} trailing bytes are not a record")
-    out.result()
-  }
+                                    strict: Boolean): Vector[Array[Byte]] =
+    // eager wrapper over the streaming walk — ONE code path (the
+    // Warc.parseWarc precedent), so ingest (readTfrecords) and audit
+    // (auditShards, which parses whole shard byte[]s) can never
+    // diverge in posture; equivalence additionally property-pinned
+    parseTfrecordStream(new java.io.ByteArrayInputStream(bytes), strict)
+      .toVector
 
   /** Streaming twin of [[parseTfrecords]] — identical postures, but
     * peak allocation is ONE record: a multi-GB shard never

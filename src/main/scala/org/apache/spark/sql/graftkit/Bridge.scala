@@ -18,14 +18,25 @@ object Bridge {
     * ColumnNodeExpression leaf — so this walks the NODE tree,
     * descending into embedded catalyst expressions (df("name") →
     * AttributeReference) and back into any nodes those wrap. */
-  def refs(c: Column): Seq[String] = {
+  def refs(c: Column): Seq[String] = refsOpaque(c)._1
+
+  /** [[refs]] plus an opacity flag: true when the tree contains a node
+    * whose references cannot be enumerated without a session — a raw
+    * SQL string (`expr("...")`, parsed only at analysis), a star, or
+    * an unresolved function that may expand to one. A caller using
+    * references for a SAFETY decision must treat an opaque tree as
+    * referencing anything. */
+  def refsOpaque(c: Column): (Seq[String], Boolean) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var opaque = false
     def fromExpr(e: Expression): Unit =
       e.foreach {
         case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
           out += ua.nameParts.mkString(".")
         case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
           out += ar.name
+        case _: org.apache.spark.sql.catalyst.analysis.UnresolvedStar =>
+          opaque = true
         case _ => ()
       }
     def fromNode(n: org.apache.spark.sql.internal.ColumnNode): Unit =
@@ -34,10 +45,14 @@ object Bridge {
           out += ua.nameParts.mkString(".")
         case en: org.apache.spark.sql.classic.ExpressionColumnNode =>
           fromExpr(en.expression)
+        case _: org.apache.spark.sql.internal.SqlExpression =>
+          opaque = true
+        case _: org.apache.spark.sql.internal.UnresolvedStar =>
+          opaque = true
         case _ => ()
       }
     fromNode(c.node)
-    out.distinct.toSeq
+    (out.distinct.toSeq, opaque)
   }
 
   /** Decompose a possibly-sort-ordered Column (`col("x").desc`) into

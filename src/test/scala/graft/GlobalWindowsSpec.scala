@@ -94,8 +94,13 @@ class GlobalWindowsSpec extends GraftSpec {
     val specs = "windowspecdefinition\\(([^,]*)".r
       .findAllMatchIn(plan).map(_.group(1)).toSeq
     assert(specs.nonEmpty)
+    // _w<N># keys are window partition EXPRESSIONS Catalyst extracted
+    // into a project (the offsets frame's constant pmod(pid, 1) key) —
+    // still a partitioned window; a partition-LESS window would lead
+    // with its order spec (an ASC/DESC sort column) instead of a key
     assert(specs.forall(s => s.contains("__gw_pid") || s.contains("_p#") ||
-      s.contains("_pid")), specs.mkString(" | "))
+      s.contains("_pid") || s.matches("_w\\d+#\\d+.*")),
+      specs.mkString(" | "))
   }
 
   test("rolling windows wider than a partition still match (every row is an edge row)") {
@@ -135,6 +140,17 @@ class GlobalWindowsSpec extends GraftSpec {
       .addColumn("dbl")(_ => col("id") * 2)
       .addColumn("cs")(c => c.cumsum(col("dbl")))
     assert(sortedRows(both.out) == sortedRows(chained.out))
+    // the detection must survive references it cannot enumerate
+    // (expr("...") parses only at analysis → treated as opaque) and
+    // case-mismatched names (Spark resolution is case-insensitive)
+    val viaExpr = f.addColumns(
+      "dbl" -> (_ => col("id") * 2),
+      "cs" -> (c => c.cumsum(org.apache.spark.sql.functions.expr("dbl"))))
+    assert(sortedRows(viaExpr.out) == sortedRows(chained.out))
+    val viaCase = f.addColumns(
+      "dbl" -> (_ => col("id") * 2),
+      "cs" -> (c => c.cumsum(col("DBL"))))
+    assert(sortedRows(viaCase.out) == sortedRows(chained.out))
     // the independent-columns fast path is untouched: no dependency,
     // same one-pass answer
     val indep = f.addColumns(
