@@ -42,7 +42,16 @@ import org.apache.spark.sql.graftkit.Bridge
   * LRU like the dedup signature frames): every helper and the final
   * join read it, and the row-identity ordinals must be CONSISTENT
   * across those reads. */
-private[core] object GlobalWindows {
+private[graft] object GlobalWindows {
+
+  // Test seam ONLY (GlobalWindowsSpec lowers these to force the
+  // fallback path, otherwise unreachable at spec scale): the fuse
+  // gates for the edge-patch construction. Production values — edge
+  // frame ≤ 1M rows (it is broadcast AND buffered 2·m rows per task),
+  // total patch contributions ≤ 8M rows (each roll explodes the edge
+  // frame by its width).
+  private[graft] var fuseEdgeCap: Long = 1L << 20
+  private[graft] var fuseContribCap: Long = 8L << 20
 
   sealed trait Call { def name: String }
   /** Running aggregate over the frame order (ROWS unbounded..current). */
@@ -225,7 +234,7 @@ private[core] object GlobalWindows {
     val contribRows = bndRows * (shifts.map(_.offset).distinct.size +
       rolls.map(_.width.toLong).sum)
     val fuse = (shifts.nonEmpty || rolls.nonEmpty) &&
-      bndRows <= (1L << 20) && contribRows <= (8L << 20)
+      bndRows <= fuseEdgeCap && contribRows <= fuseContribCap
 
     if (fuse) {
       val bnd = edgeRows(s, mEdge)

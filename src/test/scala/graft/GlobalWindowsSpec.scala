@@ -117,6 +117,81 @@ class GlobalWindowsSpec extends GraftSpec {
     assert(sortedRows(got) == sortedRows(expected))
   }
 
+  /** Equality oracle for a random frame and call mix: builds the same
+    * columns through Ctx (the GlobalWindows machinery) and through
+    * partition-less windows, and compares row-for-row. */
+  private def randomCase(seed: Int, forceFallback: Boolean): Unit = {
+    import scala.util.Random
+    val rnd = new Random(seed)
+    val n = 1 + rnd.nextInt(320)
+    val parts = 1 + rnd.nextInt(9)
+    val df = (0 until n).map { i =>
+      val v: java.lang.Long =
+        if (rnd.nextInt(7) == 0) null
+        else java.lang.Long.valueOf(rnd.nextInt(9) - 4)
+      (i.toLong, v)
+    }.toDF("id", "v").repartition(parts)
+
+    val w = Window.orderBy("id")
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // each entry: (ctx builder, window-formulation column)
+    type Mk = graft.core.Ctx => org.apache.spark.sql.Column
+    def item(mk: Mk, wc: org.apache.spark.sql.Column): (Mk, org.apache.spark.sql.Column) =
+      (mk, wc)
+    val o1 = 1 + rnd.nextInt(60)
+    val o2 = 1 + rnd.nextInt(60)
+    val w1 = 1 + rnd.nextInt(80)
+    val w2 = 1 + rnd.nextInt(80)
+    val menu: Seq[(String, (Mk, org.apache.spark.sql.Column))] = Seq(
+      "cs" -> item(c => c.cumsum(col("v")),
+        when(F.max(when(col("v").isNull, 1).otherwise(0)).over(wr) === 1,
+          lit(null)).otherwise(F.sum(col("v")).over(wr))),
+      "ld" -> item(c => c.lead(col("v"), o1, -9L),
+        F.lead(col("v"), o1, -9L).over(w)),
+      "lg" -> item(c => c.lag(col("v"), o2),
+        F.lag(col("v"), o2).over(w)),
+      "rn" -> item(c => c.rowNumber, F.row_number().over(w)),
+      "rs" -> item(c => c.rollingSum(col("v"), w1),
+        F.sum(col("v")).over(w.rowsBetween(-(w1 - 1).toLong,
+          Window.currentRow))),
+      "rx" -> item(c => c.rollingMax(col("v"), w2),
+        F.max(col("v")).over(w.rowsBetween(-(w2 - 1).toLong,
+          Window.currentRow))),
+      "rk" -> item(c => c.rank(col("v").desc),
+        F.rank().over(Window.orderBy(col("v").desc))))
+    val picked = rnd.shuffle(menu).take(2 + rnd.nextInt(menu.size - 1))
+
+    val caps =
+      if (forceFallback) {
+        val prev = (graft.core.GlobalWindows.fuseEdgeCap,
+          graft.core.GlobalWindows.fuseContribCap)
+        graft.core.GlobalWindows.fuseEdgeCap = 0L
+        Some(prev)
+      } else None
+    try {
+      val got = CrysFrame(df).sortBy("id")
+        .addColumns(picked.map { case (nm, (mk, _)) => nm -> mk }: _*).out
+      val expected = picked.foldLeft(df) { case (d, (nm, (_, wc))) =>
+        d.withColumn(nm, wc)
+      }
+      assert(sortedRows(got.select("id", picked.map(_._1): _*)) ==
+        sortedRows(expected.select("id", picked.map(_._1): _*)),
+        s"seed=$seed n=$n parts=$parts calls=${picked.map(_._1)} " +
+          s"fallback=$forceFallback")
+    } finally caps.foreach { case (e, c) =>
+      graft.core.GlobalWindows.fuseEdgeCap = e
+      graft.core.GlobalWindows.fuseContribCap = c
+    }
+  }
+
+  test("property: random frames x random call mixes match the window formulation") {
+    (1 to 6).foreach(s => randomCase(seed = 100 + s, forceFallback = false))
+  }
+
+  test("property: the non-fused fallback (edge frame too big) matches too") {
+    (1 to 3).foreach(s => randomCase(seed = 200 + s, forceFallback = true))
+  }
+
   test("verbs that never materialize global calls refuse them with a targeted error") {
     val f = CrysFrame(raw).sortBy("id")
     val e1 = intercept[IllegalArgumentException] {
