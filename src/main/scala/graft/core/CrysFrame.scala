@@ -945,24 +945,34 @@ object CrysFrame {
   private[core] def refsOf(c: Column): Seq[String] = Bridge.refs(c)
 
   /** Reverse a (possibly direction-carrying) sort key, flipping both the
-    * direction and the null ordering. */
-  private[core] def revOf(c: Column): Column = Bridge.expression(c) match {
-    case SortOrder(child, dir, no, _) =>
-      Bridge.column(SortOrder(child,
-        if (dir == Ascending) Descending else Ascending,
-        if (no == NullsFirst) NullsLast else NullsFirst, Seq.empty))
-    case _ => c.desc
-  }
+    * direction and the null ordering. Node-level ([[Bridge.reverseSort]]):
+    * the old match on the CONVERTED expression never fired on Spark 4
+    * (conversion happens at analysis), so a desc key fell through to
+    * `.desc` — a nested SortOrder that died at codegen. */
+  private[core] def revOf(c: Column): Column = Bridge.reverseSort(c)
 
   private[core] def ordOf(c: Column): Ord = Ord(c, revOf(c), refsOf(c))
 
+  /** Rewrite a sort key's references after a rename. Spark-4 reality:
+    * a NODE-backed composite key (sortByExpr) cannot be rewritten
+    * generically (node trees expose no transform), so only the plain
+    * single-attribute key — what sortBy produces — rewrites here
+    * ([[Bridge.renameAttr]]); catalyst-backed keys (df("name")) go
+    * through the expression transform. A composite key returns
+    * unchanged and resolves through Spark's missing-attribute
+    * mechanism, which finds the ORIGINAL (renamed) attribute through
+    * the rename projection — the same ordering remap would produce —
+    * with one known corner: a LATER addColumn that shadows the old
+    * name would capture the new column instead. Refs metadata still
+    * remaps, so ordering survival/drop decisions stay correct. */
   private def remapCol(c: Column, m: Map[String, String]): Column =
-    Bridge.column(Bridge.expression(c).transform {
-      case ua: UnresolvedAttribute if m.contains(ua.nameParts.mkString(".")) =>
-        UnresolvedAttribute(Seq(m(ua.nameParts.mkString("."))))
-      case ar: AttributeReference if m.contains(ar.name) =>
-        UnresolvedAttribute(Seq(m(ar.name)))
-    })
+    Bridge.renameAttr(c, m).getOrElse(
+      Bridge.column(Bridge.expression(c).transform {
+        case ua: UnresolvedAttribute if m.contains(ua.nameParts.mkString(".")) =>
+          UnresolvedAttribute(Seq(m(ua.nameParts.mkString("."))))
+        case ar: AttributeReference if m.contains(ar.name) =>
+          UnresolvedAttribute(Seq(m(ar.name)))
+      }))
 
   /** In-memory literal frame (reference: src/crysda.cr:60-93). A column
     * whose cells span incompatible families (the reference's mixed

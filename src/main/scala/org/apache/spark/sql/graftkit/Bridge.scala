@@ -55,6 +55,51 @@ object Bridge {
     (out.distinct.toSeq, opaque)
   }
 
+  /** Node-level rename for the cases a ColumnNode CAN be rebuilt: a
+    * bare attribute, or one wrapped in a single SortOrder (what
+    * sortBy/sortDescBy produce). Returns None for anything composite —
+    * node trees expose no generic transform, so the caller must fall
+    * back to its own strategy. */
+  def renameAttr(c: Column, m: Map[String, String]): Option[Column] = {
+    import org.apache.spark.sql.{internal => NI}
+    def ren(ua: NI.UnresolvedAttribute): Option[Column] =
+      m.get(ua.nameParts.mkString(".")).map(n =>
+        Column(NI.UnresolvedAttribute(Seq(n), ua.planId, ua.isMetadataColumn)))
+    c.node match {
+      case ua: NI.UnresolvedAttribute => ren(ua).orElse(Some(c))
+      case so: NI.SortOrder =>
+        so.child match {
+          case ua: NI.UnresolvedAttribute =>
+            ren(ua).map(ch =>
+              Column(NI.SortOrder(ch.node, so.sortDirection, so.nullOrdering)))
+              .orElse(Some(c))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Reverse a possibly-direction-carrying sort key: `x.desc` becomes
+    * `x.asc` with the null ordering flipped too, and a plain column
+    * becomes `desc` (Spark's window/sort default being asc-nulls-first,
+    * its reverse is desc-nulls-last — which `.desc` is). Works on the
+    * NODE tree: matching the converted catalyst expression never fires
+    * on Spark 4 (the conversion happens at analysis), and calling
+    * `.desc` on an already-SortOrder column nests sort orders, which
+    * dies at codegen with an INTERNAL_ERROR. */
+  def reverseSort(c: Column): Column = c.node match {
+    case so: org.apache.spark.sql.internal.SortOrder =>
+      import org.apache.spark.sql.internal.SortOrder._
+      val child = Column(so.child)
+      (so.sortDirection, so.nullOrdering) match {
+        case (Ascending, NullsFirst)  => child.desc_nulls_last
+        case (Ascending, NullsLast)   => child.desc_nulls_first
+        case (Descending, NullsFirst) => child.asc_nulls_last
+        case (Descending, NullsLast)  => child.asc_nulls_first
+      }
+    case _ => c.desc
+  }
+
   /** Decompose a possibly-sort-ordered Column (`col("x").desc`) into
     * its VALUE column and a function that re-applies the same
     * direction/null-ordering to another column. A plain column gets

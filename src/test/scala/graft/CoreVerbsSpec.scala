@@ -259,6 +259,17 @@ class CoreVerbsSpec extends GraftSpec {
     assert(f.out.collect().map(_.getAs[Int]("years")).toSeq == Seq(53, 30, 23))
   }
 
+  test("sortByOrder with a direction-carrying key reverses cleanly (takeLast)") {
+    // regression: reversing a desc key used to nest SortOrders (the
+    // match on the converted expression never fired on Spark 4) and
+    // die at codegen with an INTERNAL_ERROR
+    val f = persons.sortByOrder(c => c("age").desc)
+    assert(f.out.collect().map(_.getAs[Int]("age")).toSeq == Seq(53, 30, 23))
+    assert(f.takeLast(1).out.collect().map(_.getAs[Int]("age")).toSeq == Seq(23))
+    val g = persons.sortByOrder(c => c("age").asc_nulls_last)
+    assert(g.takeLast(1).out.collect().map(_.getAs[Int]("age")).toSeq == Seq(53))
+  }
+
   test("takeLast and slice preserve ingest order in the output") {
     // the reduction machinery sorts physically (reversed keys / window);
     // an ingest-ordered frame must still observe rows in original order
