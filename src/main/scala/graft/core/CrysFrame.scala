@@ -916,7 +916,7 @@ object CrysFrame {
     new CrysFrame(df, groupedBy.filter(df.columns.contains), Nil)
 
   import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-  import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Descending, NullsFirst, NullsLast, SortOrder}
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
   import org.apache.spark.sql.graftkit.Bridge
 
   /** Structured ordering metadata: a fully-directed sort key, its
