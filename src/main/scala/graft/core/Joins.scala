@@ -98,7 +98,22 @@ private[core] object Binds {
 
   /** Stable 0-based row index via RDD zipWithIndex — one extra job to
     * count partition sizes, but no single-partition shuffle (scales,
-    * unlike a global row_number window). */
+    * unlike a global row_number window).
+    *
+    * DO NOT "optimize" this into a pure-Catalyst two-level build
+    * (monotonically_increasing_id → per-partition counts → broadcast
+    * offsets): it was tried (r8) and is UNSOUND. The counting subtree
+    * and the main pass are planned and evaluated INDEPENDENTLY, so
+    * the nondeterministic position capture can land on two different
+    * physical layouts (AQE re-coalesces per evaluation) and the
+    * offset join silently drops almost every row. zipWithIndex is
+    * immune because `.rdd` freezes ONE physical realization that both
+    * its jobs share. The real costs stay: the count job re-evaluates
+    * the (uncached) upstream a second time, and both passes pay Row
+    * conversion — acceptable because consumers that re-read the
+    * ordinals persist the RESULT (GlobalWindows), and upstream here
+    * is usually a sort whose recompute beats spilling a corpus-sized
+    * cached copy. */
   def withIdx(df: DataFrame): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField(CrysFrame.IDX, LongType, false))
     df.sparkSession.createDataFrame(
