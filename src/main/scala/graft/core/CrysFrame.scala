@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftkit.Bridge
 import org.apache.spark.sql.types._
 
 /** Thin immutable dplyr-style facade over a lazy Spark `DataFrame` —
@@ -526,20 +527,59 @@ final class CrysFrame private (
     * reference: src/crysda/context.cr:177-193). */
   def sortByOrder(exprs: (Ctx => Column)*): CrysFrame = {
     val cx = ctx
-    val ords2 = exprs.map(e => ordOf(e(cx)))
+    val cols = exprs.map(e => e(cx))
     cx.assertNoGlobalCalls("sortByOrder")
-    new CrysFrame(df, groupedBy, stabilized(ords2))
+    sortMaterialized(cols)(ordOf) { (c, h) =>
+      val (_, reApply) = Bridge.sortSpec(c)
+      ordOf(reApply(qcol(h)))
+    }(c => Bridge.sortSpec(c)._1)
   }
 
   /** Sort by computed expressions (reference: src/crysda/dataframe.cr:530-547). */
   def sortByExpr(exprs: (Ctx => Column)*): CrysFrame = {
     val cx = ctx
-    val ords2 = exprs.map { e =>
-      val c = e(cx)
-      Ord(c.asc_nulls_last, c.desc_nulls_first, refsOf(c))
-    }
+    val cols = exprs.map(e => e(cx))
     cx.assertNoGlobalCalls("sortByExpr")
-    new CrysFrame(df, groupedBy, stabilized(ords2))
+    sortMaterialized(cols)(c =>
+      Ord(c.asc_nulls_last, c.desc_nulls_first, refsOf(c))) { (_, h) =>
+      Ord(qcol(h).asc_nulls_last, qcol(h).desc_nulls_first, Seq(h))
+    }(identity)
+  }
+
+  /** Shared tail of sortByOrder/sortByExpr. A plain-attribute key (bare
+    * or direction-wrapped — what [[Bridge.renameAttr]] can rebuild)
+    * stays a direct reference: remappable on rename, resolvable through
+    * any lineage. A COMPUTED key is materialized as a hidden
+    * `__graft_sortkey_N` column at sort time instead of being carried
+    * as a live expression: a node-backed composite Column cannot be
+    * rewritten on rename, and Spark's missing-attribute fallback that
+    * used to resolve the stale reference is severed by the first RDD
+    * boundary downstream (e.g. a global-window materialization's
+    * zipWithIndex → createDataFrame), leaving the frame's ordering
+    * unresolvable far from the sort call (found by the verb-chain
+    * fuzzer, seed 1215). Materializing also pins SNAPSHOT semantics —
+    * the key is computed over the columns as they were at sort time,
+    * exactly like the reference's physical sort — instead of silently
+    * re-binding to a later same-named column. Hidden key columns of
+    * orderings this sort supersedes are dropped so chained sorts don't
+    * accumulate them. */
+  private def sortMaterialized(cols: Seq[Column])(
+      mkPlain: Column => Ord)(
+      mkOrd: (Column, String) => Ord)(value: Column => Column): CrysFrame = {
+    var newDf = df
+    val ords2 = cols.map { c =>
+      if (Bridge.renameAttr(c, Map.empty).isDefined) mkPlain(c)
+      else {
+        val h = freshSortKey()
+        newDf = newDf.withColumn(h, value(c))
+        mkOrd(c, h)
+      }
+    }
+    val ords3 = stabilized(ords2)
+    val liveSk = ords3.flatMap(_.refs).filter(_.startsWith(SK)).toSet
+    val staleSk = newDf.columns.filter(n => n.startsWith(SK) && !liveSk(n))
+    if (staleSk.nonEmpty) newDf = newDf.drop(staleSk.toSeq: _*)
+    new CrysFrame(newDf, groupedBy, ords3)
   }
 
   // ---------------------------------------------------------------------
@@ -895,6 +935,10 @@ object CrysFrame {
   private[core] val RN = "__graft_rn"
   private[core] val IDX = "__graft_idx"
   private[core] val CNT = "__graft_cnt"
+  /** Prefix for materialized computed sort keys (see sortMaterialized). */
+  private[core] val SK = "__graft_sortkey_"
+  private val skCounter = new java.util.concurrent.atomic.AtomicLong()
+  private[core] def freshSortKey(): String = SK + skCounter.incrementAndGet()
 
   /** All internal columns share the prefix; `names`/`schema`/`out`
     * exclude them. */
@@ -954,17 +998,14 @@ object CrysFrame {
   private[core] def ordOf(c: Column): Ord = Ord(c, revOf(c), refsOf(c))
 
   /** Rewrite a sort key's references after a rename. Spark-4 reality:
-    * a NODE-backed composite key (sortByExpr) cannot be rewritten
-    * generically (node trees expose no transform), so only the plain
-    * single-attribute key — what sortBy produces — rewrites here
+    * a NODE-backed composite key cannot be rewritten generically (node
+    * trees expose no transform), so only the plain single-attribute
+    * key — what sortBy produces — rewrites here
     * ([[Bridge.renameAttr]]); catalyst-backed keys (df("name")) go
-    * through the expression transform. A composite key returns
-    * unchanged and resolves through Spark's missing-attribute
-    * mechanism, which finds the ORIGINAL (renamed) attribute through
-    * the rename projection — the same ordering remap would produce —
-    * with one known corner: a LATER addColumn that shadows the old
-    * name would capture the new column instead. Refs metadata still
-    * remaps, so ordering survival/drop decisions stay correct. */
+    * through the expression transform. Composite keys never reach this
+    * point anymore: sortByExpr/sortByOrder materialize them as hidden
+    * `__graft_sortkey_N` columns at sort time (see sortMaterialized),
+    * so every carried key is a plain reference. */
   private def remapCol(c: Column, m: Map[String, String]): Column =
     Bridge.renameAttr(c, m).getOrElse(
       Bridge.column(Bridge.expression(c).transform {

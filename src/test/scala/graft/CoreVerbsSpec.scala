@@ -249,14 +249,38 @@ class CoreVerbsSpec extends GraftSpec {
   test("sortByExpr ordering survives select of its source columns") {
     val f = persons.sortByExpr(c => c("age") * -1).select("age", "first_name")
     assert(f.out.collect().map(_.getInt(0)).toSeq == Seq(53, 30, 23))
-    // dropping a source column of the computed key drops the ordering
-    // instead of failing to resolve a stale reference
-    assert(f.select("first_name").out.columns.toSeq == Seq("first_name"))
+    // the key is materialized at sort time, so even dropping its source
+    // column keeps the ordering (the reference sorted physically — a
+    // projection never loses row order) with no stale reference to fail
+    val g = f.select("first_name")
+    assert(g.out.columns.toSeq == Seq("first_name"))
+    assert(g.out.collect().map(_.getString(0)).toSeq ==
+      Seq("max", "tom", "eva"))
   }
 
   test("rename remaps a computed sort key's references") {
     val f = persons.sortByExpr(c => c("age") * -1).rename("age" -> "years")
     assert(f.out.collect().map(_.getAs[Int]("years")).toSeq == Seq(53, 30, 23))
+  }
+
+  test("computed sort key survives rename then an RDD-boundary verb") {
+    // regression (fuzzer seed 1215): a composite key carried as a live
+    // expression only resolved post-rename through Spark's
+    // missing-attribute chase, which the first RDD boundary downstream
+    // (here rank's global-window zipWithIndex materialization) severed
+    // — AnalysisException at `out`, far from the sort. Computed keys
+    // are now materialized as hidden columns at sort time, so the
+    // ordering rides through any lineage and keeps SNAPSHOT semantics.
+    val f = persons.sortByExpr(c => c("age") * -1)
+      .rename("age" -> "years")
+      .addColumn("r")(c => c.rank(c("years").desc))
+    assert(f.out.collect().map(_.getAs[Int]("years")).toSeq == Seq(53, 30, 23))
+    // snapshot semantics: a later column shadowing the ORIGINAL key
+    // name must not be captured by the sort key
+    val g = persons.sortByExpr(c => c("age") * -1)
+      .rename("age" -> "years")
+      .addColumn("age")(_ => lit(0))
+    assert(g.out.collect().map(_.getAs[Int]("years")).toSeq == Seq(53, 30, 23))
   }
 
   test("sortByOrder with a direction-carrying key reverses cleanly (takeLast)") {

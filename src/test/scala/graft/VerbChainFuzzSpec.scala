@@ -114,4 +114,13 @@ class VerbChainFuzzSpec extends GraftSpec {
   test("random verb chains observe cleanly and keep structural contracts") {
     (1 to 30).foreach(s => runCase(1000 + s))
   }
+
+  test("seed 1215: computed sort key survives rename + RDD-boundary verb") {
+    // found by a 500-seed soak: rename → sortByExpr → rename → rank
+    // left a stale composite sort key whose missing-attribute
+    // resolution was severed by the global-window materialization's
+    // zipWithIndex boundary; pinned here, minimal shape in
+    // CoreVerbsSpec ("computed sort key survives rename...")
+    runCase(1215)
+  }
 }
