@@ -21,8 +21,10 @@ class VerbChainFuzzSpec extends GraftSpec {
 
   import spark.implicits._
 
+  /** `rows` is None once a data-dependent reducer (distinct) ran —
+    * structural contracts still checked, the count no longer is. */
   private case class St(f: CrysFrame, numCols: Vector[String],
-                        idCol: String, strCol: String, rows: Long)
+                        idCol: String, strCol: String, rows: Option[Long])
 
   private def base(rnd: scala.util.Random): St = {
     val n = 40 + rnd.nextInt(140)
@@ -33,13 +35,17 @@ class VerbChainFuzzSpec extends GraftSpec {
         else java.lang.Long.valueOf(rnd.nextInt(11) - 5)
       (i.toLong, v, s"g${i % (1 + rnd.nextInt(5))}")
     }.toDF("id", "v", "g").repartition(parts)
-    St(CrysFrame(df), Vector("id", "v"), "id", "g", n.toLong)
+    St(CrysFrame(df), Vector("id", "v"), "id", "g", Some(n.toLong))
   }
 
-  /** One applicable random step; returns the next state. */
-  private def step(st: St, rnd: scala.util.Random, fresh: () => String): St = {
+  /** One applicable random step; returns the next state. `nOps` bounds
+    * the vocabulary so pinned seeds keep replaying their original
+    * chain when new ops are appended (only ever append — never
+    * renumber — or the pinned-seed chains change under the test). */
+  private def step(st: St, rnd: scala.util.Random, fresh: () => String,
+                   nOps: Int): St = {
     val numCol = st.numCols(rnd.nextInt(st.numCols.size))
-    rnd.nextInt(13) match {
+    rnd.nextInt(nOps) match {
       case 0 => st.copy(f = st.f.sortBy(numCol))
       case 1 => st.copy(f = st.f.sortDescBy(numCol))
       case 2 => st.copy(f = st.f.sortByOrder(c => c(numCol).desc))
@@ -75,34 +81,82 @@ class VerbChainFuzzSpec extends GraftSpec {
       case 9 =>
         val n = 1 + rnd.nextInt(20)
         val took = if (rnd.nextBoolean()) st.f.take(n) else st.f.takeLast(n)
-        st.copy(f = took, rows = math.min(st.rows, n.toLong))
+        st.copy(f = took, rows = st.rows.map(r => math.min(r, n.toLong)))
       case 10 =>
         val f2 = st.f.filter(c => c(numCol).isNotNull || c(st.strCol).isNotNull)
         st.copy(f = f2) // predicate is a tautology on this data: rows keep
-      case 11 => st.copy(f = st.f.bindRows(st.f), rows = st.rows * 2)
+      case 11 => st.copy(f = st.f.bindRows(st.f), rows = st.rows.map(_ * 2))
       case 12 => st.copy(f = st.f.shuffle())
+      // ---- extended vocabulary (appended; see `nOps` contract) ----
+      case 13 =>
+        // full-width select in a random order: exercises the ordering
+        // ride-along projection path
+        val perm = rnd.shuffle(st.f.names.toVector)
+        st.copy(f = st.f.select(perm: _*))
+      case 14 =>
+        // reject a derived numeric column (never the last one, never id)
+        val derived = st.numCols.filter(c => c != st.idCol)
+        if (derived.size < 2) st
+        else {
+          val victim = derived(rnd.nextInt(derived.size))
+          st.copy(f = st.f.reject(victim),
+            numCols = st.numCols.filterNot(_ == victim))
+        }
+      case 15 =>
+        // grouped order-sensitive verb: partitioned window path (the
+        // grouped twin of op 5), then ungroup
+        val nm = fresh()
+        val sorted = st.f.sortBy(st.idCol).groupBy(st.strCol)
+        val mk: graft.core.Ctx => org.apache.spark.sql.Column =
+          rnd.nextInt(4) match {
+            case 0 => _.cumsum(col(numCol))
+            case 1 => _.lead(col(numCol), 1 + rnd.nextInt(3), -1L)
+            case 2 => _.lag(col(numCol))
+            case _ => _.rowNumber
+          }
+        st.copy(f = sorted.addColumn(nm)(mk).ungroup,
+          numCols = st.numCols :+ nm)
+      case 16 =>
+        // row count becomes data-dependent (duplicates may exist after
+        // bindRows): keep checking structure, stop checking the count
+        st.copy(f = st.f.distinct(), rows = None)
+      case 17 =>
+        val k = st.rows match {
+          case Some(r) => 1 + rnd.nextInt(math.min(r, 20L).toInt)
+          case None    => 1 // always a safe draw
+        }
+        st.copy(f = st.f.sampleN(k), rows = Some(k.toLong))
+      case 18 =>
+        // self semi-join on the string key: row- and column-preserving
+        st.copy(f = st.f.semiJoin(st.f, by = Seq(st.strCol)))
     }
   }
 
-  private def runCase(seed: Int): Unit = {
+  /** Legacy vocabulary size — pinned seeds found under it replay their
+    * original chains only at this size. */
+  private val legacyOps = 13
+  private val allOps = 19
+
+  private def runCase(seed: Int, nOps: Int = allOps): Unit = {
     val rnd = new scala.util.Random(seed)
     var st = base(rnd)
     var n = 0
     val fresh = () => { n += 1; s"c$n" }
     val steps = 4 + rnd.nextInt(6)
     try {
-      (0 until steps).foreach { _ => st = step(st, rnd, fresh) }
+      (0 until steps).foreach { _ => st = step(st, rnd, fresh, nOps) }
       val out = st.f.out
       val rows = out.count()
       val cols = out.columns.toSeq
       assert(cols.distinct == cols, s"duplicate visible columns: $cols")
       assert(!cols.exists(c => c.startsWith("__")),
         s"internal helper column leaked: $cols")
-      assert(rows == st.rows, s"row count $rows, expected ${st.rows}")
-      // a terminal grouped aggregation must also observe cleanly
+      st.rows.foreach(r => assert(rows == r, s"row count $rows, expected $r"))
+      // a terminal grouped aggregation must also observe cleanly, and
+      // must see the same row universe the direct observation did
       val agg = st.f.groupBy(st.strCol)
         .summarize("n" -> (_ => graft.core.Agg.n)).out.collect()
-      assert(agg.map(_.getLong(1)).sum == st.rows)
+      assert(agg.map(_.getLong(1)).sum == rows)
     } catch {
       case e: org.scalatest.exceptions.TestFailedException => throw e
       case e: Throwable =>
@@ -119,8 +173,9 @@ class VerbChainFuzzSpec extends GraftSpec {
     // found by a 500-seed soak: rename → sortByExpr → rename → rank
     // left a stale composite sort key whose missing-attribute
     // resolution was severed by the global-window materialization's
-    // zipWithIndex boundary; pinned here, minimal shape in
-    // CoreVerbsSpec ("computed sort key survives rename...")
-    runCase(1215)
+    // zipWithIndex boundary; pinned here (legacy vocabulary — the
+    // chain replays exactly), minimal shape in CoreVerbsSpec
+    // ("computed sort key survives rename...")
+    runCase(1215, nOps = legacyOps)
   }
 }
