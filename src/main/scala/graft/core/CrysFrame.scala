@@ -90,13 +90,31 @@ final class CrysFrame private (
 
   private[core] def ctx: Ctx = new Ctx(groupedBy, ords.map(_.key))
 
-  /** Ensure an explicit ordering exists (capture ingest order lazily). */
+  /** Ensure an explicit ordering exists (capture ingest order lazily).
+    * Over a NARROW plan (scan / project / filter / union — nothing that
+    * plans an exchange) the capture is `monotonically_increasing_id`:
+    * free, codegen'd, pushdown-transparent, and stable because such
+    * plans have one deterministic physical layout. Above anything wide
+    * (join / aggregate / repartition / limit) mono_id is NOT stable:
+    * AQE re-plans each referencing subtree independently, so two
+    * branches of one query (or two observations) can see different
+    * partition coalescing and therefore different ids — a self-join
+    * over `take` of a repartitioned frame silently disagreed on which
+    * rows were taken (fuzzer seed 2100). Wide plans capture through
+    * the RDD zipWithIndex instead, whose `.rdd` freezes ONE physical
+    * realization that every downstream branch shares (same soundness
+    * argument as [[Joins]]' `Binds.withIdx` scaladoc). */
   private def ordered: CrysFrame =
     if (ords.nonEmpty) this
     else if (df.columns.contains(ORD))
       new CrysFrame(df, groupedBy, Seq(ingestOrd))
-    else new CrysFrame(df.withColumn(ORD, monotonically_increasing_id()),
-      groupedBy, Seq(ingestOrd))
+    else {
+      val stamped =
+        if (narrowDeterministic(df.queryExecution.analyzed))
+          df.withColumn(ORD, monotonically_increasing_id())
+        else Binds.withIdxAs(df, ORD)
+      new CrysFrame(stamped, groupedBy, Seq(ingestOrd))
+    }
 
   // ---------------------------------------------------------------------
   // projection (reference: src/crysda/dataframe.cr:465-495, select.cr)
@@ -324,11 +342,18 @@ final class CrysFrame private (
   /** First n rows — per group when grouped (reference: src/crysda/dataframe.cr:317-320).
     * Ungrouped: `orderBy(keys).limit(n)` compiles to TakeOrderedAndProject
     * (per-partition heap + driver merge) — same rows as the row_number
-    * window, no single-task global sort. */
+    * window, no single-task global sort. An ordering-less frame captures
+    * the ingest ordinal first (like takeLast/slice): a bare `limit(n)`
+    * reads its single-partition shuffle in block-fetch order, so two
+    * evaluations of the same lazy plan can return DIFFERENT subsets — a
+    * self-join over `take` silently lost rows (fuzzer seed 2100) — and
+    * "arbitrary n rows" was never the reference's contract anyway. */
   def take(n: Int): CrysFrame =
     if (groupedBy.nonEmpty) slice(1 to n)
-    else if (ords.isEmpty) keep(df.limit(n))
-    else keep(df.orderBy(ords.map(_.key): _*).limit(n))
+    else {
+      val c = ordered
+      c.keep(c.restoreOrder(c.df.orderBy(c.ords.map(_.key): _*).limit(n)))
+    }
   def head(n: Int = 5): CrysFrame = take(n)
 
   /** Last n rows (reference: src/crysda/dataframe.cr:581-591).
@@ -943,6 +968,23 @@ object CrysFrame {
   /** All internal columns share the prefix; `names`/`schema`/`out`
     * exclude them. */
   private[core] def isHidden(n: String): Boolean = n.startsWith("__graft_")
+
+  /** True when every node of the plan is narrow and layout-deterministic
+    * — no exchange anywhere, so position-capture expressions
+    * (monotonically_increasing_id) see the same physical layout on
+    * every evaluation of every referencing subtree. Conservative: any
+    * node not on the whitelist counts as wide. */
+  private[core] def narrowDeterministic(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: LeafNode => true
+      case _: Project | _: Filter | _: SubqueryAlias | _: Union |
+           _: Generate | _: Expand | _: LocalLimit | _: Sample =>
+        p.children.forall(narrowDeterministic)
+      case _ => false
+    }
+  }
 
   /** Stable hidden alias for an ordering ref carried through a
     * projection (already-hidden names pass through unchanged). */

@@ -114,8 +114,12 @@ private[core] object Binds {
     * ordinals persist the RESULT (GlobalWindows), and upstream here
     * is usually a sort whose recompute beats spilling a corpus-sized
     * cached copy. */
-  def withIdx(df: DataFrame): DataFrame = {
-    val schema = StructType(df.schema.fields :+ StructField(CrysFrame.IDX, LongType, false))
+  def withIdx(df: DataFrame): DataFrame = withIdxAs(df, CrysFrame.IDX)
+
+  /** [[withIdx]] with a caller-chosen column name (e.g. the ingest
+    * ordinal for wide-plan order capture — see CrysFrame.ordered). */
+  def withIdxAs(df: DataFrame, name: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(name, LongType, false))
     df.sparkSession.createDataFrame(
       df.rdd.zipWithIndex().map { case (row, i) => Row.fromSeq(row.toSeq :+ i) },
       schema)

@@ -294,6 +294,23 @@ class CoreVerbsSpec extends GraftSpec {
     assert(g.takeLast(1).out.collect().map(_.getAs[Int]("age")).toSeq == Seq(53))
   }
 
+  test("take on an ordering-less frame is a stable value (seed 2100)") {
+    // regression: bare `limit(n)` reads its single-partition shuffle in
+    // block-fetch order, so each evaluation of the SAME lazy plan could
+    // return a different subset — a self semi-join over take lost rows.
+    // take now captures the ingest ordinal first, like takeLast/slice.
+    import spark.implicits._
+    val f = CrysFrame(
+      (0 until 124).map(i => (i.toLong, s"g${i % 5}")).toDF("id", "g")
+        .repartition(3))
+    val t = f.take(11)
+    val ids1 = t.out.collect().map(_.getLong(0)).toSet
+    val ids2 = t.out.collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2, "take must return the same rows on re-evaluation")
+    assert(t.semiJoin(t, by = Seq("g")).numRow == 11)
+    assert(t.bindRows(t).numRow == 22)
+  }
+
   test("takeLast and slice preserve ingest order in the output") {
     // the reduction machinery sorts physically (reversed keys / window);
     // an ingest-ordered frame must still observe rows in original order

@@ -137,6 +137,8 @@ class VerbChainFuzzSpec extends GraftSpec {
   private val legacyOps = 13
   private val allOps = 19
 
+  protected def runCaseSoak(seed: Int): Unit = runCase(seed)
+
   private def runCase(seed: Int, nOps: Int = allOps): Unit = {
     val rnd = new scala.util.Random(seed)
     var st = base(rnd)
@@ -177,5 +179,16 @@ class VerbChainFuzzSpec extends GraftSpec {
     // chain replays exactly), minimal shape in CoreVerbsSpec
     // ("computed sort key survives rename...")
     runCase(1215, nOps = legacyOps)
+  }
+
+  test("seed 2100: take of a wide plan is cross-branch deterministic") {
+    // found by a 300-seed soak under the extended vocabulary:
+    // rename → take → self semi-join → bindRows → … lost rows because
+    // take's position capture (monotonically_increasing_id over a
+    // repartitioned frame) was re-planned per join branch by AQE;
+    // ordered() now routes wide plans through the frozen zipWithIndex
+    // capture. Minimal shape in CoreVerbsSpec ("take on an
+    // ordering-less frame is a stable value").
+    runCase(2100)
   }
 }
