@@ -427,7 +427,16 @@ final class CrysFrame private (
     * range sort on rand + RDD zipWithIndex instead, with the target
     * count evaluated once from a count job (exact sampling pays
     * counts by contract — `sampleFracApprox` is the scan-speed
-    * variant). */
+    * variant).
+    *
+    * Cross-branch caveat (grouped form only): `rand(seed)` is seeded
+    * per physical partition, so over a post-shuffle frame two
+    * AQE-re-planned references to the same sample inside one query can
+    * draw different MEMBERS (counts stay exact — the count window rides
+    * the same partition). The ungrouped form is immune (zipWithIndex
+    * freezes one realization — see `ordered`). Self-joining a grouped
+    * sample is the only way to observe this; persist the sample first
+    * if that matters. */
   private def sampleWhere(targetOf: Column => Column, seed: Long = 42L): CrysFrame = {
     if (groupedBy.nonEmpty) {
       val part = Window.partitionBy(groupedBy.map(qcol): _*)
