@@ -503,18 +503,24 @@ final class CrysFrame private (
 
   /** Unique rows by key subset, keeping the first full row per key —
     * matches Spark's `dropDuplicates` exactly
-    * (reference: src/crysda/dataframe.cr:216-223). */
+    * (reference: src/crysda/dataframe.cr:216-223). The reference
+    * defines distinct as `group_by(selects).slice(1).ungroup`, and its
+    * grouped `group_by` UNGROUPS first (groupdf.cr:85-87) — so distinct
+    * always dedups globally (prior grouping ignored) and returns an
+    * UNGROUPED frame; found by the grouped-equivalence property test. */
   def distinct(cols: String*): CrysFrame = {
+    def ungrouped(newDf: DataFrame): CrysFrame =
+      new CrysFrame(newDf, Nil, ords.filter(_.refs.forall(newDf.columns.contains)))
     if (cols.isEmpty)
-      keep(df.drop(df.columns.filter(isHidden).toSeq: _*).dropDuplicates())
+      ungrouped(df.drop(df.columns.filter(isHidden).toSeq: _*).dropDuplicates())
     else {
       requireCols(cols)
       if (ords.nonEmpty && !ingestOrderOnly) {
         // keep the FIRST row per key in the frame's order — the
         // deterministic version of dropDuplicates' keep-first
         val w = Window.partitionBy(cols.map(qcol): _*).orderBy(ords.map(_.key): _*)
-        keep(df.withColumn(RN, F.row_number().over(w)).filter(col(RN) === 1).drop(RN))
-      } else keep(df.dropDuplicates(cols))
+        ungrouped(df.withColumn(RN, F.row_number().over(w)).filter(col(RN) === 1).drop(RN))
+      } else ungrouped(df.dropDuplicates(cols))
     }
   }
 

@@ -92,6 +92,53 @@ class InvariantsSpec extends GraftSpec {
     }
   }
 
+  test("grouped verbs equal per-group application (8 seeds)") {
+    // the reference's core grouped contract (src/crysda/groupdf.cr):
+    // a verb on a grouped frame is the verb applied to each group's
+    // sub-frame independently — pinned here over random frames with
+    // NA group keys and NA values, for both the reduction verbs and
+    // the window verbs (whose grouped/global implementations differ)
+    for (seed <- 1 to 8) {
+      val rng = new Random(seed * 17)
+      val rows = (0 until 40).map { i =>
+        Seq(if (rng.nextDouble() < 0.15) null else s"g${rng.nextInt(4)}",
+          if (rng.nextDouble() < 0.2) null else rng.nextInt(50), i)
+      }
+      val f = CrysFrame.of(spark, Seq("g", "v", "i"), rows).withRowOrder
+      val keys = f.out.select("g").distinct().collect()
+        .map(r => Option(r.getString(0))).toSeq
+      def perGroup(verb: CrysFrame => CrysFrame): Seq[Seq[Any]] =
+        keys.flatMap { k =>
+          val sub = f.filter(c =>
+            k.map(s => c("g") === s).getOrElse(c("g").isNull))
+          verb(sub).out.collect().map(_.toSeq).toSeq
+        }
+      def grouped(verb: CrysFrame => CrysFrame): Seq[Seq[Any]] =
+        verb(f.groupBy("g")).out.collect().map(_.toSeq).toSeq
+      val verbs: Seq[(String, CrysFrame => CrysFrame)] = Seq(
+        "take2" -> (_.take(2)),
+        "takeLast3" -> (_.takeLast(3)),
+        "slice2to4" -> (_.slice(2 to 4)),
+        "cumsum" -> (_.sortBy("i").addColumn("cs")(c => c.cumsum(c("v")))),
+        "lead" -> (_.sortBy("i").addColumn("ld")(c => c.lead(col("v")))),
+        "rowNumber" -> (_.sortBy("i").addColumn("rn")(_.rowNumber)),
+        "rank" -> (_.sortBy("i").addColumn("rk")(c => c.rank(c("v").desc))))
+      verbs.foreach { case (nm, vb) =>
+        val a = grouped(vb).sortBy(_.toString())
+        val b = perGroup(vb).sortBy(_.toString())
+        assert(a == b, s"seed=$seed verb=$nm")
+      }
+      // distinct is NOT per-group in the reference: it dedups globally
+      // (grouped group_by ungroups first — groupdf.cr:85-87) and
+      // returns an ungrouped frame
+      val gd = f.groupBy("g").distinct("v")
+      assert(!gd.isGrouped, "distinct must ungroup like the reference")
+      assert(gd.out.collect().map(_.toSeq).toSeq.sortBy(_.toString()) ==
+        f.distinct("v").out.collect().map(_.toSeq).toSeq.sortBy(_.toString()),
+        s"seed=$seed: grouped distinct must equal global distinct")
+    }
+  }
+
   test("groups() partitions the frame exactly") {
     val f = CrysFrame.of(spark, Seq("g", "v"),
       Seq(Seq("a", 1), Seq("b", 2), Seq("a", 3), Seq(null, 4))).groupBy("g")
