@@ -874,6 +874,12 @@ final class CrysFrame private (
     out.write.mode("overwrite")
       .option("sep", separator).option("quote", quoteChar)
       .option("nullValue", "NA").option("header", true)
+      // Spark's CSV SINK trims cell whitespace by default (its
+      // ignoreLeading/TrailingWhiteSpace default true on write, unlike
+      // read) — the reference writes values verbatim, and a trimmed
+      // write breaks write→read round-trips of padded strings
+      .option("ignoreLeadingWhiteSpace", false)
+      .option("ignoreTrailingWhiteSpace", false)
       .csv(path)
 
   /** SINGLE-file CSV — the reference's "write me one .csv" surface
@@ -893,6 +899,8 @@ final class CrysFrame private (
     out.coalesce(1).write.mode("overwrite")
       .option("sep", separator).option("quote", quoteChar)
       .option("nullValue", "NA").option("header", true)
+      .option("ignoreLeadingWhiteSpace", false) // verbatim, see writeCsv
+      .option("ignoreTrailingWhiteSpace", false)
       .csv(tmp.toString)
     val part = fs.listStatus(tmp).map(_.getPath)
       .find(_.getName.startsWith("part-"))

@@ -47,6 +47,44 @@ class PropertiesSpec extends GraftSpec {
     }
   }
 
+  test("property: CSV write → read round-trips hostile content") {
+    // strings carry every CSV-hostile shape at once: embedded
+    // separators, quotes, newlines (read back with multiLine=true),
+    // tabs, backslashes, unicode, padding, hash. Excluded by design
+    // (documented lossy): literal "NA" (the null sentinel), pure
+    // numeric / boolean-looking text (the inference ladder retypes),
+    // empty string. Newline-carrying writes need the multiLine reader;
+    // a leading-# first column needs comment=null — both passed here.
+    val genFrag = Gen.oneOf("a,b", "q\"uote", "new\nline", "tab\tsep",
+      " padded ", "é≈爱", "back\\slash", "#hash", "'sq'", "a|b", "plain")
+    val genRow = for {
+      d <- Gen.option(Gen.choose(-8000, 8000).map(_ / 8.0))
+      s <- Gen.option(Gen.listOfN(2, genFrag).map(_.mkString("+")))
+      b <- Gen.option(Gen.oneOf(true, false))
+    } yield (d, s, b)
+    check("csv.roundtrip", cases = 5) {
+      Prop.forAll(Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, genRow))) { rows =>
+        val f = CrysFrame.of(spark, Seq("id", "d", "s", "b"),
+          rows.zipWithIndex.map { case ((d, s, b), i) =>
+            Seq(i, d.orNull, s.orNull, b.map(Boolean.box).orNull)
+          })
+        val dir = java.nio.file.Files.createTempDirectory("graft_csv_prop")
+          .toString + "/out"
+        f.writeCsv(dir)
+        val back = graft.sources.Readers.readCsv(spark, dir,
+          multiLine = true, comment = null)
+        val key = (r: org.apache.spark.sql.Row) => r.getAs[Any]("id")
+        val a = f.out.collect().sortBy(r => key(r).asInstanceOf[Int])
+        val b = back.out.select("id", "d", "s", "b").collect()
+          .sortBy(r => key(r).asInstanceOf[Int])
+        val sameSchema = back.schema("id").dataType ==
+          org.apache.spark.sql.types.IntegerType &&
+          back.schema("s").dataType == org.apache.spark.sql.types.StringType
+        sameSchema && a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq
+      }
+    }
+  }
+
   test("property: sortBy is stable — ties keep ingest order") {
     check("sort.stable") {
       Prop.forAll(genRows) { rows =>
