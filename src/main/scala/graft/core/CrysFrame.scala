@@ -340,19 +340,37 @@ final class CrysFrame private (
     if (ingestOrderOnly) reduced.orderBy(ords.map(_.key): _*) else reduced
 
   /** First n rows — per group when grouped (reference: src/crysda/dataframe.cr:317-320).
-    * Ungrouped: `orderBy(keys).limit(n)` compiles to TakeOrderedAndProject
-    * (per-partition heap + driver merge) — same rows as the row_number
-    * window, no single-task global sort. An ordering-less frame captures
-    * the ingest ordinal first (like takeLast/slice): a bare `limit(n)`
-    * reads its single-partition shuffle in block-fetch order, so two
-    * evaluations of the same lazy plan can return DIFFERENT subsets — a
-    * self-join over `take` silently lost rows (fuzzer seed 2100) — and
-    * "arbitrary n rows" was never the reference's contract anyway. */
+    * Ungrouped with an order: `orderBy(keys).limit(n)` compiles to
+    * TakeOrderedAndProject (per-partition heap + driver merge) — same
+    * rows as the row_number window, no single-task global sort.
+    *
+    * Ordering-less: a bare `limit(n)` reads its single-partition
+    * shuffle in block-fetch order, so two evaluations of the same lazy
+    * plan could return DIFFERENT subsets — a self-join over `take`
+    * silently lost rows (fuzzer seed 2100). The selection is
+    * arbitrary either way (the frame has no defined order), so the fix
+    * is to make it arbitrary-but-STABLE: `.rdd` freezes ONE physical
+    * realization of the limit that every consumer shares (the
+    * [[Joins]] `Binds.withIdx` soundness argument), and the ≤n-row
+    * result is persisted so later jobs re-read the same draw rather
+    * than re-fetching shuffle blocks in a new order (bounded by the
+    * caller's own n; LRU-evicted like the other documented persist
+    * sites). This keeps limit's early-stop — an ordinal capture
+    * (`ordered`) would evaluate the upstream twice and turn head-style
+    * peeking at a scan into a full pass. The ingest ordinal stamped on
+    * the single-partition result pins the draw's row order for
+    * downstream order-sensitive verbs. */
   def take(n: Int): CrysFrame =
     if (groupedBy.nonEmpty) slice(1 to n)
-    else {
+    else if (ords.nonEmpty || df.columns.contains(ORD)) {
       val c = ordered
       c.keep(c.restoreOrder(c.df.orderBy(c.ords.map(_.key): _*).limit(n)))
+    } else {
+      val lim = df.limit(n)
+      val frozen = spark.createDataFrame(lim.rdd, lim.schema)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      new CrysFrame(frozen.withColumn(ORD, monotonically_increasing_id()),
+        groupedBy, Seq(ingestOrd))
     }
   def head(n: Int = 5): CrysFrame = take(n)
 
