@@ -85,6 +85,37 @@ class PropertiesSpec extends GraftSpec {
     }
   }
 
+  test("property: unite ∘ separate round-trips, nest ∘ unnest is identity") {
+    val genTok = Gen.oneOf("aa", "bb", "x9", "Zz", "q")
+    val genRow = for {
+      a <- genTok; b <- genTok; v <- Gen.choose(-9, 9)
+      g <- Gen.oneOf("g1", "g2", "g3")
+    } yield (a, b, v, g)
+    check("separate.unite", cases = 5) {
+      Prop.forAll(Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, genRow))) { rows =>
+        val f = CrysFrame.of(spark, Seq("ab", "v"),
+          rows.map(r => Seq(r._1 + "-" + r._2, r._3)))
+        // separate splits ab into (a,b); unite joins them back with the
+        // same separator — the composite must reproduce the column
+        val back = f.separate("ab", Seq("a", "b"), sep = "-")
+          .unite("ab", sel.listOf("a", "b"), sep = "-")
+        back.out.select("ab", "v").collect().map(_.toSeq).toSet ==
+          rows.map(r => Seq(r._1 + "-" + r._2, r._3)).toSet
+      }
+    }
+    check("nest.unnest", cases = 5) {
+      Prop.forAll(Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, genRow))) { rows =>
+        val f = CrysFrame.of(spark, Seq("g", "a", "v"),
+          rows.map(r => Seq(r._4, r._1, r._3)))
+        val back = f.groupBy("g").nest(sel.listOf("a", "v")).unnest("data")
+        back.out.select("g", "a", "v").collect().map(_.toSeq)
+          .groupBy(identity).view.mapValues(_.size).toMap ==
+          rows.map(r => Seq(r._4, r._1, r._3))
+            .groupBy(identity).view.mapValues(_.size).toMap
+      }
+    }
+  }
+
   test("property: sortBy is stable — ties keep ingest order") {
     check("sort.stable") {
       Prop.forAll(genRows) { rows =>
