@@ -21,10 +21,14 @@ class VerbChainFuzzSpec extends GraftSpec {
 
   import spark.implicits._
 
-  /** `rows` is None once a data-dependent reducer (distinct) ran —
-    * structural contracts still checked, the count no longer is. */
+  /** `rows` is None once a data-dependent reducer (distinct, grouped
+    * take) ran — structural contracts still checked, the count no
+    * longer is. `grouped` tracks the EXPECTED grouping state per each
+    * verb's documented contract; asserted against isGrouped after
+    * every step. */
   private case class St(f: CrysFrame, numCols: Vector[String],
-                        idCol: String, strCol: String, rows: Option[Long])
+                        idCol: String, strCol: String, rows: Option[Long],
+                        grouped: Boolean = false)
 
   private def base(rnd: scala.util.Random): St = {
     val n = 40 + rnd.nextInt(140)
@@ -81,11 +85,15 @@ class VerbChainFuzzSpec extends GraftSpec {
       case 9 =>
         val n = 1 + rnd.nextInt(20)
         val took = if (rnd.nextBoolean()) st.f.take(n) else st.f.takeLast(n)
-        st.copy(f = took, rows = st.rows.map(r => math.min(r, n.toLong)))
+        // grouped: per-group n — the total is data-dependent
+        st.copy(f = took, rows =
+          if (st.grouped) None else st.rows.map(r => math.min(r, n.toLong)))
       case 10 =>
         val f2 = st.f.filter(c => c(numCol).isNotNull || c(st.strCol).isNotNull)
         st.copy(f = f2) // predicate is a tautology on this data: rows keep
-      case 11 => st.copy(f = st.f.bindRows(st.f), rows = st.rows.map(_ * 2))
+      case 11 => // bindRows goes through `out` → result is ungrouped
+        st.copy(f = st.f.bindRows(st.f), rows = st.rows.map(_ * 2),
+          grouped = false)
       case 12 => st.copy(f = st.f.shuffle())
       // ---- extended vocabulary (appended; see `nOps` contract) ----
       case 13 =>
@@ -115,27 +123,42 @@ class VerbChainFuzzSpec extends GraftSpec {
             case _ => _.rowNumber
           }
         st.copy(f = sorted.addColumn(nm)(mk).ungroup,
-          numCols = st.numCols :+ nm)
+          numCols = st.numCols :+ nm, grouped = false)
       case 16 =>
         // row count becomes data-dependent (duplicates may exist after
-        // bindRows): keep checking structure, stop checking the count
-        st.copy(f = st.f.distinct(), rows = None)
+        // bindRows); distinct also UNGROUPS (the reference dedups
+        // globally and returns an ungrouped frame)
+        st.copy(f = st.f.distinct(), rows = None, grouped = false)
       case 17 =>
-        val k = st.rows match {
-          case Some(r) => 1 + rnd.nextInt(math.min(r, 20L).toInt)
-          case None    => 1 // always a safe draw
+        if (st.grouped)
+          // per-group exact-1 sample: every group has >= 1 row, total
+          // is the (data-dependent) group count
+          st.copy(f = st.f.sampleN(1), rows = None)
+        else {
+          val k = st.rows match {
+            case Some(r) => 1 + rnd.nextInt(math.min(r, 20L).toInt)
+            case None    => 1 // always a safe draw
+          }
+          st.copy(f = st.f.sampleN(k), rows = Some(k.toLong))
         }
-        st.copy(f = st.f.sampleN(k), rows = Some(k.toLong))
       case 18 =>
-        // self semi-join on the string key: row- and column-preserving
-        st.copy(f = st.f.semiJoin(st.f, by = Seq(st.strCol)))
+        // self semi-join on the string key: row- and column-preserving;
+        // joins return ungrouped frames
+        st.copy(f = st.f.semiJoin(st.f, by = Seq(st.strCol)),
+          grouped = false)
+      // ---- grouping-state vocabulary (appended) ----
+      case 19 =>
+        if (st.grouped) st.copy(f = st.f.ungroup, grouped = false)
+        else st.copy(f = st.f.groupBy(st.strCol), grouped = true)
     }
   }
 
   /** Legacy vocabulary size — pinned seeds found under it replay their
     * original chains only at this size. */
   private val legacyOps = 13
-  private val allOps = 19
+  /** Vocabulary size before the grouping-state ops were appended. */
+  private val v19Ops = 19
+  private val allOps = 20
 
   protected def runCaseSoak(seed: Int): Unit = runCase(seed)
 
@@ -146,7 +169,11 @@ class VerbChainFuzzSpec extends GraftSpec {
     val fresh = () => { n += 1; s"c$n" }
     val steps = 4 + rnd.nextInt(6)
     try {
-      (0 until steps).foreach { _ => st = step(st, rnd, fresh, nOps) }
+      (0 until steps).foreach { _ =>
+        st = step(st, rnd, fresh, nOps)
+        assert(st.f.isGrouped == st.grouped,
+          s"grouping contract: expected grouped=${st.grouped}")
+      }
       val out = st.f.out
       val rows = out.count()
       val cols = out.columns.toSeq
@@ -189,6 +216,6 @@ class VerbChainFuzzSpec extends GraftSpec {
     // ordered() now routes wide plans through the frozen zipWithIndex
     // capture. Minimal shape in CoreVerbsSpec ("take on an
     // ordering-less frame is a stable value").
-    runCase(2100)
+    runCase(2100, nOps = v19Ops)
   }
 }
