@@ -26,20 +26,30 @@ class VerbChainFuzzSpec extends GraftSpec {
     * longer is. `grouped` tracks the EXPECTED grouping state per each
     * verb's documented contract; asserted against isGrouped after
     * every step. */
-  private case class St(f: CrysFrame, numCols: Vector[String],
+  protected case class St(f: CrysFrame, numCols: Vector[String],
                         idCol: String, strCol: String, rows: Option[Long],
                         grouped: Boolean = false)
 
-  private def base(rnd: scala.util.Random): St = {
+  private def base(rnd: scala.util.Random): St = base(rnd, hostileNames = false)
+
+  /** `hostileNames` renames the base columns to quoting-hostile forms
+    * (dots, spaces, backticks, unicode) — every verb must treat a name
+    * as one literal identifier (`qcol`), never a parse target. */
+  protected def base(rnd: scala.util.Random, hostileNames: Boolean): St = {
     val n = 40 + rnd.nextInt(140)
     val parts = 1 + rnd.nextInt(6)
-    val df = (0 until n).map { i =>
+    val df0 = (0 until n).map { i =>
       val v: java.lang.Long =
         if (rnd.nextInt(6) == 0) null
         else java.lang.Long.valueOf(rnd.nextInt(11) - 5)
       (i.toLong, v, s"g${i % (1 + rnd.nextInt(5))}")
     }.toDF("id", "v", "g").repartition(parts)
-    St(CrysFrame(df), Vector("id", "v"), "id", "g", Some(n.toLong))
+    val (df, idN, vN, gN) =
+      if (!hostileNames) (df0, "id", "v", "g")
+      else (df0.withColumnsRenamed(Map(
+        "id" -> "the id", "v" -> "Sepal.Length", "g" -> "gr`oup")),
+        "the id", "Sepal.Length", "gr`oup")
+    St(CrysFrame(df), Vector(idN, vN), idN, gN, Some(n.toLong))
   }
 
   /** One applicable random step; returns the next state. `nOps` bounds
@@ -65,11 +75,11 @@ class VerbChainFuzzSpec extends GraftSpec {
         val sorted = st.f.sortBy(st.idCol)
         val mk: graft.core.Ctx => org.apache.spark.sql.Column =
           rnd.nextInt(5) match {
-            case 0 => _.cumsum(col(numCol))
-            case 1 => _.lead(col(numCol), 1 + rnd.nextInt(3), -1L)
-            case 2 => _.lag(col(numCol))
+            case 0 => c => c.cumsum(c(numCol))
+            case 1 => c => c.lead(c(numCol), 1 + rnd.nextInt(3), -1L)
+            case 2 => c => c.lag(c(numCol))
             case 3 => _.rowNumber
-            case _ => _.rollingSum(col(numCol), 1 + rnd.nextInt(5))
+            case _ => c => c.rollingSum(c(numCol), 1 + rnd.nextInt(5))
           }
         st.copy(f = sorted.addColumn(nm)(mk), numCols = st.numCols :+ nm)
       case 6 =>
@@ -117,9 +127,9 @@ class VerbChainFuzzSpec extends GraftSpec {
         val sorted = st.f.sortBy(st.idCol).groupBy(st.strCol)
         val mk: graft.core.Ctx => org.apache.spark.sql.Column =
           rnd.nextInt(4) match {
-            case 0 => _.cumsum(col(numCol))
-            case 1 => _.lead(col(numCol), 1 + rnd.nextInt(3), -1L)
-            case 2 => _.lag(col(numCol))
+            case 0 => c => c.cumsum(c(numCol))
+            case 1 => c => c.lead(c(numCol), 1 + rnd.nextInt(3), -1L)
+            case 2 => c => c.lag(c(numCol))
             case _ => _.rowNumber
           }
         st.copy(f = sorted.addColumn(nm)(mk).ungroup,
@@ -161,10 +171,13 @@ class VerbChainFuzzSpec extends GraftSpec {
   private val allOps = 20
 
   protected def runCaseSoak(seed: Int): Unit = runCase(seed)
+  protected def runCaseSoakHostile(seed: Int): Unit =
+    runCase(seed, hostileNames = true)
 
-  private def runCase(seed: Int, nOps: Int = allOps): Unit = {
+  private def runCase(seed: Int, nOps: Int = allOps,
+                      hostileNames: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)
-    var st = base(rnd)
+    var st = base(rnd, hostileNames)
     var n = 0
     val fresh = () => { n += 1; s"c$n" }
     val steps = 4 + rnd.nextInt(6)
@@ -196,6 +209,10 @@ class VerbChainFuzzSpec extends GraftSpec {
 
   test("random verb chains observe cleanly and keep structural contracts") {
     (1 to 30).foreach(s => runCase(1000 + s))
+  }
+
+  test("random verb chains survive quoting-hostile column names") {
+    (1 to 15).foreach(s => runCase(1000 + s, hostileNames = true))
   }
 
   test("seed 1215: computed sort key survives rename + RDD-boundary verb") {
