@@ -160,6 +160,14 @@ class VerbChainFuzzSpec extends GraftSpec {
       case 19 =>
         if (st.grouped) st.copy(f = st.f.ungroup, grouped = false)
         else st.copy(f = st.f.groupBy(st.strCol), grouped = true)
+      // ---- v21 vocabulary (appended) ----
+      case 20 =>
+        // ordinal stamp: 1-based leading row number (per group when
+        // grouped); requires an ordering first, like op 5
+        val nm = fresh()
+        st.copy(f = st.f.sortBy(st.idCol).addRowNumber(nm),
+          numCols = st.numCols :+ nm)
+      case 21 => st.copy(f = st.f.moveRight(st.strCol))
     }
   }
 
@@ -168,7 +176,7 @@ class VerbChainFuzzSpec extends GraftSpec {
   private val legacyOps = 13
   /** Vocabulary size before the grouping-state ops were appended. */
   private val v19Ops = 19
-  private val allOps = 20
+  private val allOps = 22
 
   protected def runCaseSoak(seed: Int): Unit = runCase(seed)
   protected def runCaseSoakHostile(seed: Int): Unit =
