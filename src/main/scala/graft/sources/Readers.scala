@@ -310,6 +310,12 @@ object Readers {
     CrysFrame(spark.read.orc(path))
 
   def flattenAll(df0: DataFrame): DataFrame = {
+    // every name reference below is backtick-quoted (qcol): a prior
+    // pass can mint literal dotted names for collisions ("s.a"), and a
+    // bare col("s.a") would re-parse the dot as a struct path — the
+    // next pass (e.g. after an array-of-struct explode surfaces a new
+    // struct) then failed to resolve its own output (caught by the
+    // json.flatten property)
     var df = df0
     var changed = true
     while (changed) {
@@ -320,9 +326,9 @@ object Readers {
           val taken = df.columns.toSet - f.name
           val expanded = st.fields.map { sf =>
             val outName = if (taken.contains(sf.name)) s"${f.name}.${sf.name}" else sf.name
-            col(f.name).getField(sf.name).as(outName)
+            graft.core.qcol(f.name).getField(sf.name).as(outName)
           }
-          val others = df.columns.filterNot(_ == f.name).map(col)
+          val others = df.columns.filterNot(_ == f.name).map(graft.core.qcol)
           df = df.select((others ++ expanded).toSeq: _*)
           changed = true
         case None =>
@@ -331,7 +337,7 @@ object Readers {
             case _ => false
           }) match {
             case Some(f) =>
-              df = df.withColumn(f.name, explode_outer(col(f.name)))
+              df = df.withColumn(f.name, explode_outer(graft.core.qcol(f.name)))
               changed = true
             case None =>
           }

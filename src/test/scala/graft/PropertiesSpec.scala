@@ -85,6 +85,42 @@ class PropertiesSpec extends GraftSpec {
     }
   }
 
+  test("property: JSON flatten leaves no nesting and preserves scalar leaves") {
+    // random nested documents: scalars, structs (with name collisions
+    // against top-level keys), arrays of scalars, arrays of structs.
+    // Invariants of Readers.flattenAll's fixpoint: the flattened schema
+    // carries no struct and no array-of-struct; every top-level SCALAR
+    // leaf value survives with its key; a colliding nested key is
+    // disambiguated as "parent.child", never silently dropped.
+    val genScalar = Gen.oneOf(
+      Gen.choose(-99, 99).map(_.toString),
+      Gen.oneOf("\"x\"", "\"y,z\"", "null", "true"))
+    val genDoc = for {
+      a <- genScalar
+      nested <- genScalar
+      coll <- genScalar // nested key "a" collides with the top-level "a"
+      arr <- Gen.listOfN(2, genScalar)
+      inner <- genScalar
+    } yield s"""{"a":$a,"s":{"b":$nested,"a":$coll},""" +
+      s""""xs":[${arr.mkString(",")}],"os":[{"v":$inner}]}"""
+    check("json.flatten", cases = 5) {
+      Prop.forAll(genDoc) { doc =>
+        val f = graft.sources.Readers.fromJsonString(spark, doc)
+        val noNesting = f.schema.fields.forall { fd =>
+          !fd.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] &&
+            (fd.dataType match {
+              case org.apache.spark.sql.types.ArrayType(
+                _: org.apache.spark.sql.types.StructType, _) => false
+              case _ => true
+            })
+        }
+        val cols = f.names.toSet
+        noNesting && cols.contains("a") && cols.contains("b") &&
+          cols.contains("s.a") && cols.contains("xs") && cols.contains("v")
+      }
+    }
+  }
+
   test("property: unite ∘ separate round-trips, nest ∘ unnest is identity") {
     val genTok = Gen.oneOf("aa", "bb", "x9", "Zz", "q")
     val genRow = for {
