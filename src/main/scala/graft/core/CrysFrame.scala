@@ -103,7 +103,16 @@ final class CrysFrame private (
     * rows were taken (fuzzer seed 2100). Wide plans capture through
     * the RDD zipWithIndex instead, whose `.rdd` freezes ONE physical
     * realization that every downstream branch shares (same soundness
-    * argument as [[Joins]]' `Binds.withIdx` scaladoc). */
+    * argument as [[Joins]]' `Binds.withIdx` scaladoc) — and the
+    * stamped result is PERSISTED: zipWithIndex freezes the lineage,
+    * not the evaluation, so without a cache two separate actions over
+    * the stamped frame would each re-fetch the upstream shuffle in
+    * their own nondeterministic within-partition order and could
+    * disagree on which row got which ordinal (the seed-2100 class,
+    * one level up). Same MEMORY_AND_DISK / LRU contract as the
+    * frozen-draw `take` and [[GlobalWindows]] persists; as there,
+    * eviction re-rolls the capture for later consumers — the
+    * stability guarantee is as durable as the cache entry. */
   private def ordered: CrysFrame =
     if (ords.nonEmpty) this
     else if (df.columns.contains(ORD))
@@ -112,7 +121,9 @@ final class CrysFrame private (
       val stamped =
         if (narrowDeterministic(df.queryExecution.analyzed))
           df.withColumn(ORD, monotonically_increasing_id())
-        else Binds.withIdxAs(df, ORD)
+        else
+          Binds.withIdxAs(df, ORD)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       new CrysFrame(stamped, groupedBy, Seq(ingestOrd))
     }
 
@@ -355,7 +366,11 @@ final class CrysFrame private (
     * result is persisted so later jobs re-read the same draw rather
     * than re-fetching shuffle blocks in a new order (bounded by the
     * caller's own n; LRU-evicted like the other documented persist
-    * sites). This keeps limit's early-stop — an ordinal capture
+    * sites — NOTE: eviction silently RE-ROLLS the draw for consumers
+    * that evaluate after it, so the stability guarantee holds exactly
+    * as long as the cache entry does; callers needing draw stability
+    * across heavy memory pressure should checkpoint or write out the
+    * taken rows). This keeps limit's early-stop — an ordinal capture
     * (`ordered`) would evaluate the upstream twice and turn head-style
     * peeking at a scan into a full pass. The ingest ordinal stamped on
     * the single-partition result pins the draw's row order for

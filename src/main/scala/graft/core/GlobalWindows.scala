@@ -44,14 +44,21 @@ import org.apache.spark.sql.graftkit.Bridge
   * across those reads. */
 private[graft] object GlobalWindows {
 
-  // Test seam ONLY (GlobalWindowsSpec lowers these to force the
-  // fallback path, otherwise unreachable at spec scale): the fuse
-  // gates for the edge-patch construction. Production values — edge
-  // frame ≤ 1M rows (it is broadcast AND buffered 2·m rows per task),
-  // total patch contributions ≤ 8M rows (each roll explodes the edge
-  // frame by its width).
-  private[graft] var fuseEdgeCap: Long = 1L << 20
-  private[graft] var fuseContribCap: Long = 8L << 20
+  // Fuse gates for the edge-patch construction, in ESTIMATED BYTES
+  // (row count × schema default-size width — a row-count gate
+  // under-protects wide/struct-heavy schemas: the edge frame is both
+  // broadcast through the driver and buffered 2·m rows per task).
+  // Read from the session conf per materialize() call so the
+  // GlobalWindowsSpec fallback seam is a scoped conf set/unset, not
+  // mutable object state (which would be racy across parallel
+  // suites). Defaults: 64 MiB for the edge frame (well under any
+  // sane driver heap), 512 MiB for the total patch contributions
+  // (each roll explodes the edge frame by its width before the
+  // patch groupBy re-shrinks it).
+  private[graft] val EdgeBytesKey = "spark.graft.globalWindows.fuseEdgeBytes"
+  private[graft] val ContribBytesKey = "spark.graft.globalWindows.fuseContribBytes"
+  private val DefaultEdgeBytes: Long = 64L << 20
+  private val DefaultContribBytes: Long = 512L << 20
 
   sealed trait Call { def name: String }
   /** Running aggregate over the frame order (ROWS unbounded..current). */
@@ -229,12 +236,19 @@ private[graft] object GlobalWindows {
     // 2·mEdge rows), AND the total contribution volume the patch
     // groupBy sees — each roll explodes the edge frame by its width,
     // so a wide-window roll can blow up the contributions while the
-    // edge frame stays small
+    // edge frame stays small. Both gates are in estimated bytes:
+    // rows × the schema's defaultSize width (the contribution frame
+    // is narrower than the base — IDX + one column per call — so
+    // using the base width there is conservative).
+    val conf = df.sparkSession.conf
+    val edgeCapBytes = conf.get(EdgeBytesKey, DefaultEdgeBytes.toString).toLong
+    val contribCapBytes = conf.get(ContribBytesKey, DefaultContribBytes.toString).toLong
+    val rowBytes = math.max(8L, s.schema.fields.map(_.dataType.defaultSize.toLong).sum)
     val bndRows = 2L * mEdge * s.rdd.getNumPartitions
     val contribRows = bndRows * (shifts.map(_.offset).distinct.size +
       rolls.map(_.width.toLong).sum)
     val fuse = (shifts.nonEmpty || rolls.nonEmpty) &&
-      bndRows <= fuseEdgeCap && contribRows <= fuseContribCap
+      bndRows * rowBytes <= edgeCapBytes && contribRows * rowBytes <= contribCapBytes
 
     if (fuse) {
       val bnd = edgeRows(s, mEdge)

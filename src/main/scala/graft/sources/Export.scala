@@ -353,15 +353,23 @@ object Export {
       }
     }
 
-  /** Converts decoder-layer IOExceptions (truncated member, bad
-    * trailer, not-actually-gzip) into the strict-mode refusal — the
-    * message must name gzip so the failure reads as the data defect
-    * it is, not a storage error. */
+  /** Converts DECODER-layer exceptions (truncated member →
+    * EOFException, bad trailer / not-actually-gzip → ZipException)
+    * into the strict-mode refusal — the message must name gzip so
+    * the failure reads as the data defect it is. Any OTHER
+    * IOException (a transient HDFS/object-store read failure, a
+    * socket reset) is rethrown UNCHANGED: misreporting an
+    * infrastructure error as data corruption would both lie to the
+    * operator and defeat normal task-retry semantics, which key on
+    * the exception's identity. */
   private final class GzStrictStream(in: java.io.InputStream)
       extends java.io.InputStream {
-    private def refuse(e: java.io.IOException): Nothing =
-      throw new IllegalArgumentException(
-        "readTfrecords: truncated/corrupt gzip stream (strict mode)", e)
+    private def refuse(e: java.io.IOException): Int = e match {
+      case _: java.io.EOFException | _: java.util.zip.ZipException =>
+        throw new IllegalArgumentException(
+          "readTfrecords: truncated/corrupt gzip stream (strict mode)", e)
+      case other => throw other
+    }
     override def read(): Int =
       try in.read() catch { case e: java.io.IOException => refuse(e) }
     override def read(b: Array[Byte], off: Int, len: Int): Int =

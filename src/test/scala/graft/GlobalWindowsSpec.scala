@@ -161,13 +161,10 @@ class GlobalWindowsSpec extends GraftSpec {
         F.rank().over(Window.orderBy(col("v").desc))))
     val picked = rnd.shuffle(menu).take(2 + rnd.nextInt(menu.size - 1))
 
-    val caps =
-      if (forceFallback) {
-        val prev = (graft.core.GlobalWindows.fuseEdgeCap,
-          graft.core.GlobalWindows.fuseContribCap)
-        graft.core.GlobalWindows.fuseEdgeCap = 0L
-        Some(prev)
-      } else None
+    // fallback seam: a scoped session-conf override (not mutable
+    // object state) — materialize() reads the byte caps per call
+    if (forceFallback)
+      spark.conf.set(graft.core.GlobalWindows.EdgeBytesKey, "0")
     try {
       val got = CrysFrame(df).sortBy("id")
         .addColumns(picked.map { case (nm, (mk, _)) => nm -> mk }: _*).out
@@ -178,10 +175,8 @@ class GlobalWindowsSpec extends GraftSpec {
         sortedRows(expected.select("id", picked.map(_._1): _*)),
         s"seed=$seed n=$n parts=$parts calls=${picked.map(_._1)} " +
           s"fallback=$forceFallback")
-    } finally caps.foreach { case (e, c) =>
-      graft.core.GlobalWindows.fuseEdgeCap = e
-      graft.core.GlobalWindows.fuseContribCap = c
-    }
+    } finally if (forceFallback)
+      spark.conf.unset(graft.core.GlobalWindows.EdgeBytesKey)
   }
 
   test("property: random frames x random call mixes match the window formulation") {
