@@ -20,6 +20,7 @@ object Bench {
     "q_dedup_minhash", "q_dedup_cc", "q_embed_dedup", "q_simhash_pairs",
     "q_token_stats", "q_repetition", "q_vocab", "q_pipeline", "q_ann_topk",
     "q_ann_pq",
+    "q_ann_pq_probe",
     "q_bm25", "q_decontaminate", "q_scrub_pii", "q_dup_passages",
     "q_dup_removal", "q_exact_substr", "q_decontaminate_cut",
     "q_heavy_hitters", "q_bloom_prune", "q_topk_rows",
@@ -79,6 +80,33 @@ object Bench {
         "doc_id", "text", maxDist = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
     }),
+    // The RECURRING-pipeline ANN shape: q_ann_pq trains the IVF-PQ
+    // index inside the measured query (the Lloyd round + encode
+    // dominate, making it the suite's most expensive and most
+    // variance-prone entry), but production is train-once/probe-many.
+    // This entry measures the probe alone: the index is built ONCE
+    // (during the warmup pass — build seconds reported on stderr; it
+    // lives on disk, so the per-query cache reset cannot evict it)
+    // and every timed trial pays only centroid ranking + pruned list
+    // scan + ADC + exact re-rank — the cost a recurring pipeline
+    // pays per batch. Same geometry as q_ann_pq; PqSpec pins the
+    // indexed probe equal to the in-memory path.
+    "q_ann_pq_probe" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val dir = exportDir("pqindex", d)
+      if (pqIndexDir != dir) {
+        val b0 = System.nanoTime()
+        graft.ml.Pq.buildIvfPqIndex(SparkEntry.t(s, d, "embeddings"),
+          "vec_id", "embedding", dir, m = 16, pqK = 64, nLists = 16, iters = 1)
+        System.err.println(
+          f"[bench] q_ann_pq_probe index build (untimed, once): ${(System.nanoTime() - b0) / 1e9}%.3f s")
+        pqIndexDir = dir
+      }
+      val e = SparkEntry.t(s, d, "embeddings")
+      graft.ml.Pq.ivfPqTopKIndexed(s, dir, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 8, rerank = 50,
+        rerankFrom = e, rerankIdCol = "vec_id", rerankVecCol = "embedding")
+    }),
     // q_dedup_against_near's verify query carries the brute-force
     // equality certificate; the bench measures the user-facing call
     // (banded anchor probe) with the same proven-equivalent parameters
@@ -108,6 +136,7 @@ object Bench {
     "q_warc_ingest")
 
   private var tfManifest: DataFrame = null
+  private var pqIndexDir: String = null
 
   private def exportDir(kind: String, sfDir: String): String =
     s"/tmp/graft_bench_${kind}_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
@@ -154,6 +183,46 @@ object Bench {
         .collect()
       ()
     }))
+
+  // --- contention sentinel -------------------------------------------
+  // Three straight rounds of driver-host perf records needed
+  // out-of-band rescue (r6 noise, r7 unparseable, r8 fully contended):
+  // min-of-3 silently launders a contended window into an
+  // authoritative number, and nothing IN the record let a reader
+  // detect it. Fix: immediately before each query's trial set, time a
+  // fixed SINGLE-THREADED CPU loop (FNV-1a over a fixed 64 MiB
+  // pseudorandom buffer — pure ALU + L1-stream work, no allocation, no
+  // syscalls). On an idle host the reading is stable (clean value
+  // committed in SCALING.md §sentinel); under host contention the OS
+  // steals time from this thread like any other and the reading
+  // inflates proportionally. Any bench number can then be mechanically
+  // classified: sentinel ≈ clean → trust the trial; sentinel ≫ clean →
+  // the window was contended and the trial is a ceiling, not a
+  // measurement.
+  private val sentinelBuf: Array[Byte] = {
+    val b = new Array[Byte](64 << 20)
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < b.length) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      b(i) = x.toByte
+      i += 1
+    }
+    b
+  }
+  @volatile private var sentinelSink: Long = 0L // defeats DCE of the loop
+
+  private def sentinel(): Double = {
+    val t0 = System.nanoTime()
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < sentinelBuf.length) {
+      h ^= sentinelBuf(i); h *= 0x100000001B3L
+      i += 1
+    }
+    sentinelSink = h
+    (System.nanoTime() - t0) / 1e9
+  }
 
   def main(args: Array[String]): Unit = {
     // All numeric JSON below is built with f"" interpolators, which are
@@ -226,28 +295,37 @@ object Bench {
     // trials slow means the query regressed, one quiet trial among
     // noisy ones means host contention (the r6 verdict's open
     // question on q_cc_distributed needed exactly this)
+    sentinel() // warm the sentinel's own JIT before the first reading
     val perTrial = selected.map { n =>
+      val snt = sentinel() // contention reading for THIS query's window
       val ts = (1 to trials(n)).map(_ => run(n))
       reset()
       if (trials(n) > 3)
         System.err.println(f"[bench] $n trials: " +
           ts.map(t => f"$t%.3f").mkString(", "))
-      n -> ts
+      n -> (snt, ts)
     }
-    val results = perTrial.map { case (n, ts) => n -> ts.min }
+    val results = perTrial.map { case (n, (_, ts)) => n -> ts.min }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val tr = perTrial.map { case (k, ts) =>
+    val tr = perTrial.map { case (k, (_, ts)) =>
       "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]" }
       .mkString("{", ",", "}")
+    val sentPerQ = perTrial.map { case (k, (snt, _)) =>
+      "\"" + k + f"\":$snt%.3f" }.mkString("{", ",", "}")
+    val sentVals = perTrial.map(_._2._1).sorted
+    val sentMin = sentVals.head
+    val sentMed = sentVals(sentVals.size / 2)
     val total = results.map(_._2).sum
-    // The per-trial map goes to STDERR: round 7's single stdout line
-    // with 67 inline trial arrays outgrew the driver's ~2 KB tail
-    // capture and the whole round lost its perf record. The canonical
-    // stdout line stays compact (mins only) and is printed LAST so a
-    // tail capture always sees it whole.
-    System.err.println(f"""{"metric":"trials","trials":$tr,"sf":"$sfDir"}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The per-trial + per-query-sentinel maps go to STDERR: round 7's
+    // single stdout line with 67 inline trial arrays outgrew the
+    // driver's ~2 KB tail capture and the whole round lost its perf
+    // record. The canonical stdout line stays compact (mins plus the
+    // suite-level sentinel min/median) and is printed LAST so a tail
+    // capture always sees it whole.
+    System.err.println(
+      f"""{"metric":"trials","trials":$tr,"sentinel_sec":$sentPerQ,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sentinel":{"min":$sentMin%.3f,"median":$sentMed%.3f},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -224,7 +224,10 @@ object Readers {
     val verified: Map[String, DataType] =
       if (toVerify.isEmpty) candidates
       else {
-        val boolVocab = (trueValues ++ falseValues).toSeq
+        // bool vocab matching is case-insensitive via upcasing BOTH
+        // sides — the reference's as_bool? contract (utils.cr:356-364)
+        val boolVocabUp = (trueValues ++ falseValues).toSeq
+          .map(graft.core.Inference.up).distinct
         val counters = toVerify.flatMap { c =>
           val qc = graft.core.qcol(c)
           Seq(
@@ -233,22 +236,35 @@ object Readers {
             count(when(qc.isNotNull &&
               regexp_replace(qc, ",", "").try_cast("double").isNull, 1)).as(s"__bd_$c"),
             count(when(qc.isNotNull &&
-              !qc.isin(boolVocab.map(x => x: Any): _*), 1)).as(s"__bb_$c"))
+              !upper(qc).isin(boolVocabUp.map(x => x: Any): _*), 1)).as(s"__bb_$c"))
         }
         val row = raw.agg(counters.head, counters.tail.toIndexedSeq: _*).collect()(0)
-        val ladder = Seq[DataType](IntegerType, LongType, DoubleType, BooleanType, StringType)
+        // fallback ladders mirror the reference EXACTLY: a numeric
+        // candidate falls Int32 → Int64 → Float64 → String
+        // (get_i64col || get_f64col || StringCol, utils.cr:282-289 —
+        // never through Bool: an all-NA peek is an Int32 candidate,
+        // and if the full column then turns out to be all "TRUE"/"F"
+        // the reference strings it); a Bool candidate that fails the
+        // full column degrades to String (documented divergence: the
+        // reference RAISES there — BoolCol.new has no rescue,
+        // utils.cr:290 — and a read that dies on row 21 is strictly
+        // less useful than the reference's own ladder philosophy)
         candidates.map { case (c, cand) =>
-          if (cand == StringType) c -> cand
-          else {
-            def bad(dt: DataType): Long = dt match {
-              case IntegerType => row.getAs[Long](s"__bi_$c")
-              case LongType    => row.getAs[Long](s"__bl_$c")
-              case DoubleType  => row.getAs[Long](s"__bd_$c")
-              case BooleanType => row.getAs[Long](s"__bb_$c")
-              case _           => 0L
-            }
-            c -> ladder.drop(ladder.indexOf(cand))
-              .find(dt => dt == StringType || bad(dt) == 0L).get
+          def bad(dt: DataType): Long = dt match {
+            case IntegerType => row.getAs[Long](s"__bi_$c")
+            case LongType    => row.getAs[Long](s"__bl_$c")
+            case DoubleType  => row.getAs[Long](s"__bd_$c")
+            case BooleanType => row.getAs[Long](s"__bb_$c")
+            case _           => 0L
+          }
+          cand match {
+            case StringType => c -> cand
+            case BooleanType =>
+              c -> (if (bad(BooleanType) == 0L) BooleanType else StringType)
+            case _ =>
+              val numeric = Seq[DataType](IntegerType, LongType, DoubleType, StringType)
+              c -> numeric.drop(numeric.indexOf(cand))
+                .find(dt => dt == StringType || bad(dt) == 0L).get
           }
         }
       }
@@ -257,8 +273,10 @@ object Readers {
       val qc = graft.core.qcol(c)
       dt match {
         case BooleanType =>
-          when(qc.isin(trueValues.toSeq.map(x => x: Any): _*), lit(true))
-            .when(qc.isin(falseValues.toSeq.map(x => x: Any): _*), lit(false))
+          when(upper(qc).isin(
+            trueValues.toSeq.map(graft.core.Inference.up).distinct.map(x => x: Any): _*), lit(true))
+            .when(upper(qc).isin(
+              falseValues.toSeq.map(graft.core.Inference.up).distinct.map(x => x: Any): _*), lit(false))
             .otherwise(lit(null).cast(BooleanType)).as(c)
         case DoubleType => regexp_replace(qc, ",", "").cast(DoubleType).as(c)
         case StringType => qc.as(c)

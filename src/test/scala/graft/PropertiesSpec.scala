@@ -630,4 +630,84 @@ class PropertiesSpec extends GraftSpec {
       }
     }
   }
+
+  test("property: CSV inference ladder matches the reference rule table") {
+    // The rule table, transliterated from the reference
+    // (utils.cr:275-364): 20-value peek picks the CANDIDATE
+    // (Int32 → Int64 → Float64 → Bool → String; nil skipped; numeric
+    // parses accept surrounding whitespace, the float PEEK does NOT
+    // strip commas, bool matching upcases both sides and does NOT
+    // trim), then the FULL column decides by conversion fallback
+    // (Int32 → get_i64col → get_f64col(comma-stripped) → String).
+    // One documented divergence: a Bool candidate whose full column
+    // has a non-bool value degrades to String here — the reference
+    // raises (BoolCol.new has no rescue).
+    import graft.sources.Readers
+    import org.apache.spark.sql.types._
+    def up(s: String) = s.toUpperCase(java.util.Locale.ROOT)
+    val vocabUp = Set("T", "TRUE", "F", "FALSE")
+    def i32ok(s: String) = s.trim.toIntOption.isDefined
+    def i64ok(s: String) = s.trim.toLongOption.isDefined
+    def f64raw(s: String) = s.trim.toDoubleOption.isDefined
+    def f64full(s: String) = s.replace(",", "").trim.toDoubleOption.isDefined
+    def boolok(s: String) = vocabUp.contains(up(s))
+    def refLadder(values: List[Option[String]]): DataType = {
+      val elems = values.take(20).flatten
+      val full = values.flatten
+      def all20(p: String => Boolean) = elems.forall(p)
+      def allF(p: String => Boolean) = full.forall(p)
+      if (all20(i32ok))
+        if (allF(i32ok)) IntegerType
+        else if (allF(i64ok)) LongType
+        else if (allF(f64full)) DoubleType
+        else StringType
+      else if (all20(i64ok))
+        if (allF(i64ok)) LongType
+        else if (allF(f64full)) DoubleType
+        else StringType
+      else if (all20(f64raw))
+        if (allF(f64full)) DoubleType else StringType
+      else if (all20(boolok))
+        if (allF(boolok)) BooleanType else StringType
+      else StringType
+    }
+    // cell shapes: plain ints (signs, zero-padding, whitespace pads),
+    // past-Int32 longs, floats (exponents, bare-dot), comma numerics,
+    // bools in every case, near-misses, and NA — all shapes parse
+    // IDENTICALLY under Crystal to_i/to_i64/to_f(strict) and the
+    // Scala/Spark parses (suffix floats like "1.5f", inf/nan spellings
+    // are excluded: Java accepts them, Crystal doesn't — out of the
+    // pinned contract)
+    val cell: Gen[Option[String]] = Gen.frequency(
+      4 -> Gen.choose(-999, 999).map(i => Some(i.toString)),
+      1 -> Gen.oneOf("+5", "007", " 42 ", "-0", "2147483648").map(Some(_)),
+      1 -> Gen.choose(3000000000L, 4000000000L).map(l => Some(l.toString)),
+      2 -> Gen.oneOf("1.5", "-0.25", "1e3", ".5", " 2.25 ").map(Some(_)),
+      1 -> Gen.oneOf("1,234.5", "1,234", "12,345,678").map(Some(_)),
+      2 -> Gen.oneOf("T", "F", "true", "False", "tRuE", "FALSE", "f").map(Some(_)),
+      1 -> Gen.oneOf("Unrated", "x1", " TRUE", "1.5.3", "12a").map(Some(_)),
+      1 -> Gen.const(None))
+    // 1-40 rows: crosses the 20-row peek boundary both ways
+    val column: Gen[List[Option[String]]] =
+      Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, cell))
+    check("csv.ladder", cases = 40) {
+      Prop.forAll(column) { values =>
+        val csv = "x\n" + values.map {
+          case None    => "NA"
+          case Some(v) => "\"" + v + "\"" // quoted: comma cells survive
+        }.mkString("\n")
+        val got = Readers.readCsvString(spark, csv)
+        val expected = refLadder(values)
+        val typeOk = got.schema("x").dataType == expected
+        // for Bool columns also pin the VALUES (case-insensitive
+        // decode); numerics are covered by the roundtrip properties
+        val valsOk = expected != BooleanType || {
+          val decoded = got.out.collect().map(r =>
+            if (r.isNullAt(0)) None else Some(r.getBoolean(0))).toList
+          decoded == values.map(_.map(v => Set("T", "TRUE")(up(v))))
+        }
+        typeOk && valsOk
+      }
+    }
+  }
 }

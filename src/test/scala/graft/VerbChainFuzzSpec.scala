@@ -52,6 +52,22 @@ class VerbChainFuzzSpec extends GraftSpec {
     St(CrysFrame(df), Vector(idN, vN), idN, gN, Some(n.toLong))
   }
 
+  /** Independent second fuzzed frame for the join/bind vocabulary:
+    * UNIQUE string keys drawn from a domain that only partially
+    * overlaps the base's g-domain (so matched and unmatched keys occur
+    * on both sides), plus one numeric attribute under a fresh name —
+    * Long or Int at random so the bind/union type-widening paths fire
+    * too. */
+  private def dimFrame(st: St, rnd: scala.util.Random,
+                       fresh: () => String): (CrysFrame, String) = {
+    val nm = fresh()
+    val keys = (0 until 3 + rnd.nextInt(6)).map(_ => s"g${rnd.nextInt(8)}").distinct
+    val df =
+      if (rnd.nextBoolean()) keys.map(k => (k, rnd.nextInt(100).toLong)).toDF(st.strCol, nm)
+      else keys.map(k => (k, rnd.nextInt(100))).toDF(st.strCol, nm)
+    (CrysFrame(df), nm)
+  }
+
   /** One applicable random step; returns the next state. `nOps` bounds
     * the vocabulary so pinned seeds keep replaying their original
     * chain when new ops are appended (only ever append — never
@@ -168,6 +184,74 @@ class VerbChainFuzzSpec extends GraftSpec {
         st.copy(f = st.f.sortBy(st.idCol).addRowNumber(nm),
           numCols = st.numCols :+ nm)
       case 21 => st.copy(f = st.f.moveRight(st.strCol))
+      // ---- r9 vocabulary (appended): joins & binds vs a 2nd frame ----
+      case 22 =>
+        // row-preserving left join: dim keys are UNIQUE, so every left
+        // row matches at most once (joins return ungrouped frames)
+        val (dim, nm) = dimFrame(st, rnd, fresh)
+        st.copy(f = st.f.leftJoin(dim, by = Seq(st.strCol)),
+          numCols = st.numCols :+ nm, grouped = false)
+      case 23 =>
+        val (dim, nm) = dimFrame(st, rnd, fresh)
+        st.copy(f = st.f.innerJoin(dim, by = Seq(st.strCol)),
+          numCols = st.numCols :+ nm, rows = None, grouped = false)
+      case 24 =>
+        // unmatched dim keys materialize rows whose LEFT columns
+        // (including the id) are all null — downstream sorts must keep
+        // treating those as NAs-last
+        val (dim, nm) = dimFrame(st, rnd, fresh)
+        st.copy(f = st.f.rightJoin(dim, by = Seq(st.strCol)),
+          numCols = st.numCols :+ nm, rows = None, grouped = false)
+      case 25 =>
+        val (dim, nm) = dimFrame(st, rnd, fresh)
+        st.copy(f = st.f.outerJoin(dim, by = Seq(st.strCol)),
+          numCols = st.numCols :+ nm, rows = None, grouped = false)
+      case 26 =>
+        // anti: column-preserving, row count data-dependent
+        val (dim, _) = dimFrame(st, rnd, fresh)
+        st.copy(f = st.f.antiJoin(dim, by = Seq(st.strCol)),
+          rows = None, grouped = false)
+      case 27 =>
+        // unequal-key inner join against a dim DERIVED FROM THIS FRAME
+        // (distinct keys → row-preserving): evaluates the frame on two
+        // plan branches — the cross-branch determinism net (the
+        // seed-2100 class), now through the join machinery + byPairs
+        val kcol = fresh()
+        val nm = fresh()
+        val dim = st.f.select(st.strCol).distinct()
+          .rename(st.strCol -> kcol)
+          .addColumn(nm)(c => length(c(kcol)).cast("long"))
+        st.copy(f = st.f.innerJoin(dim, byPairs = Seq(st.strCol -> kcol)),
+          numCols = st.numCols :+ nm, grouped = false)
+      case 28 =>
+        // suffix-collision join: the dim deliberately carries a column
+        // named like an existing numeric column → `.x`/`.y` suffixing
+        // on BOTH sides (reference joins.cr:149-166); the state tracks
+        // the renames so later verbs keep addressing the survivors
+        val victim = st.numCols(rnd.nextInt(st.numCols.size))
+        val keys = (0 until 4 + rnd.nextInt(5))
+          .map(_ => (s"g${rnd.nextInt(8)}", rnd.nextInt(50).toLong))
+          .distinctBy(_._1)
+        val dim = CrysFrame(keys.toDF(st.strCol, victim))
+        st.copy(f = st.f.leftJoin(dim, by = Seq(st.strCol)),
+          numCols = st.numCols.map(c => if (c == victim) c + ".x" else c)
+            :+ (victim + ".y"),
+          idCol = if (st.idCol == victim) victim + ".x" else st.idCol,
+          grouped = false)
+      case 29 =>
+        // positional FULL-SELF bind: every name collides → the `_N`
+        // dedup suffixing path, and the frame is evaluated on two
+        // branches whose zipWithIndex pairings must agree on the count
+        st.copy(f = st.f.bindCols(st.f), grouped = false)
+      case 30 =>
+        // union-by-name with an independent partial-column frame:
+        // null fill for the missing columns (the id column gains
+        // nulls), Int/Long widening half the time
+        val extra = (0 until 3 + rnd.nextInt(8))
+          .map(_ => (s"g${rnd.nextInt(8)}", (rnd.nextInt(9) - 4).toLong))
+        val dim = CrysFrame(extra.toDF(st.strCol, numCol))
+        st.copy(f = st.f.bindRows(dim),
+          rows = st.rows.map(_ + extra.size), grouped = false)
     }
   }
 
