@@ -80,6 +80,21 @@ object Bench {
         "doc_id", "text", maxDist = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
     }),
+    // q_ann_pq's verify query now carries the in-band recall
+    // certificate (r9): a brute-force ground-truth probe + overlap
+    // join that exists to PROVE recall, not to serve queries. The
+    // bench measures the operator a user calls — train + probe with
+    // the same certificate-pinned parameters (the train-once/probe-
+    // many shape is the separate q_ann_pq_probe entry below).
+    "q_ann_pq" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = SparkEntry.t(s, d, "embeddings")
+      graft.ml.Pq.ivfPqTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, m = 16, pqK = 64, nLists = 16, nProbe = 8, iters = 1,
+        rerank = 50)
+        .select("query_id", "rank", "nn_id")
+    }),
     // The RECURRING-pipeline ANN shape: q_ann_pq trains the IVF-PQ
     // index inside the measured query (the Lloyd round + encode
     // dominate, making it the suite's most expensive and most
