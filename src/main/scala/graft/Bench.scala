@@ -239,6 +239,30 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  // The CPU sentinel alone proved insufficient on its FIRST outing:
+  // an r9 3-SF sweep showed the suite's tail degrading 2-5x (write-
+  // heavy entries worst, early entries untouched, isolated reruns
+  // clean) while every CPU sentinel read 0.086-0.090 s — the
+  // signature of virtual-disk write throttling (burst-credit
+  // exhaustion under sustained benchmark writes), an axis a pure
+  // ALU loop cannot see. This probe times writing 8 MiB + fsync to
+  // the same /tmp the export entries write; clean value committed
+  // next to the CPU sentinel's in SCALING.md.
+  private def sentinelIo(): Double = {
+    val f = java.io.File.createTempFile("graft_bench_iosentinel", ".bin")
+    try {
+      val chunk = java.util.Arrays.copyOf(sentinelBuf, 1 << 20) // 1 MiB
+      val t0 = System.nanoTime()
+      val out = new java.io.FileOutputStream(f)
+      try {
+        var i = 0
+        while (i < 8) { out.write(chunk); i += 1 }
+        out.getFD.sync()
+      } finally out.close()
+      (System.nanoTime() - t0) / 1e9
+    } finally { f.delete(); () }
+  }
+
   def main(args: Array[String]): Unit = {
     // All numeric JSON below is built with f"" interpolators, which are
     // locale-sensitive: a comma-decimal default locale would emit
@@ -310,15 +334,16 @@ object Bench {
     // trials slow means the query regressed, one quiet trial among
     // noisy ones means host contention (the r6 verdict's open
     // question on q_cc_distributed needed exactly this)
-    sentinel() // warm the sentinel's own JIT before the first reading
+    sentinel(); sentinelIo() // warm both probes' JIT/fd paths first
     val perTrial = selected.map { n =>
-      val snt = sentinel() // contention reading for THIS query's window
+      val snt = sentinel()   // CPU-steal reading for THIS query's window
+      val sio = sentinelIo() // write-throttle reading for the same window
       val ts = (1 to trials(n)).map(_ => run(n))
       reset()
       if (trials(n) > 3)
         System.err.println(f"[bench] $n trials: " +
           ts.map(t => f"$t%.3f").mkString(", "))
-      n -> (snt, ts)
+      n -> ((snt, sio), ts)
     }
     val results = perTrial.map { case (n, (_, ts)) => n -> ts.min }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
@@ -326,11 +351,13 @@ object Bench {
     val tr = perTrial.map { case (k, (_, ts)) =>
       "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]" }
       .mkString("{", ",", "}")
-    val sentPerQ = perTrial.map { case (k, (snt, _)) =>
-      "\"" + k + f"\":$snt%.3f" }.mkString("{", ",", "}")
-    val sentVals = perTrial.map(_._2._1).sorted
-    val sentMin = sentVals.head
-    val sentMed = sentVals(sentVals.size / 2)
+    val sentPerQ = perTrial.map { case (k, ((snt, sio), _)) =>
+      "\"" + k + f"\":[$snt%.3f,$sio%.3f]" }.mkString("{", ",", "}")
+    def minMed(vals: Seq[Double]): (Double, Double) = {
+      val s = vals.sorted; (s.head, s(s.size / 2))
+    }
+    val (sentMin, sentMed) = minMed(perTrial.map(_._2._1._1))
+    val (sioMin, sioMed) = minMed(perTrial.map(_._2._1._2))
     val total = results.map(_._2).sum
     // The per-trial + per-query-sentinel maps go to STDERR: round 7's
     // single stdout line with 67 inline trial arrays outgrew the
@@ -339,8 +366,8 @@ object Bench {
     // suite-level sentinel min/median) and is printed LAST so a tail
     // capture always sees it whole.
     System.err.println(
-      f"""{"metric":"trials","trials":$tr,"sentinel_sec":$sentPerQ,"sf":"$sfDir"}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sentinel":{"min":$sentMin%.3f,"median":$sentMed%.3f},"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"trials","trials":$tr,"sentinel_cpu_io_sec":$sentPerQ,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sentinel":{"min":$sentMin%.3f,"median":$sentMed%.3f},"sentinel_io":{"min":$sioMin%.3f,"median":$sioMed%.3f},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

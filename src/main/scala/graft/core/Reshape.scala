@@ -82,7 +82,19 @@ private[core] object Reshape {
   }
 
   /** Split one string column into k by regex
-    * (reference: src/crysda/reshape.cr:131-153). `NA` literal → null. */
+    * (reference: src/crysda/reshape.cr:131-153). `NA` literal → null.
+    *
+    * Ragged splits are a parity-PLUS extension: a row with fewer
+    * parts than `into` null-pads the tail (tidyr's documented fill
+    * behavior) and extra parts are dropped — the reference refuses
+    * both shapes outright (reshape.cr:140-141 raises on unequal or
+    * mismatched splits), and a refusal is strictly less useful on
+    * real ragged data. Access MUST go through `get()` (the
+    * null-past-the-end element accessor): `getItem(i)` raises
+    * INVALID_ARRAY_INDEX under ANSI mode the moment any row splits
+    * short — found by the r9 fuzzer the first time a padded-`into`
+    * chain was actually observed (separate's own oracle query splits
+    * every row at full arity, so the edge never evaluated). */
   def separate(f: CrysFrame, column: String, into: Seq[String], sep: String,
                remove: Boolean, convert: Boolean): CrysFrame = {
     // materialize the split of the ORIGINAL column once — deriving each
@@ -91,7 +103,7 @@ private[core] object Reshape {
     val sepTmp = "__graft_sep"
     var df = f.out.withColumn(sepTmp, split(qcol(column), sep))
     into.zipWithIndex.foreach { case (n, i) =>
-      val v = col(sepTmp).getItem(i)
+      val v = get(col(sepTmp), lit(i))
       df = df.withColumn(n, when(v === "NA" || v === "", lit(null)).otherwise(v))
     }
     df = df.drop(sepTmp)

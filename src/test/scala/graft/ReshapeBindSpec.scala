@@ -129,6 +129,21 @@ class ReshapeBindSpec extends GraftSpec {
     assert(r.getString(0) == "a" && r.getString(1) == "b")
   }
 
+  test("separate null-pads ragged splits (r9 fuzzer find: ANSI getItem crash)") {
+    // parity-plus vs the reference (which raises on unequal splits,
+    // reshape.cr:140-141): a short row pads its tail with nulls, an
+    // over-long row drops the extras — and, the regression itself,
+    // OBSERVING the padded columns must not raise INVALID_ARRAY_INDEX
+    // under ANSI (getItem past the end did; `get()` does not)
+    val f = CrysFrame.of(spark, Seq("id", "x"),
+      Seq(Seq(1, "a-b"), Seq(2, "solo"), Seq(3, "p-q-extra")))
+      .separate("x", Seq("l", "r"), sep = "-")
+    val rows = f.sortBy("id").out.collect()
+    assert(rows(0).getString(1) == "a" && rows(0).getString(2) == "b")
+    assert(rows(1).getString(1) == "solo" && rows(1).isNullAt(2))
+    assert(rows(2).getString(1) == "p" && rows(2).getString(2) == "q")
+  }
+
   test("convertType and unite preserve the grouping annotation") {
     val f = CrysFrame.of(spark, Seq("g", "v"),
       Seq(Seq("a", "1"), Seq("a", "2"), Seq("b", "3")))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.CrysFrame
+import graft.core.{sel, CrysFrame}
 import org.apache.spark.sql.functions._
 
 /** Randomized chains over the public verb surface — the crash net for
@@ -73,9 +73,19 @@ class VerbChainFuzzSpec extends GraftSpec {
     * chain when new ops are appended (only ever append — never
     * renumber — or the pinned-seed chains change under the test). */
   private def step(st: St, rnd: scala.util.Random, fresh: () => String,
-                   nOps: Int): St = {
+                   nOps: Int): St =
+    stepOp(st, rnd.nextInt(nOps), rnd, fresh)
+
+  /** The op table itself, addressable by index — the "vocabulary
+    * bound matches the op table" test drives every arm directly and
+    * pins `allOps` to the exact arity (an appended arm that forgets
+    * to bump `allOps` never fires in soaks: that EXACT mistake shipped
+    * mid-r9 and cost three soak ranges — see
+    * sweeps/r9_fuzz_campaign.md "process correction"). */
+  protected def stepOp(st: St, op: Int, rnd: scala.util.Random,
+                       fresh: () => String): St = {
     val numCol = st.numCols(rnd.nextInt(st.numCols.size))
-    rnd.nextInt(nOps) match {
+    op match {
       case 0 => st.copy(f = st.f.sortBy(numCol))
       case 1 => st.copy(f = st.f.sortDescBy(numCol))
       case 2 => st.copy(f = st.f.sortByOrder(c => c(numCol).desc))
@@ -163,9 +173,17 @@ class VerbChainFuzzSpec extends GraftSpec {
         else {
           val k = st.rows match {
             case Some(r) => 1 + rnd.nextInt(math.min(r, 20L).toInt)
-            case None    => 1 // always a safe draw
+            case None    => 1
           }
-          st.copy(f = st.f.sampleN(k), rows = Some(k.toLong))
+          // k=1 stopped being "always safe" when the join vocabulary
+          // arrived: inner/anti joins on partially-overlapping key
+          // domains can leave a legitimately EMPTY frame, and
+          // sampleN(1) on it refuses BY CONTRACT (the reference's
+          // over-sample-without-replace raise — correct product
+          // behavior, seed 20134). The emptiness probe consumes no
+          // randomness, so pinned chains replay unchanged.
+          if (st.rows.isEmpty && st.f.numRow == 0) st
+          else st.copy(f = st.f.sampleN(k), rows = Some(k.toLong))
         }
       case 18 =>
         // self semi-join on the string key: row- and column-preserving;
@@ -252,6 +270,42 @@ class VerbChainFuzzSpec extends GraftSpec {
         val dim = CrysFrame(extra.toDF(st.strCol, numCol))
         st.copy(f = st.f.bindRows(dim),
           rows = st.rows.map(_ + extra.size), grouped = false)
+      // ---- r9b vocabulary (appended): reshape verbs ----
+      case 31 =>
+        // unite keeping sources: appends one string column (nulls
+        // render "NA" inside it); grouping survives (regrouped)
+        st.copy(f = st.f.unite(fresh(), sel.listOf(st.strCol, numCol),
+          remove = false))
+      case 32 =>
+        // separate the (never-null) string key on a non-occurring
+        // separator: part 1 = the whole value, part 2 = null — the
+        // padded-`into` edge; sources kept
+        st.copy(f = st.f.separate(st.strCol, Seq(fresh(), fresh()),
+          sep = "\\|", remove = false))
+      case 33 =>
+        // gather two derived numeric columns to long form: rows x2,
+        // Int/Long/Double coercion, result ungrouped (gather rebuilds)
+        val derived = st.numCols.filter(_ != st.idCol).distinct
+        if (derived.size < 2) st
+        else {
+          val picked = rnd.shuffle(derived).take(2)
+          val (a, b) = (picked(0), picked(1))
+          val value = fresh()
+          st.copy(f = st.f.gather(fresh(), value, sel.listOf(a, b)),
+            numCols = st.numCols.filterNot(Set(a, b)) :+ value,
+            rows = st.rows.map(_ * 2), grouped = false)
+        }
+      case 34 =>
+        // nest the derived numerics into a sorted struct list and
+        // explode back: row count round-trips, order is lost by
+        // contract, result ungrouped
+        val derived = st.numCols.filter(_ != st.idCol)
+        if (derived.isEmpty) st
+        else {
+          val packed = fresh()
+          st.copy(f = st.f.nest(sel.listOf(derived: _*), packed).unnest(packed),
+            grouped = false)
+        }
     }
   }
 
@@ -260,7 +314,9 @@ class VerbChainFuzzSpec extends GraftSpec {
   private val legacyOps = 13
   /** Vocabulary size before the grouping-state ops were appended. */
   private val v19Ops = 19
-  private val allOps = 22
+  /** MUST equal the arity of [[stepOp]]'s match — pinned by the
+    * "vocabulary bound matches the op table" test. */
+  protected val allOps = 35
 
   protected def runCaseSoak(seed: Int): Unit = runCase(seed)
   protected def runCaseSoakHostile(seed: Int): Unit =
@@ -315,6 +371,34 @@ class VerbChainFuzzSpec extends GraftSpec {
     // chain replays exactly), minimal shape in CoreVerbsSpec
     // ("computed sort key survives rename...")
     runCase(1215, nOps = legacyOps)
+  }
+
+  test("vocabulary bound matches the op table exactly; every arm observes") {
+    // every arm fires once against a fresh base frame (so an arm that
+    // can only throw is caught the round it lands), and allOps is
+    // pinned to the match's exact arity from both sides
+    (0 until allOps).foreach { op =>
+      val rnd = new scala.util.Random(40000 + op)
+      var st = base(rnd, hostileNames = op % 2 == 1)
+      var n = 0
+      val fresh = () => { n += 1; s"c$n" }
+      st = stepOp(st, op, rnd, fresh)
+      assert(st.f.isGrouped == st.grouped, s"op $op grouping contract")
+      val out = st.f.out
+      // collect(), NOT count(): count prunes every projected column,
+      // so an arm whose output only throws when its columns EVALUATE
+      // would pass (the ragged-separate ANSI crash hid behind exactly
+      // this — the soak only caught it when a later verb consumed the
+      // part columns)
+      val rows = out.collect().length.toLong
+      st.rows.foreach(r => assert(rows == r, s"op $op: rows $rows != $r"))
+      assert(out.columns.toSeq.distinct == out.columns.toSeq, s"op $op dup cols")
+    }
+    intercept[MatchError] {
+      val rnd = new scala.util.Random(1)
+      var n = 0
+      stepOp(base(rnd, hostileNames = false), allOps, rnd, () => { n += 1; s"c$n" })
+    }
   }
 
   test("seed 2100: take of a wide plan is cross-branch deterministic") {
