@@ -112,8 +112,11 @@ final class CrysFrame private (
     * one level up). Same MEMORY_AND_DISK / LRU contract as the
     * frozen-draw `take` and [[GlobalWindows]] persists; as there,
     * eviction re-rolls the capture for later consumers — the
-    * stability guarantee is as durable as the cache entry. */
-  private def ordered: CrysFrame =
+    * stability guarantee is as durable as the cache entry.
+    * `lazy val`, not `def` (r9): two order-sensitive verbs on the
+    * same instance then share ONE capture (and one cache entry)
+    * instead of stamping — and persisting — twice. */
+  private lazy val ordered: CrysFrame =
     if (ords.nonEmpty) this
     else if (df.columns.contains(ORD))
       new CrysFrame(df, groupedBy, Seq(ingestOrd))
