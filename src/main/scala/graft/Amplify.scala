@@ -40,16 +40,36 @@ import org.apache.spark.sql.functions._
   */
 object Amplify {
 
-  /** translate() mapping for copy c: identity for c == 0. */
+  /** translate() mapping for copy c: identity for c == 0, a DISTINCT
+    * non-identity alphabet permutation for every other copy. A plain
+    * Caesar rotation (k = i % 26) silently hands copies 26, 52, …
+    * the identity map — byte-identical text to copy 0, recreating the
+    * verbatim cross-copy cliques this transform exists to avoid. We
+    * use the affine map j ↦ (a·j + b) mod 26 instead: a ranges over
+    * the 12 units mod 26 and b over 0..25, giving 312 distinct
+    * permutations of which only (a,b) = (1,0) — copy 0 — is identity.
+    * Any character bijection preserves shingle/token equality
+    * structure within a copy, so the near-dup graph per copy is
+    * unchanged; distinctness across copies keeps shards independent.
+    */
+  private[graft] val MaxTextCopies = 312
+
+  private[graft] def affinePerm(i: Int): String = {
+    val units = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    val a = units((i / 26) % units.length)
+    val b = i % 26
+    (0 until 26).map(j => ('a' + (a * j + b) % 26).toChar).mkString
+  }
+
   private def caesar(c: org.apache.spark.sql.Column,
                      textCol: String, factor: Int): org.apache.spark.sql.Column = {
+    require(factor <= MaxTextCopies,
+      s"Amplify: factor $factor exceeds the $MaxTextCopies distinct text permutations")
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
     (1 until factor).foldLeft(when(c === 0, col(textCol))) { (acc, i) =>
-      val k = i % 26
-      acc.when(c === i, translate(col(textCol),
-        lower + upper,
-        lower.drop(k) + lower.take(k) + upper.drop(k) + upper.take(k)))
+      val p = affinePerm(i)
+      acc.when(c === i, translate(col(textCol), lower + upper, p + p.toUpperCase))
     }.otherwise(col(textCol))
   }
 
@@ -70,8 +90,12 @@ object Amplify {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
-    def span(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).collect()(0).getLong(0) + 1L
+    def span(df: DataFrame, key: String): Long = {
+      val row = df.agg(max(col(key)).cast("long")).collect()(0)
+      require(!row.isNullAt(0),
+        s"Amplify: cannot derive key span — table has no rows (or all-null '$key')")
+      row.getLong(0) + 1L
+    }
 
     // dimension tables: verbatim
     Seq("region", "nation", "customer", "supplier", "part")
@@ -95,6 +119,10 @@ object Amplify {
       .drop("__c"), "documents")
 
     val emb = read("embeddings")
+    val dim = emb.select(size(col("embedding")).cast("int")).na.drop().first().getInt(0)
+    require(factor <= dim,
+      s"Amplify: factor $factor exceeds embedding dim $dim — copy $dim's rotation " +
+        "would alias copy 0, creating cross-copy twin vectors")
     val eSpan = span(emb, "vec_id")
     write(offsetKey(copies(emb, factor), "vec_id", eSpan)
       .withColumn("embedding",

@@ -45,9 +45,15 @@ object Bench {
     * bucket join + rounded-cosine verify) with the SAME parameters the
     * proof query pins as exact-equivalent. */
   private val benchVariant: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // nBits deliberately NOT pinned (r10): the operator self-sizes the
+    // bucket space from the corpus (autoNBits — 4 at sf0.1's 2k
+    // vectors, identical to the old pin; 8 at the ×16 stress sweep's
+    // 32k, where the pinned 4 went quadratic by the operator's own
+    // sizing contract). The VERIFY query keeps its explicit nBits=4 —
+    // its LSH==exact certificate pins that geometry.
     "q_embed_dedup" -> ((s, d) =>
       graft.ml.Dedup.embeddingDedup(SparkEntry.t(s, d, "embeddings"),
-        "vec_id", "embedding", threshold = 0.45, nBits = 4, bands = 64)
+        "vec_id", "embedding", threshold = 0.45, bands = 64)
         .select("vec_id")),
     // the 100-TB connected-components code path: q_dedup_cc's pair
     // generation, but labels forced through the DISTRIBUTED min-label
@@ -276,6 +282,14 @@ object Bench {
     val all = headline ++ exportHeadline
     val selected =
       if (args.isEmpty) all else all.filter(args.toSet)
+    if (selected.isEmpty) {
+      // a typo'd query name used to fall through to head-of-empty in the
+      // sentinel stats — fail fast and name the valid set instead
+      System.err.println(
+        s"[bench] no queries matched ${args.mkString(", ")}; valid names:\n  " +
+          all.mkString("\n  "))
+      sys.exit(2)
+    }
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     GraftSession.setLogLevel(spark, "WARN")
 
@@ -329,45 +343,109 @@ object Bench {
       .withDefaultValue(3)
     selected.foreach(run)
     reset()
-    // per-trial times ride along in the JSON (and on stderr for the
-    // extra-trial CC pair): a drifted min is then attributable — all
-    // trials slow means the query regressed, one quiet trial among
-    // noisy ones means host contention (the r6 verdict's open
-    // question on q_cc_distributed needed exactly this)
-    sentinel(); sentinelIo() // warm both probes' JIT/fd paths first
+    // --- self-remediating measurement loop (r10) ----------------------
+    // r9 made contamination DETECTABLE (per-query sentinel pair before
+    // the trials); the driver record still shipped dirty because
+    // nothing acted on the reading. r10 closes the loop: each query's
+    // window is now bracketed by a probe pair BEFORE and AFTER its
+    // trials (a degradation that begins mid-trials — multi-minute
+    // windows for the 5-trial CC pair — was invisible to a pre-only
+    // probe), and a window whose worse-side probes exceed the
+    // committed clean band (CPU ≥2×, IO ≥1.5× — SCALING.md
+    // §sentinel, band mid as reference, env-overridable for other
+    // hosts) is DISCARDED: drain-pause to let the throttle credit
+    // refill / the contending load pass, then re-run that query's
+    // trials, bounded to maxRetries. Both the discarded and the kept
+    // trials ship in the stderr record; the stdout line carries a
+    // compact per-suite verdict ("dirty":[...] — empty means every
+    // kept window was clean, no judge-side adjudication needed).
+    // Probe economics: the post-probe of query i IS the pre-probe of
+    // query i+1 (one pair per attempt, same frequency as r9's
+    // pre-only scheme) — relevant because the IO probe itself writes
+    // +fsyncs 8 MiB on a host documented to write-throttle under
+    // sustained writes; GRAFT_BENCH_NO_SENTINEL=1 disables both
+    // probes entirely for the perturbation-hypothesis experiment.
+    val noSentinel = sys.env.get("GRAFT_BENCH_NO_SENTINEL").contains("1")
+    val cleanCpu = sys.env.get("GRAFT_BENCH_CLEAN_CPU").map(_.toDouble).getOrElse(0.091)
+    val cleanIo = sys.env.get("GRAFT_BENCH_CLEAN_IO").map(_.toDouble).getOrElse(0.024)
+    val maxRetries = sys.env.get("GRAFT_BENCH_MAX_RETRIES").map(_.toInt).getOrElse(2)
+    val drainSec = sys.env.get("GRAFT_BENCH_DRAIN_SEC").map(_.toInt).getOrElse(45)
+    def probe(): (Double, Double) =
+      if (noSentinel) (0.0, 0.0) else (sentinel(), sentinelIo())
+    def windowClean(pre: (Double, Double), post: (Double, Double)): Boolean =
+      noSentinel || (math.max(pre._1, post._1) < 2.0 * cleanCpu &&
+        math.max(pre._2, post._2) < 1.5 * cleanIo)
+    if (!noSentinel) { sentinel(); sentinelIo() } // warm probes' JIT/fd paths
+    var lastProbe = probe()
+    // per query: (pre, post, keptTrials, clean, discardedAttempts)
     val perTrial = selected.map { n =>
-      val snt = sentinel()   // CPU-steal reading for THIS query's window
-      val sio = sentinelIo() // write-throttle reading for the same window
-      val ts = (1 to trials(n)).map(_ => run(n))
-      reset()
+      var attempt = 0
+      var discarded = List.empty[Seq[Double]]
+      var result: ((Double, Double), (Double, Double), Seq[Double], Boolean) = null
+      var done = false
+      while (!done) {
+        val pre = lastProbe
+        val ts = (1 to trials(n)).map(_ => run(n))
+        reset()
+        val post = probe()
+        lastProbe = post
+        val clean = windowClean(pre, post)
+        if (clean || attempt >= maxRetries) {
+          result = (pre, post, ts, clean)
+          done = true
+        } else {
+          System.err.println(
+            f"[bench] $n window dirty (cpu ${math.max(pre._1, post._1)}%.3f, " +
+              f"io ${math.max(pre._2, post._2)}%.3f) — drain ${drainSec}s, retry ${attempt + 1}/$maxRetries")
+          discarded = discarded :+ ts
+          Thread.sleep(drainSec * 1000L)
+          lastProbe = probe() // fresh pre after the pause
+          attempt += 1
+        }
+      }
       if (trials(n) > 3)
         System.err.println(f"[bench] $n trials: " +
-          ts.map(t => f"$t%.3f").mkString(", "))
-      n -> ((snt, sio), ts)
+          result._3.map(t => f"$t%.3f").mkString(", "))
+      n -> (result, discarded)
     }
-    val results = perTrial.map { case (n, (_, ts)) => n -> ts.min }
+    val results = perTrial.map { case (n, ((_, _, ts, _), _)) => n -> ts.min }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val tr = perTrial.map { case (k, (_, ts)) =>
+    val tr = perTrial.map { case (k, ((_, _, ts, _), _)) =>
       "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]" }
       .mkString("{", ",", "}")
-    val sentPerQ = perTrial.map { case (k, ((snt, sio), _)) =>
-      "\"" + k + f"\":[$snt%.3f,$sio%.3f]" }.mkString("{", ",", "}")
+    // per-query [preCpu, preIo, postCpu, postIo] — both window edges
+    val sentPerQ = perTrial.map { case (k, ((pre, post, _, _), _)) =>
+      "\"" + k + f"\":[${pre._1}%.3f,${pre._2}%.3f,${post._1}%.3f,${post._2}%.3f]" }
+      .mkString("{", ",", "}")
+    val cleanPerQ = perTrial.map { case (k, ((_, _, _, c), _)) =>
+      "\"" + k + "\":" + c }.mkString("{", ",", "}")
+    val discardedJson = perTrial.collect {
+      case (k, (_, disc)) if disc.nonEmpty =>
+        "\"" + k + "\":[" + disc.map(ts =>
+          "[" + ts.map(t => f"$t%.3f").mkString(",") + "]").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     def minMed(vals: Seq[Double]): (Double, Double) = {
       val s = vals.sorted; (s.head, s(s.size / 2))
     }
-    val (sentMin, sentMed) = minMed(perTrial.map(_._2._1._1))
-    val (sioMin, sioMed) = minMed(perTrial.map(_._2._1._2))
+    val keptProbes = perTrial.flatMap { case (_, ((pre, post, _, _), _)) => Seq(pre, post) }
+    val (sentMin, sentMed) = minMed(keptProbes.map(_._1))
+    val (sioMin, sioMed) = minMed(keptProbes.map(_._2))
+    val dirty = perTrial.collect { case (k, ((_, _, _, false), _)) => k }
+    val retried = perTrial.collect { case (k, (_, d)) if d.nonEmpty => k -> d.size }
     val total = results.map(_._2).sum
     // The per-trial + per-query-sentinel maps go to STDERR: round 7's
     // single stdout line with 67 inline trial arrays outgrew the
     // driver's ~2 KB tail capture and the whole round lost its perf
     // record. The canonical stdout line stays compact (mins plus the
-    // suite-level sentinel min/median) and is printed LAST so a tail
-    // capture always sees it whole.
+    // suite-level sentinel min/median and the dirty-query verdict) and
+    // is printed LAST so a tail capture always sees it whole.
     System.err.println(
-      f"""{"metric":"trials","trials":$tr,"sentinel_cpu_io_sec":$sentPerQ,"sf":"$sfDir"}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sentinel":{"min":$sentMin%.3f,"median":$sentMed%.3f},"sentinel_io":{"min":$sioMin%.3f,"median":$sioMed%.3f},"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"trials","trials":$tr,"sentinel_pre_post_cpu_io_sec":$sentPerQ,"clean":$cleanPerQ,"discarded_trials":$discardedJson,"sf":"$sfDir"}""")
+    val dirtyJson = dirty.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retriedJson = retried.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sentinel":{"min":$sentMin%.3f,"median":$sentMed%.3f},"sentinel_io":{"min":$sioMin%.3f,"median":$sioMed%.3f},"sentinels_enabled":${!noSentinel},"dirty":$dirtyJson,"retried":$retriedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -75,6 +75,28 @@ object SparkEntry {
     (docs, pairs)
   }
 
+  /** In-band planted-dup certificate for the media dedup queries (the
+    * q_ann_ivf raise_error skeleton): the harness plants every dup
+    * pair itself (id-offset re-ingests), so the correct keep-set is
+    * known at query-build time. Any id in `keep` but not `expected`
+    * is a planted pair the operator MISSED (a surviving copy); any id
+    * in `expected` but not `keep` is a NON-planted collapse (an
+    * original dropped). Either direction raises in-query — the
+    * rows-only driver check then cannot pass on a wrong answer. The
+    * certificate columns ride the kept id column, so Catalyst cannot
+    * prune the proof away. */
+  private def certifyKeepSet(keep: DataFrame, expected: DataFrame,
+                             what: String): DataFrame = {
+    val idType = keep.schema("media_id").dataType
+    val missed = keep.join(expected, Seq("media_id"), "left_anti")
+    val overDropped = expected.join(keep, Seq("media_id"), "left_anti")
+    val mismatch = missed.unionByName(overDropped)
+      .select(F.raise_error(concat(
+        lit(s"$what planted-dup certificate violated at media_id="),
+        col("media_id").cast("string"))).cast(idType).as("media_id"))
+    keep.unionByName(mismatch)
+  }
+
   /** Exact money aggregation: per-term decimal cast, exact decimal sum,
     * final scale-2 decimal. The final scale is the SOURCE scale (money
     * values are 2-decimal), not the working scale: the scaled integer a
@@ -764,7 +786,13 @@ object SparkEntry {
     // second copy id-offset) — distance-0 pairs tie each copy to its
     // original and greedy min-id keeps the originals. Rows-only by
     // design (no SQL oracle can decode images); dHash correctness is
-    // spec-pinned (format-independence, resample tolerance, refusals)
+    // spec-pinned (format-independence, resample tolerance, refusals).
+    // r10: IN-BAND planted-dup certificate (q_ann_ivf skeleton) — the
+    // planted pairs are known at query-build time (every original ×
+    // its +10000 copy), so the expected keep-set is exactly the
+    // originals; any surviving copy (planted pair missed) or dropped
+    // original (non-planted collapse) raises in-query instead of
+    // shipping a wrong rows-only answer
     "q_image_dedup" -> ((s, d) => {
       val imgs = Multimodal.syntheticMedia(s, 90).filter(col("kind") === "image")
       val a = Multimodal.resizeImages(imgs, 17, 13)
@@ -774,8 +802,9 @@ object SparkEntry {
       val hashed = Multimodal.withPerceptualHash(a.unionByName(b))
       val dups = Dedup.hammingPairs(hashed, "media_id", "phash", maxDist = 0)
         .select(col("id_b").as("media_id")).distinct()
-      CrysFrame(hashed.join(dups, Seq("media_id"), "left_anti")
-        .select(col("media_id")))
+      val keep = hashed.join(dups, Seq("media_id"), "left_anti")
+        .select(col("media_id"))
+      CrysFrame(certifyKeepSet(keep, a.select(col("media_id")), "image dedup"))
         .sortBy("media_id").out
     }),
 
@@ -798,8 +827,14 @@ object SparkEntry {
         .filter(col("phash").isNotNull)
       val dups = Dedup.hammingPairs(hashed, "media_id", "phash", maxDist = 0)
         .select(col("id_b").as("media_id")).distinct()
-      CrysFrame(hashed.join(dups, Seq("media_id"), "left_anti")
-        .select(col("media_id")))
+      val keep = hashed.join(dups, Seq("media_id"), "left_anti")
+        .select(col("media_id"))
+      // r10 certificate: expected keep-set = every HASHED still (ids
+      // < 20000 — the video wraps are offset +20000 and must all
+      // collapse onto their source stills); see q_image_dedup
+      CrysFrame(certifyKeepSet(keep,
+        hashed.filter(col("media_id") < 20000L).select(col("media_id")),
+        "video dedup"))
         .sortBy("media_id").out
     }),
 
@@ -838,8 +873,14 @@ object SparkEntry {
         .filter(col("audio_fp").isNotNull)
       val dups = Dedup.hammingPairs(hashed, "media_id", "audio_fp", maxDist = 2)
         .select(col("id_b").as("media_id")).distinct()
-      CrysFrame(hashed.join(dups, Seq("media_id"), "left_anti")
-        .select(col("media_id")))
+      val keep = hashed.join(dups, Seq("media_id"), "left_anti")
+        .select(col("media_id"))
+      // r10 certificate: expected keep-set = every fingerprinted
+      // ORIGINAL (ids < 10000 — gain/rate/FLAC re-ingests are offset
+      // +10000/+20000/+30000 and must all collapse); see q_image_dedup
+      CrysFrame(certifyKeepSet(keep,
+        hashed.filter(col("media_id") < 10000L).select(col("media_id")),
+        "audio dedup"))
         .sortBy("media_id").out
     }),
 

@@ -847,21 +847,56 @@ object Dedup {
     * anchors (maxPartners) — deliberately NOT offered here to keep the
     * exactness contract honest.
     *
+    * SELF-SIZING (r10 default): `nBits <= 0` derives the bucket space
+    * from the corpus — one `count()` pass, then the smallest nBits
+    * putting ≤ `targetBucketRows` vectors in a mean bucket
+    * (`nBits = max(4, ceil(log2(corpus / targetBucketRows)))`). A
+    * constant bucket LOAD is what makes the verify work linear in N
+    * (`bands · N · targetBucketRows` cosine ops instead of
+    * `bands · N² / 2^nBits` with a pinned nBits — the ×16 stress
+    * sweep measured exactly that cliff, SCALING.md §stress): the
+    * default 125 reproduces the experimentally-validated geometry
+    * (nBits=4 at 2k vectors, nBits=8 at 32k). RECALL interaction: a
+    * qualifying pair escapes all bands with prob (1-p^nBits)^bands, so
+    * as auto-nBits grows with the corpus the caller should widen
+    * `bands` to hold the miss bound — bands ≥ ln(miss)/ln(1-p^nBits);
+    * the certificate queries pin explicit nBits for exactly this
+    * reason. An explicit `nBits > 0` is always honored unchanged.
+    *
     * The sizing contract is ENFORCED: before the banding shuffle a
     * one-column `count()` estimates the mean bucket load
     * (corpus / 2^nBits) and anything above `bucketBudget` rows raises
     * an [[IllegalArgumentException]] naming the smallest adequate
     * nBits — a clear plan-time error instead of a task OOM hours into
-    * a 100-TB run. The guard costs one columnar count scan; pass
-    * `bucketBudget = 0` to skip it when the caller has already sized
-    * the corpus (e.g. re-running a known-good configuration). */
+    * a 100-TB run. The guard costs one columnar count scan (shared
+    * with the auto-sizing count); pass `bucketBudget = 0` to skip it
+    * when the caller has already sized the corpus (e.g. re-running a
+    * known-good configuration). */
+  /** Smallest nBits putting ≤ `targetBucketRows` vectors in a mean
+    * LSH bucket: `max(4, ceil(log2(corpus / targetBucketRows)))` —
+    * the floor keeps some spatial selectivity on tiny corpora. Pinned
+    * by ReadersExtensionsSpec "autoNBits sizing formula". */
+  private[graft] def autoNBits(corpus: Long, targetBucketRows: Long): Int = {
+    require(targetBucketRows > 0, s"targetBucketRows must be positive: $targetBucketRows")
+    val buckets = math.max(1L, (corpus + targetBucketRows - 1) / targetBucketRows)
+    val bits =
+      if (buckets <= 1) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    math.max(4, bits)
+  }
+
   def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double = 0.95, nBits: Int = 6,
+                     threshold: Double = 0.95, nBits: Int = 0,
                      bands: Int = 16, seed: Long = 42L,
                      roundDigits: Int = 6,
-                     bucketBudget: Long = 200L * 1000): DataFrame = {
+                     bucketBudget: Long = 200L * 1000,
+                     targetBucketRows: Long = 125L): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val idType = df.schema(idCol).dataType
+    // one count pass serves both the auto-sizer and the budget guard
+    val corpusCnt: Long =
+      if (nBits <= 0 || bucketBudget > 0) df.select(col(idCol)).count() else -1L
+    val useBits = if (nBits > 0) nBits else autoNBits(corpusCnt, targetBucketRows)
     val dups = idType match {
       case LongType | IntegerType =>
         // IN-BUCKET verify (graft.functions.CosineBucketDupsExpr): the
@@ -874,14 +909,14 @@ object Dedup {
         // bit-identical to the pair-join path (same accumulation order,
         // same HALF_UP rounding; see the kernel scaladoc).
         if (bucketBudget > 0) {
-          val corpus = df.select(col(idCol)).count()
-          val estPerBucket = corpus >> nBits
+          val corpus = corpusCnt
+          val estPerBucket = corpus >> useBits
           if (estPerBucket > bucketBudget) {
             val needed = 64 - java.lang.Long.numberOfLeadingZeros(
               math.max(1L, (corpus + bucketBudget - 1) / bucketBudget - 1))
             throw new IllegalArgumentException(
-              s"embeddingDedup: nBits=$nBits puts ~$estPerBucket rows " +
-                s"(corpus=$corpus / 2^$nBits buckets) into ONE in-bucket verify " +
+              s"embeddingDedup: nBits=$useBits puts ~$estPerBucket rows " +
+                s"(corpus=$corpus / 2^$useBits buckets) into ONE in-bucket verify " +
                 s"aggregation row — over bucketBudget=$bucketBudget and headed " +
                 s"for a task OOM, not a wrong answer. Use nBits >= $needed " +
                 s"(and re-check recall: miss prob is (1-p^nBits)^bands), " +
@@ -896,7 +931,7 @@ object Dedup {
         val keyed = df.filter(col(idCol).isNotNull)
           .select(col(idCol).cast("long").as("__id"),
           col(vecCol).as("__v"),
-          graft.functions.Kernels.cosineLshBands(col(vecCol), bands, nBits, seed)
+          graft.functions.Kernels.cosineLshBands(col(vecCol), bands, useBits, seed)
             .as("__keys"))
         keyed
           .select(col("__id"), col("__v"),
@@ -909,7 +944,7 @@ object Dedup {
       case _ =>
         // non-integral ids: bare-id candidate pairs + verify joins
         val eps = math.pow(10.0, -roundDigits)
-        Similarity.lshNeighborPairs(df, idCol, vecCol, nBits, bands,
+        Similarity.lshNeighborPairs(df, idCol, vecCol, useBits, bands,
           threshold - eps, seed)
           .filter(F.round(col("cos_sim"), roundDigits) >= threshold)
           .select(col("id_b").as(idCol)).distinct()
@@ -964,12 +999,27 @@ object Dedup {
     // them at the banding projection instead) — and both survive via
     // the left_anti, the repo's unhashable-rows-survive rule.
     val nonNull = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+    // SELF-SIZING (r10): nLists <= 0 derives the cluster count from the
+    // corpus — ceil(corpus / targetClusterRows=1000), floored at 16 so
+    // tiny corpora still partition, capped at 2^16 because the
+    // centroid table must broadcast to every task (beyond that, use
+    // embeddingDedup, whose bucket space is free). Same rationale as
+    // embeddingDedup's autoNBits: a bounded mean cluster LOAD keeps
+    // the in-cluster verify linear in N. Explicit nLists > 0 honored
+    // unchanged (the default stays 16: the spec-pinned keep-sets and
+    // certificate queries depend on the exact clustering).
+    val lists =
+      if (nLists > 0) nLists
+      else {
+        val c = nonNull.count()
+        math.min(1 << 16, math.max(16L, (c + 999L) / 1000L)).toInt
+      }
     // centroids are nLists rows — collect them once and rebuild a
     // local frame, instead of cache(): a cached plan would either leak
     // (no handle to unpersist after the lazy result materializes) or
     // recompute per action; the guard's count pass and the dedup plan
     // both read the literal rows
-    val centRows = Similarity.centroids(nonNull, idCol, vecCol, nLists,
+    val centRows = Similarity.centroids(nonNull, idCol, vecCol, lists,
       refineIters, seed)
     val cents = {
       val collected = centRows.collect().toSeq
@@ -989,7 +1039,7 @@ object Dedup {
         throw new IllegalArgumentException(
           s"semanticDedup: the largest cluster holds $maxSz rows — over " +
             s"clusterBudget=$clusterBudget and headed for a task OOM in the " +
-            s"in-cluster verify. Raise nLists (now $nLists) or refineIters " +
+            s"in-cluster verify. Raise nLists (now $lists) or refineIters " +
             s"to split it, raise clusterBudget if tasks have the memory, " +
             s"or clusterBudget=0 to skip this guard.")
     }

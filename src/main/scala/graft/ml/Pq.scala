@@ -242,12 +242,14 @@ object Pq {
                       nLists: Int = 16, iters: Int = 2,
                       seed: Long = 42L): Unit = {
     val spark = corpus.sparkSession
+    val lists = if (nLists > 0) nLists
+      else Similarity.autoNLists(corpus.count()) // nLists <= 0: √N self-sizing
     val model = train(corpus, idCol, vecCol, m, pqK, iters, seed)
     import spark.implicits._
     Seq((model.m, model.k, model.subDim, model.codebook.toSeq))
       .toDF("m", "k", "sub_dim", "codebook")
       .write.mode("overwrite").parquet(s"$path/model")
-    val cents = Similarity.centroids(corpus, idCol, vecCol, nLists,
+    val cents = Similarity.centroids(corpus, idCol, vecCol, lists,
       refineIters = 1, seed = seed)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     val assigned = Similarity.assignLists(
@@ -301,12 +303,14 @@ object Pq {
                 nLists: Int = 16, nProbe: Int = 4,
                 iters: Int = 2, seed: Long = 42L,
                 rerank: Int = 0): DataFrame = {
+    val lists = if (nLists > 0) nLists
+      else Similarity.autoNLists(corpus.count()) // nLists <= 0: √N self-sizing
     val model = train(corpus, idCol, vecCol, m, pqK, iters, seed)
     // nLists rows: a driver-local relation lets both consumers (list
     // assignment + probe ranking) read the heavy centroid aggregation
     // once, with nothing persisted into the session cache
     val (cents, _) = localize(Similarity.centroids(corpus, idCol, vecCol,
-      nLists, refineIters = 1, seed = seed))
+      lists, refineIters = 1, seed = seed))
     val assigned = Similarity.assignLists(corpus, idCol, vecCol, cents)
     val encoded = encode(assigned, vecCol, model)
     val q = adcQuerySide(queries, qidCol, qvecCol, model)

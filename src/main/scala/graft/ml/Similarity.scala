@@ -282,14 +282,26 @@ object Similarity {
       .drop("cs")
   }
 
+  /** Self-sized IVF list count for a corpus of `n` vectors: ~√n,
+    * clamped to [16, 2^16]. √n balances the two per-query costs —
+    * centroid ranking (∝ nLists) against probed-list scanning
+    * (∝ nProbe·n/nLists) — and the cap keeps the centroid table
+    * broadcastable. Used by the IVF entry points when the caller
+    * passes `nLists <= 0`; the defaults stay explicit because the
+    * recall certificates pin exact list geometry. */
+  def autoNLists(n: Long): Int =
+    math.min(1 << 16, math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
   /** IVF top-k: probe the `nProbe` nearest lists per query only.
-    * Recall < 1 by construction; the exactness knob is nProbe/nLists. */
+    * Recall < 1 by construction; the exactness knob is nProbe/nLists.
+    * `nLists <= 0` self-sizes via [[autoNLists]] (one count pass). */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qidCol: String, qvecCol: String,
               k: Int = 10, nLists: Int = 16, nProbe: Int = 4,
               refineIters: Int = 1, seed: Long = 42L,
               initMethod: String = "kmeans++"): DataFrame = {
-    val cents = centroids(corpus, idCol, vecCol, nLists, refineIters,
+    val lists = if (nLists > 0) nLists else autoNLists(corpus.count())
+    val cents = centroids(corpus, idCol, vecCol, lists, refineIters,
       seed, initMethod).cache()
     val assigned = assignLists(corpus, idCol, vecCol, cents)
     // nProbe nearest lists per query

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SCALING.md's persist-site inventory, enforced: every `.persist(`
+  * and `.cache()` in `src/main/scala` must appear in the checked-in
+  * per-file counts below, which mirror the §"Persist-site inventory"
+  * tables. Adding (or removing) a persist without updating BOTH the
+  * inventory prose and this spec fails the build — the inventory
+  * stays a contract, not a snapshot. Line numbers are deliberately
+  * not asserted (they drift with unrelated edits); the unit of
+  * accountability is file × count, which any new site changes.
+  */
+class PersistInventorySpec extends AnyFunSuite {
+
+  private val root = new java.io.File("src/main/scala")
+
+  private def countIn(f: java.io.File, needle: String): Int = {
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try src.getLines().count(_.contains(needle))
+    finally src.close()
+  }
+
+  private def sites(needle: String): Map[String, Int] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+    walk(root)
+      .map(f => f.getPath.replace('\\', '/') -> countIn(f, needle))
+      .filter(_._2 > 0).toMap
+  }
+
+  // SCALING.md §"Persist-site inventory": 5 paired + 12 documented-LRU
+  private val expectedPersist = Map(
+    "src/main/scala/graft/core/CrysFrame.scala" -> 2, // order capture + take draw (LRU)
+    "src/main/scala/graft/core/GlobalWindows.scala" -> 2, // sorted base + rank counts (LRU)
+    "src/main/scala/graft/ml/Dedup.scala" -> 5, // sig/simhash/keepBest (LRU) + CC input/labels (paired)
+    "src/main/scala/graft/ml/Pq.scala" -> 1, // training vectors (paired)
+    "src/main/scala/graft/ml/Similarity.scala" -> 3, // k-means init (paired) + LSH keys/vecs (LRU)
+    "src/main/scala/graft/sources/Export.scala" -> 1, // curriculum sorted RDD (LRU)
+    "src/main/scala/graft/text/Classifier.scala" -> 1, // NB aggregate (paired)
+    "src/main/scala/graft/text/Decontaminate.scala" -> 2) // n-gram explode + span base (LRU)
+
+  // .cache() is persist(MEMORY_AND_DISK) under another name — same
+  // inventory duty (SCALING.md lists these under the CC-loop and IVF
+  // rows' release mechanisms)
+  private val expectedCache = Map(
+    "src/main/scala/graft/ml/Dedup.scala" -> 3, // CC loop frames, unpersisted per round
+    "src/main/scala/graft/ml/Similarity.scala" -> 2) // IVF cents + indexed-probe qLists
+
+  test("every .persist( in src/main is in the checked-in inventory") {
+    val actual = sites(".persist(")
+    assert(actual == expectedPersist,
+      "\npersist sites drifted from SCALING.md §Persist-site inventory — " +
+        "document the new/removed site there AND update this spec.\n" +
+        s"actual:   $actual\nexpected: $expectedPersist")
+    assert(actual.values.sum == 17) // the inventory's headline count
+  }
+
+  test("every .cache() in src/main is in the checked-in inventory") {
+    val actual = sites(".cache()")
+    assert(actual == expectedCache,
+      "\ncache sites drifted from SCALING.md §Persist-site inventory — " +
+        "document the new/removed site there AND update this spec.\n" +
+        s"actual:   $actual\nexpected: $expectedCache")
+  }
+}

@@ -661,6 +661,35 @@ class ReadersExtensionsSpec extends GraftSpec {
       nBits = 2, bands = 4, bucketBudget = 0L).count() > 0)
   }
 
+  test("autoNBits sizing formula: constant bucket load, floor 4, ×16-stress geometry") {
+    // nBits = max(4, ceil(log2(corpus / targetBucketRows))) — constant
+    // mean bucket LOAD is what keeps in-bucket verify work linear in N
+    // (bands·N·target instead of bands·N²/2^nBits with a pinned nBits;
+    // the r9 ×16 stress sweep measured the pinned-4 cliff at 41.7×)
+    assert(graft.ml.Dedup.autoNBits(0L, 125L) == 4)       // floor
+    assert(graft.ml.Dedup.autoNBits(125L, 125L) == 4)     // 1 bucket → floor
+    assert(graft.ml.Dedup.autoNBits(2000L, 125L) == 4)    // sf0.1: 16 buckets
+    assert(graft.ml.Dedup.autoNBits(2001L, 125L) == 5)    // next power of 2
+    assert(graft.ml.Dedup.autoNBits(32000L, 125L) == 8)   // ×16 stress: 256 buckets
+    assert(graft.ml.Dedup.autoNBits(1L << 30, 125L) == 24) // 1B vectors: 2^24 buckets
+    // defaulted call self-sizes and matches an explicitly-sized run
+    import spark.implicits._
+    // dim 32: at dim 8 random gaussians produce natural ≥0.95-cosine
+    // pairs by chance (~1e-4 per pair × 45k pairs); at 32 the chance
+    // mass is ~1e-16 so the planted twins are the only dups
+    val rng = new scala.util.Random(31)
+    val base = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(32)(rng.nextGaussian().toFloat)))
+    val df = (base ++ base.take(20).map { case (i, v) => (i + 1000L, v) })
+      .toDF("id", "vec")
+    val auto = graft.ml.Dedup.embeddingDedup(df, "id", "vec", threshold = 0.95)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val pinned = graft.ml.Dedup.embeddingDedup(df, "id", "vec", threshold = 0.95,
+      nBits = 4).select("id").collect().map(_.getLong(0)).toSet
+    assert(auto == pinned) // 320 rows / 125 target → auto picks exactly 4
+    assert(auto.size == 300) // every planted twin (higher id) dropped
+  }
+
   test("embeddingDedup integral-id path: null ids survive and never act as id 0") {
     import spark.implicits._
     // a null id must not read as 0 inside the bucket kernel: row 0L is a
