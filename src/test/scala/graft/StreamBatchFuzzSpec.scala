@@ -1,0 +1,251 @@
+package graft
+
+import graft.streaming.StreamVerbs
+import graft.text.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Stream-vs-batch DIFFERENTIAL fuzzer (r10): the streaming twins are
+  * each spec-pinned in isolation (StreamingSpec), but never composed
+  * randomly. Each seeded case generates a small document stream with
+  * planted structure (near-dups, corpus hits, benchmark contamination,
+  * spam), applies a random chain of streaming-safe STATELESS verbs
+  * (quality filter, surgical decontamination, corpus anti-join,
+  * projections/filters) optionally capped by ONE stateful twin
+  * (content/signature dedup, hopping/tumbling counts), drives it
+  * through MemoryStream micro-batches (random 1–4 splits), and asserts
+  * the output equals the batch twin on the same rows:
+  *
+  *  - stateless chains: the SAME verb functions compose on a batch
+  *    frame (one Dataset API — the library's core streaming claim), so
+  *    equality is exact row-multiset equality; micro-batch boundaries
+  *    must be invisible.
+  *  - content/signature dedup: keep-set equality at SIGNATURE
+  *    granularity (which row of an intra-micro-batch duplicate group
+  *    survives is not contractual — partition order picks it — but the
+  *    set of surviving signatures, their uniqueness, and null-signature
+  *    pass-through are).
+  *  - windowed counts: exact equality of (window, type, n, sum) vs the
+  *    batch window aggregation — sums are integer-valued doubles, so
+  *    accumulation order cannot smear them.
+  *
+  * Seeded and replayable; vocabulary growth is append-only (the
+  * VerbChainFuzzSpec nOps contract). Campaign log:
+  * sweeps/r10_fuzz_campaign.md.
+  */
+class StreamBatchFuzzSpec extends GraftSpec {
+
+  import spark.implicits._
+
+  private def ts(halfMin: Int): Timestamp =
+    new Timestamp(1700000000000L + halfMin * 30000L)
+
+  private val goodWords = Vector("the", "analysis", "pipeline", "considers",
+    "document", "quality", "signals", "across", "measured", "windows",
+    "carefully", "balanced", "sentence", "structure", "with", "meaningful",
+    "phrasing", "throughput", "partitions", "ordered")
+  private val spamWords = Vector("zzz", "!!!", "xx", "$$$", "buy", "now", "kk")
+  private val passage =
+    "the quick brown fox jumps over the lazy dog again and again"
+
+  private lazy val corpus: DataFrame = Seq(
+    (900L, "the standing corpus document about pipeline quality signals"),
+    (901L, "another corpus entry with carefully balanced sentence structure"))
+    .toDF("doc_id", "text")
+  private lazy val corpusHashes =
+    graft.ml.Dedup.corpusContentHashes(corpus, "text", "content_hash")
+  private lazy val reference: DataFrame =
+    Seq(s"QUESTION: $passage ANSWER: 42").toDF("text")
+  private lazy val nbModel = {
+    val rnd = new scala.util.Random(7)
+    val good = (0 until 40).map(_ =>
+      ((0 until 10).map(_ => goodWords(rnd.nextInt(goodWords.size)))
+        .mkString(" "), true))
+    val spam = (0 until 40).map(_ =>
+      ((0 until 5).map(_ => spamWords(rnd.nextInt(spamWords.size)))
+        .mkString(" "), false))
+    graft.text.Classifier.compileNb((good ++ spam).toDF("text", "lab"),
+      "text", col("lab"))
+  }
+
+  private def genDocs(rnd: scala.util.Random): Seq[(Long, Timestamp, String)] = {
+    val n = 30 + rnd.nextInt(90)
+    val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0 until n).foreach { i =>
+      val t = rnd.nextInt(10) match {
+        case 0 if i > 0 => // planted near-dup: whitespace noise collapses
+          // under contentHash normalization
+          "  " + texts(rnd.nextInt(i)).replace(" ", "  ")
+        case 1 => // standing-corpus hit (case noise; normalization-equal)
+          if (rnd.nextBoolean())
+            "the STANDING corpus document about pipeline quality signals"
+          else "another corpus entry with carefully balanced sentence structure"
+        case 2 => // spam
+          (0 until 3 + rnd.nextInt(4))
+            .map(_ => spamWords(rnd.nextInt(spamWords.size))).mkString(" ")
+        case 3 => // benchmark-contaminated
+          s"my own intro then $passage and my own outro number ${rnd.nextInt(100)}"
+        case _ => // ordinary document
+          (0 until 8 + rnd.nextInt(12))
+            .map(_ => goodWords(rnd.nextInt(goodWords.size))).mkString(" ")
+      }
+      texts += t
+    }
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, ts(i), t) }.toSeq
+  }
+
+  /** Append-only stateless vocabulary (the nOps contract). Each op is
+    * ONE function applied verbatim to both the streaming and the batch
+    * frame — that identity IS the claim under test. */
+  private val nStateless = 6
+  private def statelessOp(op: Int, rnd: scala.util.Random, nExtra: Int,
+                          cut: Boolean): (DataFrame => DataFrame, Int, Boolean) =
+    op match {
+      case 0 =>
+        val minLen = 20 + rnd.nextInt(40)
+        (df => df.filter(length(col("text")) >= minLen), nExtra, cut)
+      case 1 =>
+        (df => df.withColumn(s"len_$nExtra",
+          length(col("text")).cast("long")), nExtra + 1, cut)
+      case 2 =>
+        (df => df.withColumn(s"tok_$nExtra",
+          TextFunctions.tokenCountWs(col("text"))), nExtra + 1, cut)
+      case 3 =>
+        (df => StreamVerbs.streamQualityFilter(df, "text", nbModel), nExtra, cut)
+      case 4 =>
+        if (cut) (identity[DataFrame] _, nExtra, cut) // appends fixed names: once
+        else (df => StreamVerbs.streamCutAgainst(df, "text", reference, "text",
+          minLen = 40), nExtra, true)
+      case 5 =>
+        (df => StreamVerbs.streamDedupAgainstCorpus(df, corpusHashes, "text"),
+          nExtra, cut)
+    }
+
+  private def runStream(build: DataFrame => DataFrame, outputMode: OutputMode,
+                        docs: Seq[(Long, Timestamp, String)], nChunks: Int,
+                        name: String): Seq[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val stream = build(in.toDF().toDF("doc_id", "ts", "text"))
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).start()
+    try {
+      val chunkSz = math.max(1, (docs.size + nChunks - 1) / nChunks)
+      docs.grouped(chunkSz).foreach { chunk =>
+        in.addData(chunk)
+        q.processAllAvailable()
+      }
+      spark.table(name).collect().toSeq
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
+  private def rowKey(r: org.apache.spark.sql.Row): String =
+    (0 until r.length).map(i =>
+      if (r.isNullAt(i)) "∅" else r.get(i).toString).mkString("|")
+
+  private def runCase(seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val docs = genDocs(rnd)
+    val nChunks = 1 + rnd.nextInt(4)
+    // random stateless chain
+    var nExtra = 0
+    var cut = false
+    val chain = (0 until rnd.nextInt(4)).map { _ =>
+      val (fn, ne, c) = statelessOp(rnd.nextInt(nStateless), rnd, nExtra, cut)
+      nExtra = ne; cut = c
+      fn
+    }
+    val stateless: DataFrame => DataFrame = df => chain.foldLeft(df)((d, f) => f(d))
+    val batchBase = stateless(docs.toDF("doc_id", "ts", "text"))
+    val name = s"sbf_$seed"
+    try {
+      rnd.nextInt(5) match {
+        case 0 | 1 => // pure stateless chain: exact row-multiset equality
+          val out = runStream(stateless, OutputMode.Append(), docs, nChunks, name)
+          val expected = batchBase.collect().toSeq
+          assert(out.map(rowKey).sorted == expected.map(rowKey).sorted,
+            s"stateless chain diverged: stream ${out.size} rows vs batch ${expected.size}")
+        case 2 => // streaming content dedup: signature-granularity keep-set
+          val out = runStream(
+            df => StreamVerbs.streamingContentDedup(stateless(df), "text", "ts"),
+            OutputMode.Append(), docs, nChunks, name)
+          val outHashes = out.map(_.getAs[String]("text"))
+          val outHashSet = spark.createDataset(outHashes).toDF("text")
+            .select(TextFunctions.contentHash(col("text")).as("h"))
+            .collect().map(_.getLong(0))
+          val batchHashSet = batchBase
+            .select(TextFunctions.contentHash(col("text")).as("h"))
+            .distinct().collect().map(_.getLong(0)).toSet
+          assert(outHashSet.toSet == batchHashSet,
+            s"kept-hash set diverged (stream ${outHashSet.toSet.size} vs batch ${batchHashSet.size})")
+          assert(outHashSet.length == outHashSet.distinct.length,
+            "a content hash survived dedup twice")
+          // survivors must be actual input rows
+          val inputIds = batchBase.select("doc_id").collect().map(_.getLong(0)).toSet
+          assert(out.forall(r => inputIds.contains(r.getAs[Long]("doc_id"))))
+        case 3 => // streaming signature dedup: nulls pass through un-deduped
+          val withSig: DataFrame => DataFrame = df => stateless(df)
+            .withColumn("sig", when(pmod(col("doc_id"), lit(5)) === 0, lit(null))
+              .otherwise(pmod(col("doc_id"), lit(7))).cast("long"))
+          val out = runStream(
+            df => StreamVerbs.streamingSignatureDedup(withSig(df), "sig", "ts"),
+            OutputMode.Append(), docs, nChunks, name)
+          // the stateless chain may have appended columns ahead of sig:
+          // address by NAME, never position
+          def sigOf(r: org.apache.spark.sql.Row): Option[Long] = {
+            val i = r.fieldIndex("sig")
+            if (r.isNullAt(i)) None else Some(r.getLong(i))
+          }
+          def idOf(r: org.apache.spark.sql.Row): Long = r.getAs[Long]("doc_id")
+          val batch = withSig(docs.toDF("doc_id", "ts", "text")).collect().toSeq
+          val batchNonNullSigs = batch.flatMap(sigOf).toSet
+          val batchNullIds = batch.filter(sigOf(_).isEmpty).map(idOf).sorted
+          val outNonNull = out.flatMap(sigOf)
+          val outNullIds = out.filter(sigOf(_).isEmpty).map(idOf).sorted
+          assert(outNonNull.toSet == batchNonNullSigs, "surviving signature set diverged")
+          assert(outNonNull.length == outNonNull.distinct.length,
+            "a signature survived dedup twice")
+          assert(outNullIds == batchNullIds,
+            "null-signature rows must ALL pass through un-deduped")
+        case 4 => // windowed counts: exact equality vs the batch window agg
+          val hop = rnd.nextBoolean()
+          val mkEvents: DataFrame => DataFrame = df => stateless(df)
+            .select(col("ts"),
+              pmod(col("doc_id"), lit(3)).cast("string").as("event_type"),
+              length(col("text")).cast("double").as("value"))
+          val agg: DataFrame => DataFrame =
+            if (hop) df => StreamVerbs.hoppingCounts(mkEvents(df),
+              "20 minutes", "5 minutes", "2 hours")
+            else df => StreamVerbs.tumblingCounts(mkEvents(df),
+              "10 minutes", "2 hours")
+          val out = runStream(agg, OutputMode.Complete(), docs, nChunks, name)
+          val win = if (hop) window(col("ts"), "20 minutes", "5 minutes")
+            else window(col("ts"), "10 minutes")
+          val expected = mkEvents(docs.toDF("doc_id", "ts", "text"))
+            .groupBy(win, col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+            .collect().toSeq
+          assert(out.map(rowKey).sorted == expected.map(rowKey).sorted,
+            s"windowed counts diverged: stream ${out.size} vs batch ${expected.size}")
+      }
+    } catch {
+      case e: org.scalatest.exceptions.TestFailedException => throw e
+      case e: Throwable =>
+        fail(s"seed=$seed: ${e.getClass.getSimpleName}: ${e.getMessage}", e)
+    }
+  }
+
+  test("stream-vs-batch differential: 60 seeds across all terminal shapes") {
+    (1 to 60).foreach(s => runCase(30000 + s))
+  }
+
+  test("stream-vs-batch differential soak: seeds 30061-30300", Soak) {
+    (61 to 300).foreach(s => runCase(30000 + s))
+  }
+}

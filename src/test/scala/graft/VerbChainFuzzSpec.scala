@@ -306,6 +306,34 @@ class VerbChainFuzzSpec extends GraftSpec {
           st.copy(f = st.f.nest(sel.listOf(derived: _*), packed).unnest(packed),
             grouped = false)
         }
+      // ---- r10 vocabulary (appended): positional / sampling verbs ----
+      case 35 =>
+        // positional slice after an explicit sort: ungrouped → first k
+        // rows; grouped → per-group k (data-dependent total)
+        val k = 1 + rnd.nextInt(15)
+        st.copy(f = st.f.sortBy(st.idCol).slice(1 to k), rows =
+          if (st.grouped) None else st.rows.map(r => math.min(r, k.toLong)))
+      case 36 =>
+        // EXACT fractional sample (bround(n·frac), the reference
+        // contract): predictable count when ungrouped with known rows
+        val frac = Seq(0.25, 0.5, 0.75)(rnd.nextInt(3))
+        val expected = st.rows.map(r =>
+          BigDecimal(r * frac).setScale(0, BigDecimal.RoundingMode.HALF_EVEN).toLong)
+        st.copy(f = st.f.sampleFrac(frac),
+          rows = if (st.grouped) None else expected)
+      case 37 =>
+        // row-lambda filter through the Row path (filterByRow): the
+        // predicate is a tautology on the visible schema, so the verb
+        // must be row-preserving — and must present every visible
+        // column to the lambda (a leaked helper column would shift
+        // the schema under the accessor)
+        st.copy(f = st.f.filterByRow(r => r.length >= 2))
+      case 38 =>
+        // complete() on the string key: expand ∘ left-join-back. Row
+        // count is data-dependent (null keys from earlier right/outer
+        // joins drop their rows and materialize one null-padded combo
+        // row); result ungrouped (join rebuild)
+        st.copy(f = st.f.complete(st.strCol), rows = None, grouped = false)
     }
   }
 
@@ -316,7 +344,7 @@ class VerbChainFuzzSpec extends GraftSpec {
   private val v19Ops = 19
   /** MUST equal the arity of [[stepOp]]'s match — pinned by the
     * "vocabulary bound matches the op table" test. */
-  protected val allOps = 35
+  protected val allOps = 39
 
   protected def runCaseSoak(seed: Int): Unit = runCase(seed)
   protected def runCaseSoakHostile(seed: Int): Unit =
@@ -398,6 +426,16 @@ class VerbChainFuzzSpec extends GraftSpec {
       val rnd = new scala.util.Random(1)
       var n = 0
       stepOp(base(rnd, hostileNames = false), allOps, rnd, () => { n += 1; s"c$n" })
+    }
+  }
+
+  test("r10 soak: seeds 50001-50300, 39-op vocab, every 2nd hostile", Soak) {
+    // permanent regression soak at the r10 vocabulary (slice /
+    // exact-sampleFrac / filterByRow / complete appended as ops
+    // 35-38); tagged Soak so the fast dev loop skips it — full
+    // `sbt test` (and CI) runs it every time
+    (50001 to 50300).foreach { s =>
+      if (s % 2 == 0) runCaseSoakHostile(s) else runCaseSoak(s)
     }
   }
 
