@@ -83,6 +83,14 @@ object Amplify {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/graft_stress"
     val factor = if (args.length > 2) args(2).toInt else 16
+    // optional 4th arg: comma-separated table subset — a write-path
+    // stress needs only lineitem/orders/documents, and skipping
+    // embeddings also sidesteps the factor<=dim rotation guard at
+    // factors the vector tables cannot support
+    val tables: Set[String] = if (args.length > 3) args(3).split(',').toSet
+      else Set("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+    def wanted(t: String): Boolean = tables.contains(t)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     GraftSession.setLogLevel(spark, "WARN")
@@ -99,38 +107,48 @@ object Amplify {
 
     // dimension tables: verbatim
     Seq("region", "nation", "customer", "supplier", "part")
-      .foreach(t => write(read(t), t))
+      .filter(wanted).foreach(t => write(read(t), t))
 
     // facts: disjoint key spaces per copy, FK lockstep
-    val orders = read("orders")
-    val lineitem = read("lineitem")
-    val ordSpan = math.max(span(orders, "o_orderkey"), span(lineitem, "l_orderkey"))
-    write(offsetKey(copies(orders, factor), "o_orderkey", ordSpan).drop("__c"), "orders")
-    write(offsetKey(copies(lineitem, factor), "l_orderkey", ordSpan).drop("__c"), "lineitem")
+    if (wanted("orders") || wanted("lineitem")) {
+      val orders = read("orders")
+      val lineitem = read("lineitem")
+      val ordSpan = math.max(span(orders, "o_orderkey"), span(lineitem, "l_orderkey"))
+      if (wanted("orders"))
+        write(offsetKey(copies(orders, factor), "o_orderkey", ordSpan).drop("__c"), "orders")
+      if (wanted("lineitem"))
+        write(offsetKey(copies(lineitem, factor), "l_orderkey", ordSpan).drop("__c"), "lineitem")
+    }
 
-    val events = read("events")
-    write(offsetKey(copies(events, factor), "event_id", span(events, "event_id"))
-      .drop("__c"), "events")
+    if (wanted("events")) {
+      val events = read("events")
+      write(offsetKey(copies(events, factor), "event_id", span(events, "event_id"))
+        .drop("__c"), "events")
+    }
 
-    val docs = read("documents")
-    val dSpan = span(docs, "doc_id")
-    write(offsetKey(copies(docs, factor), "doc_id", dSpan)
-      .withColumn("text", caesar(col("__c"), "text", factor))
-      .drop("__c"), "documents")
+    if (wanted("documents")) {
+      val docs = read("documents")
+      val dSpan = span(docs, "doc_id")
+      write(offsetKey(copies(docs, factor), "doc_id", dSpan)
+        .withColumn("text", caesar(col("__c"), "text", factor))
+        .drop("__c"), "documents")
+    }
 
-    val emb = read("embeddings")
-    val dim = emb.select(size(col("embedding")).cast("int")).na.drop().first().getInt(0)
-    require(factor <= dim,
-      s"Amplify: factor $factor exceeds embedding dim $dim — copy $dim's rotation " +
-        "would alias copy 0, creating cross-copy twin vectors")
-    val eSpan = span(emb, "vec_id")
-    write(offsetKey(copies(emb, factor), "vec_id", eSpan)
-      .withColumn("embedding",
-        concat(
-          slice(col("embedding"), col("__c") + 1,
-            size(col("embedding")) - col("__c")),
-          slice(col("embedding"), lit(1), col("__c"))))
-      .drop("__c"), "embeddings")
+    if (wanted("embeddings")) {
+      val emb = read("embeddings")
+      val dim = emb.select(size(col("embedding")).cast("int")).na.drop().first().getInt(0)
+      require(factor <= dim,
+        s"Amplify: factor $factor exceeds embedding dim $dim — copy $dim's rotation " +
+          "would alias copy 0, creating cross-copy twin vectors")
+      val eSpan = span(emb, "vec_id")
+      write(offsetKey(copies(emb, factor), "vec_id", eSpan)
+        .withColumn("embedding",
+          concat(
+            slice(col("embedding"), col("__c") + 1,
+              size(col("embedding")) - col("__c")),
+            slice(col("embedding"), lit(1), col("__c"))))
+        .drop("__c"), "embeddings")
+    }
 
     println(s"""{"amplified":"$dst","factor":$factor,"source":"$src"}""")
     spark.stop()
