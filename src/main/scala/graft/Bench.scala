@@ -370,6 +370,14 @@ object Bench {
     val cleanIo = sys.env.get("GRAFT_BENCH_CLEAN_IO").map(_.toDouble).getOrElse(0.024)
     val maxRetries = sys.env.get("GRAFT_BENCH_MAX_RETRIES").map(_.toInt).getOrElse(2)
     val drainSec = sys.env.get("GRAFT_BENCH_DRAIN_SEC").map(_.toInt).getOrElse(45)
+    // SUITE-level drain budget: a long throttled window could otherwise
+    // trigger 2 retries × 45 s on dozens of queries and multiply the
+    // suite wall-clock past any reasonable runner timeout — losing the
+    // whole record to save parts of it. Once the budget is spent,
+    // dirty windows ship flagged (clean:false) without further drains.
+    val drainBudgetSec = sys.env.get("GRAFT_BENCH_DRAIN_BUDGET_SEC")
+      .map(_.toInt).getOrElse(600)
+    var drainSpentSec = 0
     def probe(): (Double, Double) =
       if (noSentinel) (0.0, 0.0) else (sentinel(), sentinelIo())
     def windowClean(pre: (Double, Double), post: (Double, Double)): Boolean =
@@ -390,7 +398,11 @@ object Bench {
         val post = probe()
         lastProbe = post
         val clean = windowClean(pre, post)
-        if (clean || attempt >= maxRetries) {
+        if (clean || attempt >= maxRetries || drainSpentSec >= drainBudgetSec) {
+          if (!clean && drainSpentSec >= drainBudgetSec && attempt < maxRetries)
+            System.err.println(
+              s"[bench] $n window dirty but suite drain budget " +
+                s"($drainBudgetSec s) spent — shipping flagged")
           result = (pre, post, ts, clean)
           done = true
         } else {
@@ -399,6 +411,7 @@ object Bench {
               f"io ${math.max(pre._2, post._2)}%.3f) — drain ${drainSec}s, retry ${attempt + 1}/$maxRetries")
           discarded = discarded :+ ts
           Thread.sleep(drainSec * 1000L)
+          drainSpentSec += drainSec
           lastProbe = probe() // fresh pre after the pause
           attempt += 1
         }

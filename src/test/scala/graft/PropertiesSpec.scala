@@ -77,9 +77,20 @@ class PropertiesSpec extends GraftSpec {
         val a = f.out.collect().sortBy(r => key(r).asInstanceOf[Int])
         val b = back.out.select("id", "d", "s", "b").collect()
           .sortBy(r => key(r).asInstanceOf[Int])
+        // an ALL-null s column writes as all-"NA", and the reference
+        // ladder types an all-NA column Int32 (int32col? passes
+        // vacuously on an empty peek — SURVEY §1.3, pinned by the
+        // csv.ladder property). StringType is only the contract when
+        // at least one real string was written. This was a latent
+        // ~7%-per-run flake after the r9 ladder alignment: the
+        // property asserted StringType unconditionally (fired
+        // 2026-08-15 on shrunk case [(-315.0, None, false)]).
+        val sType = if (rows.exists(_._2.isDefined))
+          org.apache.spark.sql.types.StringType
+        else org.apache.spark.sql.types.IntegerType
         val sameSchema = back.schema("id").dataType ==
           org.apache.spark.sql.types.IntegerType &&
-          back.schema("s").dataType == org.apache.spark.sql.types.StringType
+          back.schema("s").dataType == sType
         sameSchema && a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq
       }
     }

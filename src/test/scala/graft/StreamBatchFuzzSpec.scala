@@ -241,11 +241,13 @@ class StreamBatchFuzzSpec extends GraftSpec {
     }
   }
 
-  test("stream-vs-batch differential: 60 seeds across all terminal shapes") {
-    (1 to 60).foreach(s => runCase(30000 + s))
+  test("stream-vs-batch differential: 25 seeds across all terminal shapes") {
+    // smoke tier (fast dev loop); the tagged soak below carries the
+    // campaign range and runs in every full `sbt test`/CI pass
+    (1 to 25).foreach(s => runCase(30000 + s))
   }
 
-  test("stream-vs-batch differential soak: seeds 30061-30300", Soak) {
-    (61 to 300).foreach(s => runCase(30000 + s))
+  test("stream-vs-batch differential soak: seeds 30026-30300", Soak) {
+    (26 to 300).foreach(s => runCase(30000 + s))
   }
 }

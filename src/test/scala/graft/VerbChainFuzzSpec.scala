@@ -384,11 +384,13 @@ class VerbChainFuzzSpec extends GraftSpec {
   }
 
   test("random verb chains observe cleanly and keep structural contracts") {
-    (1 to 30).foreach(s => runCase(1000 + s))
+    // smoke tier (fast dev loop); the 300-seed tagged soak below is
+    // the real campaign arm and runs in every full `sbt test`/CI pass
+    (1 to 12).foreach(s => runCase(1000 + s))
   }
 
   test("random verb chains survive quoting-hostile column names") {
-    (1 to 15).foreach(s => runCase(1000 + s, hostileNames = true))
+    (1 to 8).foreach(s => runCase(1000 + s, hostileNames = true))
   }
 
   test("seed 1215: computed sort key survives rename + RDD-boundary verb") {
