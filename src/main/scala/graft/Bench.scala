@@ -128,6 +128,29 @@ object Bench {
         "vec_id", "embedding", k = 5, nProbe = 8, rerank = 50,
         rerankFrom = e, rerankIdCol = "vec_id", rerankVecCol = "embedding")
     }),
+    // q_video_dedup's verify query gained the r10 planted-dup
+    // certificate (two anti-joins + raise_error union) — proof work
+    // that must not ride the perf record (the q_embed_dedup
+    // precedent). The bench times the bare cross-modal operator:
+    // wrap stills as AVIs, sample frames back, hash both modalities,
+    // Hamming-block, anti-join.
+    "q_video_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val imgs = graft.multimodal.Multimodal.syntheticMedia(s, 90)
+        .filter(col("kind") === "image")
+      val wrapped = graft.multimodal.Multimodal.wrapAsMjpegAvi(imgs)
+        .filter(col("avi").isNotNull)
+        .select((col("media_id") + 20000L).as("media_id"), col("avi").as("content"))
+      val frames = graft.multimodal.Multimodal.sampleVideoFrames(wrapped)
+        .select(col("media_id"), col("content"))
+      val stills = imgs.select(col("media_id"), col("content"))
+      val hashed = graft.multimodal.Multimodal
+        .withPerceptualHash(stills.unionByName(frames))
+        .filter(col("phash").isNotNull)
+      val dups = graft.ml.Dedup.hammingPairs(hashed, "media_id", "phash", maxDist = 0)
+        .select(col("id_b").as("media_id")).distinct()
+      hashed.join(dups, Seq("media_id"), "left_anti").select(col("media_id"))
+    }),
     // q_dedup_against_near's verify query carries the brute-force
     // equality certificate; the bench measures the user-facing call
     // (banded anchor probe) with the same proven-equivalent parameters
