@@ -128,6 +128,13 @@ object Bench {
         "vec_id", "embedding", k = 5, nProbe = 8, rerank = 50,
         rerankFrom = e, rerankIdCol = "vec_id", rerankVecCol = "embedding")
     }),
+    // q_semantic_dedup's verify query gained the r10 independent-twin
+    // certificate (re-derived clustering + pair-join keep-set + two
+    // anti-joins); the bench times the bare operator a user calls
+    "q_semantic_dedup" -> ((s, d) =>
+      graft.ml.Dedup.semanticDedup(SparkEntry.t(s, d, "embeddings"),
+        "vec_id", "embedding", threshold = 0.45, nLists = 8,
+        refineIters = 2).select("vec_id")),
     // q_video_dedup's verify query gained the r10 planted-dup
     // certificate (two anti-joins + raise_error union) — proof work
     // that must not ride the perf record (the q_embed_dedup

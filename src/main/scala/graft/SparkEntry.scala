@@ -1194,14 +1194,39 @@ object SparkEntry {
     // SemDeDup cluster dedup (ml.Dedup.semanticDedup): k-means
     // clusters + exact within-cluster greedy. Rows-only by design —
     // the cluster boundary is the approximation and k-means is not
-    // SQL-expressible (q_dedup_cc precedent); within-cluster
-    // exactness and the keep rule are pinned by SemanticDedupSpec
+    // SQL-expressible (q_dedup_cc precedent). r10: IN-BAND certificate
+    // — the clustering is DETERMINISTIC (spec-pinned), so the query
+    // re-derives the assignment and recomputes the within-cluster
+    // keep-set through an INDEPENDENT pair-join formulation (exists a
+    // lower id in the same cluster at rounded-cos ≥ t), the same
+    // independent-twin shape as q_embed_dedup; any divergence from
+    // the operator's collect_list-kernel path raises in-query. The
+    // bench times the bare operator via benchVariant (proof work
+    // stays out of the perf record).
     "q_semantic_dedup" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      CrysFrame(Dedup.semanticDedup(e, "vec_id", "embedding",
-          threshold = 0.45, nLists = 8, refineIters = 2)
-          .select("vec_id"))
-        .sortBy("vec_id").out
+      val keep = Dedup.semanticDedup(e, "vec_id", "embedding",
+        threshold = 0.45, nLists = 8, refineIters = 2).select("vec_id")
+      val nonNull = e.filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      val assigned = Similarity.assignLists(nonNull, "vec_id", "embedding",
+        Similarity.centroids(nonNull, "vec_id", "embedding", 8, 2))
+        .select(col("list_id"), col("vec_id"), col("embedding"))
+      val a = assigned.select(col("list_id"), col("vec_id").as("id_a"),
+        col("embedding").as("va"))
+      val b = assigned.select(col("list_id"), col("vec_id").as("id_b"),
+        col("embedding").as("vb"))
+      val dups = a.join(b, "list_id").filter(col("id_a") < col("id_b"))
+        .filter(round(Similarity.cosine(col("va"), col("vb")), 6) >= 0.45)
+        .select(col("id_b").as("vec_id")).distinct()
+      val expectKeep = e.join(dups, Seq("vec_id"), "left_anti").select("vec_id")
+      val idType = e.schema("vec_id").dataType
+      val mismatch = keep.join(expectKeep, Seq("vec_id"), "left_anti")
+        .union(expectKeep.join(keep, Seq("vec_id"), "left_anti"))
+        .select(raise_error(concat(
+          lit("semanticDedup keep-set diverged from the independent " +
+            "pair-join formulation at vec_id="),
+          col("vec_id").cast("string"))).cast(idType).as("vec_id"))
+      CrysFrame(keep.union(mismatch)).sortBy("vec_id").out
     }),
 
     // ---------------- extensions: similarity search ----------------

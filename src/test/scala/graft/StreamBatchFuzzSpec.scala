@@ -149,7 +149,14 @@ class StreamBatchFuzzSpec extends GraftSpec {
     (0 until r.length).map(i =>
       if (r.isNullAt(i)) "∅" else r.get(i).toString).mkString("|")
 
-  private def runCase(seed: Int): Unit = {
+  /** Terminal vocabulary size — append-only, like the batch fuzzer's
+    * nOps: growing it changes every seed's terminal draw, so campaign
+    * records name the effective size and old ranges are replayed with
+    * the size they were found under. */
+  private val allTerminals = 6
+
+  private def runCase(seed: Int, nTerminals: Int = allTerminals,
+                      forceTerminal: Int = -1): Unit = {
     val rnd = new scala.util.Random(seed)
     val docs = genDocs(rnd)
     val nChunks = 1 + rnd.nextInt(4)
@@ -165,7 +172,11 @@ class StreamBatchFuzzSpec extends GraftSpec {
     val batchBase = stateless(docs.toDF("doc_id", "ts", "text"))
     val name = s"sbf_$seed"
     try {
-      rnd.nextInt(5) match {
+      val terminal = {
+        val drawn = rnd.nextInt(nTerminals) // always consume randomness
+        if (forceTerminal >= 0) forceTerminal else drawn
+      }
+      terminal match {
         case 0 | 1 => // pure stateless chain: exact row-multiset equality
           val out = runStream(stateless, OutputMode.Append(), docs, nChunks, name)
           val expected = batchBase.collect().toSeq
@@ -233,6 +244,54 @@ class StreamBatchFuzzSpec extends GraftSpec {
             .collect().toSeq
           assert(out.map(rowKey).sorted == expected.map(rowKey).sorted,
             s"windowed counts diverged: stream ${out.size} vs batch ${expected.size}")
+        case 5 => // gap sessionization vs a driver-computed oracle
+          val gapMs = Seq(60000L, 120000L, 300000L)(rnd.nextInt(3))
+          // batch side of the stateless chain defines the real events
+          val evRows = batchBase.select("doc_id", "ts", "text").collect()
+            .map(r => (r.getLong(0) % 5, r.getTimestamp(1).getTime,
+              r.getString(2).length.toDouble)).sortBy(e => (e._1, e._2))
+          // sentinel far past every real event: closes each user's last
+          // session; the sentinel's own session stays open → never emits
+          val maxTs = (evRows.map(_._2) :+ 0L).max
+          // sentinel text must SURVIVE the stateless chain (length
+          // filters admit >=60 chars; the NB model was trained on
+          // goodWords draws, so this is maximally in-domain; it is not
+          // a corpus entry, so the anti-join keeps it)
+          val sentinels = (0L until 5L).map(u =>
+            (100000L + u, new Timestamp(maxTs + gapMs * 10),
+              goodWords.mkString(" ")))
+          val mkEvents: DataFrame => org.apache.spark.sql.Dataset[graft.streaming.Event] =
+            df => stateless(df)
+              .select(col("doc_id").as("event_id"), col("ts"),
+                pmod(col("doc_id"), lit(5)).as("user_id"),
+                lit("doc").as("event_type"),
+                length(col("text")).cast("double").as("value"))
+              .as[graft.streaming.Event]
+          val out = runStream(
+            df => StreamVerbs.sessionize(mkEvents(df), gapMs).toDF(),
+            OutputMode.Append(), docs ++ sentinels, nChunks, name)
+          // driver oracle: split each user's ts-ordered events on gap
+          val expected = evRows.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+            val sess = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long, Int, Double)]
+            var start, last = -1L; var n = 0; var sum = 0.0
+            es.foreach { case (_, t, v) =>
+              if (start < 0) { start = t; last = t; n = 1; sum = v }
+              else if (t - last <= gapMs) { last = t; n += 1; sum += v }
+              else { sess += ((u, start, last, n, sum)); start = t; last = t; n = 1; sum = v }
+            }
+            if (start >= 0) sess += ((u, start, last, n, sum)) // closed by sentinel
+            sess
+          }.map(s => s.productIterator.mkString("|")).sorted
+          // sentinel users are doc_id%5 too — sentinel ids 100000-100004
+          // map to users 0-4, closing real sessions; their own open
+          // sessions never emit, so `out` should be exactly the oracle
+          val got = out.map(r => (r.getAs[Long]("user_id"),
+            r.getAs[Timestamp]("start").getTime, r.getAs[Timestamp]("end").getTime,
+            r.getAs[Int]("n_events"), r.getAs[Double]("sum_value")))
+            .map(s => s.productIterator.mkString("|")).sorted
+          assert(got == expected,
+            s"sessionize diverged: stream ${got.size} vs oracle ${expected.size} sessions")
       }
     } catch {
       case e: org.scalatest.exceptions.TestFailedException => throw e
@@ -245,6 +304,10 @@ class StreamBatchFuzzSpec extends GraftSpec {
     // smoke tier (fast dev loop); the tagged soak below carries the
     // campaign range and runs in every full `sbt test`/CI pass
     (1 to 25).foreach(s => runCase(30000 + s))
+  }
+
+  test("every terminal arm fires at least once (incl. sessionize-vs-oracle)") {
+    (0 until allTerminals).foreach(t => runCase(31000 + t, forceTerminal = t))
   }
 
   test("stream-vs-batch differential soak: seeds 30026-30300", Soak) {
