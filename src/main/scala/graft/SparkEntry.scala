@@ -1488,13 +1488,35 @@ object SparkEntry {
     // .compressionRatio): rows-only by design — the ratio is a JVM
     // zlib computation with no SQL equivalent; exactness is
     // spec-pinned against java.util.zip in-process
-    // (CompressionSignalSpec)
-    "q_compress_signal" -> ((s, d) =>
-      CrysFrame(t(s, d, "documents")
-          .select(col("doc_id"),
-            round(graft.text.TextFunctions.compressionRatio(col("text")), 6)
-              .as("compress_ratio")))
-        .sortBy("doc_id").out),
+    // (CompressionSignalSpec). r10: IN-BAND certificate — a planted
+    // in-plan probe pair (keyword-spam text must compress < 0.15,
+    // mixed prose > 0.5 — the signal's separating power, the reason
+    // the filter works at all) plus a per-row positivity bound, both
+    // wrapping the kept column so Catalyst cannot prune the proof.
+    "q_compress_signal" -> ((s, d) => {
+      import s.implicits._
+      val rep = "spark shuffle spark shuffle " * 100
+      val prose = "The quick brown fox jumps over the lazy dog while 42 " +
+        "engineers debug a Spark shuffle on a rainy Tuesday afternoon, " +
+        "each holding a different theory about partition skew."
+      val probe = Seq(("rep", rep), ("prose", prose)).toDF("__k", "__t")
+        .select(col("__k"),
+          graft.text.TextFunctions.compressionRatio(col("__t")).as("__r"))
+        .agg((F.max(when(col("__k") === "rep", col("__r"))) < 0.15 &&
+          F.max(when(col("__k") === "prose", col("__r"))) > 0.5).as("__ok"))
+      val main = t(s, d, "documents")
+        .select(col("doc_id"),
+          round(graft.text.TextFunctions.compressionRatio(col("text")), 6)
+            .as("__cr"))
+      CrysFrame(main.crossJoin(broadcast(probe))
+        .select(col("doc_id"),
+          when(!col("__ok") || col("__cr") <= 0,
+            raise_error(concat(
+              lit("compressionRatio certificate violated at doc_id="),
+              col("doc_id").cast("string"))).cast("double"))
+            .otherwise(col("__cr")).as("compress_ratio")))
+        .sortBy("doc_id").out
+    }),
 
     // curation composite: the NB filter driving corpus curation —
     // keep docs the model calls in-domain, then per-source kept-doc /
@@ -1808,9 +1830,18 @@ object SparkEntry {
       val meta = Multimodal.sniffMetadata(media)
       val fcol = col("feature")
       val featD = transform(fcol, f => f.cast("double"))
+      // r10 structural certificate riding the kept column: every row
+      // must carry exactly the requested 8-dim feature vector (real
+      // decode or the deterministic stub — NEVER null/ragged) and a
+      // finite non-negative norm; a decode path emitting anything
+      // else raises in-query instead of shipping a rows-only answer
       val feats = Multimodal.extractFeatures(media, dim = 8)
         .select(col("media_id"),
-          size(fcol).as("feature_dim"),
+          when(fcol.isNull || size(fcol) =!= 8,
+            raise_error(concat(
+              lit("extractFeatures certificate violated (null or dim != 8) at media_id="),
+              col("media_id").cast("string"))).cast("int"))
+            .otherwise(size(fcol)).as("feature_dim"),
           round(sqrt(aggregate(featD, lit(0.0), (acc, f) => acc + f * f)), 4)
             .as("feature_norm"),
           xxhash64(concat_ws(",",
