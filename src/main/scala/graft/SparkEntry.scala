@@ -88,8 +88,15 @@ object SparkEntry {
   private def certifyKeepSet(keep: DataFrame, expected: DataFrame,
                              what: String): DataFrame = {
     val idType = keep.schema("media_id").dataType
-    val missed = keep.join(expected, Seq("media_id"), "left_anti")
-    val overDropped = expected.join(keep, Seq("media_id"), "left_anti")
+    // null ids are contractually OUTSIDE dedup scope (the repo's
+    // unhashable-rows-survive rule) and can never match an equi-join
+    // key — unfiltered they'd land in BOTH anti-joins and raise
+    // spuriously. Compare the non-null keep-sets only; the null rows
+    // still ride `keep` into the result untouched.
+    val keepIds = keep.filter(col("media_id").isNotNull)
+    val expIds = expected.filter(col("media_id").isNotNull)
+    val missed = keepIds.join(expIds, Seq("media_id"), "left_anti")
+    val overDropped = expIds.join(keepIds, Seq("media_id"), "left_anti")
     val mismatch = missed.unionByName(overDropped)
       .select(F.raise_error(concat(
         lit(s"$what planted-dup certificate violated at media_id="),
@@ -1183,8 +1190,12 @@ object SparkEntry {
         .select(col("id_b").as("vec_id")).distinct()
       val exactKeep = e.join(dups, Seq("vec_id"), "left_anti").select("vec_id")
       val idType = e.schema("vec_id").dataType
-      val mismatch = lshKeep.join(exactKeep, Seq("vec_id"), "left_anti")
-        .union(exactKeep.join(lshKeep, Seq("vec_id"), "left_anti"))
+      // null ids survive dedup by contract and never equi-join — keep
+      // them out of the anti-join certificate (they'd raise spuriously)
+      val mismatch = lshKeep.filter(col("vec_id").isNotNull)
+        .join(exactKeep, Seq("vec_id"), "left_anti")
+        .union(exactKeep.filter(col("vec_id").isNotNull)
+          .join(lshKeep, Seq("vec_id"), "left_anti"))
         .select(raise_error(concat(
           lit("embeddingDedup LSH/exact keep-set mismatch at vec_id="),
           col("vec_id").cast("string"))).cast(idType).as("vec_id"))
@@ -1195,21 +1206,26 @@ object SparkEntry {
     // clusters + exact within-cluster greedy. Rows-only by design —
     // the cluster boundary is the approximation and k-means is not
     // SQL-expressible (q_dedup_cc precedent). r10: IN-BAND certificate
-    // — the clustering is DETERMINISTIC (spec-pinned), so the query
-    // re-derives the assignment and recomputes the within-cluster
-    // keep-set through an INDEPENDENT pair-join formulation (exists a
-    // lower id in the same cluster at rounded-cos ≥ t), the same
-    // independent-twin shape as q_embed_dedup; any divergence from
-    // the operator's collect_list-kernel path raises in-query. The
-    // bench times the bare operator via benchVariant (proof work
+    // — the query recomputes the within-cluster keep-set through an
+    // INDEPENDENT pair-join formulation (exists a lower id in the
+    // same cluster at rounded-cos ≥ t), the same independent-twin
+    // shape as q_embed_dedup; any divergence from the operator's
+    // collect_list-kernel path raises in-query. r11: both arms share
+    // ONE collected clustering (Dedup.semanticCentroids) — Lloyd's
+    // distributed avg() is accumulation-order sensitive, so a twin
+    // that re-DERIVED centroids could flip a near-boundary assignment
+    // by an ulp and raise spuriously; only the keep-RULE is
+    // independently recomputed, which is what the certificate is for.
+    // The bench times the bare operator via benchVariant (proof work
     // stays out of the perf record).
     "q_semantic_dedup" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val keep = Dedup.semanticDedup(e, "vec_id", "embedding",
-        threshold = 0.45, nLists = 8, refineIters = 2).select("vec_id")
       val nonNull = e.filter(col("vec_id").isNotNull && col("embedding").isNotNull)
-      val assigned = Similarity.assignLists(nonNull, "vec_id", "embedding",
-        Similarity.centroids(nonNull, "vec_id", "embedding", 8, 2))
+      val cents = Dedup.semanticCentroids(e, "vec_id", "embedding",
+        nLists = 8, refineIters = 2)
+      val keep = Dedup.semanticDedupWithCentroids(e, "vec_id", "embedding",
+        threshold = 0.45, cents).select("vec_id")
+      val assigned = Similarity.assignLists(nonNull, "vec_id", "embedding", cents)
         .select(col("list_id"), col("vec_id"), col("embedding"))
       val a = assigned.select(col("list_id"), col("vec_id").as("id_a"),
         col("embedding").as("va"))
@@ -1220,8 +1236,12 @@ object SparkEntry {
         .select(col("id_b").as("vec_id")).distinct()
       val expectKeep = e.join(dups, Seq("vec_id"), "left_anti").select("vec_id")
       val idType = e.schema("vec_id").dataType
-      val mismatch = keep.join(expectKeep, Seq("vec_id"), "left_anti")
-        .union(expectKeep.join(keep, Seq("vec_id"), "left_anti"))
+      // null ids: outside dedup scope, never equi-join — exclude from
+      // the certificate anti-joins (see certifyKeepSet)
+      val mismatch = keep.filter(col("vec_id").isNotNull)
+        .join(expectKeep, Seq("vec_id"), "left_anti")
+        .union(expectKeep.filter(col("vec_id").isNotNull)
+          .join(keep, Seq("vec_id"), "left_anti"))
         .select(raise_error(concat(
           lit("semanticDedup keep-set diverged from the independent " +
             "pair-join formulation at vec_id="),

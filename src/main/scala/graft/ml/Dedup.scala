@@ -856,12 +856,20 @@ object Dedup {
     * `bands · N² / 2^nBits` with a pinned nBits — the ×16 stress
     * sweep measured exactly that cliff, SCALING.md §stress): the
     * default 125 reproduces the experimentally-validated geometry
-    * (nBits=4 at 2k vectors, nBits=8 at 32k). RECALL interaction: a
-    * qualifying pair escapes all bands with prob (1-p^nBits)^bands, so
-    * as auto-nBits grows with the corpus the caller should widen
-    * `bands` to hold the miss bound — bands ≥ ln(miss)/ln(1-p^nBits);
-    * the certificate queries pin explicit nBits for exactly this
-    * reason. An explicit `nBits > 0` is always honored unchanged.
+    * (nBits=4 at 2k vectors, nBits=8 at 32k). RECALL co-scaling (r11
+    * default): `bands <= 0` derives the band count from (threshold,
+    * useBits) to hold the pinned `missBound` — a qualifying pair
+    * escapes all bands with prob (1-p^nBits)^bands, p=1-acos(t)/π, so
+    * bands = ⌈ln(missBound)/ln(1-p^nBits)⌉ ([[autoBands]]). Auto-nBits
+    * growing with the corpus therefore no longer silently worsens the
+    * default caller's recall: COST stays linear (constant bucket load)
+    * and the MISS BOUND stays pinned, with the band count paying for
+    * both (at t=0.95, missBound=1e-3: 7 bands at nBits=4, 13 at 8,
+    * 35 at 16, 86 at 24 — the price of pinned recall as the space
+    * grows, linear in nBits·ln(miss) once p^nBits is small; an
+    * unpayable geometry raises at plan time rather than degrading).
+    * Explicit `nBits > 0` / `bands > 0` are always honored unchanged
+    * — the certificate queries pin exact geometry for this reason.
     *
     * The sizing contract is ENFORCED: before the banding shuffle a
     * one-column `count()` estimates the mean bucket load
@@ -885,18 +893,60 @@ object Dedup {
     math.max(4, bits)
   }
 
+  /** Auto-band cap: 256 bands at targetBucketRows=125 is 32k cosine
+    * ops/row — past it the geometry is LSH-hostile (low threshold ×
+    * wide bucket space) and silently paying more would be the wrong
+    * default; the sizing raises instead (explicit `bands` overrides). */
+  private[graft] val MaxAutoBands = 256
+
+  /** Smallest band count holding the banded-LSH miss bound: a pair at
+    * exactly `threshold` cosine collides in one band with prob
+    * p^nBits, p = 1 - acos(threshold)/π, and escapes ALL bands with
+    * prob (1-p^nBits)^bands — so bands = ⌈ln(missBound)/ln(1-p^nBits)⌉
+    * pins per-pair miss ≤ missBound at the threshold (pairs above it
+    * do strictly better: p rises with cosine). Floor 4 keeps OR
+    * amplification non-degenerate on tiny spaces; over [[MaxAutoBands]]
+    * raises with the geometry spelled out, the same plan-time-error
+    * philosophy as the bucketBudget guard. Pinned by
+    * ReadersExtensionsSpec "autoBands recall formula". */
+  private[graft] def autoBands(threshold: Double, nBits: Int,
+                               missBound: Double = 1e-3): Int = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"autoBands needs a cosine threshold in (0,1): $threshold")
+    require(missBound > 0.0 && missBound < 1.0,
+      s"missBound must be in (0,1): $missBound")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val pBand = math.pow(p, nBits.toDouble) // one-band collision prob
+    val escape = 1.0 - pBand                // one-band miss prob
+    val raw =
+      if (escape <= 0.0) 1 // p^nBits == 1 within double: one band suffices
+      else math.ceil(math.log(missBound) / math.log(escape)).toInt
+    val b = math.max(4, raw)
+    if (b > MaxAutoBands)
+      throw new IllegalArgumentException(
+        f"embeddingDedup: holding miss<=$missBound%g at threshold=$threshold " +
+          f"with nBits=$nBits needs $b bands (> $MaxAutoBands cap) — " +
+          f"one-band collision prob p^nBits=$pBand%.3g is too small for OR " +
+          "amplification to rescue cheaply. Lower nBits/targetBucketRows " +
+          "(denser buckets), raise missBound, or pass explicit bands " +
+          "to accept the cost.")
+    b
+  }
+
   def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, nBits: Int = 0,
-                     bands: Int = 16, seed: Long = 42L,
+                     bands: Int = 0, seed: Long = 42L,
                      roundDigits: Int = 6,
                      bucketBudget: Long = 200L * 1000,
-                     targetBucketRows: Long = 125L): DataFrame = {
+                     targetBucketRows: Long = 125L,
+                     missBound: Double = 1e-3): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val idType = df.schema(idCol).dataType
     // one count pass serves both the auto-sizer and the budget guard
     val corpusCnt: Long =
       if (nBits <= 0 || bucketBudget > 0) df.select(col(idCol)).count() else -1L
     val useBits = if (nBits > 0) nBits else autoNBits(corpusCnt, targetBucketRows)
+    val useBands = if (bands > 0) bands else autoBands(threshold, useBits, missBound)
     val dups = idType match {
       case LongType | IntegerType =>
         // IN-BUCKET verify (graft.functions.CosineBucketDupsExpr): the
@@ -931,7 +981,7 @@ object Dedup {
         val keyed = df.filter(col(idCol).isNotNull)
           .select(col(idCol).cast("long").as("__id"),
           col(vecCol).as("__v"),
-          graft.functions.Kernels.cosineLshBands(col(vecCol), bands, useBits, seed)
+          graft.functions.Kernels.cosineLshBands(col(vecCol), useBands, useBits, seed)
             .as("__keys"))
         keyed
           .select(col("__id"), col("__v"),
@@ -944,7 +994,7 @@ object Dedup {
       case _ =>
         // non-integral ids: bare-id candidate pairs + verify joins
         val eps = math.pow(10.0, -roundDigits)
-        Similarity.lshNeighborPairs(df, idCol, vecCol, useBits, bands,
+        Similarity.lshNeighborPairs(df, idCol, vecCol, useBits, useBands,
           threshold - eps, seed)
           .filter(F.round(col("cos_sim"), roundDigits) >= threshold)
           .select(col("id_b").as(idCol)).distinct()
@@ -981,10 +1031,63 @@ object Dedup {
     * raise before the collect_list OOMs, not after). Pass
     * `clusterBudget = 0` to skip the guard on a pre-sized corpus. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double = 0.95, nLists: Int = 16,
+                    threshold: Double = 0.95, nLists: Int = 0,
                     refineIters: Int = 1, seed: Long = 42L,
                     roundDigits: Int = 6,
                     clusterBudget: Long = 200L * 1000): DataFrame = {
+    val cents = semanticCentroids(df, idCol, vecCol, nLists, refineIters, seed)
+    semanticDedupWithCentroids(df, idCol, vecCol, threshold, cents,
+      roundDigits, clusterBudget)
+  }
+
+  /** The operator's exact clustering, collected ONCE to a driver-local
+    * literal frame (nLists rows) — the handle certificate queries use
+    * to recompute the keep-rule independently against the SAME
+    * floating-point centroids [[semanticDedup]] assigned with. Lloyd
+    * refinement's distributed avg() is accumulation-order sensitive
+    * (shuffle fetch order), so re-DERIVING centroids in a twin plan
+    * can flip a near-boundary assignment by an ulp; reusing the
+    * literal rows makes the twin's assignment bit-identical by
+    * construction and leaves only the keep-rule independent.
+    * `nLists <= 0` self-sizes (r11 default): ceil(corpus/1000) lists,
+    * floored at 16 so tiny corpora still partition, capped at 2^16
+    * because the centroid table must broadcast to every task (beyond
+    * that use [[embeddingDedup]], whose bucket space is free) — a
+    * bounded mean cluster LOAD keeps the in-cluster verify linear in
+    * N, the same rationale as [[autoNBits]]. */
+  def semanticCentroids(df: DataFrame, idCol: String, vecCol: String,
+                        nLists: Int = 0, refineIters: Int = 1,
+                        seed: Long = 42L): DataFrame = {
+    val nonNull = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+    val lists =
+      if (nLists > 0) nLists
+      else {
+        val c = nonNull.count()
+        math.min(1 << 16, math.max(16L, (c + 999L) / 1000L)).toInt
+      }
+    // centroids are nLists rows — collect them once and rebuild a
+    // local frame, instead of cache(): a cached plan would either leak
+    // (no handle to unpersist after the lazy result materializes) or
+    // recompute per action; the guard's count pass and the dedup plan
+    // both read the literal rows
+    val centRows = Similarity.centroids(nonNull, idCol, vecCol, lists,
+      refineIters, seed)
+    val collected = centRows.collect().toSeq
+    df.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(collected).asJava),
+      centRows.schema)
+  }
+
+  /** [[semanticDedup]] against pre-collected centroid rows (from
+    * [[semanticCentroids]] or a persisted table): assignment is
+    * map-only against the literal centroids, then the standard
+    * in-cluster exact greedy. Lets a certificate (or a train-once
+    * pipeline) share one clustering across consumers. */
+  def semanticDedupWithCentroids(df: DataFrame, idCol: String, vecCol: String,
+                                 threshold: Double, cents: DataFrame,
+                                 roundDigits: Int = 6,
+                                 clusterBudget: Long = 200L * 1000): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val idType = df.schema(idCol).dataType
     idType match {
@@ -999,35 +1102,7 @@ object Dedup {
     // them at the banding projection instead) — and both survive via
     // the left_anti, the repo's unhashable-rows-survive rule.
     val nonNull = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
-    // SELF-SIZING (r10): nLists <= 0 derives the cluster count from the
-    // corpus — ceil(corpus / targetClusterRows=1000), floored at 16 so
-    // tiny corpora still partition, capped at 2^16 because the
-    // centroid table must broadcast to every task (beyond that, use
-    // embeddingDedup, whose bucket space is free). Same rationale as
-    // embeddingDedup's autoNBits: a bounded mean cluster LOAD keeps
-    // the in-cluster verify linear in N. Explicit nLists > 0 honored
-    // unchanged (the default stays 16: the spec-pinned keep-sets and
-    // certificate queries depend on the exact clustering).
-    val lists =
-      if (nLists > 0) nLists
-      else {
-        val c = nonNull.count()
-        math.min(1 << 16, math.max(16L, (c + 999L) / 1000L)).toInt
-      }
-    // centroids are nLists rows — collect them once and rebuild a
-    // local frame, instead of cache(): a cached plan would either leak
-    // (no handle to unpersist after the lazy result materializes) or
-    // recompute per action; the guard's count pass and the dedup plan
-    // both read the literal rows
-    val centRows = Similarity.centroids(nonNull, idCol, vecCol, lists,
-      refineIters, seed)
-    val cents = {
-      val collected = centRows.collect().toSeq
-      df.sparkSession.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(collected).asJava),
-        centRows.schema)
-    }
+    lazy val lists = cents.count() // local literal rows; guard message only
     def assigned = Similarity.assignLists(nonNull, idCol, vecCol, cents)
     if (clusterBudget > 0) {
       val maxRow = assigned.groupBy(col("list_id"))

