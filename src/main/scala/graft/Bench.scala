@@ -369,8 +369,25 @@ object Bench {
     // lands in a quiet window; MIN (not median) is kept because min
     // estimates inherent cost — median of a contended window is still
     // contaminated.
-    val trials = Map("q_dedup_cc" -> 5, "q_cc_distributed" -> 5)
+    // r11: the sub-second write entries get 9 trials — r10's x_write_tar
+    // read 0.81 s inside a window the probes called clean vs 0.24 s on a
+    // clean host: an IO-throttle burst shorter than the probe spacing
+    // fits INSIDE one 0.3-s trial. More trials widen the chance the min
+    // lands between bursts (each costs well under a second), and the
+    // mid-trial IO probes below shrink what a burst can hide behind.
+    val trials = Map(
+      "q_dedup_cc" -> 5, "q_cc_distributed" -> 5,
+      "x_write_shards" -> 9, "x_write_tfrecord" -> 9,
+      "x_write_tar" -> 9, "x_audit_shards" -> 9)
       .withDefaultValue(3)
+    // write-path entries additionally probe IO BETWEEN trials: the
+    // pre/post pair brackets a multi-second window, but a short-burst
+    // throttle inside a sub-second entry fits between those probes
+    // (r10 What's-wrong #3). A mid-trial reading over the clean band
+    // dirties the window at trial granularity — the "clean" verdict
+    // then means what it says even at 0.3-s entries. Cost: 8 MiB+fsync
+    // per gap, only on the 6 export entries.
+    val writeEntry = exportHeadline.toSet
     selected.foreach(run)
     reset()
     // --- self-remediating measurement loop (r10) ----------------------
@@ -415,31 +432,48 @@ object Bench {
         math.max(pre._2, post._2) < 1.5 * cleanIo)
     if (!noSentinel) { sentinel(); sentinelIo() } // warm probes' JIT/fd paths
     var lastProbe = probe()
+    // one measurement attempt: trials bracketed by probes, mid-trial IO
+    // probes on write entries; returns (pre, post, trials, clean)
+    def attemptWindow(n: String): ((Double, Double), (Double, Double), Seq[Double], Boolean) = {
+      val pre = lastProbe
+      val midIo = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val ts = (1 to trials(n)).map { i =>
+        val t = run(n)
+        if (writeEntry(n) && !noSentinel && i < trials(n)) midIo += sentinelIo()
+        t
+      }
+      reset()
+      val post = probe()
+      lastProbe = post
+      val clean = windowClean(pre, post) &&
+        (midIo.isEmpty || midIo.max < 1.5 * cleanIo)
+      if (!clean && midIo.nonEmpty && windowClean(pre, post))
+        System.err.println(
+          f"[bench] $n mid-trial IO probe dirty (${midIo.max}%.3f) inside a " +
+            "clean pre/post bracket — short-burst throttle caught at trial granularity")
+      (pre, post, ts, clean)
+    }
     // per query: (pre, post, keptTrials, clean, discardedAttempts)
-    val perTrial = selected.map { n =>
+    val perTrial = scala.collection.mutable.LinkedHashMap(selected.map { n =>
       var attempt = 0
       var discarded = List.empty[Seq[Double]]
       var result: ((Double, Double), (Double, Double), Seq[Double], Boolean) = null
       var done = false
       while (!done) {
-        val pre = lastProbe
-        val ts = (1 to trials(n)).map(_ => run(n))
-        reset()
-        val post = probe()
-        lastProbe = post
-        val clean = windowClean(pre, post)
+        val r = attemptWindow(n)
+        val clean = r._4
         if (clean || attempt >= maxRetries || drainSpentSec >= drainBudgetSec) {
           if (!clean && drainSpentSec >= drainBudgetSec && attempt < maxRetries)
             System.err.println(
               s"[bench] $n window dirty but suite drain budget " +
                 s"($drainBudgetSec s) spent — shipping flagged")
-          result = (pre, post, ts, clean)
+          result = r
           done = true
         } else {
           System.err.println(
-            f"[bench] $n window dirty (cpu ${math.max(pre._1, post._1)}%.3f, " +
-              f"io ${math.max(pre._2, post._2)}%.3f) — drain ${drainSec}s, retry ${attempt + 1}/$maxRetries")
-          discarded = discarded :+ ts
+            f"[bench] $n window dirty (cpu ${math.max(r._1._1, r._2._1)}%.3f, " +
+              f"io ${math.max(r._1._2, r._2._2)}%.3f) — drain ${drainSec}s, retry ${attempt + 1}/$maxRetries")
+          discarded = discarded :+ r._3
           Thread.sleep(drainSec * 1000L)
           drainSpentSec += drainSec
           lastProbe = probe() // fresh pre after the pause
@@ -450,6 +484,45 @@ object Bench {
         System.err.println(f"[bench] $n trials: " +
           result._3.map(t => f"$t%.3f").mkString(", "))
       n -> (result, discarded)
+    }: _*)
+    // --- r11 repair pass -------------------------------------------------
+    // Entries whose windows stayed dirty after their in-place retries get
+    // one more chance at the END of the suite: by now the suite's own
+    // write pressure is over, so a late window is usually clean (r10's
+    // builder sweeps shipped 5 dirty-after-budget entries that a later
+    // manual re-run measured clean). A repaired entry's trials REPLACE
+    // the dirty ones (old trials appended to the discarded record) and
+    // the entry is listed under "repaired" — committed sweeps reach
+    // zero-dirty without hand-splicing, and a reader can still tell a
+    // first-try-clean window from a repaired one.
+    val repairBudgetSec = sys.env.get("GRAFT_BENCH_REPAIR_BUDGET_SEC")
+      .map(_.toInt).getOrElse(300)
+    var repairSpentSec = 0
+    var repairedNames = List.empty[String]
+    val stillDirty = perTrial.collect { case (k, ((_, _, _, false), _)) => k }.toSeq
+    if (stillDirty.nonEmpty && !noSentinel) {
+      System.err.println(
+        s"[bench] repair pass: ${stillDirty.size} dirty entries " +
+          s"(${stillDirty.mkString(", ")}), budget ${repairBudgetSec}s")
+      stillDirty.foreach { n =>
+        var fixed = false
+        while (!fixed && repairSpentSec < repairBudgetSec) {
+          Thread.sleep(drainSec * 1000L)
+          repairSpentSec += drainSec
+          lastProbe = probe()
+          val r = attemptWindow(n)
+          if (r._4) {
+            val (old, disc) = perTrial(n)
+            perTrial(n) = (r, disc :+ old._3)
+            repairedNames ::= n
+            fixed = true
+            System.err.println(
+              f"[bench] $n repaired: min ${r._3.min}%.3f (was ${old._3.min}%.3f dirty)")
+          } else
+            System.err.println(s"[bench] $n repair window still dirty " +
+              s"(${repairBudgetSec - repairSpentSec}s budget left)")
+        }
+      }
     }
     val results = perTrial.map { case (n, ((_, _, ts, _), _)) => n -> ts.min }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
@@ -471,11 +544,11 @@ object Bench {
     def minMed(vals: Seq[Double]): (Double, Double) = {
       val s = vals.sorted; (s.head, s(s.size / 2))
     }
-    val keptProbes = perTrial.flatMap { case (_, ((pre, post, _, _), _)) => Seq(pre, post) }
+    val keptProbes = perTrial.toSeq.flatMap { case (_, ((pre, post, _, _), _)) => Seq(pre, post) }
     val (sentMin, sentMed) = minMed(keptProbes.map(_._1))
     val (sioMin, sioMed) = minMed(keptProbes.map(_._2))
-    val dirty = perTrial.collect { case (k, ((_, _, _, false), _)) => k }
-    val retried = perTrial.collect { case (k, (_, d)) if d.nonEmpty => k -> d.size }
+    val dirty = perTrial.collect { case (k, ((_, _, _, false), _)) => k }.toSeq
+    val retried = perTrial.collect { case (k, (_, d)) if d.nonEmpty => k -> d.size }.toSeq
     val total = results.map(_._2).sum
     // The per-trial + per-query-sentinel maps go to STDERR: round 7's
     // single stdout line with 67 inline trial arrays outgrew the
@@ -488,7 +561,9 @@ object Bench {
     val dirtyJson = dirty.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retriedJson = retried.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sentinel":{"min":$sentMin%.3f,"median":$sentMed%.3f},"sentinel_io":{"min":$sioMin%.3f,"median":$sioMed%.3f},"sentinels_enabled":${!noSentinel},"dirty":$dirtyJson,"retried":$retriedJson,"queries":$qs,"sf":"$sfDir"}""")
+    val repairedJson = repairedNames.reverse.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sentinel":{"min":$sentMin%.3f,"median":$sentMed%.3f},"sentinel_io":{"min":$sioMin%.3f,"median":$sioMed%.3f},"sentinels_enabled":${!noSentinel},"dirty":$dirtyJson,"retried":$retriedJson,"repaired":$repairedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
