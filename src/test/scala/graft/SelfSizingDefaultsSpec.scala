@@ -216,4 +216,70 @@ class SelfSizingDefaultsSpec extends GraftSpec {
     info(s"ivfPqTopK default-path overlap at ×16: $overlap/50")
     assert(overlap >= 35, s"default-path recall $overlap/50 under the certificate floor")
   }
+
+  // ---------------------------------------------------------------
+  // MinHash family at ×16: these geometries are corpus-independent BY
+  // DESIGN (MinHash bands key on signature VALUES, so bucket load
+  // scales with true-dup density, not corpus size; SimHash blocking is
+  // pigeonhole-exact at any N) — the ×16 runs pin that claim for the
+  // default parameters, closing the same silent-recall loop the
+  // co-scaled knobs close for the space-partitioned ops (VERDICT r10
+  // next-round #6).
+  // ---------------------------------------------------------------
+
+  /** 8,000 base docs (×16 of the sf0.01 bench documents table) over a
+    * 300-token random vocabulary — cross-doc 5-gram Jaccard stays far
+    * below threshold — plus 400 planted near-dups (3-char suffix edit:
+    * true Jaccard ≈ 0.93, 6σ above the 0.8 verify threshold at 128
+    * hashes; per-band collision ≈ 0.93⁴ so missing all 32 bands has
+    * probability ~1e-19). */
+  private def plantedDocs(seed: Long) = {
+    val rng = new scala.util.Random(seed)
+    val vocab = Array.fill(300)(
+      (0 until (5 + rng.nextInt(4))).map(_ => ('a' + rng.nextInt(26)).toChar).mkString)
+    val base = (0 until 8000).map { i =>
+      (i.toLong, (0 until (12 + rng.nextInt(7)))
+        .map(_ => vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }
+    val copies = (0 until 400).map { j =>
+      val (srcId, text) = base(j * 20)
+      (3000000L + srcId, text + " q" + (j % 10))
+    }
+    (base, copies)
+  }
+
+  test("minhashDedup ALL-DEFAULTS drops every planted near-dup at ×16 (8.4k docs)") {
+    import spark.implicits._
+    val (base, copies) = plantedDocs(2024L)
+    val df = (base ++ copies).toDF("doc_id", "text")
+    val kept = graft.ml.Dedup.minhashDedup(df, "doc_id", "text") // all defaults
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(copies.forall { case (id, _) => !kept.contains(id) },
+      "a planted near-dup survived the default MinHash geometry at ×16")
+    assert(base.forall { case (id, _) => kept.contains(id) },
+      "a base doc was over-dropped (cross-doc Jaccard should be far below 0.8)")
+  }
+
+  test("simhashPairs ALL-DEFAULTS equals the exhaustive Hamming probe at ×16") {
+    import spark.implicits._
+    val (base, copies) = plantedDocs(4096L)
+    val df = (base ++ copies).toDF("doc_id", "text")
+    val blocked = graft.ml.Dedup.simhashPairs(df, "doc_id", "text") // maxDist=3
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exhaustive ground truth: every pair at hamming ≤ 3 over the same
+    // simhash column — 8.4k² ≈ 7·10⁷ xor+popcounts, codegen'd
+    val hashes = df.select(col("doc_id"),
+      graft.ml.Dedup.simhash(col("text")).as("h"))
+    val a = hashes.select(col("doc_id").as("id_a"), col("h").as("ha"))
+    val b = hashes.select(col("doc_id").as("id_b"), col("h").as("hb"))
+    val exhaustive = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == exhaustive,
+      s"pigeonhole blocking diverged from exhaustive at ×16: " +
+        s"blocked ${blocked.size} vs exhaustive ${exhaustive.size}")
+    info(s"simhash ×16: ${exhaustive.size} true pairs, blocking exact")
+  }
 }
