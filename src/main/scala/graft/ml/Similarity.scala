@@ -421,17 +421,32 @@ object Similarity {
     *
     * Bucket sizing: hyperplane buckets partition SPACE, so expected
     * bucket size is n/2^nBits and the per-band self-join is quadratic
-    * in it — size nBits with the corpus (e.g. 2^nBits ≈ n/1000 keeps
-    * buckets ~1000 rows) and spend recall budget on more bands. */
+    * in it — size nBits with the corpus (2^nBits ≈ n/1000 keeps
+    * buckets ~1000 rows) and spend recall budget on more bands.
+    * r11 defaults do BOTH automatically: `nBits <= 0` derives the
+    * bucket space from one corpus count ([[graft.ml.Dedup.autoNBits]],
+    * target 1000 rows — wider than embeddingDedup's 125 because this
+    * op's cost is the bucket self-JOIN, not an in-bucket kernel), and
+    * `bands <= 0` co-scales via [[graft.ml.Dedup.autoBands]] to hold
+    * per-pair miss ≤ `missBound` AT the threshold — raising past the
+    * band cap instead of silently dropping recall (a t=0.8 pair list
+    * over ~100M+ vectors needs explicit geometry or a looser bound;
+    * the raise says so at plan time). Explicit values honored. */
   def lshNeighborPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                       nBits: Int = 6, bands: Int = 16,
-                       threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+                       nBits: Int = 0, bands: Int = 0,
+                       threshold: Double = 0.8, seed: Long = 42L,
+                       targetBucketRows: Long = 1000L,
+                       missBound: Double = 1e-3): DataFrame = {
+    val useBits = if (nBits > 0) nBits
+      else graft.ml.Dedup.autoNBits(corpus.count(), targetBucketRows)
+    val useBands = if (bands > 0) bands
+      else graft.ml.Dedup.autoBands(threshold, useBits, missBound)
     // persisted like Dedup.sigFrame: the banding explode feeds BOTH
     // sides of the candidate self-join — without the persist the LSH
     // kernel would run twice per row — and both verify joins re-read
     // the vectors (LRU-evicted under pressure)
     val keyed = corpus.select(col(idCol).as("__id"),
-      graft.functions.Kernels.cosineLshBands(col(vecCol), bands, nBits, seed).as("__keys"))
+      graft.functions.Kernels.cosineLshBands(col(vecCol), useBands, useBits, seed).as("__keys"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = keyed.select(col("__id"),
       posexplode(col("__keys")).as(Seq("__band", "__key")))

@@ -217,6 +217,32 @@ class SelfSizingDefaultsSpec extends GraftSpec {
     assert(overlap >= 35, s"default-path recall $overlap/50 under the certificate floor")
   }
 
+  test("lshNeighborPairs ALL-DEFAULTS finds every planted pair at ×16 (8k rows)") {
+    import spark.implicits._
+    // the audit op (complete high-cosine pair list): auto nBits targets
+    // 1000 rows/bucket (the cost is the bucket self-JOIN, so the target
+    // is wider than embeddingDedup's in-bucket 125), auto bands holds
+    // miss ≤ 1e-3 at the 0.8 threshold. 8k rows → nBits=4 floor,
+    // bands=14. Planted pairs sit at cos ≈ 0.93-0.99 (jitter σ=0.15 at
+    // dim 64), far above both the threshold and the miss bound's worst
+    // case; non-planted pairs at dim 64 cannot reach 0.8 by chance.
+    val (base, twinRows) = plantedCorpus(8000, twins = 200,
+      jitterSigma = 0.15, dim = 64, seed = 555L)
+    val df = (base.map { case (i, v) => (i, v.toSeq) } ++
+      twinRows.map { case (i, v, _) => (i, v.toSeq) }).toSeq.toDF("id", "vec")
+    val pairs = Similarity.lshNeighborPairs(df, "id", "vec") // all defaults
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = twinRows.filter(_._3 >= 0.8)
+      .map { case (tid, _, _) => (tid - 1000000L, tid) }.toSet
+    assert(expected.size > 150, s"generator drift: only ${expected.size} planted pairs")
+    assert(expected.subsetOf(pairs),
+      s"planted pairs missed by the default geometry: ${(expected -- pairs).take(5)}")
+    // precision: every reported pair is genuinely ≥ threshold (the op
+    // verifies with exact cosine, so any extra pair must be a real one)
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
   // ---------------------------------------------------------------
   // MinHash family at ×16: these geometries are corpus-independent BY
   // DESIGN (MinHash bands key on signature VALUES, so bucket load
