@@ -99,6 +99,19 @@ class PlanQualitySpec extends GraftSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("embeddingDedup ALL-DEFAULTS (auto nBits+bands) keeps the same plan shape") {
+    // r11: self-sizing flips the default geometry — the sizing count()
+    // runs as its own job at build time, so the RESULT plan must be
+    // byte-for-byte the bucket-join shape the explicit-geometry test
+    // pins, never a degraded all-pairs fallback
+    import graft.ml.Dedup
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = Dedup.embeddingDedup(e, "vec_id", "embedding")
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_ann_topk folds top-k in a partial aggregate — no full-corpus window") {
     val p = plan("q_ann_topk")
     // the per-query top-k must be a partial+final aggregate (bounded
