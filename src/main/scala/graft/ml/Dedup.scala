@@ -907,12 +907,15 @@ object Dedup {
     * do strictly better: p rises with cosine). Floor 4 keeps OR
     * amplification non-degenerate on tiny spaces; over [[MaxAutoBands]]
     * raises with the geometry spelled out, the same plan-time-error
-    * philosophy as the bucketBudget guard. Pinned by
-    * ReadersExtensionsSpec "autoBands recall formula". */
+    * philosophy as the bucketBudget guard. threshold = 1.0 (exact-
+    * direction dedup) is valid: every qualifying pair collides in
+    * every band, so the floor count alone holds any bound. Pinned by
+    * SelfSizingDefaultsSpec "autoBands recall formula". Shared by
+    * [[embeddingDedup]] and [[Similarity.lshNeighborPairs]]. */
   private[graft] def autoBands(threshold: Double, nBits: Int,
                                missBound: Double = 1e-3): Int = {
-    require(threshold > 0.0 && threshold < 1.0,
-      s"autoBands needs a cosine threshold in (0,1): $threshold")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"autoBands needs a cosine threshold in (0,1]: $threshold")
     require(missBound > 0.0 && missBound < 1.0,
       s"missBound must be in (0,1): $missBound")
     val p = 1.0 - math.acos(threshold) / math.Pi
@@ -924,12 +927,12 @@ object Dedup {
     val b = math.max(4, raw)
     if (b > MaxAutoBands)
       throw new IllegalArgumentException(
-        f"embeddingDedup: holding miss<=$missBound%g at threshold=$threshold " +
+        f"autoBands: holding miss<=$missBound%g at threshold=$threshold " +
           f"with nBits=$nBits needs $b bands (> $MaxAutoBands cap) — " +
           f"one-band collision prob p^nBits=$pBand%.3g is too small for OR " +
-          "amplification to rescue cheaply. Lower nBits/targetBucketRows " +
-          "(denser buckets), raise missBound, or pass explicit bands " +
-          "to accept the cost.")
+          "amplification to rescue cheaply. Lower nBits (denser buckets, " +
+          "e.g. via a larger rows-per-bucket target), raise missBound, " +
+          "or pass explicit bands to accept the cost.")
     b
   }
 
@@ -1035,9 +1038,20 @@ object Dedup {
                     refineIters: Int = 1, seed: Long = 42L,
                     roundDigits: Int = 6,
                     clusterBudget: Long = 200L * 1000): DataFrame = {
+    requireIntegralId(df, idCol) // BEFORE the clustering burns a k-means pass
     val cents = semanticCentroids(df, idCol, vecCol, nLists, refineIters, seed)
     semanticDedupWithCentroids(df, idCol, vecCol, threshold, cents,
       roundDigits, clusterBudget)
+  }
+
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    df.schema(idCol).dataType match {
+      case LongType | IntegerType => ()
+      case other => throw new IllegalArgumentException(
+        s"semanticDedup needs an integral id column for the min-id keep " +
+          s"rule, got $idCol: $other")
+    }
   }
 
   /** The operator's exact clustering, collected ONCE to a driver-local
@@ -1088,14 +1102,8 @@ object Dedup {
                                  threshold: Double, cents: DataFrame,
                                  roundDigits: Int = 6,
                                  clusterBudget: Long = 200L * 1000): DataFrame = {
-    import org.apache.spark.sql.types.{IntegerType, LongType}
+    requireIntegralId(df, idCol)
     val idType = df.schema(idCol).dataType
-    idType match {
-      case LongType | IntegerType => ()
-      case other => throw new IllegalArgumentException(
-        s"semanticDedup needs an integral id column for the min-id keep " +
-          s"rule, got $idCol: $other")
-    }
     // null ids AND null vectors sit out the whole pass — neither can
     // participate in min-id dedup (a null vector would reach the
     // in-cluster kernel as a null array and NPE; embeddingDedup drops

@@ -34,6 +34,10 @@ class SelfSizingDefaultsSpec extends GraftSpec {
     // tighter bound → more bands; higher threshold → fewer
     assert(Dedup.autoBands(0.95, 8, missBound = 1e-4) == 17)
     assert(Dedup.autoBands(0.999, 8) == 4) // floor: OR amp never degenerate
+    // threshold 1.0 (exact-direction dedup) is valid: p^nBits == 1, every
+    // qualifying pair collides in every band — floor bands, no throw
+    // (r10's fixed bands=16 accepted it; the auto default must too)
+    assert(Dedup.autoBands(1.0, 8) == 4)
     // the formula's own miss bound really holds at the pinned values:
     // (1-p^nBits)^bands <= missBound
     for (nb <- Seq(4, 8, 16, 24, 32)) {
@@ -64,16 +68,31 @@ class SelfSizingDefaultsSpec extends GraftSpec {
 
   test("explicit geometry is honored unchanged (certificates pin exact plans)") {
     import spark.implicits._
-    val rng = new scala.util.Random(5)
-    val df = (0 until 400).map(i =>
-      (i.toLong, Seq.fill(16)(rng.nextGaussian().toFloat))).toDF("id", "vec")
-    // bands=3 explicit: below the floor autoBands would ever pick, so
-    // the run proves the auto path did not override it (wrong band
-    // count → different LSH keys → this exact keep-set count is only
-    // reachable through bands=3)
-    val explicitRun = Dedup.embeddingDedup(df, "id", "vec",
-      threshold = 0.95, nBits = 5, bands = 3)
-    assert(explicitRun.count() == 400) // no natural dups at dim 16, n=400
+    // deliberately WEAK explicit geometry (nBits=16, bands=1: a pair at
+    // cos≈0.96 collides with prob p¹⁶ ≈ 0.18 in the single band) on a
+    // corpus of planted near-dups. Honoring it MUST miss most planted
+    // twins; the auto default (nBits=4, bands=7 here) must catch all.
+    // If the auto path silently overrode the explicit values — the
+    // regression that would invalidate every geometry-pinning
+    // certificate query — the weak run would catch everything too and
+    // the strict inequality below fails. Deterministic: fixed seeds.
+    val (base, twinRows) = plantedCorpus(400, twins = 50,
+      jitterSigma = 0.10, dim = 64, seed = 808L)
+    val qualifying = twinRows.filter(_._3 >= 0.95).map(_._1).toSet
+    assert(qualifying.size > 30, s"generator drift: ${qualifying.size} qualifying")
+    val df = (base.map { case (i, v) => (i, v.toSeq) } ++
+      twinRows.map { case (i, v, _) => (i, v.toSeq) }).toSeq.toDF("id", "vec")
+    val weakKept = Dedup.embeddingDedup(df, "id", "vec",
+      threshold = 0.95, nBits = 16, bands = 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val autoKept = Dedup.embeddingDedup(df, "id", "vec", threshold = 0.95)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val weakMissed = qualifying.count(weakKept.contains)
+    val autoMissed = qualifying.count(autoKept.contains)
+    info(s"weak explicit geometry missed $weakMissed/${qualifying.size}; auto missed $autoMissed")
+    assert(autoMissed == 0, "the auto default must catch every planted twin")
+    assert(weakMissed > 0,
+      "nBits=16/bands=1 caught everything — explicit geometry was overridden by auto")
   }
 
   // ---------------------------------------------------------------
@@ -238,8 +257,21 @@ class SelfSizingDefaultsSpec extends GraftSpec {
     assert(expected.size > 150, s"generator drift: only ${expected.size} planted pairs")
     assert(expected.subsetOf(pairs),
       s"planted pairs missed by the default geometry: ${(expected -- pairs).take(5)}")
-    // precision: every reported pair is genuinely ≥ threshold (the op
-    // verifies with exact cosine, so any extra pair must be a real one)
+    // precision: every reported pair is genuinely ≥ threshold — checked
+    // against a driver-side exact cosine, not trusted to the op's own
+    // verify filter (a broken filter passing raw candidates would
+    // otherwise slip through)
+    val vecs: Map[Long, Array[Float]] =
+      (base.map { case (i, v) => i -> v } ++
+        twinRows.map { case (i, v, _) => i -> v }).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val belowThreshold = pairs.filter { case (a, b) => cos(vecs(a), vecs(b)) < 0.8 - 1e-6 }
+    assert(belowThreshold.isEmpty,
+      s"sub-threshold pairs reported: ${belowThreshold.take(5)}")
     assert(pairs.forall { case (a, b) => a < b })
   }
 

@@ -59,7 +59,10 @@ class SurveyAnchorsSpec extends AnyFunSuite {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     var refsChecked = 0
     rows.foreach { row =>
-      val cols = row.split('|')
+      // cells containing escaped pipes (`k-means\|\|`) must not split —
+      // a plain split('|') would truncate the implementation column
+      // there and silently skip every anchor after the escape
+      val cols = row.split("(?<!\\\\)\\|")
       if (cols.length >= 3) {
         val m = tokRe.matcher(cols(2))
         while (m.find()) {
