@@ -30,6 +30,7 @@ object Bench {
     "q_stratified_sample", "q_mixture_exact", "q_ingest_pipeline",
     "q_tfidf_keywords", "q_lm_score", "q_lm_bigram", "q_chunk", "q_rag_pipeline",
     "q_video_dedup", "q_nb_score", "q_semantic_dedup", "q_curriculum",
+    "q_skew_agg", "q_skew_join",
     // LAST deliberately: the distributed CC loop spawns dozens of
     // short stages and its async unpersist/shuffle cleanup bleeds into
     // whatever runs next (measured +4s on the following query when it
@@ -263,7 +264,7 @@ object Bench {
   }
   @volatile private var sentinelSink: Long = 0L // defeats DCE of the loop
 
-  private def sentinel(): Double = {
+  private[graft] def sentinel(): Double = {
     val t0 = System.nanoTime()
     var h = 0xCBF29CE484222325L
     var i = 0
@@ -284,7 +285,7 @@ object Bench {
   // ALU loop cannot see. This probe times writing 8 MiB + fsync to
   // the same /tmp the export entries write; clean value committed
   // next to the CPU sentinel's in SCALING.md.
-  private def sentinelIo(): Double = {
+  private[graft] def sentinelIo(): Double = {
     val f = java.io.File.createTempFile("graft_bench_iosentinel", ".bin")
     try {
       val chunk = java.util.Arrays.copyOf(sentinelBuf, 1 << 20) // 1 MiB

@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Agg, CrysFrame, sel}
 import graft.ml.{Dedup, HeavyHitters, Sampling, Similarity}
-import graft.operators.{AsOfJoin, BloomPrune}
+import graft.operators.{AsOfJoin, BloomPrune, Skew}
 import graft.sources.{Readers, Warc, ZOrder}
 import graft.text.{Search, TextFunctions}
 import graft.multimodal.Multimodal
@@ -1926,6 +1926,45 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), F.sum(col("l_quantity")).as("sum_qty")))
         .sortBy("l_returnflag").out
+    }),
+
+    // Salted two-stage aggregation (operators.Skew.saltedAgg): the
+    // whole lineitem table collapsing into 3 l_returnflag groups is
+    // the hot-reducer shape AQE cannot split (it splits skewed JOIN
+    // partitions, not skewed aggregation groups). The oracle is the
+    // plain one-stage GROUP BY — green proves salting changes WHERE
+    // partials accumulate (16 sub-keys per group), never the result.
+    // Sums stay exact across the two stages: quantities are
+    // integer-valued doubles, so accumulation order cannot matter.
+    "q_skew_agg" -> ((s, d) =>
+      CrysFrame(Skew.saltedAgg(t(s, d, "lineitem"), Seq("l_returnflag"),
+          saltBuckets = 16,
+          partials = Seq("__n" -> count(lit(1)),
+            "__q" -> F.sum(col("l_quantity"))),
+          merges = Seq("n" -> F.sum(col("__n")),
+            "sum_qty" -> F.sum(col("__q")))))
+        .sortBy("l_returnflag").out),
+
+    // Salted replicated join (operators.Skew.saltedJoin): every
+    // lineitem row hits one of 3 dim keys — a 100%-hot-key join
+    // where an unsalted shuffle would land each key on ONE reducer
+    // and broadcast may be infeasible for a wide-at-scale right side.
+    // The oracle is the plain join — green proves the (key, salt)
+    // rewrite with an exploded right side is row-for-row identical,
+    // including multiplicity (the count would change if replication
+    // duplicated or dropped a match).
+    "q_skew_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val dim = li.groupBy(col("l_returnflag"))
+        .agg(F.round(avg(col("l_quantity")), 6).as("rf_avg_qty"))
+      CrysFrame(Skew.saltedJoin(
+          li.select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_quantity")),
+          dim, Seq("l_returnflag"), saltBuckets = 8)
+        .filter(col("l_quantity") > col("rf_avg_qty"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n")))
+        .sortBy("l_returnflag").out
     })
   )
 
@@ -3637,6 +3676,25 @@ object SparkEntry {
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // the salted two-stage agg must equal the plain one-stage GROUP BY
+    "q_skew_agg" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // the salted replicated join must preserve match multiplicity
+    "q_skew_join" ->
+      """WITH dim AS (
+        |  SELECT l_returnflag, round(avg(l_quantity), 6) AS rf_avg_qty
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT li.l_returnflag, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem li JOIN dim USING (l_returnflag)
+        |WHERE li.l_quantity > dim.rf_avg_qty
+        |GROUP BY li.l_returnflag
+        |ORDER BY li.l_returnflag""".stripMargin
   )
 }
