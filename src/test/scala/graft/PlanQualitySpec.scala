@@ -356,4 +356,27 @@ class PlanQualitySpec extends GraftSpec {
     assert(p.linesIterator.exists(l =>
       l.contains("Join") && l.contains("LeftAnti")), p)
   }
+
+  test("q_skew_agg plans two partial-then-final aggregations, nothing else") {
+    val p = plan("q_skew_agg")
+    // stage 1 keyed on (key, salt), stage 2 on key, plus the output
+    // sort — three exchanges total; a regression that loses the
+    // map-side combine or adds a join/window shows up as extra nodes
+    assert(p.contains("HashAggregate"), p)
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 3, s"expected <=3 exchanges (2 agg stages + sort), got $exchanges\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_skew_join plans an equi-join on (key, salt) — no cartesian, salt dropped") {
+    val p = plan("q_skew_join")
+    // the right side is replicated by an explode, NOT by a cross join;
+    // the join itself must stay a hash equi-join on the salted key
+    assert(p.contains("Generate explode") || p.contains("explode"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // __salt is internal plumbing: it must not survive into the output
+    val out = SparkEntry.queries("q_skew_join")(spark, dir).schema.fieldNames
+    assert(!out.contains("__salt"), out.mkString(","))
+  }
 }

@@ -53,4 +53,49 @@ class SkewSpec extends GraftSpec {
     val semi = Skew.saltedJoin(skewed, right, Seq("k"), joinType = "left_semi")
     assert(semi.count() == skewed.join(right, Seq("k"), "left_semi").count())
   }
+
+  // ---- the classic salting traps, pinned ----------------------------
+
+  test("saltedAgg keeps null a valid group (reference group_by semantics)") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), (null, 2.0), ("a", 3.0), (null, 4.0), ("b", 5.0))
+      .toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("s"))
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(1))).toMap
+    val salted = Skew.saltedAgg(df, Seq("k"), 4,
+      partials = Seq("__s" -> sum(col("v"))),
+      merges = Seq("s" -> sum(col("__s"))))
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(1))).toMap
+    assert(salted == direct, s"$salted vs $direct")
+  }
+
+  test("saltedJoin agrees with the plain join on null keys (never equi-match)") {
+    import spark.implicits._
+    val left = Seq(("a", 1L), (null, 2L), ("a", 3L), (null, 4L)).toDF("k", "n")
+    val right = Seq(("a", "dimA"), (null, "dimNull")).toDF("k", "d")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        Option(r.getString(2)))).sortBy(t => (t._1, t._2)).toSeq
+    // inner: null keys drop on both paths
+    assert(canon(Skew.saltedJoin(left, right, Seq("k"), 4)) ==
+      canon(left.join(right, Seq("k"))))
+    // left: null-key left rows survive null-padded EXACTLY ONCE — the
+    // bug replication would introduce is saltBuckets copies of them
+    assert(canon(Skew.saltedJoin(left, right, Seq("k"), 4, "left")) ==
+      canon(left.join(right, Seq("k"), "left")))
+  }
+
+  test("salted forms on empty and multi-key inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Double)].toDF("k", "v")
+    assert(Skew.saltedCount(empty, Seq("k")).count() == 0L)
+    // two grouping keys, salt rides both
+    val df = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("a", "x", 3.0))
+      .toDF("k1", "k2", "v")
+    val direct = df.groupBy("k1", "k2").count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val salted = Skew.saltedCount(df, Seq("k1", "k2"), 4)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(salted == direct)
+  }
 }
