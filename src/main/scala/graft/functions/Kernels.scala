@@ -58,6 +58,9 @@ object Kernels {
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSimExpr(expression(a), expression(b)))
 
+  def bestCosine(vec: Column, cands: Column): Column =
+    column(BestCosineExpr(expression(vec), expression(cands)))
+
   def cosineLshBands(vec: Column, bands: Int, bitsPerBand: Int, seed: Long): Column =
     column(CosineLshBandsExpr(expression(vec), bands, bitsPerBand, seed))
 
@@ -516,6 +519,113 @@ case class CosineSimExpr(left: Expression, right: Expression)
       i += 1
     }
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Argmax cosine against a BROADCAST candidate set in one tight JVM
+  * loop per row: `best_cosine(vec, array<struct<list_id, cvec>>)` →
+  * `struct(list_id, sim)` of the highest-cosine candidate. Replaces
+  * the `array_max(transform(cs, c => struct(cosine(...), id)))` HOF
+  * pair wherever a row is scored against every candidate
+  * (`Similarity.assignLists`, the k-means|| D² pass): `transform` is
+  * INTERPRETED per element, so at auto-sized geometry the per-row
+  * candidate scan paid interpreter dispatch per candidate per
+  * dimension — the r11 ×64 vector stress measured the seeding pass
+  * wedged for 10+ minutes at 128k rows × ~700 candidates where this
+  * kernel's primitive loop takes seconds (same cliff class as the r7
+  * z-order bucket HOF, 4× the whole write's cost).
+  *
+  * Semantics mirror the HOF formulation exactly (spec-pinned in
+  * `BestCosineSpec` against the old expression): NaN sims sort
+  * GREATEST (Spark's double ordering), an equal-sim tie picks the
+  * larger list_id (struct max ordering), null candidate structs are
+  * skipped, all-null-sim candidate sets yield (max list_id, null sim)
+  * — the struct-ordering artifact array_max produced — and an empty
+  * set yields null. One deliberate divergence: a NULL input vector
+  * returns null (nullSafeEval) where the HOF returned the
+  * struct-ordering artifact; every caller either pre-filters null
+  * vectors or drops the null list_id in a later equi-join, and null
+  * never silently claims an assignment. */
+case class BestCosineExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("list_id", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = true)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    Kernels.requireNumericArray("best_cosine", left.dataType) match {
+      case TypeCheckResult.TypeCheckSuccess => right.dataType match {
+        case ArrayType(StructType(Array(
+            StructField(_, LongType | IntegerType, _, _),
+            StructField(_, ArrayType(FloatType | DoubleType | LongType | IntegerType, _), _, _))), _) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"best_cosine expects array<struct<id int|long, cvec array<numeric>>>, got ${other.sql}")
+      }
+      case fail => fail
+    }
+
+  private def elemGetter(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case FloatType   => (a, i) => a.getFloat(i).toDouble
+    case DoubleType  => (a, i) => a.getDouble(i)
+    case LongType    => (a, i) => a.getLong(i).toDouble
+    case IntegerType => (a, i) => a.getInt(i).toDouble
+    case other => throw new IllegalArgumentException(s"best_cosine over $other")
+  }
+
+  @transient private lazy val getV =
+    elemGetter(left.dataType.asInstanceOf[ArrayType].elementType)
+  @transient private lazy val candStruct =
+    right.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  @transient private lazy val idIsLong = candStruct.fields(0).dataType == LongType
+  @transient private lazy val getC =
+    elemGetter(candStruct.fields(1).dataType.asInstanceOf[ArrayType].elementType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val cs = r.asInstanceOf[ArrayData]
+    val m = cs.numElements()
+    if (m == 0) return null
+    val n = v.numElements()
+    val vd = new Array[Double](n)
+    var nv = 0.0
+    var i = 0
+    while (i < n) { val x = getV(v, i); vd(i) = x; nv += x * x; i += 1 }
+    val vnorm = math.sqrt(nv)
+    var bestSet = false; var bestSim = 0.0; var bestId = Long.MinValue
+    var anyCand = false; var maxId = Long.MinValue
+    var j = 0
+    while (j < m) {
+      if (!cs.isNullAt(j)) {
+        val st = cs.getStruct(j, 2)
+        val id = if (idIsLong) st.getLong(0) else st.getInt(0).toLong
+        anyCand = true
+        if (id > maxId) maxId = id
+        if (!st.isNullAt(1)) {
+          val c = st.getArray(1)
+          val k = math.min(n, c.numElements())
+          var dot = 0.0; var nc = 0.0; var t = 0
+          while (t < k) { val y = getC(c, t); dot += vd(t) * y; nc += y * y; t += 1 }
+          val sim = dot / (vnorm * math.sqrt(nc))
+          val cmp = java.lang.Double.compare(sim, bestSim)
+          if (!bestSet || cmp > 0 || (cmp == 0 && id > bestId)) {
+            bestSet = true; bestSim = sim; bestId = id
+          }
+        }
+      }
+      j += 1
+    }
+    if (bestSet)
+      org.apache.spark.sql.catalyst.InternalRow(bestId, bestSim)
+    else if (anyCand)
+      org.apache.spark.sql.catalyst.InternalRow(maxId, null)
+    else null
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

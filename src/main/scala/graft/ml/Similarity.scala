@@ -145,11 +145,15 @@ object Similarity {
       // vectors ||x-c||² = 2(1-cos); unnormalized vectors use the same
       // direction-only metric the index itself ranks by
       def withD2(cand: DataFrame) = {
-        val cs = cand.agg(collect_list(col("cvec")).as("cs"))
+        // same kernel as assignLists (ids are dummies — only the max
+        // sim is read); the interpreted HOF max was the r11 ×64
+        // stress's 10-minute wall at ~700 candidates × 128k rows
+        val cs = cand.agg(collect_list(
+          struct(lit(0L).as("list_id"), col("cvec"))).as("cs"))
         v.crossJoin(broadcast(cs))
-          .withColumn("__d2", lit(2.0) *
-            (lit(1.0) - array_max(transform(col("cs"),
-              c => cosine(col("__cv"), c)))))
+          .withColumn("__d2", lit(2.0) * (lit(1.0) -
+            graft.functions.Kernels.bestCosine(col("__cv"), col("cs"))
+              .getField("sim")))
           .drop("cs")
       }
       var r = 0
@@ -274,11 +278,17 @@ object Similarity {
   def assignLists(corpus: DataFrame, idCol: String, vecCol: String,
                   cents: DataFrame): DataFrame = {
     val centArr = cents.agg(collect_list(struct(col("list_id"), col("cvec"))).as("cs"))
+    // best_cosine kernel, NOT array_max∘transform: the HOF pair is
+    // interpreted per candidate per dimension, which the r11 ×64
+    // stress measured as a wall at auto-sized nLists (see the
+    // BestCosineExpr scaladoc); identical argmax semantics, one tight
+    // loop per row. Null vectors assign a null list_id (dropped by
+    // every downstream equi-join) instead of the HOF's struct-ordering
+    // artifact.
     corpus.crossJoin(broadcast(centArr))
       .withColumn("list_id",
-        array_max(transform(col("cs"), c =>
-          struct(cosine(col(vecCol), c.getField("cvec")).as("sim"),
-            c.getField("list_id").as("list_id")))).getField("list_id"))
+        graft.functions.Kernels.bestCosine(col(vecCol), col("cs"))
+          .getField("list_id"))
       .drop("cs")
   }
 

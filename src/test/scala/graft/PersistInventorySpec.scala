@@ -65,6 +65,7 @@ class PersistInventorySpec extends AnyFunSuite {
     "src/main/scala/graft/ml/Pq.scala" -> 1, // training vectors (paired)
     "src/main/scala/graft/ml/Similarity.scala" -> 3, // k-means init (paired) + LSH keys/vecs (LRU)
     "src/main/scala/graft/sources/Export.scala" -> 1, // curriculum sorted RDD (LRU)
+    "src/main/scala/graft/VectorStress.scala" -> 1, // recall ground truth (paired)
     "src/main/scala/graft/text/Classifier.scala" -> 1, // NB aggregate (paired)
     "src/main/scala/graft/text/Decontaminate.scala" -> 2) // n-gram explode + span base (LRU)
 
@@ -81,7 +82,7 @@ class PersistInventorySpec extends AnyFunSuite {
       "\npersist sites drifted from SCALING.md §Persist-site inventory — " +
         "document the new/removed site there AND update this spec.\n" +
         s"actual:   $actual\nexpected: $expectedPersist")
-    assert(actual.values.sum == 17) // the inventory's headline count
+    assert(actual.values.sum == 18) // the inventory's headline count
   }
 
   test("every .cache() in src/main is in the checked-in inventory") {
