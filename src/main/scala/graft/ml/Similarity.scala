@@ -81,7 +81,12 @@ object Similarity {
     *
     * Scale shape per round: map-only D² scoring vs broadcast
     * candidates, one scalar agg, one ≤~2·nLists-row collect — no
-    * shuffle of the corpus anywhere in seeding; Lloyd refine unchanged
+    * hash shuffle of the corpus anywhere in seeding (a corpus arriving
+    * in fewer splits than half the cluster's parallelism gets ONE
+    * bounded round-robin spread before the persisted seeding
+    * projection, so the O(rows × candidates) D² compute can't
+    * serialize on a single input split; results are content-stable
+    * under any partitioning, spec-pinned); Lloyd refine unchanged
     * (nLists × dim aggregation rows). */
   def centroids(corpus: DataFrame, idCol: String, vecCol: String,
                 nLists: Int = 16, refineIters: Int = 1,
@@ -120,8 +125,20 @@ object Similarity {
                                  nLists: Int, seed: Long): DataFrame = {
     val rounds = 4
     val over = 2 * nLists // per-round expected oversample (the || "l")
-    val v = corpus.filter(col(vecCol).isNotNull)
+    val vBase = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("__cid"), col(vecCol).cast("array<double>").as("__cv"))
+    // Seeding cost is O(rows × candidates) COMPUTE, so a corpus that
+    // arrives in one or two splits (a single small parquet file — the
+    // r11 ×64 stress fixture) would serialize the D² rounds on one
+    // task. Spread the library-owned projection before persisting: the
+    // one-off shuffle is bounded by the (id, vector) projection size,
+    // and every seeding step is content-stable under repartitioning by
+    // construction (hash draws keyed on (round, id), pool sorted by id
+    // — spec-pinned), so results cannot move. A real at-scale corpus
+    // arrives in many splits and skips this entirely.
+    val spread = corpus.sparkSession.sparkContext.defaultParallelism
+    val vPar = vBase.rdd.getNumPartitions
+    val v = (if (vPar * 2 < spread) vBase.repartition(spread) else vBase)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val first = v.orderBy(col("__cid")).limit(1).collect()
