@@ -52,7 +52,12 @@ import graft.operators.Skew
   * Usage (after `graft.Amplify <sf0.1> <dir> 16 orders,lineitem` and
   * `graft.Amplify <sf0.1> <dir> 64 events`):
   *   SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g \
-  *     sbt 'runMain graft.SkewStress <dir> <skewDir> 30'
+  *     sbt 'runMain graft.SkewStress <dir> <skewDir> 30 16'
+  * The 4th arg is the orders/lineitem AMPLIFICATION factor (default
+  * 16) — it sizes the contract-shaped right slice at the BASE key
+  * span (orders.count / factor); a fixture amplified at a different
+  * factor must pass its own factor or the join_plain/join_salted
+  * comparison silently mis-sizes.
   * Prints one JSON line: arms (min-of-3 sec), spill bytes, hot shares,
   * equality verdicts, CPU/IO sentinel pair.
   */
@@ -74,6 +79,8 @@ object SkewStress {
     val dst = if (args.length > 1) args(1) else "/tmp/graft_skew"
     val hotPct = if (args.length > 2) args(2).toInt else 30
     require(hotPct > 0 && hotPct < 100, s"hotPct in (0,100): $hotPct")
+    val ampFactor = if (args.length > 3) args(3).toInt else 16
+    require(ampFactor >= 1, s"amplification factor must be >= 1: $ampFactor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     GraftSession.setLogLevel(spark, "WARN")
@@ -140,7 +147,7 @@ object SkewStress {
     // ×saltBuckets replication is cheap). Amplify keeps copy 0 on the
     // original key span, so the slice still contains the hot key and
     // every copy-0 FK.
-    val baseSpan = hotOrder + orders.count() / 16 // ×16 amplified ⇒ base span
+    val baseSpan = hotOrder + orders.count() / ampFactor // base key span
     val ordSlice = orders.filter(col("o_orderkey") < baseSpan)
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
 
@@ -207,6 +214,11 @@ object SkewStress {
     val times = arms.map { case (name, mk) =>
       noop(mk()) // warmup: JIT + codegen + footers
       spark.catalog.clearCache(); System.gc()
+      // grace BEFORE the reset, mirroring the post-measurement sleep:
+      // task-end events from the warmup (or the previous arm's
+      // stragglers) post asynchronously and would otherwise leak into
+      // this arm's spill attribution
+      Thread.sleep(1000)
       tally.reset()
       val t = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

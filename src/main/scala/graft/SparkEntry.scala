@@ -1305,6 +1305,45 @@ object SparkEntry {
       CrysFrame(ivf.union(bad)).sortBy("query_id", "rank").out
     }),
 
+    // CALIBRATED IVF top-k (r12): the probe count is not guessed from
+    // √nLists but MEASURED in-job — a bounded query sample's recall
+    // against a one-scan brute-force ground truth escalates nProbe
+    // (×2 steps, capped) until the 0.7 target holds, and the measured
+    // recall + chosen probe count ride every output row. rows-only
+    // (approximate by design) with TWO in-band certificates: (a) the
+    // emitted measured_recall must clear the target (raise otherwise —
+    // the op proceeds-with-evidence at its cap, the query gates on the
+    // evidence), (b) the same independent brute-force overlap floor as
+    // q_ann_ivf, so the calibration cannot vouch for itself.
+    "q_ann_ivf_cal" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+      val cal = Similarity.ivfTopKCalibrated(e, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, targetRecall = 0.7,
+        nLists = 16)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("nn_id"),
+          round(col("cos_sim"), 6).as("cos_sim"),
+          round(col("measured_recall"), 6).as("measured_recall"),
+          col("calibrated_nprobe").cast("long").as("calibrated_nprobe"))
+      val bf = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("nn_id"))
+      val hits = cal.select(col("query_id"), col("nn_id"), col("measured_recall"))
+        .join(bf, Seq("query_id", "nn_id"), "left_semi")
+        .agg(count(lit(1)).as("__h"), F.min(col("measured_recall")).as("__r"))
+      val idType = e.schema("vec_id").dataType
+      val bad = hits.filter(col("__h") < 35 || col("__r") < 0.7)
+        .select(
+          raise_error(concat(lit("ivfTopKCalibrated certificate failed: "),
+            col("__h").cast("string"), lit("/50 overlap (floor 35) at measured recall "),
+            col("__r").cast("string"), lit(" (target 0.7)")))
+            .cast(idType).as("query_id"),
+          lit(0L).as("rank"), lit(null).cast(idType).as("nn_id"),
+          lit(0.0).as("cos_sim"), lit(0.0).as("measured_recall"),
+          lit(0L).as("calibrated_nprobe"))
+      CrysFrame(cal.union(bad)).sortBy("query_id", "rank").out
+    }),
+
     // IVF-PQ with exact re-rank (ml.Pq): inverted lists bound WHICH
     // candidates are touched, 16-byte PQ codes bound the bytes per
     // candidate (16x compression of the 64-float vectors), and the

@@ -18,10 +18,15 @@ import org.apache.spark.sql.functions._
   * caller at growing corpus size rides the sizing formulas alone.
   *
   * Recall is MEASURED against an in-run brute-force ground truth
-  * (50 queries × top-10), not asserted by formula: the record shows
-  * what a default caller actually gets at 128k vectors. Conservative
-  * floors (IVF ≥ 0.7, IVF-PQ ≥ 0.6) turn a catastrophic sizing
-  * regression into a hard failure without pinning the exact value.
+  * (the vec_id<50 query slice × top-10), not asserted by formula: the
+  * record shows what a default caller actually gets at 128k vectors.
+  * The hard floors (IVF ≥ 0.25, IVF-PQ ≥ 0.2) are REGRESSION
+  * TRIPWIRES, not quality claims — the measured default recall on
+  * this rotation-amplified fixture is ~0.41 (neighbors scatter across
+  * copies, so recall tracks the scanned fraction); the floors exist
+  * so a sizing regression that zeroes recall still dies, while the
+  * committed sweep records the real value. The calibrated arm below
+  * is the quality path: it must reach its requested target.
   *
   * Usage (after `graft.Amplify <sf0.1> <dir> 64 embeddings`):
   *   SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g \
@@ -48,7 +53,9 @@ object VectorStress {
       .repartition(cpus.toInt)
     val n = emb.count()
     val queries = emb.filter(col("vec_id") < 50) // copy 0 keeps base ids
-    System.err.println(s"[vector] corpus $n vectors, ${queries.count()} queries")
+    val nQueries = queries.count() // measured, not assumed — a different
+    // fixture's vec_id space may not yield exactly 50 rows
+    System.err.println(s"[vector] corpus $n vectors, $nQueries queries")
 
     def timed(mk: () => DataFrame): (Double, Long) = {
       var rows = 0L
@@ -97,6 +104,29 @@ object VectorStress {
     val rIvf2 = ivfAt(2 * autoProbe)
     val rIvf4 = ivfAt(4 * autoProbe)
 
+    // CALIBRATED arm (r12): the engineered answer to the 0.41 default
+    // reading — ivfTopKCalibrated measures recall on a 20-query sample
+    // in-job and escalates nProbe ×2 (capped at 16× the start) until
+    // the 0.7 target holds. One run, wall-clock recorded (the cost IS
+    // the finding: on this hostile fixture the calibration must buy
+    // most of a brute-force scan to hold 0.7 — that price should be
+    // visible, not hidden); recall below is re-measured on the FULL
+    // query truth, so the floor carries sampling slack vs the in-job
+    // sample.
+    val tCal0 = System.nanoTime()
+    val calRows = graft.ml.Similarity.ivfTopKCalibrated(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 10, targetRecall = 0.7)
+      .select(col("query_id"), col("nn_id"), col("measured_recall"),
+        col("calibrated_nprobe")).collect()
+    val tCal = (System.nanoTime() - tCal0) / 1e9
+    val truthSet = truth.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rCal = calRows.count(r => truthSet((r.getLong(0), r.getLong(1))))
+      .toDouble / truthPairs
+    val calProbe = if (calRows.nonEmpty) calRows.head.getInt(3) else -1
+    val calSampled = if (calRows.nonEmpty) calRows.head.getDouble(2) else -1.0
+    spark.catalog.clearCache(); System.gc()
+
     val (tPq, _) = timed(() => graft.ml.Pq.ivfPqTopK(
       emb, "vec_id", "embedding", queries, "vec_id", "embedding",
       k = 10, m = 16, pqK = 64, rerank = 50))
@@ -126,13 +156,18 @@ object VectorStress {
     // fraction); a sizing regression that zeroes recall must still die
     require(rIvf >= 0.25, f"IVF default-path recall collapsed at n=$n: $rIvf%.3f")
     require(rPq >= 0.2, f"IVF-PQ default-path recall collapsed at n=$n: $rPq%.3f")
+    // the calibrated path is a QUALITY claim, not a tripwire: it must
+    // actually reach the 0.7 target here (0.65 floor = sampling slack
+    // between the 20-query in-job sample and the full 50-query truth)
+    require(rCal >= 0.65,
+      f"calibrated IVF recall missed target at n=$n: $rCal%.3f (sampled $calSampled%.3f, nProbe=$calProbe)")
 
     println(
-      f"""{"metric":"vector_stress","corpus":$n,"queries":50,"k":10,""" +
-        f""""arms":{"ann_brute":$tBrute%.3f,"ann_ivf":$tIvf%.3f,"ann_ivf_pq":$tPq%.3f,""" +
+      f"""{"metric":"vector_stress","corpus":$n,"queries":$nQueries,"k":10,""" +
+        f""""arms":{"ann_brute":$tBrute%.3f,"ann_ivf":$tIvf%.3f,"ann_ivf_cal":$tCal%.3f,"ann_ivf_pq":$tPq%.3f,""" +
         f""""embed_dedup":$tEmbDedup%.3f,"semantic_dedup":$tSem%.3f},""" +
-        f""""recall":{"ivf":$rIvf%.3f,"ivf_2x_probe":$rIvf2%.3f,"ivf_4x_probe":$rIvf4%.3f,"ivf_pq":$rPq%.3f},""" +
-        f""""geometry":{"auto_nlists":$autoLists,"auto_nprobe":$autoProbe},""" +
+        f""""recall":{"ivf":$rIvf%.3f,"ivf_2x_probe":$rIvf2%.3f,"ivf_4x_probe":$rIvf4%.3f,"ivf_cal":$rCal%.3f,"ivf_cal_sampled":$calSampled%.3f,"ivf_pq":$rPq%.3f},""" +
+        f""""geometry":{"auto_nlists":$autoLists,"auto_nprobe":$autoProbe,"cal_nprobe":$calProbe},""" +
         f""""keeps":{"embed_dedup":$keepEmb,"semantic_dedup":$keepSem},""" +
         f""""sentinel":{"cpu_pre":${pre._1}%.3f,"io_pre":${pre._2}%.3f,"cpu_post":${post._1}%.3f,"io_post":${post._2}%.3f}}""")
     spark.stop()

@@ -544,11 +544,15 @@ case class CosineSimExpr(left: Expression, right: Expression)
   * larger list_id (struct max ordering), null candidate structs are
   * skipped, all-null-sim candidate sets yield (max list_id, null sim)
   * — the struct-ordering artifact array_max produced — and an empty
-  * set yields null. One deliberate divergence: a NULL input vector
-  * returns null (nullSafeEval) where the HOF returned the
+  * set yields null. Two deliberate divergences: (1) a NULL input
+  * vector returns null (nullSafeEval) where the HOF returned the
   * struct-ordering artifact; every caller either pre-filters null
   * vectors or drops the null list_id in a later equi-join, and null
-  * never silently claims an assignment. */
+  * never silently claims an assignment. (2) IntegerType candidate ids
+  * are accepted but the result's list_id is always LongType (the HOF
+  * preserved the id type) — internal callers all carry Long ids; an
+  * external caller with int ids gets a widened output schema, never a
+  * changed value. */
 case class BestCosineExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 

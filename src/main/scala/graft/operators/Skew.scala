@@ -53,15 +53,47 @@ object Skew {
     * Only join types that never EMIT unmatched right rows are sound:
     * the right side is replicated once per salt bucket, so a `right` or
     * `full_outer` join would emit each unmatched right row saltBuckets
-    * times. Rejected up front. */
+    * times. Rejected up front.
+    *
+    * The "small-ish right side" contract is ENFORCED, not just
+    * documented: the r11 hot-key stress measured the out-of-contract
+    * shape (9.6M-row right × 16 buckets = 154M replicated rows through
+    * the shuffle) at ~9× WORSE than letting AQE's skew-split handle
+    * the plain join (sweeps/r11_stress_skew.json), while the
+    * in-contract shape (600k × 8 = 4.8M) beats the plain formulation.
+    * Before salting, one `count()` on the right side (it is small-ish
+    * by contract, so the scan is cheap) checks
+    * `rightRows × saltBuckets ≤ replicationBudget`; over budget raises
+    * with the measured economics spelled out — a plan-time error
+    * instead of a silent 9× regression hours into a 100-TB run. Pass
+    * `replicationBudget = 0` to skip the guard when the caller has
+    * already priced the replication (the guard-skip convention shared
+    * with embeddingDedup's bucketBudget). The default 32M sits ~7×
+    * above the measured-good point and ~5× below the measured-bad
+    * one. */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-                 saltBuckets: Int = 8, joinType: String = "inner"): DataFrame = {
+                 saltBuckets: Int = 8, joinType: String = "inner",
+                 replicationBudget: Long = 32L * 1000 * 1000): DataFrame = {
     val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi",
       "leftsemi", "semi", "left_anti", "leftanti", "anti")
     require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
       s"saltedJoin supports inner/left/left_semi/left_anti joins only " +
         s"(got '$joinType'): replicating the right side per salt bucket " +
         s"would duplicate unmatched right rows")
+    if (replicationBudget > 0) {
+      val rightRows = right.count()
+      val replicated = rightRows * saltBuckets
+      if (replicated > replicationBudget)
+        throw new IllegalArgumentException(
+          s"saltedJoin: right side holds $rightRows rows — × $saltBuckets " +
+            s"salt buckets = $replicated replicated rows through the " +
+            s"shuffle, over replicationBudget=$replicationBudget. At this " +
+            "size the salted rewrite was measured ~9× WORSE than a plain " +
+            "shuffle join under AQE skew-split (r11 hot-key stress): drop " +
+            "the salting and let AQE handle it, shrink the right side " +
+            "first, lower saltBuckets, or pass replicationBudget=0 to " +
+            "accept the replication cost knowingly.")
+    }
     val l = left.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)).cast("int"))
     val r = right.withColumn("__salt",

@@ -208,6 +208,74 @@ class SelfSizingDefaultsSpec extends GraftSpec {
     assert(overlap >= 35, s"default-path recall $overlap/50 under the certificate floor")
   }
 
+  test("ivfTopKCalibrated escalates nProbe to the target on a hostile corpus") {
+    import spark.implicits._
+    // UNIFORM random gaussians: no cluster structure, so every list
+    // holds a ~uniform slice of each query's true neighbors and recall
+    // tracks the scanned fraction nProbe/nLists — the small-scale twin
+    // of the r11 ×64 rotation fixture where fixed defaults read 0.41.
+    // At nLists=64 the fixed start (autoNProbe(64)=8) scans 12.5%;
+    // the calibration must measure that shortfall in-job and escalate
+    // (8→16→32→64) until the sampled recall clears 0.7.
+    val rng = new scala.util.Random(123)
+    val corpus = (0 until 4000).map(i =>
+      (i.toLong, Seq.fill(24)(rng.nextGaussian().toFloat))).toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 10)
+    val bf = Similarity.bruteForceTopK(corpus, "id", "vec",
+        queries, "id", "vec", k = 5)
+      .select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the fixed default really is broken here (the premise of the op)
+    val fixed = Similarity.ivfTopK(corpus, "id", "vec",
+        queries, "id", "vec", k = 5, nLists = 64)
+      .select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixedOverlap = fixed.intersect(bf).size
+    info(s"fixed-default overlap on the hostile corpus: $fixedOverlap/50")
+    assert(fixedOverlap < 35,
+      s"fixture not hostile enough: fixed defaults already read $fixedOverlap/50")
+    val cal = Similarity.ivfTopKCalibrated(corpus, "id", "vec",
+      queries, "id", "vec", k = 5, targetRecall = 0.7, nLists = 64,
+      maxProbeFactor = 8).cache()
+    val rows = cal.select("query_id", "nn_id", "measured_recall",
+      "calibrated_nprobe").collect()
+    val measured = rows.head.getDouble(2)
+    val probeUsed = rows.head.getInt(3)
+    info(f"calibrated: nProbe=$probeUsed, sampled recall=$measured%.3f")
+    assert(measured >= 0.7, f"calibration stopped under target: $measured%.3f")
+    assert(probeUsed > Similarity.autoNProbe(64),
+      "calibration claims target recall without escalating past the fixed default")
+    // the calibrated neighbors really carry that recall vs ground truth
+    val calSet = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val calOverlap = calSet.intersect(bf).size
+    assert(calOverlap >= 35, s"calibrated overlap $calOverlap/50 under the floor")
+    assert(calOverlap > fixedOverlap,
+      s"calibration did not improve on the fixed default ($calOverlap vs $fixedOverlap)")
+    cal.unpersist()
+  }
+
+  test("ivfTopKCalibrated does not overpay on clusterable data") {
+    import spark.implicits._
+    // tight clusters: the starting probes already clear the target, so
+    // the loop must stop at step 0 — calibration is a measurement,
+    // not a blanket probe raise
+    val rng = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(40)(Array.fill(dim)(rng.nextGaussian()))
+    val corpus = (0 until 8000).map { i =>
+      val c = centers(i % 40)
+      (i.toLong, c.map(x => (x + 0.05 * rng.nextGaussian()).toFloat).toSeq)
+    }.toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 10)
+    val rows = Similarity.ivfTopKCalibrated(corpus, "id", "vec",
+        queries, "id", "vec", k = 5, targetRecall = 0.7)
+      .select("measured_recall", "calibrated_nprobe").head()
+    val lists = Similarity.autoNLists(8000)
+    assert(rows.getInt(1) == Similarity.autoNProbe(lists),
+      s"escalated (${rows.getInt(1)} probes) although the default already met target")
+    assert(rows.getDouble(0) >= 0.7)
+  }
+
   test("ivfPqTopK ALL-DEFAULTS (+rerank) recall clears the certificate floor at ×16") {
     import spark.implicits._
     val rng = new scala.util.Random(7)

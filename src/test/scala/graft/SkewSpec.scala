@@ -54,6 +54,26 @@ class SkewSpec extends GraftSpec {
     assert(semi.count() == skewed.join(right, Seq("k"), "left_semi").count())
   }
 
+  test("saltedJoin enforces the replication-economics contract") {
+    import spark.implicits._
+    val right = (0 until 100).map(i => (s"k${i % 7}", s"dim$i")).toDF("k", "d")
+    // 100 rows × 8 buckets = 800 replicated rows > budget 500 → refuse,
+    // with the remediation options in the message
+    val ex = intercept[IllegalArgumentException](
+      Skew.saltedJoin(skewed, right, Seq("k"), saltBuckets = 8,
+        replicationBudget = 500L))
+    assert(ex.getMessage.contains("replicated rows"))
+    assert(ex.getMessage.contains("AQE"))
+    // in-contract path unchanged: same budget, fewer buckets
+    val ok = Skew.saltedJoin(skewed, right, Seq("k"), saltBuckets = 4,
+      replicationBudget = 500L)
+    assert(ok.count() == skewed.join(right, Seq("k")).count())
+    // budget 0 skips the guard (caller has priced the replication)
+    val forced = Skew.saltedJoin(skewed, right, Seq("k"), saltBuckets = 8,
+      replicationBudget = 0L)
+    assert(forced.count() == skewed.join(right, Seq("k")).count())
+  }
+
   // ---- the classic salting traps, pinned ----------------------------
 
   test("saltedAgg keeps null a valid group (reference group_by semantics)") {
