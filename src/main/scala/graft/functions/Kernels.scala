@@ -298,7 +298,30 @@ case class CosineLshBandsExpr(child: Expression, bands: Int, bitsPerBand: Int,
   * order exactly like [[CosineSimExpr]] (norms are pair-independent, so
   * hoisting them preserves every bit), and rounding is
   * BigDecimal HALF_UP — the same as Spark's `round` on doubles — so the
-  * result set is identical to the bare-id verify path's. */
+  * result set is identical to the bare-id verify path's.
+  *
+  * int8 PRE-VERIFY (r12): proving a DUP-FREE corpus clean is the
+  * expensive case — every pair pays a full double-precision dot just
+  * to conclude "below threshold" (the r11 ×64 stress measured 125 s of
+  * pure verify on a 128k dup-free corpus). Each bucket member is
+  * additionally quantized ONCE to symmetric int8 codes
+  * (`s = maxAbs/127`, `q = round(v/s)`, so `|v − q·s| ≤ s/2` per
+  * component — the same half-step bound [[graft.ml.Quantize]] pins),
+  * and each pair first takes the BYTE dot. The reconstruction error is
+  * bounded EXACTLY, not estimated:
+  * `|dot(a,b) − ŝ| ≤ (s_b/2)·ℓ1(â) + (s_a/2)·ℓ1(b̂) + n·s_a·s_b/4`
+  * (split `a = â + e_a`, `b = b̂ + e_b`, Hölder each cross term), with
+  * `ℓ1(â)` precomputed per vector. A pair whose cosine upper bound
+  * `(ŝ + err)/(‖a‖‖b‖)` sits below `threshold − 0.5·10^-roundDigits −
+  * 1e-9` cannot round HALF_UP to ≥ threshold (the 1e-9 slack dwarfs
+  * the ~1e-15-relative double accumulation error at any embedding
+  * dim), so it skips the exact dot; everything else — real dups and
+  * the ε-band around the threshold — takes the UNCHANGED exact path.
+  * The keep-set is therefore provably identical; the q_embed_dedup
+  * LSH≡exact in-query certificate stays the gate. Pairs with ragged
+  * dims, zero scales, or non-finite components fall through to the
+  * exact path (the bound does not hold there; the exact path's
+  * NaN-never-drops semantics do). */
 case class CosineBucketDupsExpr(child: Expression, threshold: Double, roundDigits: Int)
     extends UnaryExpression with CodegenFallback {
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -367,6 +390,43 @@ case class CosineBucketDupsExpr(child: Expression, threshold: Double, roundDigit
       norms(i) = math.sqrt(nn)
       i += 1
     }
+    // int8 pre-verify state (see the scaladoc): symmetric per-vector
+    // codes + scale + ℓ1 of the reconstruction, one O(dim) pass per
+    // member — noise next to the O(m²·dim/2) pair loop it prunes
+    val codes = new Array[Array[Byte]](m)
+    val scales = new Array[Double](m)
+    val l1q = new Array[Double](m)
+    i = 0
+    while (i < m) {
+      val v = vecs(i)
+      var maxAbs = 0.0
+      var d = 0
+      while (d < v.length) {
+        val a = math.abs(v(d)); if (a > maxAbs) maxAbs = a; d += 1
+      }
+      val s = maxAbs / 127.0
+      val q = new Array[Byte](v.length)
+      var l1 = 0L
+      // s == 0 (zero vector), non-finite s (Inf/NaN components), or a
+      // dim past the int-accumulator bound: codes stay zero and the
+      // pair loop below routes to the exact path via the scale guard
+      if (s > 0 && java.lang.Double.isFinite(s) && v.length < 100000) {
+        d = 0
+        while (d < v.length) {
+          val c = Math.round(v(d) / s).toInt // |c| <= 127 by construction
+          q(d) = c.toByte
+          l1 += math.abs(c)
+          d += 1
+        }
+        scales(i) = s
+      } else scales(i) = -1.0
+      codes(i) = q
+      l1q(i) = s * l1
+      i += 1
+    }
+    // a pair can only round HALF_UP to >= threshold if its exact cosine
+    // clears this line — everything provably below skips the exact dot
+    val skipLine = threshold - 0.5 * math.pow(10.0, -roundDigits) - 1e-9
     val dropped = new java.util.HashSet[Long]()
     i = 0
     while (i < m) {
@@ -375,6 +435,19 @@ case class CosineBucketDupsExpr(child: Expression, threshold: Double, roundDigit
         val (lo, hi) = if (ids(i) < ids(j)) (i, j) else (j, i)
         if (ids(lo) != ids(hi) && !dropped.contains(ids(hi))) {
           val a = vecs(i); val b = vecs(j)
+          var needExact = true
+          if (a.length == b.length && scales(i) > 0 && scales(j) > 0) {
+            val qa = codes(i); val qb = codes(j)
+            var acc = 0L
+            var d = 0
+            while (d < qa.length) { acc += qa(d) * qb(d); d += 1 }
+            val si = scales(i); val sj = scales(j)
+            val errDot = 0.5 * sj * l1q(i) + 0.5 * si * l1q(j) +
+              0.25 * qa.length * si * sj
+            val cosMax = (si * sj * acc + errDot) / (norms(i) * norms(j))
+            if (cosMax < skipLine) needExact = false
+          }
+          if (needExact) {
           val cos =
             if (a.length == b.length) {
               var dot = 0.0
@@ -397,6 +470,7 @@ case class CosineBucketDupsExpr(child: Expression, threshold: Double, roundDigit
             }
           if (roundHalfUp(cos) >= threshold)
             dropped.add(ids(hi))
+          }
         }
         j += 1
       }

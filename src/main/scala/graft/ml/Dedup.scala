@@ -211,6 +211,93 @@ object Dedup {
     }
   }
 
+  /** One [[appendToNearDupIndex]] cycle's evidence. `newBucketFraction`
+    * is the share of the batch's band buckets the index had never seen
+    * — a distribution-drift signal (same-distribution batches mostly
+    * land in occupied buckets; a shifted corpus opens fresh ones).
+    * `maxAnchorRowsPerBucket` is the probe-cost signal: each append
+    * adds up to one anchor ROW per touched bucket, and a probe kernels
+    * against every row sharing its bucket — past
+    * [[Dedup.CompactAnchorRowsThreshold]] rows rebuild the index
+    * ([[Dedup.buildNearDupIndex]]) to re-fold the buckets into one
+    * bounded anchor set each. */
+  case class NearDupAppendStats(anchorRows: Long, newBucketFraction: Double,
+                                maxAnchorRowsPerBucket: Long) {
+    def compactionRecommended: Boolean =
+      maxAnchorRowsPerBucket > CompactAnchorRowsThreshold
+  }
+
+  /** Documented compaction line for appended near-dup indexes: at 8
+    * anchor rows in one bucket a probe pays 8 bounded kernel calls
+    * where a rebuilt index pays 1 — still correct (the union of
+    * bounded anchor sets is a SUPERSET of the rebuilt bounded set, so
+    * recall can only exceed the single-set contract), just 8× the
+    * in-task verify cost on that bucket. */
+  val CompactAnchorRowsThreshold = 8L
+
+  /** Append a batch to a persisted [[buildNearDupIndex]] index without
+    * rebuilding — the recurring-ingest form. The batch's signatures are
+    * banded under the FROZEN stored parameters (read from the index,
+    * never trusted to the caller twice — the build contract) and its
+    * per-bucket bounded anchor sets are APPENDED as new rows in the
+    * same layout. [[dedupAgainstNearIndexed]] needs no change: the
+    * band-key join now meets ≥1 anchor row per occupied bucket and a
+    * batch row is dropped if ANY of them agrees at threshold, so the
+    * appended index flags a SUPERSET of what the pre-append index
+    * flagged and exactly the rebuilt index's set whenever no bucket
+    * overflowed `maxPartners` (spec-pinned both ways). The cost of
+    * never rewriting old anchors is probe work growing with append
+    * generations — the returned [[NearDupAppendStats]] carries the
+    * compaction signal and [[CompactAnchorRowsThreshold]] documents
+    * the rebuild line. */
+  def appendToNearDupIndex(batch: DataFrame, idCol: String, textCol: String,
+                           path: String): NearDupAppendStats = {
+    val spark = batch.sparkSession
+    // parquet's file listing is captured at read time, so `stored`
+    // keeps seeing the PRE-append files even after the write below —
+    // exactly what the new-bucket statistic needs
+    val stored = spark.read.parquet(s"$path/anchors")
+    val params = stored.select(col("num_hashes"), col("bands"),
+      col("shingle_size"), col("max_partners")).head(1)
+    require(params.nonEmpty,
+      s"appendToNearDupIndex: index at $path holds no anchors — build it " +
+        "first (an empty corpus has no banding parameters to append under)")
+    val p = params(0)
+    val (_, anchors) = bandedAnchors(
+      longIds(batch, idCol, textCol, "appendToNearDupIndex"), idCol, textCol,
+      numHashes = p.getInt(0), bands = p.getInt(1),
+      shingleSize = p.getInt(2), maxPartners = p.getInt(3))
+    // three consumers (write + two statistics) — persist the bounded
+    // per-bucket fold, not the corpus
+    val newAnchors = anchors
+      .withColumn("num_hashes", lit(p.getInt(0)))
+      .withColumn("bands", lit(p.getInt(1)))
+      .withColumn("shingle_size", lit(p.getInt(2)))
+      .withColumn("max_partners", lit(p.getInt(3)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      newAnchors.write.mode("append").parquet(s"$path/anchors")
+      val batchKeys = newAnchors.select(col("__bkey")).distinct()
+      val batchBuckets = batchKeys.count()
+      val seen = batchKeys.join(stored.select(col("__bkey")).distinct(),
+        Seq("__bkey"), "left_semi").count()
+      val newFrac =
+        if (batchBuckets == 0) 0.0
+        else 1.0 - seen.toDouble / batchBuckets
+      // post-append probe-cost reading needs a FRESH listing
+      val maxRows = spark.read.parquet(s"$path/anchors")
+        .groupBy(col("__bkey")).agg(F.count(lit(1)).as("__n"))
+        .agg(F.coalesce(F.max(col("__n")), lit(0L))).head().getLong(0)
+      val out = NearDupAppendStats(newAnchors.count(), newFrac, maxRows)
+      if (out.compactionRecommended)
+        System.err.println(
+          s"[graft] appendToNearDupIndex: a bucket now holds $maxRows anchor " +
+            s"rows (> $CompactAnchorRowsThreshold) — probes pay ${maxRows}× " +
+            "the single-set verify on it; rebuild the index to re-fold")
+      out
+    } finally newAnchors.unpersist()
+  }
+
   // -------------------------------------------------------------------
   // MinHash + LSH banding
   // -------------------------------------------------------------------

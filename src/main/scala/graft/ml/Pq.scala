@@ -252,11 +252,49 @@ object Pq {
     val cents = Similarity.centroids(corpus, idCol, vecCol, lists,
       refineIters = 1, seed = seed)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    val assigned = Similarity.assignLists(
-      corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
+    val (assigned, obs) = IndexStats.observed(Similarity.assignListsWithSim(
+      corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents),
+      "graft_ivfpq_build")
     encode(assigned, vecCol, model)
       .select(col(idCol), col("pq_codes"), col("pq_norm"), col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+    // drift baseline (generation 0) for appendToIvfPqIndex — observed
+    // on the write job, no extra corpus pass
+    IndexStats.write(spark, path, generation = 0L,
+      IndexStats.fromObs(obs), overwrite = true)
+  }
+
+  /** Append a batch to a persisted [[buildIvfPqIndex]] index without
+    * retraining: the batch is encoded under the FROZEN stored codebook
+    * and assigned under the FROZEN stored centroids (both read back
+    * from the index — build and probe cannot desync, and neither can
+    * an append), then written as delta partitions into the same
+    * `list_id=` layout. Partition pruning and every probe path work
+    * unchanged over the union of build + append files.
+    *
+    * Drift accounting is the IVF contract ([[Similarity
+    * .appendToIvfIndex]]): per-batch mean angular D² to the assigned
+    * centroid vs the build baseline stored in `path/stats`;
+    * drift > 1.5 logs the rebuild recommendation and
+    * `rebuildRecommended` flags it to callers. Note the CODEBOOK ages
+    * too — centroid drift is its leading indicator (both are trained
+    * on the same distribution), which is why the one statistic covers
+    * the rebuild decision for the whole index. */
+  def appendToIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
+                         path: String): graft.ml.IndexAppendStats = {
+    val spark = batch.sparkSession
+    val mrow = spark.read.parquet(s"$path/model").collect()(0)
+    val model = PqModel(mrow.getAs[Int]("m"), mrow.getAs[Int]("k"),
+      mrow.getAs[Int]("sub_dim"), mrow.getAs[Seq[Double]]("codebook").toArray)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val (assigned, obs) = IndexStats.observed(Similarity.assignListsWithSim(
+      batch.select(col(idCol), col(vecCol)), idCol, vecCol, cents),
+      "graft_ivfpq_append")
+    encode(assigned, vecCol, model)
+      .select(col(idCol), col("pq_codes"), col("pq_norm"), col("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
+    IndexStats.appendAndReport(spark, path, IndexStats.fromObs(obs),
+      caller = "appendToIvfPqIndex")
   }
 
   /** Probe a persisted IVF-PQ index: rank lists against the tiny

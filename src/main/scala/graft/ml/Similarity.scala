@@ -290,6 +290,22 @@ object Similarity {
     chosen.map(cands).toArray
   }
 
+  /** [[assignLists]] plus the winning cosine under `__sim` — the raw
+    * material for assignment-quality statistics (mean D² = mean of
+    * 2·(1−sim), the k-means objective in angular form). Same map-only
+    * kernel pass; callers that don't read `__sim` should use
+    * [[assignLists]] so the column never leaks into an index layout. */
+  def assignListsWithSim(corpus: DataFrame, idCol: String, vecCol: String,
+                         cents: DataFrame): DataFrame = {
+    val centArr = cents.agg(collect_list(struct(col("list_id"), col("cvec"))).as("cs"))
+    corpus.crossJoin(broadcast(centArr))
+      .withColumn("__best",
+        graft.functions.Kernels.bestCosine(col(vecCol), col("cs")))
+      .withColumn("list_id", col("__best").getField("list_id"))
+      .withColumn("__sim", col("__best").getField("sim"))
+      .drop("cs", "__best")
+  }
+
   /** Assign each row to its nearest centroid list (map-only: centroids
     * broadcast, argmax computed with a max_by over the centroid array). */
   def assignLists(corpus: DataFrame, idCol: String, vecCol: String,
@@ -503,8 +519,52 @@ object Similarity {
     val cents = centroids(corpus, idCol, vecCol, lists, refineIters,
       seed, initMethod)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    assignLists(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
+    val (assigned, obs) = IndexStats.observed(assignListsWithSim(
+      corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents),
+      "graft_ivf_build")
+    assigned.drop("__sim")
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+    // build-time assignment quality (generation 0) — the baseline every
+    // appendToIvfIndex drift reading compares against; observed on the
+    // write job, so the stats cost no extra corpus pass
+    IndexStats.write(corpus.sparkSession, path, generation = 0L,
+      IndexStats.fromObs(obs), overwrite = true)
+  }
+
+  /** Append a batch to a persisted [[buildIvfIndex]] index WITHOUT
+    * retraining — the recurring-ingest form. The batch is assigned
+    * under the FROZEN stored centroids (so probe routing and batch
+    * placement can never disagree: a probe scans exactly the lists the
+    * batch rows landed in) and written as delta partitions into the
+    * same list layout — parquet `append` adds files inside each
+    * `list_id=` directory, so partition pruning keeps working
+    * unchanged and nothing existing is rewritten.
+    *
+    * Frozen geometry is also the honesty limit: centroids trained on
+    * the original corpus stop describing the data as the distribution
+    * drifts, lists go unbalanced, and recall at fixed nProbe sags.
+    * The returned [[IndexAppendStats]] makes that measurable per
+    * batch: `batchMeanD2` (mean angular D² of the batch to its
+    * assigned centroid — one extra column on the same kernel pass)
+    * against the build-time `baseMeanD2` stored in the index.
+    * REBUILD THRESHOLD: drift = batch/base > 1.5 means the new data
+    * sits half again farther from the frozen centroids than the
+    * training data did — retrain (rebuild) before recall pays for it;
+    * the threshold is logged when crossed, and every generation's
+    * reading is appended to `path/stats` so drift is auditable as a
+    * time series. A pre-r12 index without `stats` still appends
+    * (drift reads NaN; rebuild once to start the series). */
+  def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+                       path: String): IndexAppendStats = {
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    val (assigned, obs) = IndexStats.observed(assignListsWithSim(
+      batch.select(col(idCol), col(vecCol)), idCol, vecCol, cents),
+      "graft_ivf_append")
+    assigned.drop("__sim")
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
+    IndexStats.appendAndReport(spark, path, IndexStats.fromObs(obs),
+      caller = "appendToIvfIndex")
   }
 
   /** Query a persisted IVF index: rank lists per query against the
@@ -597,5 +657,97 @@ object Similarity {
       .join(vecs.select(col("__id").as("id_b"), col("__v").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+  }
+}
+
+/** One append cycle's drift evidence ([[Similarity.appendToIvfIndex]],
+  * [[Pq.appendToIvfPqIndex]]): how far the new batch sits from the
+  * index's FROZEN centroids, relative to what the training data
+  * measured at build time. `drift > 1.5` is the documented rebuild
+  * threshold; NaN means the index predates drift tracking (no `stats`
+  * table — rebuild once to start the series). */
+case class IndexAppendStats(appendedRows: Long, batchMeanD2: Double,
+                            baseMeanD2: Double, drift: Double,
+                            generation: Long) {
+  def rebuildRecommended: Boolean = drift > IndexStats.RebuildDriftThreshold
+}
+
+/** Assignment-quality bookkeeping stored INSIDE IVF-family indexes
+  * (`path/stats`: one row per generation — 0 at build, +1 per append).
+  * Mean angular D² = mean over assigned rows of 2·(1−cos) to the
+  * winning centroid: the k-means objective itself, so "the batch reads
+  * 1.5× the build's D²" literally means the frozen clustering explains
+  * the new data 1.5× worse than its training set. */
+private[ml] object IndexStats {
+  import org.apache.spark.sql.SparkSession
+
+  /** Documented rebuild line for [[IndexAppendStats.drift]]: past
+    * 1.5× the frozen centroids are materially stale — lists unbalance
+    * and fixed-probe recall sags (the same failure mode the r11 ×64
+    * rotation fixture demonstrates in the extreme). */
+  val RebuildDriftThreshold = 1.5
+
+  /** Ride (rows, meanD2) on the index WRITE job itself via
+    * `Dataset.observe` — at 100 TB an extra full assignment scan just
+    * for statistics is real money, and the write already sees every
+    * row. Null sims (null vectors) sit out the mean but count as rows
+    * (they land in the index's null partition like every build does).
+    * Read the result with [[fromObs]] AFTER the write action returns. */
+  private val obsCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  def observed(assigned: DataFrame, name: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    // unique per call: a repeated-ingest session runs many appends and
+    // observation listeners match by name
+    val obs = org.apache.spark.sql.Observation(
+      s"${name}_${obsCounter.incrementAndGet()}")
+    (assigned.observe(obs, F.count(lit(1)).as("rows"),
+      avg(lit(2.0) * (lit(1.0) - col("__sim"))).as("mean_d2")), obs)
+  }
+
+  def fromObs(obs: org.apache.spark.sql.Observation): (Long, Double) = {
+    val row = obs.get
+    (row("rows").asInstanceOf[Long],
+      Option(row("mean_d2")).map(_.asInstanceOf[Double]).getOrElse(Double.NaN))
+  }
+
+  def write(spark: SparkSession, path: String, generation: Long,
+            stats: (Long, Double), overwrite: Boolean): Unit = {
+    import spark.implicits._
+    Seq((generation, stats._1, stats._2))
+      .toDF("generation", "rows", "mean_d2")
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .parquet(s"$path/stats")
+  }
+
+  /** Read the stored series, append this batch's generation, and
+    * report drift vs the BUILD generation (0). Missing stats table
+    * (pre-r12 index): the append still lands, drift reads NaN, and a
+    * stderr line says how to start the series. */
+  def appendAndReport(spark: SparkSession, path: String,
+                      batch: (Long, Double), caller: String): IndexAppendStats = {
+    val stored = try {
+      spark.read.parquet(s"$path/stats")
+        .select(col("generation"), col("mean_d2")).collect()
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        System.err.println(s"[graft] $caller: index at $path has no stats " +
+          "table (built pre-drift-tracking) — appending without a drift " +
+          "baseline; rebuild once to start the series")
+        Array.empty[org.apache.spark.sql.Row]
+    }
+    val base = stored.find(_.getLong(0) == 0L)
+      .map(_.getDouble(1)).getOrElse(Double.NaN)
+    val gen = if (stored.isEmpty) 1L else stored.map(_.getLong(0)).max + 1L
+    write(spark, path, gen, batch, overwrite = false) // creates stats if absent
+    val drift = batch._2 / base
+    val out = IndexAppendStats(batch._1, batch._2, base, drift, gen)
+    if (out.rebuildRecommended)
+      System.err.println(
+        f"[graft] $caller: batch mean D² ${batch._2}%.4f is ${drift}%.2f× the " +
+          f"build baseline $base%.4f (threshold $RebuildDriftThreshold) — the " +
+          "frozen centroids are stale for this data; rebuild the index " +
+          "before fixed-probe recall pays for it")
+    out
   }
 }

@@ -661,6 +661,68 @@ class ReadersExtensionsSpec extends GraftSpec {
       nBits = 2, bands = 4, bucketBudget = 0L).count() > 0)
   }
 
+  test("embeddingDedup int8 pre-verify never moves the keep-set (ε-band adversarial)") {
+    import spark.implicits._
+    // r12: the in-bucket kernel now skips the exact dot for pairs
+    // whose int8-bounded cosine ceiling sits provably below the
+    // rounding line. This fixture attacks the proof two ways:
+    // (a) roundDigits=2 widens the ε-band to ±0.005, so at dim 8 a
+    //     large share of random-pair cosines land NEAR the 0.8
+    //     threshold — every band pair must take the exact path and
+    //     round bit-identically;
+    // (b) engineered pairs sit EXACTLY on the HALF_UP boundary.
+    // The oracle is a driver-side exact greedy (any lower-id partner
+    // with round(cos,2) >= t drops you) over all pairs.
+    val rng = new scala.util.Random(2024)
+    val dim = 8
+    val base = (0 until 300).map(i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian())))
+    // boundary pairs: cos ~0.795 (the exact HALF_UP boundary) and
+    // ~0.79499 (just under it) — each family in its OWN 2-plane so the
+    // two families are mutually orthogonal and only the random corpus
+    // can add extra partners (the oracle accounts for those)
+    val mk = (c: Double, id: Long, plane: Int) => {
+      val s = math.sqrt(1 - c * c)
+      val u = Array.fill(dim)(0.0); u(plane) = 1.0
+      val w = Array.fill(dim)(0.0); w(plane) = c; w(plane + 1) = s
+      Seq((id, u), (id + 1, w))
+    }
+    val rows = base ++ mk(0.795, 9000L, 0) ++ mk(0.79499, 9100L, 2)
+    val df = rows.map { case (id, v) => (id, v.map(_.toFloat).toSeq) }
+      .toDF("id", "vec")
+    def round2(d: Double) =
+      if (d.isNaN) d else java.math.BigDecimal.valueOf(d)
+        .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cosF(a: Array[Double], b: Array[Double]) = {
+      // through FLOAT, like the DataFrame column — bit-parity matters
+      // exactly at the HALF_UP boundary
+      val af = a.map(_.toFloat.toDouble); val bf = b.map(_.toFloat.toDouble)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (d <- 0 until dim) {
+        dot += af(d) * bf(d); na += af(d) * af(d); nb += bf(d) * bf(d)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expectDrop = rows.flatMap { case (id, v) =>
+      rows.collect { case (lo, w) if lo < id && round2(cosF(w, v)) >= 0.8 => id }
+        .headOption
+    }.toSet
+    val kept = Dedup.embeddingDedup(df, "id", "vec", threshold = 0.8,
+        nBits = 4, bands = 32, roundDigits = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet -- expectDrop == kept,
+      s"keep-set moved: missing=${rows.map(_._1).toSet -- expectDrop -- kept} " +
+        s"extra=${kept -- (rows.map(_._1).toSet -- expectDrop)}")
+    // the fixture really exercised the ε-band (pairs the pre-verify
+    // must route to the exact path) — otherwise this test could go
+    // vacuous under a future fixture change
+    val bandPairs = rows.flatMap { case (id, v) =>
+      rows.collect { case (lo, w) if lo < id &&
+        math.abs(cosF(w, v) - 0.8) <= 0.005 => 1 } }.sum
+    info(s"pairs inside the rounding ε-band: $bandPairs")
+    assert(bandPairs >= 2, s"only $bandPairs ε-band pairs — fixture too easy")
+  }
+
   test("autoNBits sizing formula: constant bucket load, floor 4, ×16-stress geometry") {
     // nBits = max(4, ceil(log2(corpus / targetBucketRows))) — constant
     // mean bucket LOAD is what keeps in-bucket verify work linear in N
