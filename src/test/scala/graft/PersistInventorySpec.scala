@@ -61,9 +61,9 @@ class PersistInventorySpec extends AnyFunSuite {
   private val expectedPersist = Map(
     "src/main/scala/graft/core/CrysFrame.scala" -> 2, // order capture + take draw (LRU)
     "src/main/scala/graft/core/GlobalWindows.scala" -> 2, // sorted base + rank counts (LRU)
-    "src/main/scala/graft/ml/Dedup.scala" -> 5, // sig/simhash/keepBest (LRU) + CC input/labels (paired)
+    "src/main/scala/graft/ml/Dedup.scala" -> 6, // sig/simhash/keepBest (LRU) + CC input/labels (paired) + near-dup append anchors (paired)
     "src/main/scala/graft/ml/Pq.scala" -> 1, // training vectors (paired)
-    "src/main/scala/graft/ml/Similarity.scala" -> 3, // k-means init (paired) + LSH keys/vecs (LRU)
+    "src/main/scala/graft/ml/Similarity.scala" -> 5, // k-means init + calibration truth (paired) + LSH keys/vecs + calibrated assignment (LRU)
     "src/main/scala/graft/sources/Export.scala" -> 1, // curriculum sorted RDD (LRU)
     "src/main/scala/graft/VectorStress.scala" -> 1, // recall ground truth (paired)
     "src/main/scala/graft/text/Classifier.scala" -> 1, // NB aggregate (paired)
@@ -74,7 +74,7 @@ class PersistInventorySpec extends AnyFunSuite {
   // rows' release mechanisms)
   private val expectedCache = Map(
     "src/main/scala/graft/ml/Dedup.scala" -> 3, // CC loop frames, unpersisted per round
-    "src/main/scala/graft/ml/Similarity.scala" -> 2) // IVF cents + indexed-probe qLists
+    "src/main/scala/graft/ml/Similarity.scala" -> 3) // IVF cents (×2 incl. calibrated) + indexed-probe qLists
 
   test("every .persist( in src/main is in the checked-in inventory") {
     val actual = sites(".persist(")
@@ -82,7 +82,7 @@ class PersistInventorySpec extends AnyFunSuite {
       "\npersist sites drifted from SCALING.md §Persist-site inventory — " +
         "document the new/removed site there AND update this spec.\n" +
         s"actual:   $actual\nexpected: $expectedPersist")
-    assert(actual.values.sum == 18) // the inventory's headline count
+    assert(actual.values.sum == 21) // the inventory's headline count
   }
 
   test("every .cache() in src/main is in the checked-in inventory") {

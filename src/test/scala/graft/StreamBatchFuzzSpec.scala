@@ -157,20 +157,32 @@ class StreamBatchFuzzSpec extends GraftSpec {
   /** Terminal vocabulary size — append-only, like the batch fuzzer's
     * nOps: growing it changes every seed's terminal draw, so campaign
     * records name the effective size and old ranges are replayed with
-    * the size they were found under. r10 shipped 6; r11 appends the
+    * the size they were found under. r10 shipped 6; r11 appended the
     * three stateful twins that had individual specs but no randomized
-    * differential arm (VERDICT r10 #3): stream-stream interval join,
-    * streamingTopK, key-based streamingDedup. */
-  private val allTerminals = 9
+    * differential arm (stream-stream interval join, streamingTopK,
+    * key-based streamingDedup); r12 appends the two WATERMARK-ADVANCE
+    * emission shapes (VERDICT r11 #5) — outer interval join (null
+    * emissions on watermark advance, driven by sentinel ticks past the
+    * horizon and filtered from assertions) and watermark-EXPIRY
+    * signature dedup (state eviction mid-stream: a key reappearing
+    * after its state provably expired must survive again). */
+  private val allTerminals = 11
 
-  /** Two-feed runner for the stream-stream interval join terminal:
+  /** Two-feed runner for the stream-stream interval join terminals:
     * each side is its own MemoryStream, chunks interleave (left chunk,
     * right chunk, drain) so the join sees genuinely staggered
-    * micro-batches across both inputs. */
+    * micro-batches across both inputs. `tickRounds` (r12) appends
+    * watermark-advancing sentinel rounds AFTER the data: each round
+    * feeds one row per side and drains — the first tick raises the max
+    * event time, the second runs a micro-batch under the advanced
+    * watermark, which is when outer-join unmatched state actually
+    * emits. Tick rows carry a sentinel key the caller filters out. */
   private def runTwoStreams(build: (DataFrame, DataFrame) => DataFrame,
                             leftRows: Seq[(Long, Timestamp, Long)],
                             rightRows: Seq[(Long, Timestamp, Long)],
-                            nChunks: Int, name: String): Seq[org.apache.spark.sql.Row] = {
+                            nChunks: Int, name: String,
+                            tickRounds: Seq[((Long, Timestamp, Long), (Long, Timestamp, Long))] = Nil)
+      : Seq[org.apache.spark.sql.Row] = {
     implicit val sqlCtx = spark.sqlContext
     val lIn = MemoryStream[(Long, Timestamp, Long)]
     val rIn = MemoryStream[(Long, Timestamp, Long)]
@@ -186,6 +198,33 @@ class StreamBatchFuzzSpec extends GraftSpec {
       (0 until math.max(lGroups.size, rGroups.size)).foreach { i =>
         if (i < lGroups.size) lIn.addData(lGroups(i))
         if (i < rGroups.size) rIn.addData(rGroups(i))
+        q.processAllAvailable()
+      }
+      tickRounds.foreach { case (lt, rt) =>
+        lIn.addData(lt); rIn.addData(rt)
+        q.processAllAvailable()
+      }
+      spark.table(name).collect().toSeq
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
+  /** Single-feed runner with EXPLICIT chunk groups (r12): the
+    * watermark-expiry terminal needs epoch-structured micro-batches
+    * with sentinel ticks between epochs, not size-based chunking. */
+  private def runStreamGrouped(build: DataFrame => DataFrame,
+                               groups: Seq[Seq[(Long, Timestamp, Option[Long])]],
+                               name: String): Seq[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Option[Long])]
+    val stream = build(in.toDF().toDF("doc_id", "ts", "sig"))
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      groups.foreach { g =>
+        in.addData(g)
         q.processAllAvailable()
       }
       spark.table(name).collect().toSeq
@@ -402,6 +441,103 @@ class StreamBatchFuzzSpec extends GraftSpec {
             .dropDuplicates(Seq("k1", "k2", "ts")).collect().toSeq
           assert(out.map(rowKey).sorted == expected.map(rowKey).sorted,
             s"streamingDedup diverged: stream ${out.size} vs batch ${expected.size} rows")
+        case 9 => // OUTER stream-stream interval join (r12): unmatched
+          // rows emit null-padded only when the watermark PASSES their
+          // join window — which a drained MemoryStream never does past
+          // its last event. Two sentinel tick rounds past the horizon
+          // (key 99, filtered from assertions on BOTH sides) advance
+          // it for real: tick 1 raises the max event time, tick 2 runs
+          // a micro-batch under the advanced watermark, where expired
+          // unmatched state actually emits. The batch twin is the SAME
+          // verb on batch frames (tick rows included, then filtered
+          // identically), where outer emission is immediate.
+          val joinType = Seq("left_outer", "right_outer", "full_outer")(rnd.nextInt(3))
+          val before = Seq("1 minute", "2 minutes", "5 minutes")(rnd.nextInt(3))
+          val after = Seq("1 minute", "3 minutes")(rnd.nextInt(2))
+          val leftRows = docs.map { case (id, t, _) => (id % 4, t, id) }
+          val rightRows = docs.filter(_ => rnd.nextBoolean()).map { case (id, t, _) =>
+            ((id + rnd.nextInt(3)) % 4,
+              new Timestamp(t.getTime + (rnd.nextInt(9) - 4) * 30000L),
+              10000L + id)
+          }
+          val maxT = (leftRows.map(_._2.getTime) ++ rightRows.map(_._2.getTime)).max
+          // horizon > maxT + lateness(1h) + after(≤3m): watermark after
+          // tick 1 = horizon − 1h clears every real row's emission gate
+          val t1 = new Timestamp(maxT + 75L * 60000L)
+          val t2 = new Timestamp(maxT + 85L * 60000L)
+          val ticks = Seq(((99L, t1, -1L), (99L, t1, -2L)),
+            ((99L, t2, -3L), (99L, t2, -4L)))
+          val joined: (DataFrame, DataFrame) => DataFrame = (l, r) =>
+            StreamVerbs.intervalJoin(l, "lts", r, "rts", Seq("k"),
+              before = before, after = after, lateness = "1 hour",
+              joinType = joinType)
+          val out = runTwoStreams(joined, leftRows, rightRows, nChunks, name,
+              tickRounds = ticks)
+            .filterNot(_.getAs[Long]("k") == 99L)
+          val allTickRows = ticks.flatMap(t => Seq(t._1, t._2))
+          val expected = joined(
+            (leftRows ++ allTickRows.filter(_._3 % 2 != 0)).toDF("k", "lts", "l_id"),
+            (rightRows ++ allTickRows.filter(_._3 % 2 == 0)).toDF("k", "rts", "r_id"))
+            .filter(col("k") =!= 99L).collect().toSeq
+          assert(out.map(rowKey).sorted == expected.map(rowKey).sorted,
+            s"$joinType interval join diverged: stream ${out.size} vs batch ${expected.size} rows")
+        case 10 => // watermark-EXPIRY signature dedup (r12): the case
+          // r11's net never exercised — state EVICTION mid-stream. The
+          // feed is epoch-structured: within an epoch (span 4 min <
+          // the 5-min delay, one micro-batch) every duplicate is
+          // within the delay of its first occurrence → guaranteed
+          // dropped; between epochs two sentinel tick rounds (distinct
+          // sentinel sigs, filtered) push the watermark provably past
+          // every prior event's expiry, so a sig reappearing in the
+          // next epoch finds NO state and must SURVIVE again. The
+          // oracle is exact: one survivor per (sig, epoch) occupied,
+          // all null-sig rows pass through, survivors are input rows.
+          val ids = batchBase.select("doc_id").collect().map(_.getLong(0)).sorted
+          val epochMs = 30L * 60000L // epoch base spacing
+          val base = ts(0).getTime
+          def epochOf(i: Int) = i % 3
+          val events = ids.zipWithIndex.map { case (id, i) =>
+            val e = epochOf(i)
+            val sig = if (id % 5 == 0) None else Some(id % 6)
+            (id, new Timestamp(base + e * epochMs + (i / 3) * 5000L), sig)
+          }.toSeq
+          val byEpoch = (0 until 3).map(e =>
+            events.zipWithIndex.collect { case (ev, i) if epochOf(i) == e => ev })
+          var tick = 0
+          def tickRow(e: Int): Seq[(Long, Timestamp, Option[Long])] = {
+            tick += 1
+            // 20 min past the epoch base: watermark = tick − 5 min sits
+            // ≥ 10 min past every epoch event's expiry (event + 5 min)
+            Seq((-tick.toLong, new Timestamp(base + e * epochMs + 20L * 60000L
+              + tick * 30000L), Some(9000L + tick)))
+          }
+          val groups: Seq[Seq[(Long, Timestamp, Option[Long])]] =
+            byEpoch.zipWithIndex.flatMap { case (g, e) =>
+              Seq(g, tickRow(e), tickRow(e)) }
+          val out = runStreamGrouped(
+            df => StreamVerbs.streamingSignatureDedup(df, "sig", "ts",
+              lateness = "5 minutes"),
+            groups, name)
+            .filterNot(r => r.getAs[Long]("doc_id") < 0) // sentinel ticks
+          def sigOf(r: org.apache.spark.sql.Row): Option[Long] = {
+            val i = r.fieldIndex("sig")
+            if (r.isNullAt(i)) None else Some(r.getLong(i))
+          }
+          val epochOfTs: Long => Int = t => ((t - base) / epochMs).toInt
+          val gotPairs = out.flatMap(r => sigOf(r).map(s =>
+            (s, epochOfTs(r.getAs[Timestamp]("ts").getTime))))
+          val expectedPairs = events.zipWithIndex.collect {
+            case ((_, _, Some(s)), i) => (s, epochOf(i)) }.distinct.sorted
+          assert(gotPairs.sorted == expectedPairs,
+            s"expiry dedup diverged: kept ${gotPairs.sorted} vs $expectedPairs — " +
+              "a sig either survived twice in one epoch (state not honored) " +
+              "or vanished after its state expired (over-dedup across expiry)")
+          val gotNullIds = out.filter(sigOf(_).isEmpty).map(_.getAs[Long]("doc_id")).sorted
+          val expNullIds = events.collect { case (id, _, None) => id }.sorted
+          assert(gotNullIds.toSeq == expNullIds.toSeq,
+            "null-signature rows must ALL pass through un-deduped")
+          val inputIds = ids.toSet
+          assert(out.forall(r => inputIds.contains(r.getAs[Long]("doc_id"))))
       }
     } catch {
       case e: org.scalatest.exceptions.TestFailedException => throw e
