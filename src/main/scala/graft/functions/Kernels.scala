@@ -229,7 +229,22 @@ case class SimHash64Expr(child: Expression)
   * bands'th power — the same amplification scheme as MinHash banding.
   * One JVM loop per row (bands × bits × dim sign-dot-products); the HOF
   * formulation of the same math is interpreted per element and
-  * re-evaluates the projection expression per bit. */
+  * re-evaluates the projection expression per bit.
+  *
+  * r12 hot-path rework, key-BIT-IDENTICAL by construction: the r11 ×64
+  * stress record blamed embed_dedup's 125 s on "~1G kernel verifies",
+  * but the flop audit says the verify is seconds — the wall was THIS
+  * expression recomputing `mix(planeBase + d)` per (band, bit, dim)
+  * per row (auto geometry at 128k vectors: 125×10×64 = 80k hash mixes
+  * AND 80k ArrayData getter calls per row, ~10G of each corpus-wide).
+  * The planes depend only on (bands, bitsPerBand, seed, dim), so the
+  * ±1 signs are now materialized ONCE per distinct dim into a flat
+  * double table (~640 KB at the stress geometry, one per expression
+  * instance per JVM) and each row is unpacked ONCE into a dense double
+  * array — the projection becomes a pure dense mat-vec in the same
+  * d-ascending accumulation order with the same sign VALUES, so every
+  * projection double (and therefore every key bit) is identical to the
+  * hash-per-element formulation's. */
 case class CosineLshBandsExpr(child: Expression, bands: Int, bitsPerBand: Int,
                               seed: Long)
     extends UnaryExpression with CodegenFallback {
@@ -249,24 +264,55 @@ case class CosineLshBandsExpr(child: Expression, bands: Int, bitsPerBand: Int,
 
   @transient private lazy val get = elemGetter
 
+  /** ±1.0 plane table, layout [(b·bitsPerBand + i)·dim + d] — exactly
+    * `if ((mix(((b·bits+i)·1000003 + seed)·31 + d) & 1) != 0) 1 else -1`.
+    * Keyed by dim (vectors are fixed-dim in practice; a ragged corpus
+    * just builds one table per distinct dim it contains). */
+  @transient private lazy val signCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+
+  private def signsFor(dim: Int): Array[Double] =
+    signCache.computeIfAbsent(dim, d => {
+      val planes = bands * bitsPerBand
+      val t = new Array[Double](planes * d)
+      var p = 0
+      while (p < planes) {
+        val planeBase = (p.toLong * 1000003L + seed) * 31L
+        var j = 0
+        while (j < d) {
+          t(p * d + j) =
+            if ((Kernels.mix(planeBase + j) & 1L) != 0L) 1.0 else -1.0
+          j += 1
+        }
+        p += 1
+      }
+      t
+    })
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val dim = v.numElements()
+    val signs = signsFor(dim)
+    // unpack once: the getter was previously called bands×bits×dim
+    // times per row
+    val vd = new Array[Double](dim)
+    var d = 0
+    while (d < dim) { vd(d) = get(v, d); d += 1 }
     val keys = new Array[Long](bands)
     var b = 0
+    var base = 0 // (b·bitsPerBand + i) · dim, walked linearly
     while (b < bands) {
       var key = 0L
       var i = 0
       while (i < bitsPerBand) {
         var proj = 0.0
-        var d = 0
-        val planeBase = ((b * bitsPerBand + i).toLong * 1000003L + seed) * 31L
+        d = 0
         while (d < dim) {
-          val sign = if ((Kernels.mix(planeBase + d) & 1L) != 0L) 1.0 else -1.0
-          proj += get(v, d) * sign
+          proj += vd(d) * signs(base + d)
           d += 1
         }
         if (proj > 0) key |= (1L << i)
+        base += dim
         i += 1
       }
       keys(b) = key
@@ -300,10 +346,14 @@ case class CosineLshBandsExpr(child: Expression, bands: Int, bitsPerBand: Int,
   * BigDecimal HALF_UP — the same as Spark's `round` on doubles — so the
   * result set is identical to the bare-id verify path's.
   *
-  * int8 PRE-VERIFY (r12): proving a DUP-FREE corpus clean is the
-  * expensive case — every pair pays a full double-precision dot just
-  * to conclude "below threshold" (the r11 ×64 stress measured 125 s of
-  * pure verify on a 128k dup-free corpus). Each bucket member is
+  * int8 PRE-VERIFY (r12): proving a DUP-FREE corpus clean makes every
+  * pair pay a full double-precision dot just to conclude "below
+  * threshold". (The r11 record blamed the whole ×64 125 s arm on this
+  * verify; measuring this pre-verify alone — 125.3 → 120.9 s — exposed
+  * that the real wall was the BANDING projection, fixed in
+  * [[CosineLshBandsExpr]]. The pre-verify stays: it is provably
+  * keep-set-neutral and prunes the verify stage wherever that stage
+  * does dominate — wide dims, dup-light buckets.) Each bucket member is
   * additionally quantized ONCE to symmetric int8 codes
   * (`s = maxAbs/127`, `q = round(v/s)`, so `|v − q·s| ≤ s/2` per
   * component — the same half-step bound [[graft.ml.Quantize]] pins),
