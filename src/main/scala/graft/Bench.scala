@@ -22,6 +22,7 @@ object Bench {
     "q_ann_pq",
     "q_ann_pq_probe",
     "q_ann_ivf_cal",
+    "q_ann_pq_cal",
     "q_bm25", "q_decontaminate", "q_scrub_pii", "q_dup_passages",
     "q_dup_removal", "q_exact_substr", "q_decontaminate_cut",
     "q_heavy_hitters", "q_bloom_prune", "q_topk_rows",
@@ -114,6 +115,18 @@ object Bench {
       graft.ml.Similarity.ivfTopKCalibrated(e, "vec_id", "embedding",
         e.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, targetRecall = 0.7, nLists = 16)
+        .select("query_id", "rank", "nn_id")
+    }),
+    // q_ann_pq_cal mirrors q_ann_ivf_cal: the verify query's external
+    // overlap certificate is proof, not operator; the bench measures
+    // the two-knob calibrated op itself (in-job truth + escalation
+    // included — the visible price of a measured recall)
+    "q_ann_pq_cal" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = SparkEntry.t(s, d, "embeddings")
+      graft.ml.Pq.ivfPqTopKCalibrated(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, targetRecall = 0.7, m = 16, pqK = 64, nLists = 16, iters = 1)
         .select("query_id", "rank", "nn_id")
     }),
     // The RECURRING-pipeline ANN shape: q_ann_pq trains the IVF-PQ

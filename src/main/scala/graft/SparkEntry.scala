@@ -1382,6 +1382,45 @@ object SparkEntry {
       CrysFrame(pq.union(bad)).sortBy("query_id", "rank").out
     }),
 
+    // CALIBRATED IVF-PQ top-k (r13): the two-knob counterpart of
+    // q_ann_ivf_cal — nProbe escalates while probe doublings keep
+    // moving sampled recall, the exact re-rank depth doubles when they
+    // plateau (ADC quantization error bounds what probes alone can
+    // buy; the r12 ×64 stress measured PQ defaults at 0.354 where IVF
+    // read 0.41). rows-only (approximate by design) with the same TWO
+    // in-band certificates: (a) the emitted measured_recall must clear
+    // the target, (b) an independent brute-force overlap floor, so the
+    // calibration cannot vouch for itself.
+    "q_ann_pq_cal" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+      val cal = graft.ml.Pq.ivfPqTopKCalibrated(e, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, targetRecall = 0.7,
+        m = 16, pqK = 64, nLists = 16, iters = 1)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("nn_id"),
+          round(col("cos_sim"), 6).as("cos_sim"),
+          round(col("measured_recall"), 6).as("measured_recall"),
+          col("calibrated_nprobe").cast("long").as("calibrated_nprobe"),
+          col("calibrated_rerank").cast("long").as("calibrated_rerank"))
+      val bf = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("nn_id"))
+      val hits = cal.select(col("query_id"), col("nn_id"), col("measured_recall"))
+        .join(bf, Seq("query_id", "nn_id"), "left_semi")
+        .agg(count(lit(1)).as("__h"), F.min(col("measured_recall")).as("__r"))
+      val idType = e.schema("vec_id").dataType
+      val bad = hits.filter(col("__h") < 35 || col("__r") < 0.7)
+        .select(
+          raise_error(concat(lit("ivfPqTopKCalibrated certificate failed: "),
+            col("__h").cast("string"), lit("/50 overlap (floor 35) at measured recall "),
+            col("__r").cast("string"), lit(" (target 0.7)")))
+            .cast(idType).as("query_id"),
+          lit(0L).as("rank"), lit(null).cast(idType).as("nn_id"),
+          lit(0.0).as("cos_sim"), lit(0.0).as("measured_recall"),
+          lit(0L).as("calibrated_nprobe"), lit(0L).as("calibrated_rerank"))
+      CrysFrame(cal.union(bad)).sortBy("query_id", "rank").out
+    }),
+
     // ---------------- extensions: text analysis ----------------
     "q_token_count" -> ((s, d) =>
       CrysFrame(t(s, d, "documents")

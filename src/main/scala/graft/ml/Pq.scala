@@ -216,7 +216,9 @@ object Pq {
   def adcTopK(encoded: DataFrame, idCol: String,
               queries: DataFrame, qidCol: String, qvecCol: String,
               model: PqModel, k: Int = 10, excludeSelf: Boolean = true,
-              codesCol: String = "pq_codes", normCol: String = "pq_norm"): DataFrame = {
+              codesCol: String = "pq_codes", normCol: String = "pq_norm",
+              queryBudget: Long = Similarity.DefaultQueryBudget): DataFrame = {
+    Similarity.guardQueryBroadcast(queries, qvecCol, queryBudget, "adcTopK")
     val q = adcQuerySide(queries, qidCol, qvecCol, model)
     val paired = encoded
       .select(col(idCol).as("nn_id"), col(codesCol).as("__c"), col(normCol).as("__n"))
@@ -286,6 +288,13 @@ object Pq {
     val mrow = spark.read.parquet(s"$path/model").collect()(0)
     val model = PqModel(mrow.getAs[Int]("m"), mrow.getAs[Int]("k"),
       mrow.getAs[Int]("sub_dim"), mrow.getAs[Seq[Double]]("codebook").toArray)
+    // fail-fast frozen-geometry contract (r12 ADVICE): the stored
+    // codebook fixes the vector dim (m × subDim); a mismatched batch
+    // would encode garbage codes that surface only as silently wrong
+    // neighbors. Element type is unconstrained here — PQ stores codes,
+    // not vectors, and pqCodes casts per element.
+    IndexStats.validateBatch(batch, vecCol, expectedDim = Some(model.dim),
+      expectedElem = None, caller = "appendToIvfPqIndex")
     val cents = spark.read.parquet(s"$path/centroids")
     val (assigned, obs) = IndexStats.observed(Similarity.assignListsWithSim(
       batch.select(col(idCol), col(vecCol)), idCol, vecCol, cents),
@@ -307,11 +316,14 @@ object Pq {
                        queries: DataFrame, qidCol: String, qvecCol: String,
                        k: Int = 10, nProbe: Int = 0, rerank: Int = 0,
                        rerankFrom: DataFrame = null,
-                       rerankIdCol: String = null, rerankVecCol: String = null): DataFrame = {
+                       rerankIdCol: String = null, rerankVecCol: String = null,
+                       queryBudget: Long = Similarity.DefaultQueryBudget): DataFrame = {
     require(rerank <= 0 ||
         (rerankFrom != null && rerankIdCol != null && rerankVecCol != null),
       "ivfPqTopKIndexed: rerank > 0 needs rerankFrom + rerankIdCol + " +
         "rerankVecCol (the index stores codes, not vectors)")
+    Similarity.guardQueryBroadcast(queries, qvecCol, queryBudget,
+      "ivfPqTopKIndexed")
     val mrow = spark.read.parquet(s"$path/model").collect()(0)
     val model = PqModel(mrow.getAs[Int]("m"), mrow.getAs[Int]("k"),
       mrow.getAs[Int]("sub_dim"), mrow.getAs[Seq[Double]]("codebook").toArray)
@@ -343,7 +355,9 @@ object Pq {
                 k: Int = 10, m: Int = 8, pqK: Int = 256,
                 nLists: Int = 0, nProbe: Int = 0,
                 iters: Int = 2, seed: Long = 42L,
-                rerank: Int = 0): DataFrame = {
+                rerank: Int = 0,
+                queryBudget: Long = Similarity.DefaultQueryBudget): DataFrame = {
+    Similarity.guardQueryBroadcast(queries, qvecCol, queryBudget, "ivfPqTopK")
     val lists = if (nLists > 0) nLists
       else Similarity.autoNLists(corpus.count()) // nLists <= 0: √N self-sizing
     val probes = // nProbe <= 0: co-scale with the list space (autoNProbe)
@@ -362,5 +376,139 @@ object Pq {
       col("pq_norm").as("__n"), col("list_id"))
     adcScoreTopK(cands, qProbe, model.k, k, rerank,
       corpus, idCol, vecCol, queries, qidCol, qvecCol)
+  }
+
+  /** IVF-PQ with RUNTIME recall calibration — the two-knob counterpart
+    * of [[Similarity.ivfTopKCalibrated]]. The r12 ×64 stress measured
+    * all-defaults IVF-PQ recall@10 = 0.354 on the rotation-amplified
+    * fixture (sweeps/r12_stress_x64_vectors.json, ivf_pq_auto) — worse
+    * than even the uncalibrated IVF's 0.41, because PQ stacks TWO
+    * independent recall losses: probed lists that miss true neighbors
+    * (the IVF loss — more probes buy it back) and ADC quantization
+    * error misranking candidates the probes DID reach (the PQ loss —
+    * more probes buy nothing; only a deeper exact re-rank does).
+    *
+    * Mechanism: train the codebook + centroids and encode/assign the
+    * corpus ONCE (the compact codes frame is persisted — every
+    * escalation step re-probes it), take a bounded deterministic query
+    * sample, build its brute-force ground truth in ONE corpus scan,
+    * then escalate from (autoNProbe, 4·k rerank) toward
+    * (`maxProbeFactor`×, `maxRerankFactor`×) caps. KNOB POLICY: double
+    * nProbe while probe doublings keep moving sampled recall; when a
+    * probe doubling moves it by < 0.02 (the plateau — at that point the
+    * true neighbors are IN the candidate set but ADC misranks them),
+    * double the re-rank depth instead. The full query set then runs
+    * once at the calibrated pair, with `measured_recall`,
+    * `calibrated_nprobe` and `calibrated_rerank` riding every row — the
+    * same proceed-with-evidence contract as the IVF op: if both caps
+    * land below target the shortfall is visible in-band (stderr warns),
+    * and a pipeline that must not ship under-target neighbors asserts
+    * on the column (the q_ann_pq_cal driver query does exactly that).
+    *
+    * Cost model: train + encode + assign once (the dominant IVF-PQ
+    * cost), one bounded brute-force truth pass, one sample-sized ADC
+    * probe per escalation step (≤ log2(maxProbeFactor) +
+    * log2(maxRerankFactor) steps), one calibrated full-set probe.
+    * Re-rank depth is a per-query SHORT-LIST bound (queries × rerank
+    * rows join back to true vectors), so even the rerank cap stays
+    * negligible next to the corpus scan it replaces. */
+  def ivfPqTopKCalibrated(corpus: DataFrame, idCol: String, vecCol: String,
+                          queries: DataFrame, qidCol: String, qvecCol: String,
+                          k: Int = 10, targetRecall: Double = 0.7,
+                          sampleQueries: Int = 20,
+                          m: Int = 8, pqK: Int = 256,
+                          nLists: Int = 0, nProbe: Int = 0, rerank: Int = 0,
+                          maxProbeFactor: Int = 16, maxRerankFactor: Int = 16,
+                          iters: Int = 2, seed: Long = 42L,
+                          queryBudget: Long = Similarity.DefaultQueryBudget): DataFrame = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0,1]: $targetRecall")
+    require(sampleQueries >= 1, s"sampleQueries must be >= 1: $sampleQueries")
+    require(maxProbeFactor >= 1, s"maxProbeFactor must be >= 1: $maxProbeFactor")
+    require(maxRerankFactor >= 1, s"maxRerankFactor must be >= 1: $maxRerankFactor")
+    Similarity.guardQueryBroadcast(queries, qvecCol, queryBudget,
+      "ivfPqTopKCalibrated")
+    val lists = if (nLists > 0) nLists
+      else Similarity.autoNLists(corpus.count())
+    val startProbe = if (nProbe > 0) nProbe else Similarity.autoNProbe(lists)
+    val startRerank = if (rerank > 0) rerank else 4 * k
+    val probeCap = math.min(lists.toLong,
+      startProbe.toLong * maxProbeFactor).toInt
+    val rerankCap = (startRerank.toLong * maxRerankFactor)
+      .min(Int.MaxValue.toLong).toInt
+    val model = train(corpus, idCol, vecCol, m, pqK, iters, seed)
+    val (cents, _) = localize(Similarity.centroids(corpus, idCol, vecCol,
+      lists, refineIters = 1, seed = seed))
+    // compact probe target (m bytes + norm + list id per row), read by
+    // every escalation step and the final probe — persist THIS, never
+    // the vectors
+    val cands = encode(Similarity.assignLists(corpus, idCol, vecCol, cents),
+        vecCol, model)
+      .select(col(idCol).as("nn_id"), col("pq_codes").as("__c"),
+        col("pq_norm").as("__n"), col("list_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deterministic content-stable sample, localized (≤ sampleQueries
+    // rows feed each escalation eval twice — probe side + rerank join)
+    val (sampleDf, _) = localize(queries
+      .select(col(qidCol).as("query_id"), col(qvecCol).as("__q"))
+      .orderBy(xxhash64(col("query_id"), lit(seed)), col("query_id"))
+      .limit(sampleQueries))
+    val truth = Similarity.bruteForceTopK(corpus, idCol, vecCol,
+        sampleDf, "query_id", "__q", k, queryBudget = 0)
+      .select(col("query_id"), col("nn_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truthPairs = truth.count()
+    def sampledRecall(probe: Int, rr: Int): Double = {
+      val (qProbe, _) = probeSet(
+        adcQuerySide(sampleDf, "query_id", "__q", model), cents, probe)
+      val hits = adcScoreTopK(cands, qProbe, model.k, k, rr,
+          corpus, idCol, vecCol, sampleDf, "query_id", "__q")
+        .select(col("query_id"), col("nn_id"))
+        .join(truth, Seq("query_id", "nn_id"), "left_semi").count()
+      hits.toDouble / truthPairs
+    }
+    var probe = math.min(startProbe, probeCap)
+    var rr = math.min(startRerank, rerankCap)
+    // empty truth (no sample / empty corpus): vacuous
+    var recall = if (truthPairs == 0L) 1.0 else sampledRecall(probe, rr)
+    var prevRecall = recall
+    var lastWasProbe = false
+    val plateauEps = 0.02
+    while (truthPairs != 0L && recall < targetRecall &&
+        (probe < probeCap || rr < rerankCap)) {
+      if (lastWasProbe && recall - prevRecall < plateauEps && rr < rerankCap) {
+        // probe doubling plateaued: the ADC loss is the binder now
+        rr = math.min(rr.toLong * 2, rerankCap.toLong).toInt
+        lastWasProbe = false
+      } else if (probe < probeCap) {
+        probe = math.min(probe.toLong * 2, probeCap.toLong).toInt
+        lastWasProbe = true
+      } else {
+        rr = math.min(rr.toLong * 2, rerankCap.toLong).toInt
+        lastWasProbe = false
+      }
+      prevRecall = recall
+      recall = sampledRecall(probe, rr)
+    }
+    if (recall < targetRecall)
+      System.err.println(
+        f"[graft] ivfPqTopKCalibrated: caps reached (nProbe $probe/$lists " +
+          f"lists, rerank $rr) at sampled recall $recall%.3f < target " +
+          f"$targetRecall%.3f — this corpus needs larger caps or the exact " +
+          "kernels; the shortfall rides the measured_recall column")
+    val q = adcQuerySide(queries, qidCol, qvecCol, model)
+    val (qProbe, _) = probeSet(q, cents, probe)
+    // queries × k rows: materialize eagerly so the corpus-scale codes
+    // persist and the truth sample release HERE (the ivfTopKCalibrated
+    // unpersist contract)
+    val out = adcScoreTopK(cands, qProbe, model.k, k, rr,
+        corpus, idCol, vecCol, queries, qidCol, qvecCol)
+      .withColumn("measured_recall", lit(recall))
+      .withColumn("calibrated_nprobe", lit(probe))
+      .withColumn("calibrated_rerank", lit(rr))
+      .localCheckpoint()
+    cands.unpersist()
+    truth.unpersist()
+    out
   }
 }

@@ -33,6 +33,44 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.Kernels.cosineSim(a, b)
 
+  /** Element budget (rows × dim) for the broadcast QUERY side of the
+    * ANN entry points. Every top-k path here rides the query frame —
+    * vectors included — through `broadcast(...)`; that is the right
+    * plan for the bounded query sets these ops target (thousands of
+    * probes against a huge corpus), but a caller passing
+    * corpus-as-queries at 100 TB would OOM the driver hours in. 16M
+    * elements ≈ 128 MB of raw doubles (≈250k queries at dim 64) — the
+    * upper edge of a comfortable broadcast; past it the honest plan is
+    * chunking the query set or [[lshNeighborPairs]] (the all-pairs
+    * formulation that never broadcasts vectors). Same plan-time-refusal
+    * economics as [[graft.operators.Skew.saltedJoin]]'s replication
+    * guard; `queryBudget = 0` skips the check (the guard-skip
+    * convention shared with saltedJoin/embeddingDedup). */
+  val DefaultQueryBudget: Long = 16L * 1000 * 1000
+
+  /** Refuse a query frame too large to broadcast BEFORE the plan runs:
+    * one `count()` on the query side (small by contract, so the scan is
+    * cheap) × the vector dim from one head row. Shared by every
+    * ANN entry point here and in [[Pq]]. */
+  private[ml] def guardQueryBroadcast(queries: DataFrame, vecCol: String,
+                                      budget: Long, caller: String): Unit = {
+    if (budget <= 0) return
+    val rows = queries.count()
+    val dim = queries.select(col(vecCol)).filter(col(vecCol).isNotNull)
+      .head(1).headOption.map(_.getSeq[Any](0).size).getOrElse(0)
+    val elems = rows * math.max(dim, 1).toLong
+    if (elems > budget)
+      throw new IllegalArgumentException(
+        s"$caller: the query frame holds $rows rows × dim $dim = $elems " +
+          s"vector elements, over queryBudget=$budget — broadcasting it " +
+          "would put the full query-vector set on the driver and every " +
+          "executor (the corpus-as-queries OOM, hours into a large run). " +
+          "Chunk the query set into bounded batches, use lshNeighborPairs " +
+          "for corpus×corpus neighbor pairs (it never broadcasts " +
+          "vectors), or pass queryBudget=0 to accept the broadcast " +
+          "knowingly.")
+  }
+
   /** Exact brute-force cosine top-k.
     * `queries(qid, qvec)` is broadcast (must be driver-manageable —
     * typically thousands of rows); the corpus is scored in one map-side
@@ -41,7 +79,9 @@ object Similarity {
     * reach the shuffle, never the corpus. */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, qidCol: String, qvecCol: String,
-                     k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
+                     k: Int = 10, excludeSelf: Boolean = true,
+                     queryBudget: Long = DefaultQueryBudget): DataFrame = {
+    guardQueryBroadcast(queries, qvecCol, queryBudget, "bruteForceTopK")
     val paired = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("__v"))
       .crossJoin(broadcast(queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__q"))))
     // excludeSelf drops nn_id == query_id — right when queries ARE
@@ -359,7 +399,9 @@ object Similarity {
               queries: DataFrame, qidCol: String, qvecCol: String,
               k: Int = 10, nLists: Int = 0, nProbe: Int = 0,
               refineIters: Int = 1, seed: Long = 42L,
-              initMethod: String = "kmeans++"): DataFrame = {
+              initMethod: String = "kmeans++",
+              queryBudget: Long = DefaultQueryBudget): DataFrame = {
+    guardQueryBroadcast(queries, qvecCol, queryBudget, "ivfTopK")
     val lists = if (nLists > 0) nLists else autoNLists(corpus.count())
     val probes = if (nProbe > 0) nProbe else autoNProbe(lists)
     val cents = centroids(corpus, idCol, vecCol, lists, refineIters,
@@ -436,11 +478,13 @@ object Similarity {
                         nLists: Int = 0, nProbe: Int = 0,
                         maxProbeFactor: Int = 16,
                         refineIters: Int = 1, seed: Long = 42L,
-                        initMethod: String = "kmeans++"): DataFrame = {
+                        initMethod: String = "kmeans++",
+                        queryBudget: Long = DefaultQueryBudget): DataFrame = {
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       s"targetRecall must be in (0,1]: $targetRecall")
     require(sampleQueries >= 1, s"sampleQueries must be >= 1: $sampleQueries")
     require(maxProbeFactor >= 1, s"maxProbeFactor must be >= 1: $maxProbeFactor")
+    guardQueryBroadcast(queries, qvecCol, queryBudget, "ivfTopKCalibrated")
     val lists = if (nLists > 0) nLists else autoNLists(corpus.count())
     val startProbe = if (nProbe > 0) nProbe else autoNProbe(lists)
     val probeCap = math.min(lists.toLong,
@@ -456,8 +500,10 @@ object Similarity {
       .select(col(qidCol).as("query_id"), col(qvecCol).as("__q"))
       .orderBy(xxhash64(col("query_id"), lit(seed)), col("query_id"))
       .limit(sampleQueries)
+    // the ≤sampleQueries-row sample was guarded transitively above —
+    // skip the inner guard's count/head jobs
     val truth = bruteForceTopK(corpus, idCol, vecCol,
-        sample, "query_id", "__q", k)
+        sample, "query_id", "__q", k, queryBudget = 0)
       .select(col("query_id"), col("nn_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val truthPairs = truth.count()
@@ -480,10 +526,21 @@ object Similarity {
           f"reached at sampled recall $recall%.3f < target $targetRecall%.3f " +
           "— this corpus's neighbor structure needs a larger cap (or a " +
           "brute-force pass); the shortfall rides the measured_recall column")
-    probeLists(assigned, idCol, vecCol, cents, queries, qidCol, qvecCol,
-        k, probe)
+    // the final full-set probe output is queries × k rows — small by
+    // the broadcast contract. Materialize it eagerly (localCheckpoint
+    // cuts the lineage back to the checkpointed blocks) so the
+    // corpus-scale `assigned` persist and the cached centroids can be
+    // RELEASED here instead of leaking into the session cache for its
+    // lifetime (one leaked corpus-scale persist per invocation was the
+    // r12 ADVICE finding — the bench alone invokes this 4× per sweep).
+    val out = probeLists(assigned, idCol, vecCol, cents, queries, qidCol,
+        qvecCol, k, probe)
       .withColumn("measured_recall", lit(recall))
       .withColumn("calibrated_nprobe", lit(probe))
+      .localCheckpoint()
+    assigned.unpersist()
+    cents.unpersist()
+    out
   }
 
   /** Random-hyperplane LSH bucket key for cosine similarity: `nBits`
@@ -558,6 +615,20 @@ object Similarity {
                        path: String): IndexAppendStats = {
     val spark = batch.sparkSession
     val cents = spark.read.parquet(s"$path/centroids")
+    // fail-fast frozen-geometry contract (r12 ADVICE): a batch with the
+    // wrong dim or array<double> where the index stores array<float>
+    // would append mixed-schema delta files that only surface at probe
+    // time (parquet schema-merge failure / silently degraded
+    // assignments). One head row from each of three tiny reads.
+    IndexStats.validateBatch(batch, vecCol,
+      expectedDim = cents.select(size(col("cvec"))).head(1)
+        .headOption.map(_.getInt(0)),
+      expectedElem = spark.read.parquet(s"$path/lists").schema
+        .collectFirst { case f if f.dataType
+          .isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+          f.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+            .elementType },
+      caller = "appendToIvfIndex")
     val (assigned, obs) = IndexStats.observed(assignListsWithSim(
       batch.select(col(idCol), col(vecCol)), idCol, vecCol, cents),
       "graft_ivf_append")
@@ -573,7 +644,9 @@ object Similarity {
     * lists are never opened. */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, qidCol: String, qvecCol: String,
-                     k: Int = 10, nProbe: Int = 0): DataFrame = {
+                     k: Int = 10, nProbe: Int = 0,
+                     queryBudget: Long = DefaultQueryBudget): DataFrame = {
+    guardQueryBroadcast(queries, qvecCol, queryBudget, "ivfTopKIndexed")
     val cents = spark.read.parquet(s"$path/centroids")
     // nProbe <= 0: co-scale with the index's list count (autoNProbe) —
     // the centroid table is nLists rows, so the count is one tiny scan
@@ -686,6 +759,45 @@ private[ml] object IndexStats {
     * and fixed-probe recall sags (the same failure mode the r11 ×64
     * rotation fixture demonstrates in the extreme). */
   val RebuildDriftThreshold = 1.5
+
+  /** Fail-fast append contract (r12 ADVICE): assert the batch's vector
+    * column matches the FROZEN index geometry — array type, element
+    * type (when the index stores raw vectors), and dimensionality (one
+    * non-null head row) — before any delta file lands. A mismatched
+    * batch would otherwise write mixed-schema files into `lists/` and
+    * surface only at probe time. `expectedDim`/`expectedElem` are
+    * Options so degenerate indexes (empty build — no centroid row, no
+    * stored vector column) skip the unverifiable half. */
+  def validateBatch(batch: DataFrame, vecCol: String,
+                    expectedDim: Option[Int],
+                    expectedElem: Option[org.apache.spark.sql.types.DataType],
+                    caller: String): Unit = {
+    val elem = batch.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _) => et
+      case other => throw new IllegalArgumentException(
+        s"$caller: batch column '$vecCol' is $other, not an array vector " +
+          "column — appends run under the index's frozen geometry")
+    }
+    expectedElem.foreach { want =>
+      require(elem == want,
+        s"$caller: batch '$vecCol' holds array<${elem.simpleString}> but " +
+          s"the index stores array<${want.simpleString}> — appending would " +
+          "mix parquet schemas inside lists/ and fail at probe time; cast " +
+          "the batch to the index's element type (geometry is frozen at " +
+          "build)")
+    }
+    expectedDim.foreach { want =>
+      batch.select(F.col(vecCol)).filter(F.col(vecCol).isNotNull).head(1)
+        .foreach { r =>
+          val got = r.getSeq[Any](0).size
+          require(got == want,
+            s"$caller: batch vectors have dim $got but the index was built " +
+              s"at dim $want — frozen centroids/codebooks cannot assign a " +
+              "different dimensionality; rebuild the index for the new " +
+              "geometry")
+        }
+    }
+  }
 
   /** Ride (rows, meanD2) on the index WRITE job itself via
     * `Dataset.observe` — at 100 TB an extra full assignment scan just

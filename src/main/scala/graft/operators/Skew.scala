@@ -80,24 +80,49 @@ object Skew {
       s"saltedJoin supports inner/left/left_semi/left_anti joins only " +
         s"(got '$joinType'): replicating the right side per salt bucket " +
         s"would duplicate unmatched right rows")
-    if (replicationBudget > 0) {
-      val rightRows = right.count()
-      val replicated = rightRows * saltBuckets
-      if (replicated > replicationBudget)
-        throw new IllegalArgumentException(
-          s"saltedJoin: right side holds $rightRows rows — × $saltBuckets " +
-            s"salt buckets = $replicated replicated rows through the " +
-            s"shuffle, over replicationBudget=$replicationBudget. At this " +
-            "size the salted rewrite was measured ~9× WORSE than a plain " +
-            "shuffle join under AQE skew-split (r11 hot-key stress): drop " +
-            "the salting and let AQE handle it, shrink the right side " +
-            "first, lower saltBuckets, or pass replicationBudget=0 to " +
-            "accept the replication cost knowingly.")
-    }
+    // Guard economics (r12 ADVICE): the guard's count() used to
+    // re-execute the right side's full lineage ON TOP of the join —
+    // for the documented use case (right side materializes
+    // mid-pipeline) that doubled the right-side compute per call. Read
+    // the row count from plan STATISTICS when the optimizer already
+    // knows it (LocalRelation, ANALYZEd tables — free); otherwise
+    // persist the right side so the guard count and the join read ONE
+    // materialization. The persist is sized by the contract itself
+    // (small-ish right side ≤ budget/saltBuckets rows) and ages out by
+    // LRU like every library persist; a refused join unpersists before
+    // raising.
+    val guardedRight =
+      if (replicationBudget <= 0) right
+      else right.queryExecution.optimizedPlan.stats.rowCount match {
+        case Some(n) =>
+          checkReplication(n.toLong, saltBuckets, replicationBudget)
+          right
+        case None =>
+          val p = right.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try checkReplication(p.count(), saltBuckets, replicationBudget)
+          catch { case e: Throwable => p.unpersist(); throw e }
+          p
+      }
     val l = left.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)).cast("int"))
-    val r = right.withColumn("__salt",
+    val r = guardedRight.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  private def checkReplication(rightRows: Long, saltBuckets: Int,
+                               replicationBudget: Long): Unit = {
+    val replicated = rightRows * saltBuckets
+    if (replicated > replicationBudget)
+      throw new IllegalArgumentException(
+        s"saltedJoin: right side holds $rightRows rows — × $saltBuckets " +
+          s"salt buckets = $replicated replicated rows through the " +
+          s"shuffle, over replicationBudget=$replicationBudget. At this " +
+          "size the salted rewrite was measured ~9× WORSE than a plain " +
+          "shuffle join under AQE skew-split (r11 hot-key stress): drop " +
+          "the salting and let AQE handle it, shrink the right side " +
+          "first, lower saltBuckets, or pass replicationBudget=0 to " +
+          "accept the replication cost knowingly.")
   }
 }

@@ -118,6 +118,52 @@ class IndexAppendSpec extends GraftSpec {
     assert(gens == Seq(0L, 1L), gens.toString)
   }
 
+  test("IVF append refuses mismatched batch dim and element type (frozen geometry)") {
+    import spark.implicits._
+    val dir = tmp("ivfvalidate")
+    val a = clustered(200, 0L, seed = 5) // dim 8, array<float>
+    Similarity.buildIvfIndex(a, "id", "vec", dir, nLists = 8)
+    // wrong dim: the frozen centroids cannot assign it — fail BEFORE
+    // any delta file lands, not at probe time
+    val rng = new scala.util.Random(3)
+    val wrongDim = (0 until 5).map(i =>
+      (5000L + i, Seq.fill(5)(rng.nextGaussian().toFloat))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException](
+      Similarity.appendToIvfIndex(wrongDim, "id", "vec", dir))
+    assert(e.getMessage.contains("dim 5") && e.getMessage.contains("dim 8"),
+      e.getMessage)
+    // wrong element type: array<double> into an array<float> index
+    // would mix parquet schemas inside lists/
+    val doubled = clustered(5, 6000L, seed = 5)
+      .select(col("id"), col("vec").cast("array<double>").as("vec"))
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.appendToIvfIndex(doubled, "id", "vec", dir))
+    assert(e2.getMessage.contains("array<double>") &&
+      e2.getMessage.contains("array<float>"), e2.getMessage)
+    // non-array column refused outright
+    val scalar = Seq((1L, 1.0)).toDF("id", "vec")
+    val e3 = intercept[IllegalArgumentException](
+      Similarity.appendToIvfIndex(scalar, "id", "vec", dir))
+    assert(e3.getMessage.contains("not an array"), e3.getMessage)
+    // nothing landed: the index still probes exactly as built
+    assert(spark.read.parquet(s"$dir/lists").count() == 200L)
+  }
+
+  test("IVF-PQ append refuses a batch whose dim breaks the frozen codebook") {
+    import spark.implicits._
+    val dir = tmp("pqvalidate")
+    val a = clustered(300, 0L, seed = 13) // dim 8
+    Pq.buildIvfPqIndex(a, "id", "vec", dir, m = 4, pqK = 32, nLists = 8, iters = 1)
+    val rng = new scala.util.Random(9)
+    val wrongDim = (0 until 5).map(i =>
+      (5000L + i, Seq.fill(12)(rng.nextGaussian().toFloat))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException](
+      Pq.appendToIvfPqIndex(wrongDim, "id", "vec", dir))
+    assert(e.getMessage.contains("dim 12") && e.getMessage.contains("dim 8"),
+      e.getMessage)
+    assert(spark.read.parquet(s"$dir/lists").count() == 300L)
+  }
+
   // ---- IVF-PQ ----------------------------------------------------------
 
   test("IVF-PQ append: frozen codebook+centroids, planted copy found via re-rank") {

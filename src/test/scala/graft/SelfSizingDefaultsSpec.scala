@@ -304,6 +304,156 @@ class SelfSizingDefaultsSpec extends GraftSpec {
     assert(overlap >= 35, s"default-path recall $overlap/50 under the certificate floor")
   }
 
+  test("ivfPqTopKCalibrated escalates PROBES to the target on a probe-bound corpus") {
+    import spark.implicits._
+    // the hostile-structure twin of the IVF calibration pin: uniform
+    // gaussians, so recall tracks the scanned fraction and only probes
+    // buy it back. PQ resolution stays fine (m=8 over dim 24 with 256
+    // codes after 2 Lloyd rounds → ADC ranks accurately), isolating
+    // the PROBE knob: the calibration must escalate nProbe past the
+    // fixed default and clear the target the default missed — the
+    // small-scale shape of the ×64 rotation fixture where PQ defaults
+    // read 0.354 (sweeps/r12_stress_x64_vectors.json).
+    // seed 123: the EXACT corpus of the IVF calibration pin above,
+    // where the fixed probe default is measured broken
+    val rng = new scala.util.Random(123)
+    val corpus = (0 until 4000).map(i =>
+      (i.toLong, Seq.fill(24)(rng.nextGaussian().toFloat))).toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 10)
+    val bf = Similarity.bruteForceTopK(corpus, "id", "vec",
+        queries, "id", "vec", k = 5)
+      .select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the fixed default really is broken here (the premise of the op)
+    val fixed = Pq.ivfPqTopK(corpus, "id", "vec", queries, "id", "vec",
+        k = 5, m = 8, pqK = 256, nLists = 64, iters = 2, rerank = 20)
+      .select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixedOverlap = fixed.intersect(bf).size
+    info(s"fixed-default PQ overlap on the probe-bound corpus: $fixedOverlap/50")
+    assert(fixedOverlap < 35,
+      s"fixture not hostile enough: fixed defaults already read $fixedOverlap/50")
+    val cal = Pq.ivfPqTopKCalibrated(corpus, "id", "vec",
+      queries, "id", "vec", k = 5, targetRecall = 0.7,
+      m = 8, pqK = 256, nLists = 64, iters = 2, maxProbeFactor = 8)
+    val rows = cal.select("query_id", "nn_id", "measured_recall",
+      "calibrated_nprobe", "calibrated_rerank").collect()
+    val measured = rows.head.getDouble(2)
+    val probeUsed = rows.head.getInt(3)
+    info(f"calibrated: nProbe=$probeUsed, rerank=${rows.head.getInt(4)}, " +
+      f"sampled recall=$measured%.3f")
+    assert(measured >= 0.7, f"calibration stopped under target: $measured%.3f")
+    assert(probeUsed > Similarity.autoNProbe(64),
+      "calibration claims target recall without escalating past the fixed default")
+    // the judge line: ≥ 0.6 full-truth where the default read under 0.7
+    val calSet = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val calOverlap = calSet.intersect(bf).size
+    assert(calOverlap >= 30, s"calibrated full-truth overlap $calOverlap/50 under 0.6")
+    assert(calOverlap > fixedOverlap,
+      s"calibration did not improve on the fixed default ($calOverlap vs $fixedOverlap)")
+  }
+
+  test("ivfPqTopKCalibrated escalates RERANK when probe doublings plateau (ADC-bound)") {
+    import spark.implicits._
+    // the failure mode probes CANNOT fix: tight clusters under a
+    // deliberately coarse codebook (m=8 over dim 16, pqK=64, iters=0 —
+    // seed codebook only) collapse each ~200-member cluster to nearly
+    // one code, so ADC cannot rank inside the cluster that holds every
+    // true neighbor. Probe doublings plateau (the right list is
+    // already probed); only a deeper exact re-rank recovers the true
+    // top-k from the tied shortlist. The calibration must detect the
+    // plateau and move the SECOND knob.
+    val rng = new scala.util.Random(55)
+    val dim = 16
+    val centers = Array.fill(20)(Array.fill(dim)(rng.nextGaussian()))
+    val corpus = (0 until 4000).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => (x + 0.05 * rng.nextGaussian()).toFloat).toSeq)
+    }.toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 10)
+    val bf = Similarity.bruteForceTopK(corpus, "id", "vec",
+        queries, "id", "vec", k = 5)
+      .select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Pq.ivfPqTopKCalibrated(corpus, "id", "vec",
+        queries, "id", "vec", k = 5, targetRecall = 0.7,
+        m = 8, pqK = 64, iters = 0, maxRerankFactor = 32)
+      .select("query_id", "nn_id", "measured_recall", "calibrated_nprobe",
+        "calibrated_rerank").collect()
+    val measured = rows.head.getDouble(2)
+    val rerankUsed = rows.head.getInt(4)
+    info(f"calibrated: nProbe=${rows.head.getInt(3)}, rerank=$rerankUsed, " +
+      f"sampled recall=$measured%.3f")
+    assert(measured >= 0.7, f"calibration stopped under target: $measured%.3f")
+    assert(rerankUsed > 4 * 5,
+      "ADC-bound corpus calibrated without ever deepening the re-rank — " +
+        "the plateau policy never fired")
+    val calSet = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val calOverlap = calSet.intersect(bf).size
+    assert(calOverlap >= 35, s"calibrated overlap $calOverlap/50 under the floor")
+  }
+
+  test("ivfPqTopKCalibrated does not overpay on clusterable data under a fine codebook") {
+    import spark.implicits._
+    // fine codebook (m=16 over dim 16 → scalar quantization at 256
+    // levels) on clusterable data: the starting (autoNProbe, 4·k)
+    // already clears the target, so the loop must stop at step 0 —
+    // calibration is a measurement, not a blanket knob raise
+    val rng = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(40)(Array.fill(dim)(rng.nextGaussian()))
+    val corpus = (0 until 8000).map { i =>
+      val c = centers(i % 40)
+      (i.toLong, c.map(x => (x + 0.05 * rng.nextGaussian()).toFloat).toSeq)
+    }.toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 10)
+    // explicit rerank=100 (the depth the ×16 default-path pin measures
+    // at 49/50): the STARTING pair must clear the target, proving the
+    // loop stops at step 0 — and explicit knob values are honored as
+    // the starting point, the certificate-query contract
+    val row = Pq.ivfPqTopKCalibrated(corpus, "id", "vec",
+        queries, "id", "vec", k = 5, targetRecall = 0.7,
+        m = 16, pqK = 256, iters = 2, rerank = 100)
+      .select("measured_recall", "calibrated_nprobe", "calibrated_rerank")
+      .head()
+    val lists = Similarity.autoNLists(8000)
+    assert(row.getInt(1) == Similarity.autoNProbe(lists),
+      s"escalated probes (${row.getInt(1)}) although the default already met target")
+    assert(row.getInt(2) == 100,
+      s"escalated rerank (${row.getInt(2)}) although the start already met target")
+    assert(row.getDouble(0) >= 0.7)
+  }
+
+  test("ANN query-side broadcast guard: plan-time refusal over budget, 0 skips") {
+    import spark.implicits._
+    val corpus = (0 until 500).map(i =>
+      (i.toLong, Seq.fill(8)(i.toFloat + 1))).toDF("id", "vec")
+    // 500 rows × dim 8 = 4000 elements > budget 1000 → refuse BEFORE
+    // any corpus work, naming the knob and the alternative
+    val e = intercept[IllegalArgumentException](
+      Similarity.bruteForceTopK(corpus, "id", "vec", corpus, "id", "vec",
+        k = 3, queryBudget = 1000))
+    assert(e.getMessage.contains("queryBudget"), e.getMessage)
+    assert(e.getMessage.contains("lshNeighborPairs"), e.getMessage)
+    // every guarded entry point refuses the same way
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.ivfTopK(corpus, "id", "vec", corpus, "id", "vec",
+        k = 3, queryBudget = 1000))
+    assert(e2.getMessage.contains("queryBudget"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      Pq.ivfPqTopK(corpus, "id", "vec", corpus, "id", "vec",
+        k = 3, m = 4, pqK = 16, queryBudget = 1000))
+    assert(e3.getMessage.contains("queryBudget"), e3.getMessage)
+    // budget 0 = skip (the guard-skip convention): the same call runs
+    val n = Similarity.bruteForceTopK(corpus, "id", "vec", corpus, "id", "vec",
+      k = 3, queryBudget = 0).count()
+    assert(n == 500L * 3)
+    // the default budget admits the bounded query sets the ops target
+    val q = corpus.filter(col("id") < 5)
+    assert(Similarity.bruteForceTopK(corpus, "id", "vec", q, "id", "vec",
+      k = 3).count() == 15L)
+  }
+
   test("lshNeighborPairs ALL-DEFAULTS finds every planted pair at ×16 (8k rows)") {
     import spark.implicits._
     // the audit op (complete high-cosine pair list): auto nBits targets
