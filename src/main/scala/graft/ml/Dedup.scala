@@ -298,6 +298,71 @@ object Dedup {
     } finally newAnchors.unpersist()
   }
 
+  /** Compact an appended [[buildNearDupIndex]] index IN PLACE: re-fold
+    * the accumulated per-bucket anchor ROWS (one per touched bucket per
+    * append generation) back to the single bounded anchor set a fresh
+    * build would produce — making [[NearDupAppendStats.
+    * compactionRecommended]] actionable instead of advisory (the r12
+    * gap: the signal only logged a rebuild recommendation).
+    *
+    * The fold runs under the FROZEN stored parameters over the ANCHOR
+    * TABLE ONLY — one explode + one bounded [[MinKSigAgg]] shuffle over
+    * ≤ generations × buckets rows, NEVER the corpus (that is the whole
+    * point: a rebuild re-scans and re-signs every document; compaction
+    * re-folds a few KB per bucket). Equivalence is exact, not
+    * approximate: a bucket's k smallest ids overall are each within
+    * their own generation's k smallest, so the union of bounded
+    * per-generation sets always CONTAINS the fresh-build bounded set,
+    * and re-folding the union to the k smallest reproduces it
+    * (spec-pinned compacted ≡ fresh-build anchors, probe-for-probe).
+    * Probe results are unchanged whenever no bucket ever overflowed
+    * `maxPartners` (the same condition under which append ≡ rebuild);
+    * an overflowed bucket's compacted set is the rebuilt contract —
+    * the bounded `maxPartners` smallest — where the append chain
+    * temporarily held a superset.
+    *
+    * Write discipline: the folded table lands in a sibling directory
+    * first, then swaps in via delete + rename — the probe path never
+    * sees a half-written anchors table (rename is atomic on
+    * HDFS/local; object stores emulate it — run compaction from one
+    * writer, the same single-writer contract appends already carry).
+    * Returns the compacted anchor-row count (== occupied buckets). */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Long = {
+    val stored = spark.read.parquet(s"$path/anchors")
+    val params = stored.select(col("num_hashes"), col("bands"),
+      col("shingle_size"), col("max_partners")).head(1)
+    require(params.nonEmpty,
+      s"compactNearDupIndex: index at $path holds no anchors — nothing to compact")
+    val p = params(0)
+    val maxPartners = p.getInt(3)
+    val mk = F.udaf(new MinKSigAgg(maxPartners),
+      org.apache.spark.sql.Encoders.product[MinKSigItem])
+    // explode the per-generation bounded sets back to members, drop
+    // exact duplicates (the same id re-appended lands twice; the fresh
+    // build would hold it once), re-fold bounded per bucket
+    val folded = stored
+      .select(col("__bkey"), explode(col("__anchors")).as("__a"))
+      .select(col("__bkey"), col("__a").getField("id").as("__id"),
+        col("__a").getField("sig").as("__sig"))
+      .distinct()
+      .groupBy(col("__bkey"))
+      .agg(mk(col("__id"), col("__sig")).as("__mk"))
+      .select(col("__bkey"), col("__mk").getField("items").as("__anchors"))
+      .withColumn("num_hashes", lit(p.getInt(0)))
+      .withColumn("bands", lit(p.getInt(1)))
+      .withColumn("shingle_size", lit(p.getInt(2)))
+      .withColumn("max_partners", lit(maxPartners))
+    val tmp = s"$path/anchors.compacting"
+    folded.write.mode("overwrite").parquet(tmp)
+    val rows = spark.read.parquet(tmp).count()
+    val anchorsPath = new org.apache.hadoop.fs.Path(s"$path/anchors")
+    val fs = anchorsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(anchorsPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), anchorsPath)
+    rows
+  }
+
   // -------------------------------------------------------------------
   // MinHash + LSH banding
   // -------------------------------------------------------------------

@@ -306,6 +306,32 @@ object Pq {
       caller = "appendToIvfPqIndex")
   }
 
+  /** Rebuild a persisted [[buildIvfPqIndex]] index — the action its
+    * drift signal ([[graft.ml.IndexAppendStats.rebuildRecommended]])
+    * points at. UNLIKE the IVF rebuild, this one needs the vector
+    * SOURCE OF TRUTH handed back in: the PQ index stores m-byte codes
+    * and norms, never vectors (that is the point of PQ), so retraining
+    * the codebook and centroids must re-read the real embeddings —
+    * the same `(corpus, idCol, vecCol)` a probe-time re-rank joins.
+    * Geometry (m, pqK) is read from the STORED model so a rebuild
+    * cannot silently change the compression contract; `nLists <= 0`
+    * re-derives √N from the rebuild corpus. The new index is built in
+    * a sibling directory and swapped in (delete + rename per subdir;
+    * single-writer contract), and the drift series resets to a fresh
+    * generation-0 baseline. */
+  def rebuildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                        path: String, nLists: Int = 0, iters: Int = 2,
+                        seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    val mrow = spark.read.parquet(s"$path/model").collect()(0)
+    val tmp = s"$path/.rebuild"
+    buildIvfPqIndex(corpus, idCol, vecCol, tmp,
+      m = mrow.getAs[Int]("m"), pqK = mrow.getAs[Int]("k"),
+      nLists = nLists, iters = iters, seed = seed)
+    IndexStats.swapIn(spark, path, tmp,
+      Seq("model", "centroids", "lists", "stats"))
+  }
+
   /** Probe a persisted IVF-PQ index: rank lists against the tiny
     * centroid table, scan ONLY the probed list partitions (the
     * `isin` literal prunes at file listing), score by ADC lookups,

@@ -638,6 +638,38 @@ object Similarity {
       caller = "appendToIvfIndex")
   }
 
+  /** Rebuild a persisted [[buildIvfIndex]] index from its OWN stored
+    * rows — the action [[IndexAppendStats.rebuildRecommended]] points
+    * at (the r12 gap: drift tracking stopped at a stderr
+    * recommendation). The IVF index stores the actual vectors inside
+    * `lists/`, so no external corpus handle is needed: the union of
+    * build + every append generation IS the corpus of record. Retrains
+    * centroids (fresh k-means‖ over the accumulated distribution),
+    * re-assigns every row, and resets the drift series to a NEW
+    * generation-0 baseline — a subsequent same-distribution append
+    * reads drift ≈ 1 again (spec-pinned).
+    *
+    * Write discipline: the new index is built COMPLETELY in a sibling
+    * directory while reads still resolve against the old files (Spark
+    * captures the file listing at read time), then swaps in via
+    * delete + rename per subdirectory — a probe never sees a
+    * half-rebuilt index. Single-writer contract as with appends.
+    * `nLists <= 0` re-derives √N from the CURRENT row count — an index
+    * that grew 4× through appends gets 2× the lists, which is exactly
+    * why rebuilds exist. */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      nLists: Int = 0, refineIters: Int = 1, seed: Long = 42L,
+                      initMethod: String = "kmeans++"): Unit = {
+    val lists = spark.read.parquet(s"$path/lists")
+    val idCol = lists.columns.filterNot(c => c == "list_id" || lists.schema(c)
+      .dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]).head
+    val vecCol = lists.columns.filterNot(c => c == "list_id" || c == idCol).head
+    val tmp = s"$path/.rebuild"
+    buildIvfIndex(lists.select(col(idCol), col(vecCol)), idCol, vecCol,
+      tmp, nLists, refineIters, seed, initMethod)
+    IndexStats.swapIn(spark, path, tmp, Seq("centroids", "lists", "stats"))
+  }
+
   /** Query a persisted IVF index: rank lists per query against the
     * (tiny) centroid table, then scan ONLY the probed list partitions.
     * The `isin` filter prunes at the file-listing level — untouched
@@ -745,6 +777,13 @@ case class IndexAppendStats(appendedRows: Long, batchMeanD2: Double,
   def rebuildRecommended: Boolean = drift > IndexStats.RebuildDriftThreshold
 }
 
+object IndexAppendStats {
+  /** Public mirror of the documented rebuild line (see
+    * [[IndexStats.RebuildDriftThreshold]]) for callers outside the ml
+    * package — the audit surface reads it. */
+  val RebuildDriftThreshold: Double = 1.5
+}
+
 /** Assignment-quality bookkeeping stored INSIDE IVF-family indexes
   * (`path/stats`: one row per generation — 0 at build, +1 per append).
   * Mean angular D² = mean over assigned rows of 2·(1−cos) to the
@@ -758,7 +797,30 @@ private[ml] object IndexStats {
     * 1.5× the frozen centroids are materially stale — lists unbalance
     * and fixed-probe recall sags (the same failure mode the r11 ×64
     * rotation fixture demonstrates in the extreme). */
-  val RebuildDriftThreshold = 1.5
+  val RebuildDriftThreshold: Double = IndexAppendStats.RebuildDriftThreshold
+
+  /** Atomically swap a rebuilt index's subdirectories into place:
+    * `tmp/<sub>` replaces `path/<sub>` via delete + rename (atomic on
+    * HDFS/local per subdirectory; the window between subdirectory
+    * swaps is why rebuilds carry the single-writer contract). The tmp
+    * root is removed afterwards. */
+  def swapIn(spark: SparkSession, path: String, tmp: String,
+             subdirs: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    subdirs.foreach { sub =>
+      val src = new org.apache.hadoop.fs.Path(s"$tmp/$sub")
+      val dst = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val fs = dst.getFileSystem(conf)
+      if (fs.exists(src)) {
+        fs.delete(dst, true)
+        require(fs.rename(src, dst),
+          s"swapIn: rename $src -> $dst failed — the index at $path may " +
+            "need the .rebuild directory recovered manually")
+      }
+    }
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    tmpPath.getFileSystem(conf).delete(tmpPath, true)
+  }
 
   /** Fail-fast append contract (r12 ADVICE): assert the batch's vector
     * column matches the FROZEN index geometry — array type, element

@@ -77,4 +77,83 @@ object Audit {
       report().toDF("gate", "rows_in", "rows_out")
     }
   }
+
+  /** Health report for a persisted dedup/ANN index — the operational
+    * signals the append paths measure (drift vs the build baseline,
+    * per-bucket anchor pile-up, generation count), surfaced as a metric
+    * TABLE instead of stderr lines (r12 verdict #6: the audit surface
+    * is where a 100-TB operator looks; logs are where signals go to be
+    * missed). One row per (component, metric) with the documented
+    * threshold and the concrete remediation op when crossed.
+    *
+    * Detects the index family from its layout: `anchors/` = near-dup
+    * MinHash index ([[graft.ml.Dedup.buildNearDupIndex]]); `stats/` =
+    * IVF drift series ([[graft.ml.Similarity.buildIvfIndex]] /
+    * [[graft.ml.Pq.buildIvfPqIndex]], told apart by `model/`). Costs a
+    * few tiny scans of index METADATA (anchor table, stats series,
+    * centroid count) — never the corpus-scale `lists/` data.
+    *
+    * Columns: component, metric, value (double), threshold (null when
+    * the metric is informational), breached, recommended_action (null
+    * until breached). */
+  def indexHealth(spark: org.apache.spark.sql.SparkSession,
+                  path: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    def exists(sub: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      p.getFileSystem(conf).exists(p)
+    }
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Double, Option[Double], Boolean, Option[String])]
+    def add(component: String, metric: String, value: Double,
+            threshold: Option[Double], action: String): Unit = {
+      val breached = threshold.exists(t => value > t)
+      rows += ((component, metric, value, threshold, breached,
+        if (breached) Some(action) else None))
+    }
+    if (exists("anchors")) {
+      val anchors = spark.read.parquet(s"$path/anchors")
+      val agg = anchors.groupBy(col("__bkey"))
+        .agg(count(lit(1)).as("__n"))
+        .agg(coalesce(sum(col("__n")), lit(0L)).as("rows"),
+          count(lit(1)).as("buckets"),
+          coalesce(max(col("__n")), lit(0L)).as("maxrows"))
+        .head()
+      add("neardup", "anchor_rows", agg.getLong(0).toDouble, None, "")
+      add("neardup", "occupied_buckets", agg.getLong(1).toDouble, None, "")
+      add("neardup", "max_anchor_rows_per_bucket", agg.getLong(2).toDouble,
+        Some(graft.ml.Dedup.CompactAnchorRowsThreshold.toDouble),
+        "compactNearDupIndex: re-fold the append generations to the " +
+          "fresh-build bounded anchor set (anchor table only, never the corpus)")
+    }
+    if (exists("stats")) {
+      val component = if (exists("model")) "ivf_pq" else "ivf"
+      val rebuildOp =
+        if (component == "ivf_pq")
+          "rebuildIvfPqIndex: retrain codebook+centroids from the vector " +
+            "source of truth (the index stores codes, not vectors)"
+        else "rebuildIvfIndex: retrain from the index's own stored rows"
+      val stats = spark.read.parquet(s"$path/stats")
+        .select(col("generation"), col("mean_d2")).collect()
+        .sortBy(_.getLong(0))
+      add(component, "generations", stats.length.toDouble, None, "")
+      stats.find(_.getLong(0) == 0L).foreach { base =>
+        add(component, "base_mean_d2", base.getDouble(1), None, "")
+        stats.lastOption.filter(_.getLong(0) > 0L).foreach { latest =>
+          add(component, "latest_mean_d2", latest.getDouble(1), None, "")
+          add(component, "latest_drift", latest.getDouble(1) / base.getDouble(1),
+            Some(graft.ml.IndexAppendStats.RebuildDriftThreshold), rebuildOp)
+        }
+      }
+      if (exists("centroids"))
+        add(component, "lists", spark.read.parquet(s"$path/centroids")
+          .count().toDouble, None, "")
+    }
+    require(rows.nonEmpty,
+      s"indexHealth: no graft index layout found at $path (expected " +
+        "anchors/ for a near-dup index or stats/ for an IVF-family index)")
+    rows.toSeq.toDF("component", "metric", "value", "threshold", "breached",
+      "recommended_action")
+  }
 }

@@ -199,6 +199,61 @@ object StreamVerbs {
     // Dataset ops compose unchanged on a streaming frame
     graft.ml.Dedup.dedupAgainstHashes(stream, textCol, corpusHashes, hashCol)
 
+  /** Recurring near-dup ingest against a PERSISTED index — the
+    * streaming twin of the batch append loop (probe
+    * [[graft.ml.Dedup.dedupAgainstNearIndexed]], then
+    * [[graft.ml.Dedup.appendToNearDupIndex]]), packaged as a
+    * `foreachBatch` body:
+    *
+    * {{{
+    * stream.writeStream.foreachBatch(
+    *   StreamVerbs.nearDupIngest(indexPath, "doc_id", "text", 0.8) {
+    *     (kept, batchId) => kept.write.mode("append").parquet(out)
+    *   }).start()
+    * }}}
+    *
+    * PROBE-UNDER-APPEND semantics: micro-batch N probes the index AS
+    * OF generation N (parquet's file listing is captured at read time,
+    * so the probe never sees its own batch), the survivors go to
+    * `sink`, and — when `appendKept` — those survivors land as
+    * generation N+1 under the index's FROZEN banding parameters, so
+    * every LATER batch dedups against them too. Exactly the batch
+    * loop's semantics, chunk for chunk (differential spec-pinned:
+    * stream-ingest ≡ batch probe+append on the same chunks, kept sets
+    * AND final index state). foreachBatch (not a stateless transform)
+    * is the honest shape: the append is a side effect on shared index
+    * state, and Structured Streaming serializes micro-batches, giving
+    * the single-writer ordering the append contract needs.
+    *
+    * What this verb does NOT do: dedup rows within one micro-batch
+    * against each other (the probe is index-only — compose
+    * [[streamingContentDedup]] / [[streamingNearDedup]] upstream for
+    * intra-stream duplicates, the stream-composition convention), and
+    * it does not compact — watch [[graft.ml.Dedup.NearDupAppendStats]]
+    * from the appends or [[graft.operators.Audit.indexHealth]] and run
+    * [[graft.ml.Dedup.compactNearDupIndex]] between restarts.
+    * Exactly-once caveat: a replayed micro-batch (sink failure after
+    * append) re-appends its anchors — duplicate (id, sig) members are
+    * folded away by the next compaction and never change probe
+    * results (dropping against a superset of one's own content is
+    * idempotent). */
+  def nearDupIngest(indexPath: String, idCol: String, textCol: String,
+                    threshold: Double = 0.8, appendKept: Boolean = true)
+                   (sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      // read by the sink AND the append: one probe computation
+      val kept = graft.ml.Dedup
+        .dedupAgainstNearIndexed(batch, indexPath, idCol, textCol, threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        sink(kept, batchId)
+        if (appendKept && !kept.isEmpty) {
+          graft.ml.Dedup.appendToNearDupIndex(kept, idCol, textCol, indexPath)
+          ()
+        }
+      } finally { kept.unpersist(); () }
+    }
+
   /** Semantic blocklist at ingest — the EMBEDDING twin of n-gram
     * decontamination: drop stream rows whose vector is within
     * `threshold` cosine of ANY blocklist item (eval-set items,

@@ -80,4 +80,64 @@ class AuditSpec extends GraftSpec {
     val rows = frame.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(rows.toSeq == Seq(("size", 2L, 1L)))
   }
+
+  test("indexHealth surfaces the append signals as metric rows with remediation") {
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    def metric(df: org.apache.spark.sql.DataFrame, component: String, m: String) =
+      df.filter(col("component") === component && col("metric") === m)
+        .select("value", "breached", "recommended_action").head()
+    // --- near-dup index: bucket pile-up → compaction recommended
+    val nd = tmp("healthnd")
+    val docs = Seq((0L, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    graft.ml.Dedup.buildNearDupIndex(docs, "doc_id", "text", nd,
+      numHashes = 32, bands = 8, shingleSize = 4)
+    (1 to 8).foreach { g =>
+      graft.ml.Dedup.appendToNearDupIndex(
+        Seq((1000L * g, "the quick brown fox jumps over the lazy dog again"))
+          .toDF("doc_id", "text"), "doc_id", "text", nd)
+    }
+    val h1 = Audit.indexHealth(spark, nd)
+    val pile = metric(h1, "neardup", "max_anchor_rows_per_bucket")
+    assert(pile.getDouble(0) == 9.0 && pile.getBoolean(1), h1.collect().mkString("\n"))
+    assert(pile.getString(2).contains("compactNearDupIndex"))
+    // after compacting, the same report reads healthy
+    graft.ml.Dedup.compactNearDupIndex(spark, nd)
+    val h1b = Audit.indexHealth(spark, nd)
+    val pileB = metric(h1b, "neardup", "max_anchor_rows_per_bucket")
+    assert(pileB.getDouble(0) == 1.0 && !pileB.getBoolean(1))
+    assert(pileB.isNullAt(2), "healthy metric still carries an action")
+    // --- IVF index: drifted append → rebuild recommended
+    val ivf = tmp("healthivf")
+    val rng = new scala.util.Random(5)
+    val centers = Array.fill(10)(Array.fill(8)(rng.nextGaussian()))
+    val a = (0 until 200).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + 0.02 * rng.nextGaussian()).toFloat).toSeq)
+    }.toDF("id", "vec")
+    graft.ml.Similarity.buildIvfIndex(a, "id", "vec", ivf, nLists = 8)
+    val shifted = (0 until 50).map(i =>
+      (9000L + i, Seq.fill(8)(rng.nextGaussian().toFloat))).toDF("id", "vec")
+    graft.ml.Similarity.appendToIvfIndex(shifted, "id", "vec", ivf)
+    val h2 = Audit.indexHealth(spark, ivf)
+    assert(metric(h2, "ivf", "generations").getDouble(0) == 2.0)
+    val drift = metric(h2, "ivf", "latest_drift")
+    assert(drift.getDouble(0) > 1.5 && drift.getBoolean(1),
+      h2.collect().mkString("\n"))
+    assert(drift.getString(2).contains("rebuildIvfIndex"))
+    assert(metric(h2, "ivf", "lists").getDouble(0) == 8.0)
+    // the PQ layout reports under its own component with the PQ op
+    val pq = tmp("healthpq")
+    graft.ml.Pq.buildIvfPqIndex(a, "id", "vec", pq, m = 4, pqK = 32,
+      nLists = 8, iters = 0)
+    graft.ml.Pq.appendToIvfPqIndex(shifted, "id", "vec", pq)
+    val h3 = Audit.indexHealth(spark, pq)
+    val drift3 = metric(h3, "ivf_pq", "latest_drift")
+    assert(drift3.getBoolean(1) && drift3.getString(2).contains("rebuildIvfPqIndex"),
+      h3.collect().mkString("\n"))
+    // not an index → a clear refusal, not an empty frame
+    val e = intercept[IllegalArgumentException](
+      Audit.indexHealth(spark, tmp("healthnone")))
+    assert(e.getMessage.contains("no graft index layout"), e.getMessage)
+  }
 }

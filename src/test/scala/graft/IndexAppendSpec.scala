@@ -280,6 +280,155 @@ class IndexAppendSpec extends GraftSpec {
     assert(kept == ((200L until 205L) ++ (300L until 305L)).toSet, kept.toString)
   }
 
+  test("near-dup compaction re-folds the append chain to the fresh-build anchor set") {
+    val dirApp = tmp("ndcompactop")
+    val dirReb = tmp("ndcompactref")
+    Dedup.buildNearDupIndex(corpusA, "doc_id", "text", dirApp,
+      numHashes = 64, bands = 16, shingleSize = 4)
+    Dedup.appendToNearDupIndex(corpusB, "doc_id", "text", dirApp)
+    // a second generation re-appending A content under fresh ids piles
+    // more rows into A's buckets (and duplicates one id's (id, sig)
+    // member NOWHERE — fresh ids; the exact-duplicate fold case is the
+    // re-append below)
+    Dedup.appendToNearDupIndex(
+      corpusA.select((col("doc_id") + 50L).as("doc_id"), col("text")),
+      "doc_id", "text", dirApp)
+    // re-append the SAME rows: the compacted fold must hold each
+    // (id, sig) once, like a fresh build would
+    Dedup.appendToNearDupIndex(corpusB, "doc_id", "text", dirApp)
+    val preProbe = Dedup.dedupAgainstNearIndexed(probeBatch, dirApp,
+        "doc_id", "text", threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val buckets = spark.read.parquet(s"$dirApp/anchors")
+      .groupBy("__bkey").count().filter(col("count") > 1).count()
+    assert(buckets > 0, "fixture never stacked a bucket — compaction untested")
+    val compacted = Dedup.compactNearDupIndex(spark, dirApp)
+    // one row per bucket again, everywhere
+    val anchors = spark.read.parquet(s"$dirApp/anchors")
+    assert(anchors.groupBy("__bkey").count().filter(col("count") > 1).count() == 0L)
+    assert(anchors.count() == compacted)
+    // probe results unchanged by compaction (no bucket overflowed)
+    val postProbe = Dedup.dedupAgainstNearIndexed(probeBatch, dirApp,
+        "doc_id", "text", threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(postProbe == preProbe, s"pre=$preProbe post=$postProbe")
+    // the strong pin: compacted anchors ≡ a FRESH BUILD over the same
+    // accumulated corpus, bucket for bucket, member for member
+    Dedup.buildNearDupIndex(
+      corpusA.union(corpusB)
+        .union(corpusA.select((col("doc_id") + 50L).as("doc_id"), col("text"))),
+      "doc_id", "text", dirReb, numHashes = 64, bands = 16, shingleSize = 4)
+    def canonAnchors(dir: String) =
+      spark.read.parquet(s"$dir/anchors")
+        .select(col("__bkey"), explode(col("__anchors")).as("__a"))
+        .select(col("__bkey"), col("__a").getField("id").as("id"),
+          col("__a").getField("sig").cast("string").as("sig"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sorted.toSeq
+    assert(canonAnchors(dirApp) == canonAnchors(dirReb),
+      "compacted anchors diverged from a fresh build over the same corpus")
+    // params survived the swap
+    val p = spark.read.parquet(s"$dirApp/anchors")
+      .select("num_hashes", "bands", "shingle_size", "max_partners").head()
+    assert((p.getInt(0), p.getInt(1), p.getInt(2), p.getInt(3)) == (64, 16, 4, 64))
+  }
+
+  test("compaction resets the probe-cost signal the appends tripped") {
+    val dir = tmp("ndcompactreset")
+    Dedup.buildNearDupIndex(corpusA, "doc_id", "text", dir,
+      numHashes = 32, bands = 8, shingleSize = 4)
+    val tripped = (1 to 8).map { g =>
+      import spark.implicits._
+      val b = Seq((1000L * g,
+        "the quick brown fox jumps over the lazy dog again and again"))
+        .toDF("doc_id", "text")
+      Dedup.appendToNearDupIndex(b, "doc_id", "text", dir)
+    }.last
+    assert(tripped.compactionRecommended)
+    Dedup.compactNearDupIndex(spark, dir)
+    // the NEXT append's reading starts from the re-folded single rows:
+    // 1 existing row + 1 appended row per touched bucket
+    val after = {
+      import spark.implicits._
+      Dedup.appendToNearDupIndex(
+        Seq((9999L, "the quick brown fox jumps over the lazy dog again and again"))
+          .toDF("doc_id", "text"), "doc_id", "text", dir)
+    }
+    assert(!after.compactionRecommended,
+      s"signal still tripped after compaction: $after")
+    assert(after.maxAnchorRowsPerBucket == 2L, after.toString)
+  }
+
+  test("IVF rebuild: retrained in place from stored rows, drift series reset") {
+    val dir = tmp("ivfrebuild")
+    val a = clustered(200, 0L, seed = 21)
+    Similarity.buildIvfIndex(a, "id", "vec", dir, nLists = 8)
+    // a CLUSTERED batch around 10 centers the frozen centroids never
+    // saw (clustered() derives centers from its seed): drift trips —
+    // and unlike diffuse random noise, this shifted distribution is
+    // LEARNABLE, so a rebuild genuinely fixes it
+    val s1 = Similarity.appendToIvfIndex(clustered(200, 9000L, seed = 99),
+      "id", "vec", dir)
+    assert(s1.rebuildRecommended, s1.toString)
+    // auto nLists re-derives √400 = 20 from the GROWN index — enough
+    // centroid budget for both cluster families
+    Similarity.rebuildIvfIndex(spark, dir)
+    // the rebuilt index holds every accumulated row and probes like
+    // brute force when exhaustive
+    val union = spark.read.parquet(s"$dir/lists").select("id", "vec")
+    assert(union.count() == 400L)
+    val queries = union.filter(col("id").isin(0L, 9001L, 9040L))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val indexed = Similarity.ivfTopKIndexed(spark, dir, queries, "id", "vec",
+      k = 5, nProbe = 64)
+    val brute = Similarity.bruteForceTopK(union, "id", "vec",
+      queries, "id", "vec", k = 5)
+    assert(canon(indexed) == canon(brute))
+    // drift series reset: ONE generation-0 row trained on the union —
+    // and a batch from the ONCE-drifting distribution now reads ≈ 1
+    // (the retrained centroids describe it)
+    val gens = spark.read.parquet(s"$dir/stats")
+      .select("generation").collect().map(_.getLong(0)).toSeq
+    assert(gens == Seq(0L), gens.toString)
+    val s2 = Similarity.appendToIvfIndex(clustered(100, 20000L, seed = 99),
+      "id", "vec", dir)
+    assert(!s2.rebuildRecommended,
+      f"post-rebuild same-distribution drift still trips: ${s2.drift}%.3f")
+    assert(s2.drift < 1.5 && s2.generation == 1L, s2.toString)
+  }
+
+  test("IVF-PQ rebuild: frozen compression geometry, fresh codebook, stats reset") {
+    val dir = tmp("pqrebuild")
+    val a = clustered(300, 0L, seed = 13)
+    Pq.buildIvfPqIndex(a, "id", "vec", dir, m = 4, pqK = 32, nLists = 8, iters = 1)
+    val copies = a.filter(col("id") < 3)
+      .select((col("id") + 7000L).as("id"), col("vec"))
+    Pq.appendToIvfPqIndex(copies, "id", "vec", dir)
+    val union = a.union(copies)
+    // rebuild re-reads the SOURCE vectors (the PQ index stores codes);
+    // m/pqK come from the stored model, not the caller
+    Pq.rebuildIvfPqIndex(union, "id", "vec", dir, nLists = 8, iters = 1)
+    val m2 = spark.read.parquet(s"$dir/model").head()
+    assert((m2.getAs[Int]("m"), m2.getAs[Int]("k")) == (4, 32),
+      "rebuild changed the compression contract")
+    assert(spark.read.parquet(s"$dir/lists").count() == 303L)
+    val gens = spark.read.parquet(s"$dir/stats")
+      .select("generation").collect().map(_.getLong(0)).toSeq
+    assert(gens == Seq(0L), gens.toString)
+    // the rebuilt index still retrieves the planted copies via re-rank
+    val queries = a.filter(col("id") < 3)
+    val res = Pq.ivfPqTopKIndexed(spark, dir, queries, "id", "vec",
+      k = 3, nProbe = 8, rerank = 50,
+      rerankFrom = union, rerankIdCol = "id", rerankVecCol = "vec")
+    val top = res.filter(col("rank") === 1).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toMap
+    (0L until 3L).foreach(q =>
+      assert(top(q) == q + 7000L, s"query $q top-1 was ${top(q)} post-rebuild"))
+  }
+
   test("near-dup append refuses an empty (anchor-less) index") {
     import spark.implicits._
     val dir = tmp("ndempty")

@@ -57,7 +57,7 @@ class PersistInventorySpec extends AnyFunSuite {
       .filter(_._2 > 0).toMap
   }
 
-  // SCALING.md §"Persist-site inventory": 11 paired + 13 documented-LRU
+  // SCALING.md §"Persist-site inventory": 12 paired + 13 documented-LRU
   private val expectedPersist = Map(
     "src/main/scala/graft/core/CrysFrame.scala" -> 2, // order capture + take draw (LRU)
     "src/main/scala/graft/core/GlobalWindows.scala" -> 2, // sorted base + rank counts (LRU)
@@ -65,6 +65,7 @@ class PersistInventorySpec extends AnyFunSuite {
     "src/main/scala/graft/ml/Pq.scala" -> 3, // training vectors + calibrated cands/truth (all paired)
     "src/main/scala/graft/ml/Similarity.scala" -> 5, // k-means init + calibration truth + calibrated assignment (paired, r13) + LSH keys/vecs (LRU)
     "src/main/scala/graft/operators/Skew.scala" -> 1, // saltedJoin guard right side (LRU; guard count + join share one materialization)
+    "src/main/scala/graft/streaming/StreamVerbs.scala" -> 1, // nearDupIngest kept batch (paired: finally unpersist)
     "src/main/scala/graft/sources/Export.scala" -> 1, // curriculum sorted RDD (LRU)
     "src/main/scala/graft/VectorStress.scala" -> 1, // recall ground truth (paired)
     "src/main/scala/graft/text/Classifier.scala" -> 1, // NB aggregate (paired)
@@ -83,7 +84,7 @@ class PersistInventorySpec extends AnyFunSuite {
       "\npersist sites drifted from SCALING.md §Persist-site inventory — " +
         "document the new/removed site there AND update this spec.\n" +
         s"actual:   $actual\nexpected: $expectedPersist")
-    assert(actual.values.sum == 24) // the inventory's headline count
+    assert(actual.values.sum == 25) // the inventory's headline count
   }
 
   test("every .cache() in src/main is in the checked-in inventory") {

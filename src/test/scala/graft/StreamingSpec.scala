@@ -609,4 +609,72 @@ class StreamingSpec extends GraftSpec {
     assert(q2.awaitTermination(120000L), "restarted drain did not finish in 120s")
     assert(spark.read.parquet(s"$root/out").count() == 1)
   }
+
+  test("nearDupIngest ≡ the batch probe+append loop, chunk for chunk") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dirStream = java.nio.file.Files.createTempDirectory("ndstream").toString
+    val dirBatch = java.nio.file.Files.createTempDirectory("ndbatch").toString
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "pack my box with five dozen liquor jugs for the journey north"))
+      .toDF("doc_id", "text")
+    graft.ml.Dedup.buildNearDupIndex(corpus, "doc_id", "text", dirStream,
+      numHashes = 64, bands = 16, shingleSize = 4)
+    graft.ml.Dedup.buildNearDupIndex(corpus, "doc_id", "text", dirBatch,
+      numHashes = 64, bands = 16, shingleSize = 4)
+    // chunk 1: one near-copy of the corpus (drops) + one fresh doc
+    // (survives AND is appended); chunk 2: a near-copy of chunk 1's
+    // SURVIVOR — it can only drop if the stream really appended
+    // generation N before batch N+1 probed (probe-under-append), plus
+    // one more fresh doc
+    val chunk1 = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again 1"),
+      (101L, "distributed query engines shuffle partitioned data across many executors"))
+    val chunk2 = Seq(
+      (200L, "distributed query engines shuffle partitioned data across many executors 2"),
+      (201L, "vectorized columnar execution amortizes dispatch over entire batches"))
+    // --- streaming: MemoryStream drained once per chunk, so each
+    // chunk is its own micro-batch
+    val streamKept = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamVerbs.nearDupIngest(dirStream, "doc_id", "text",
+        threshold = 0.7) { (kept, batchId) =>
+        streamKept ++= kept.select("doc_id").collect()
+          .map(r => (batchId, r.getLong(0)))
+        ()
+      })
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(chunk1: _*); q.processAllAvailable()
+      in.addData(chunk2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // --- batch twin: the documented recurring-ingest loop
+    val batchKept = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    Seq(chunk1, chunk2).zipWithIndex.foreach { case (chunk, i) =>
+      val kept = graft.ml.Dedup.dedupAgainstNearIndexed(
+        chunk.toDF("doc_id", "text"), dirBatch, "doc_id", "text",
+        threshold = 0.7)
+      batchKept ++= kept.select("doc_id").collect().map(r => (i.toLong, r.getLong(0)))
+      graft.ml.Dedup.appendToNearDupIndex(kept, "doc_id", "text", dirBatch)
+    }
+    assert(streamKept.toSet == batchKept.toSet,
+      s"stream=$streamKept batch=$batchKept")
+    // the semantics the fixture encodes really happened: 100 dropped
+    // (corpus near-copy), 101 survived, 200 dropped (near-copy of the
+    // APPENDED survivor — generation N visible to batch N+1), 201 kept
+    assert(streamKept.map(_._2).toSet == Set(101L, 201L), streamKept.toString)
+    // and the two index states are interchangeable: a third batch
+    // probes identically against either
+    val probe3 = Seq(
+      (300L, "vectorized columnar execution amortizes dispatch over entire batches 3"),
+      (301L, "completely unrelated content with its own vocabulary entirely"))
+      .toDF("doc_id", "text")
+    def keptIds(dir: String) =
+      graft.ml.Dedup.dedupAgainstNearIndexed(probe3, dir, "doc_id", "text",
+        threshold = 0.7).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds(dirStream) == keptIds(dirBatch))
+    assert(keptIds(dirStream) == Set(301L))
+  }
 }
