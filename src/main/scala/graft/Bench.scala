@@ -327,6 +327,28 @@ object Bench {
     } finally { f.delete(); () }
   }
 
+  /** r13: a fixed-size SHUFFLE probe — the normalizer axis the CPU/IO
+    * pair cannot see. The r12 sf0.1 common-set drifted +9% in queries
+    * no diff touched while every CPU sentinel read clean: a day-long
+    * throttle that taxes scheduling/shuffle uniformly sits INSIDE the
+    * pure-ALU and 8-MiB-fsync bands. This probe times a fixed
+    * 4M-row × 32-partition hash-aggregate through the same noop sink
+    * the bench entries use — scheduler latency, shuffle write+read,
+    * codegen'd agg, all on a constant workload. Min-of-3 (same
+    * rationale as the trial protocol); clean band committed in
+    * SCALING.md §sentinel. A drifted RECORD under a clean shuffle
+    * probe implicates code; a drifted probe adjudicates the tax as
+    * host-side and scales the reading. */
+  private[graft] def sentinelShuffle(spark: SparkSession): Double =
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 4L * 1000 * 1000, 1L, 32)
+        .selectExpr("id % 1000 AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
   def main(args: Array[String]): Unit = {
     // All numeric JSON below is built with f"" interpolators, which are
     // locale-sensitive: a comma-decimal default locale would emit
@@ -459,6 +481,10 @@ object Bench {
       noSentinel || (math.max(pre._1, post._1) < 2.0 * cleanCpu &&
         math.max(pre._2, post._2) < 1.5 * cleanIo)
     if (!noSentinel) { sentinel(); sentinelIo() } // warm probes' JIT/fd paths
+    // shuffle-probe PRE reading: after the suite warmup (so the probe's
+    // own JIT/codegen is warm — the warmup pass above already compiled
+    // far heavier plans) and before the first measured window
+    val shufflePre = if (noSentinel) 0.0 else { sentinelShuffle(spark); sentinelShuffle(spark) }
     var lastProbe = probe()
     // r12: the CC pair gets a fresh warmup run IMMEDIATELY before its
     // trials. The suite-wide warmup pass ran the whole list ago — by
@@ -576,6 +602,7 @@ object Bench {
         }
       }
     }
+    val shufflePost = if (noSentinel) 0.0 else sentinelShuffle(spark)
     val results = perTrial.map { case (n, ((_, _, ts, _), _)) => n -> ts.min }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
@@ -623,7 +650,7 @@ object Bench {
       .mkString("{", ",", "}")
     val repairedJson = repairedNames.reverse.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sentinel":{"min":$sentMin%.3f,"median":$sentMed%.3f},"sentinel_io":{"min":$sioMin%.3f,"median":$sioMed%.3f},"sentinels_enabled":${!noSentinel},"dirty":$dirtyJson,"retried":$retriedJson,"repaired":$repairedJson,"loop_trials":$loopTrialsJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sentinel":{"min":$sentMin%.3f,"median":$sentMed%.3f},"sentinel_io":{"min":$sioMin%.3f,"median":$sioMed%.3f},"shuffle_probe":{"pre":$shufflePre%.3f,"post":$shufflePost%.3f},"sentinels_enabled":${!noSentinel},"dirty":$dirtyJson,"retried":$retriedJson,"repaired":$repairedJson,"loop_trials":$loopTrialsJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

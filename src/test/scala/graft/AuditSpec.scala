@@ -17,19 +17,41 @@ class AuditSpec extends GraftSpec {
       (5L, "en", 250, "keep")).toDF("id", "lang", "n", "tag")
     // baseline: the same gated chain WITHOUT observations — however
     // many jobs the action costs there (AQE splits a count), the
-    // audited chain must cost the SAME; the metrics ride for free
-    def jobs(): Int = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // audited chain must cost the SAME; the metrics ride for free.
+    // Counted with a DEDICATED listener, not statusTracker job-group
+    // deltas: the tracker retains a bounded job list (spark.ui
+    // .retainedJobs), so after thousands of suite jobs the delta
+    // arithmetic saturates/garbles (a full `sbt test` measured
+    // baseline = -98 where the isolated suite read 1). The listener
+    // bus is async — poll until the count stabilizes after the action.
+    def countJobs(action: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        action
+        var prev = -1; var cur = n.get; var spins = 0
+        while (cur != prev && spins < 50) {
+          Thread.sleep(100); prev = cur; cur = n.get; spins += 1
+        }
+        cur
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
     val plain = docs.filter(col("n") >= 200)
       .filter(col("lang") === "en").filter(col("tag") === "keep")
-    val b0 = jobs(); plain.count(); val baseline = jobs() - b0
+    val baseline = countJobs { plain.count(); () }
 
     val audit = new Audit.Pipeline()
     val g1 = audit.gate(docs, "size", col("n") >= 200)
     val g2 = audit.gate(g1, "english", col("lang") === "en")
     val g3 = audit.gate(g2, "tagged", col("tag") === "keep") // null → dropped
-    val before = jobs()
-    val survivors = g3.count()
-    val audited = jobs() - before
+    var survivors = 0L
+    val audited = countJobs { survivors = g3.count(); () }
     assert(survivors == 2) // ids 2, 5
     val rep = audit.report()
     assert(rep == Seq(("size", 5L, 4L), ("english", 4L, 3L), ("tagged", 3L, 2L)))

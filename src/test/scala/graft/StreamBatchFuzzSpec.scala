@@ -165,8 +165,12 @@ class StreamBatchFuzzSpec extends GraftSpec {
     * emissions on watermark advance, driven by sentinel ticks past the
     * horizon and filtered from assertions) and watermark-EXPIRY
     * signature dedup (state eviction mid-stream: a key reappearing
-    * after its state provably expired must survive again). */
-  private val allTerminals = 11
+    * after its state provably expired must survive again); r13 appends
+    * the recurring near-dup INGEST loop (nearDupIngest: foreachBatch
+    * probe-then-append over a persisted index — probe-under-append
+    * semantics vs the batch probe+append loop on identical chunks,
+    * kept sets AND final index state). */
+  private val allTerminals = 12
 
   /** Two-feed runner for the stream-stream interval join terminals:
     * each side is its own MemoryStream, chunks interleave (left chunk,
@@ -538,6 +542,68 @@ class StreamBatchFuzzSpec extends GraftSpec {
             "null-signature rows must ALL pass through un-deduped")
           val inputIds = ids.toSet
           assert(out.forall(r => inputIds.contains(r.getAs[Long]("doc_id"))))
+        case 11 => // recurring near-dup ingest (r13): foreachBatch
+          // probe-then-append over a persisted index vs the batch
+          // probe+append loop on IDENTICAL chunks. The stateless chain
+          // is row-local, so applying it per-chunk equals applying it
+          // whole and chunking — both sides see the same micro-batch
+          // contents. Contract: per-chunk kept doc_id sets equal
+          // (probe-under-append: a chunk-k survivor must drop a
+          // chunk-k+1 near-copy on BOTH sides), and the two final
+          // index states are interchangeable under a fixed probe.
+          val dirS = java.nio.file.Files.createTempDirectory(s"fuzznd_s$seed").toString
+          val dirB = java.nio.file.Files.createTempDirectory(s"fuzznd_b$seed").toString
+          Seq(dirS, dirB).foreach(d => graft.ml.Dedup.buildNearDupIndex(
+            corpus, "doc_id", "text", d,
+            numHashes = 32, bands = 8, shingleSize = 4))
+          val chunkSz = math.max(1, (docs.size + nChunks - 1) / nChunks)
+          val chunks = docs.grouped(chunkSz).toSeq
+          // --- streaming side: MemoryStream drained once per chunk
+          val streamKept = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          locally {
+            implicit val sqlCtx = spark.sqlContext
+            val in = MemoryStream[(Long, Timestamp, String)]
+            val q = stateless(in.toDF().toDF("doc_id", "ts", "text"))
+              .writeStream
+              .foreachBatch(StreamVerbs.nearDupIngest(dirS, "doc_id", "text",
+                threshold = 0.7) { (kept, batchId) =>
+                streamKept ++= kept.select("doc_id").collect()
+                  .map(r => (batchId, r.getLong(0)))
+                ()
+              })
+              .outputMode(OutputMode.Append()).start()
+            try chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+            finally q.stop()
+          }
+          // --- batch twin: the documented recurring-ingest loop
+          val batchKept = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          chunks.zipWithIndex.foreach { case (chunk, i) =>
+            val kept = graft.ml.Dedup.dedupAgainstNearIndexed(
+              stateless(chunk.toDF("doc_id", "ts", "text")), dirB,
+              "doc_id", "text", threshold = 0.7)
+            val ids2 = kept.select("doc_id").collect().map(_.getLong(0))
+            batchKept ++= ids2.map((i.toLong, _))
+            if (ids2.nonEmpty)
+              graft.ml.Dedup.appendToNearDupIndex(kept, "doc_id", "text", dirB)
+          }
+          assert(streamKept.sorted.toSeq == batchKept.sorted.toSeq,
+            s"nearDupIngest diverged: stream ${streamKept.size} kept " +
+              s"(${streamKept.sorted.take(10)}…) vs batch ${batchKept.size} " +
+              s"(${batchKept.sorted.take(10)}…)")
+          // final index states interchangeable: a fixed probe batch
+          // (one corpus near-copy, one near-copy of a kept doc if any,
+          // one fresh doc) keeps the same ids against either index
+          val keptTexts = docs.filter(d => streamKept.exists(_._2 == d._1))
+          val probeRows = Seq(
+            (5000L, ts(0), "the standing corpus document about pipeline quality signals"),
+            (5002L, ts(2), "entirely novel probe content the indexes never saw before now")) ++
+            keptTexts.headOption.map(d => (5001L, ts(1), d._3 + " x")).toSeq
+          def probeIds(dir: String) = graft.ml.Dedup.dedupAgainstNearIndexed(
+              probeRows.toDF("doc_id", "ts", "text"), dir, "doc_id", "text",
+              threshold = 0.7)
+            .select("doc_id").collect().map(_.getLong(0)).toSet
+          assert(probeIds(dirS) == probeIds(dirB),
+            "final index states diverged under a fixed probe")
       }
     } catch {
       case e: org.scalatest.exceptions.TestFailedException => throw e
@@ -554,6 +620,12 @@ class StreamBatchFuzzSpec extends GraftSpec {
 
   test("every terminal arm fires at least once (incl. the r11 stateful twins)") {
     (0 until allTerminals).foreach(t => runCase(31000 + t, forceTerminal = t))
+  }
+
+  test("nearDupIngest terminal: multi-chunk seeds with planted cross-chunk dups") {
+    // extra forced coverage for the r13 terminal: the random draw gives
+    // it ~1/12 of seeds; these force it under 4 different doc mixes
+    (0 until 4).foreach(i => runCase(32000 + i, forceTerminal = 11))
   }
 
   test("stream-vs-batch differential soak: seeds 30026-30300", Soak) {
