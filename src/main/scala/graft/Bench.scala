@@ -545,6 +545,28 @@ object Bench {
           attempt += 1
         }
       }
+      // r14 (verdict #5): POST-write drain — a write entry's GB-scale
+      // burst throttles the host into its SUCCESSOR's window (the
+      // recurring x_write_tfrecord/x_write_tar/x_zorder_write →
+      // next-entry-dirty pattern across r12/r13 sweeps). Spend drain
+      // budget proactively HERE, gated on the IO probe returning to
+      // band, instead of reactively on the successor's dirty retry —
+      // same budget pool, but the successor's first window starts
+      // clean and no trials are discarded.
+      if (writeEntry(n) && !noSentinel) {
+        var io = result._2._2 // the window's own post-probe IO reading
+        var spent = 0
+        while (io >= 1.5 * cleanIo && drainSpentSec < drainBudgetSec &&
+            spent < 180) {
+          Thread.sleep(15000L); drainSpentSec += 15; spent += 15
+          io = sentinelIo()
+        }
+        if (spent > 0) {
+          System.err.println(
+            f"[bench] $n post-write drain ${spent}s (io now $io%.3f)")
+          lastProbe = (sentinel(), io) // clean pre for the successor
+        }
+      }
       if (trials(n) > 3)
         System.err.println(f"[bench] $n trials: " +
           result._3.map(t => f"$t%.3f").mkString(", "))

@@ -1349,7 +1349,12 @@ object SparkEntry {
     // candidate (16x compression of the 64-float vectors), and the
     // top-50 ADC survivors re-score against true vectors — recall
     // recovers the plain-IVF ceiling at the same nProbe (PqSpec pins
-    // the gradient). rows-only (approximate by design), but carries
+    // the gradient). As of r14 the codes are RESIDUAL (IVFADC,
+    // trainResidual): the codebook quantizes x − centroid(list), so
+    // ADC error shrinks to the within-list displacement — the
+    // structural fix for the r13 ×64 reading where raw-codebook ADC
+    // (0.354) sat under the IVF candidate ceiling (0.408).
+    // rows-only (approximate by design), but carries
     // the same IN-BAND recall certificate as q_ann_ivf: the re-ranked
     // neighbors overlap the brute-force ground truth on ≥ 35 of the
     // 50 (query, nn) pairs or the query raises. The floor matches the
@@ -1382,12 +1387,15 @@ object SparkEntry {
       CrysFrame(pq.union(bad)).sortBy("query_id", "rank").out
     }),
 
-    // CALIBRATED IVF-PQ top-k (r13): the two-knob counterpart of
-    // q_ann_ivf_cal — nProbe escalates while probe doublings keep
-    // moving sampled recall, the exact re-rank depth doubles when they
-    // plateau (ADC quantization error bounds what probes alone can
-    // buy; the r12 ×64 stress measured PQ defaults at 0.354 where IVF
-    // read 0.41). rows-only (approximate by design) with the same TWO
+    // CALIBRATED IVF-PQ top-k (r13; r14 knob policy + residual codes):
+    // the two-knob counterpart of q_ann_ivf_cal — whichever knob's
+    // last doubling moved sampled recall ≥ 0.02 keeps control (nProbe
+    // first; a plateau or cap hands over). With r14's residual
+    // (IVFADC) codes the ADC loss mostly vanishes, so calibration
+    // typically escalates probes alone — the r13 near-exhaustive
+    // (nProbe 304/358 + rerank 160) pattern was the raw codebook
+    // paying for rotation structure. rows-only (approximate by
+    // design) with the same TWO
     // in-band certificates: (a) the emitted measured_recall must clear
     // the target, (b) an independent brute-force overlap floor, so the
     // calibration cannot vouch for itself.

@@ -31,6 +31,15 @@ object PqKernels {
               subDim: Int, asInts: Boolean = false): Column =
     column(PqCodesExpr(expression(vec), codebook, m, k, subDim, asInts))
 
+  /** Residual (IVFADC) encoding: codes of `vec − anchor` against a
+    * codebook trained on residuals, fused in one loop — the residual
+    * array is never materialized. See [[PqResidualCodesExpr]]. */
+  def pqResidualCodes(vec: Column, anchor: Column, codebook: Array[Double],
+                      m: Int, k: Int, subDim: Int,
+                      asInts: Boolean = false): Column =
+    column(PqResidualCodesExpr(expression(vec), expression(anchor),
+      codebook, m, k, subDim, asInts))
+
   def pqTable(qvec: Column, codebook: Array[Double], m: Int, k: Int,
               subDim: Int): Column =
     column(PqTableExpr(expression(qvec), codebook, m, k, subDim))
@@ -108,6 +117,74 @@ case class PqCodesExpr(child: Expression, codebook: Array[Double],
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Residual-mode (IVFADC, Jégou 2011 §IV) encoder: per subspace, the
+  * L2-nearest codebook entry to `(vec − anchor)` — the anchor being the
+  * row's assigned IVF centroid, so the codebook only has to describe
+  * the (much smaller) within-list displacement, not the whole vector.
+  * Same tie-break / ragged-null contract as [[PqCodesExpr]]; null when
+  * EITHER input is null or has the wrong length (a row whose list
+  * assignment is null cannot be residual-coded — auditable, never
+  * dropped silently). The subtraction is fused into the distance loop:
+  * no residual array is ever allocated per row. */
+case class PqResidualCodesExpr(left: Expression, right: Expression,
+                               codebook: Array[Double],
+                               m: Int, k: Int, subDim: Int, asInts: Boolean)
+    extends BinaryExpression with CodegenFallback {
+  PqKernels.checkGeometry(m, k, subDim, codebook)
+
+  override def dataType: DataType =
+    if (asInts) ArrayType(IntegerType, containsNull = false) else BinaryType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val l = Kernels.requireNumericArray("pq_residual_codes", left.dataType)
+    if (l.isFailure) l
+    else Kernels.requireNumericArray("pq_residual_codes", right.dataType)
+  }
+
+  @transient private lazy val getV =
+    PqKernels.doubleGetter(left.dataType, "pq_residual_codes")
+  @transient private lazy val getA =
+    PqKernels.doubleGetter(right.dataType, "pq_residual_codes")
+
+  override def nullSafeEval(vecAny: Any, anchorAny: Any): Any = {
+    val v = vecAny.asInstanceOf[ArrayData]
+    val a = anchorAny.asInstanceOf[ArrayData]
+    if (v.numElements() != m * subDim || a.numElements() != m * subDim)
+      return null
+    val codes = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < k) {
+        val base = (mi * k + j) * subDim
+        var d2 = 0.0
+        var d = 0
+        while (d < subDim) {
+          val i = mi * subDim + d
+          val diff = (getV(v, i) - getA(a, i)) - codebook(base + d)
+          d2 += diff * diff
+          d += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = j } // strict < keeps lowest on tie
+        j += 1
+      }
+      codes(mi) = best
+      mi += 1
+    }
+    if (asInts) new GenericArrayData(codes)
+    else {
+      val out = new Array[Byte](m)
+      var i = 0
+      while (i < m) { out(i) = codes(i).toByte; i += 1 }
+      out
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** Per-query ADC table: out(mi*k + j) = ⟨query subvector mi, centroid

@@ -322,11 +322,16 @@ object Dedup {
     * temporarily held a superset.
     *
     * Write discipline: the folded table lands in a sibling directory
-    * first, then swaps in via delete + rename — the probe path never
-    * sees a half-written anchors table (rename is atomic on
-    * HDFS/local; object stores emulate it — run compaction from one
-    * writer, the same single-writer contract appends already carry).
-    * Returns the compacted anchor-row count (== occupied buckets). */
+    * first, then swaps in via TWO renames (live → `anchors.old`, new →
+    * live; each atomic on HDFS/local, emulated on object stores) — a
+    * probe can never see a HALF-WRITTEN table, and the no-table window
+    * is only the gap between the two metadata renames, not an
+    * O(files) delete. Compaction excludes concurrent WRITERS by the
+    * single-writer contract appends already carry; concurrent READERS
+    * are best-effort — a probe landing exactly in the rename gap fails
+    * cleanly ("holds no anchors") and retries. Crash recovery is
+    * documented at the swap site. Returns the compacted anchor-row
+    * count (== occupied buckets). */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String): Long = {
     val stored = spark.read.parquet(s"$path/anchors")
@@ -356,10 +361,29 @@ object Dedup {
     val tmp = s"$path/anchors.compacting"
     folded.write.mode("overwrite").parquet(tmp)
     val rows = spark.read.parquet(tmp).count()
+    // two-rename swap, never delete-then-rename (r13 verdict #3): the
+    // no-table window a concurrent probe could hit shrinks from an
+    // O(files) recursive delete to the gap between two metadata-only
+    // renames. Still NOT reader-serializable — a probe landing exactly
+    // in that gap fails with "no anchors"; compaction excludes
+    // concurrent WRITERS by contract and readers best-effort. CRASH
+    // RECOVERY: anchors.old + anchors.compacting with no live anchors
+    // → rename either back (old = roll back, compacting = roll
+    // forward); leftovers beside a healthy anchors table are post-swap
+    // residue, safe to delete.
     val anchorsPath = new org.apache.hadoop.fs.Path(s"$path/anchors")
+    val oldPath = new org.apache.hadoop.fs.Path(s"$path/anchors.old")
     val fs = anchorsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(anchorsPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), anchorsPath)
+    fs.delete(oldPath, true) // stale aside from a crashed prior compaction
+    require(fs.rename(anchorsPath, oldPath),
+      s"compactNearDupIndex: rename $anchorsPath -> $oldPath failed — " +
+        "the live anchors are untouched; the compacted table stays at " +
+        s"$tmp")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), anchorsPath),
+      s"compactNearDupIndex: rename $tmp -> $anchorsPath failed — " +
+        s"recover by renaming $oldPath back (roll back) or $tmp in " +
+        "(roll forward)")
+    fs.delete(oldPath, true)
     rows
   }
 

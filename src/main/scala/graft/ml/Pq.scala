@@ -37,8 +37,13 @@ import graft.functions.PqKernels
   * (`rerank` > 0) or use the exact kernels. */
 object Pq {
 
-  /** Trained model: flat codebook laid out [sub][centroid][dim]. */
-  case class PqModel(m: Int, k: Int, subDim: Int, codebook: Array[Double]) {
+  /** Trained model: flat codebook laid out [sub][centroid][dim].
+    * `residual = true` marks an IVFADC codebook (trained on
+    * `x − centroid(list)` displacements — [[trainResidual]]): its codes
+    * only decode against the list centroid they were assigned under,
+    * and ADC scoring must add the per-(query, list) ⟨q, c⟩ offset. */
+  case class PqModel(m: Int, k: Int, subDim: Int, codebook: Array[Double],
+                     residual: Boolean = false) {
     def dim: Int = m * subDim
   }
 
@@ -53,7 +58,41 @@ object Pq {
     * order (deterministic up to float round-off). */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             m: Int = 8, k: Int = 256, iters: Int = 2,
-            seed: Long = 42L): PqModel = {
+            seed: Long = 42L): PqModel =
+    trainVecs(corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull), m, k, iters, seed, residual = false)
+
+  /** Train an IVFADC codebook (Jégou et al. 2011 §IV) on per-list
+    * RESIDUALS `x − centroid(assignedList(x))` instead of raw vectors.
+    * Residual energy is a fraction of vector energy (the list centroid
+    * carries the bulk of the signal exactly), so the same m bytes buy
+    * far more directional resolution — the r13 ×64 stress measured
+    * raw-codebook default recall at 0.354 where the IVF candidate set
+    * alone supports 0.408; residual coding is the structural fix.
+    * `cents` is the (list_id, cvec) table the index will probe with —
+    * codes trained here are only meaningful under THESE centroids
+    * (build and probe share them by the frozen-geometry contract).
+    * One extra assignment pass vs [[train]]; same determinism notes. */
+  def trainResidual(corpus: DataFrame, idCol: String, vecCol: String,
+                    cents: DataFrame, m: Int = 8, k: Int = 256,
+                    iters: Int = 2, seed: Long = 42L): PqModel = {
+    val assigned = Similarity.assignLists(
+      corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
+    // materialized residual array (zip_with is per-row O(dim) — fine;
+    // the Lloyd mean update below needs the VALUES, not just codes)
+    val vecs = assigned
+      .join(broadcast(cents.select(col("list_id"), col("cvec"))), Seq("list_id"))
+      .select(col(idCol).as("__id"),
+        zip_with(col(vecCol).cast("array<double>"), col("cvec"),
+          (x, c) => x - c).as("__v"))
+      .filter(col("__v").isNotNull)
+    trainVecs(vecs, m, k, iters, seed, residual = true)
+  }
+
+  /** Shared Lloyd core over a prepared (`__id`, `__v`) frame —
+    * [[train]] feeds raw vectors, [[trainResidual]] feeds residuals. */
+  private def trainVecs(vecs: DataFrame, m: Int, k: Int, iters: Int,
+                        seed: Long, residual: Boolean): PqModel = {
     require(m >= 1, s"m must be >= 1, got $m")
     require(k >= 1 && k <= 256, s"k must be in [1, 256] (byte codes), got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
@@ -63,8 +102,6 @@ object Pq {
     // with a distributed avg over doubles, whose result depends on
     // partition-level accumulation order — refined codebooks are
     // deterministic up to float round-off, not bit-identical.
-    val vecs = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .filter(col("__v").isNotNull)
     if (iters > 0) vecs.persist() // read once per Lloyd round + the seed scan
     // deterministic seed sample: first k vectors in hash order
     val sample = vecs
@@ -114,18 +151,55 @@ object Pq {
       it += 1
     }
     if (iters > 0) vecs.unpersist()
-    PqModel(m, k, subDim, codebook)
+    PqModel(m, k, subDim, codebook, residual)
   }
 
   /** Append `codesCol` (m bytes) and `normCol` (exact ‖v‖) — the
     * compressed index rows. Map-only; null/ragged vectors yield null
-    * codes (auditable, never dropped silently). */
+    * codes (auditable, never dropped silently). Raw-codebook models
+    * only; a residual model refuses (its codes are meaningless without
+    * the per-row list anchor — use [[encodeResidual]]). */
   def encode(corpus: DataFrame, vecCol: String, model: PqModel,
-             codesCol: String = "pq_codes", normCol: String = "pq_norm"): DataFrame =
+             codesCol: String = "pq_codes", normCol: String = "pq_norm"): DataFrame = {
+    require(!model.residual,
+      "Pq.encode: model was trained on residuals (trainResidual) — its " +
+        "codes only decode against each row's assigned list centroid; " +
+        "use encodeResidual(assigned, vecCol, model, cents)")
     corpus
       .withColumn(codesCol, PqKernels.pqCodes(col(vecCol), model.codebook,
         model.m, model.k, model.subDim))
       .withColumn(normCol, sqrt(Similarity.dot(col(vecCol), col(vecCol))))
+  }
+
+  /** Residual-mode (IVFADC) encode over a list-ASSIGNED frame: codes of
+    * `x − centroid(list_id)` under a [[trainResidual]] codebook, plus
+    * the EXACT raw-vector norm (the list offset and the norm stay
+    * exact; only the within-list displacement is quantized). Left-joins
+    * the (broadcast-tiny) centroid table so a null list_id (null
+    * vector) yields null codes — same never-drop contract as
+    * [[encode]]. Map-only: one broadcast hash join + one fused kernel,
+    * no residual array materialized. */
+  def encodeResidual(assigned: DataFrame, vecCol: String, model: PqModel,
+                     cents: DataFrame, codesCol: String = "pq_codes",
+                     normCol: String = "pq_norm"): DataFrame = {
+    require(model.residual,
+      "Pq.encodeResidual: model was trained on raw vectors — use encode " +
+        "(codes would decode against anchors the codebook never saw)")
+    assigned
+      .join(broadcast(cents.select(col("list_id"), col("cvec"))),
+        Seq("list_id"), "left")
+      .withColumn(codesCol, PqKernels.pqResidualCodes(col(vecCol),
+        col("cvec"), model.codebook, model.m, model.k, model.subDim))
+      .withColumn(normCol, sqrt(Similarity.dot(col(vecCol), col(vecCol))))
+      .drop("cvec")
+  }
+
+  /** [[encode]] or [[encodeResidual]] by the model's own flag — the
+    * one switch every IVF-PQ build/probe path routes through. */
+  private def encodeFor(assigned: DataFrame, vecCol: String, model: PqModel,
+                        cents: DataFrame): DataFrame =
+    if (model.residual) encodeResidual(assigned, vecCol, model, cents)
+    else encode(assigned, vecCol, model)
 
   // -------------------------------------------------------------------
   // shared ADC plumbing (one code path for adcTopK / ivfPqTopK /
@@ -153,15 +227,23 @@ object Pq {
       .withColumn("__qn", sqrt(Similarity.dot(col("__q"), col("__q"))))
 
   /** ADC cosine for a candidate row carrying codes `__c`, norm `__n`
-    * and the query side's `__table`/`__qn`. */
-  private def adcCos(pqK: Int): org.apache.spark.sql.Column =
-    when(col("__n") > 0 && col("__qn") > 0,
-      PqKernels.pqAdcScore(col("__c"), col("__table"), pqK) /
-        (col("__n") * col("__qn")))
+    * and the query side's `__table`/`__qn`. Residual mode (IVFADC)
+    * adds the exact per-(query, list) offset `__qc` = ⟨q, c_list⟩
+    * riding the probe row: ⟨q, x⟩ = ⟨q, c⟩ + ⟨q, x−c⟩ ≈ __qc + Σ
+    * lookups — the SAME per-query table serves every list because the
+    * decomposition is in inner-product space (no per-list tables, the
+    * property that keeps residual coding free at probe time). */
+  private def adcCos(pqK: Int, residual: Boolean): org.apache.spark.sql.Column = {
+    val adc = PqKernels.pqAdcScore(col("__c"), col("__table"), pqK)
+    val ip = if (residual) col("__qc") + adc else adc
+    when(col("__n") > 0 && col("__qn") > 0, ip / (col("__n") * col("__qn")))
       .otherwise(lit(0.0)).as("cos_sim")
+  }
 
   /** Rank IVF lists per query against the (tiny) centroid table, keep
-    * the top `nProbe` — the probe set. Returned as a driver-local
+    * the top `nProbe` — the probe set. Carries `__qc` = ⟨q, c_list⟩
+    * (recovered from the ranking cosine × the two norms — zero extra
+    * kernel passes) for residual-mode ADC. Returned as a driver-local
     * relation (queries × nProbe rows; the query side is
     * broadcast-small by contract) because it is consumed two ways —
     * partition-pruning literal and broadcast candidate join — and a
@@ -169,13 +251,16 @@ object Pq {
     * session cache. Also returns the distinct probed list ids. */
   private def probeSet(q: DataFrame, cents: DataFrame, nProbe: Int)
       : (DataFrame, Seq[Long]) = {
-    val qLists = q.crossJoin(broadcast(cents))
+    val centsN = cents.withColumn("__cn", Similarity.norm(col("cvec")))
+    val qLists = q.crossJoin(broadcast(centsN))
       .withColumn("__sim", Similarity.cosine(col("__q"), col("cvec")))
+      .withColumn("__qc", col("__sim") * col("__qn") * col("__cn"))
       .withColumn("__r", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id")).orderBy(col("__sim").desc, col("list_id"))))
       .filter(col("__r") <= nProbe)
-      .select(col("query_id"), col("__table"), col("__qn"), col("list_id"))
+      .select(col("query_id"), col("__table"), col("__qn"), col("__qc"),
+        col("list_id"))
     val (local, rows) = localize(qLists)
     (local, rows.map(_.getAs[Long]("list_id")).distinct.toSeq)
   }
@@ -189,12 +274,13 @@ object Pq {
   private def adcScoreTopK(cands: DataFrame, qProbe: DataFrame, pqK: Int,
                            k: Int, rerank: Int,
                            vecSource: DataFrame, srcIdCol: String, srcVecCol: String,
-                           queries: DataFrame, qidCol: String, qvecCol: String): DataFrame = {
+                           queries: DataFrame, qidCol: String, qvecCol: String,
+                           residual: Boolean = false): DataFrame = {
     val cand = cands
       .filter(col("__c").isNotNull)
       .join(broadcast(qProbe), Seq("list_id"))
       .filter(col("nn_id") =!= col("query_id"))
-      .select(col("query_id"), col("nn_id"), adcCos(pqK))
+      .select(col("query_id"), col("nn_id"), adcCos(pqK, residual))
     if (rerank <= 0) TopK.perQuery(cand, k)
     else {
       val shortList = TopK.perQuery(cand, math.max(rerank, k))
@@ -218,6 +304,10 @@ object Pq {
               model: PqModel, k: Int = 10, excludeSelf: Boolean = true,
               codesCol: String = "pq_codes", normCol: String = "pq_norm",
               queryBudget: Long = Similarity.DefaultQueryBudget): DataFrame = {
+    require(!model.residual,
+      "Pq.adcTopK: residual (IVFADC) codes need their list anchors — " +
+        "flat ADC scans take a raw-codebook model; use ivfPqTopK for " +
+        "residual mode")
     Similarity.guardQueryBroadcast(queries, qvecCol, queryBudget, "adcTopK")
     val q = adcQuerySide(queries, qidCol, qvecCol, model)
     val paired = encoded
@@ -226,7 +316,7 @@ object Pq {
       .crossJoin(broadcast(q))
     val scored = (if (excludeSelf) paired.filter(col("nn_id") =!= col("query_id"))
       else paired)
-      .select(col("query_id"), col("nn_id"), adcCos(model.k))
+      .select(col("query_id"), col("nn_id"), adcCos(model.k, residual = false))
     TopK.perQuery(scored, k)
   }
 
@@ -238,26 +328,36 @@ object Pq {
     * probe opens only the probed list partitions, and each holds
     * bytes, not vectors). Vectors are NOT stored — that is the point
     * of PQ; exact re-rank at probe time joins back to whatever
-    * source-of-truth table holds them. */
+    * source-of-truth table holds them. `residual = true` (default)
+    * stores IVFADC codes ([[trainResidual]]); the flag is versioned
+    * into the model row, so probes serve raw and residual indexes
+    * alike and a pre-r14 index (no column) reads as raw. */
   def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       path: String, m: Int = 16, pqK: Int = 256,
                       nLists: Int = 0, iters: Int = 2,
-                      seed: Long = 42L): Unit = {
+                      seed: Long = 42L, residual: Boolean = true): Unit = {
     val spark = corpus.sparkSession
     val lists = if (nLists > 0) nLists
       else Similarity.autoNLists(corpus.count()) // nLists <= 0: √N self-sizing
-    val model = train(corpus, idCol, vecCol, m, pqK, iters, seed)
+    // centroids FIRST: residual training quantizes x − centroid(list),
+    // so the codebook is a function of the centroid table
+    val (cents, _) = localize(Similarity.centroids(corpus, idCol, vecCol,
+      lists, refineIters = 1, seed = seed))
+    val model = if (residual)
+      trainResidual(corpus, idCol, vecCol, cents, m, pqK, iters, seed)
+    else train(corpus, idCol, vecCol, m, pqK, iters, seed)
     import spark.implicits._
-    Seq((model.m, model.k, model.subDim, model.codebook.toSeq))
-      .toDF("m", "k", "sub_dim", "codebook")
+    // `residual` is VERSIONED into the stored model row: a probe reads
+    // the flag back, so raw and residual indexes coexist and a pre-r14
+    // index (no column) reads as raw — ivfPqTopKIndexed serves both
+    Seq((model.m, model.k, model.subDim, model.codebook.toSeq, model.residual))
+      .toDF("m", "k", "sub_dim", "codebook", "residual")
       .write.mode("overwrite").parquet(s"$path/model")
-    val cents = Similarity.centroids(corpus, idCol, vecCol, lists,
-      refineIters = 1, seed = seed)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     val (assigned, obs) = IndexStats.observed(Similarity.assignListsWithSim(
       corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents),
       "graft_ivfpq_build")
-    encode(assigned, vecCol, model)
+    encodeFor(assigned, vecCol, model, cents)
       .select(col(idCol), col("pq_codes"), col("pq_norm"), col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
     // drift baseline (generation 0) for appendToIvfPqIndex — observed
@@ -282,12 +382,24 @@ object Pq {
     * too — centroid drift is its leading indicator (both are trained
     * on the same distribution), which is why the one statistic covers
     * the rebuild decision for the whole index. */
+  /** Read a stored model row back into a [[PqModel]]. Pre-r14 indexes
+    * have no `residual` column — they were built raw, so absence reads
+    * false (the versioning contract that lets one probe path serve
+    * both formats). */
+  private def readModel(spark: org.apache.spark.sql.SparkSession,
+                        path: String): PqModel = {
+    val df = spark.read.parquet(s"$path/model")
+    val mrow = df.collect()(0)
+    PqModel(mrow.getAs[Int]("m"), mrow.getAs[Int]("k"),
+      mrow.getAs[Int]("sub_dim"), mrow.getAs[Seq[Double]]("codebook").toArray,
+      residual = df.schema.fieldNames.contains("residual") &&
+        mrow.getAs[Boolean]("residual"))
+  }
+
   def appendToIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
                          path: String): graft.ml.IndexAppendStats = {
     val spark = batch.sparkSession
-    val mrow = spark.read.parquet(s"$path/model").collect()(0)
-    val model = PqModel(mrow.getAs[Int]("m"), mrow.getAs[Int]("k"),
-      mrow.getAs[Int]("sub_dim"), mrow.getAs[Seq[Double]]("codebook").toArray)
+    val model = readModel(spark, path)
     // fail-fast frozen-geometry contract (r12 ADVICE): the stored
     // codebook fixes the vector dim (m × subDim); a mismatched batch
     // would encode garbage codes that surface only as silently wrong
@@ -299,7 +411,7 @@ object Pq {
     val (assigned, obs) = IndexStats.observed(Similarity.assignListsWithSim(
       batch.select(col(idCol), col(vecCol)), idCol, vecCol, cents),
       "graft_ivfpq_append")
-    encode(assigned, vecCol, model)
+    encodeFor(assigned, vecCol, model, cents)
       .select(col(idCol), col("pq_codes"), col("pq_norm"), col("list_id"))
       .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
     IndexStats.appendAndReport(spark, path, IndexStats.fromObs(obs),
@@ -323,11 +435,11 @@ object Pq {
                         path: String, nLists: Int = 0, iters: Int = 2,
                         seed: Long = 42L): Unit = {
     val spark = corpus.sparkSession
-    val mrow = spark.read.parquet(s"$path/model").collect()(0)
+    val stored = readModel(spark, path) // geometry + residual are frozen
     val tmp = s"$path/.rebuild"
     buildIvfPqIndex(corpus, idCol, vecCol, tmp,
-      m = mrow.getAs[Int]("m"), pqK = mrow.getAs[Int]("k"),
-      nLists = nLists, iters = iters, seed = seed)
+      m = stored.m, pqK = stored.k,
+      nLists = nLists, iters = iters, seed = seed, residual = stored.residual)
     IndexStats.swapIn(spark, path, tmp,
       Seq("model", "centroids", "lists", "stats"))
   }
@@ -350,9 +462,7 @@ object Pq {
         "rerankVecCol (the index stores codes, not vectors)")
     Similarity.guardQueryBroadcast(queries, qvecCol, queryBudget,
       "ivfPqTopKIndexed")
-    val mrow = spark.read.parquet(s"$path/model").collect()(0)
-    val model = PqModel(mrow.getAs[Int]("m"), mrow.getAs[Int]("k"),
-      mrow.getAs[Int]("sub_dim"), mrow.getAs[Seq[Double]]("codebook").toArray)
+    val model = readModel(spark, path)
     val cents = spark.read.parquet(s"$path/centroids")
     // nProbe <= 0: co-scale with the index's list count (autoNProbe)
     val probes =
@@ -366,7 +476,8 @@ object Pq {
     val cands = lists.select(col(idCol).as("nn_id"), col("pq_codes").as("__c"),
       col("pq_norm").as("__n"), col("list_id"))
     adcScoreTopK(cands, qProbe, model.k, k, rerank,
-      rerankFrom, rerankIdCol, rerankVecCol, queries, qidCol, qvecCol)
+      rerankFrom, rerankIdCol, rerankVecCol, queries, qidCol, qvecCol,
+      residual = model.residual)
   }
 
   /** IVF-PQ with optional exact re-rank: IVF centroids bound WHICH
@@ -375,33 +486,45 @@ object Pq {
     * top-`rerank` ADC survivors with exact cosine against the true
     * vectors (a queries×rerank-row join back — negligible next to
     * the scan it replaces). rerank ≥ k restores bruteForce ordering
-    * whenever ADC's top-rerank contains the true top-k. */
+    * whenever ADC's top-rerank contains the true top-k.
+    *
+    * `residual = true` (the r14 default) is IVFADC proper: the
+    * codebook quantizes `x − centroid(list)` ([[trainResidual]]), so
+    * the same m bytes describe only the within-list displacement —
+    * measured on the ×64 rotation fixture this closes most of the gap
+    * between raw-codebook ADC recall and the IVF candidate-set ceiling
+    * at the same nProbe. Probe cost is unchanged: the per-query table
+    * serves every list, plus one scalar ⟨q, c⟩ offset riding each
+    * probe row. `residual = false` keeps the r13 raw-codebook path. */
   def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
                 queries: DataFrame, qidCol: String, qvecCol: String,
                 k: Int = 10, m: Int = 8, pqK: Int = 256,
                 nLists: Int = 0, nProbe: Int = 0,
                 iters: Int = 2, seed: Long = 42L,
-                rerank: Int = 0,
+                rerank: Int = 0, residual: Boolean = true,
                 queryBudget: Long = Similarity.DefaultQueryBudget): DataFrame = {
     Similarity.guardQueryBroadcast(queries, qvecCol, queryBudget, "ivfPqTopK")
     val lists = if (nLists > 0) nLists
       else Similarity.autoNLists(corpus.count()) // nLists <= 0: √N self-sizing
     val probes = // nProbe <= 0: co-scale with the list space (autoNProbe)
       if (nProbe > 0) nProbe else Similarity.autoNProbe(lists)
-    val model = train(corpus, idCol, vecCol, m, pqK, iters, seed)
-    // nLists rows: a driver-local relation lets both consumers (list
-    // assignment + probe ranking) read the heavy centroid aggregation
-    // once, with nothing persisted into the session cache
+    // nLists rows: a driver-local relation lets every consumer (residual
+    // training, list assignment, probe ranking) read the heavy centroid
+    // aggregation once, with nothing persisted into the session cache
     val (cents, _) = localize(Similarity.centroids(corpus, idCol, vecCol,
       lists, refineIters = 1, seed = seed))
+    val model = if (residual)
+      trainResidual(corpus, idCol, vecCol, cents, m, pqK, iters, seed)
+    else train(corpus, idCol, vecCol, m, pqK, iters, seed)
     val assigned = Similarity.assignLists(corpus, idCol, vecCol, cents)
-    val encoded = encode(assigned, vecCol, model)
+    val encoded = encodeFor(assigned, vecCol, model, cents)
     val q = adcQuerySide(queries, qidCol, qvecCol, model)
     val (qProbe, _) = probeSet(q, cents, probes)
     val cands = encoded.select(col(idCol).as("nn_id"), col("pq_codes").as("__c"),
       col("pq_norm").as("__n"), col("list_id"))
     adcScoreTopK(cands, qProbe, model.k, k, rerank,
-      corpus, idCol, vecCol, queries, qidCol, qvecCol)
+      corpus, idCol, vecCol, queries, qidCol, qvecCol,
+      residual = model.residual)
   }
 
   /** IVF-PQ with RUNTIME recall calibration — the two-knob counterpart
@@ -419,11 +542,13 @@ object Pq {
     * escalation step re-probes it), take a bounded deterministic query
     * sample, build its brute-force ground truth in ONE corpus scan,
     * then escalate from (autoNProbe, 4·k rerank) toward
-    * (`maxProbeFactor`×, `maxRerankFactor`×) caps. KNOB POLICY: double
-    * nProbe while probe doublings keep moving sampled recall; when a
-    * probe doubling moves it by < 0.02 (the plateau — at that point the
-    * true neighbors are IN the candidate set but ADC misranks them),
-    * double the re-rank depth instead. The full query set then runs
+    * (`maxProbeFactor`×, `maxRerankFactor`×) caps. KNOB POLICY: keep
+    * doubling the knob whose last doubling moved sampled recall by
+    * ≥ 0.02, starting with nProbe; a plateau (or cap) hands control to
+    * the other knob, which then KEEPS it while its gain holds — on an
+    * ADC-bound corpus rerank stays in control instead of alternating
+    * back to ever-pricier probes (r13 ADVICE). The full query set then
+    * runs
     * once at the calibrated pair, with `measured_recall`,
     * `calibrated_nprobe` and `calibrated_rerank` riding every row — the
     * same proceed-with-evidence contract as the IVF op: if both caps
@@ -446,6 +571,7 @@ object Pq {
                           nLists: Int = 0, nProbe: Int = 0, rerank: Int = 0,
                           maxProbeFactor: Int = 16, maxRerankFactor: Int = 16,
                           iters: Int = 2, seed: Long = 42L,
+                          residual: Boolean = true,
                           queryBudget: Long = Similarity.DefaultQueryBudget): DataFrame = {
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       s"targetRecall must be in (0,1]: $targetRecall")
@@ -462,14 +588,17 @@ object Pq {
       startProbe.toLong * maxProbeFactor).toInt
     val rerankCap = (startRerank.toLong * maxRerankFactor)
       .min(Int.MaxValue.toLong).toInt
-    val model = train(corpus, idCol, vecCol, m, pqK, iters, seed)
     val (cents, _) = localize(Similarity.centroids(corpus, idCol, vecCol,
       lists, refineIters = 1, seed = seed))
+    val model = if (residual)
+      trainResidual(corpus, idCol, vecCol, cents, m, pqK, iters, seed)
+    else train(corpus, idCol, vecCol, m, pqK, iters, seed)
     // compact probe target (m bytes + norm + list id per row), read by
     // every escalation step and the final probe — persist THIS, never
     // the vectors
-    val cands = encode(Similarity.assignLists(corpus, idCol, vecCol, cents),
-        vecCol, model)
+    val cands = encodeFor(
+        Similarity.assignLists(corpus, idCol, vecCol, cents), vecCol,
+        model, cents)
       .select(col(idCol).as("nn_id"), col("pq_codes").as("__c"),
         col("pq_norm").as("__n"), col("list_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -488,7 +617,8 @@ object Pq {
       val (qProbe, _) = probeSet(
         adcQuerySide(sampleDf, "query_id", "__q", model), cents, probe)
       val hits = adcScoreTopK(cands, qProbe, model.k, k, rr,
-          corpus, idCol, vecCol, sampleDf, "query_id", "__q")
+          corpus, idCol, vecCol, sampleDf, "query_id", "__q",
+          residual = model.residual)
         .select(col("query_id"), col("nn_id"))
         .join(truth, Seq("query_id", "nn_id"), "left_semi").count()
       hits.toDouble / truthPairs
@@ -497,24 +627,23 @@ object Pq {
     var rr = math.min(startRerank, rerankCap)
     // empty truth (no sample / empty corpus): vacuous
     var recall = if (truthPairs == 0L) 1.0 else sampledRecall(probe, rr)
-    var prevRecall = recall
-    var lastWasProbe = false
+    // KNOB POLICY (r13 ADVICE): keep doubling the knob that is paying —
+    // switch only when its last doubling moved sampled recall by less
+    // than plateauEps, or when it caps. Starting knob is nProbe (probe
+    // loss binds first on clusterable data); on an ADC-bound corpus the
+    // first plateau hands control to rerank and it KEEPS it while the
+    // gain holds, instead of alternating back to ever-pricier probes.
     val plateauEps = 0.02
+    var probeKnob = true
     while (truthPairs != 0L && recall < targetRecall &&
         (probe < probeCap || rr < rerankCap)) {
-      if (lastWasProbe && recall - prevRecall < plateauEps && rr < rerankCap) {
-        // probe doubling plateaued: the ADC loss is the binder now
-        rr = math.min(rr.toLong * 2, rerankCap.toLong).toInt
-        lastWasProbe = false
-      } else if (probe < probeCap) {
-        probe = math.min(probe.toLong * 2, probeCap.toLong).toInt
-        lastWasProbe = true
-      } else {
-        rr = math.min(rr.toLong * 2, rerankCap.toLong).toInt
-        lastWasProbe = false
-      }
-      prevRecall = recall
+      if (probeKnob && probe >= probeCap) probeKnob = false
+      else if (!probeKnob && rr >= rerankCap) probeKnob = true
+      if (probeKnob) probe = math.min(probe.toLong * 2, probeCap.toLong).toInt
+      else rr = math.min(rr.toLong * 2, rerankCap.toLong).toInt
+      val prevRecall = recall
       recall = sampledRecall(probe, rr)
+      if (recall - prevRecall < plateauEps) probeKnob = !probeKnob
     }
     if (recall < targetRecall)
       System.err.println(
@@ -528,7 +657,8 @@ object Pq {
     // persist and the truth sample release HERE (the ivfTopKCalibrated
     // unpersist contract)
     val out = adcScoreTopK(cands, qProbe, model.k, k, rr,
-        corpus, idCol, vecCol, queries, qidCol, qvecCol)
+        corpus, idCol, vecCol, queries, qidCol, qvecCol,
+        residual = model.residual)
       .withColumn("measured_recall", lit(recall))
       .withColumn("calibrated_nprobe", lit(probe))
       .withColumn("calibrated_rerank", lit(rr))

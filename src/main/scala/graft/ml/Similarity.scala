@@ -48,22 +48,32 @@ object Similarity {
     * convention shared with saltedJoin/embeddingDedup). */
   val DefaultQueryBudget: Long = 16L * 1000 * 1000
 
-  /** Refuse a query frame too large to broadcast BEFORE the plan runs:
-    * one `count()` on the query side (small by contract, so the scan is
-    * cheap) × the vector dim from one head row. Shared by every
-    * ANN entry point here and in [[Pq]]. */
+  /** Refuse a query frame too large to broadcast BEFORE the plan runs.
+    * The guard's own scan is BOUNDED (r13 ADVICE — the old full
+    * `count()` executed the query frame's entire upstream lineage, and
+    * for the common `queries = corpus.filter(...)` pattern that meant
+    * extra corpus passes per ANN call): one `head(1)` for the dim
+    * (LIMIT-pushdown short-circuits at the first non-null row) and one
+    * `limit(maxRows + 1).count()` probe that stops producing rows at
+    * the budget line — over budget iff the limit is reached, and an
+    * in-budget query side only ever pays a ≤(budget/dim + 1)-row scan.
+    * Shared by every ANN entry point here and in [[Pq]]. */
   private[ml] def guardQueryBroadcast(queries: DataFrame, vecCol: String,
                                       budget: Long, caller: String): Unit = {
     if (budget <= 0) return
-    val rows = queries.count()
-    val dim = queries.select(col(vecCol)).filter(col(vecCol).isNotNull)
-      .head(1).headOption.map(_.getSeq[Any](0).size).getOrElse(0)
-    val elems = rows * math.max(dim, 1).toLong
-    if (elems > budget)
+    val dim = math.max(queries.select(col(vecCol))
+      .filter(col(vecCol).isNotNull)
+      .head(1).headOption.map(_.getSeq[Any](0).size).getOrElse(0), 1)
+    val maxRows = budget / dim
+    // a budget past 2^31 rows cannot be expressed as a LIMIT and is no
+    // real guard anyway — treat it as in-budget
+    if (maxRows >= Int.MaxValue.toLong) return
+    val probed = queries.limit(maxRows.toInt + 1).count()
+    if (probed > maxRows)
       throw new IllegalArgumentException(
-        s"$caller: the query frame holds $rows rows × dim $dim = $elems " +
-          s"vector elements, over queryBudget=$budget — broadcasting it " +
-          "would put the full query-vector set on the driver and every " +
+        s"$caller: the query frame holds more than $maxRows rows at dim " +
+          s"$dim (> queryBudget=$budget vector elements) — broadcasting " +
+          "it would put the full query-vector set on the driver and every " +
           "executor (the corpus-as-queries OOM, hours into a large run). " +
           "Chunk the query set into bounded batches, use lshNeighborPairs " +
           "for corpus×corpus neighbor pairs (it never broadcasts " +
@@ -799,23 +809,45 @@ private[ml] object IndexStats {
     * rotation fixture demonstrates in the extreme). */
   val RebuildDriftThreshold: Double = IndexAppendStats.RebuildDriftThreshold
 
-  /** Atomically swap a rebuilt index's subdirectories into place:
-    * `tmp/<sub>` replaces `path/<sub>` via delete + rename (atomic on
-    * HDFS/local per subdirectory; the window between subdirectory
-    * swaps is why rebuilds carry the single-writer contract). The tmp
-    * root is removed afterwards. */
+  /** Swap a rebuilt index's subdirectories into place with TWO RENAMES
+    * per subdirectory, never a delete-then-rename (r13 verdict #3: the
+    * old delete → rename left a window — O(index files) long on a big
+    * lists/ tree — where a concurrent probe listing the path saw NO
+    * table at all). Order per subdir: clear any stale `<sub>.old`
+    * aside, rename the live `<sub>` to `<sub>.old`, rename `tmp/<sub>`
+    * in, delete the aside. The no-table window is now the gap between
+    * two metadata-only renames (atomic each on HDFS/local; object
+    * stores emulate). The single-writer contract still holds for
+    * WRITERS — two concurrent rebuilds corrupt each other — and a
+    * concurrent reader can still straddle the per-subdirectory swaps
+    * (e.g. new centroids with old lists), so probes during a rebuild
+    * are best-effort, not serializable.
+    *
+    * CRASH RECOVERY: a crash between the two renames leaves
+    * `<sub>.old` (the pre-rebuild data) plus `tmp/<sub>` (the complete
+    * rebuild) and no live `<sub>` — rename either back into place
+    * (`<sub>.old` to roll back, `tmp/<sub>` to roll forward) and
+    * delete the other; a leftover `.rebuild`/`.old` with a HEALTHY
+    * live table is residue from a crash after the swap point and is
+    * safe to delete. The tmp root is removed afterwards. */
   def swapIn(spark: SparkSession, path: String, tmp: String,
              subdirs: Seq[String]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     subdirs.foreach { sub =>
       val src = new org.apache.hadoop.fs.Path(s"$tmp/$sub")
       val dst = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val old = new org.apache.hadoop.fs.Path(s"$path/$sub.old")
       val fs = dst.getFileSystem(conf)
       if (fs.exists(src)) {
-        fs.delete(dst, true)
+        fs.delete(old, true) // stale aside from a crashed prior swap
+        if (fs.exists(dst))
+          require(fs.rename(dst, old),
+            s"swapIn: rename $dst -> $old failed — the live table is " +
+              s"untouched; the rebuild stays at $src")
         require(fs.rename(src, dst),
-          s"swapIn: rename $src -> $dst failed — the index at $path may " +
-            "need the .rebuild directory recovered manually")
+          s"swapIn: rename $src -> $dst failed — recover by renaming " +
+            s"$old back to $dst (roll back) or $src in (roll forward)")
+        fs.delete(old, true)
       }
     }
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)

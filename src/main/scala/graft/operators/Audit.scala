@@ -142,7 +142,17 @@ object Audit {
         add(component, "base_mean_d2", base.getDouble(1), None, "")
         stats.lastOption.filter(_.getLong(0) > 0L).foreach { latest =>
           add(component, "latest_mean_d2", latest.getDouble(1), None, "")
-          add(component, "latest_drift", latest.getDouble(1) / base.getDouble(1),
+          // degenerate build baseline (base_mean_d2 == 0, e.g. nLists ≈
+          // rows on a tiny index): latest/base is NaN or Infinity, and
+          // NaN > threshold is FALSE — a genuinely drifted index would
+          // read breached=false (r13 ADVICE). Map to Infinity (breached)
+          // when any drift exists, 1.0 (no drift) when latest is 0 too.
+          val baseD2 = base.getDouble(1)
+          val drift =
+            if (baseD2 == 0.0) {
+              if (latest.getDouble(1) > 0.0) Double.PositiveInfinity else 1.0
+            } else latest.getDouble(1) / baseD2
+          add(component, "latest_drift", drift,
             Some(graft.ml.IndexAppendStats.RebuildDriftThreshold), rebuildOp)
         }
       }

@@ -84,20 +84,26 @@ object Skew {
     // re-execute the right side's full lineage ON TOP of the join —
     // for the documented use case (right side materializes
     // mid-pipeline) that doubled the right-side compute per call. Read
-    // the row count from plan STATISTICS when the optimizer already
-    // knows it (LocalRelation, ANALYZEd tables — free); otherwise
-    // persist the right side so the guard count and the join read ONE
-    // materialization. The persist is sized by the contract itself
-    // (small-ish right side ≤ budget/saltBuckets rows) and ages out by
-    // LRU like every library persist; a refused join unpersists before
-    // raising.
+    // the row count from plan STATISTICS only when the plan is a
+    // LocalRelation — the one source whose rowCount is EXACT by
+    // construction (r13 ADVICE: CBO stats from an ANALYZEd table can
+    // be stale, and a right side that grew since the last ANALYZE
+    // would slip under the budget the count() would have refused);
+    // otherwise persist the right side so the guard count and the join
+    // read ONE materialization. The persist is sized by the contract
+    // itself (small-ish right side ≤ budget/saltBuckets rows); note it
+    // OUTLIVES this call on the success path — it ages out by LRU like
+    // every library persist, but a caller that owns the frame and
+    // wants it released sooner unpersists after the join's action. A
+    // refused join unpersists before raising.
     val guardedRight =
       if (replicationBudget <= 0) right
-      else right.queryExecution.optimizedPlan.stats.rowCount match {
-        case Some(n) =>
-          checkReplication(n.toLong, saltBuckets, replicationBudget)
+      else right.queryExecution.optimizedPlan match {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          checkReplication(lr.data.length.toLong, saltBuckets,
+            replicationBudget)
           right
-        case None =>
+        case _ =>
           val p = right.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try checkReplication(p.count(), saltBuckets, replicationBudget)

@@ -429,6 +429,53 @@ class IndexAppendSpec extends GraftSpec {
       assert(top(q) == q + 7000L, s"query $q top-1 was ${top(q)} post-rebuild"))
   }
 
+  test("two-rename swap: stale .old residue is cleared, none left behind, probes consistent across the swap") {
+    // r14 (r13 verdict #3): compaction/rebuild swap via rename-aside +
+    // rename-in, never delete-then-rename — this pins (a) a stale
+    // `.old` aside from a crashed prior swap does not wedge the next
+    // one, (b) a completed swap leaves no .old/.compacting/.rebuild
+    // residue, (c) probe results straddling the swap are identical.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+
+    // near-dup compaction
+    val nd = tmp("ndswap")
+    Dedup.buildNearDupIndex(corpusA, "doc_id", "text", nd,
+      numHashes = 64, bands = 16, shingleSize = 4)
+    Dedup.appendToNearDupIndex(corpusB, "doc_id", "text", nd)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$nd/anchors.old")) // stale aside
+    val before = Dedup.dedupAgainstNearIndexed(probeBatch, nd,
+      "doc_id", "text", threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    Dedup.compactNearDupIndex(spark, nd)
+    val after = Dedup.dedupAgainstNearIndexed(probeBatch, nd,
+      "doc_id", "text", threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after == before, "compaction swap changed probe results")
+    assert(!exists(s"$nd/anchors.old") && !exists(s"$nd/anchors.compacting"),
+      "compaction left swap residue")
+
+    // IVF rebuild (exercises IndexStats.swapIn per subdirectory)
+    val ivf = tmp("ivfswap")
+    val a = clustered(200, 0L, seed = 31)
+    Similarity.buildIvfIndex(a, "id", "vec", ivf, nLists = 8)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$ivf/lists.old")) // stale aside
+    val queries = a.filter(col("id") < 3)
+    def canon() = Similarity.ivfTopKIndexed(spark, ivf, queries, "id", "vec",
+        k = 5, nProbe = 64).select("query_id", "rank", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val preReb = canon()
+    Similarity.rebuildIvfIndex(spark, ivf, nLists = 8)
+    // same rows, exhaustive probe: the rebuild must answer identically
+    assert(canon() == preReb, "rebuild swap changed exhaustive-probe results")
+    Seq("lists", "centroids", "stats").foreach { sub =>
+      assert(!exists(s"$ivf/$sub.old"), s"$sub.old residue after rebuild")
+    }
+    assert(!exists(s"$ivf/.rebuild"), ".rebuild residue after rebuild")
+  }
+
   test("near-dup append refuses an empty (anchor-less) index") {
     import spark.implicits._
     val dir = tmp("ndempty")

@@ -103,6 +103,86 @@ class PqSpec extends GraftSpec {
     assert(out == Map(1L -> false, 2L -> true, 3L -> true))
   }
 
+  test("residual (IVFADC) ADC is EXACT when residuals sit on codebook cells") {
+    // 16 rows, iters=0, pqK=16: the seed sample IS the whole corpus, so
+    // every row's residual is its own codebook entry — quantization
+    // error is exactly zero and ⟨q,c⟩ + ADC must reproduce the exact
+    // cosine for EVERY (query, candidate) pair, whatever centroids the
+    // IVF training picked (the identity ⟨q,x⟩ = ⟨q,c⟩ + ⟨q,x−c⟩ holds
+    // for any anchor as long as code and offset share it)
+    val r = rng(11)
+    val corpus = (1L to 16L).map(i => (i, randVec(r, 8))).toDF("id", "v")
+    val queries = corpus.filter(col("id") < 4)
+    val pq = Pq.ivfPqTopK(corpus, "id", "v", queries, "id", "v",
+      k = 15, m = 4, pqK = 16, nLists = 2, nProbe = 2, iters = 0,
+      residual = true)
+      .select(col("query_id"), col("nn_id"), col("cos_sim"))
+    val bf = Similarity.bruteForceTopK(corpus, "id", "v", queries, "id", "v",
+      k = 15).select(col("query_id"), col("nn_id"),
+        col("cos_sim").as("cos_exact"))
+    val joined = pq.join(bf, Seq("query_id", "nn_id"))
+      .select(abs(col("cos_sim") - col("cos_exact")).as("err")).collect()
+    assert(joined.length == 45, s"expected 3 queries × 15 = 45, got ${joined.length}")
+    assert(joined.forall(_.getDouble(0) < 1e-9),
+      s"max residual-ADC error ${joined.map(_.getDouble(0)).max}")
+  }
+
+  test("residual mode refusal contracts: encode/adcTopK reject the wrong codebook kind") {
+    val r = rng(13)
+    val corpus = (1L to 16L).map(i => (i, randVec(r, 8))).toDF("id", "v")
+    val cents = Similarity.centroids(corpus, "id", "v", nLists = 2)
+    val raw = Pq.train(corpus, "id", "v", m = 4, k = 8, iters = 0)
+    val res = Pq.trainResidual(corpus, "id", "v", cents, m = 4, k = 8, iters = 0)
+    assert(!raw.residual && res.residual)
+    val e1 = intercept[IllegalArgumentException](Pq.encode(corpus, "v", res))
+    assert(e1.getMessage.contains("encodeResidual"))
+    val e2 = intercept[IllegalArgumentException](
+      Pq.encodeResidual(corpus.withColumn("list_id", lit(0L)), "v", raw, cents))
+    assert(e2.getMessage.contains("raw vectors"))
+    val e3 = intercept[IllegalArgumentException](
+      Pq.adcTopK(Pq.encode(corpus, "v", raw), "id", corpus, "id", "v", res))
+    assert(e3.getMessage.contains("ivfPqTopK"))
+  }
+
+  test("residual recall >= raw recall at identical geometry (the IVFADC claim)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    def topSets(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "nn_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = topSets(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10))
+    def recallOf(residual: Boolean) = {
+      val got = topSets(Pq.ivfPqTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10, m = 16, pqK = 64,
+        nLists = 16, nProbe = 8, iters = 1, residual = residual))
+      exact.keys.toSeq.map(q =>
+        (exact(q) intersect got(q)).size.toDouble / exact(q).size).sum / exact.size
+    }
+    val (rRaw, rRes) = (recallOf(false), recallOf(true))
+    info(f"recall@10 same geometry: raw=$rRaw%.3f residual=$rRes%.3f")
+    // residual quantization error is a subset of raw error by
+    // construction; allow one-neighbor slack for ADC tie reshuffles
+    assert(rRes >= rRaw - 0.02, f"residual $rRes%.3f vs raw $rRaw%.3f")
+  }
+
+  test("pre-r14 index without a residual column reads as raw and still answers") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").limit(400)
+    val path = "/tmp/graft-test-ivfpq-prer14"
+    Pq.buildIvfPqIndex(emb, "vec_id", "embedding", path,
+      m = 16, pqK = 32, nLists = 4, iters = 0, residual = false)
+    // strip the version column to simulate an r13-built index
+    val legacy = spark.read.parquet(s"$path/model").drop("residual").collect()
+    val schema = org.apache.spark.sql.types.StructType(
+      spark.read.parquet(s"$path/model").drop("residual").schema)
+    spark.createDataFrame(java.util.Arrays.asList(legacy: _*), schema)
+      .write.mode("overwrite").parquet(s"$path/model")
+    val queries = emb.filter(col("vec_id") < 3)
+    val res = Pq.ivfPqTopKIndexed(spark, path, queries, "vec_id", "embedding",
+      k = 5, nProbe = 2)
+    assert(res.count() == 15)
+  }
+
   test("persisted IVF-PQ index: prunes to probed lists, answers like the direct path, re-ranks from source vectors") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val path = "/tmp/graft-test-ivfpq"
