@@ -247,7 +247,7 @@ case class SimHash64Expr(child: Expression)
   * hash-per-element formulation's. */
 case class CosineLshBandsExpr(child: Expression, bands: Int, bitsPerBand: Int,
                               seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes() =
@@ -609,7 +609,7 @@ case class MinHashAnchorDropExpr(idExpr: Expression, sigExpr: Expression,
   * are bit-identical to the expression version and to a sequential
   * C/SQL loop. */
 case class CosineSimExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with BinaryKernelCodegen {
 
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -678,7 +678,7 @@ case class CosineSimExpr(left: Expression, right: Expression)
   * external caller with int ids gets a widened output schema, never a
   * changed value. */
 case class BestCosineExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with BinaryKernelCodegen {
 
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 

@@ -19,10 +19,12 @@ import org.apache.spark.sql.types._
   * `Array[Double]`, laid out [sub][centroid][dim]) — the compiled
   * broadcast pattern this codebase uses for the NB scorer and the
   * span cutter: stateless projections, streaming-composable.
-  * All three kernels are CodegenFallback one-loop-per-row evals with
-  * analysis-time input validation; a vector whose length does not
-  * match m×subDim yields null (ragged rows must not kill a 100-TB
-  * job — nulls are auditable downstream). */
+  * All kernels are one-loop-per-row evals with analysis-time input
+  * validation, wired into whole-stage codegen via the semi-codegen
+  * traits ([[UnaryKernelCodegen]]/[[BinaryKernelCodegen]] — children
+  * stay generated, the loop is one virtual call); a vector whose
+  * length does not match m×subDim yields null (ragged rows must not
+  * kill a 100-TB job — nulls are auditable downstream). */
 object PqKernels {
 
   import org.apache.spark.sql.graftkit.Bridge.{column, expression}
@@ -72,7 +74,7 @@ object PqKernels {
   * format) or array<int> with `asInts` (the training/debug view). */
 case class PqCodesExpr(child: Expression, codebook: Array[Double],
                        m: Int, k: Int, subDim: Int, asInts: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
   PqKernels.checkGeometry(m, k, subDim, codebook)
 
   override def dataType: DataType =
@@ -131,7 +133,7 @@ case class PqCodesExpr(child: Expression, codebook: Array[Double],
 case class PqResidualCodesExpr(left: Expression, right: Expression,
                                codebook: Array[Double],
                                m: Int, k: Int, subDim: Int, asInts: Boolean)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with BinaryKernelCodegen {
   PqKernels.checkGeometry(m, k, subDim, codebook)
 
   override def dataType: DataType =
@@ -192,7 +194,7 @@ case class PqResidualCodesExpr(left: Expression, right: Expression,
   * corpus rows then score by lookup only. */
 case class PqTableExpr(child: Expression, codebook: Array[Double],
                        m: Int, k: Int, subDim: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
   PqKernels.checkGeometry(m, k, subDim, codebook)
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -233,7 +235,7 @@ case class PqTableExpr(child: Expression, codebook: Array[Double],
   * the whole point of PQ. Null when the table length does not match
   * codes.length × k (a table built with different geometry). */
 case class PqAdcScoreExpr(left: Expression, right: Expression, k: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with BinaryKernelCodegen {
   require(k >= 1 && k <= 256, s"k must be in [1, 256], got $k")
 
   override def dataType: DataType = DoubleType

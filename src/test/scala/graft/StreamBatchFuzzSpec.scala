@@ -169,8 +169,13 @@ class StreamBatchFuzzSpec extends GraftSpec {
     * the recurring near-dup INGEST loop (nearDupIngest: foreachBatch
     * probe-then-append over a persisted index — probe-under-append
     * semantics vs the batch probe+append loop on identical chunks,
-    * kept sets AND final index state). */
-  private val allTerminals = 12
+    * kept sets AND final index state). r14 appends the index
+    * LIFECYCLE interleave (verdict r13 #7): the same recurring-ingest
+    * loop with seeded compactions and rebuilds injected between
+    * chunks — lifecycle ops must be probe-invisible (keep-sets
+    * step-invariant vs an append-only twin, final indexes
+    * interchangeable under a fixed probe). */
+  private val allTerminals = 13
 
   /** Two-feed runner for the stream-stream interval join terminals:
     * each side is its own MemoryStream, chunks interleave (left chunk,
@@ -604,6 +609,62 @@ class StreamBatchFuzzSpec extends GraftSpec {
             .select("doc_id").collect().map(_.getLong(0)).toSet
           assert(probeIds(dirS) == probeIds(dirB),
             "final index states diverged under a fixed probe")
+
+        case 12 => // index lifecycle interleave (r14, verdict r13 #7):
+          // the recurring-ingest loop with COMPACTION and REBUILD
+          // injected between chunks. Lifecycle ops must be
+          // probe-INVISIBLE: compaction re-folds the anchor chain to
+          // the fresh-build bounded set (exact while no bucket
+          // overflows maxPartners — these corpora sit far under it),
+          // and a rebuild from corpus + accumulated kept rows equals
+          // the append chain under the same frozen parameters. Twin
+          // loops over IDENTICAL chunks: P appends only; L appends
+          // then runs a seeded lifecycle op. Per-chunk kept sets and
+          // a final fixed probe must match.
+          val dirP2 = java.nio.file.Files.createTempDirectory(s"fuzzlc_p$seed").toString
+          val dirL2 = java.nio.file.Files.createTempDirectory(s"fuzzlc_l$seed").toString
+          Seq(dirP2, dirL2).foreach(d => graft.ml.Dedup.buildNearDupIndex(
+            corpus, "doc_id", "text", d,
+            numHashes = 32, bands = 8, shingleSize = 4))
+          // corpus + every kept row so far — the rebuild's row set
+          val accRows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+          corpus.collect().foreach(r => accRows += ((r.getLong(0), r.getString(1))))
+          val sz = math.max(1, (docs.size + nChunks - 1) / nChunks)
+          docs.grouped(sz).zipWithIndex.foreach { case (chunk, i) =>
+            val chunkDf = stateless(chunk.toDF("doc_id", "ts", "text"))
+            def step(dir: String): Seq[(Long, String)] = {
+              val kept = graft.ml.Dedup.dedupAgainstNearIndexed(chunkDf, dir,
+                "doc_id", "text", threshold = 0.7)
+              val rows = kept.select("doc_id", "text").collect()
+                .map(r => (r.getLong(0), r.getString(1))).toSeq
+              if (rows.nonEmpty)
+                graft.ml.Dedup.appendToNearDupIndex(kept, "doc_id", "text", dir)
+              rows
+            }
+            val kp = step(dirP2)
+            val kl = step(dirL2)
+            assert(kp.map(_._1).sorted == kl.map(_._1).sorted,
+              s"chunk $i kept sets diverged after lifecycle ops: " +
+                s"plain ${kp.map(_._1).sorted} vs lifecycle ${kl.map(_._1).sorted}")
+            accRows ++= kl
+            rnd.nextInt(3) match {
+              case 0 => // plain append cycle — no lifecycle op
+              case 1 => graft.ml.Dedup.compactNearDupIndex(spark, dirL2)
+              case 2 => graft.ml.Dedup.buildNearDupIndex(
+                accRows.toSeq.toDF("doc_id", "text"), "doc_id", "text", dirL2,
+                numHashes = 32, bands = 8, shingleSize = 4)
+            }
+          }
+          val probeRows2 = Seq(
+            (6000L, ts(0), "the standing corpus document about pipeline quality signals"),
+            (6002L, ts(2), "entirely novel probe content the indexes never saw before now")) ++
+            accRows.drop(2).headOption.map(d => (6001L, ts(1), d._2 + " x")).toSeq
+          def probeIds2(dir: String) = graft.ml.Dedup.dedupAgainstNearIndexed(
+              probeRows2.toDF("doc_id", "ts", "text"), dir, "doc_id", "text",
+              threshold = 0.7)
+            .select("doc_id").collect().map(_.getLong(0)).toSet
+          assert(probeIds2(dirP2) == probeIds2(dirL2),
+            "final index states diverged under a fixed probe after lifecycle ops")
       }
     } catch {
       case e: org.scalatest.exceptions.TestFailedException => throw e
@@ -626,6 +687,13 @@ class StreamBatchFuzzSpec extends GraftSpec {
     // extra forced coverage for the r13 terminal: the random draw gives
     // it ~1/12 of seeds; these force it under 4 different doc mixes
     (0 until 4).foreach(i => runCase(32000 + i, forceTerminal = 11))
+  }
+
+  test("lifecycle terminal: compact/rebuild interleave under 4 forced doc mixes") {
+    // extra forced coverage for the r14 terminal (verdict r13 #7): the
+    // random draw gives it ~1/13 of seeds; these force the lifecycle
+    // interleave across different chunk counts and stateless chains
+    (0 until 4).foreach(i => runCase(33000 + i, forceTerminal = 12))
   }
 
   test("stream-vs-batch differential soak: seeds 30026-30300", Soak) {
