@@ -10,7 +10,7 @@ object Bench {
   /** Headline set: the shuffle/join/window/dedup-heavy queries that
     * dominate real pipelines. IO round-trips and rows-only demos are
     * excluded (they benchmark the filesystem, not the engine). */
-  private val headline = Seq(
+  private[graft] val headline = Seq(
     "q1_agg", "q_filter", "q_sort", "q_join_inner", "q_join_left",
     "q_join_semi", "q_spread", "q_spread_fill", "q_rank", "q_lead_lag",
     "q_cumsum", "q_window_global", "q_time_window", "q_hopping_window",
@@ -47,7 +47,7 @@ object Bench {
     * what a user calls: Dedup.embeddingDedup (banded hyperplane LSH,
     * bucket join + rounded-cosine verify) with the SAME parameters the
     * proof query pins as exact-equivalent. */
-  private val benchVariant: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private[graft] val benchVariant: Map[String, (SparkSession, String) => DataFrame] = Map(
     // nBits deliberately NOT pinned (r10): the operator self-sizes the
     // bucket space from the corpus (autoNBits — 4 at sf0.1's 2k
     // vectors, identical to the old pin; 8 at the ×16 stress sweep's
