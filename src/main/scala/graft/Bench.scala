@@ -14,6 +14,7 @@ object Bench {
     "q1_agg", "q_filter", "q_sort", "q_join_inner", "q_join_left",
     "q_join_semi", "q_spread", "q_spread_fill", "q_rank", "q_lead_lag",
     "q_cumsum", "q_window_global", "q_time_window", "q_hopping_window",
+    "q_window_global_dist",
     "q_sessionize", "q_range_join",
     "q_interval_join", "q_pack",
     "q_asof_join", "q_dedup_exact",
@@ -58,6 +59,19 @@ object Bench {
       graft.ml.Dedup.embeddingDedup(SparkEntry.t(s, d, "embeddings"),
         "vec_id", "embedding", threshold = 0.45, bands = 64)
         .select("vec_id")),
+    // the 100-TB global-window code path (r14): q_window_global's
+    // exact calls forced through the DISTRIBUTED GlobalWindows
+    // machinery (zipWithIndex ordinals, two-level prefix scans, edge
+    // patch, rank join). The declared query now takes the small-frame
+    // tier at bench SF — the plan a small frame SHOULD get — so this
+    // entry keeps the at-scale path's cost measured per round, exactly
+    // the q_cc_distributed precedent. Results are tier-invariant
+    // (GlobalWindowsSpec pins tier ≡ distributed row-for-row).
+    "q_window_global_dist" -> ((s, d) => {
+      s.conf.set(graft.core.GlobalWindows.SmallFrameBytesKey, "0")
+      try SparkEntry.queries("q_window_global")(s, d)
+      finally s.conf.unset(graft.core.GlobalWindows.SmallFrameBytesKey)
+    }),
     // the 100-TB connected-components code path: q_dedup_cc's pair
     // generation, but labels forced through the DISTRIBUTED min-label
     // + pointer-jumping loop (localEdgeLimit = 0) instead of the

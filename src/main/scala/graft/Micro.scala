@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scratch micro-measurement main for the optimization rounds: times
+  * named phases of an operator in isolation (min-of-3 after warmup,
+  * cache-clear + GC between trials — the bench protocol). Not part of
+  * the driver contract; numbers land in OPTIMIZATION_r14.md. */
+object Micro {
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    GraftSession.setLogLevel(spark, "ERROR")
+    def t(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def trial(name: String)(f: => Unit): Unit = {
+      f // warmup
+      val best = (1 to 3).map { _ =>
+        spark.catalog.clearCache(); System.gc()
+        t(f)
+      }.min
+      println(f"[micro] $name%-28s $best%.3f s")
+    }
+    args.headOption.getOrElse("zorder") match {
+      case "zorder" =>
+        val df = SparkEntry.t(spark, d, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice")
+        val probs = (1 until 256).map(_.toDouble / 256).toArray
+        trial("quantile_pass") {
+          df.stat.approxQuantile(Array("l_orderkey", "l_partkey"), probs, 0.001)
+          ()
+        }
+        val zdf = df.withColumn("__z",
+          graft.sources.ZOrder.zValue(df, Seq("l_orderkey", "l_partkey"), 8))
+        trial("scan_plus_z_noop") {
+          zdf.write.format("noop").mode("overwrite").save()
+        }
+        trial("range_sort_noop") {
+          zdf.repartitionByRange(16, col("__z")).sortWithinPartitions("__z")
+            .drop("__z").write.format("noop").mode("overwrite").save()
+        }
+        trial("range_sort_parquet") {
+          zdf.repartitionByRange(16, col("__z")).sortWithinPartitions("__z")
+            .drop("__z").write.mode("overwrite").parquet("/tmp/zm_out")
+        }
+        trial("full_writeZOrdered") {
+          graft.sources.ZOrder.writeZOrdered(df, "/tmp/zm_out2",
+            Seq("l_orderkey", "l_partkey"), 16)
+        }
+        trial("plain_scan_noop") {
+          df.write.format("noop").mode("overwrite").save()
+        }
+      case other =>
+        System.err.println(s"[micro] unknown probe $other")
+    }
+    spark.stop()
+  }
+}

@@ -60,6 +60,27 @@ private[graft] object GlobalWindows {
   private val DefaultEdgeBytes: Long = 64L << 20
   private val DefaultContribBytes: Long = 512L << 20
 
+  /** Small-frame tier gate (r14): when the OPTIMIZER'S size estimate of
+    * the input plan is at or under this many bytes, compute every call
+    * with plain SQL window functions over ONE constant-key partition
+    * instead of the distributed machinery. Rationale: the distributed
+    * path costs a range sort + RDD zipWithIndex (two jobs + an
+    * external-Row hop), a persist, one hash exchange per helper family
+    * and a broadcast patch join — ~8 exchanges and a dozen jobs that
+    * exist to avoid single-task windows AT SCALE; under a few tens of
+    * MB a single task does the same work in one exchange, on any
+    * cluster, strictly faster (sf0.1 measured 1.7 s → ~0.3 s). The
+    * gate reads the PLAN estimate (free, no extra pass): parquet
+    * sources estimate from file bytes, and un-estimable plans default
+    * to Long.MaxValue — i.e. the tier only fires when Spark can PROVE
+    * the input small, a big frame can never be mis-routed into one
+    * task by a missing estimate, and the threshold is deliberately a
+    * couple orders of magnitude under an executor's memory. Same
+    * adaptive-tier design as Dedup.connectedComponents' local
+    * union-find crossover. 0 disables (the spec seam). */
+  private[graft] val SmallFrameBytesKey = "spark.graft.globalWindows.smallFrameBytes"
+  private val DefaultSmallFrameBytes: Long = 32L << 20
+
   sealed trait Call { def name: String }
   /** Running aggregate over the frame order (ROWS unbounded..current). */
   final case class RunningAgg(name: String, value: Column, fn: String) extends Call
@@ -189,6 +210,11 @@ private[graft] object GlobalWindows {
     * caller's expression has been applied. */
   def materialize(df: DataFrame, ordCols: Seq[Column],
                   calls: Seq[Call]): (DataFrame, Seq[String]) = {
+    val smallBytes = df.sparkSession.conf
+      .get(SmallFrameBytesKey, DefaultSmallFrameBytes.toString).toLong
+    if (smallBytes > 0 &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= smallBytes)
+      return materializeSmall(df, ordCols, calls)
     val needsOrd = calls.exists {
       case _: Rank | _: OrderIdx => false
       case _ => true
@@ -357,5 +383,54 @@ private[graft] object GlobalWindows {
     val temps = (IDX +: (if (needsPid) Seq(PID) else Nil)) ++
       calls.collect { case Rank(n, _) => s"${n}_k" }
     (r, temps ++ calls.map(_.name))
+  }
+
+  /** The small-frame tier: every call as a plain SQL window function
+    * over ONE constant-key partition ([[SmallFrameBytesKey]] gate).
+    * Semantics are the distributed path's by construction:
+    *  - running aggs / rolling: the same aggregate over the same
+    *    ROWS frame in the same ordCols order;
+    *  - shifts: lead/lag of the SAME value-struct (absent row → null
+    *    struct → caller default; present-with-null stays a struct with
+    *    a null field — the two-state contract Ctx unwraps);
+    *  - row number: row_number() = ordinal + 1, int like the
+    *    distributed cast;
+    *  - rank: SQL rank() — ties share the first peer's position,
+    *    exactly the distributed exclusive-prefix-sum formulation;
+    *  - order idx: row_number() over the call's own key (ties
+    *    arbitrary, as in the distributed second sort + zip).
+    * The partition key is a materialized constant column (pmod of
+    * spark_partition_id — non-foldable, same trick as runningScan), so
+    * the plan keeps a real partition spec and WindowExec's
+    * moving-all-data WARN stays meaningful for user-authored
+    * partition-less windows. */
+  private def materializeSmall(df: DataFrame, ordCols: Seq[Column],
+                               calls: Seq[Call]): (DataFrame, Seq[String]) = {
+    val ONE = "__gw_one"
+    var r = df.withColumn(ONE, pmod(F.spark_partition_id(), lit(1)))
+    val wBase = Window.partitionBy(col(ONE))
+    lazy val wOrd = wBase.orderBy(ordCols: _*)
+    calls.foreach {
+      case RunningAgg(n, v, fn) =>
+        r = r.withColumn(n, aggOf(fn, v).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      case Shift(n, v, o) =>
+        val f = if (o > 0) F.lead(struct(v.as("v")), o)
+                else F.lag(struct(v.as("v")), -o)
+        r = r.withColumn(n, f.over(wOrd))
+      case RowNum(n) =>
+        r = r.withColumn(n, F.row_number().over(wOrd).cast("int"))
+      case Rolling(n, v, fn, width) =>
+        r = r.withColumn(n, aggOf(fn, v).over(
+          wOrd.rowsBetween(-(width - 1).toLong, Window.currentRow)))
+      case Rank(n, sort) =>
+        val (key, dir) = Bridge.sortSpec(sort)
+        r = r.withColumn(n, F.rank().over(wBase.orderBy(dir(key))).cast("int"))
+      case OrderIdx(n, sort) =>
+        val (key, dir) = Bridge.sortSpec(sort)
+        r = r.withColumn(n,
+          F.row_number().over(wBase.orderBy(dir(key))).cast("int"))
+    }
+    (r, ONE +: calls.map(_.name))
   }
 }

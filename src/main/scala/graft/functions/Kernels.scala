@@ -107,6 +107,9 @@ object Kernels {
   def sortableDoubleBits(value: Column): Column =
     column(SortableDoubleBitsExpr(expression(value)))
 
+  def bucketIdx(value: Column, cuts: Array[Double]): Column =
+    column(BucketIdxExpr(expression(value), cuts))
+
   /** Rolling-hash base shared by [[CharNgramHashExpr]] and
     * [[CutSharedSpansExpr]] — the two MUST agree or the compiled cut
     * path would silently diverge from the join path. */
@@ -1297,6 +1300,53 @@ case class CutSharedSpansExpr(child: Expression, refHashes: Array[Long], n: Int)
   * `bits ^ (MIN | (bits>>63))` variant is UNSIGNED-comparable and
   * inverts the positive/negative bands under signed compare — the
   * property suite caught exactly that on negative values.) */
+/** Bucket index for z-order layout: #{i : cuts(i) ≤ value} — the
+  * upper-bound rank of `value` in the sorted `cuts` array, one binary
+  * search per row. Replaces the nested `when`-tree formulation
+  * (ZOrder.bucketOf built a 2^bits-branch CASE expression whose
+  * evaluation measured ~1 µs/row/column at 255 cuts — r14 measured
+  * the z-projection at 1.36 s over 600k rows where this kernel does
+  * it in a binary search). Comparison semantics match Spark SQL's
+  * `>=` on doubles: NaN sorts above every number (java.lang.Double
+  * .compare agrees), and −0.0 is canonicalized to +0.0 on both sides
+  * (SQL treats them equal; Double.compare does not). Null input is
+  * handled by the caller (ZOrder coalesces to bucket 0, the when-tree
+  * contract). */
+case class BucketIdxExpr(child: Expression, cuts: Array[Double])
+    extends UnaryExpression with UnaryKernelCodegen {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case DoubleType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bucket_idx expects double, got ${other.sql}")
+    }
+
+  // cuts canonicalized once: −0.0 → +0.0 so the binary search's
+  // Double.compare ordering agrees with SQL `>=` at the zero boundary
+  private lazy val canon: Array[Double] =
+    cuts.map(c => if (c == 0.0) 0.0 else c)
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[Double]
+    val v = if (raw == 0.0) 0.0 else raw
+    val a = canon
+    // upper bound: first index with a(i) > v (NaN compares above all)
+    var lo = 0
+    var hi = a.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (java.lang.Double.compare(a(mid), v) <= 0) lo = mid + 1
+      else hi = mid
+    }
+    lo.toLong
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SortableDoubleBitsExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
 

@@ -1287,20 +1287,31 @@ object Dedup {
     // the left_anti, the repo's unhashable-rows-survive rule.
     val nonNull = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
     lazy val lists = cents.count() // local literal rows; guard message only
-    def assigned = Similarity.assignLists(nonNull, idCol, vecCol, cents)
+    // ONE assignment kernel pass serves the budget guard AND the dedup
+    // plan (r14: the guard's max-cluster count used to re-derive the
+    // full bestCosine assignment — a second corpus pass per call).
+    // Persisted only while the guard needs it; without the guard the
+    // plan reads the assignment lazily exactly once, as before.
+    val assignedRaw = Similarity.assignLists(nonNull, idCol, vecCol, cents)
+    val assigned =
+      if (clusterBudget > 0)
+        assignedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else assignedRaw
     if (clusterBudget > 0) {
       val maxRow = assigned.groupBy(col("list_id"))
         .agg(F.count(lit(1)).as("__n"))
         .agg(F.coalesce(F.max(col("__n")), lit(0L)).as("__m"))
         .head()
       val maxSz = maxRow.getLong(0)
-      if (maxSz > clusterBudget)
+      if (maxSz > clusterBudget) {
+        assigned.unpersist()
         throw new IllegalArgumentException(
           s"semanticDedup: the largest cluster holds $maxSz rows — over " +
             s"clusterBudget=$clusterBudget and headed for a task OOM in the " +
             s"in-cluster verify. Raise nLists (now $lists) or refineIters " +
             s"to split it, raise clusterBudget if tasks have the memory, " +
             s"or clusterBudget=0 to skip this guard.")
+      }
     }
     val dups = assigned
       .select(col("list_id"),

@@ -75,9 +75,23 @@ object Pq {
     * One extra assignment pass vs [[train]]; same determinism notes. */
   def trainResidual(corpus: DataFrame, idCol: String, vecCol: String,
                     cents: DataFrame, m: Int = 8, k: Int = 256,
-                    iters: Int = 2, seed: Long = 42L): PqModel = {
-    val assigned = Similarity.assignLists(
-      corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
+                    iters: Int = 2, seed: Long = 42L): PqModel =
+    trainResidualAssigned(Similarity.assignLists(
+      corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents),
+      idCol, vecCol, cents, m, k, iters, seed)
+
+  /** [[trainResidual]] over a frame that ALREADY carries `list_id` —
+    * the shared-assignment entry (r14 optimization): every residual
+    * caller (ivfPqTopK / ivfPqTopKCalibrated / buildIvfPqIndex) also
+    * needs the assignment for the ENCODE step, so assigning inside
+    * trainResidual ran the bestCosine kernel over the corpus twice per
+    * call. Callers now assign once (persisted) and hand the frame to
+    * both training and encode. Values are bit-identical: same kernel,
+    * same centroid rows, per-row deterministic argmax. */
+  private[ml] def trainResidualAssigned(assigned: DataFrame, idCol: String,
+                                        vecCol: String, cents: DataFrame,
+                                        m: Int, k: Int, iters: Int,
+                                        seed: Long): PqModel = {
     // materialized residual array (zip_with is per-row O(dim) — fine;
     // the Lloyd mean update below needs the VALUES, not just codes)
     val vecs = assigned
@@ -343,8 +357,21 @@ object Pq {
     // so the codebook is a function of the centroid table
     val (cents, _) = localize(Similarity.centroids(corpus, idCol, vecCol,
       lists, refineIters = 1, seed = seed))
+    // ONE assignment pass serves residual training AND the encode/write
+    // (r14 — trainResidual used to assign internally, a second full
+    // bestCosine corpus pass per build). Persisted for the duration of
+    // the build, released before returning. The `observe` metrics fire
+    // on whichever action materializes the frame first (training's
+    // seed-sample job in residual mode, the write otherwise) — either
+    // way they see every row exactly once, so the drift baseline is
+    // unchanged.
+    val (assigned, obs) = IndexStats.observed(Similarity.assignListsWithSim(
+      corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents),
+      "graft_ivfpq_build")
+    if (residual)
+      assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = if (residual)
-      trainResidual(corpus, idCol, vecCol, cents, m, pqK, iters, seed)
+      trainResidualAssigned(assigned, idCol, vecCol, cents, m, pqK, iters, seed)
     else train(corpus, idCol, vecCol, m, pqK, iters, seed)
     import spark.implicits._
     // `residual` is VERSIONED into the stored model row: a probe reads
@@ -354,14 +381,12 @@ object Pq {
       .toDF("m", "k", "sub_dim", "codebook", "residual")
       .write.mode("overwrite").parquet(s"$path/model")
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    val (assigned, obs) = IndexStats.observed(Similarity.assignListsWithSim(
-      corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents),
-      "graft_ivfpq_build")
     encodeFor(assigned, vecCol, model, cents)
       .select(col(idCol), col("pq_codes"), col("pq_norm"), col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+    if (residual) assigned.unpersist()
     // drift baseline (generation 0) for appendToIvfPqIndex — observed
-    // on the write job, no extra corpus pass
+    // on the first materializing job, no extra corpus pass
     IndexStats.write(spark, path, generation = 0L,
       IndexStats.fromObs(obs), overwrite = true)
   }
@@ -513,10 +538,21 @@ object Pq {
     // aggregation once, with nothing persisted into the session cache
     val (cents, _) = localize(Similarity.centroids(corpus, idCol, vecCol,
       lists, refineIters = 1, seed = seed))
+    // ONE assignment pass serves residual training AND encode (r14:
+    // trainResidual used to assign internally — a second full
+    // bestCosine corpus pass). Persisted because training's driver
+    // actions materialize it before encode re-reads it; released by
+    // LRU like the sigFrame convention (the returned frame is lazy, so
+    // there is no in-library action to pair an unpersist with).
+    val assigned = {
+      val a = Similarity.assignLists(corpus, idCol, vecCol, cents)
+      if (residual)
+        a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else a
+    }
     val model = if (residual)
-      trainResidual(corpus, idCol, vecCol, cents, m, pqK, iters, seed)
+      trainResidualAssigned(assigned, idCol, vecCol, cents, m, pqK, iters, seed)
     else train(corpus, idCol, vecCol, m, pqK, iters, seed)
-    val assigned = Similarity.assignLists(corpus, idCol, vecCol, cents)
     val encoded = encodeFor(assigned, vecCol, model, cents)
     val q = adcQuerySide(queries, qidCol, qvecCol, model)
     val (qProbe, _) = probeSet(q, cents, probes)
@@ -590,15 +626,22 @@ object Pq {
       .min(Int.MaxValue.toLong).toInt
     val (cents, _) = localize(Similarity.centroids(corpus, idCol, vecCol,
       lists, refineIters = 1, seed = seed))
+    // ONE assignment pass serves residual training AND encode (r14 —
+    // see ivfPqTopK); released explicitly after the calibrated output
+    // materializes below, with the codes and truth persists.
+    val assigned = {
+      val a = Similarity.assignLists(corpus, idCol, vecCol, cents)
+      if (residual)
+        a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else a
+    }
     val model = if (residual)
-      trainResidual(corpus, idCol, vecCol, cents, m, pqK, iters, seed)
+      trainResidualAssigned(assigned, idCol, vecCol, cents, m, pqK, iters, seed)
     else train(corpus, idCol, vecCol, m, pqK, iters, seed)
     // compact probe target (m bytes + norm + list id per row), read by
     // every escalation step and the final probe — persist THIS, never
     // the vectors
-    val cands = encodeFor(
-        Similarity.assignLists(corpus, idCol, vecCol, cents), vecCol,
-        model, cents)
+    val cands = encodeFor(assigned, vecCol, model, cents)
       .select(col(idCol).as("nn_id"), col("pq_codes").as("__c"),
         col("pq_norm").as("__n"), col("list_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -665,6 +708,7 @@ object Pq {
       .localCheckpoint()
     cands.unpersist()
     truth.unpersist()
+    if (residual) assigned.unpersist()
     out
   }
 }

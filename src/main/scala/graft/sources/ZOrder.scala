@@ -62,32 +62,20 @@ object ZOrder {
   /** Bucket index in [0, 2^bits): how many cut points the value clears.
     * Monotone in the value, total (nulls → 0), plateau-safe.
     *
-    * Compiled as a BINARY-SEARCH tree of `when` expressions — `bits`
-    * comparisons per row, all inside whole-stage codegen. The obvious
-    * `aggregate(lit(cuts), ...)` HOF is interpreted and walks all
-    * 2^bits−1 cuts per row per column (measured 19 s to z-order the
-    * 600k-row sf0.1 lineitem; the tree does it in ~1 s). Above 1023
-    * cuts the tree would bloat codegen, so bits > 10 falls back to the
-    * HOF scan — bits that high is a layout mistake anyway (cap 16
-    * keeps the 63-bit z-value guard honest, not codegen). */
-  private[graft] def bucketOf(c: Column, cuts: Array[Double]): Column = {
-    val d = c.cast("double")
-    if (cuts.length > 1023)
-      aggregate(lit(cuts), lit(0L),
-        (acc, cut) => acc + when(d >= cut, 1L).otherwise(0L))
-    else {
-      // go(lo, hi): bucket index given every cut below lo is cleared
-      // and none at/after hi is; a null value fails every comparison
-      // and lands in bucket 0, matching the HOF's null behavior
-      def go(lo: Int, hi: Int): Column =
-        if (lo == hi) lit(lo.toLong)
-        else {
-          val mid = (lo + hi) / 2
-          when(d >= cuts(mid), go(mid + 1, hi)).otherwise(go(lo, mid))
-        }
-      go(0, cuts.length)
-    }
-  }
+    * One binary-search kernel per row ([[graft.functions.Kernels
+    * .bucketIdx]], r14). The history of this expression is the round's
+    * measurement lesson in miniature: the interpreted
+    * `aggregate(lit(cuts), ...)` HOF walked all 2^bits−1 cuts per row
+    * (19 s at sf0.1); the r7 fix compiled a binary-search TREE of
+    * nested `when`s — bits comparisons per row, but the 2^bits-branch
+    * CASE expression still evaluated at ~1 µs/row/column (the z
+    * projection alone measured 1.36 s over 600k rows, most of the
+    * x_zorder_write entry); the r14 kernel does the same upper-bound
+    * rank as a JVM binary search inside whole-stage codegen. Null →
+    * bucket 0 via coalesce (the when-tree's null contract). */
+  private[graft] def bucketOf(c: Column, cuts: Array[Double]): Column =
+    coalesce(
+      graft.functions.Kernels.bucketIdx(c.cast("double"), cuts), lit(0L))
 
   /** Interleave the low `bits` of each bucket column into one long:
     * bit `b` of column `i` lands at position `b * ncols + i`, so all
@@ -113,7 +101,17 @@ object ZOrder {
   /** `df` re-clustered along the Morton curve of `cols`: `numFiles`
     * range partitions, rows sorted by z-value within each, layout
     * column dropped. Each downstream write task then covers one tight
-    * hyper-rectangle of the key space. */
+    * hyper-rectangle of the key space.
+    *
+    * Partitioning stays `repartitionByRange` — its boundary-sampling
+    * pass re-executes the scan + z projection once, but the r14
+    * alternatives measured WORSE at sf0.1: a direct equal-z-width
+    * assignment through an RDD identity partitioner (the writeShards
+    * pattern) pays external-Row serialization on the whole corpus
+    * (4.79 s vs 4.18 s full-entry), and staging the bucket columns as
+    * separate projections was codegen-CSE-neutral. The fix that paid
+    * was the bucket KERNEL ([[bucketOf]]), which cheapens both the
+    * sampling pass and the main pass. Numbers in OPTIMIZATION_r14.md. */
   def zOrderBy(df: DataFrame, cols: Seq[String], numFiles: Int,
                bits: Int = 8): DataFrame = {
     require(numFiles >= 1, s"numFiles must be positive, got $numFiles")

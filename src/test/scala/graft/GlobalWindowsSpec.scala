@@ -23,6 +23,17 @@ class GlobalWindowsSpec extends GraftSpec {
     (i.toLong, v)
   }.toDF("id", "v").repartition(7)
 
+  /** Pin the DISTRIBUTED machinery: the r14 small-frame tier
+    * (smallFrameBytes gate) would otherwise route every test-sized
+    * frame through plain windows and the machinery under test would
+    * never run. Scoped conf set/unset — the EdgeBytesKey seam's
+    * convention. */
+  private def forceDistributed[T](body: => T): T = {
+    spark.conf.set(graft.core.GlobalWindows.SmallFrameBytesKey, "0")
+    try body
+    finally spark.conf.unset(graft.core.GlobalWindows.SmallFrameBytesKey)
+  }
+
   private def sortedRows(df: org.apache.spark.sql.DataFrame) =
     df.orderBy("id").collect().toSeq
 
@@ -85,9 +96,11 @@ class GlobalWindowsSpec extends GraftSpec {
 
   test("the data never flows through a partition-less window") {
     val f = CrysFrame(raw).sortBy("id")
-    val plan = f.addColumn("cs")(c => c.cumsum(col("v")))
-      .addColumn("rk")(c => c.rank(col("v").desc))
-      .df.queryExecution.explainString(FormattedMode)
+    val plan = forceDistributed {
+      f.addColumn("cs")(c => c.cumsum(col("v")))
+        .addColumn("rk")(c => c.rank(col("v").desc))
+        .df.queryExecution.explainString(FormattedMode)
+    }
     // every full-frame window is partitioned on the physical
     // partition id; the only permissible partition-less windows are
     // the metadata-scale per-partition offset scans
@@ -108,8 +121,10 @@ class GlobalWindowsSpec extends GraftSpec {
     // partitions, so the in-partition window is wrong for EVERY row and
     // the whole answer must come from the boundary patch
     val f = CrysFrame(raw).sortBy("id")
-    val got = f.addColumn("rs")(c => c.rollingSum(col("v"), 50))
-      .addColumn("ra")(c => c.rollingMean(col("v"), 50)).out
+    val got = forceDistributed {
+      f.addColumn("rs")(c => c.rollingSum(col("v"), 50))
+        .addColumn("ra")(c => c.rollingMean(col("v"), 50)).out
+    }
     val w50 = Window.orderBy("id").rowsBetween(-49, Window.currentRow)
     val expected = raw
       .withColumn("rs", F.sum(col("v")).over(w50))
@@ -162,7 +177,12 @@ class GlobalWindowsSpec extends GraftSpec {
     val picked = rnd.shuffle(menu).take(2 + rnd.nextInt(menu.size - 1))
 
     // fallback seam: a scoped session-conf override (not mutable
-    // object state) — materialize() reads the byte caps per call
+    // object state) — materialize() reads the byte caps per call.
+    // The small-frame tier is disabled for BOTH variants: these
+    // properties exist to cover the distributed machinery (the tier
+    // would route every test-sized frame to plain windows); the tier's
+    // own equivalence is pinned in its dedicated test below.
+    spark.conf.set(graft.core.GlobalWindows.SmallFrameBytesKey, "0")
     if (forceFallback)
       spark.conf.set(graft.core.GlobalWindows.EdgeBytesKey, "0")
     try {
@@ -175,8 +195,11 @@ class GlobalWindowsSpec extends GraftSpec {
         sortedRows(expected.select("id", picked.map(_._1): _*)),
         s"seed=$seed n=$n parts=$parts calls=${picked.map(_._1)} " +
           s"fallback=$forceFallback")
-    } finally if (forceFallback)
-      spark.conf.unset(graft.core.GlobalWindows.EdgeBytesKey)
+    } finally {
+      spark.conf.unset(graft.core.GlobalWindows.SmallFrameBytesKey)
+      if (forceFallback)
+        spark.conf.unset(graft.core.GlobalWindows.EdgeBytesKey)
+    }
   }
 
   test("property: random frames x random call mixes match the window formulation") {
@@ -185,6 +208,44 @@ class GlobalWindowsSpec extends GraftSpec {
 
   test("property: the non-fused fallback (edge frame too big) matches too") {
     (1 to 3).foreach(s => randomCase(seed = 200 + s, forceFallback = true))
+  }
+
+  test("small-frame tier: fires on a provably-small input and matches the " +
+    "distributed path exactly") {
+    // the r14 tier: plan-estimate ≤ smallFrameBytes → plain windows
+    // over one constant-key partition. Pins (a) the tier actually
+    // fires at the default threshold on a test-sized frame (its
+    // __gw_one key in the plan; no __gw_pid machinery), (b) rows are
+    // identical to the distributed path's on every call family, and
+    // (c) the tier's windows are still PARTITIONED (the WindowExec
+    // moving-all-data WARN contract holds for the library).
+    val f = CrysFrame(raw).sortBy("id")
+    def build(fr: CrysFrame) = fr
+      .addColumn("cs")(c => c.cumsum(col("v")))
+      .addColumn("ld")(c => c.lead(col("v"), 2, -1L))
+      .addColumn("lg")(c => c.lag(col("v")))
+      .addColumn("rn")(c => c.rowNumber)
+      .addColumn("rs")(c => c.rollingSum(col("v"), 3))
+      .addColumn("rk")(c => c.rank(col("v").desc))
+      .addColumn("o")(c => c.order(col("v")))
+    val tierDf = build(f)
+    val tierPlan = tierDf.df.queryExecution.explainString(FormattedMode)
+    assert(tierPlan.contains("__gw_one") && !tierPlan.contains("__gw_pid"),
+      s"small-frame tier did not fire:\n$tierPlan")
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(tierPlan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(s =>
+      s.contains("__gw_one") || s.matches("_w\\d+#\\d+.*")), specs.mkString(" | "))
+    val tier = sortedRows(tierDf.out.select(
+      "id", "cs", "ld", "lg", "rn", "rs", "rk"))
+    val dist = forceDistributed {
+      sortedRows(build(f).out.select("id", "cs", "ld", "lg", "rn", "rs", "rk"))
+    }
+    assert(tier == dist)
+    // order() ties are arbitrary in both paths — pin the permutation
+    // contract instead of row equality
+    val o = tierDf.out.select("o").collect().map(_.getInt(0)).sorted.toSeq
+    assert(o == (1 to 199))
   }
 
   test("verbs that never materialize global calls refuse them with a targeted error") {

@@ -42,8 +42,10 @@ class KernelCodegenSpec extends GraftSpec {
         PqKernels.pqCodes(col("embedding"), model.codebook,
           model.m, model.k, model.subDim).as("codes"),
         PqKernels.pqTable(col("embedding"), model.codebook,
-          model.m, model.k, model.subDim).as("table"))
-      .select(col("cos"), col("best"), col("lsh"),
+          model.m, model.k, model.subDim).as("table"),
+        Kernels.bucketIdx(element_at(col("embedding"), 1).cast("double"),
+          Array(-1.0, 0.0, 0.5)).as("bkt"))
+      .select(col("cos"), col("best"), col("lsh"), col("bkt"),
         PqKernels.pqResidualCodes(col("embedding"), col("embedding"),
           model.codebook, model.m, model.k, model.subDim).as("rcodes"),
         PqKernels.pqAdcScore(col("codes"), col("table"), model.k).as("adc"))
@@ -52,7 +54,7 @@ class KernelCodegenSpec extends GraftSpec {
       s"no WSCG subtree at all — plan shape broke the pin:\n$code")
     Seq("CosineSimExpr", "BestCosineExpr", "CosineLshBandsExpr",
       "PqCodesExpr", "PqResidualCodesExpr", "PqTableExpr",
-      "PqAdcScoreExpr").foreach { cls =>
+      "PqAdcScoreExpr", "BucketIdxExpr").foreach { cls =>
       assert(code.contains(s"graft.functions.$cls") && code.contains(".compute("),
         s"$cls not wired through generated code — fallback regressed:\n" +
           code.linesIterator.filter(_.contains("graft")).mkString("\n"))

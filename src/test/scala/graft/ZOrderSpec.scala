@@ -30,6 +30,18 @@ class ZOrderSpec extends GraftSpec {
     assert(got == Seq(0L, 2L, 2L, 3L, 0L))
   }
 
+  test("bucketOf edge semantics match SQL >= (NaN top, -0.0 == 0.0)") {
+    // the r14 binary-search kernel must agree with the old when-tree's
+    // SQL comparisons at the edges: NaN sorts above every number
+    // (lands in the top bucket) and -0.0 equals +0.0 (clears a 0.0 cut)
+    val cuts = Array(-5.0, 0.0, 5.0)
+    val df = Seq(Double.NaN, -0.0, 0.0, -5.0, 7.0,
+      Double.PositiveInfinity, Double.NegativeInfinity).toDF("v")
+    val got = df.select(ZOrder.bucketOf(col("v"), cuts).as("b"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(3L, 2L, 2L, 1L, 3L, 3L, 0L))
+  }
+
   test("z-ordered write preserves the exact row set") {
     val dir = "/tmp/graft_zorder_spec_roundtrip"
     val df = (1 to 5000).map(i => (i.toLong, (i * 7919 % 100).toLong,
