@@ -54,6 +54,63 @@ object Micro {
         trial("plain_scan_noop") {
           df.write.format("noop").mode("overwrite").save()
         }
+      case "lsh64" =>
+        // ×64 banding-kernel A/B: the embed_dedup arm's dominant cost.
+        // Times the LSH banding projection alone (noop sink) under
+        // whole-stage codegen (the r14 UnaryKernelCodegen path) and
+        // fully interpreted (factoryMode NO_CODEGEN — the closest
+        // runtime stand-in for the old CodegenFallback cost), then the
+        // full operator.
+        val emb64 = spark.read.parquet("/tmp/graft_stress64v/embeddings.parquet")
+          .repartition(cpus.toInt)
+        val n = emb64.count()
+        val bits = graft.ml.Dedup.autoNBits(n, 125L)
+        val bands = graft.ml.Dedup.autoBands(0.7, bits, 1e-3)
+        System.err.println(s"[micro] lsh64 n=$n bits=$bits bands=$bands")
+        def banding() = emb64.select(
+          graft.functions.Kernels.cosineLshBands(
+            col("embedding"), bands, bits, 42L).as("__keys"))
+        trial("banding_codegen") {
+          banding().write.format("noop").mode("overwrite").save()
+        }
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        try trial("banding_interpreted") {
+          banding().write.format("noop").mode("overwrite").save()
+        } finally {
+          spark.conf.set("spark.sql.codegen.wholeStage", "true")
+          spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+        }
+        trial("embed_dedup_full") {
+          graft.ml.Dedup.embeddingDedup(emb64, "vec_id", "embedding",
+            threshold = 0.7).count()
+          ()
+        }
+      case "bestcos64" =>
+        // ×64 assignment-kernel A/B (bestCosine, the IVF/semantic
+        // assign cost): codegen trait vs fully interpreted.
+        val emb64 = spark.read.parquet("/tmp/graft_stress64v/embeddings.parquet")
+          .repartition(cpus.toInt)
+        val cents = graft.ml.Similarity.centroids(
+          emb64, "vec_id", "embedding", nLists = 358, refineIters = 0)
+        val centRows = cents.collect().toSeq
+        val centsL = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(centRows).asJava),
+          cents.schema)
+        def assign() = graft.ml.Similarity.assignLists(
+          emb64, "vec_id", "embedding", centsL)
+        trial("assign_codegen") {
+          assign().write.format("noop").mode("overwrite").save()
+        }
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        try trial("assign_interpreted") {
+          assign().write.format("noop").mode("overwrite").save()
+        } finally {
+          spark.conf.set("spark.sql.codegen.wholeStage", "true")
+          spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+        }
       case other =>
         System.err.println(s"[micro] unknown probe $other")
     }
