@@ -61,8 +61,8 @@ class PersistInventorySpec extends AnyFunSuite {
   private val expectedPersist = Map(
     "src/main/scala/graft/core/CrysFrame.scala" -> 2, // order capture + take draw (LRU)
     "src/main/scala/graft/core/GlobalWindows.scala" -> 2, // sorted base + rank counts (LRU)
-    "src/main/scala/graft/ml/Dedup.scala" -> 6, // sig/simhash/keepBest (LRU) + CC input/labels (paired) + near-dup append anchors (paired)
-    "src/main/scala/graft/ml/Pq.scala" -> 3, // training vectors + calibrated cands/truth (all paired)
+    "src/main/scala/graft/ml/Dedup.scala" -> 7, // sig/simhash/keepBest (LRU) + CC input/labels (paired) + near-dup append anchors (paired) + semanticDedup guard assignment (r14, LRU)
+    "src/main/scala/graft/ml/Pq.scala" -> 6, // training vectors + calibrated cands/truth (paired) + r14 shared residual assignment ×3 (ivfPqTopK LRU; calibrated + build paired)
     "src/main/scala/graft/ml/Similarity.scala" -> 5, // k-means init + calibration truth + calibrated assignment (paired, r13) + LSH keys/vecs (LRU)
     "src/main/scala/graft/operators/Skew.scala" -> 1, // saltedJoin guard right side (LRU; guard count + join share one materialization)
     "src/main/scala/graft/streaming/StreamVerbs.scala" -> 1, // nearDupIngest kept batch (paired: finally unpersist)
@@ -84,7 +84,7 @@ class PersistInventorySpec extends AnyFunSuite {
       "\npersist sites drifted from SCALING.md §Persist-site inventory — " +
         "document the new/removed site there AND update this spec.\n" +
         s"actual:   $actual\nexpected: $expectedPersist")
-    assert(actual.values.sum == 25) // the inventory's headline count
+    assert(actual.values.sum == 29) // the inventory's headline count
   }
 
   test("every .cache() in src/main is in the checked-in inventory") {
