@@ -86,6 +86,36 @@ object Micro {
             threshold = 0.7).count()
           ()
         }
+        // stage isolation: banding projection + posexplode (the
+        // Generate interaction), no groupBy/shuffle
+        val keyed64 = emb64.select(col("vec_id").cast("long").as("__id"),
+          col("embedding").as("__v"),
+          graft.functions.Kernels.cosineLshBands(
+            col("embedding"), bands, bits, 42L).as("__keys"))
+        trial("banding_explode_noop") {
+          keyed64.select(col("__id"), col("__v"),
+              posexplode(col("__keys")).as(Seq("__band", "__key")))
+            .write.format("noop").mode("overwrite").save()
+        }
+        trial("banding_explode_groupby") {
+          keyed64.select(col("__id"), col("__v"),
+              posexplode(col("__keys")).as(Seq("__band", "__key")))
+            .groupBy(col("__band"), col("__key"))
+            .agg(collect_list(struct(col("__id"), col("__v"))).as("__bucket"))
+            .write.format("noop").mode("overwrite").save()
+        }
+      case "lshplan" =>
+        // plan shape only (no trials): how the banding kernel sits
+        // relative to Generate under the current trait
+        val emb64 = spark.read.parquet("/tmp/graft_stress64v/embeddings.parquet")
+          .repartition(cpus.toInt)
+        val keyed64 = emb64.select(col("vec_id").cast("long").as("__id"),
+          col("embedding").as("__v"),
+          graft.functions.Kernels.cosineLshBands(
+            col("embedding"), 125, 10, 42L).as("__keys"))
+        println(keyed64.select(col("__id"), col("__v"),
+            posexplode(col("__keys")).as(Seq("__band", "__key")))
+          .queryExecution.executedPlan.toString.take(3000))
       case "bestcos64" =>
         // ×64 assignment-kernel A/B (bestCosine, the IVF/semantic
         // assign cost): codegen trait vs fully interpreted.

@@ -1882,8 +1882,13 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"),
           TextFunctions.stripHtml(concat(lit("<html><body><p>"), col("text"),
             lit("</p><!-- note --></body></html>"))).as("text_plain"))
+      // Kernels.once: without the barrier, PushDownPredicates expands
+      // quality — and through it the stripHtml alias — into the pushed
+      // filter condition (~10 regex-chain copies per row measured in
+      // the r14 plan audit); values identical, oracle re-proven
       val kept = Dedup.dedupAgainstExact(stripped(1), stripped(0), "text_plain")
-        .withColumn("quality", TextFunctions.qualityScore(col("text_plain")))
+        .withColumn("quality", graft.functions.Kernels.once(
+          TextFunctions.qualityScore(col("text_plain"))))
         .filter(col("quality") >= 0.5)
       CrysFrame(kept.groupBy(col("lang"))
           .agg(F.count(lit(1)).as("n_kept"),
@@ -1897,8 +1902,11 @@ object SparkEntry {
     // min/max of identical 4-dp doubles) so the composite stays
     // hash-stable; a mean would sum doubles in engine-dependent order
     "q_pipeline" -> ((s, d) => {
+      // Kernels.once blocks the filter-pushdown expansion of the score
+      // formula (see q_ingest_pipeline) — quality evaluates once per row
       val scored = t(s, d, "documents")
-        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .withColumn("quality", graft.functions.Kernels.once(
+          TextFunctions.qualityScore(col("text"))))
         .filter(col("quality") >= 0.67)
       val kept = Dedup.exactByContentHash(scored, "doc_id", "text")
       CrysFrame(kept

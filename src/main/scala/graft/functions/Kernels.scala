@@ -110,6 +110,20 @@ object Kernels {
   def bucketIdx(value: Column, cuts: Array[Double]): Column =
     column(BucketIdxExpr(expression(value), cuts))
 
+  /** Evaluate-once barrier: value/type/nullability of `c`, marked
+    * NON-deterministic so the optimizer may not duplicate, inline, or
+    * push predicates through it. The `withColumn("q", expensive)
+    * .filter($"q" >= t)` pattern otherwise has PushDownPredicates
+    * substitute the WHOLE expression into the pushed filter condition
+    * — and unlike CollapseProject (SPARK-36718) the predicate rules
+    * carry no cheap-expression guard, so a score formula referencing
+    * its tokenization N times lands N expanded copies at the scan
+    * (q_pipeline/q_ingest_pipeline measured ~10 stripHtml+tokenize
+    * evaluations per row). Same remedy class as marking an expensive
+    * UDF non-deterministic; the value is in fact deterministic — the
+    * flag only disables rearrangement, never changes a result. */
+  def once(c: Column): Column = column(BarrierExpr(expression(c)))
+
   /** Rolling-hash base shared by [[CharNgramHashExpr]] and
     * [[CutSharedSpansExpr]] — the two MUST agree or the compiled cut
     * path would silently diverge from the join path. */
@@ -1300,6 +1314,27 @@ case class CutSharedSpansExpr(child: Expression, refHashes: Array[Long], n: Int)
   * `bits ^ (MIN | (bits>>63))` variant is UNSIGNED-comparable and
   * inverts the positive/negative bands under signed compare — the
   * property suite caught exactly that on negative values.) */
+/** Identity pass-through marked non-deterministic — the optimizer
+  * barrier behind [[Kernels.once]]. Codegen and eval delegate straight
+  * to the child (zero per-row cost); `deterministic = false` is the
+  * entire mechanism. */
+case class BarrierExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override lazy val deterministic: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Bucket index for z-order layout: #{i : cuts(i) ≤ value} — the
   * upper-bound rank of `value` in the sorted `cuts` array, one binary
   * search per row. Replaces the nested `when`-tree formulation

@@ -1162,9 +1162,23 @@ object Dedup {
           col(vecCol).as("__v"),
           graft.functions.Kernels.cosineLshBands(col(vecCol), useBands, useBits, seed)
             .as("__keys"))
+        // posexplode_OUTER + explicit null-key filter, NOT a plain
+        // posexplode (r14 measured): InferFiltersFromGenerate sees the
+        // generator child as the cheap attribute `__keys`, infers
+        // size(__keys) > 0 AND isnotnull(__keys), and predicate
+        // pushdown then substitutes the BANDING KERNEL through the
+        // projection — the kernel (the corpus-pass dominant cost at
+        // wide band counts) evaluated 3× per row, at the scan, before
+        // any repartition (SPARK-36715's cheap-expression guard cannot
+        // see through the alias). Outer generates skip filter
+        // inference entirely; the explicit filter reproduces the
+        // dropped rows exactly (null __key ⇔ null __keys ⇔ null
+        // vector — the element type is non-nullable). Measured at ×64:
+        // the banding+explode stage 15.8 s → one kernel eval/row.
         keyed
           .select(col("__id"), col("__v"),
-            posexplode(col("__keys")).as(Seq("__band", "__key")))
+            posexplode_outer(col("__keys")).as(Seq("__band", "__key")))
+          .filter(col("__key").isNotNull)
           .groupBy(col("__band"), col("__key"))
           .agg(collect_list(struct(col("__id"), col("__v"))).as("__bucket"))
           .select(explode(graft.functions.Kernels.cosineBucketDups(

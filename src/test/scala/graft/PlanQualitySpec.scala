@@ -379,4 +379,44 @@ class PlanQualitySpec extends GraftSpec {
     val out = SparkEntry.queries("q_skew_join")(spark, dir).schema.fieldNames
     assert(!out.contains("__salt"), out.mkString(","))
   }
+
+  test("q_pipeline / q_ingest_pipeline: the quality filter reads the " +
+    "computed column, never a re-expanded formula (Kernels.once barrier)") {
+    // without the barrier, PushDownPredicates substitutes the whole
+    // score formula (and, in the ingest pipeline, the stripHtml chain
+    // under it) into the pushed filter condition — ~10 regex-chain
+    // evaluations per row at the scan (r14 plan audit). The pin:
+    // every Filter condition stays attribute-sized.
+    Seq("q_pipeline", "q_ingest_pipeline").foreach { q =>
+      val p = plan(q)
+      val conds = p.linesIterator.filter(_.trim.startsWith("Condition :")).toSeq
+      assert(conds.nonEmpty, p)
+      val worst = conds.maxBy(_.length)
+      assert(worst.length < 800,
+        s"$q: a pushed filter re-expanded a computed expression " +
+          s"(${worst.length} chars):\n${worst.take(300)}")
+      assert(conds.exists(_.contains("quality#")),
+        s"$q: quality filter should test the projected attribute\n$p")
+    }
+  }
+
+  test("q_embed_dedup: the banding kernel evaluates once per row " +
+    "(no inferred size/isnotnull filter re-expansion)") {
+    // posexplode over the aliased kernel column used to draw inferred
+    // size(kernel)>0 AND isnotnull(kernel) filters through the
+    // projection — three kernel evaluations per row at the scan
+    // (SPARK-36715's cheap-expression guard cannot see through the
+    // alias). The outer-explode form skips filter inference; the pin
+    // counts kernel mentions in the plan.
+    // the OPERATOR's own plan (the declared q_embed_dedup query is the
+    // certificate harness, which legitimately builds more arms)
+    val df = graft.ml.Dedup.embeddingDedup(
+      SparkEntry.t(spark, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.45, bands = 64)
+    val p = df.queryExecution.explainString(FormattedMode)
+    val mentions = "cosinelshbandsexpr".r.findAllIn(p.toLowerCase).size
+    assert(mentions == 1,
+      s"banding kernel appears $mentions times — inferred-filter " +
+        s"duplication regressed\n$p")
+  }
 }
