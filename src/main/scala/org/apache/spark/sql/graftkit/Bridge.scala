@@ -12,6 +12,40 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Append a stable 0-based ordinal in the frame's current physical
+    * order via the engine's own `AttachDistributedSequence` node (the
+    * pandas-on-Spark distributed-sequence index). Unlike the RDD
+    * `zipWithIndex` formulation this repo used through r14, the
+    * executor node persists its child ONCE (level from
+    * `pandas_on_Spark.compute.default_index_cache`, default
+    * MEMORY_AND_DISK_SER; `LOCAL_CHECKPOINT` and `NONE` are the other
+    * accepted values) before running zipWithIndex's count job + data
+    * pass over the cached rows, and unpersists it in
+    * `cleanupResources` — so the child plan (typically a corpus-scale
+    * range sort) executes ONE time instead of two, and rows never
+    * round-trip through external `Row`s. The sequence attribute is
+    * re-projected LAST to keep the historical withIdx column layout.
+    *
+    * Soundness note (the r8 two-level-build postmortem): the ordinal
+    * capture stays sound for the same reason zipWithIndex was — ONE
+    * physical realization (here: the node-internal persist) feeds both
+    * the partition-count job and the data pass. Catalyst treats the
+    * node as an opaque barrier: predicate pushdown's `canPushThrough`
+    * does not list it and `EliminateSorts` only recurses through
+    * Project/Filter/Repartition, so neither a filter nor a sort
+    * elimination can slide past the capture and re-key the ordinals. */
+  def attachSequence(df: org.apache.spark.sql.DataFrame, name: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.{AttachDistributedSequence, Project}
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val child = ds.queryExecution.analyzed
+    val attr = AttributeReference(name, org.apache.spark.sql.types.LongType,
+      nullable = false)()
+    val plan = Project(child.output :+ attr, AttachDistributedSequence(attr, child))
+    org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession, plan)
+  }
+
   /** Source column names referenced anywhere in a Column. Spark 4
     * Columns carry a ColumnNode tree whose catalyst conversion happens
     * at ANALYSIS — collecting over `expression(c)` sees only an opaque
