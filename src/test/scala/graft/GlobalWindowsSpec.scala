@@ -248,6 +248,45 @@ class GlobalWindowsSpec extends GraftSpec {
     assert(o == (1 to 199))
   }
 
+  test("small-frame tier: a row-multiplying plan (explode / join) never takes " +
+    "the tier on the size estimate alone") {
+    // r15 gate hardening (r14 ADVICE): the size-only stats visitor
+    // passes Generate through at roughly the child's width-scaled
+    // bytes, so a small scan that explodes N× upstream of a global
+    // window could read as "provably small" and funnel a large frame
+    // into one task. The gate must refuse the tier whenever the
+    // optimized plan contains a row-multiplying operator — pinned here
+    // with an exploded input whose PRE-explode estimate is tiny, and a
+    // joined input, both of which must take the __gw_pid distributed
+    // machinery at the default threshold.
+    val exploded = raw
+      .withColumn("xs", F.array_repeat(col("v"), 3))
+      .withColumn("x", F.explode(col("xs")))
+      .drop("xs")
+    val expPlan = CrysFrame(exploded).sortBy("id")
+      .addColumn("cs")(c => c.cumsum(col("v")))
+      .df.queryExecution.explainString(FormattedMode)
+    assert(expPlan.contains("__gw_pid") && !expPlan.contains("__gw_one"),
+      s"exploded input took the small-frame tier:\n$expPlan")
+    val joined = raw.join(raw.select(col("id"), col("v").as("v2")), Seq("id"))
+    val joinPlan = CrysFrame(joined).sortBy("id")
+      .addColumn("cs")(c => c.cumsum(col("v")))
+      .df.queryExecution.explainString(FormattedMode)
+    assert(joinPlan.contains("__gw_pid") && !joinPlan.contains("__gw_one"),
+      s"joined input took the small-frame tier:\n$joinPlan")
+    // and the distributed routing is CORRECT, not just present: rows
+    // match the partition-less window formulation on the exploded frame
+    // (rn is globally unique, so (id, rn) is a total order for the
+    // comparison; the 3 repeated rows per id are identical in (id, x))
+    val got = CrysFrame(exploded).sortBy("id", "x")
+      .addColumn("rn")(c => c.rowNumber).out.select("id", "x", "rn")
+      .orderBy("id", "rn").collect().toSeq
+    val exp = exploded.withColumn("rn",
+        F.row_number().over(Window.orderBy("id", "x"))).select("id", "x", "rn")
+      .orderBy("id", "rn").collect().toSeq
+    assert(got == exp)
+  }
+
   test("verbs that never materialize global calls refuse them with a targeted error") {
     val f = CrysFrame(raw).sortBy("id")
     val e1 = intercept[IllegalArgumentException] {
