@@ -15,9 +15,10 @@ import org.apache.spark.sql.graftkit.Bridge
   * scale-shaped pieces:
   *
   *  - ordinal: range sort + `AttachDistributedSequence` ordinals
-  *    ([[Binds.withIdx]] — r15: the sorted child executes ONCE, cached
-  *    inside the node, instead of zipWithIndex's count-job re-execution)
-  *    — the pattern addRowNumber/slice/sampling already use;
+  *    ([[Binds.withIdx]] — r15: InternalRows end to end instead of
+  *    zipWithIndex's external-Row hop; the count job re-reads the
+  *    sort's shuffle output, map side runs once) — the pattern
+  *    addRowNumber/slice/sampling already use;
   *  - running aggregates (cumsum's sum + null-poison max): the
   *    classic two-level prefix scan, in pure Spark SQL — a window
   *    PARTITIONED on the physical partition id for the

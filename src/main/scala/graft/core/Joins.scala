@@ -103,12 +103,12 @@ private[core] object Binds {
     * r15: rides Spark's own `AttachDistributedSequence` plan node
     * (via [[org.apache.spark.sql.graftkit.Bridge.attachSequence]])
     * instead of the r8–r14 RDD `zipWithIndex` formulation. Same
-    * ordinal semantics, two taxes removed: the node persists its
-    * child once and runs the partition-count job + data pass over the
-    * cached rows (zipWithIndex re-executed the uncached upstream —
-    * typically a corpus-scale sort — a second time for the count
-    * job), and rows stay InternalRows end to end (the RDD hop paid
-    * external-Row conversion both ways).
+    * ordinal semantics, same two-job shape (GraftSession pins the
+    * node's cache mode to NONE — see the Bridge scaladoc for why the
+    * stock cache mode was measured and rejected), one tax removed:
+    * rows stay InternalRows end to end where the RDD hop paid
+    * external-Row conversion both ways, on both of zipWithIndex's
+    * passes (×16 capture overhead 0.77 → 0.46 s).
     *
     * DO NOT "optimize" this into a pure-Catalyst two-level build
     * (monotonically_increasing_id → per-partition counts → broadcast
@@ -117,13 +117,13 @@ private[core] object Binds {
     * the nondeterministic position capture can land on two different
     * physical layouts (AQE re-coalesces per evaluation) and the
     * offset join silently drops almost every row. AttachDistributedSequence
-    * is immune the same way zipWithIndex was: ONE physical realization
-    * (its node-internal persist) feeds both of its jobs, and Catalyst
-    * treats the node as a barrier (no filter pushdown through it, no
-    * sort elimination past it — see the Bridge scaladoc). As before,
-    * consumers that re-read the ordinals across jobs persist the
-    * RESULT (GlobalWindows); the node's internal cache is released by
-    * `cleanupResources` when its one execution completes. */
+    * is immune the same way zipWithIndex was: ONE RDD instance feeds
+    * both of its jobs (the count job re-reads the child's shuffle
+    * output under cache mode NONE — the map side runs once), and
+    * Catalyst treats the node as a barrier (no filter pushdown
+    * through it, no sort elimination past it — see the Bridge
+    * scaladoc). As before, consumers that re-read the ordinals across
+    * jobs persist the RESULT (GlobalWindows). */
   def withIdx(df: DataFrame): DataFrame = withIdxAs(df, CrysFrame.IDX)
 
   /** [[withIdx]] with a caller-chosen column name (e.g. the ingest
