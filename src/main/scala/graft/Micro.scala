@@ -141,25 +141,6 @@ object Micro {
           spark.conf.set("spark.sql.codegen.wholeStage", "true")
           spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
         }
-      case "rownum" =>
-        // r15 ordinal A/B at data scale (verdict #1): sorted lineitem →
-        // row-number capture → noop, via the public addRowNumber verb
-        // (exactly the withIdx machinery the AttachDistributedSequence
-        // change replaced — q_window_global_dist cannot show it because
-        // its user_id<30 frame stays tiny at any amplification). Point
-        // SPARK_GRAFT_SF_DIR at an amplified dir; sort_only_noop is the
-        // floor the capture's overhead sits on.
-        val li = SparkEntry.t(spark, d, "lineitem")
-          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-        trial("sort_only_noop") {
-          li.orderBy(col("l_orderkey"), col("l_linenumber"))
-            .write.format("noop").mode("overwrite").save()
-        }
-        trial("sort_rownumber_noop") {
-          graft.core.CrysFrame(li).sortBy("l_orderkey", "l_linenumber")
-            .addRowNumber("rn").df
-            .write.format("noop").mode("overwrite").save()
-        }
       case other =>
         System.err.println(s"[micro] unknown probe $other")
     }

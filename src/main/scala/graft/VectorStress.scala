@@ -194,26 +194,6 @@ object VectorStress {
     val pqCalSampled = if (pqCalRows.nonEmpty) pqCalRows.head.getDouble(2) else -1.0
     spark.catalog.clearCache(); System.gc()
 
-    // PROBE arm (r15, verdict #2): the train-once/probe-many shape
-    // q_ann_pq_probe times at bench SF, here at 128k vectors. The
-    // driver's r14 record read the probe entry 2.1× slower while every
-    // same-code builder window read it flat — this arm pins the probe
-    // path's at-scale price so window-vs-code adjudications have a
-    // fixture where real probe cost cannot hide under sub-second
-    // dispatch noise. Index build is UNTIMED (the amortized train-once
-    // cost the probe entry's contract excludes); nProbe self-sizes.
-    drain("ann_pq_probe")
-    val idxDir = java.nio.file.Files
-      .createTempDirectory("graft_stress_pqidx").toString
-    graft.ml.Pq.buildIvfPqIndex(emb, "vec_id", "embedding", idxDir,
-      m = 16, pqK = 64)
-    def probeIdx() = graft.ml.Pq.ivfPqTopKIndexed(
-      spark, idxDir, queries, "vec_id", "embedding", k = 10, rerank = 50,
-      rerankFrom = emb, rerankIdCol = "vec_id", rerankVecCol = "embedding")
-    val (tProbe, _) = timed(() => probeIdx())
-    val rProbe = recallOf(probeIdx())
-    spark.catalog.clearCache(); System.gc()
-
     truth.unpersist() // recall joins done; dedup arms don't read it
 
     // threshold 0.7, NOT the bench suite's 0.45: at 128k vectors the
@@ -257,9 +237,9 @@ object VectorStress {
 
     println(
       f"""{"metric":"vector_stress","corpus":$n,"queries":$nQueries,"k":10,""" +
-        f""""arms":{"ann_brute":$tBrute%.3f,"ann_ivf":$tIvf%.3f,"ann_ivf_cal":$tCal%.3f,"ann_ivf_pq_raw":$tPqRaw%.3f,"ann_ivf_pq":$tPq%.3f,"ann_ivf_pq_cal":$tPqCal%.3f,"ann_pq_probe":$tProbe%.3f,""" +
+        f""""arms":{"ann_brute":$tBrute%.3f,"ann_ivf":$tIvf%.3f,"ann_ivf_cal":$tCal%.3f,"ann_ivf_pq_raw":$tPqRaw%.3f,"ann_ivf_pq":$tPq%.3f,"ann_ivf_pq_cal":$tPqCal%.3f,""" +
         f""""embed_dedup":$tEmbDedup%.3f,"semantic_dedup":$tSem%.3f},""" +
-        f""""recall":{"ivf":$rIvf%.3f,"ivf_2x_probe":$rIvf2%.3f,"ivf_4x_probe":$rIvf4%.3f,"ivf_cal":$rCal%.3f,"ivf_cal_sampled":$calSampled%.3f,"ivf_pq_raw":$rPqRaw%.3f,"ivf_pq":$rPq%.3f,"ivf_pq_cal":$rPqCal%.3f,"ivf_pq_cal_sampled":$pqCalSampled%.3f,"pq_probe":$rProbe%.3f},""" +
+        f""""recall":{"ivf":$rIvf%.3f,"ivf_2x_probe":$rIvf2%.3f,"ivf_4x_probe":$rIvf4%.3f,"ivf_cal":$rCal%.3f,"ivf_cal_sampled":$calSampled%.3f,"ivf_pq_raw":$rPqRaw%.3f,"ivf_pq":$rPq%.3f,"ivf_pq_cal":$rPqCal%.3f,"ivf_pq_cal_sampled":$pqCalSampled%.3f},""" +
         f""""geometry":{"auto_nlists":$autoLists,"auto_nprobe":$autoProbe,"cal_nprobe":$calProbe,"pq_cal_nprobe":$pqCalProbe,"pq_cal_rerank":$pqCalRerank},""" +
         f""""keeps":{"embed_dedup":$keepEmb,"semantic_dedup":$keepSem},""" +
         f""""sentinel":{"cpu_pre":${pre._1}%.3f,"io_pre":${pre._2}%.3f,"cpu_post":${post._1}%.3f,"io_post":${post._2}%.3f}}""")

@@ -14,11 +14,8 @@ import org.apache.spark.sql.graftkit.Bridge
   * through ONE task; this module computes the same values with only
   * scale-shaped pieces:
   *
-  *  - ordinal: range sort + `AttachDistributedSequence` ordinals
-  *    ([[Binds.withIdx]] — r15: InternalRows end to end instead of
-  *    zipWithIndex's external-Row hop; the count job re-reads the
-  *    sort's shuffle output, map side runs once) — the pattern
-  *    addRowNumber/slice/sampling already use;
+  *  - ordinal: range sort + RDD `zipWithIndex` ([[Binds.withIdx]]) —
+  *    the pattern addRowNumber/slice/sampling already use;
   *  - running aggregates (cumsum's sum + null-poison max): the
   *    classic two-level prefix scan, in pure Spark SQL — a window
   *    PARTITIONED on the physical partition id for the
@@ -67,22 +64,18 @@ private[graft] object GlobalWindows {
     * the input plan is at or under this many bytes, compute every call
     * with plain SQL window functions over ONE constant-key partition
     * instead of the distributed machinery. Rationale: the distributed
-    * path costs a range sort + distributed-sequence ordinals
-    * (count job + data pass), a persist, one hash exchange per helper family
+    * path costs a range sort + RDD zipWithIndex (two jobs + an
+    * external-Row hop), a persist, one hash exchange per helper family
     * and a broadcast patch join — ~8 exchanges and a dozen jobs that
     * exist to avoid single-task windows AT SCALE; under a few tens of
     * MB a single task does the same work in one exchange, on any
     * cluster, strictly faster (sf0.1 measured 1.7 s → ~0.3 s). The
     * gate reads the PLAN estimate (free, no extra pass): parquet
     * sources estimate from file bytes, and un-estimable plans default
-    * to Long.MaxValue — i.e. a MISSING estimate can never mis-route a
-    * big frame into one task. A PRESENT-but-wrong estimate could
-    * (size-only stats pass Generate through near the child's bytes),
-    * so materialize() additionally refuses the tier when the optimized
-    * plan contains a row-multiplying operator (Generate / join) — see
-    * the r15 gate-hardening comment there. The threshold is
-    * deliberately a couple orders of magnitude under an executor's
-    * memory. Same
+    * to Long.MaxValue — i.e. the tier only fires when Spark can PROVE
+    * the input small, a big frame can never be mis-routed into one
+    * task by a missing estimate, and the threshold is deliberately a
+    * couple orders of magnitude under an executor's memory. Same
     * adaptive-tier design as Dedup.connectedComponents' local
     * union-find crossover. 0 disables (the spec seam). */
   private[graft] val SmallFrameBytesKey = "spark.graft.globalWindows.smallFrameBytes"
@@ -219,26 +212,8 @@ private[graft] object GlobalWindows {
                   calls: Seq[Call]): (DataFrame, Seq[String]) = {
     val smallBytes = df.sparkSession.conf
       .get(SmallFrameBytesKey, DefaultSmallFrameBytes.toString).toLong
-    // r15 gate hardening (r14 ADVICE): a PRESENT-but-wrong estimate can
-    // mis-route — the size-only stats visitor passes Generate through at
-    // roughly the child's width-scaled bytes and models joins from
-    // multiplied child sizes that post-filter selectivity can shrink
-    // back under the gate, so a 20 MB scan that explodes 50× upstream
-    // of a global window would read as "provably small" and funnel GBs
-    // into one task. The tier therefore ALSO requires the optimized
-    // plan to contain no row-multiplying operator (Generate or any
-    // join); missing estimates still default to Long.MaxValue, so the
-    // tier fires only when Spark can prove the input small AND no
-    // operator can have multiplied rows past what the estimate models.
-    def mayMultiplyRows(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-        : Boolean = p.exists {
-      case _: org.apache.spark.sql.catalyst.plans.logical.Generate => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.Join => true
-      case _ => false
-    }
     if (smallBytes > 0 &&
-        df.queryExecution.optimizedPlan.stats.sizeInBytes <= smallBytes &&
-        !mayMultiplyRows(df.queryExecution.optimizedPlan))
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= smallBytes)
       return materializeSmall(df, ordCols, calls)
     val needsOrd = calls.exists {
       case _: Rank | _: OrderIdx => false

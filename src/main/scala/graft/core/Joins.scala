@@ -96,55 +96,49 @@ private[core] object Binds {
   import org.apache.spark.sql.Row
   import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
-  /** Stable 0-based row index in the frame's current physical order —
-    * no single-partition shuffle (scales, unlike a global row_number
-    * window).
-    *
-    * r15: rides Spark's own `AttachDistributedSequence` plan node
-    * (via [[org.apache.spark.sql.graftkit.Bridge.attachSequence]])
-    * instead of the r8–r14 RDD `zipWithIndex` formulation. Same
-    * ordinal semantics, same two-job shape (GraftSession pins the
-    * node's cache mode to NONE — see the Bridge scaladoc for why the
-    * stock cache mode was measured and rejected), one tax removed:
-    * rows stay InternalRows end to end where the RDD hop paid
-    * external-Row conversion both ways, on both of zipWithIndex's
-    * passes (×16 capture overhead 0.77 → 0.46 s).
+  /** Stable 0-based row index via RDD zipWithIndex — one extra job to
+    * count partition sizes, but no single-partition shuffle (scales,
+    * unlike a global row_number window).
     *
     * DO NOT "optimize" this into a pure-Catalyst two-level build
     * (monotonically_increasing_id → per-partition counts → broadcast
-    * offsets): it was tried (r8) and is UNSOUND — the counting subtree
+    * offsets): it was tried (r8) and is UNSOUND. The counting subtree
     * and the main pass are planned and evaluated INDEPENDENTLY, so
     * the nondeterministic position capture can land on two different
     * physical layouts (AQE re-coalesces per evaluation) and the
-    * offset join silently drops almost every row. AttachDistributedSequence
-    * is immune the same way zipWithIndex was: ONE RDD instance feeds
-    * both of its jobs (the count job re-reads the child's shuffle
-    * output under cache mode NONE — the map side runs once), and
-    * Catalyst treats the node as a barrier (no filter pushdown
-    * through it, no sort elimination past it — see the Bridge
-    * scaladoc). As before, consumers that re-read the ordinals across
-    * jobs persist the RESULT (GlobalWindows). */
+    * offset join silently drops almost every row. zipWithIndex is
+    * immune because `.rdd` freezes ONE physical realization that both
+    * its jobs share. The real costs stay: the count job re-evaluates
+    * the (uncached) upstream a second time, and both passes pay Row
+    * conversion — acceptable because consumers that re-read the
+    * ordinals persist the RESULT (GlobalWindows), and upstream here
+    * is usually a sort whose recompute beats spilling a corpus-sized
+    * cached copy. */
   def withIdx(df: DataFrame): DataFrame = withIdxAs(df, CrysFrame.IDX)
 
   /** [[withIdx]] with a caller-chosen column name (e.g. the ingest
     * ordinal for wide-plan order capture — see CrysFrame.ordered). */
-  def withIdxAs(df: DataFrame, name: String): DataFrame =
-    org.apache.spark.sql.graftkit.Bridge.attachSequence(df, name)
+  def withIdxAs(df: DataFrame, name: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(name, LongType, false))
+    df.sparkSession.createDataFrame(
+      df.rdd.zipWithIndex().map { case (row, i) => Row.fromSeq(row.toSeq :+ i) },
+      schema)
+  }
 
   /** 1-based Int row number in the df's CURRENT physical order — the
-    * same [[withIdx]] capture (range-sort upstream, ordinal appended
-    * in physical order), never a partition-less `Window.orderBy` that
-    * funnels every row through one task. Int to match the reference's
-    * Int32 ordinal; raises rather than silently wrapping past 2^31-1
-    * rows (the ANSI long→int cast throws CAST_OVERFLOW — the engine
-    * runs Spark 4's default ANSI mode, which the repo's arithmetic
-    * contracts already lean on, e.g. pctChange's divide-by-zero). */
+    * same zipWithIndex pattern as [[withIdx]] (range-sort upstream,
+    * then a narrow per-partition map), never a partition-less
+    * `Window.orderBy` that funnels every row through one task.
+    * Int to match the reference's Int32 ordinal; raises rather than
+    * silently wrapping past 2^31-1 rows. */
   def withRowNumber(df: DataFrame, name: String): DataFrame = {
-    val seq = "__gr_rn_seq"
-    import org.apache.spark.sql.functions.col
-    withIdxAs(df, seq)
-      .withColumn(name, (col(seq) + 1L).cast(IntegerType))
-      .drop(seq)
+    val schema = StructType(df.schema.fields :+ StructField(name, IntegerType, false))
+    df.sparkSession.createDataFrame(
+      df.rdd.zipWithIndex().map { case (row, i) =>
+        if (i >= Int.MaxValue)
+          throw new ArithmeticException(s"$name overflows Int32 at row ${i + 1}")
+        Row.fromSeq(row.toSeq :+ (i + 1).toInt)
+      }, schema)
   }
 
   /** Union by name with the reference's conflicting-type re-inference

@@ -121,17 +121,7 @@ object Kernels {
     * (q_pipeline/q_ingest_pipeline measured ~10 stripHtml+tokenize
     * evaluations per row). Same remedy class as marking an expensive
     * UDF non-deterministic; the value is in fact deterministic — the
-    * flag only disables rearrangement, never changes a result.
-    *
-    * PLACEMENT CONSTRAINT (r14 ADVICE): because the wrapper is
-    * non-deterministic to CheckAnalysis, it is only legal where Spark
-    * allows non-deterministic expressions — Project / Filter /
-    * Aggregate listings and a few window positions. Using `once(...)`
-    * inside a JOIN CONDITION, a groupBy KEY, or a sort key fails
-    * analysis with Spark's generic "nondeterministic expressions are
-    * only allowed in ..." error. It also (by design) disables CSE and
-    * project-collapse around the wrapped value — apply it to the
-    * expensive score column, not blanket. */
+    * flag only disables rearrangement, never changes a result. */
   def once(c: Column): Column = column(BarrierExpr(expression(c)))
 
   /** Rolling-hash base shared by [[CharNgramHashExpr]] and

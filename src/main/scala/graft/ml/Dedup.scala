@@ -877,21 +877,8 @@ object Dedup {
 
   private def distributedCCLoop(p: DataFrame, maxIters: Int,
                                 persistStepped: Boolean): DataFrame = {
-    // r15: align the cached edge frame's partition count with the
-    // loop's edge-scaled shuffle partitioning. `p` arrives at the
-    // UPSTREAM pipeline's partitioning (dozens of near-empty splits at
-    // bench SF for a few thousand edges), every round re-scans sym
-    // twice (neighbor-min build + the labels init read it too), and
-    // rounds × empty-task dispatch is pure fixed cost (guide §2.6 —
-    // the same reasoning that put the loop on an edge-sized-partition
-    // session). coalesce is narrow; the target is the loop conf that
-    // distributedCC already clamps to ~100k edges per partition, so a
-    // billion-edge graph keeps its full session parallelism.
-    val loopSp = math.max(1,
-      p.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
     val sym = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .coalesce(loopSp)
       .cache()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
@@ -922,22 +909,23 @@ object Dedup {
         .select(col("id"), col("__old"),
           least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
       // the observed metric rides the SAME job that materializes the
-      // round: one action = materialization + fixpoint check
+      // round's cache: one count = materialization + fixpoint check
       val obs = org.apache.spark.sql.Observation(s"graft_cc_$it")
       val observed = jumped
         .observe(obs, coalesce(F.sum(when(col("label") < col("__old"), 1L)), lit(0L))
           .as("changed"))
-      val proj = observed.select(col("id"), col("label"))
-      // periodic lineage truncation (see CheckpointEvery), decided
-      // BEFORE the materializing action (r15): a truncation round runs
-      // ONE eager localCheckpoint — Dataset.checkpoint executes under
-      // withAction, so the observation fires on its materializing job —
-      // where the r14 shape paid a cache-count job AND a truncation
-      // scan. (A checkpoint landing on the final converged round wastes
-      // one (id, label)-sized RDD copy; saving a job on EVERY
-      // truncation round beats avoiding that copy at exit.) eager=true:
-      // a lazy checkpoint would silently defer the truncation to a
-      // consumer's first action.
+      val next = observed.select(col("id"), col("label")).cache()
+      next.count()
+      it += 1
+      checks += 1
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
+      if (persistStepped) stepped.unpersist()
+      labels.unpersist()
+      // periodic lineage truncation (see CheckpointEvery). Runs AFTER
+      // the count so the observation has already fired; reads the
+      // just-materialized cache, so the extra job is one cheap
+      // (id, label) pass. eager=true: a lazy checkpoint would silently
+      // defer the truncation to a consumer's first action.
       //
       // The persist path truncates EVERY round, not every 4: persist
       // does not shrink the logical plan, and each round references
@@ -951,15 +939,12 @@ object Dedup {
       // per-round (id, label) checkpoint scan is noise next to the
       // edge joins at any scale where persistStepped engages.
       val cpInterval = if (persistStepped) 1 else CheckpointEvery
-      val next =
-        if ((it + 1) % cpInterval == 0) proj.localCheckpoint(eager = true)
-        else { val n = proj.cache(); n.count(); n }
-      it += 1
-      checks += 1
-      converged = obs.get("changed").asInstanceOf[Long] == 0L
-      if (persistStepped) stepped.unpersist()
-      labels.unpersist()
-      labels = next
+      labels =
+        if (!converged && it % cpInterval == 0) {
+          val cp = next.localCheckpoint(eager = true)
+          next.unpersist()
+          cp
+        } else next
     }
     if (!converged)
       System.err.println(s"[graft] connectedComponents hit maxIters=$maxIters " +

@@ -265,19 +265,6 @@ object Pq {
     * session cache. Also returns the distinct probed list ids. */
   private def probeSet(q: DataFrame, cents: DataFrame, nProbe: Int)
       : (DataFrame, Seq[Long]) = {
-    val (ranked, rows) = probeSetRanked(q, cents, nProbe)
-    (ranked.drop("__r"), rows.map(_.getAs[Long]("list_id")).distinct.toSeq)
-  }
-
-  /** [[probeSet]] keeping the per-query rank column `__r` — the
-    * calibration loop ranks ONCE at the probe CAP and derives each
-    * escalation step's probe set with a driver-local `__r <= nProbe`
-    * filter (r15: the loop used to re-run the crossJoin + window +
-    * collect job per step, re-ranking the identical centroid table —
-    * pure per-step waste; row_number over (sim desc, list_id) is a
-    * total order, so rank-at-cap then filter ≡ rank-at-nProbe). */
-  private def probeSetRanked(q: DataFrame, cents: DataFrame, nProbe: Int)
-      : (DataFrame, Array[org.apache.spark.sql.Row]) = {
     val centsN = cents.withColumn("__cn", Similarity.norm(col("cvec")))
     val qLists = q.crossJoin(broadcast(centsN))
       .withColumn("__sim", Similarity.cosine(col("__q"), col("cvec")))
@@ -287,8 +274,9 @@ object Pq {
           .partitionBy(col("query_id")).orderBy(col("__sim").desc, col("list_id"))))
       .filter(col("__r") <= nProbe)
       .select(col("query_id"), col("__table"), col("__qn"), col("__qc"),
-        col("list_id"), col("__r"))
-    localize(qLists)
+        col("list_id"))
+    val (local, rows) = localize(qLists)
+    (local, rows.map(_.getAs[Long]("list_id")).distinct.toSeq)
   }
 
   /** Shared candidate scoring + bounded top-k + optional exact
@@ -382,27 +370,21 @@ object Pq {
       "graft_ivfpq_build")
     if (residual)
       assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // try/finally (r14 ADVICE): a throw inside training or the writes
-    // (e.g. trainVecs' "corpus holds only N vectors" require) must not
-    // leak the corpus-scale assignment persist into a long-lived session
-    try {
-      val model = if (residual)
-        trainResidualAssigned(assigned, idCol, vecCol, cents, m, pqK, iters, seed)
-      else train(corpus, idCol, vecCol, m, pqK, iters, seed)
-      import spark.implicits._
-      // `residual` is VERSIONED into the stored model row: a probe reads
-      // the flag back, so raw and residual indexes coexist and a pre-r14
-      // index (no column) reads as raw — ivfPqTopKIndexed serves both
-      Seq((model.m, model.k, model.subDim, model.codebook.toSeq, model.residual))
-        .toDF("m", "k", "sub_dim", "codebook", "residual")
-        .write.mode("overwrite").parquet(s"$path/model")
-      cents.write.mode("overwrite").parquet(s"$path/centroids")
-      encodeFor(assigned, vecCol, model, cents)
-        .select(col(idCol), col("pq_codes"), col("pq_norm"), col("list_id"))
-        .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
-    } finally {
-      if (residual) assigned.unpersist()
-    }
+    val model = if (residual)
+      trainResidualAssigned(assigned, idCol, vecCol, cents, m, pqK, iters, seed)
+    else train(corpus, idCol, vecCol, m, pqK, iters, seed)
+    import spark.implicits._
+    // `residual` is VERSIONED into the stored model row: a probe reads
+    // the flag back, so raw and residual indexes coexist and a pre-r14
+    // index (no column) reads as raw — ivfPqTopKIndexed serves both
+    Seq((model.m, model.k, model.subDim, model.codebook.toSeq, model.residual))
+      .toDF("m", "k", "sub_dim", "codebook", "residual")
+      .write.mode("overwrite").parquet(s"$path/model")
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    encodeFor(assigned, vecCol, model, cents)
+      .select(col(idCol), col("pq_codes"), col("pq_norm"), col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+    if (residual) assigned.unpersist()
     // drift baseline (generation 0) for appendToIvfPqIndex — observed
     // on the first materializing job, no extra corpus pass
     IndexStats.write(spark, path, generation = 0L,
@@ -568,30 +550,16 @@ object Pq {
         a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else a
     }
-    // training runs driver actions (seed-sample scan, Lloyd rounds) —
-    // release the assignment persist if one of them throws (r14 ADVICE);
-    // the success path stays LRU-released as documented above
-    val model =
-      try {
-        if (residual)
-          trainResidualAssigned(assigned, idCol, vecCol, cents, m, pqK, iters, seed)
-        else train(corpus, idCol, vecCol, m, pqK, iters, seed)
-      } catch { case t: Throwable =>
-        if (residual) assigned.unpersist()
-        throw t
-      }
+    val model = if (residual)
+      trainResidualAssigned(assigned, idCol, vecCol, cents, m, pqK, iters, seed)
+    else train(corpus, idCol, vecCol, m, pqK, iters, seed)
     val encoded = encodeFor(assigned, vecCol, model, cents)
     val q = adcQuerySide(queries, qidCol, qvecCol, model)
     val (qProbe, _) = probeSet(q, cents, probes)
     val cands = encoded.select(col(idCol).as("nn_id"), col("pq_codes").as("__c"),
       col("pq_norm").as("__n"), col("list_id"))
-    // rerank vector source: in residual mode the persisted assignment
-    // already carries every corpus column — the exact-rerank join reads
-    // the cache instead of paying a second full corpus scan (r15; values
-    // identical, it is the same (id → vector) mapping)
-    val rerankSrc = if (residual) assigned else corpus
     adcScoreTopK(cands, qProbe, model.k, k, rerank,
-      rerankSrc, idCol, vecCol, queries, qidCol, qvecCol,
+      corpus, idCol, vecCol, queries, qidCol, qvecCol,
       residual = model.residual)
   }
 
@@ -667,99 +635,80 @@ object Pq {
         a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else a
     }
-    // every persist below is released in the finally — on success after
-    // the calibrated output materializes (localCheckpoint), and on ANY
-    // exception path too (r14 ADVICE: a throw inside training, the truth
-    // pass or the escalation loop must not leak corpus-scale persists
-    // into a long-lived session)
-    var cands: DataFrame = null
-    var truth: DataFrame = null
-    try {
-      val model = if (residual)
-        trainResidualAssigned(assigned, idCol, vecCol, cents, m, pqK, iters, seed)
-      else train(corpus, idCol, vecCol, m, pqK, iters, seed)
-      // compact probe target (m bytes + norm + list id per row), read by
-      // every escalation step and the final probe — persist THIS, never
-      // the vectors
-      cands = encodeFor(assigned, vecCol, model, cents)
-        .select(col(idCol).as("nn_id"), col("pq_codes").as("__c"),
-          col("pq_norm").as("__n"), col("list_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // exact-vector source for the truth pass and every rerank join: in
-      // residual mode the persisted assignment already carries the
-      // corpus columns, so these reads hit the cache instead of paying a
-      // fresh full corpus scan PER ESCALATION STEP (r15; identical
-      // values — same (id → vector) mapping)
-      val vecSrc = if (residual) assigned else corpus
-      // deterministic content-stable sample, localized (≤ sampleQueries
-      // rows feed each escalation eval twice — probe side + rerank join)
-      val (sampleDf, _) = localize(queries
-        .select(col(qidCol).as("query_id"), col(qvecCol).as("__q"))
-        .orderBy(xxhash64(col("query_id"), lit(seed)), col("query_id"))
-        .limit(sampleQueries))
-      truth = Similarity.bruteForceTopK(vecSrc, idCol, vecCol,
-          sampleDf, "query_id", "__q", k, queryBudget = 0)
-        .select(col("query_id"), col("nn_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val truthPairs = truth.count()
-      // rank the sample's lists ONCE at the probe cap; each escalation
-      // step derives its probe set with a driver-local __r filter (r15 —
-      // rank-at-cap then filter ≡ rank-at-nProbe, see probeSetRanked)
-      lazy val (sampleRanked, _) = probeSetRanked(
-        adcQuerySide(sampleDf, "query_id", "__q", model), cents, probeCap)
-      def sampledRecall(probe: Int, rr: Int): Double = {
-        val qProbe = sampleRanked.filter(col("__r") <= probe).drop("__r")
-        val hits = adcScoreTopK(cands, qProbe, model.k, k, rr,
-            vecSrc, idCol, vecCol, sampleDf, "query_id", "__q",
-            residual = model.residual)
-          .select(col("query_id"), col("nn_id"))
-          .join(truth, Seq("query_id", "nn_id"), "left_semi").count()
-        hits.toDouble / truthPairs
-      }
-      var probe = math.min(startProbe, probeCap)
-      var rr = math.min(startRerank, rerankCap)
-      // empty truth (no sample / empty corpus): vacuous
-      var recall = if (truthPairs == 0L) 1.0 else sampledRecall(probe, rr)
-      // KNOB POLICY (r13 ADVICE): keep doubling the knob that is paying —
-      // switch only when its last doubling moved sampled recall by less
-      // than plateauEps, or when it caps. Starting knob is nProbe (probe
-      // loss binds first on clusterable data); on an ADC-bound corpus the
-      // first plateau hands control to rerank and it KEEPS it while the
-      // gain holds, instead of alternating back to ever-pricier probes.
-      val plateauEps = 0.02
-      var probeKnob = true
-      while (truthPairs != 0L && recall < targetRecall &&
-          (probe < probeCap || rr < rerankCap)) {
-        if (probeKnob && probe >= probeCap) probeKnob = false
-        else if (!probeKnob && rr >= rerankCap) probeKnob = true
-        if (probeKnob) probe = math.min(probe.toLong * 2, probeCap.toLong).toInt
-        else rr = math.min(rr.toLong * 2, rerankCap.toLong).toInt
-        val prevRecall = recall
-        recall = sampledRecall(probe, rr)
-        if (recall - prevRecall < plateauEps) probeKnob = !probeKnob
-      }
-      if (recall < targetRecall)
-        System.err.println(
-          f"[graft] ivfPqTopKCalibrated: caps reached (nProbe $probe/$lists " +
-            f"lists, rerank $rr) at sampled recall $recall%.3f < target " +
-            f"$targetRecall%.3f — this corpus needs larger caps or the exact " +
-            "kernels; the shortfall rides the measured_recall column")
-      val q = adcQuerySide(queries, qidCol, qvecCol, model)
-      val (qProbe, _) = probeSet(q, cents, probe)
-      // queries × k rows: materialize eagerly so the corpus-scale codes
-      // persist and the truth sample release HERE (the ivfTopKCalibrated
-      // unpersist contract — now via the finally)
-      adcScoreTopK(cands, qProbe, model.k, k, rr,
-          vecSrc, idCol, vecCol, queries, qidCol, qvecCol,
+    val model = if (residual)
+      trainResidualAssigned(assigned, idCol, vecCol, cents, m, pqK, iters, seed)
+    else train(corpus, idCol, vecCol, m, pqK, iters, seed)
+    // compact probe target (m bytes + norm + list id per row), read by
+    // every escalation step and the final probe — persist THIS, never
+    // the vectors
+    val cands = encodeFor(assigned, vecCol, model, cents)
+      .select(col(idCol).as("nn_id"), col("pq_codes").as("__c"),
+        col("pq_norm").as("__n"), col("list_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deterministic content-stable sample, localized (≤ sampleQueries
+    // rows feed each escalation eval twice — probe side + rerank join)
+    val (sampleDf, _) = localize(queries
+      .select(col(qidCol).as("query_id"), col(qvecCol).as("__q"))
+      .orderBy(xxhash64(col("query_id"), lit(seed)), col("query_id"))
+      .limit(sampleQueries))
+    val truth = Similarity.bruteForceTopK(corpus, idCol, vecCol,
+        sampleDf, "query_id", "__q", k, queryBudget = 0)
+      .select(col("query_id"), col("nn_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truthPairs = truth.count()
+    def sampledRecall(probe: Int, rr: Int): Double = {
+      val (qProbe, _) = probeSet(
+        adcQuerySide(sampleDf, "query_id", "__q", model), cents, probe)
+      val hits = adcScoreTopK(cands, qProbe, model.k, k, rr,
+          corpus, idCol, vecCol, sampleDf, "query_id", "__q",
           residual = model.residual)
-        .withColumn("measured_recall", lit(recall))
-        .withColumn("calibrated_nprobe", lit(probe))
-        .withColumn("calibrated_rerank", lit(rr))
-        .localCheckpoint()
-    } finally {
-      if (cands != null) cands.unpersist()
-      if (truth != null) truth.unpersist()
-      if (residual) assigned.unpersist()
+        .select(col("query_id"), col("nn_id"))
+        .join(truth, Seq("query_id", "nn_id"), "left_semi").count()
+      hits.toDouble / truthPairs
     }
+    var probe = math.min(startProbe, probeCap)
+    var rr = math.min(startRerank, rerankCap)
+    // empty truth (no sample / empty corpus): vacuous
+    var recall = if (truthPairs == 0L) 1.0 else sampledRecall(probe, rr)
+    // KNOB POLICY (r13 ADVICE): keep doubling the knob that is paying —
+    // switch only when its last doubling moved sampled recall by less
+    // than plateauEps, or when it caps. Starting knob is nProbe (probe
+    // loss binds first on clusterable data); on an ADC-bound corpus the
+    // first plateau hands control to rerank and it KEEPS it while the
+    // gain holds, instead of alternating back to ever-pricier probes.
+    val plateauEps = 0.02
+    var probeKnob = true
+    while (truthPairs != 0L && recall < targetRecall &&
+        (probe < probeCap || rr < rerankCap)) {
+      if (probeKnob && probe >= probeCap) probeKnob = false
+      else if (!probeKnob && rr >= rerankCap) probeKnob = true
+      if (probeKnob) probe = math.min(probe.toLong * 2, probeCap.toLong).toInt
+      else rr = math.min(rr.toLong * 2, rerankCap.toLong).toInt
+      val prevRecall = recall
+      recall = sampledRecall(probe, rr)
+      if (recall - prevRecall < plateauEps) probeKnob = !probeKnob
+    }
+    if (recall < targetRecall)
+      System.err.println(
+        f"[graft] ivfPqTopKCalibrated: caps reached (nProbe $probe/$lists " +
+          f"lists, rerank $rr) at sampled recall $recall%.3f < target " +
+          f"$targetRecall%.3f — this corpus needs larger caps or the exact " +
+          "kernels; the shortfall rides the measured_recall column")
+    val q = adcQuerySide(queries, qidCol, qvecCol, model)
+    val (qProbe, _) = probeSet(q, cents, probe)
+    // queries × k rows: materialize eagerly so the corpus-scale codes
+    // persist and the truth sample release HERE (the ivfTopKCalibrated
+    // unpersist contract)
+    val out = adcScoreTopK(cands, qProbe, model.k, k, rr,
+        corpus, idCol, vecCol, queries, qidCol, qvecCol,
+        residual = model.residual)
+      .withColumn("measured_recall", lit(recall))
+      .withColumn("calibrated_nprobe", lit(probe))
+      .withColumn("calibrated_rerank", lit(rr))
+      .localCheckpoint()
+    cands.unpersist()
+    truth.unpersist()
+    if (residual) assigned.unpersist()
+    out
   }
 }

@@ -430,32 +430,14 @@ object Similarity {
   private def probeLists(assigned: DataFrame, idCol: String, vecCol: String,
                          cents: DataFrame,
                          queries: DataFrame, qidCol: String, qvecCol: String,
-                         k: Int, probes: Int): DataFrame =
-    probeCands(assigned, idCol, vecCol,
-      rankLists(queries, qidCol, qvecCol, cents, probes).drop("__r"), k)
-
-  /** Rank lists per query against the (broadcast) centroid table and
-    * keep the top `probes`, retaining the rank under `__r` — the
-    * calibration loop ranks ONCE at the probe CAP and derives each
-    * escalation step's probe set with a `__r <= nProbe` filter over the
-    * localized result (r15: the loop used to re-run the ranking window
-    * AND re-scan the query parquet per step; row_number over sim desc
-    * is rank-stable, so rank-at-cap then filter ≡ rank-at-nProbe). */
-  private def rankLists(queries: DataFrame, qidCol: String, qvecCol: String,
-                        cents: DataFrame, probes: Int): DataFrame =
-    queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__q"))
+                         k: Int, probes: Int): DataFrame = {
+    val qLists = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__q"))
       .crossJoin(broadcast(cents))
       .withColumn("__sim", cosine(col("__q"), col("cvec")))
       .withColumn("__r", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("__sim").desc)))
       .filter(col("__r") <= probes)
-      .select(col("query_id"), col("__q"), col("list_id"), col("__r"))
-
-  /** The candidate half of [[probeLists]]: equi-join the pre-assigned
-    * corpus on the probed (query, list) pairs, exact-cosine score,
-    * bounded top-k. */
-  private def probeCands(assigned: DataFrame, idCol: String, vecCol: String,
-                         qLists: DataFrame, k: Int): DataFrame = {
+      .select(col("query_id"), col("__q"), col("list_id"))
     val cand = assigned.select(col(idCol).as("nn_id"), col(vecCol).as("__v"), col("list_id"))
       .join(broadcast(qLists), Seq("list_id"))
       .filter(col("nn_id") =!= col("query_id"))
@@ -523,74 +505,52 @@ object Similarity {
     // persist (LRU-evicted under pressure, the sigFrame convention)
     val assigned = assignLists(corpus, idCol, vecCol, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // persists released in the finally — on success after the output
-    // materializes (localCheckpoint; the r12 ADVICE unpersist contract),
-    // and on exception paths too (the r14 ADVICE leak class)
-    var truth: DataFrame = null
-    try {
-      // deterministic content-stable sample, LOCALIZED (r15): the ≤
-      // sampleQueries rows feed every escalation eval — as a lazy limit
-      // plan each step's action re-scanned the query parquet + re-sorted;
-      // as a LocalRelation it is free. Same collect-then-LocalRelation
-      // shape as Pq.localize.
-      val sampleRows = queries
-        .select(col(qidCol).as("query_id"), col(qvecCol).as("__q"))
-        .orderBy(xxhash64(col("query_id"), lit(seed)), col("query_id"))
-        .limit(sampleQueries)
-      val sample = queries.sparkSession.createDataFrame(
-        java.util.Arrays.asList(sampleRows.collect(): _*), sampleRows.schema)
-      // truth reads the PERSISTED assignment, not the corpus plan —
-      // identical rows (assignment appends list_id only), one fewer
-      // full corpus scan (r15); the sample was guarded transitively
-      // above, so skip the inner guard's count/head jobs
-      truth = bruteForceTopK(assigned, idCol, vecCol,
-          sample, "query_id", "__q", k, queryBudget = 0)
+    // deterministic content-stable sample, small enough to broadcast
+    val sample = queries
+      .select(col(qidCol).as("query_id"), col(qvecCol).as("__q"))
+      .orderBy(xxhash64(col("query_id"), lit(seed)), col("query_id"))
+      .limit(sampleQueries)
+    // the ≤sampleQueries-row sample was guarded transitively above —
+    // skip the inner guard's count/head jobs
+    val truth = bruteForceTopK(corpus, idCol, vecCol,
+        sample, "query_id", "__q", k, queryBudget = 0)
+      .select(col("query_id"), col("nn_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truthPairs = truth.count()
+    var probe = math.min(startProbe, probeCap)
+    var recall = 1.0 // empty truth (no sample / empty corpus): vacuous
+    var done = truthPairs == 0L
+    while (!done) {
+      val hits = probeLists(assigned, idCol, vecCol, cents,
+          sample, "query_id", "__q", k, probe)
         .select(col("query_id"), col("nn_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val truthPairs = truth.count()
-      // rank the sample's lists ONCE at the probe cap, localized; each
-      // escalation step derives its probe set with a __r filter (r15 —
-      // rank-at-cap then filter ≡ rank-at-nProbe, see rankLists)
-      lazy val sampleRanked = {
-        val ranked = rankLists(sample, "query_id", "__q", cents, probeCap)
-        queries.sparkSession.createDataFrame(
-          java.util.Arrays.asList(ranked.collect(): _*), ranked.schema)
-      }
-      var probe = math.min(startProbe, probeCap)
-      var recall = 1.0 // empty truth (no sample / empty corpus): vacuous
-      var done = truthPairs == 0L
-      while (!done) {
-        val hits = probeCands(assigned, idCol, vecCol,
-            sampleRanked.filter(col("__r") <= probe).drop("__r"), k)
-          .select(col("query_id"), col("nn_id"))
-          .join(truth, Seq("query_id", "nn_id"), "left_semi").count()
-        recall = hits.toDouble / truthPairs
-        if (recall >= targetRecall || probe >= probeCap) done = true
-        else probe = math.min(probe.toLong * 2, probeCap.toLong).toInt
-      }
-      if (recall < targetRecall)
-        System.err.println(
-          f"[graft] ivfTopKCalibrated: probe cap $probeCap/$lists lists " +
-            f"reached at sampled recall $recall%.3f < target $targetRecall%.3f " +
-            "— this corpus's neighbor structure needs a larger cap (or a " +
-            "brute-force pass); the shortfall rides the measured_recall column")
-      // the final full-set probe output is queries × k rows — small by
-      // the broadcast contract. Materialize it eagerly (localCheckpoint
-      // cuts the lineage back to the checkpointed blocks) so the
-      // corpus-scale `assigned` persist and the cached centroids can be
-      // RELEASED here instead of leaking into the session cache for its
-      // lifetime (one leaked corpus-scale persist per invocation was the
-      // r12 ADVICE finding — the bench alone invokes this 4× per sweep).
-      probeLists(assigned, idCol, vecCol, cents, queries, qidCol,
-          qvecCol, k, probe)
-        .withColumn("measured_recall", lit(recall))
-        .withColumn("calibrated_nprobe", lit(probe))
-        .localCheckpoint()
-    } finally {
-      if (truth != null) truth.unpersist()
-      assigned.unpersist()
-      cents.unpersist()
+        .join(truth, Seq("query_id", "nn_id"), "left_semi").count()
+      recall = hits.toDouble / truthPairs
+      if (recall >= targetRecall || probe >= probeCap) done = true
+      else probe = math.min(probe.toLong * 2, probeCap.toLong).toInt
     }
+    truth.unpersist()
+    if (recall < targetRecall)
+      System.err.println(
+        f"[graft] ivfTopKCalibrated: probe cap $probeCap/$lists lists " +
+          f"reached at sampled recall $recall%.3f < target $targetRecall%.3f " +
+          "— this corpus's neighbor structure needs a larger cap (or a " +
+          "brute-force pass); the shortfall rides the measured_recall column")
+    // the final full-set probe output is queries × k rows — small by
+    // the broadcast contract. Materialize it eagerly (localCheckpoint
+    // cuts the lineage back to the checkpointed blocks) so the
+    // corpus-scale `assigned` persist and the cached centroids can be
+    // RELEASED here instead of leaking into the session cache for its
+    // lifetime (one leaked corpus-scale persist per invocation was the
+    // r12 ADVICE finding — the bench alone invokes this 4× per sweep).
+    val out = probeLists(assigned, idCol, vecCol, cents, queries, qidCol,
+        qvecCol, k, probe)
+      .withColumn("measured_recall", lit(recall))
+      .withColumn("calibrated_nprobe", lit(probe))
+      .localCheckpoint()
+    assigned.unpersist()
+    cents.unpersist()
+    out
   }
 
   /** Random-hyperplane LSH bucket key for cosine similarity: `nBits`

@@ -12,44 +12,6 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
-  /** Append a stable 0-based ordinal in the frame's current physical
-    * order via the engine's own `AttachDistributedSequence` node (the
-    * pandas-on-Spark distributed-sequence index). Unlike the RDD
-    * `zipWithIndex` formulation this repo used through r14, rows never
-    * round-trip through external `Row`s — the node zips InternalRows
-    * end to end. The child-handling mode comes from
-    * `pandas_on_Spark.compute.default_index_cache`; GraftSession sets
-    * the engine default to `NONE` (zip the child RDD directly: the
-    * count job re-reads the sorted child's SHUFFLE output — shuffle
-    * stage reuse means the map side runs once either way). The stock
-    * MEMORY_AND_DISK_SER default was measured and REJECTED: it
-    * row-copies and serializes a full second copy of the frame
-    * (×16 bench-scale capture overhead 2.19 s vs NONE's 0.46 s vs old
-    * zipWithIndex's 0.77 s), and at 100 TB a corpus-sized cache WILL
-    * spill — writing the corpus to disk again, where the shuffle files
-    * are already there read-only. The sequence attribute is
-    * re-projected LAST to keep the historical withIdx column layout.
-    *
-    * Soundness note (the r8 two-level-build postmortem): the ordinal
-    * capture stays sound for the same reason zipWithIndex was — ONE
-    * RDD instance feeds both the partition-count job and the data
-    * pass, whatever the cache mode. Catalyst treats the node as an
-    * opaque barrier: predicate pushdown's `canPushThrough` does not
-    * list it and `EliminateSorts` only recurses through
-    * Project/Filter/Repartition, so neither a filter nor a sort
-    * elimination can slide past the capture and re-key the ordinals. */
-  def attachSequence(df: org.apache.spark.sql.DataFrame, name: String)
-      : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.AttributeReference
-    import org.apache.spark.sql.catalyst.plans.logical.{AttachDistributedSequence, Project}
-    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-    val child = ds.queryExecution.analyzed
-    val attr = AttributeReference(name, org.apache.spark.sql.types.LongType,
-      nullable = false)()
-    val plan = Project(child.output :+ attr, AttachDistributedSequence(attr, child))
-    org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession, plan)
-  }
-
   /** Source column names referenced anywhere in a Column. Spark 4
     * Columns carry a ColumnNode tree whose catalyst conversion happens
     * at ANALYSIS — collecting over `expression(c)` sees only an opaque
